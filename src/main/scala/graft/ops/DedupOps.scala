@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * All operators are pure dataflow (no driver-side loops) and scale by
+  * construction:
+  *  - exact/normalized dedup: one hash-shuffle on the fingerprint;
+  *  - n-gram Jaccard: inverted-index self-join on shingles — the join key
+  *    is the shingle, so co-occurring docs co-locate and no all-pairs
+  *    cross product ever materializes;
+  *  - MinHash+LSH: signature agg (one shuffle) → band join (candidate
+  *    pairs only) → verify — the classic sub-quadratic near-dup path;
+  *  - SimHash: bit-majority aggregation, one shuffle per doc/bit.
+  *
+  * Hash parity with the DuckDB oracle comes from using md5 (identical
+  * hex in both engines) as the underlying hash family everywhere.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+
+  /** Exact dedup: md5(text) groups with representative = min(doc_id)
+    * (generalizes reference: clickhouse_migrate/migrate.py:85). */
+  val dedupExact: Q = (s, dir) =>
+    docs(s, dir).groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup after normalization (lower, collapse whitespace, trim). */
+  val dedupExactNorm: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("norm", trim(lower(regexp_replace(col("text"), " +", " "))))
+      .groupBy(md5(col("norm")).as("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct (doc, 3-token-shingle) pairs — the shared inverted index. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))"))
+        .as("s"))
+      .distinct()
+
+  /** N-gram (3-shingle) Jaccard near-dup pairs via inverted-index join. */
+  val dedupNgramJaccard: Q = (s, dir) => {
+    val sh = shingles(s, dir)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(cnt.as("ca"), col("a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"), col("common"),
+        col("ca.n").as("na"), col("cb.n").as("nb"),
+        (col("common") / (col("ca.n") + col("cb.n") - col("common"))).as("jacc"))
+      .filter(col("jacc") >= 0.3)
+  }
+
+  private def distinctTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tk"))
+
+  /** 8-permutation MinHash signature; hash family h_i(tk) = md5("i:"+tk),
+    * minimum taken in hex-string order (identical in both engines). */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), col("tk")))).as(s"mh$i"))
+    distinctTokens(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding (2 bands × 4 rows): candidate pairs share a
+    * band hash; verified by signature agreement count. Sub-quadratic —
+    * the 100 TB near-dup path. */
+  val dedupMinhashLsh: Q = (s, dir) => {
+    val sig = minhashSig(s, dir)
+    val bands = sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("bi"),
+        md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bh")),
+      struct(lit(1).as("bi"),
+        md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bh"))))
+      .as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val matches: Column = (0 until 8)
+      .map(i => (col(s"sa.mh$i") === col(s"sb.mh$i")).cast("int"))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"), matches.cast("long").as("n_match"),
+        (matches.cast("double") / 8).as("est_jacc"))
+  }
+
+  /** 32-bit SimHash rendered as a bit string: per hex position j, the
+    * majority over tokens of md5-digit parity. */
+  val dedupSimhash: Q = (s, dir) => {
+    val tokenHash = distinctTokens(s, dir).withColumn("h", md5(col("tk")))
+    val bitVotes = tokenHash
+      .select(col("doc_id"), col("h"), explode(sequence(lit(1), lit(32))).as("j"))
+      .withColumn("vote",
+        when(expr("(instr('0123456789abcdef', substring(h, j, 1)) - 1) % 2 = 1"), 1)
+          .otherwise(-1))
+      .groupBy("doc_id", "j").agg(sum(col("vote")).as("v"))
+    bitVotes
+      .withColumn("c", when(col("v") >= 0, "1").otherwise("0"))
+      .groupBy("doc_id")
+      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(j, c))), x -> x.c))")
+        .as("simhash"))
+  }
+
+  /** Embedding near-dup: top-20 most-similar pairs by cosine (double
+    * precision, rounded to 6 decimals for cross-engine determinism). */
+  val dedupEmbeddingCosine: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
+        round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
+          / (col("a.norm") * col("b.norm")), 6).as("cos6"))
+      .orderBy(col("cos6").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "dedup_exact" -> dedupExact,
+    "dedup_exact_norm" -> dedupExactNorm,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine)
+
+  private val tokSql =
+    "SELECT DISTINCT doc_id, tk FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)"
+  private val sigSql = {
+    val mhs = (0 until 8).map(i => s"min(md5('$i:' || tk)) AS mh$i").mkString(", ")
+    s"SELECT doc_id, $mhs FROM ($tokSql) GROUP BY doc_id"
+  }
+
+  val oracles: Seq[(String, String)] = Seq(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY md5(text)""",
+    "dedup_exact_norm" ->
+      """SELECT md5(trim(lower(regexp_replace(text, ' +', ' ', 'g')))) AS fp,
+         MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, unnest(generate_series(1, len(t)-2)) u(i)
+                WHERE len(t) >= 3),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+                   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+         SELECT p.a, p.b, p.common, ca.n AS na, cb.n AS nb,
+           p.common / (ca.n + cb.n - p.common) AS jacc
+         FROM pairs p
+         JOIN cnt ca ON p.a = ca.doc_id
+         JOIN cnt cb ON p.b = cb.doc_id
+         WHERE p.common / (ca.n + cb.n - p.common) >= 0.3""",
+    "dedup_minhash_lsh" ->
+      s"""WITH sig AS ($sigSql),
+          band AS (
+            SELECT doc_id, 0 AS bi, md5(mh0 || mh1 || mh2 || mh3) AS bh FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS bi, md5(mh4 || mh5 || mh6 || mh7) AS bh FROM sig),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM band x JOIN band y
+                   ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id)
+          SELECT c.a, c.b,
+            CAST(${(0 until 8).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")} AS BIGINT) AS n_match,
+            CAST(${(0 until 8).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")} AS DOUBLE) / 8 AS est_jacc
+          FROM cand c
+          JOIN sig sa ON c.a = sa.doc_id
+          JOIN sig sb ON c.b = sb.doc_id""",
+    "dedup_simhash" ->
+      s"""WITH tok AS ($tokSql),
+          h AS (SELECT doc_id, md5(tk) AS h FROM tok),
+          bits AS (SELECT doc_id, i AS j,
+              SUM(CASE WHEN (instr('0123456789abcdef', substr(h, i, 1)) - 1) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+            FROM h, unnest(generate_series(1, 32)) u(i)
+            GROUP BY doc_id, i)
+          SELECT doc_id,
+            string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+          FROM bits GROUP BY doc_id""",
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 300)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cos6
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         ORDER BY cos6 DESC, a, b LIMIT 20""")
+}

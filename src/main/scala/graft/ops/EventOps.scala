@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Time-series / event-stream operators over the `events` table — the
+  * batch expressions of the Structured Streaming surface (the streaming
+  * twins live in graft.streaming and are exercised by tests; the batch
+  * forms here are what the DuckDB oracle can check).
+  *
+  * Parity note: timestamps are compared in integer microseconds
+  * (`unix_micros` ↔ `epoch_us`) and rendered as strings — raw
+  * timestamp columns never leave a query.
+  */
+object EventOps {
+
+  /** events with `ts` normalized to a µs-precision timestamp. The parquet
+    * type is TIMESTAMP(NANOS); the session reads it as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong) and we truncate to µs —
+    * byte-identical to DuckDB's epoch_us on the same column. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  /** Tumbling 1-hour window aggregation. */
+  val eventsTumbling: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_c"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Sessionization: a new session starts after a >30 min gap; per-user
+    * session counts. Exact integer-microsecond gap arithmetic. */
+  val eventsSessionize: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("new_s")).cast("long").as("n_sessions"))
+  }
+
+  /** Per-day × event-type pivot. */
+  val eventsPivotType: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("click", "n_click").withColumnRenamed("error", "n_error")
+      .withColumnRenamed("purchase", "n_purchase").withColumnRenamed("signup", "n_signup")
+      .withColumnRenamed("view", "n_view")
+
+  /** Top-N users by purchase value with deterministic ranking. */
+  val eventsTopUsers: Q = (s, dir) => {
+    val w = Window.orderBy(col("purchase_c").desc, col("user_id"))
+    events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(cents(col("value"))).as("purchase_c"), count(lit(1)).as("n_purchases"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "events_tumbling" -> eventsTumbling,
+    "events_sessionize" -> eventsSessionize,
+    "events_pivot_type" -> eventsPivotType,
+    "events_top_users" -> eventsTopUsers)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "events_tumbling" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c,
+         COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1""",
+    "events_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events)
+         SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         FROM x GROUP BY user_id""",
+    "events_pivot_type" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+         FROM events GROUP BY 1""",
+    "events_top_users" ->
+      """SELECT user_id, purchase_c, n_purchases, rk FROM (
+           SELECT user_id, purchase_c, n_purchases,
+             row_number() OVER (ORDER BY purchase_c DESC, user_id) AS rk
+           FROM (
+             SELECT user_id,
+               CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS purchase_c,
+               COUNT(*) AS n_purchases
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id))
+         WHERE rk <= 10""")
+}

@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.migrator.Reconcile
+import Tables._
+
+/** The reference-derived operator family, oracle-checkable on shared
+  * parquet: the reconciliation query and its building blocks
+  * (reference: clickhouse_migrate/migrate.py:26-41), the md5 fingerprint
+  * (migrate.py:85), ordered apply (migrate.py:47), COUNT(*) WHERE
+  * verification (tests/test_clickhouse_migration.py:103-112), and the
+  * ADD COLUMN / masked UPDATE rewrites
+  * (tests/migrations_seq/V1_sequential_dmls.json:2-6).
+  *
+  * Migration relations are synthesized deterministically from `orders` so
+  * DuckDB can build the identical inputs: version = o_orderkey,
+  * script = 'V<v>__m.sql', md5 = md5(version as string).
+  */
+object MigrationOps {
+
+  /** incoming: versions 0..299 present on disk. */
+  private def incoming(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey").cast("int").as("version"),
+        concat(lit("V"), col("o_orderkey"), lit("__m.sql")).as("script"),
+        md5(col("o_orderkey").cast("string")).as("md5"))
+
+  /** committed clean ledger: versions 0..199, md5s match disk. */
+  private def committedClean(s: SparkSession, dir: String): DataFrame =
+    incoming(s, dir).filter(col("version") < 200)
+
+  /** committed ledger where every version % 7 == 0 was edited on disk. */
+  private def committedTampered(s: SparkSession, dir: String): DataFrame =
+    committedClean(s, dir).withColumn("md5",
+      when(col("version") % 7 === 0, md5(concat(col("version").cast("string"), lit("x"))))
+        .otherwise(col("md5")))
+
+  private val incomingSql =
+    """SELECT CAST(o_orderkey AS INTEGER) AS version,
+       'V' || o_orderkey || '__m.sql' AS script,
+       md5(CAST(o_orderkey AS VARCHAR)) AS md5
+       FROM orders WHERE o_orderkey < 300"""
+  private val committedSql = s"SELECT * FROM ($incomingSql) WHERE version < 200"
+
+  /** Flagship: the full-outer-join reconciliation, pending set out. */
+  val reconcilePending: Q = (s, dir) =>
+    Reconcile.migrationsToApply(committedClean(s, dir), incoming(s, dir))
+      .select(col("version").cast("int").as("version"), col("script"), col("md5"))
+
+  /** Tampered detection on the joined relation (md5 <> c_md5). */
+  val reconcileTampered: Q = (s, dir) =>
+    Reconcile.tampered(
+      Reconcile.executionStat(committedTampered(s, dir), incoming(s, dir)))
+      .select(col("version"), col("c_md5"), col("md5"))
+
+  /** Absconded detection: committed versions 0..249, but every
+    * version % 10 == 0 deleted from disk. */
+  val reconcileAbsconded: Q = (s, dir) => {
+    val committed = incoming(s, dir).filter(col("version") < 250)
+    val onDisk = incoming(s, dir).filter(col("version") % 10 =!= 0)
+    Reconcile.absconded(Reconcile.executionStat(committed, onDisk))
+      .select(col("version"), col("c_script"))
+  }
+
+  /** Anti-join formulation of pending — the preferred shape at scale. */
+  val antiJoinPending: Q = (s, dir) =>
+    Reconcile.pendingAntiJoin(committedClean(s, dir), incoming(s, dir))
+      .select(col("version"), col("script"), col("md5"))
+
+  /** Set-difference view of the same semantics (SURVEY §2.7). */
+  val setExceptVersions: Q = (s, dir) =>
+    incoming(s, dir).select("version")
+      .except(committedClean(s, dir).select("version"))
+
+  /** Content fingerprinting (reference: migrate.py:85 generalized to a
+    * document corpus). */
+  val md5Fingerprint: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))
+
+  /** Ordered apply sequence: pending sorted by version with an explicit
+    * apply_order (reference: migrate.py:47 — sort_values('version')). */
+  val orderByVersion: Q = (s, dir) => {
+    val w = Window.orderBy("version")
+    Reconcile.pendingAntiJoin(committedClean(s, dir), incoming(s, dir))
+      .withColumn("apply_order", row_number().over(w).cast("long"))
+      .select("version", "script", "apply_order")
+  }
+
+  /** COUNT(*) WHERE verification surface
+    * (reference: tests/test_clickhouse_migration.py:103-112). */
+  val countWhere: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    li.agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("l_quantity") > 30, 1)).as("n_qty_gt30"),
+      count(when(col("l_discount") === 0.0, 1)).as("n_no_disc"),
+      count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+  }
+
+  /** ALTER TABLE … ADD COLUMN c DEFAULT v as a relational rewrite
+    * (reference: V1_sequential_dmls.json:2-3; SURVEY §2.9 M1). */
+  val addColumnDefault: Q = (s, dir) =>
+    t(s, dir, "part")
+      .withColumn("enabled", lit(1))
+      .withColumn("guard", lit(-1))
+      .select("p_partkey", "p_name", "enabled", "guard")
+
+  /** ALTER TABLE … UPDATE c=v WHERE pred as a masked projection
+    * (reference: V1_sequential_dmls.json:4-6; SURVEY §2.9 M2). The
+    * three dependent updates compose sequentially — exactly what
+    * queue_exec guarantees in the reference. */
+  val maskedUpdate: Q = (s, dir) => {
+    // enabled=0 WHERE qty>30; guard=0 WHERE enabled=0; guard=1 WHERE enabled=1
+    t(s, dir, "lineitem")
+      .withColumn("enabled", when(col("l_quantity") > 30, 0).otherwise(1))
+      .withColumn("guard", lit(-1))
+      .withColumn("guard", when(col("enabled") === 0, 0).otherwise(col("guard")))
+      .withColumn("guard", when(col("enabled") === 1, 1).otherwise(col("guard")))
+      .groupBy("enabled", "guard").agg(count(lit(1)).as("n"))
+  }
+
+  /** Bulk CSV ingest (reference: tests/test_clickhouse_migration.py:101 —
+    * gzip CSV with header; Spark reads gzip transparently). Rows-only
+    * check (no oracle): DuckDB-side CSV path access isn't guaranteed. */
+  val csvIngest: Q = (s, _) =>
+    s.read.option("header", "true").schema("id INT, name INT")
+      .csv("/root/reference/tests/migrations_seq/test.csv.gz")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("name") > 3000, 1)).as("n_gt3000"))
+
+  val queries: Seq[(String, Q)] = Seq(
+    "reconcile_pending" -> reconcilePending,
+    "reconcile_tampered" -> reconcileTampered,
+    "reconcile_absconded" -> reconcileAbsconded,
+    "anti_join_pending" -> antiJoinPending,
+    "set_except_versions" -> setExceptVersions,
+    "md5_fingerprint" -> md5Fingerprint,
+    "order_by_version" -> orderByVersion,
+    "count_where" -> countWhere,
+    "add_column_default" -> addColumnDefault,
+    "masked_update" -> maskedUpdate,
+    "csv_ingest" -> csvIngest)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "reconcile_pending" ->
+      s"""WITH incoming AS ($incomingSql), committed AS ($committedSql)
+          SELECT i.version, i.script, i.md5
+          FROM committed c FULL OUTER JOIN incoming i USING (version)
+          WHERE c.md5 IS NULL""",
+    "reconcile_tampered" ->
+      s"""WITH incoming AS ($incomingSql),
+          committed AS (
+            SELECT version, script,
+              CASE WHEN version % 7 = 0
+                   THEN md5(CAST(version AS VARCHAR) || 'x')
+                   ELSE md5 END AS md5
+            FROM ($committedSql))
+          SELECT version, c.md5 AS c_md5, i.md5 AS md5
+          FROM committed c JOIN incoming i USING (version)
+          WHERE c.md5 IS NOT NULL AND i.md5 IS NOT NULL AND i.md5 <> c.md5""",
+    "reconcile_absconded" ->
+      s"""WITH incoming AS ($incomingSql),
+          committed AS (SELECT * FROM incoming WHERE version < 250),
+          on_disk AS (SELECT * FROM incoming WHERE version % 10 <> 0)
+          SELECT c.version AS version, c.script AS c_script
+          FROM committed c LEFT JOIN on_disk d USING (version)
+          WHERE d.md5 IS NULL""",
+    "anti_join_pending" ->
+      s"""WITH incoming AS ($incomingSql), committed AS ($committedSql)
+          SELECT version, script, md5 FROM incoming
+          WHERE version NOT IN (SELECT version FROM committed)""",
+    "set_except_versions" ->
+      s"""WITH incoming AS ($incomingSql), committed AS ($committedSql)
+          SELECT version FROM incoming
+          EXCEPT SELECT version FROM committed""",
+    "md5_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "order_by_version" ->
+      s"""WITH incoming AS ($incomingSql), committed AS ($committedSql)
+          SELECT version, script,
+            row_number() OVER (ORDER BY version) AS apply_order
+          FROM incoming WHERE version NOT IN (SELECT version FROM committed)""",
+    "count_where" ->
+      """SELECT COUNT(*) AS n_total,
+         COUNT(CASE WHEN l_quantity > 30 THEN 1 END) AS n_qty_gt30,
+         COUNT(CASE WHEN l_discount = 0.0 THEN 1 END) AS n_no_disc,
+         COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+         FROM lineitem""",
+    "add_column_default" ->
+      """SELECT p_partkey, p_name, 1 AS enabled, -1 AS guard FROM part""",
+    "masked_update" ->
+      """SELECT enabled, guard, COUNT(*) AS n FROM (
+           SELECT CASE WHEN l_quantity > 30 THEN 0 ELSE 1 END AS enabled,
+             CASE WHEN l_quantity > 30 THEN 0 ELSE 1 END AS guard
+           FROM lineitem)
+         GROUP BY enabled, guard""")
+}

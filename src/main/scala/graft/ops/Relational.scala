@@ -1,0 +1,435 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Relational operator catalog over the TPC-H-ish testdata.
+  *
+  * Each entry is a declarative DataFrame program (Catalyst handles
+  * pushdown/pruning/join strategy) paired with a DuckDB oracle in
+  * [[oracles]]. Generalizes the reference's relational surface
+  * (reference: clickhouse_migrate/migrate.py:26-41 — scan, project/alias,
+  * cast, join, null predicates, counts; tests/test_clickhouse_migration.py:
+  * 103-112 — COUNT(*) WHERE verification queries) to the full operator
+  * families a migration/ETL engine needs at scale.
+  */
+object Relational {
+
+  /** TPC-H Q1-style wide aggregation: map-side partial agg + exact
+    * integer-cents money math. Shuffles once on the (tiny-cardinality)
+    * group key — optimal at any scale. */
+  val q1Agg: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+      sum(col("l_quantity")).cast("long").as("sum_qty"),
+      sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+      sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("sum_disc_c4"),
+      sum(revenueC4(col("l_extendedprice"), col("l_discount"))
+        * (lit(100L) + pct(col("l_tax")))).as("sum_charge_c6"),
+      avg(col("l_quantity")).as("avg_qty"),
+      count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style: filter → 3-way join → agg → top-k. Small dims
+    * (customer) broadcast; top-k is a sort-limit, not a full sort. */
+  val q3Topk: Q = (s, dir) => {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style multiway join with region/nation broadcast and a
+    * co-located customer-supplier nation predicate. */
+  val q5RegionRevenue: Q = (s, dir) => {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val supp = t(s, dir, "supplier")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey")
+        && cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("revenue_c4"))
+  }
+
+  /** Filter + projection — both must reach the parquet scan
+    * (PushedFilters / 4-column ReadSchema in .explain). */
+  val filterProject: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")
+        && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+
+  /** Top-k with deterministic tiebreak — sort-limit (TakeOrderedAndProject). */
+  val topkOrders: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("price_c"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  val aggDistinct: Q = (s, dir) =>
+    t(s, dir, "orders").groupBy("o_orderstatus").agg(
+      countDistinct(col("o_custkey")).as("n_cust"),
+      count(lit(1)).as("n_orders"))
+
+  /** ROLLUP grouping sets. */
+  val rollupAgg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+
+  /** CUBE grouping sets. */
+  val cubeAgg: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+
+  /** Ranking window with full deterministic ordering. */
+  val windowRank: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Running-sum analytic window over exact cents. */
+  val windowRunningSum: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running_c", sum(cents(col("o_totalprice"))).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_c"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  val semiJoin: Q = (s, dir) => {
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Left-anti join (NOT EXISTS) — also the idiomatic pending-migration
+    * shape (SURVEY §2.3 J1). */
+  val antiJoin: Q = (s, dir) => {
+    val pOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    t(s, dir, "customer")
+      .join(pOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Set union (distinct). */
+  val setUnion: Q = (s, dir) => {
+    val ord = t(s, dir, "orders")
+    ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .union(ord.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+      .distinct()
+  }
+
+  /** Set intersection. */
+  val setIntersect: Q = (s, dir) => {
+    val ord = t(s, dir, "orders")
+    ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(ord.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+  }
+
+  /** Set difference. */
+  val setExcept: Q = (s, dir) => {
+    val ord = t(s, dir, "orders")
+    ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(ord.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+  }
+
+  /** Cross join of two tiny dims. */
+  val crossJoinSmall: Q = (s, dir) =>
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select("r_name", "n_name")
+
+  /** Pivot (groupBy().pivot() → case-when aggregate in the oracle). */
+  val pivotReturnflag: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")).cast("long"))
+      .withColumnRenamed("A", "qty_a").withColumnRenamed("N", "qty_n")
+      .withColumnRenamed("R", "qty_r")
+
+  /** Scalar string functions. */
+  val scalarString: Q = (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_u"),
+      substring(col("p_type"), 1, 3).as("type3"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+      replace(col("p_name"), lit(" "), lit("_")).as("name_us"))
+
+  /** Scalar date functions (string-rendered for parity). */
+  val scalarDate: Q = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+
+  /** Scalar math functions — single IEEE ops, bit-identical cross-engine. */
+  val scalarMath: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+      abs(col("l_quantity") - 25).as("qdev"),
+      ceil(col("l_extendedprice") / 1000).cast("long").as("price_k_ceil"),
+      floor(col("l_quantity") / 7).cast("long").as("q7"),
+      (col("l_partkey") % 13).cast("long").as("pk_mod"),
+      sqrt(col("l_quantity")).as("q_sqrt"))
+
+  /** md5 content fingerprint — generalizes the reference's
+    * tamper-detection hash (reference: migrate.py:85). */
+  val scalarHashMd5: Q = (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"), md5(col("c_name")).as("name_md5"))
+
+  /** JSON extraction + aggregation over events.props. */
+  val jsonExtract: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+        max(col("k")).as("max_k"))
+
+  /** CASE WHEN classification + aggregation. */
+  val caseWhenBuckets: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("bucket",
+        when(col("o_totalprice") < 100000, "low")
+          .when(col("o_totalprice") < 250000, "mid")
+          .otherwise("high"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_c"))
+
+  /** GROUP BY + HAVING. */
+  val havingFilter: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("bal_c"))
+      .filter(col("n_cust") >= 50)
+
+  /** Banded (range-condition) join against an inline dim — the non-equi
+    * join shape; small side broadcast so it stays a BroadcastNestedLoop
+    * over 4 rows, not a shuffle. */
+  val rangeJoinBands: Q = (s, dir) => {
+    import s.implicits._
+    val bands = Seq(
+      (0L, 100000L, "b0"), (100000L, 200000L, "b1"),
+      (200000L, 300000L, "b2"), (300000L, 10000000L, "b3"))
+      .toDF("lo", "hi", "band")
+    t(s, dir, "orders")
+      .join(broadcast(bands),
+        cents(col("o_totalprice")) / 100 >= col("lo")
+          && cents(col("o_totalprice")) / 100 < col("hi"))
+      .groupBy("band").agg(count(lit(1)).as("n"))
+  }
+
+  /** DISTINCT projection. */
+  val distinctPairs: Q = (s, dir) =>
+    t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q1_agg" -> q1Agg,
+    "q3_topk" -> q3Topk,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "filter_project" -> filterProject,
+    "topk_orders" -> topkOrders,
+    "agg_distinct" -> aggDistinct,
+    "rollup_agg" -> rollupAgg,
+    "cube_agg" -> cubeAgg,
+    "window_rank" -> windowRank,
+    "window_running_sum" -> windowRunningSum,
+    "semi_join" -> semiJoin,
+    "anti_join" -> antiJoin,
+    "set_union" -> setUnion,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "cross_join_small" -> crossJoinSmall,
+    "pivot_returnflag" -> pivotReturnflag,
+    "scalar_string" -> scalarString,
+    "scalar_date" -> scalarDate,
+    "scalar_math" -> scalarMath,
+    "scalar_hash_md5" -> scalarHashMd5,
+    "json_extract" -> jsonExtract,
+    "case_when_buckets" -> caseWhenBuckets,
+    "having_filter" -> havingFilter,
+    "range_join_bands" -> rangeJoinBands,
+    "distinct_pairs" -> distinctPairs)
+
+  // DuckDB oracles. Money math mirrors Tables.cents exactly:
+  // CAST(round(x*100) AS BIGINT).
+  private val C = "CAST(round(l_extendedprice*100) AS BIGINT)"
+  private val D = "(100 - CAST(round(l_discount*100) AS BIGINT))"
+  private val X = "(100 + CAST(round(l_tax*100) AS BIGINT))"
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+          CAST(SUM($C) AS BIGINT) AS sum_base_c,
+          CAST(SUM($C*$D) AS BIGINT) AS sum_disc_c4,
+          CAST(SUM($C*$D*$X) AS BIGINT) AS sum_charge_c6,
+          AVG(l_quantity) AS avg_qty,
+          COUNT(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q3_topk" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+          o_orderpriority, CAST(SUM($C*$D) AS BIGINT) AS revenue_c4
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""",
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(SUM($C*$D) AS BIGINT) AS revenue_c4
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA' GROUP BY n_name""",
+    "filter_project" ->
+      s"""SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+          $C AS price_c FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 45""",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "agg_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+         COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus""",
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_c, rnk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(rank() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+           FROM orders) WHERE rnk <= 3""",
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_c
+         FROM orders""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderpriority = '1-URGENT')""",
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderstatus = 'P')""",
+    "set_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+    "cross_join_small" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "pivot_returnflag" ->
+      """SELECT l_linestatus,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS BIGINT) AS qty_a,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS BIGINT) AS qty_n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS BIGINT) AS qty_r
+         FROM lineitem GROUP BY l_linestatus""",
+    "scalar_string" ->
+      """SELECT p_partkey, upper(p_name) AS name_u,
+         substr(p_type, 1, 3) AS type3,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         p_brand || '/' || p_type AS brand_type,
+         lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+         replace(p_name, ' ', '_') AS name_us
+         FROM part""",
+    "scalar_date" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+         CAST(quarter(o_orderdate) AS BIGINT) AS q,
+         strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders""",
+    "scalar_math" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+         abs(l_quantity - 25) AS qdev,
+         CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+         CAST(floor(l_quantity / 7) AS BIGINT) AS q7,
+         l_partkey % 13 AS pk_mod,
+         sqrt(l_quantity) AS q_sqrt
+         FROM lineitem""",
+    "scalar_hash_md5" ->
+      "SELECT c_custkey, md5(c_name) AS name_md5 FROM customer",
+    "json_extract" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         COUNT(*) AS n,
+         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type""",
+    "case_when_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 250000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c
+         FROM orders GROUP BY 1""",
+    "having_filter" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+         CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c
+         FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 50""",
+    "range_join_bands" ->
+      """WITH bands(lo, hi, band) AS (VALUES
+           (0, 100000, 'b0'), (100000, 200000, 'b1'),
+           (200000, 300000, 'b2'), (300000, 10000000, 'b3'))
+         SELECT band, COUNT(*) AS n FROM orders JOIN bands
+           ON CAST(round(o_totalprice*100) AS BIGINT) / 100 >= lo
+          AND CAST(round(o_totalprice*100) AS BIGINT) / 100 < hi
+         GROUP BY band""",
+    "distinct_pairs" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
+}

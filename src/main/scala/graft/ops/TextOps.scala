@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Text-analysis operators over the document corpus: token statistics,
+  * quality scoring, language-ID heuristic, canonical fingerprinting,
+  * regex (BPE-ish) token counting. All per-document map-side work — no
+  * shuffle except the fingerprint group — so they scale linearly.
+  */
+object TextOps {
+
+  /** Token counting + distinct-token stats. */
+  val textTokenStats: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        (expr("aggregate(transform(tk, x -> length(x)), 0, (acc, x) -> acc + x)")
+          .cast("double") / size(col("tk"))).as("avg_tok_len"))
+
+  /** Quality scoring: stopword ratio, lexical diversity, length gates. */
+  val textQuality: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(tk, x -> x = 'the' or x = 'a' or x = 'of'))").cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))).as("diversity"),
+        when(col("n_tokens") >= 20 && col("n_tokens") <= 80, 1).otherwise(0).as("len_ok"))
+
+  /** Language-ID heuristic: stopword-marker votes per language with a
+    * deterministic priority order (en > de > fr > und). */
+  val textLangid: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_en", expr("size(filter(tk, x -> x = 'the' or x = 'a'))").cast("long"))
+      .withColumn("n_de", expr("size(filter(tk, x -> x = 'der' or x = 'die'))").cast("long"))
+      .withColumn("n_fr", expr("size(filter(tk, x -> x = 'le' or x = 'la'))").cast("long"))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("n_en"), col("n_de"), col("n_fr"),
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+          .when(col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
+          .when(col("n_fr") > 0, "fr")
+          .otherwise("und").as("pred_lang"))
+
+  /** Canonical fingerprint (sorted distinct token bag → md5) with group
+    * sizes — bag-of-words near-dup detection. */
+  val textFingerprint: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
+
+  /** Regex (BPE-ish) token counting — identical char-class semantics in
+    * Java regex and RE2. */
+  val tokenRegexCount: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num"),
+      regexp_count(col("text"), lit("[a-z]{5,}")).cast("long").as("n_long"))
+
+  val queries: Seq[(String, Q)] = Seq(
+    "text_token_stats" -> textTokenStats,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "token_regex_count" -> tokenRegexCount)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "text_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_tok_len
+         FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS n_stop,
+         CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
+           / len(t) AS stop_ratio,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity,
+         CASE WHEN len(t) >= 20 AND len(t) <= 80 THEN 1 ELSE 0 END AS len_ok
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""",
+    "text_langid" ->
+      """SELECT doc_id, lang AS labeled_lang,
+         CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_en,
+         CAST(len(list_filter(t, x -> x = 'der' OR x = 'die')) AS BIGINT) AS n_de,
+         CAST(len(list_filter(t, x -> x = 'le' OR x = 'la')) AS BIGINT) AS n_fr,
+         CASE
+           WHEN len(list_filter(t, x -> x = 'the' OR x = 'a'))
+                  >= len(list_filter(t, x -> x = 'der' OR x = 'die'))
+            AND len(list_filter(t, x -> x = 'the' OR x = 'a'))
+                  >= len(list_filter(t, x -> x = 'le' OR x = 'la'))
+            AND len(list_filter(t, x -> x = 'the' OR x = 'a')) > 0 THEN 'en'
+           WHEN len(list_filter(t, x -> x = 'der' OR x = 'die'))
+                  >= len(list_filter(t, x -> x = 'le' OR x = 'la'))
+            AND len(list_filter(t, x -> x = 'der' OR x = 'die')) > 0 THEN 'de'
+           WHEN len(list_filter(t, x -> x = 'le' OR x = 'la')) > 0 THEN 'fr'
+           ELSE 'und' END AS pred_lang
+         FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)""",
+    "text_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+         MIN(doc_id) AS rep_id, COUNT(*) AS n
+         FROM documents GROUP BY 1""",
+    "token_regex_count" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+         CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS n_long
+         FROM documents""")
+}
