@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * (graft.ops.EventOps). The reference has no streaming surface
+  * (SURVEY §2.11) — this is the §7 extension over the `events` schema:
+  * watermarked tumbling windows, streaming dedup, and custom session
+  * state via mapGroupsWithState.
+  *
+  * All transforms are expressed on an unbounded DataFrame with event-time
+  * watermarks, so the same code runs over Kafka/files at cluster scale;
+  * tests drive them with MemoryStream.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour event-time window with a 2-hour watermark:
+    * late data beyond the watermark is dropped, state is bounded. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * the streaming form of exact dedup (bounded state; at 100 TB/day the
+    * horizon bounds the dedup state size). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  case class SessionInput(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(nEvents: Long, nSessions: Long, lastUs: Long)
+  case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Custom sessionization state machine via mapGroupsWithState — the
+    * streaming twin of EventOps.eventsSessionize (>30 min gap starts a
+    * new session). NoTimeout keeps micro-batches data-driven; a
+    * production deployment bounding state for dead users would switch to
+    * EventTimeTimeout + withWatermark (timeouts make Spark schedule
+    * no-data batches, which is wasteful in a test harness). */
+  def sessionize(events: Dataset[SessionInput])(implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val init = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          val updated = sorted.foldLeft(init) { (st, e) =>
+            val us = e.ts.getTime * 1000L
+            val newSession = st.lastUs == Long.MinValue || us - st.lastUs > 1800000000L
+            SessionState(st.nEvents + 1, st.nSessions + (if (newSession) 1 else 0), us)
+          }
+          state.update(updated)
+          SessionUpdate(userId, updated.nEvents, updated.nSessions)
+      }
+  }
+
+  /** Wire a streaming query to an in-memory sink (tests) or console. */
+  def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionInput, SessionUpdate}
+
+/** Structured Streaming extension tests: watermarked tumbling windows,
+  * streaming dedup, and mapGroupsWithState sessionization, driven by
+  * MemoryStream (SURVEY §2.11 — extension, no reference counterpart).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.startToMemory(
+      EventStreams.tumblingCounts(events), "tumbling", OutputMode.Update())
+    try {
+      input.addData(
+        (ts(10), "click", 1.0), (ts(20), "click", 2.0),
+        (ts(70), "click", 4.0), (ts(15), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 01:00:00.0", "click", 1L)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+    val q = EventStreams.startToMemory(
+      EventStreams.dedupedEvents(events), "deduped", OutputMode.Append())
+    try {
+      input.addData((1L, ts(1)), (1L, ts(1)), (2L, ts(2)), (1L, ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState sessionization") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionInput]
+    val q = EventStreams.startToMemory(
+      EventStreams.sessionize(input.toDS()).toDF(), "sessions", OutputMode.Update())
+    try {
+      // user 1: events at 0 and 10 min (one session), then 50 min (> 30
+      // min gap → second session); user 2: one event
+      input.addData(SessionInput(1L, ts(0)), SessionInput(1L, ts(10)))
+      q.processAllAvailable()
+      input.addData(SessionInput(1L, ts(50)), SessionInput(2L, ts(5)))
+      q.processAllAvailable()
+      val byUser = spark.table("sessions").as[SessionUpdate].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(byUser(1L).n_events == 3 && byUser(1L).n_sessions == 2)
+      assert(byUser(2L).n_events == 1 && byUser(2L).n_sessions == 1)
+    } finally q.stop()
+  }
+}
