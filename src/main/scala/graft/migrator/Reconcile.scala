@@ -69,8 +69,15 @@ object Reconcile {
     if (nIncoming == 0 || nIncoming < nCommitted)
       throw new AssertionError(MissingMsg)
     val stat = executionStat(committed, incoming)
-    if (!absconded(stat).isEmpty) throw new AssertionError(MissingMsg)
-    if (!tampered(stat).isEmpty) throw new AssertionError(TamperedMsg)
+    // both guards in ONE aggregation pass over the join (the reference
+    // filters the pandas frame twice, migrate.py:35-40; at scale two
+    // passes = two shuffles, so fuse them)
+    val guards = stat.agg(
+      count(when(col("c_md5").isNotNull && col("md5").isNull, 1)).as("n_absconded"),
+      count(when(col("c_md5").isNotNull && col("md5").isNotNull
+        && col("md5") =!= col("c_md5"), 1)).as("n_tampered")).head()
+    if (guards.getLong(0) > 0) throw new AssertionError(MissingMsg)
+    if (guards.getLong(1) > 0) throw new AssertionError(TamperedMsg)
     pending(stat)
   }
 

@@ -49,7 +49,9 @@ object DedupOps {
 
   /** N-gram (3-shingle) Jaccard near-dup pairs via inverted-index join. */
   val dedupNgramJaccard: Q = (s, dir) => {
-    val sh = shingles(s, dir)
+    // the shingle index feeds three consumers (counts + both join sides):
+    // cache it once instead of recomputing the explode+distinct
+    val sh = shingles(s, dir).persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -80,7 +82,8 @@ object DedupOps {
     * band hash; verified by signature agreement count. Sub-quadratic —
     * the 100 TB near-dup path. */
   val dedupMinhashLsh: Q = (s, dir) => {
-    val sig = minhashSig(s, dir)
+    // signatures feed the band explode and both verify-join sides
+    val sig = minhashSig(s, dir).persist()
     val bands = sig.select(col("doc_id"), explode(array(
       struct(lit(0).as("bi"),
         md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bh")),
@@ -125,10 +128,10 @@ object DedupOps {
   val dedupEmbeddingCosine: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
+      .withColumn("norm", expr(s"sqrt(${dotSql(s, "v", "v")})"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
-        round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
+        round(expr(dotSql(s, "a.v", "b.v"))
           / (col("a.norm") * col("b.norm")), 6).as("cos6"))
       .orderBy(col("cos6").desc, col("a"), col("b"))
       .limit(20)

@@ -256,6 +256,17 @@ object Relational {
   val distinctPairs: Q = (s, dir) =>
     t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
+  /** SQL-text entry point — the reference's execute_and_inflate surface
+    * (reference: migrate.py:12-15: SQL string in, named-column relation
+    * out); names/types come from Catalyst analysis instead of driver
+    * metadata. */
+  val sqlTextQuery: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""SELECT o_orderstatus AS status, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+             FROM orders_v GROUP BY o_orderstatus""")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
@@ -282,7 +293,8 @@ object Relational {
     "case_when_buckets" -> caseWhenBuckets,
     "having_filter" -> havingFilter,
     "range_join_bands" -> rangeJoinBands,
-    "distinct_pairs" -> distinctPairs)
+    "distinct_pairs" -> distinctPairs,
+    "sql_text_query" -> sqlTextQuery)
 
   // DuckDB oracles. Money math mirrors Tables.cents exactly:
   // CAST(round(x*100) AS BIGINT).
@@ -431,5 +443,9 @@ object Relational {
           AND CAST(round(o_totalprice*100) AS BIGINT) / 100 < hi
          GROUP BY band""",
     "distinct_pairs" ->
-      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "sql_text_query" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+         FROM orders GROUP BY o_orderstatus""")
 }

@@ -24,10 +24,7 @@ object SimilarityOps {
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x*x))"))
-
-  private val dotExpr =
-    "aggregate(zip_with(q.v, c.v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"
+      .withColumn("norm", expr(s"sqrt(${dotSql(s, "v", "v")})"))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   val annBruteforceTopk: Q = (s, dir) => {
@@ -35,7 +32,7 @@ object SimilarityOps {
     val q = e.filter(col("vec_id") < 10)
     val scored = q.as("q").join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
-        round(expr(dotExpr) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
+        round(expr(dotSql(s, "q.v", "c.v")) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
     val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -49,7 +46,7 @@ object SimilarityOps {
         col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
         col("q.label").as("bucket"),
-        round(expr(dotExpr) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
+        round(expr(dotSql(s, "q.v", "c.v")) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
     val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)

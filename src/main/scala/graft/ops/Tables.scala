@@ -28,4 +28,12 @@ object Tables {
   /** Exact revenue term in cents×10⁻⁴: cents(price) * (100 - pct(disc)). */
   def revenueC4(price: Column, discount: Column): Column =
     cents(price) * (lit(100L) - pct(discount))
+
+  /** Dot-product SQL fragment: the native codegen expression
+    * ([[graft.functions.VecDot]]) when the session registered it, else
+    * the built-in higher-order-function fold. Both are sequential
+    * index-order summation — identical results, different speed. */
+  def dotSql(s: SparkSession, a: String, b: String): String =
+    if (s.catalog.functionExists("vec_dot")) s"vec_dot($a, $b)"
+    else s"aggregate(zip_with($a, $b, (x, y) -> x*y), 0D, (acc, x) -> acc + x)"
 }

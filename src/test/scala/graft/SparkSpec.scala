@@ -17,6 +17,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

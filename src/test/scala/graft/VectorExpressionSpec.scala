@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Native VecDot expression: registration via GraftExtensions, parity
+  * with the higher-order-function fold, null/edge behavior. */
+class VectorExpressionSpec extends SparkSpec {
+
+  test("vec_dot is registered by GraftExtensions") {
+    assert(spark.catalog.functionExists("vec_dot"))
+  }
+
+  test("vec_dot matches the aggregate/zip_with fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2), Array(0.3, 0.7)),
+      (Array.empty[Double], Array.empty[Double]))
+      .toDF("a", "b")
+    val out = df.select(
+      expr("vec_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (acc, x) -> acc + x)").as("fold"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
+  test("vec_dot on real embeddings agrees with fold formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val rows = e.select(
+      expr("vec_dot(v, v)").as("native"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)").as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("vec_dot is null-safe") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(df.select(expr("vec_dot(a, b)")).collect()(0).isNullAt(0))
+  }
+}
