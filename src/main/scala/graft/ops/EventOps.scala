@@ -73,11 +73,34 @@ object EventOps {
       .filter(col("rk") <= 10)
   }
 
+  /** As-of join — for each purchase, the latest signup of the same user
+    * at or before it. Spark has no ASOF JOIN operator; the scalable
+    * re-expression is a single window pass over the unioned, user-
+    * partitioned, time-ordered stream carrying the last-seen signup
+    * forward (`last(..., ignoreNulls)`) — one shuffle on user_id, no
+    * range-join explosion. (SURVEY §2.3: as-of joins only as extension.) */
+  val asofJoinSignup: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_signup_id",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_signup_us",
+        last(when(col("event_type") === "signup", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_signup_id"),
+        (col("us") - col("last_signup_us")).as("gap_us"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_sessionize" -> eventsSessionize,
     "events_pivot_type" -> eventsPivotType,
-    "events_top_users" -> eventsTopUsers)
+    "events_top_users" -> eventsTopUsers,
+    "asof_join_signup" -> asofJoinSignup)
 
   val oracles: Seq[(String, String)] = Seq(
     "events_tumbling" ->
@@ -111,5 +134,19 @@ object EventOps {
                CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS purchase_c,
                COUNT(*) AS n_purchases
              FROM events WHERE event_type = 'purchase' GROUP BY user_id))
-         WHERE rk <= 10""")
+         WHERE rk <= 10""",
+    "asof_join_signup" ->
+      """WITH sp AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                     FROM events WHERE event_type IN ('signup', 'purchase')),
+         marked AS (
+           SELECT event_id, user_id, event_type, us,
+             last(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id,
+             last(CASE WHEN event_type = 'signup' THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+           FROM sp)
+         SELECT event_id, user_id, last_signup_id, us - last_signup_us AS gap_us
+         FROM marked WHERE event_type = 'purchase'""")
 }

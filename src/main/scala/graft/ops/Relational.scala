@@ -267,8 +267,26 @@ object Relational {
              FROM orders_v GROUP BY o_orderstatus""")
   }
 
+  /** Sketch aggregation (HLL++). No DuckDB oracle — sketch estimates are
+    * algorithm-specific; the driver records a rows-only check. The exact
+    * twin is agg_distinct. */
+  val approxDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
+  /** Exact percentiles (sort-based); DuckDB quantile_cont uses the same
+    * linear-interpolation definition. */
+  val percentiles: Q = (s, dir) =>
+    t(s, dir, "orders").groupBy("o_orderstatus").agg(
+      expr("percentile(o_totalprice, 0.5)").as("p50"),
+      expr("percentile(o_totalprice, 0.9)").as("p90"),
+      count(lit(1)).as("n"))
+
   val queries: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1Agg,
+    "approx_distinct" -> approxDistinct,
+    "percentiles" -> percentiles,
     "q3_topk" -> q3Topk,
     "q5_region_revenue" -> q5RegionRevenue,
     "filter_project" -> filterProject,
@@ -303,6 +321,10 @@ object Relational {
   private val X = "(100 + CAST(round(l_tax*100) AS BIGINT))"
 
   val oracles: Seq[(String, String)] = Seq(
+    "percentiles" ->
+      """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
+         quantile_cont(o_totalprice, 0.9) AS p90, COUNT(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,

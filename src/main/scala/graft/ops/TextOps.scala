@@ -66,12 +66,31 @@ object TextOps {
       regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num"),
       regexp_count(col("text"), lit("[a-z]{5,}")).cast("long").as("n_long"))
 
+  /** Document frequency per token via salted two-stage holistic
+    * aggregation: stage 1 groups on (token, doc_id % 16) so a hot token's
+    * doc set is built on 16 partitions in parallel; stage 2 merges. For
+    * algebraic aggs the map-side combiner already handles skew — the
+    * salt matters exactly for holistic state like distinct-sets, which is
+    * what document frequency is. Results are identical to the unsalted
+    * form (the oracle computes it directly). */
+  val tokenDocFreqSalted: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tk"))
+    toks
+      .withColumn("salt", pmod(col("doc_id"), lit(16)))
+      .groupBy("tk", "salt")
+      .agg(count(lit(1)).as("partial_df"))
+      .groupBy("tk")
+      .agg(sum(col("partial_df")).cast("long").as("df"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
-    "token_regex_count" -> tokenRegexCount)
+    "token_regex_count" -> tokenRegexCount,
+    "token_doc_freq_salted" -> tokenDocFreqSalted)
 
   val oracles: Seq[(String, String)] = Seq(
     "text_token_stats" ->
@@ -117,5 +136,9 @@ object TextOps {
          CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
          CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
          CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS n_long
-         FROM documents""")
+         FROM documents""",
+    "token_doc_freq_salted" ->
+      """SELECT tk, COUNT(DISTINCT doc_id) AS df FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+         GROUP BY tk""")
 }
