@@ -81,6 +81,24 @@ object MigrationOps {
   val md5Fingerprint: Q = (s, dir) =>
     t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))
 
+  /** The reference's filename/string predicates as dataflow: version
+    * parse from `V<digits>` prefix (migrate.py:84 / F2), extension
+    * predicate (migrate.py:86 / F3), substring containment
+    * (migrate.py:67 / F5). Filenames synthesized deterministically so
+    * DuckDB builds the identical input. */
+  val filenamePredicates: Q = (s, dir) =>
+    t(s, dir, "orders").filter(col("o_orderkey") < 500)
+      .select(concat(lit("V"), col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, lit("__create.sql"))
+          .when(col("o_orderkey") % 3 === 1, lit("_update.json"))
+          .otherwise(lit("_notes.txt"))).as("fname"))
+      .select(
+        col("fname"),
+        regexp_extract(col("fname"), "^V(\\d+)", 1).cast("int").as("version"),
+        (col("fname").endsWith(".sql") || col("fname").endsWith(".json")).as("is_migration"),
+        col("fname").contains("update").as("has_update"),
+        instr(col("fname"), "_").cast("long").as("us_pos"))
+
   /** Ordered apply sequence: pending sorted by version with an explicit
     * apply_order (reference: migrate.py:47 — sort_values('version')). */
   val orderByVersion: Q = (s, dir) => {
@@ -139,6 +157,7 @@ object MigrationOps {
     "anti_join_pending" -> antiJoinPending,
     "set_except_versions" -> setExceptVersions,
     "md5_fingerprint" -> md5Fingerprint,
+    "filename_predicates" -> filenamePredicates,
     "order_by_version" -> orderByVersion,
     "count_where" -> countWhere,
     "add_column_default" -> addColumnDefault,
@@ -179,6 +198,19 @@ object MigrationOps {
           EXCEPT SELECT version FROM committed""",
     "md5_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "filename_predicates" ->
+      """WITH f AS (
+           SELECT 'V' || o_orderkey ||
+             CASE WHEN o_orderkey % 3 = 0 THEN '__create.sql'
+                  WHEN o_orderkey % 3 = 1 THEN '_update.json'
+                  ELSE '_notes.txt' END AS fname
+           FROM orders WHERE o_orderkey < 500)
+         SELECT fname,
+           CAST(regexp_extract(fname, '^V(\d+)', 1) AS INTEGER) AS version,
+           (fname LIKE '%.sql' OR fname LIKE '%.json') AS is_migration,
+           contains(fname, 'update') AS has_update,
+           CAST(instr(fname, '_') AS BIGINT) AS us_pos
+         FROM f""",
     "order_by_version" ->
       s"""WITH incoming AS ($incomingSql), committed AS ($committedSql)
           SELECT version, script,

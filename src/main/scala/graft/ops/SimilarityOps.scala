@@ -60,7 +60,8 @@ object SimilarityOps {
   val queries: Seq[(String, Q)] = Seq(
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_ivf_label" -> annIvfLabel,
-    "embedding_stats" -> embeddingStats)
+    "embedding_stats" -> embeddingStats,
+    "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
   private val vecsSql =
     """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -93,5 +94,11 @@ object SimilarityOps {
     "embedding_stats" ->
       s"""WITH e AS ($vecsSql)
           SELECT label, COUNT(*) AS n, round(AVG(nrm), 6) AS avg_norm6
-          FROM e GROUP BY label""")
+          FROM e GROUP BY label""",
+    "embedding_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+         round(AVG(v[i]), 6) AS centroid6
+         FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              unnest(generate_series(1, 64)) u(i)
+         GROUP BY label, i""")
 }
