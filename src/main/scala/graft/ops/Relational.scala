@@ -256,6 +256,35 @@ object Relational {
   val distinctPairs: Q = (s, dir) =>
     t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into a join
+    * (RewriteCorrelatedScalarSubquery), so it scales like an aggregation
+    * + join instead of a per-row probe. */
+  val scalarSubquery: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+    t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+    s.sql("""SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+             (SELECT CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+              FROM orders_sq WHERE o_custkey = c_custkey
+              AND o_orderstatus = 'F') AS f_total_c
+             FROM customer_sq""")
+  }
+
+  /** Date arithmetic: per-order shipping delay in days, bucketed. */
+  val dateArithmetic: Q = (s, dir) => {
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay_days"))
+      .withColumn("bucket",
+        when(col("delay_days") < 30, "lt30")
+          .when(col("delay_days") < 90, "lt90")
+          .otherwise("ge90"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("delay_days")).as("min_d"),
+        max(col("delay_days")).as("max_d"))
+  }
+
   /** SQL-text entry point — the reference's execute_and_inflate surface
     * (reference: migrate.py:12-15: SQL string in, named-column relation
     * out); names/types come from Catalyst analysis instead of driver
@@ -312,7 +341,9 @@ object Relational {
     "having_filter" -> havingFilter,
     "range_join_bands" -> rangeJoinBands,
     "distinct_pairs" -> distinctPairs,
-    "sql_text_query" -> sqlTextQuery)
+    "sql_text_query" -> sqlTextQuery,
+    "scalar_subquery" -> scalarSubquery,
+    "date_arithmetic" -> dateArithmetic)
 
   // DuckDB oracles. Money math mirrors Tables.cents exactly:
   // CAST(round(x*100) AS BIGINT).
@@ -469,5 +500,23 @@ object Relational {
     "sql_text_query" ->
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
          CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
-         FROM orders GROUP BY o_orderstatus""")
+         FROM orders GROUP BY o_orderstatus""",
+    "scalar_subquery" ->
+      """SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+         (SELECT CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+          FROM orders WHERE o_custkey = c_custkey
+          AND o_orderstatus = 'F') AS f_total_c
+         FROM customer""",
+    "date_arithmetic" ->
+      """SELECT bucket, COUNT(*) AS n,
+         CAST(MIN(delay_days) AS BIGINT) AS min_d,
+         CAST(MAX(delay_days) AS BIGINT) AS max_d
+         FROM (
+           SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay_days,
+             CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'lt30'
+                  WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'lt90'
+                  ELSE 'ge90' END AS bucket
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         GROUP BY bucket""")
 }

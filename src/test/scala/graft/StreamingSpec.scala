@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream to parquet sink with checkpoint") {
+    // the production shape: readStream over an arriving-files directory,
+    // transform, writeStream to parquet with exactly-once checkpointing
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val inDir = s"$scratch/stream_in"
+    src.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(src.schema).parquet(inDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .filter("event_type = 'purchase'")
+      .select("event_id", "user_id", "ts", "value")
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", s"$scratch/stream_out")
+      .option("checkpointLocation", s"$scratch/stream_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$scratch/stream_out")
+    val expected = src.filter("event_type = 'purchase'").count()
+    assert(out.count() == expected)
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "value"))
+  }
+
   test("mapGroupsWithState sessionization") {
     import spark.implicits._
     implicit val s = spark
