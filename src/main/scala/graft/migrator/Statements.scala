@@ -7,73 +7,102 @@ import org.apache.spark.sql.functions._
   *
   * Regex-level translation, deliberately not a parser (SURVEY §7.3): the
   * reference forwards SQL text verbatim to ClickHouse
-  * (reference: clickhouse_migrate/migrate.py:52) and the dialect surface
-  * its fixtures exercise is exactly four shapes:
+  * (reference: clickhouse_migrate/migrate.py:52). Shapes covered are the
+  * fixture surface (reference: tests/clickhouse_migrations/,
+  * tests/migrations_seq/V1_sequential_dmls.json) plus the statements a
+  * real migration dir would contain: DROP/TRUNCATE/RENAME and the
+  * ALTER…DELETE mutation. Anything else falls through to `spark.sql`
+  * untouched (ANSI text).
   *
-  *  1. `CREATE DATABASE IF NOT EXISTS db`
-  *  2. `CREATE TABLE [IF NOT EXISTS] db.t(col Type, …) ENGINE … [PARTITION BY …] [ORDER BY …]`
-  *     (reference: tests/clickhouse_migrations/V1__create_test.sql)
-  *  3. `ALTER TABLE t ADD COLUMN c Type DEFAULT v`
-  *     (reference: tests/migrations_seq/V1_sequential_dmls.json:2-3)
-  *  4. `ALTER TABLE t UPDATE c=v WHERE pred`
-  *     (reference: tests/migrations_seq/V1_sequential_dmls.json:4-6)
-  *
-  * Anything else falls through to `spark.sql` untouched (ANSI text).
-  *
-  * Scale notes: ALTER…ADD COLUMN / ALTER…UPDATE are whole-table rewrites
-  * in a parquet world and are documented as such (SURVEY §2.9). ClickHouse
-  * runs them as *asynchronous* mutations; Spark writes are synchronous, so
-  * the reference's mutation-completion barrier (`pipelined`,
-  * migrate.py:56-71) is deleted by design — executing statements in order
-  * IS the barrier (SURVEY §2.10).
+  * Scale notes: ALTER…ADD COLUMN / UPDATE / DELETE are whole-table
+  * rewrites in a parquet world and are documented as such (SURVEY §2.9)
+  * — physically the same work ClickHouse's mutations do. ClickHouse runs
+  * them *asynchronously*; Spark writes are synchronous, so the
+  * reference's mutation-completion barrier (`pipelined`,
+  * migrate.py:56-71) is deleted by design — executing statements in
+  * order IS the barrier (SURVEY §2.10).
   */
 object Statements {
 
-  /** ClickHouse → Spark SQL type mapping (signed-type policy, SURVEY §1.2). */
-  def mapType(chType: String): String = chType.trim match {
-    case t if t.equalsIgnoreCase("UInt8") || t.equalsIgnoreCase("Int8")
-           || t.equalsIgnoreCase("UInt16") || t.equalsIgnoreCase("Int16") => "SMALLINT"
-    case t if t.equalsIgnoreCase("UInt32") || t.equalsIgnoreCase("Int32") => "INT"
-    case t if t.equalsIgnoreCase("UInt64") || t.equalsIgnoreCase("Int64") => "BIGINT"
-    case t if t.equalsIgnoreCase("Float32") => "FLOAT"
-    case t if t.equalsIgnoreCase("Float64") => "DOUBLE"
-    case t if t.equalsIgnoreCase("String") => "STRING"
-    case t if t.equalsIgnoreCase("DateTime") => "TIMESTAMP"
-    case t if t.equalsIgnoreCase("Date") => "DATE"
-    case other => other // already ANSI
+  /** ClickHouse → Spark SQL type mapping (signed-type policy, SURVEY §1.2).
+    * Wrapper types unwrap: Nullable(T) (all Spark columns are nullable),
+    * LowCardinality(T) (an encoding hint, not a type). */
+  def mapType(chType: String): String = {
+    val t = chType.trim
+    val wrapper = """(?i)^(Nullable|LowCardinality)\s*\((.*)\)$""".r
+    val decimal = """(?i)^Decimal\s*\((\d+)\s*,\s*(\d+)\)$""".r
+    val dt64 = """(?i)^DateTime64\s*\(.*\)$""".r
+    val fixedStr = """(?i)^FixedString\s*\(\d+\)$""".r
+    t match {
+      case wrapper(_, inner) => mapType(inner)
+      case decimal(p, s) => s"DECIMAL($p,$s)"
+      case dt64() => "TIMESTAMP"
+      case fixedStr() => "STRING"
+      case _ => t.toLowerCase match {
+        case "uint8" | "int8" | "uint16" | "int16" => "SMALLINT"
+        case "uint32" | "int32" => "INT"
+        case "uint64" | "int64" => "BIGINT"
+        case "float32" => "FLOAT"
+        case "float64" => "DOUBLE"
+        case "string" => "STRING"
+        case "datetime" => "TIMESTAMP"
+        case "date" | "date32" => "DATE"
+        case "bool" | "boolean" => "BOOLEAN"
+        case _ => t // already ANSI
+      }
+    }
   }
 
   private val CreateDbRe =
     """(?is)^\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val CreateTableRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*?)\)\s*(ENGINE\b.*)?$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)$""".r
   private val AddColumnRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(\w+)(?:\s+DEFAULT\s+(.+?))?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+([\w()\s,]+?)(?:\s+DEFAULT\s+(.+?))?\s*$""".r
+  private val DropColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val UpdateRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DELETE\s+WHERE\s+(.+?)\s*$""".r
+  private val DropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val RenameRe =
+    """(?is)^\s*RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*$""".r
 
   /** Execute one (possibly ClickHouse-dialect) statement against Spark. */
   def execute(spark: SparkSession, statement: String): Unit = statement match {
     case CreateDbRe(_, db) =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
 
-    case CreateTableRe(ifNotExists, table, colsBlob, _) =>
+    case CreateTableRe(ifNotExists, table, rest) =>
+      // manual paren matching: the column block may itself contain
+      // parens (Decimal(10,2), FixedString(8)), so regex-to-first-')'
+      // would truncate it
+      val (colsBlob, _) = splitAtMatchingParen(rest)
       val cols = splitTopLevel(colsBlob).map { c =>
         val parts = c.trim.split("\\s+", 2)
-        s"${parts(0)} ${mapType(parts.lift(1).getOrElse("STRING"))}"
+        // per-column DEFAULT/CODEC clauses: keep name + mapped base type
+        val typePart = parts.lift(1).getOrElse("STRING")
+          .split("(?i)\\s+(DEFAULT|CODEC|COMMENT)\\s+", 2)(0)
+        s"${parts(0)} ${mapType(typePart)}"
       }
       val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
-      // ENGINE/PARTITION BY tuple()/ORDER BY tuple() have no Spark meaning
-      // (ORDER BY tuple() = unordered = default) — stripped by translation.
+      // ENGINE/PARTITION BY tuple()/ORDER BY tuple() have no Spark
+      // meaning (ORDER BY tuple() = unordered = default) — stripped.
       spark.sql(s"CREATE TABLE $ine$table (${cols.mkString(", ")}) USING parquet")
 
     case AddColumnRe(table, colName, chType, default) =>
-      // Whole-table rewrite: read → withColumn(lit(default)) → overwrite.
       val sparkType = mapType(chType)
       val defaultExpr =
         if (default == null) lit(null).cast(sparkType)
         else expr(default).cast(sparkType)
       rewriteTable(spark, table)(_.withColumn(colName, defaultExpr))
+
+    case DropColumnRe(table, colName) =>
+      rewriteTable(spark, table)(_.drop(colName))
 
     case UpdateRe(table, assignments, predicate) =>
       // ALTER…UPDATE: masked overwrite via when(pred, v).otherwise(col).
@@ -87,8 +116,22 @@ object Statements {
         }
       }
 
+    case DeleteRe(table, predicate) =>
+      // ALTER…DELETE mutation → keep the complement
+      rewriteTable(spark, table)(_.filter(!expr(predicate)))
+
+    case DropTableRe(ifExists, table) =>
+      val ie = if (ifExists != null) "IF EXISTS " else ""
+      spark.sql(s"DROP TABLE $ie$table")
+
+    case TruncateRe(_, table) =>
+      rewriteTable(spark, table)(_.limit(0))
+
+    case RenameRe(from, to) =>
+      spark.sql(s"ALTER TABLE $from RENAME TO $to")
+
     case other =>
-      spark.sql(other) // ANSI fall-through (INSERT, SELECT, DROP, …)
+      spark.sql(other) // ANSI fall-through (INSERT, SELECT, …)
   }
 
   /** Read-modify-overwrite of a catalog table. `localCheckpoint` breaks
@@ -98,9 +141,25 @@ object Statements {
     * returns only when the rewrite is complete. */
   private def rewriteTable(spark: SparkSession, table: String)(f: DataFrame => DataFrame): Unit = {
     val rewritten = f(spark.table(table)).localCheckpoint(true)
-    // saveAsTable(Overwrite) also updates the catalog schema, which an
-    // ADD COLUMN rewrite requires.
+    // saveAsTable(Overwrite) also updates the catalog schema, which
+    // ADD/DROP COLUMN rewrites require.
     rewritten.write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
+  /** Split "inside(...)rest" at the paren matching the already-consumed
+    * opening one; returns (inside, rest). */
+  private[migrator] def splitAtMatchingParen(s: String): (String, String) = {
+    var depth = 1
+    var i = 0
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    (s.substring(0, math.max(0, i - 1)), s.substring(math.min(i, s.length)))
   }
 
   /** Split a comma-separated list ignoring commas inside parentheses. */
