@@ -14,7 +14,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_region_revenue", "window_rank",
     "agg_distinct", "set_except", "reconcile_pending",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "ann_bruteforce_topk", "ann_ivf_label",
     "text_quality", "text_fingerprint", "events_sessionize",
     "json_extract")

@@ -70,6 +70,67 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass 32-bit SimHash over a token array, rendered as a '0'/'1'
+  * string. Replaces the dataflow formulation (explode tokens × 32 hex
+  * positions → majority vote → string_agg: 32× row blowup and two extra
+  * shuffles) with a single per-row pass: md5 each token once, accumulate
+  * 32 parity counters, emit the majority string. Bit definition is
+  * IDENTICAL to the dataflow/oracle version: bit_j = majority over
+  * tokens of (hexdigit_j(md5(token)) % 2), '1' when the vote sum >= 0.
+  *
+  * Uses interpreted eval (CodegenFallback): the md5-per-token loop
+  * dominates, so codegen wouldn't change the profile; the 32× dataflow
+  * blowup it removes is the win.
+  */
+case class Simhash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "simhash32"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash32 requires array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        // digest byte k yields hex digits 2k (high nibble) and 2k+1 (low)
+        var k = 0
+        while (k < 16) {
+          val b = digest(k) & 0xff
+          votes(2 * k) += (if (((b >> 4) & 1) == 1) 1 else -1)
+          votes(2 * k + 1) += (if ((b & 1) == 1) 1 else -1)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](32)
+    var j = 0
+    while (j < 32) {
+      out(j) = if (votes(j) >= 0) '1'.toByte else '0'.toByte
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
 /** Session extension registering the engine's native functions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -78,5 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
+      (children: Seq[Expression]) => Simhash32(children.head)))
   }
 }

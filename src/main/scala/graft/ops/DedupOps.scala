@@ -112,8 +112,18 @@ object DedupOps {
   }
 
   /** 32-bit SimHash rendered as a bit string: per hex position j, the
-    * majority over tokens of md5-digit parity. */
+    * majority over tokens of md5-digit parity. Uses the native one-pass
+    * expression when registered (identical bit definition — see
+    * [[graft.functions.Simhash32]]); the dataflow formulation below is
+    * the fallback and the shape the DuckDB oracle mirrors. */
   val dedupSimhash: Q = (s, dir) => {
+    if (s.catalog.functionExists("simhash32"))
+      docs(s, dir).select(col("doc_id"),
+        expr("simhash32(array_distinct(split(text, ' ')))").as("simhash"))
+    else dedupSimhashDataflow(s, dir)
+  }
+
+  private def dedupSimhashDataflow(s: SparkSession, dir: String): DataFrame = {
     val tokenHash = distinctTokens(s, dir).withColumn("h", md5(col("tk")))
     val bitVotes = tokenHash
       .select(col("doc_id"), col("h"), explode(sequence(lit(1), lit(32))).as("j"))

@@ -36,6 +36,27 @@ class VectorExpressionSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("simhash32 matches the dataflow majority-vote formulation") {
+    import spark.implicits._
+    // dataflow twin computed inline over the same docs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val native = docs.selectExpr("doc_id", "simhash32(array_distinct(split(text, ' '))) AS sh")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dataflow = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tk"))
+      .withColumn("h", md5(col("tk")))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(1, 32)")).as("j"))
+      .withColumn("vote",
+        when(expr("(instr('0123456789abcdef', substring(h, j, 1)) - 1) % 2 = 1"), 1).otherwise(-1))
+      .groupBy("doc_id", "j").agg(sum(col("vote")).as("v"))
+      .withColumn("c", when(col("v") >= 0, "1").otherwise("0"))
+      .groupBy("doc_id")
+      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(j, c))), x -> x.c))").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native.size == 50 && native == dataflow)
+    assert(native.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+  }
+
   test("vec_dot is null-safe") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
