@@ -53,11 +53,12 @@ object DedupOps {
     // cache it once instead of recomputing the explode+distinct
     val sh = shingles(s, dir).persist()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // note: on a natural corpus, pre-filtering the join sides to df>=2
-    // shingles (a df<2 posting yields zero pairs) prunes the long unique
-    // tail exactness-free; on THIS synthetic corpus (40-word vocab,
-    // avg shingle df ≈ 7) it removes almost nothing and costs an extra
-    // shuffle, so the direct join is faster — measured, not guessed.
+    // Two alternatives were measured at sf0.1 and rejected: (a) df>=2
+    // posting pruning — removes almost nothing on this 40-word-vocab
+    // corpus and adds a shuffle (10.8s vs 4.6s); (b) posting-list pair
+    // generation (groupBy shingle → emit pairs via nested transform) —
+    // concentrates a hot shingle's df² pairs in one row, 11.6s. The
+    // self-join spreads pair generation across the cluster evenly.
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -256,6 +256,27 @@ object Relational {
   val distinctPairs: Q = (s, dir) =>
     t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
+  /** Null-handling semantics: nullif/coalesce/null-safe-equality and
+    * null behavior through aggregation. */
+  val nullHandling: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("p_status", nullif(col("o_orderstatus"), lit("P")))
+      .groupBy(coalesce(col("p_status"), lit("was_p")).as("status_c"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_status")).as("n_nonnull"),
+        count(when(col("p_status").isNull, 1)).as("n_null"))
+
+  /** Array/higher-order-function surface over the embedding column. */
+  val arrayOps: Q = (s, dir) =>
+    t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+        round(expr("cast(element_at(embedding, 1) as double)"), 6).as("first6"),
+        round(expr("cast(array_max(embedding) as double)"), 6).as("max6"),
+        round(expr("cast(aggregate(slice(transform(embedding, x -> cast(x as double)), 1, 8), 0D, (a, x) -> a + x) as double)"), 6).as("head_sum6"))
+
   /** Correlated scalar subquery — Catalyst decorrelates it into a join
     * (RewriteCorrelatedScalarSubquery), so it scales like an aggregation
     * + join instead of a per-row probe. */
@@ -343,7 +364,9 @@ object Relational {
     "distinct_pairs" -> distinctPairs,
     "sql_text_query" -> sqlTextQuery,
     "scalar_subquery" -> scalarSubquery,
-    "date_arithmetic" -> dateArithmetic)
+    "date_arithmetic" -> dateArithmetic,
+    "null_handling" -> nullHandling,
+    "array_ops" -> arrayOps)
 
   // DuckDB oracles. Money math mirrors Tables.cents exactly:
   // CAST(round(x*100) AS BIGINT).
@@ -518,5 +541,19 @@ object Relational {
                   WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'lt90'
                   ELSE 'ge90' END AS bucket
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-         GROUP BY bucket""")
+         GROUP BY bucket""",
+    "null_handling" ->
+      """SELECT COALESCE(NULLIF(o_orderstatus, 'P'), 'was_p') AS status_c,
+         COUNT(*) AS n_rows,
+         COUNT(NULLIF(o_orderstatus, 'P')) AS n_nonnull,
+         COUNT(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 END) AS n_null
+         FROM orders GROUP BY 1""",
+    "array_ops" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS first6,
+         round(CAST(list_max(embedding) AS DOUBLE), 6) AS max6,
+         round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum6
+         FROM embeddings WHERE vec_id < 100""")
 }
