@@ -143,5 +143,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
       (children: Seq[Expression]) => Simhash32(children.head)))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -95,12 +95,36 @@ object EventOps {
         (col("us") - col("last_signup_us")).as("gap_us"))
   }
 
+  /** The same as-of semantics through the custom Catalyst operator
+    * ([[graft.plans.AsOfJoinExec]]): one shuffle per side + linear
+    * partition-local merge instead of a window buffer. Falls back to
+    * the window form when the strategy isn't registered. Shares the
+    * asof_join_signup oracle semantics. */
+  val asofJoinCustom: Q = (s, dir) => {
+    val registered = s.sessionState.planner.strategies
+      .exists(_ eq graft.plans.AsOfJoinStrategy)
+    if (!registered) asofJoinSignup(s, dir)
+    else {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_event_id"), col("user_id").as("s_user_id"),
+          col("us").as("s_us"))
+      graft.plans.AsOf.join(purchases, signups, "user_id", "s_user_id", "us", "s_us")
+        .select(col("event_id"), col("user_id"),
+          col("s_event_id").as("last_signup_id"),
+          (col("us") - col("s_us")).as("gap_us"))
+    }
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_sessionize" -> eventsSessionize,
     "events_pivot_type" -> eventsPivotType,
     "events_top_users" -> eventsTopUsers,
-    "asof_join_signup" -> asofJoinSignup)
+    "asof_join_signup" -> asofJoinSignup,
+    "asof_join_custom" -> asofJoinCustom)
 
   val oracles: Seq[(String, String)] = Seq(
     "events_tumbling" ->
@@ -135,18 +159,22 @@ object EventOps {
                COUNT(*) AS n_purchases
              FROM events WHERE event_type = 'purchase' GROUP BY user_id))
          WHERE rk <= 10""",
-    "asof_join_signup" ->
-      """WITH sp AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
-                     FROM events WHERE event_type IN ('signup', 'purchase')),
-         marked AS (
-           SELECT event_id, user_id, event_type, us,
-             last(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY us, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id,
-             last(CASE WHEN event_type = 'signup' THEN us END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY us, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
-           FROM sp)
-         SELECT event_id, user_id, last_signup_id, us - last_signup_us AS gap_us
-         FROM marked WHERE event_type = 'purchase'""")
+    "asof_join_signup" -> asofOracleSql,
+    "asof_join_custom" -> asofOracleSql)
+
+  /** Shared oracle for both as-of formulations (identical semantics). */
+  private lazy val asofOracleSql: String =
+    """WITH sp AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                   FROM events WHERE event_type IN ('signup', 'purchase')),
+       marked AS (
+         SELECT event_id, user_id, event_type, us,
+           last(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id,
+           last(CASE WHEN event_type = 'signup' THEN us END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+         FROM sp)
+       SELECT event_id, user_id, last_signup_id, us - last_signup_us AS gap_us
+       FROM marked WHERE event_type = 'purchase'"""
 }
