@@ -17,6 +17,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "ann_bruteforce_topk", "ann_ivf_label",
     "text_quality", "text_fingerprint", "events_sessionize",
+    "asof_join_signup", "asof_join_custom",
     "json_extract")
 
   def main(args: Array[String]): Unit = {

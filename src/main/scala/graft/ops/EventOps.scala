@@ -73,6 +73,17 @@ object EventOps {
       .filter(col("rk") <= 10)
   }
 
+  /** Hopping (sliding) 1-hour window with a 30-minute slide: each event
+    * lands in two windows. Spark's window() generates the assignment;
+    * the oracle mirrors it by exploding each event into its two hop
+    * starts. Rendered as strings for parity. */
+  val eventsHopping: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        col("n"), col("value_c"))
+
   /** As-of join — for each purchase, the latest signup of the same user
     * at or before it. Spark has no ASOF JOIN operator; the scalable
     * re-expression is a single window pass over the unioned, user-
@@ -123,6 +134,7 @@ object EventOps {
     "events_sessionize" -> eventsSessionize,
     "events_pivot_type" -> eventsPivotType,
     "events_top_users" -> eventsTopUsers,
+    "events_hopping" -> eventsHopping,
     "asof_join_signup" -> asofJoinSignup,
     "asof_join_custom" -> asofJoinCustom)
 
@@ -159,6 +171,19 @@ object EventOps {
                COUNT(*) AS n_purchases
              FROM events WHERE event_type = 'purchase' GROUP BY user_id))
          WHERE rk <= 10""",
+    "events_hopping" ->
+      // each event belongs to the hops starting at floor(t/1800)*1800
+      // and that minus 1800, intersected with 1-hour window length
+      """WITH hops AS (
+           SELECT epoch_us(ts) AS us, CAST(round(value*100) AS BIGINT) AS v_c,
+             unnest(ARRAY[
+               (epoch_us(ts) // 1800000000) * 1800000000,
+               (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000]) AS w_us
+           FROM events)
+         SELECT strftime(make_timestamp(w_us), '%Y-%m-%d %H:%M') AS w_start,
+           COUNT(*) AS n, CAST(SUM(v_c) AS BIGINT) AS value_c
+         FROM hops WHERE us - w_us < 3600000000 AND us >= w_us
+         GROUP BY w_us""",
     "asof_join_signup" -> asofOracleSql,
     "asof_join_custom" -> asofOracleSql)
 
