@@ -256,6 +256,15 @@ object Relational {
   val distinctPairs: Q = (s, dir) =>
     t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
+  /** Statistical aggregates (sample variants — identical definitions in
+    * both engines; rounded to absorb accumulation-order noise). */
+  val statsAgg: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr6"),
+      round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar4"),
+      round(stddev_samp(col("l_quantity")), 6).as("sd_qty6"),
+      count(lit(1)).as("n"))
+
   /** Null-handling semantics: nullif/coalesce/null-safe-equality and
     * null behavior through aggregation. */
   val nullHandling: Q = (s, dir) =>
@@ -366,7 +375,8 @@ object Relational {
     "scalar_subquery" -> scalarSubquery,
     "date_arithmetic" -> dateArithmetic,
     "null_handling" -> nullHandling,
-    "array_ops" -> arrayOps)
+    "array_ops" -> arrayOps,
+    "stats_agg" -> statsAgg)
 
   // DuckDB oracles. Money math mirrors Tables.cents exactly:
   // CAST(round(x*100) AS BIGINT).
@@ -555,5 +565,12 @@ object Relational {
          round(CAST(embedding[1] AS DOUBLE), 6) AS first6,
          round(CAST(list_max(embedding) AS DOUBLE), 6) AS max6,
          round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum6
-         FROM embeddings WHERE vec_id < 100""")
+         FROM embeddings WHERE vec_id < 100""",
+    "stats_agg" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr6,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS covar4,
+         round(stddev_samp(l_quantity), 6) AS sd_qty6,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""")
 }
