@@ -30,6 +30,8 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_bench_wh_").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,10 +46,50 @@ object Bench {
       spark.catalog.clearCache() // no cross-query cache effects in timings
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // the reference's largest real workload, end-to-end: 100k-row gzip
+    // CSV bulk ingest + the migrations_seq sequence (2× ADD COLUMN, 3×
+    // dependent UPDATE) + the 7 verification counts
+    // (reference: tests/test_clickhouse_migration.py:91-118)
+    val migrateSec = try { Some(timeMigrateSeq(spark)) } catch {
+      case e: Throwable => System.err.println(s"[bench] migrate_seq_100k: $e"); None
+    }
+    val all = results ++ migrateSec.map("migrate_seq_100k" -> _)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def timeMigrateSeq(spark: SparkSession): Double = {
+    import java.nio.file.{Files, Paths}
+    val scratch = Files.createTempDirectory("graft_bench_migrate_").toString
+    val home = s"$scratch/migrations"
+    Files.createDirectories(Paths.get(home))
+    Files.writeString(Paths.get(s"$home/V1__create.sql"),
+      "CREATE TABLE graft_bench.sample(id UInt32, name UInt32) ENGINE MergeTree PARTITION BY tuple() ORDER BY tuple()")
+    val t0 = System.nanoTime()
+    graft.migrator.Migrator.migrate(spark, "graft_bench", home, s"$scratch/ledger")
+    spark.read.option("header", "true").schema("id INT, name INT")
+      .csv("/root/reference/tests/migrations_seq/test.csv.gz")
+      .write.mode("append").insertInto("graft_bench.sample")
+    Files.writeString(Paths.get(s"$home/V2_seq_dmls.json"),
+      """["ALTER TABLE graft_bench.sample ADD COLUMN enabled UInt32 DEFAULT 1",
+        |"ALTER TABLE graft_bench.sample ADD COLUMN guard UInt32 DEFAULT -1",
+        |"ALTER TABLE graft_bench.sample UPDATE enabled=0 WHERE name > 3000",
+        |"ALTER TABLE graft_bench.sample UPDATE guard=0 WHERE enabled = 0",
+        |"ALTER TABLE graft_bench.sample UPDATE guard=1 WHERE enabled = 1"]""".stripMargin)
+    graft.migrator.Migrator.migrate(spark, "graft_bench", home, s"$scratch/ledger")
+    val r = spark.sql(
+      """SELECT count(*), count(CASE WHEN name > 3000 THEN 1 END),
+         count(CASE WHEN enabled = 0 THEN 1 END), count(CASE WHEN guard = 0 THEN 1 END),
+         count(CASE WHEN guard = 1 THEN 1 END), count(CASE WHEN guard = -1 THEN 1 END)
+         FROM graft_bench.sample""").collect()(0)
+    require(r.getLong(0) == 100000L && r.getLong(1) == r.getLong(2)
+      && r.getLong(2) == r.getLong(3) && r.getLong(4) == r.getLong(0) - r.getLong(3)
+      && r.getLong(5) == 0L, s"consistency check failed: $r")
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.sql("DROP DATABASE graft_bench CASCADE")
+    dt
   }
 }
