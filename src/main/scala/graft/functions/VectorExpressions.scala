@@ -37,6 +37,9 @@ case class VecDot(left: Expression, right: Expression)
     }
   }
 
+  // A null ELEMENT makes the whole dot product null — the same
+  // propagation the aggregate(zip_with(...)) fold has, which makes the
+  // VecDotNormRewrite optimizer rule semantics-exact.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,6 +47,7 @@ case class VecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -59,6 +63,7 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;
@@ -131,6 +136,42 @@ case class Simhash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Optimizer rule: rewrite the built-in higher-order-function self-dot
+  * pattern `aggregate(zip_with(v, v, (x,y) -> x*y), 0D, (a,x) -> a+x)`
+  * into the codegen'd [[VecDot]] — users writing the idiomatic HOF form
+  * (the norm computation) get the native expression for free.
+  *
+  * Gated on the two zipped arrays being semantically the SAME
+  * expression: equal lengths are then guaranteed, and VecDot's
+  * null-element propagation matches the fold's, so the rewrite is
+  * exact. (For distinct arrays zip_with null-pads the shorter side,
+  * which VecDot's min-length loop would not reproduce — not rewritten.)
+  */
+object VecDotNormRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(l, r,
+          LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _),
+            Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
+        Literal(0.0, DoubleType),
+        LambdaFunction(Add(aa: NamedLambdaVariable, ax: NamedLambdaVariable, _),
+          Seq(ma: NamedLambdaVariable, mb: NamedLambdaVariable), _),
+        LambdaFunction(fv: NamedLambdaVariable, Seq(ff: NamedLambdaVariable), _))
+      if l.semanticEquals(r)
+        && Set(mx.exprId, my.exprId) == Set(zx.exprId, zy.exprId)
+        && Set(aa.exprId, ax.exprId) == Set(ma.exprId, mb.exprId)
+        && fv.exprId == ff.exprId
+        && l.dataType.isInstanceOf[ArrayType]
+        && l.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+      VecDot(l, r)
+  }
+}
+
 /** Session extension registering the engine's native functions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -144,5 +185,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
       (children: Seq[Expression]) => Simhash32(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => VecDotNormRewrite)
   }
 }

@@ -57,6 +57,41 @@ class VectorExpressionSpec extends SparkSpec {
     assert(native.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
   }
 
+  test("optimizer rule rewrites self-dot folds into vec_dot") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val folded = e.select(
+      expr("aggregate(zip_with(v, v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)").as("norm2"))
+    // the rule fires during optimization
+    assert(folded.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+      folded.queryExecution.optimizedPlan.toString)
+    // and values equal the direct native form
+    val direct = e.select(expr("vec_dot(v, v)").as("norm2"))
+    val a = folded.collect().map(_.getDouble(0))
+    val b = direct.collect().map(_.getDouble(0))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("rewrite does NOT fire for distinct arrays (zip_with padding semantics)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0, 5.0))).toDF("a", "b")
+    val folded = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (acc, x) -> acc + x)").as("d"))
+    assert(!folded.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    // unequal lengths → null-padded product → null result, preserved
+    assert(folded.collect()(0).isNullAt(0))
+  }
+
+  test("vec_dot propagates null elements like the fold") {
+    import spark.implicits._
+    val df = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](2.0, 3.0)))
+      .toDF("a", "b")
+    val native = df.select(expr("vec_dot(a, b)")).collect()(0)
+    val fold = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")).collect()(0)
+    assert(native.isNullAt(0) && fold.isNullAt(0))
+  }
+
   test("vec_dot is null-safe") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
