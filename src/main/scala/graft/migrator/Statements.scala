@@ -134,16 +134,23 @@ object Statements {
       spark.sql(other) // ANSI fall-through (INSERT, SELECT, …)
   }
 
-  /** Read-modify-overwrite of a catalog table. `localCheckpoint` breaks
-    * the lineage so Spark permits overwriting the path being read; on a
-    * real cluster this would be a checkpoint to reliable storage or a
-    * write-temp-then-swap. Synchronous by construction — the statement
-    * returns only when the rewrite is complete. */
+  /** Read-modify-rewrite of a catalog table via write-temp-then-swap:
+    * the rewritten data lands in a scratch table (a plain distributed
+    * parquet write — nothing held in cluster memory, resilient to
+    * executor loss), and only after that write fully succeeds does the
+    * catalog swap happen (drop original, rename scratch into place).
+    * The swap is two catalog metadata operations — a crash between them
+    * leaves the complete scratch table recoverable under its suffixed
+    * name, never a half-written original (the failure mode of an
+    * in-place overwrite). Synchronous by construction — the statement
+    * returns only when the swap is complete. The rename also carries the
+    * new schema, which ADD/DROP COLUMN rewrites require. */
   private def rewriteTable(spark: SparkSession, table: String)(f: DataFrame => DataFrame): Unit = {
-    val rewritten = f(spark.table(table)).localCheckpoint(true)
-    // saveAsTable(Overwrite) also updates the catalog schema, which
-    // ADD/DROP COLUMN rewrites require.
-    rewritten.write.mode(SaveMode.Overwrite).saveAsTable(table)
+    val scratch = s"${table}__graft_rewrite"
+    spark.sql(s"DROP TABLE IF EXISTS $scratch") // leftover from a prior crash
+    f(spark.table(table)).write.mode(SaveMode.Overwrite).saveAsTable(scratch)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $scratch RENAME TO $table")
   }
 
   /** Split "inside(...)rest" at the paren matching the already-consumed

@@ -47,11 +47,9 @@ object DedupOps {
         .as("s"))
       .distinct()
 
-  /** N-gram (3-shingle) Jaccard near-dup pairs via inverted-index join. */
-  val dedupNgramJaccard: Q = (s, dir) => {
-    // the shingle index feeds three consumers (counts + both join sides):
-    // cache it once instead of recomputing the explode+distinct
-    val sh = shingles(s, dir).persist()
+  /** Jaccard pipeline over a (doc_id, s) shingle index: inverted-index
+    * self-join → common counts → per-doc sizes → similarity filter. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Two alternatives were measured at sf0.1 and rejected: (a) df>=2
     // posting pruning — removes almost nothing on this 40-word-vocab
@@ -72,6 +70,30 @@ object DedupOps {
       .filter(col("jacc") >= 0.3)
   }
 
+  /** N-gram (3-shingle) Jaccard near-dup pairs via inverted-index join.
+    * The shingle index feeds three consumers (counts + both join sides):
+    * cache it once instead of recomputing the explode+distinct. */
+  val dedupNgramJaccard: Q = (s, dir) => jaccardPairs(shingles(s, dir).persist())
+
+  /** Jaccard with a max-df cap on shingles: a shingle appearing in more
+    * than `maxDf` documents is dropped from every document's shingle set
+    * before similarity. On a natural 100 TB corpus this is MANDATORY —
+    * the inverted-index join emits df² candidate pairs per shingle, so a
+    * single stop-phrase shingle ("of the and …") with df=10⁶ would emit
+    * 10¹² pairs from one key. Hot shingles are few by definition, so the
+    * block-list broadcasts; documents lose only their least
+    * discriminative shingles (standard practice: such shingles carry no
+    * near-dup signal). At the synthetic test scale every df is small, so
+    * the default catalog entry uses maxDf=3 — a threshold that really
+    * drops shingles here (df ranges 1..7 at sf0.01) — while
+    * `dedup_ngram_jaccard` stays uncapped as the oracle twin. */
+  def dedupNgramJaccardCapped(maxDf: Int): Q = (s, dir) => {
+    val sh0 = shingles(s, dir).persist()
+    val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    jaccardPairs(sh0.join(broadcast(hot), Seq("s"), "left_anti").persist())
+  }
+
   private def distinctTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tk"))
@@ -86,16 +108,31 @@ object DedupOps {
 
   /** MinHash + LSH banding (2 bands × 4 rows): candidate pairs share a
     * band hash; verified by signature agreement count. Sub-quadratic —
-    * the 100 TB near-dup path. */
+    * the 100 TB near-dup path.
+    *
+    * The 8 per-permutation mins are packed into ONE fixed-layout string
+    * (8 × 32 hex chars) per document, so each verify join carries a
+    * single column and the agreement count is 8 substring compares on
+    * the join output. Candidate pairs stay NARROW — (a, b) only —
+    * through the band self-join and the distinct: the band join emits a
+    * pair per colliding doc pair per band (≫ the distinct pair count on
+    * a near-dup-heavy corpus), so every byte carried there is paid df²
+    * times. An attempt to drop the verify joins entirely by riding the
+    * 256-byte sig through the band explode was measured at sf0.1:
+    * 26 s vs 3.6 s — the widened pre-distinct shuffle dwarfs the two
+    * (post-distinct, narrow) verify joins. At test scale AQE broadcasts
+    * the small sig side of the verify joins; at 100 TB they degrade to
+    * shuffle hash joins on doc_id, which is the correct shape. */
   val dedupMinhashLsh: Q = (s, dir) => {
     // signatures feed the band explode and both verify-join sides
-    val sig = minhashSig(s, dir).persist()
+    val sig = minhashSig(s, dir).select(col("doc_id"),
+      concat((0 until 8).map(i => col(s"mh$i")): _*).as("sig"),
+      md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bh0"),
+      md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bh1"))
+      .persist()
     val bands = sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("bi"),
-        md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bh")),
-      struct(lit(1).as("bi"),
-        md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bh"))))
-      .as("band"))
+        struct(lit(0).as("bi"), col("bh0").as("bh")),
+        struct(lit(1).as("bi"), col("bh1").as("bh")))).as("band"))
       .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh")
@@ -103,11 +140,12 @@ object DedupOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val matches: Column = (0 until 8)
-      .map(i => (col(s"sa.mh$i") === col(s"sb.mh$i")).cast("int"))
+      .map(i => (substring(col("sa.sig"), i * 32 + 1, 32) ===
+        substring(col("sb.sig"), i * 32 + 1, 32)).cast("int"))
       .reduce(_ + _)
     cand
-      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .join(sig.select(col("doc_id"), col("sig")).as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.select(col("doc_id"), col("sig")).as("sb"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"), matches.cast("long").as("n_match"),
         (matches.cast("double") / 8).as("est_jacc"))
   }
@@ -153,13 +191,41 @@ object DedupOps {
       .limit(20)
   }
 
+  /** Embedding near-dup, LSH-bucketed — the 100 TB scale path (the
+    * all-pairs [[dedupEmbeddingCosine]] stays as its bounded oracle
+    * twin). Random-hyperplane LSH with axis-aligned hyperplanes: the
+    * bucket key is the 8 sign bits of the first 8 dimensions
+    * (deterministic and oracle-expressible — a seeded Gaussian
+    * hyperplane family would not hash-match a second engine). Cosine is
+    * evaluated only inside a bucket (an equi-join on the bucket key, the
+    * same shape as IVF, SimilarityOps.scala), and the global top-20 is
+    * `orderBy(...).limit` — planned as TakeOrderedAndProject. No
+    * unbounded all-pairs join anywhere in the plan. */
+  val dedupEmbeddingLsh: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr(s"sqrt(${dotSql(s, "v", "v")})"))
+      .withColumn("bucket", concat((0 until 8).map(i =>
+        when(expr(s"v[$i]") >= 0, "1").otherwise("0")): _*))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
+        col("a.bucket").as("bucket"),
+        round(expr(dotSql(s, "a.v", "b.v"))
+          / (col("a.norm") * col("b.norm")), 6).as("cos6"))
+      .orderBy(col("cos6").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> dedupExact,
     "dedup_exact_norm" -> dedupExactNorm,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped(3),
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosine)
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   private val tokSql =
     "SELECT DISTINCT doc_id, tk FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)"
@@ -181,6 +247,24 @@ object DedupOps {
          sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
                 FROM toks, unnest(generate_series(1, len(t)-2)) u(i)
                 WHERE len(t) >= 3),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+                   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+         SELECT p.a, p.b, p.common, ca.n AS na, cb.n AS nb,
+           p.common / (ca.n + cb.n - p.common) AS jacc
+         FROM pairs p
+         JOIN cnt ca ON p.a = ca.doc_id
+         JOIN cnt cb ON p.b = cb.doc_id
+         WHERE p.common / (ca.n + cb.n - p.common) >= 0.3""",
+    "dedup_ngram_jaccard_capped" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                 FROM toks, unnest(generate_series(1, len(t)-2)) u(i)
+                 WHERE len(t) >= 3),
+         hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s)
+                 WHERE df > 3),
+         sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
                    FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -225,5 +309,18 @@ object DedupOps {
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
              AS cos6
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         ORDER BY cos6 DESC, a, b LIMIT 20""")
+         ORDER BY cos6 DESC, a, b LIMIT 20""",
+    "dedup_embedding_lsh" -> {
+      val bucketSql = (1 to 8)
+        .map(i => s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM e)
+          SELECT a.vec_id AS a, b.vec_id AS b, a.bucket AS bucket,
+            round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+              AS cos6
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          ORDER BY cos6 DESC, a, b LIMIT 20"""
+    })
 }

@@ -63,14 +63,23 @@ object EventOps {
       .withColumnRenamed("purchase", "n_purchase").withColumnRenamed("signup", "n_signup")
       .withColumnRenamed("view", "n_view")
 
-  /** Top-N users by purchase value with deterministic ranking. */
+  /** Top-N users by purchase value with deterministic ranking.
+    *
+    * Scale shape: `orderBy(...).limit(10)` plans as
+    * `TakeOrderedAndProject` — per-partition top-10 then a 10-row merge
+    * on the driver. The rank window runs AFTER the limit, over the 10
+    * surviving rows only. (The previous form ranked with an
+    * unpartitioned `Window.orderBy`, which funnels every per-user
+    * aggregate through one task — a bottleneck at hundreds of millions
+    * of users.) */
   val eventsTopUsers: Q = (s, dir) => {
-    val w = Window.orderBy(col("purchase_c").desc, col("user_id"))
+    val w = Window.orderBy(col("purchase_c").desc, col("user_id")) // ≤10 rows
     events(s, dir).filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(cents(col("value"))).as("purchase_c"), count(lit(1)).as("n_purchases"))
+      .orderBy(col("purchase_c").desc, col("user_id"))
+      .limit(10)
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 10)
   }
 
   /** Hopping (sliding) 1-hour window with a 30-minute slide: each event
