@@ -14,7 +14,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_region_revenue", "window_rank",
     "agg_distinct", "set_except", "reconcile_pending",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "dedup_simhash",
     "ann_bruteforce_topk", "ann_ivf_label",
     "text_quality", "text_fingerprint", "events_sessionize",
     "asof_join_signup", "asof_join_custom",
@@ -42,9 +43,16 @@ object Bench {
     // sample cannot distinguish host contention from a plan regression
     // (round-1 driver bench showed uniform 2.5-4.6x inflation from
     // contention alone), so n=1 made the 2x baseline gate meaningless.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // The RAW samples are emitted too — a median alone cannot
+    // distinguish "3 contended samples" from a plan regression (that
+    // ambiguity cost round 2 a false 26.7 s minhash reading); with the
+    // arrays in the artifact, a contaminated window is diagnosable
+    // without a rerun.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2 // midpoint for even n
     }
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val samples = (1 to reps).map { _ =>
@@ -55,27 +63,34 @@ object Bench {
         spark.catalog.clearCache() // no cross-query cache effects in timings
         dt
       }
-      name -> median(samples)
+      name -> samples
     }
     // the reference's largest real workload, end-to-end: 100k-row gzip
     // CSV bulk ingest + the migrations_seq sequence (2× ADD COLUMN, 3×
     // dependent UPDATE) + the 7 verification counts
     // (reference: tests/test_clickhouse_migration.py:91-118)
-    val migrateSec = try {
-      Some(median((1 to reps).map(_ => timeMigrateSeq(spark))))
-    } catch {
-      case e: Throwable => System.err.println(s"[bench] migrate_seq_100k: $e"); None
+    val migrateSamples = (1 to reps).flatMap { _ =>
+      try Some(timeMigrateSeq(spark))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] migrate_seq_100k: $e"); None }
     }
-    val all = results ++ migrateSec.map("migrate_seq_100k" -> _)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val all = results ++
+      (if (migrateSamples.nonEmpty) Seq("migrate_seq_100k" -> migrateSamples) else Nil)
+    def fm(v: Double) = f"$v%.3f"
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + fm(median(v)) }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = all.map { case (k, v) => "\"" + k + "\":" + v.map(fm).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = all.map { case (_, v) => median(v) }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 
   private def timeMigrateSeq(spark: SparkSession): Double = {
     import java.nio.file.{Files, Paths}
+    // a failed prior rep leaves the database behind — clear it so one
+    // bad sample doesn't poison the remaining reps
+    spark.sql("DROP DATABASE IF EXISTS graft_bench CASCADE")
     val scratch = Files.createTempDirectory("graft_bench_migrate_").toString
     val home = s"$scratch/migrations"
     Files.createDirectories(Paths.get(home))

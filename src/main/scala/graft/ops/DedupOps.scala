@@ -87,6 +87,10 @@ object DedupOps {
     * the default catalog entry uses maxDf=3 — a threshold that really
     * drops shingles here (df ranges 1..7 at sf0.01) — while
     * `dedup_ngram_jaccard` stays uncapped as the oracle twin. */
+  /** Catalog-entry df cap — interpolated into BOTH the Scala entry and
+    * the oracle SQL so the two can never drift. */
+  private[ops] val JaccardMaxDf = 3
+
   def dedupNgramJaccardCapped(maxDf: Int): Q = (s, dir) => {
     val sh0 = shingles(s, dir).persist()
     val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
@@ -98,48 +102,89 @@ object DedupOps {
     docs(s, dir).select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tk"))
 
-  /** 8-permutation MinHash signature; hash family h_i(tk) = md5("i:"+tk),
+  /** MinHash/LSH banding parameters — shared by the Scala plan and the
+    * oracle SQL so the two can never drift. 16 permutations banded as
+    * 2 bands × 8 rows: P(band collision) = j⁸ per band, so a random
+    * pair at this corpus's ambient token-Jaccard (~0.5) collides with
+    * probability ~2·0.5⁸ ≈ 0.8% — versus ~12% under the previous
+    * 2 bands × 4 rows, which retained 41% of ALL pairs as candidates
+    * (empirically quadratic). Wider bands trade recall at mid-range
+    * similarity for selectivity; near-exact dups (j→1) still collide
+    * with probability →1. */
+  private[ops] val MinhashPerms = 16
+  private[ops] val MinhashBands = 2
+  private[ops] val MinhashRowsPerBand = MinhashPerms / MinhashBands
+  /** Degenerate-bucket guard: a band bucket holding more than this many
+    * documents contributes O(bucket²) candidate pairs from one key — at
+    * 100 TB a single stop-pattern bucket would dominate the job. Such
+    * buckets are dropped wholesale (their members are by construction
+    * low-information collisions); the drop is observable through
+    * [[minhashBandOccupancy]]. The threshold is deliberately far above
+    * any bucket this corpus produces, so the oracle twin sees identical
+    * candidates. */
+  private[ops] val MinhashMaxBucket = 50
+
+  /** 16-permutation MinHash signature; hash family h_i(tk) = md5("i:"+tk),
     * minimum taken in hex-string order (identical in both engines). */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until 8).map(i =>
+    val aggs = (0 until MinhashPerms).map(i =>
       min(md5(concat(lit(s"$i:"), col("tk")))).as(s"mh$i"))
     distinctTokens(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH banding (2 bands × 4 rows): candidate pairs share a
-    * band hash; verified by signature agreement count. Sub-quadratic —
-    * the 100 TB near-dup path.
+  /** Per-document packed signature + one md5 bucket hash per band. */
+  private def minhashBanded(s: SparkSession, dir: String): DataFrame = {
+    val bandHashes = (0 until MinhashBands).map { b =>
+      md5(concat((b * MinhashRowsPerBand until (b + 1) * MinhashRowsPerBand)
+        .map(i => col(s"mh$i")): _*)).as(s"bh$b")
+    }
+    minhashSig(s, dir).select(
+      col("doc_id") +:
+        concat((0 until MinhashPerms).map(i => col(s"mh$i")): _*).as("sig") +:
+        bandHashes: _*)
+  }
+
+  /** (doc_id, bi, bh) band membership rows — the LSH bucket index. */
+  private def minhashBandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array((0 until MinhashBands).map(b =>
+        struct(lit(b).as("bi"), col(s"bh$b").as("bh"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+
+  /** MinHash + LSH banding (16 perms, 2 bands × 8 rows): candidate pairs
+    * share a band hash; verified by signature agreement count.
+    * Sub-quadratic — the 100 TB near-dup path.
     *
-    * The 8 per-permutation mins are packed into ONE fixed-layout string
-    * (8 × 32 hex chars) per document, so each verify join carries a
-    * single column and the agreement count is 8 substring compares on
+    * The per-permutation mins are packed into ONE fixed-layout string
+    * (16 × 32 hex chars) per document, so each verify join carries a
+    * single column and the agreement count is 16 substring compares on
     * the join output. Candidate pairs stay NARROW — (a, b) only —
     * through the band self-join and the distinct: the band join emits a
     * pair per colliding doc pair per band (≫ the distinct pair count on
     * a near-dup-heavy corpus), so every byte carried there is paid df²
     * times. An attempt to drop the verify joins entirely by riding the
-    * 256-byte sig through the band explode was measured at sf0.1:
+    * packed sig through the band explode was measured at sf0.1:
     * 26 s vs 3.6 s — the widened pre-distinct shuffle dwarfs the two
     * (post-distinct, narrow) verify joins. At test scale AQE broadcasts
     * the small sig side of the verify joins; at 100 TB they degrade to
-    * shuffle hash joins on doc_id, which is the correct shape. */
+    * shuffle hash joins on doc_id, which is the correct shape.
+    *
+    * Buckets larger than [[MinhashMaxBucket]] are dropped before the
+    * self-join via a broadcast anti-join (the analog of the Jaccard
+    * max-df cap, [[dedupNgramJaccardCapped]]) — the band join's df² blowup
+    * is bounded per key by construction. */
   val dedupMinhashLsh: Q = (s, dir) => {
     // signatures feed the band explode and both verify-join sides
-    val sig = minhashSig(s, dir).select(col("doc_id"),
-      concat((0 until 8).map(i => col(s"mh$i")): _*).as("sig"),
-      md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bh0"),
-      md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bh1"))
-      .persist()
-    val bands = sig.select(col("doc_id"), explode(array(
-        struct(lit(0).as("bi"), col("bh0").as("bh")),
-        struct(lit(1).as("bi"), col("bh1").as("bh")))).as("band"))
-      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
-    val cand = bands.as("x").join(bands.as("y"),
+    val sig = minhashBanded(s, dir).persist()
+    val bands = minhashBandRows(sig)
+    val hot = bands.groupBy("bi", "bh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > MinhashMaxBucket).select("bi", "bh")
+    val kept = bands.join(broadcast(hot), Seq("bi", "bh"), "left_anti")
+    val cand = kept.as("x").join(kept.as("y"),
         col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val matches: Column = (0 until 8)
+    val matches: Column = (0 until MinhashPerms)
       .map(i => (substring(col("sa.sig"), i * 32 + 1, 32) ===
         substring(col("sb.sig"), i * 32 + 1, 32)).cast("int"))
       .reduce(_ + _)
@@ -147,8 +192,17 @@ object DedupOps {
       .join(sig.select(col("doc_id"), col("sig")).as("sa"), col("a") === col("sa.doc_id"))
       .join(sig.select(col("doc_id"), col("sig")).as("sb"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"), matches.cast("long").as("n_match"),
-        (matches.cast("double") / 8).as("est_jacc"))
+        (matches.cast("double") / MinhashPerms).as("est_jacc"))
   }
+
+  /** Band-bucket occupancy distribution: per band, how many buckets hold
+    * n documents. The observability twin of the [[MinhashMaxBucket]] cap
+    * — a skewed bucket (the one that would dominate the band join at
+    * scale) shows up here as a high-n_docs row before it ever hurts. */
+  val minhashBandOccupancy: Q = (s, dir) =>
+    minhashBandRows(minhashBanded(s, dir))
+      .groupBy("bi", "bh").agg(count(lit(1)).as("n_docs"))
+      .groupBy("bi", "n_docs").agg(count(lit(1)).as("n_buckets"))
 
   /** 32-bit SimHash rendered as a bit string: per hex position j, the
     * majority over tokens of md5-digit parity. Uses the native one-pass
@@ -191,22 +245,34 @@ object DedupOps {
       .limit(20)
   }
 
+  /** Embeddings with norms and a sign-bit LSH bucket over the first
+    * `bits` dimensions. */
+  private def embeddingBucketed(s: SparkSession, dir: String, bits: Int): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr(s"sqrt(${dotSql(s, "v", "v")})"))
+      .withColumn("bucket", concat((0 until bits).map(i =>
+        when(expr(s"v[$i]") >= 0, "1").otherwise("0")): _*))
+
   /** Embedding near-dup, LSH-bucketed — the 100 TB scale path (the
     * all-pairs [[dedupEmbeddingCosine]] stays as its bounded oracle
     * twin). Random-hyperplane LSH with axis-aligned hyperplanes: the
-    * bucket key is the 8 sign bits of the first 8 dimensions
+    * bucket key is the sign bits of the first `bits` dimensions
     * (deterministic and oracle-expressible — a seeded Gaussian
     * hyperplane family would not hash-match a second engine). Cosine is
     * evaluated only inside a bucket (an equi-join on the bucket key, the
     * same shape as IVF, SimilarityOps.scala), and the global top-20 is
-    * `orderBy(...).limit` — planned as TakeOrderedAndProject. No
-    * unbounded all-pairs join anywhere in the plan. */
-  val dedupEmbeddingLsh: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", expr(s"sqrt(${dotSql(s, "v", "v")})"))
-      .withColumn("bucket", concat((0 until 8).map(i =>
-        when(expr(s"v[$i]") >= 0, "1").otherwise("0")): _*))
+    * `orderBy(...).limit` — planned as TakeOrderedAndProject.
+    *
+    * Scale honesty: the quadratic is bounded PER BUCKET, not globally —
+    * with b sign bits the in-bucket pair count is ≈ n²/2ᵇ under even
+    * occupancy, so the bit count must grow with the corpus. The oracle
+    * catalog entry uses `bits = 8` (256 buckets — right for the 6k-row
+    * test table); at 100 TB use 16-24 bits (65k-16M buckets) and watch
+    * [[embeddingLshOccupancy]] for skewed buckets, which call for
+    * multi-probe on more bits or a bucket-size cap. */
+  def dedupEmbeddingLsh(bits: Int): Q = (s, dir) => {
+    val e = embeddingBucketed(s, dir, bits)
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
@@ -217,22 +283,41 @@ object DedupOps {
       .limit(20)
   }
 
+  /** Sign-bit bucket occupancy: vectors per bucket — the observability
+    * query for [[dedupEmbeddingLsh]]'s per-bucket quadratic (a skewed
+    * bucket shows up here before it dominates the join). */
+  def embeddingLshOccupancy(bits: Int): Q = (s, dir) =>
+    embeddingBucketed(s, dir, bits)
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+
+  /** The oracle-entry LSH bit width (256 buckets — test-table scale). */
+  private[ops] val EmbeddingLshBits = 8
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> dedupExact,
     "dedup_exact_norm" -> dedupExactNorm,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
-    "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped(3),
+    "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped(JaccardMaxDf),
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "minhash_band_occupancy" -> minhashBandOccupancy,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
-    "dedup_embedding_lsh" -> dedupEmbeddingLsh)
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh(EmbeddingLshBits),
+    "embedding_lsh_occupancy" -> embeddingLshOccupancy(EmbeddingLshBits))
 
   private val tokSql =
     "SELECT DISTINCT doc_id, tk FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)"
   private val sigSql = {
-    val mhs = (0 until 8).map(i => s"min(md5('$i:' || tk)) AS mh$i").mkString(", ")
+    val mhs = (0 until MinhashPerms).map(i => s"min(md5('$i:' || tk)) AS mh$i").mkString(", ")
     s"SELECT doc_id, $mhs FROM ($tokSql) GROUP BY doc_id"
   }
+  /** band CTE body: one (doc_id, bi, bh) row per band, mirroring
+    * [[minhashBandRows]] — derived from the same banding constants. */
+  private val bandSql = (0 until MinhashBands).map { b =>
+    val cat = (b * MinhashRowsPerBand until (b + 1) * MinhashRowsPerBand)
+      .map(i => s"mh$i").mkString(" || ")
+    s"SELECT doc_id, $b AS bi, md5($cat) AS bh FROM sig"
+  }.mkString("\n            UNION ALL\n            ")
 
   val oracles: Seq[(String, String)] = Seq(
     "dedup_exact" ->
@@ -258,12 +343,12 @@ object DedupOps {
          JOIN cnt cb ON p.b = cb.doc_id
          WHERE p.common / (ca.n + cb.n - p.common) >= 0.3""",
     "dedup_ngram_jaccard_capped" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
                  FROM toks, unnest(generate_series(1, len(t)-2)) u(i)
                  WHERE len(t) >= 3),
          hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s)
-                 WHERE df > 3),
+                 WHERE df > $JaccardMaxDf),
          sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
@@ -278,18 +363,26 @@ object DedupOps {
     "dedup_minhash_lsh" ->
       s"""WITH sig AS ($sigSql),
           band AS (
-            SELECT doc_id, 0 AS bi, md5(mh0 || mh1 || mh2 || mh3) AS bh FROM sig
-            UNION ALL
-            SELECT doc_id, 1 AS bi, md5(mh4 || mh5 || mh6 || mh7) AS bh FROM sig),
+            $bandSql),
+          hot AS (SELECT bi, bh FROM (SELECT bi, bh, COUNT(*) AS n_docs
+                  FROM band GROUP BY bi, bh) WHERE n_docs > $MinhashMaxBucket),
+          kept AS (SELECT * FROM band b WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h WHERE h.bi = b.bi AND h.bh = b.bh)),
           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                   FROM band x JOIN band y
+                   FROM kept x JOIN kept y
                    ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id)
           SELECT c.a, c.b,
-            CAST(${(0 until 8).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")} AS BIGINT) AS n_match,
-            CAST(${(0 until 8).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")} AS DOUBLE) / 8 AS est_jacc
+            CAST(${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")} AS BIGINT) AS n_match,
+            CAST(${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")} AS DOUBLE) / $MinhashPerms AS est_jacc
           FROM cand c
           JOIN sig sa ON c.a = sa.doc_id
           JOIN sig sb ON c.b = sb.doc_id""",
+    "minhash_band_occupancy" ->
+      s"""WITH sig AS ($sigSql),
+          band AS (
+            $bandSql),
+          occ AS (SELECT bi, bh, COUNT(*) AS n_docs FROM band GROUP BY bi, bh)
+          SELECT bi, n_docs, COUNT(*) AS n_buckets FROM occ GROUP BY bi, n_docs""",
     "dedup_simhash" ->
       s"""WITH tok AS ($tokSql),
           h AS (SELECT doc_id, md5(tk) AS h FROM tok),
@@ -310,17 +403,23 @@ object DedupOps {
              AS cos6
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          ORDER BY cos6 DESC, a, b LIMIT 20""",
-    "dedup_embedding_lsh" -> {
-      val bucketSql = (1 to 8)
-        .map(i => s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)")
-        .mkString(" || ")
+    "dedup_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM e)
+          bk AS (SELECT vec_id, v, $embBucketSql AS bucket FROM e)
           SELECT a.vec_id AS a, b.vec_id AS b, a.bucket AS bucket,
             round(list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
               AS cos6
           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          ORDER BY cos6 DESC, a, b LIMIT 20"""
-    })
+          ORDER BY cos6 DESC, a, b LIMIT 20""",
+    "embedding_lsh_occupancy" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          bk AS (SELECT vec_id, $embBucketSql AS bucket FROM e)
+          SELECT bucket, COUNT(*) AS n_vecs FROM bk GROUP BY bucket""")
+
+  /** Sign-bit bucket expression (DuckDB 1-based indexing), derived from
+    * the same [[EmbeddingLshBits]] as the Scala plans. */
+  private lazy val embBucketSql = (1 to EmbeddingLshBits)
+    .map(i => s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)")
+    .mkString(" || ")
 }
