@@ -76,4 +76,42 @@ object Multimodal {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     extractFeatures(attachPayload(docs)).toDF()
   }
+
+  /** ANN over the extracted feature column — the wiring that closes the
+    * multimodal loop: decode output feeds the same bucketed similarity
+    * join the embedding path uses (graft.ops.SimilarityOps /
+    * DedupOps.dedupEmbeddingLsh shape: equi-join on an LSH bucket key,
+    * cosine only within a bucket, per-item top-k window).
+    *
+    * Media features are non-negative (intensity sums), so raw sign-bit
+    * LSH would put every vector in one bucket; the bucket bits are sign
+    * bits of MEAN-CENTERED dimensions instead (hyperplanes through the
+    * centroid). The per-dimension means are one tiny 1-row aggregate,
+    * broadcast to the scan — no extra shuffle of the feature table. At
+    * scale the bucket count (2^bits) must grow with the corpus exactly
+    * as documented on dedupEmbeddingLsh.
+    */
+  def nearestNeighbors(features: DataFrame, bits: Int = 4, k: Int = 3): DataFrame = {
+    val spark = features.sparkSession
+    val dot = graft.ops.Tables.dotSql(spark, "a.v", "b.v")
+    val selfDot = graft.ops.Tables.dotSql(spark, "v", "v")
+    val vecs = features.select(col("doc_id"),
+      expr("transform(feature, x -> cast(x as double))").as("v"))
+    val means = vecs.select((0 until bits).map(i =>
+      avg(expr(s"v[$i]")).as(s"m$i")): _*)
+    val bucketed = vecs.crossJoin(broadcast(means))
+      .withColumn("norm", expr(s"sqrt($selfDot)"))
+      .withColumn("bucket", concat((0 until bits).map(i =>
+        when(expr(s"v[$i]") >= col(s"m$i"), "1").otherwise("0")): _*))
+      .select("doc_id", "v", "norm", "bucket")
+    val scored = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("qid"), col("b.doc_id").as("nid"),
+        col("a.bucket").as("bucket"),
+        round(expr(dot) / (col("a.norm") * col("b.norm")), 6).as("cos6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos6").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -186,5 +186,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => Simhash32(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfWindowRewrite)
   }
 }

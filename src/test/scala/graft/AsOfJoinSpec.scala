@@ -56,6 +56,60 @@ class AsOfJoinSpec extends SparkSpec {
       custom.valuesIterator.forall(_ >= 0)) // sanity: nulls representable
   }
 
+  // --- AsOfWindowRewrite: the window idiom auto-plans as the native exec ---
+
+  // parquet roundtrip: over a LocalRelation the optimizer folds the
+  // case-when projection into the scan before the rewrite can see it —
+  // real sources (the only place the rewrite matters) keep the Project
+  private lazy val tinyEvents = {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, 100L, "signup"), (2L, 10L, 200L, "purchase"),
+      (3L, 20L, 50L, "purchase"), (4L, 10L, 300L, "purchase"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .write.mode("overwrite").parquet(s"$scratch/tiny_events")
+    spark.read.parquet(s"$scratch/tiny_events")
+  }
+
+  private def windowIdiom(df: org.apache.spark.sql.DataFrame,
+      winMarker: String = "signup", filterMarker: String = "purchase",
+      agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => last(c, ignoreNulls = true)) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("last_id",
+        agg(when(col("event_type") === winMarker, col("event_id"))).over(w))
+      .filter(col("event_type") === filterMarker)
+      .select(col("event_id"), col("last_id"))
+  }
+
+  test("window as-of idiom auto-rewrites to AsOfJoinExec (catalog query too)") {
+    val q = windowIdiom(tinyEvents)
+    assert(q.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      q.queryExecution.executedPlan.toString)
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(2L -> 1L, 3L -> -1L, 4L -> 1L))
+    // the real catalog query (project-interleaved two-window chain)
+    val cat = graft.ops.EventOps.asofJoinSignup(spark, "/root/testdata/sf0.001")
+    assert(cat.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      cat.queryExecution.executedPlan.toString)
+    assert(cat.count() > 0)
+  }
+
+  test("rewrite declines non-as-of windows (negative cases)") {
+    // same marker on both sides: left rows would feed the carried value
+    val same = windowIdiom(tinyEvents, winMarker = "purchase")
+    assert(!same.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // max() is not last(): not a carry-forward
+    val notLast = windowIdiom(tinyEvents, agg = c => max(c))
+    assert(!notLast.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // and both still compute (through the plain window path)
+    assert(same.count() == 3 && notLast.count() == 3)
+  }
+
   test("left rows before any right row get nulls; ties match") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L), (4L, 99L, 10L))

@@ -34,4 +34,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out.schema("feature").dataType.simpleString == "array<float>")
     assert(out.count() == 500)
   }
+
+  test("decoded features flow into the bucketed ANN join end-to-end") {
+    val feats = Multimodal.pipeline(spark, dir)
+    val nn = Multimodal.nearestNeighbors(feats, bits = 4, k = 3)
+    val rows = nn.collect()
+    assert(rows.nonEmpty)
+    // per-query top-k contract
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.values.forall(_.length <= 3))
+    byQ.values.foreach { g =>
+      val ranked = g.sortBy(_.getAs[Long]("rk"))
+      assert(ranked.map(_.getAs[Long]("rk")).toSeq == (1L to ranked.length).toSeq)
+      // cosine non-increasing with rank
+      assert(ranked.map(_.getAs[Double]("cos6")).toSeq
+        .sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // centered sign-bit bucketing actually splits the corpus (the raw
+    // non-negative features would collapse into a single bucket)
+    assert(rows.map(_.getAs[String]("bucket")).distinct.length > 1)
+    // spot-check one query against brute-force cosine within its bucket
+    val feat0 = feats.collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Float]]("feature").toSeq.map(_.toDouble)).toMap
+    val q = rows.head.getAs[Long]("qid")
+    val qBucket = rows.filter(_.getAs[Long]("qid") == q)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    qBucket.foreach { r =>
+      val expected = cos(feat0(q), feat0(r.getAs[Long]("nid")))
+      assert(math.abs(expected - r.getAs[Double]("cos6")) < 1e-6,
+        s"qid=$q nid=${r.getAs[Long]("nid")}: $expected vs ${r.getAs[Double]("cos6")}")
+    }
+  }
 }
