@@ -46,7 +46,8 @@ object Apply {
       ledger: Ledger,
       pending: DataFrame,
       queueExec: Boolean = true,
-      timeoutSec: Long = 3600L): Unit = {
+      timeoutSec: Long = 3600L,
+      listener: Option[Observability.MigrationListener] = None): Unit = {
     if (pending.isEmpty) return // reference: migrate.py:45-46
     val ordered = pending
       .orderBy("version") // reference: migrate.py:47
@@ -55,18 +56,43 @@ object Apply {
         r.getAs[Any]("version").toString.toInt,
         r.getAs[String]("script"),
         r.getAs[String]("md5")))
-    ordered.foreach { m =>
-      readStatements(m.script).foreach { statement =>
-        executeWithDeadline(spark, statement, queueExec, timeoutSec)
+    listener.foreach(spark.listenerManager.register)
+    // with a listener attached, drain the (async) listener bus after each
+    // statement so metric attribution to `currentLabel` is exact — the
+    // drain costs microseconds against statement work and only runs when
+    // observing
+    def drained(): Unit = listener.foreach(_ =>
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark))
+    try {
+      ordered.foreach { m =>
+        readStatements(m.script).foreach { statement =>
+          listener.foreach(_.currentLabel = statement)
+          executeWithDeadline(spark, statement, queueExec, timeoutSec)
+          drained()
+        }
+        listener.foreach(_.currentLabel = s"ledger:${m.version}")
+        ledger.append(m) // after-success append, reference: migrate.py:53-54
+        drained()
       }
-      ledger.append(m) // after-success append, reference: migrate.py:53-54
-    }
+    } finally listener.foreach(spark.listenerManager.unregister)
   }
 
   /** Parity wrapper for the reference's `pipelined` timeout knob
     * (migrate.py:56,62-63). Spark actions are synchronous, so there is
     * nothing to poll — we only enforce the wall-clock guard and raise the
-    * reference's exception shape on breach. */
+    * reference's exception shape on breach.
+    *
+    * Deliberate at-least-once parity: the timeout is checked AFTER the
+    * statement completes, so a breaching statement has already been
+    * applied but its version is never ledgered (the raise aborts the
+    * loop before `ledger.append`). The reference behaves identically —
+    * its mutation keeps running inside ClickHouse after the poll loop
+    * gives up and raises (migrate.py:62-71), and the version is likewise
+    * unrecorded. A rerun re-applies the version; statements are expected
+    * to be effectively idempotent (IF NOT EXISTS / masked UPDATE), which
+    * every fixture statement is. Do not "fix" this by ledgering before
+    * execution — that inverts the failure mode into silently LOST
+    * migrations (MigratorE2ESpec pins the not-ledgered behavior). */
   private def executeWithDeadline(
       spark: SparkSession, statement: String, queueExec: Boolean, timeoutSec: Long): Unit = {
     val t0 = System.nanoTime()

@@ -18,13 +18,14 @@ object Migrator {
       ledgerPath: String,
       createDbIfNoExists: Boolean = true,
       queueExec: Boolean = true,
-      timeoutSec: Long = 3600L): Unit = {
+      timeoutSec: Long = 3600L,
+      listener: Option[Observability.MigrationListener] = None): Unit = {
     if (createDbIfNoExists) // reference: migrate.py:74-77,80-81
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbName")
     val ledger = new Ledger(spark, ledgerPath)
     ledger.init() // reference: migrate.py:22-23,83
     val incoming = MigrationScan.scan(spark, migrationsHome).toDF() // migrate.py:84-86
     val pending = Reconcile.migrationsToApply(ledger.committed(), incoming) // migrate.py:87
-    Apply.applyMigrations(spark, ledger, pending, queueExec, timeoutSec) // migrate.py:87
+    Apply.applyMigrations(spark, ledger, pending, queueExec, timeoutSec, listener) // migrate.py:87
   }
 }

@@ -71,6 +71,15 @@ object Statements {
     """(?is)^\s*TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val RenameRe =
     """(?is)^\s*RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+TABLE\s+([\w.]+)(?:\s+FINAL)?\s*$""".r
+  private val DetachRe =
+    """(?is)^\s*DETACH\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val AttachRe =
+    """(?is)^\s*ATTACH\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*$""".r
+
+  /** Hidden-name suffix a DETACHed table parks under. */
+  private[migrator] val DetachedSuffix = "__graft_detached"
 
   /** Execute one (possibly ClickHouse-dialect) statement against Spark. */
   def execute(spark: SparkSession, statement: String): Unit = statement match {
@@ -130,6 +139,27 @@ object Statements {
     case RenameRe(from, to) =>
       spark.sql(s"ALTER TABLE $from RENAME TO $to")
 
+    case OptimizeRe(table) =>
+      // ClickHouse OPTIMIZE forces a part merge; the parquet analog is a
+      // full read-back-and-rewrite, which compacts small files (the scan
+      // packs small files into maxPartitionBytes-sized splits, so the
+      // rewrite emits one file per packed split)
+      rewriteTable(spark, table)(identity)
+
+    case DetachRe(table) =>
+      // ClickHouse DETACH removes the table from the catalog but keeps
+      // its data for a later ATTACH. Spark's DROP on a managed table
+      // deletes the data, so the metadata-only analog is a rename to a
+      // reserved hidden name: the public name disappears, the data and
+      // schema survive untouched.
+      spark.sql(s"ALTER TABLE $table RENAME TO $table$DetachedSuffix")
+
+    case AttachRe(table) =>
+      // inverse of DETACH (the bare `ATTACH TABLE t` form; the
+      // full-definition ATTACH TABLE t (cols…) falls through to
+      // spark.sql and errors, as it should — we cannot conjure data)
+      spark.sql(s"ALTER TABLE $table$DetachedSuffix RENAME TO $table")
+
     case other =>
       spark.sql(other) // ANSI fall-through (INSERT, SELECT, …)
   }
@@ -144,10 +174,20 @@ object Statements {
     * name, never a half-written original (the failure mode of an
     * in-place overwrite). Synchronous by construction — the statement
     * returns only when the swap is complete. The rename also carries the
-    * new schema, which ADD/DROP COLUMN rewrites require. */
+    * new schema, which ADD/DROP COLUMN rewrites require.
+    *
+    * The scratch name carries a per-invocation random token, so a real
+    * user table that happens to share the scratch prefix is never
+    * dropped and concurrent rewrites of the same table cannot collide.
+    * A crash before the swap leaves an orphaned
+    * `<table>__graft_rewrite_<token>` table — complete, inert, and safe
+    * to drop at leisure. Known window: between the DROP of the original
+    * and the RENAME of the scratch the name is briefly absent, so a
+    * concurrent reader fails with "table not found" rather than seeing
+    * stale data (Spark's catalog has no atomic two-table swap). */
   private def rewriteTable(spark: SparkSession, table: String)(f: DataFrame => DataFrame): Unit = {
-    val scratch = s"${table}__graft_rewrite"
-    spark.sql(s"DROP TABLE IF EXISTS $scratch") // leftover from a prior crash
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val scratch = s"${table}__graft_rewrite_$token"
     f(spark.table(table)).write.mode(SaveMode.Overwrite).saveAsTable(scratch)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $scratch RENAME TO $table")

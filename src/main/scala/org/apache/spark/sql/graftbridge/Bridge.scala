@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Block until the listener bus has delivered all posted events
+    * (`private[spark]` in LiveListenerBus). Used by the migration
+    * observability listener to make per-statement metric attribution
+    * exact: the sequential apply loop drains the bus before moving to
+    * the next statement's label. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.migrator.{MigrationScan, Migrator, Statements}
+import graft.migrator.{MigrationScan, Migrator, Observability, Statements}
 
 /** End-to-end migrate() tests mirroring the reference's integration suite
   * (reference: tests/test_clickhouse_migration.py:62-138): single-.sql
@@ -115,6 +115,50 @@ class MigratorE2ESpec extends SparkSpec {
     assert(Statements.mapType("String") == "STRING")
     assert(Statements.mapType("DateTime") == "TIMESTAMP")
     assert(Statements.mapType("Float64") == "DOUBLE")
+  }
+
+  // the at-least-once nit pinned deliberately (Apply.executeWithDeadline
+  // scaladoc): a statement that breaches the deadline has already been
+  // applied, but its version must NOT be ledgered — a rerun re-applies it
+  test("timed-out statement is applied but its version is not ledgered") {
+    val home = stage("m6",
+      "V1__slow.sql" -> "CREATE TABLE pytest.t6(id UInt32) ENGINE MergeTree")
+    val ledger = s"$scratch/ledger6"
+    val ex = intercept[RuntimeException] {
+      Migrator.migrate(spark, "pytest", home, ledger, timeoutSec = 0L)
+    }
+    assert(ex.getMessage.startsWith("Transaction Timeout"))
+    // applied (at-least-once), but unrecorded — the rerun's concern
+    assert(spark.catalog.tableExists("pytest.t6"))
+    assert(spark.read.parquet(ledger).count() == 0)
+    spark.sql("DROP TABLE pytest.t6")
+  }
+
+  test("metrics listener fires per applied statement with rows/time") {
+    val home = stage("m7",
+      "V1__create.sql" -> "CREATE TABLE pytest.t7(id UInt32, name String) ENGINE MergeTree",
+      "V2_fill.json" ->
+        """["INSERT INTO pytest.t7 SELECT id, concat('n', id) FROM (SELECT explode(sequence(1, 100)) AS id)",
+           |"ALTER TABLE pytest.t7 UPDATE name='x' WHERE id > 90"]""".stripMargin)
+    val listener = new Observability.MigrationListener
+    Migrator.migrate(spark, "pytest", home, s"$scratch/ledger7", listener = Some(listener))
+    val entries = listener.entries // apply drains the bus: already complete
+    // 3 statements + 2 ledger appends, each >= 1 query execution
+    assert(entries.size >= 5, s"only ${entries.size} events: $entries")
+    assert(entries.forall(e => e.durationNs >= 0 && !e.failed))
+    // the bulk insert surfaces its row count under its own statement label
+    assert(entries.exists(e =>
+      e.label.contains("INSERT INTO pytest.t7") && e.rows.contains(100L)),
+      entries.toString)
+    // the masked UPDATE and the ledger appends are attributed too
+    assert(entries.exists(_.label.contains("UPDATE name=")))
+    assert(entries.exists(_.label.startsWith("ledger:")))
+    // once apply returns the listener is unregistered: no further events
+    val n = entries.size
+    spark.sql("SELECT count(*) FROM pytest.t7").collect()
+    Thread.sleep(300)
+    assert(listener.entries.size == n)
+    spark.sql("DROP TABLE pytest.t7")
   }
 
   test("mid-sequence failure stops later versions and is not committed") {

@@ -64,4 +64,37 @@ class StatementsSpec extends SparkSpec {
     Statements.execute(spark, "DROP TABLE IF EXISTS st.dml2")
     assert(!spark.catalog.tableExists("st.dml2"))
   }
+
+  test("OPTIMIZE TABLE compacts without changing data") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS st")
+    Statements.execute(spark,
+      "CREATE TABLE st.opt(id UInt32, name String) ENGINE MergeTree")
+    spark.sql(
+      "INSERT INTO st.opt SELECT id, concat('n', id) FROM (SELECT explode(sequence(1, 500)) AS id)")
+    val before = spark.table("st.opt").orderBy("id").collect().toSeq
+    Statements.execute(spark, "OPTIMIZE TABLE st.opt")
+    assert(spark.table("st.opt").orderBy("id").collect().toSeq == before)
+    Statements.execute(spark, "OPTIMIZE TABLE st.opt FINAL")
+    assert(spark.table("st.opt").count() == 500)
+    spark.sql("DROP TABLE st.opt")
+  }
+
+  test("DETACH hides the table, ATTACH restores it with data intact") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS st")
+    Statements.execute(spark,
+      "CREATE TABLE st.det(id UInt32) ENGINE MergeTree")
+    spark.sql("INSERT INTO st.det SELECT explode(sequence(1, 42)) AS id")
+    Statements.execute(spark, "DETACH TABLE st.det")
+    assert(!spark.catalog.tableExists("st.det"))
+    Statements.execute(spark, "ATTACH TABLE st.det")
+    assert(spark.catalog.tableExists("st.det"))
+    assert(spark.table("st.det").count() == 42)
+    spark.sql("DROP TABLE st.det")
+  }
+
+  test("unknown statements still fall through to spark.sql") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS st")
+    Statements.execute(spark, "CREATE OR REPLACE TEMP VIEW st_fallthrough AS SELECT 7 AS x")
+    assert(spark.table("st_fallthrough").collect()(0).getInt(0) == 7)
+  }
 }
