@@ -204,6 +204,92 @@ object DedupOps {
       .groupBy("bi", "bh").agg(count(lit(1)).as("n_docs"))
       .groupBy("bi", "n_docs").agg(count(lit(1)).as("n_buckets"))
 
+  /** Signature-agreement threshold for a verified near-dup edge:
+    * 12/16 matching permutations ≈ Jaccard 0.75 — well above this
+    * corpus's ~0.5 ambient similarity. Shared with the oracle SQL. */
+  private[ops] val MinhashClusterMatches = 12
+
+  /** Near-dup cluster representatives — the "keep one per cluster" step
+    * that turns pairwise LSH output into an actual dedup decision.
+    * Connected components over the verified pair graph by iterative
+    * min-label propagation: every doc starts as its own label; each
+    * round a doc adopts the smallest label among itself and its
+    * neighbors; at convergence label = min doc_id of the component =
+    * the canonical representative. Only docs with at least one near-dup
+    * edge appear (singletons trivially keep themselves).
+    *
+    * Scale shape: each round is one equi-join edges⋈labels plus one
+    * groupBy-min — all hash-partitioned on doc_id, no driver-side graph.
+    * Round count = component diameter, and near-dup components are
+    * shallow by construction (members pairwise-similar ⇒ band-collide ⇒
+    * mostly direct edges), so a handful of rounds converge; the loop is
+    * capped and per-round deltas are counted distributedly (`count()` of
+    * changed labels — a scalar per round on the driver, like the
+    * reference's own apply-loop metadata). For adversarial
+    * billion-node chain graphs the known upgrade is the
+    * large-star/small-star alternation, which this formulation slots
+    * into without changing the contract.
+    *
+    * The DuckDB oracle computes the same components as a recursive
+    * transitive closure — an intentionally different algorithm, so the
+    * two engines cross-check the RESULT, not each other's iteration
+    * count. */
+  val dedupClusterReps: Q = (s, dir) => {
+    val verified = dedupMinhashLsh(s, dir)
+      .filter(col("n_match") >= MinhashClusterMatches)
+      .select(col("a"), col("b"))
+    connectedComponents(verified)
+      .select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
+  /** Connected components over an undirected pair list (`a`, `b`
+    * columns) by min-label propagation with pointer jumping. Returns
+    * (doc_id, label) where label = smallest member id of the component.
+    * Only ids appearing in some pair are returned (singletons trivially
+    * map to themselves).
+    *
+    * Each round is one equi-join pairs⋈labels plus one groupBy-min —
+    * all hash-partitioned on doc_id, no driver-side graph. The
+    * label-of-label shortcut halves the remaining component diameter
+    * every round, so convergence is O(log diameter) instead of
+    * O(diameter) — the difference between 5 and 50 shuffle rounds on
+    * chain-shaped components. Per-round deltas are counted
+    * distributedly (`count()` of changed labels — a scalar per round on
+    * the driver).
+    *
+    * localCheckpoint (not persist): an iterative dataflow DOUBLES its
+    * lineage every round — by round ~15 the logical plan itself is the
+    * bottleneck (plan-string rendering alone OOMs). Checkpointing cuts
+    * the lineage at each round boundary; the label table is a few longs
+    * per clustered doc, so executor-local storage is trivial. On a real
+    * cluster prefer a reliable checkpoint dir (or accept
+    * recompute-from-scratch on executor loss — each round is cheap). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+      .union(pairs.toDF("a", "b").select(col("b"), col("a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val jump = labels.as("x")
+        .join(labels.select(col("doc_id").as("j_doc"), col("label").as("j_label")),
+          col("x.label") === col("j_doc"))
+        .select(col("x.doc_id").as("doc_id"), col("j_label").as("label"))
+      val next = labels.union(prop).union(jump)
+        .groupBy("doc_id").agg(min(col("label")).as("label")).localCheckpoint()
+      changed = next.withColumnRenamed("label", "next_label")
+        .join(labels, "doc_id")
+        .filter(col("next_label") =!= col("label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash rendered as a bit string: per hex position j, the
     * majority over tokens of md5-digit parity. Uses the native one-pass
     * expression when registered (identical bit definition — see
@@ -300,6 +386,7 @@ object DedupOps {
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped(JaccardMaxDf),
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_band_occupancy" -> minhashBandOccupancy,
+    "dedup_cluster_reps" -> dedupClusterReps,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh(EmbeddingLshBits),
@@ -383,6 +470,31 @@ object DedupOps {
             $bandSql),
           occ AS (SELECT bi, bh, COUNT(*) AS n_docs FROM band GROUP BY bi, bh)
           SELECT bi, n_docs, COUNT(*) AS n_buckets FROM occ GROUP BY bi, n_docs""",
+    "dedup_cluster_reps" ->
+      s"""WITH RECURSIVE sig AS ($sigSql),
+          band AS (
+            $bandSql),
+          hot AS (SELECT bi, bh FROM (SELECT bi, bh, COUNT(*) AS n_docs
+                  FROM band GROUP BY bi, bh) WHERE n_docs > $MinhashMaxBucket),
+          kept AS (SELECT * FROM band b WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h WHERE h.bi = b.bi AND h.bh = b.bh)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM kept x JOIN kept y
+                   ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+          verified AS (
+            SELECT c.a, c.b FROM cand c
+            JOIN sig sa ON c.a = sa.doc_id
+            JOIN sig sb ON c.b = sb.doc_id
+            WHERE ${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")}
+              >= $MinhashClusterMatches),
+          edges AS (SELECT a AS src, b AS dst FROM verified
+                    UNION ALL SELECT b, a FROM verified),
+          nodes AS (SELECT DISTINCT src AS doc FROM edges),
+          reach(doc, lab) AS (
+            SELECT doc, doc FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc)
+          SELECT doc AS doc_id, MIN(lab) AS cluster_rep FROM reach GROUP BY doc""",
     "dedup_simhash" ->
       s"""WITH tok AS ($tokSql),
           h AS (SELECT doc_id, md5(tk) AS h FROM tok),
