@@ -124,23 +124,36 @@ object DedupOps {
     * candidates. */
   private[ops] val MinhashMaxBucket = 50
 
-  /** 16-permutation MinHash signature; hash family h_i(tk) = md5("i:"+tk),
-    * minimum taken in hex-string order (identical in both engines). */
+  /** 16-permutation MinHash signature over ONE md5 per token: the
+    * 128-bit digest is sliced into two independent 52-bit integers
+    * (h1 = hex[1..13], h2 = hex[14..26]) and the permutation family is
+    * derived as g_i(tk) = h1 + i·h2 (Kirsch–Mitzenmacher double
+    * hashing), minimum per doc taken over BIGINTs. Versus hashing
+    * md5("i:"+tk) 16 times this cuts map-side digest work 16× and
+    * shrinks agg buffers from 16×32-char strings to 16 longs; the
+    * arithmetic is exact int64 in both engines (max value
+    * 2⁵² + 15·2⁵² < 2⁵⁶), so the oracle reproduces it bit-for-bit. */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val base = distinctTokens(s, dir)
+      .withColumn("h", md5(col("tk")))
+      .withColumn("h1", expr("cast(conv(substring(h, 1, 13), 16, 10) as bigint)"))
+      .withColumn("h2", expr("cast(conv(substring(h, 14, 13), 16, 10) as bigint)"))
     val aggs = (0 until MinhashPerms).map(i =>
-      min(md5(concat(lit(s"$i:"), col("tk")))).as(s"mh$i"))
-    distinctTokens(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
+    base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Per-document packed signature + one md5 bucket hash per band. */
+  /** Per-document packed signature (array<long> — 128 bytes through the
+    * verify joins) + one md5 bucket hash per band (over the
+    * comma-delimited decimal mins — identical rendering both engines). */
   private def minhashBanded(s: SparkSession, dir: String): DataFrame = {
     val bandHashes = (0 until MinhashBands).map { b =>
-      md5(concat((b * MinhashRowsPerBand until (b + 1) * MinhashRowsPerBand)
+      md5(concat_ws(",", (b * MinhashRowsPerBand until (b + 1) * MinhashRowsPerBand)
         .map(i => col(s"mh$i")): _*)).as(s"bh$b")
     }
     minhashSig(s, dir).select(
       col("doc_id") +:
-        concat((0 until MinhashPerms).map(i => col(s"mh$i")): _*).as("sig") +:
+        array((0 until MinhashPerms).map(i => col(s"mh$i")): _*).as("sig") +:
         bandHashes: _*)
   }
 
@@ -185,8 +198,7 @@ object DedupOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val matches: Column = (0 until MinhashPerms)
-      .map(i => (substring(col("sa.sig"), i * 32 + 1, 32) ===
-        substring(col("sb.sig"), i * 32 + 1, 32)).cast("int"))
+      .map(i => (col("sa.sig").getItem(i) === col("sb.sig").getItem(i)).cast("int"))
       .reduce(_ + _)
     cand
       .join(sig.select(col("doc_id"), col("sig")).as("sa"), col("a") === col("sa.doc_id"))
@@ -395,15 +407,18 @@ object DedupOps {
   private val tokSql =
     "SELECT DISTINCT doc_id, tk FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)"
   private val sigSql = {
-    val mhs = (0 until MinhashPerms).map(i => s"min(md5('$i:' || tk)) AS mh$i").mkString(", ")
-    s"SELECT doc_id, $mhs FROM ($tokSql) GROUP BY doc_id"
+    val mhs = (0 until MinhashPerms).map(i => s"min(h1 + $i * h2) AS mh$i").mkString(", ")
+    s"""SELECT doc_id, $mhs FROM (
+        SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 13)) AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(tk), 14, 13)) AS BIGINT) AS h2
+        FROM ($tokSql)) GROUP BY doc_id"""
   }
   /** band CTE body: one (doc_id, bi, bh) row per band, mirroring
     * [[minhashBandRows]] — derived from the same banding constants. */
   private val bandSql = (0 until MinhashBands).map { b =>
     val cat = (b * MinhashRowsPerBand until (b + 1) * MinhashRowsPerBand)
-      .map(i => s"mh$i").mkString(" || ")
-    s"SELECT doc_id, $b AS bi, md5($cat) AS bh FROM sig"
+      .map(i => s"mh$i").mkString(", ")
+    s"SELECT doc_id, $b AS bi, md5(concat_ws(',', $cat)) AS bh FROM sig"
   }.mkString("\n            UNION ALL\n            ")
 
   val oracles: Seq[(String, String)] = Seq(
