@@ -57,9 +57,49 @@ object SimilarityOps {
     vecs(s, dir).groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg(col("norm")), 6).as("avg_norm6"))
 
+  /** IVF with LEARNED buckets — the full inverted-file shape, not the
+    * label shortcut of [[annIvfLabel]]: (1) train coarse centroids (here
+    * one k-means-style mean per label group — at scale, any clustering
+    * that yields a small centroid table); (2) assign EVERY vector to its
+    * nearest centroid via a broadcast of the tiny centroid table (the
+    * N×K cross join is the canonical IVF assignment plan — K is small
+    * by construction, the fact table streams); (3) probe only the
+    * query's bucket through an equi-join on the learned cluster id.
+    * At 100 TB the index table is written bucketed by `cluster`, so a
+    * probe touches one partition, not the corpus.
+    *
+    * Cross-engine determinism: centroids are rounded to 6 decimals
+    * before use (as [[graft.ext.Centroids]] established), the nearest-
+    * centroid score is `|c|² − 2·v·c` (the |v|² term is constant per
+    * vector and dropped) computed from the shared sequential-fold dot
+    * product, and ties break on the cluster id. */
+  val annIvfCentroid: Q = (s, dir) => {
+    val e = vecs(s, dir)
+    val cent = e.groupBy("label").agg(
+      array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("c"))
+      .select(col("label").as("cluster"), col("c"))
+      .withColumn("cnorm2", expr(dotSql(s, "c", "c")))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("d", col("cnorm2") - lit(2.0) * expr(dotSql(s, "v", "c")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
+    val best = assigned.withColumn("ark", row_number().over(wAssign))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("cluster"), col("v"), col("norm"))
+    val q = best.filter(col("vec_id") < 50)
+    val scored = q.as("q").join(best.as("c"),
+        col("q.cluster") === col("c.cluster") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        col("q.cluster").as("bucket"),
+        round(expr(dotSql(s, "q.v", "c.v")) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
+    val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_ivf_label" -> annIvfLabel,
+    "ann_ivf_centroid" -> annIvfCentroid,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
@@ -91,6 +131,29 @@ object SimilarityOps {
             SELECT qid, nid, bucket, cos6,
               row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
             FROM scored) WHERE rk <= 3""",
+    "ann_ivf_centroid" -> {
+      val centList = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
+      s"""WITH e AS ($vecsSql),
+          cent AS (SELECT label AS cluster, $centList AS c
+                   FROM e GROUP BY label),
+          cent2 AS (SELECT cluster, c, list_dot_product(c, c) AS cnorm2 FROM cent),
+          assigned AS (
+            SELECT e.vec_id, e.v, e.nrm, c2.cluster,
+              c2.cnorm2 - 2 * list_dot_product(e.v, c2.c) AS d
+            FROM e CROSS JOIN cent2 c2),
+          best AS (SELECT vec_id, v, nrm, cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS ark
+            FROM assigned) WHERE ark = 1),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster AS bucket,
+              round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6
+            FROM best q JOIN best c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 50)
+          SELECT qid, nid, bucket, cos6, rk FROM (
+            SELECT qid, nid, bucket, cos6,
+              row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
+            FROM scored) WHERE rk <= 3"""
+    },
     "embedding_stats" ->
       s"""WITH e AS ($vecsSql)
           SELECT label, COUNT(*) AS n, round(AVG(nrm), 6) AS avg_norm6
