@@ -16,7 +16,7 @@ object Bench {
     "agg_distinct", "set_except", "reconcile_pending",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped", "dedup_simhash",
-    "ann_bruteforce_topk", "ann_ivf_label",
+    "ann_bruteforce_topk", "ann_ivf_label", "ann_ivf_centroid",
     "text_quality", "text_fingerprint", "events_sessionize",
     "asof_join_signup", "asof_join_custom",
     "json_extract")
