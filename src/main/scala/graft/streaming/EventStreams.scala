@@ -59,6 +59,48 @@ object EventStreams {
       }
   }
 
+  case class AsOfInput(event_id: Long, user_id: Long, event_type: String, us: Long)
+  case class AsOfState(lastSignupId: Long, lastSignupUs: Long)
+  case class AsOfMatch(event_id: Long, user_id: Long, last_signup_id: Option[Long], gap_us: Option[Long])
+
+  /** Streaming twin of the backward as-of join (EventOps.asofJoinSignup /
+    * the AsOfJoinExec batch operator): per-user state carries the latest
+    * signup seen; each purchase emits the signup at-or-before it.
+    * flatMapGroupsWithState because one micro-batch can hold many
+    * purchases per user (mapGroups emits exactly one row per group per
+    * batch — wrong shape here).
+    *
+    * Ordering contract: rows are sorted by (us, event_id) WITHIN each
+    * micro-batch (matching the batch form's window order); across
+    * batches the state is monotone, so results match batch as long as a
+    * user's events don't arrive out of event-time order across batch
+    * boundaries — the same horizon a production job would enforce with a
+    * watermark on the source. */
+  def asofSignup(events: Dataset[AsOfInput])(implicit spark: SparkSession): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[AsOfState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(AsOfState(Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[AsOfMatch]
+          sorted.foreach { e =>
+            if (e.event_type == "signup") {
+              st = AsOfState(e.event_id, e.us)
+            } else if (e.event_type == "purchase") {
+              out += (if (st.lastSignupUs == Long.MinValue)
+                AsOfMatch(e.event_id, e.user_id, None, None)
+              else
+                AsOfMatch(e.event_id, e.user_id, Some(st.lastSignupId),
+                  Some(e.us - st.lastSignupUs)))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Wire a streaming query to an in-memory sink (tests) or console. */
   def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.{SessionInput, SessionUpdate}
+import graft.streaming.EventStreams.{AsOfInput, SessionInput, SessionUpdate}
 
 /** Structured Streaming extension tests: watermarked tumbling windows,
   * streaming dedup, and mapGroupsWithState sessionization, driven by
@@ -49,6 +49,39 @@ class StreamingSpec extends SparkSpec {
       input.addData((1L, ts(1)), (1L, ts(1)), (2L, ts(2)), (1L, ts(1)))
       q.processAllAvailable()
       assert(spark.table("deduped").count() == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState as-of: purchases match the latest prior signup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val input = MemoryStream[AsOfInput]
+    val q = EventStreams.startToMemory(
+      EventStreams.asofSignup(input.toDS()).toDF(), "asof", OutputMode.Append())
+    try {
+      // batch 1: purchase before any signup → no match; signup; purchase after
+      input.addData(
+        AsOfInput(1L, 10L, "purchase", 100L),
+        AsOfInput(2L, 10L, "signup", 200L),
+        AsOfInput(3L, 10L, "purchase", 350L))
+      q.processAllAvailable()
+      // batch 2: state carries signup 2 across batches; newer signup wins
+      input.addData(
+        AsOfInput(4L, 10L, "purchase", 400L),
+        AsOfInput(5L, 10L, "signup", 500L),
+        AsOfInput(6L, 10L, "purchase", 650L),
+        AsOfInput(7L, 99L, "purchase", 10L)) // user with no signup ever
+      q.processAllAvailable()
+      val got = spark.table("asof").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(got == Map(
+        1L -> (-1L, -1L),   // before any signup
+        3L -> (2L, 150L),   // same batch
+        4L -> (2L, 200L),   // state across batches
+        6L -> (5L, 150L),   // newer signup supersedes
+        7L -> (-1L, -1L)))  // user never signed up
     } finally q.stop()
   }
 
