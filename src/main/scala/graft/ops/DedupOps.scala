@@ -388,8 +388,39 @@ object DedupOps {
     embeddingBucketed(s, dir, bits)
       .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
 
+  /** Multi-probe embedding LSH: the recall-recovery companion to wide
+    * bucket keys. Wider keys (here 12 bits → 4096 buckets) are what
+    * keeps the in-bucket quadratic controlled at 100 TB, but a true
+    * near-dup pair can straddle a single flipped sign bit and be lost;
+    * multi-probe re-finds it by ALSO matching every Hamming-1 neighbor
+    * bucket of one side (bits+1 probes per vector — a constant fan-out,
+    * versus halving the key width which MULTIPLIES every bucket's
+    * population by 2). Each qualifying pair (Hamming distance ≤ 1
+    * between bucket keys) matches exactly one probe, so no distinct is
+    * needed before the global top-20 (TakeOrderedAndProject). */
+  def dedupEmbeddingLshMultiprobe(bits: Int): Q = (s, dir) => {
+    val e = embeddingBucketed(s, dir, bits)
+    val flips: Seq[Column] = col("bucket") +: (1 to bits).map { i =>
+      concat(substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), i + 1, bits - i))
+    }
+    val probes = e.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+      col("norm").as("a_norm"), explode(array(flips: _*)).as("pb"))
+    probes.join(e.as("b"),
+        col("pb") === col("b.bucket") && col("a_id") < col("b.vec_id"))
+      .select(col("a_id").as("a"), col("b.vec_id").as("b"),
+        round(expr(dotSql(s, "a_v", "b.v"))
+          / (col("a_norm") * col("b.norm")), 6).as("cos6"))
+      .orderBy(col("cos6").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** The oracle-entry LSH bit width (256 buckets — test-table scale). */
   private[ops] val EmbeddingLshBits = 8
+
+  /** Wider key for the multi-probe entry (4096 buckets). */
+  private[ops] val EmbeddingLshProbeBits = 12
 
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> dedupExact,
@@ -402,6 +433,7 @@ object DedupOps {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh(EmbeddingLshBits),
+    "dedup_embedding_lsh_multiprobe" -> dedupEmbeddingLshMultiprobe(EmbeddingLshProbeBits),
     "embedding_lsh_occupancy" -> embeddingLshOccupancy(EmbeddingLshBits))
 
   private val tokSql =
@@ -539,14 +571,32 @@ object DedupOps {
               AS cos6
           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           ORDER BY cos6 DESC, a, b LIMIT 20""",
+    "dedup_embedding_lsh_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          bk AS (SELECT vec_id, v,
+                   sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[]))) AS nrm,
+                   ${embBucketSqlFor(EmbeddingLshProbeBits)} AS bucket FROM e),
+          probes AS (
+            SELECT vec_id, v, nrm, bucket AS pb FROM bk
+            UNION ALL
+            SELECT vec_id, v, nrm,
+              substr(bucket, 1, i - 1)
+                || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+                || substr(bucket, i + 1) AS pb
+            FROM bk, unnest(generate_series(1, $EmbeddingLshProbeBits)) u(i))
+          SELECT a.vec_id AS a, b.vec_id AS b,
+            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
+          FROM probes a JOIN bk b ON a.pb = b.bucket AND a.vec_id < b.vec_id
+          ORDER BY cos6 DESC, a, b LIMIT 20""",
     "embedding_lsh_occupancy" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           bk AS (SELECT vec_id, $embBucketSql AS bucket FROM e)
           SELECT bucket, COUNT(*) AS n_vecs FROM bk GROUP BY bucket""")
 
   /** Sign-bit bucket expression (DuckDB 1-based indexing), derived from
-    * the same [[EmbeddingLshBits]] as the Scala plans. */
-  private lazy val embBucketSql = (1 to EmbeddingLshBits)
+    * the same bit-width constants as the Scala plans. */
+  private def embBucketSqlFor(bits: Int): String = (1 to bits)
     .map(i => s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)")
     .mkString(" || ")
+  private lazy val embBucketSql = embBucketSqlFor(EmbeddingLshBits)
 }
