@@ -84,13 +84,46 @@ object TextOps {
       .agg(sum(col("partial_df")).cast("long").as("df"))
   }
 
+  /** The curation capstone: every per-document signal the pipeline
+    * produces — exact-dedup representative, language, quality gates —
+    * composed into one keep/drop verdict per document, the way a real
+    * training-data job ends. One shuffle total (the fingerprint window
+    * for representative election); every other signal is map-side, so
+    * the composition costs no more than its most expensive member. */
+  val corpusCuration: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy(md5(col("text")))
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("stop_ratio",
+        expr("size(filter(tk, x -> x = 'the' or x = 'a' or x = 'of'))").cast("double")
+          / col("n_tokens"))
+      .withColumn("len_ok", when(col("n_tokens").between(20, 80), 1).otherwise(0))
+      .withColumn("n_en", expr("size(filter(tk, x -> x = 'the' or x = 'a'))").cast("long"))
+      .withColumn("n_de", expr("size(filter(tk, x -> x = 'der' or x = 'die'))").cast("long"))
+      .withColumn("n_fr", expr("size(filter(tk, x -> x = 'le' or x = 'la'))").cast("long"))
+      .withColumn("pred_lang",
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+          .when(col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
+          .when(col("n_fr") > 0, "fr")
+          .otherwise("und"))
+      .withColumn("is_rep",
+        when(col("doc_id") === min(col("doc_id")).over(byFp), 1).otherwise(0))
+      .withColumn("keep",
+        when(col("is_rep") === 1 && col("len_ok") === 1
+          && col("pred_lang") =!= "und" && col("stop_ratio") <= 0.5, 1).otherwise(0))
+      .select("doc_id", "pred_lang", "n_tokens", "stop_ratio", "len_ok", "is_rep", "keep")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "token_regex_count" -> tokenRegexCount,
-    "token_doc_freq_salted" -> tokenDocFreqSalted)
+    "token_doc_freq_salted" -> tokenDocFreqSalted,
+    "corpus_curation" -> corpusCuration)
 
   val oracles: Seq[(String, String)] = Seq(
     "text_token_stats" ->
@@ -140,5 +173,31 @@ object TextOps {
     "token_doc_freq_salted" ->
       """SELECT tk, COUNT(DISTINCT doc_id) AS df FROM (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
-         GROUP BY tk""")
+         GROUP BY tk""",
+    "corpus_curation" ->
+      """WITH x AS (
+           SELECT doc_id, md5(text) AS fp, t,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(t, x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE)
+               / len(t) AS stop_ratio,
+             CASE WHEN len(t) BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS len_ok,
+             CASE
+               WHEN len(list_filter(t, x -> x = 'the' OR x = 'a'))
+                      >= len(list_filter(t, x -> x = 'der' OR x = 'die'))
+                AND len(list_filter(t, x -> x = 'the' OR x = 'a'))
+                      >= len(list_filter(t, x -> x = 'le' OR x = 'la'))
+                AND len(list_filter(t, x -> x = 'the' OR x = 'a')) > 0 THEN 'en'
+               WHEN len(list_filter(t, x -> x = 'der' OR x = 'die'))
+                      >= len(list_filter(t, x -> x = 'le' OR x = 'la'))
+                AND len(list_filter(t, x -> x = 'der' OR x = 'die')) > 0 THEN 'de'
+               WHEN len(list_filter(t, x -> x = 'le' OR x = 'la')) > 0 THEN 'fr'
+               ELSE 'und' END AS pred_lang
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+         r AS (SELECT fp, MIN(doc_id) AS rep FROM x GROUP BY fp)
+         SELECT x.doc_id, x.pred_lang, x.n_tokens, x.stop_ratio, x.len_ok,
+           CASE WHEN x.doc_id = r.rep THEN 1 ELSE 0 END AS is_rep,
+           CASE WHEN x.doc_id = r.rep AND x.len_ok = 1
+                 AND x.pred_lang <> 'und' AND x.stop_ratio <= 0.5
+                THEN 1 ELSE 0 END AS keep
+         FROM x JOIN r ON x.fp = r.fp""")
 }
