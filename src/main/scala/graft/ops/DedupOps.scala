@@ -37,13 +37,21 @@ object DedupOps {
       .groupBy(md5(col("norm")).as("fp"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct (doc, 3-token-shingle) pairs — the shared inverted index. */
+  /** Distinct (doc, 3-token-shingle) pairs — the shared inverted index.
+    * The shingle key is hashed to a 52-bit BIGINT (13 hex chars of its
+    * md5) BEFORE the distinct: the index is joined on and shuffled by
+    * this key three times downstream, and 8-byte longs shuffle/compare
+    * ~3× cheaper than ~20-char strings. Both engines apply the same
+    * hash, so even the (vanishingly rare) collision yields identical
+    * results on both sides — the hash is part of the operator's
+    * definition, not an approximation of it. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))"))
+        expr("transform(sequence(0, size(t)-3), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', slice(t, i+1, 3))), 1, 13), 16, 10) as bigint))"))
         .as("s"))
       .distinct()
 
@@ -463,7 +471,8 @@ object DedupOps {
          FROM documents GROUP BY 1""",
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         sh AS (SELECT DISTINCT doc_id,
+                  CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 13)) AS BIGINT) AS s
                 FROM toks, unnest(generate_series(1, len(t)-2)) u(i)
                 WHERE len(t) >= 3),
          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -478,7 +487,8 @@ object DedupOps {
          WHERE p.common / (ca.n + cb.n - p.common) >= 0.3""",
     "dedup_ngram_jaccard_capped" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         sh0 AS (SELECT DISTINCT doc_id,
+                   CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 13)) AS BIGINT) AS s
                  FROM toks, unnest(generate_series(1, len(t)-2)) u(i)
                  WHERE len(t) >= 3),
          hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s)
