@@ -138,12 +138,49 @@ object EventOps {
     }
   }
 
+  /** Ordered funnel (first view → first click → first purchase): one
+    * row of stage counts. Per-user stage times are a single grouped
+    * aggregation (map-side partial min per type — one shuffle on
+    * user_id); the strict time ordering then collapses to three global
+    * counts. Integer-microsecond comparisons only — no float drift. */
+  val eventsFunnel: Q = (s, dir) => {
+    val perUser = events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("t_view"),
+        min(when(col("event_type") === "click", col("us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("us"))).as("t_purchase"))
+    perUser.agg(
+      count(when(col("t_view").isNotNull, 1)).as("n_view"),
+      count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+      count(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1))
+        .as("n_view_click_purchase"))
+  }
+
+  /** Cohort retention: cohort = a user's first active day; count
+    * distinct users active at each (cohort_day, day_offset). Two
+    * user_id-clustered shuffles (cohort assignment, then the
+    * distinct-count) — the standard retention-matrix plan. Day math on
+    * DATEs, offsets as exact integers. */
+  val eventsRetention: Q = (s, dir) => {
+    val withDay = events(s, dir)
+      .withColumn("day", to_date(date_format(col("ts"), "yyyy-MM-dd")))
+    val cohort = withDay.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    withDay.join(cohort, "user_id")
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_sessionize" -> eventsSessionize,
     "events_pivot_type" -> eventsPivotType,
     "events_top_users" -> eventsTopUsers,
     "events_hopping" -> eventsHopping,
+    "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
     "asof_join_signup" -> asofJoinSignup,
     "asof_join_custom" -> asofJoinCustom)
 
@@ -193,6 +230,27 @@ object EventOps {
            COUNT(*) AS n, CAST(SUM(v_c) AS BIGINT) AS value_c
          FROM hops WHERE us - w_us < 3600000000 AND us >= w_us
          GROUP BY w_us""",
+    "events_funnel" ->
+      """WITH per_user AS (
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+           FROM events GROUP BY user_id)
+         SELECT
+           COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           COUNT(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+           COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+             AS n_view_click_purchase
+         FROM per_user""",
+    "events_retention" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+         SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT d.user_id) AS n_users
+         FROM d JOIN cohort c ON d.user_id = c.user_id
+         GROUP BY 1, 2""",
     "asof_join_signup" -> asofOracleSql,
     "asof_join_custom" -> asofOracleSql)
 
