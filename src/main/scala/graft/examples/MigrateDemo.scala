@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.migrator.Migrator
+import graft.migrator.{Migrator, Observability}
 
 /** End-to-end demo of the public API: runs the reference's own fixture
   * migrations (CREATE TABLE dialect + JSON multi-statement + dependent
@@ -46,7 +46,17 @@ object MigrateDemo {
          |"ALTER TABLE pytest.sample UPDATE enabled=0 WHERE name > 3000",
          |"ALTER TABLE pytest.sample UPDATE guard=0 WHERE enabled = 0",
          |"ALTER TABLE pytest.sample UPDATE guard=1 WHERE enabled = 1"]""".stripMargin)
-    Migrator.migrate(spark, "pytest", home, ledger)
+    // per-statement observability — the analog of the reference's
+    // mutation monitoring: rows/bytes/time per executed statement
+    val listener = new Observability.MigrationListener
+    Migrator.migrate(spark, "pytest", home, ledger, listener = Some(listener))
+    listener.entries.map(_.label).distinct.foreach { label =>
+      val es = listener.entries.filter(_.label == label)
+      val ms = es.map(_.durationNs).sum / 1e6
+      val rows = es.flatMap(_.rows).maxOption.getOrElse(-1L)
+      println(f"METRIC: $ms%8.1f ms  ${es.size}%d execs  rows=$rows%-6d " +
+        label.replaceAll("\\s+", " ").take(60))
+    }
     val counts = spark.sql(
       """SELECT count(*) AS total,
          count(CASE WHEN name > 3000 THEN 1 END) AS gt3000,
