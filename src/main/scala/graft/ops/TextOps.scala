@@ -116,6 +116,23 @@ object TextOps {
       .select("doc_id", "pred_lang", "n_tokens", "stop_ratio", "len_ok", "is_rep", "keep")
   }
 
+  /** Deterministic hash-based sampling: a document is in the p%-sample
+    * iff a 52-bit md5-derived value of its CONTENT falls below the
+    * cutoff. Unlike `df.sample()` (seeded per-partition RNG — changes
+    * under repartitioning) this is reproducible across runs, engines,
+    * and cluster layouts, survives re-partitioning, and samples
+    * duplicate documents identically — the properties a training-data
+    * subsample actually needs. Pure map-side filter: scales linearly,
+    * pushes to the scan. */
+  def corpusSample(pct: Int): Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("bucket",
+        pmod(expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"), lit(100L)))
+      .filter(col("bucket") < pct)
+      .select(col("doc_id"), col("source"), col("lang"), col("bucket"))
+
+  private val SamplePct = 10
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
@@ -123,7 +140,8 @@ object TextOps {
     "text_fingerprint" -> textFingerprint,
     "token_regex_count" -> tokenRegexCount,
     "token_doc_freq_salted" -> tokenDocFreqSalted,
-    "corpus_curation" -> corpusCuration)
+    "corpus_curation" -> corpusCuration,
+    "corpus_sample" -> corpusSample(SamplePct))
 
   val oracles: Seq[(String, String)] = Seq(
     "text_token_stats" ->
@@ -199,5 +217,10 @@ object TextOps {
            CASE WHEN x.doc_id = r.rep AND x.len_ok = 1
                  AND x.pred_lang <> 'und' AND x.stop_ratio <= 0.5
                 THEN 1 ELSE 0 END AS keep
-         FROM x JOIN r ON x.fp = r.fp""")
+         FROM x JOIN r ON x.fp = r.fp""",
+    "corpus_sample" ->
+      s"""SELECT doc_id, source, lang,
+           CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 AS bucket
+         FROM documents
+         WHERE CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 < $SamplePct""")
 }
