@@ -27,6 +27,21 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  // A null array ELEMENT yields a null result even when both inputs are
+  // non-null, so nullability must include element containsNull — the
+  // BinaryExpression default (children only) both mis-advertises the
+  // expression to the optimizer (isnull(vec_dot(..)) could fold to
+  // false) and makes nullSafeCodeGen pin ev.isNull to the `false`
+  // literal, turning the generated `isNull = true` into a Janino
+  // "not an rvalue" compile failure + silent interpreted fallback.
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => true // unresolved: stay conservative
+  })
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -54,18 +69,32 @@ case class VecDot(left: Expression, right: Expression)
     acc
   }
 
+  // The null-element exit accumulates into a LOCAL flag and folds it
+  // into ev.isNull exactly once — and only when elements can actually
+  // be null (nullable is then true, so ev.isNull is a real variable,
+  // never the `false` literal, regardless of how codegen splits or
+  // CSEs this block into helper methods).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val hasNullElem = ctx.freshName("hasNullElem")
+      val elemCheck =
+        if (elementsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { $hasNullElem = true; break; }"
+        else ""
+      val foldNull =
+        if (elementsNullable) s"${ev.isNull} = $hasNullElem;" else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
+         |boolean $hasNullElem = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $elemCheck
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
+         |$foldNull
          |${ev.value} = $acc;
        """.stripMargin
     })

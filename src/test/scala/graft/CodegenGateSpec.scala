@@ -1,0 +1,85 @@
+package graft
+
+/** Standing codegen-health gate (round-4 ask #2).
+  *
+  * Round 3 shipped a VecDot whose generated Java failed Janino
+  * compilation and silently ran interpreted — correctness was unharmed
+  * (the oracle checks the interpreted semantics) but the hot ANN path
+  * lost exactly the codegen the expression exists to provide, and
+  * nothing failed. This spec makes that failure mode LOUD:
+  *
+  *   - `spark.sql.codegen.fallback=false`  → a whole-stage compile
+  *     failure throws instead of quietly re-planning without codegen;
+  *   - `spark.sql.codegen.factoryMode=CODEGEN_ONLY` → expression-level
+  *     codegen (projections, predicates outside WSCG) must compile too,
+  *     no interpreted fallback anywhere.
+  *
+  * Runs every Bench.headline query plus the vector-expression queries
+  * at sf0.001 under those confs, so any future custom Expression or
+  * oversized generated method fails this suite instead of shipping as
+  * a silent slowdown. Uses a newSession() so the strict confs cannot
+  * leak into the other suites sharing the SparkContext.
+  */
+class CodegenGateSpec extends SparkSpec {
+
+  private lazy val strict = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // The bench guard set + every query touching the native vector
+  // expressions (vec_dot via ANN / embedding dedup, simhash32).
+  private val gated: Seq[String] =
+    (Bench.headline ++ Seq(
+      "dedup_embedding_cosine", "dedup_embedding_lsh",
+      "dedup_embedding_lsh_multiprobe", "embedding_stats",
+      "embedding_centroids")).distinct
+      .filter(SparkEntry.queries.contains)
+
+  test("every gated query executes with codegen fallback disabled") {
+    val failures = gated.flatMap { name =>
+      try { SparkEntry.queries(name)(strict, sfDir).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("vector and headline plans contain whole-stage codegen stages") {
+    // presence, not just absence-of-failure: a plan that quietly lost
+    // all its WholeStageCodegen spans would pass the strict run (there
+    // is nothing to compile) while running interpreted
+    val mustHaveWscg = Seq(
+      "q1_agg", "window_rank", "reconcile_pending",
+      "ann_bruteforce_topk", "ann_ivf_centroid", "dedup_embedding_cosine")
+    mustHaveWscg.foreach { name =>
+      val df = SparkEntry.queries(name)(strict, sfDir)
+      df.collect() // materialize THIS df's plan so AQE's FINAL plan (with codegen stages) exists
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // formatted explain marks whole-stage-codegen membership as
+      // "[codegen id : N]" on each operator inside a WSCG span
+      assert(s.contains("codegen id"), s"$name: no WholeStageCodegen stage in\n$s")
+    }
+  }
+
+  test("vec_dot compiles under CODEGEN_ONLY for nullable and non-null element arrays") {
+    import org.apache.spark.sql.functions._
+    import strict.implicits._
+    // non-nullable elements (literal arrays): nullable=false path —
+    // the exact shape whose `isNull = true` assignment Janino rejected
+    val lit = strict.range(1000).select(
+      expr("array(cast(id as double), 2.0d)").as("a"),
+      expr("array(3.0d, cast(id as double))").as("b"))
+    val s1 = lit.select(expr("vec_dot(a, b)").as("d")).agg(sum("d")).collect()
+    assert(!s1(0).isNullAt(0))
+    // nullable elements (parquet arrays): null-element propagation path
+    val emb = strict.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val s2 = emb.select(expr("vec_dot(v, v)").as("n2")).agg(count("n2")).collect()
+    assert(s2(0).getLong(0) > 0)
+  }
+}
