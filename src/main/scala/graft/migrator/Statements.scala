@@ -74,9 +74,26 @@ object Statements {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+TABLE\s+([\w.]+)(?:\s+FINAL)?\s*$""".r
   private val DetachRe =
-    """(?is)^\s*DETACH\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+    """(?is)^\s*DETACH\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val AttachRe =
-    """(?is)^\s*ATTACH\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*$""".r
+    """(?is)^\s*ATTACH\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val AttachDefRe =
+    """(?is)^\s*ATTACH\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)$""".r
+  // ClickHouse bulk-ingest statement: the reference pipes a gzip CSV
+  // into `clickhouse-client --query="INSERT INTO db.t FORMAT
+  // CSVWithNames"` (reference: tests/test_clickhouse_migration.py:101).
+  // The self-contained migration-file form of the same ingest is
+  // `INSERT INTO t [(cols)] FROM INFILE 'path' FORMAT CSVWithNames` —
+  // ClickHouse's own file-ingest clause; compression is inferred from
+  // the extension on both engines (Spark reads .gz transparently).
+  private val InsertInfileRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?""" +
+      """FROM\s+INFILE\s+'([^']+)'\s*(?:COMPRESSION\s+'\w+'\s*)?""" +
+      """FORMAT\s+(CSVWithNames|CSV|TabSeparatedWithNames|TSVWithNames|TabSeparated|TSV)\s*$""").r
+  // Inline-data form: `INSERT INTO t [(cols)] FORMAT Values (…),(…)` —
+  // ClickHouse spells the ANSI VALUES list through its FORMAT clause.
+  private val InsertValuesRe =
+    """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?FORMAT\s+Values\s+(.+)$""".r
 
   /** Hidden-name suffix a DETACHed table parks under. */
   private[migrator] val DetachedSuffix = "__graft_detached"
@@ -87,21 +104,10 @@ object Statements {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
 
     case CreateTableRe(ifNotExists, table, rest) =>
-      // manual paren matching: the column block may itself contain
-      // parens (Decimal(10,2), FixedString(8)), so regex-to-first-')'
-      // would truncate it
-      val (colsBlob, _) = splitAtMatchingParen(rest)
-      val cols = splitTopLevel(colsBlob).map { c =>
-        val parts = c.trim.split("\\s+", 2)
-        // per-column DEFAULT/CODEC clauses: keep name + mapped base type
-        val typePart = parts.lift(1).getOrElse("STRING")
-          .split("(?i)\\s+(DEFAULT|CODEC|COMMENT)\\s+", 2)(0)
-        s"${parts(0)} ${mapType(typePart)}"
-      }
       val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
       // ENGINE/PARTITION BY tuple()/ORDER BY tuple() have no Spark
       // meaning (ORDER BY tuple() = unordered = default) — stripped.
-      spark.sql(s"CREATE TABLE $ine$table (${cols.mkString(", ")}) USING parquet")
+      spark.sql(s"CREATE TABLE $ine$table (${parseColumnDefs(rest).mkString(", ")}) USING parquet")
 
     case AddColumnRe(table, colName, chType, default) =>
       val sparkType = mapType(chType)
@@ -146,19 +152,68 @@ object Statements {
       // rewrite emits one file per packed split)
       rewriteTable(spark, table)(identity)
 
-    case DetachRe(table) =>
+    case DetachRe(ifExists, table) =>
       // ClickHouse DETACH removes the table from the catalog but keeps
       // its data for a later ATTACH. Spark's DROP on a managed table
       // deletes the data, so the metadata-only analog is a rename to a
       // reserved hidden name: the public name disappears, the data and
-      // schema survive untouched.
-      spark.sql(s"ALTER TABLE $table RENAME TO $table$DetachedSuffix")
+      // schema survive untouched. IF EXISTS on a missing table is a
+      // no-op, matching the ClickHouse modifier the regex advertises.
+      if (ifExists == null || spark.catalog.tableExists(table))
+        spark.sql(s"ALTER TABLE $table RENAME TO $table$DetachedSuffix")
 
-    case AttachRe(table) =>
-      // inverse of DETACH (the bare `ATTACH TABLE t` form; the
-      // full-definition ATTACH TABLE t (cols…) falls through to
-      // spark.sql and errors, as it should — we cannot conjure data)
-      spark.sql(s"ALTER TABLE $table$DetachedSuffix RENAME TO $table")
+    case AttachRe(ifNotExists, table) =>
+      // inverse of DETACH (the bare `ATTACH TABLE t` form). IF NOT
+      // EXISTS with the table already attached is a no-op.
+      if (ifNotExists == null || !spark.catalog.tableExists(table))
+        spark.sql(s"ALTER TABLE $table$DetachedSuffix RENAME TO $table")
+
+    case AttachDefRe(ifNotExists, table, rest) =>
+      // Full-definition `ATTACH TABLE t (cols…) ENGINE …`: ClickHouse
+      // registers the metadata over whatever table data is on disk.
+      // The faithful analog: parked detached data present → re-attach
+      // it (the definition restates the schema the data already has);
+      // no parked data → CREATE TABLE IF NOT EXISTS with the declared
+      // columns (ClickHouse attaching over an empty directory yields an
+      // empty table). A migration dir from a real deployment can carry
+      // this after manual DETACH maintenance, so erroring was wrong.
+      if (ifNotExists != null && spark.catalog.tableExists(table)) ()
+      else if (spark.catalog.tableExists(s"$table$DetachedSuffix"))
+        spark.sql(s"ALTER TABLE $table$DetachedSuffix RENAME TO $table")
+      else
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $table (${parseColumnDefs(rest).mkString(", ")}) USING parquet")
+
+    case InsertInfileRe(table, cols, path, format) =>
+      // Bulk file ingest. Schema comes from the TARGET table (never
+      // inferred — inference samples the file twice and can drift from
+      // the DDL), reading only the listed column subset when one is
+      // given; unlisted target columns are filled with typed nulls.
+      // The read is a plain distributed CSV scan — parallel split
+      // reads for plain files; .gz is a single-stream decode per file,
+      // the same shape the reference's `gunzip | clickhouse-client`
+      // pipe has.
+      val target = spark.table(table)
+      val wanted =
+        if (cols == null) target.schema.fieldNames.toSeq
+        else splitTopLevel(cols)
+      val readSchema = org.apache.spark.sql.types.StructType(
+        wanted.map(c => target.schema(c)))
+      val lower = format.toLowerCase
+      val df = spark.read
+        .option("header", lower.contains("withnames").toString)
+        .option("sep", if (lower.startsWith("t")) "\t" else ",")
+        .schema(readSchema)
+        .csv(path)
+      val aligned = target.schema.fields.foldLeft(df) { (acc, f) =>
+        if (acc.columns.contains(f.name)) acc
+        else acc.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(target.schema.fieldNames.map(col(_)).toIndexedSeq: _*)
+      aligned.write.mode(SaveMode.Append).insertInto(table)
+
+    case InsertValuesRe(table, cols, data) =>
+      // FORMAT Values carries an ANSI VALUES list verbatim
+      val colsPart = if (cols == null) "" else s"($cols) "
+      spark.sql(s"INSERT INTO $table $colsPart VALUES $data")
 
     case other =>
       spark.sql(other) // ANSI fall-through (INSERT, SELECT, …)
@@ -191,6 +246,21 @@ object Statements {
     f(spark.table(table)).write.mode(SaveMode.Overwrite).saveAsTable(scratch)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $scratch RENAME TO $table")
+  }
+
+  /** Parse the "cols…) tail" of a CREATE/ATTACH definition into Spark
+    * `name TYPE` column defs. Manual paren matching: the column block
+    * may itself contain parens (Decimal(10,2), FixedString(8)), so
+    * regex-to-first-')' would truncate it. Per-column DEFAULT/CODEC/
+    * COMMENT clauses keep name + mapped base type only. */
+  private def parseColumnDefs(rest: String): Seq[String] = {
+    val (colsBlob, _) = splitAtMatchingParen(rest)
+    splitTopLevel(colsBlob).map { c =>
+      val parts = c.trim.split("\\s+", 2)
+      val typePart = parts.lift(1).getOrElse("STRING")
+        .split("(?i)\\s+(DEFAULT|CODEC|COMMENT)\\s+", 2)(0)
+      s"${parts(0)} ${mapType(typePart)}"
+    }
   }
 
   /** Split "inside(...)rest" at the paren matching the already-consumed

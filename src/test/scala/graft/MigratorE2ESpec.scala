@@ -92,6 +92,29 @@ class MigratorE2ESpec extends SparkSpec {
     spark.sql("DROP TABLE pytest.sample")
   }
 
+  // the reference's real-world migration shape: a dir whose .json mixes
+  // DDL with the FORMAT CSVWithNames bulk ingest the reference drives
+  // through `gunzip | clickhouse-client` (reference tests:101), then
+  // dependent DMLs over the ingested rows — golden counts preserved.
+  test("migration file with INSERT…FORMAT CSVWithNames ingest keeps golden counts") {
+    val home = stage("m_ingest",
+      "V1__create_test.sql" ->
+        "CREATE TABLE pytest.ingested(id UInt32, name UInt32) ENGINE MergeTree PARTITION BY tuple() ORDER BY tuple()",
+      "V2_ingest_and_flag.json" ->
+        """["INSERT INTO pytest.ingested FROM INFILE '/root/reference/tests/migrations_seq/test.csv.gz' FORMAT CSVWithNames",
+           |"ALTER TABLE pytest.ingested ADD COLUMN enabled UInt32 DEFAULT 1",
+           |"ALTER TABLE pytest.ingested UPDATE enabled=0 WHERE name > 3000"]""".stripMargin)
+    Migrator.migrate(spark, "pytest", home, s"$scratch/ledger_ingest")
+    val r = spark.sql(
+      """SELECT count(*), count(CASE WHEN name > 3000 THEN 1 END),
+               count(CASE WHEN enabled = 0 THEN 1 END)
+         FROM pytest.ingested""").collect()(0)
+    assert(r.getLong(0) == 100000L, s"total ${r.getLong(0)}")
+    assert(r.getLong(1) == r.getLong(2), s"gt3000 ${r.getLong(1)} vs enabled0 ${r.getLong(2)}")
+    assert(spark.read.parquet(s"$scratch/ledger_ingest").count() == 2)
+    spark.sql("DROP TABLE pytest.ingested")
+  }
+
   test("scan parses both V1__x and V2_y filename forms") {
     val home = stage("m4",
       "V1__double_underscore.sql" -> "SELECT 1",

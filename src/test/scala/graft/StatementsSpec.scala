@@ -92,6 +92,83 @@ class StatementsSpec extends SparkSpec {
     spark.sql("DROP TABLE st.det")
   }
 
+  test("DETACH/ATTACH IF EXISTS modifiers are no-ops on missing/present tables") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS st")
+    // missing table + IF EXISTS → no-op, not a throw (ClickHouse semantics)
+    Statements.execute(spark, "DETACH TABLE IF EXISTS st.never_created")
+    // without the modifier it must still throw
+    intercept[Exception] {
+      Statements.execute(spark, "DETACH TABLE st.never_created")
+    }
+    Statements.execute(spark, "CREATE TABLE st.ifex(id UInt32) ENGINE MergeTree")
+    spark.sql("INSERT INTO st.ifex VALUES (1)")
+    // already-attached + IF NOT EXISTS → no-op (no rename attempt)
+    Statements.execute(spark, "ATTACH TABLE IF NOT EXISTS st.ifex")
+    assert(spark.table("st.ifex").count() == 1)
+    spark.sql("DROP TABLE st.ifex")
+  }
+
+  test("full-definition ATTACH re-attaches parked data or creates empty") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS st")
+    Statements.execute(spark, "CREATE TABLE st.attdef(id UInt32, name String) ENGINE MergeTree")
+    spark.sql("INSERT INTO st.attdef VALUES (1, 'a'), (2, 'b')")
+    Statements.execute(spark, "DETACH TABLE st.attdef")
+    // full-definition form over parked data → re-attach, data intact
+    Statements.execute(spark,
+      "ATTACH TABLE st.attdef (id UInt32, name String) ENGINE MergeTree ORDER BY tuple()")
+    assert(spark.table("st.attdef").count() == 2)
+    spark.sql("DROP TABLE st.attdef")
+    // no parked data → CREATE IF NOT EXISTS semantics: empty typed table
+    Statements.execute(spark,
+      "ATTACH TABLE st.attfresh (id UInt64, price Decimal(10,2)) ENGINE MergeTree")
+    assert(spark.table("st.attfresh").count() == 0)
+    assert(spark.table("st.attfresh").schema("price").dataType.sql == "DECIMAL(10,2)")
+    // idempotent under IF NOT EXISTS with the table present
+    Statements.execute(spark,
+      "ATTACH TABLE IF NOT EXISTS st.attfresh (id UInt64, price Decimal(10,2)) ENGINE MergeTree")
+    spark.sql("DROP TABLE st.attfresh")
+  }
+
+  test("INSERT INTO … FROM INFILE … FORMAT CSVWithNames ingests via the CSV path") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS st")
+    Statements.execute(spark,
+      "CREATE TABLE st.ingest(id UInt32, name UInt32) ENGINE MergeTree")
+    // the reference's own 100k-row gzip fixture (header: id,name)
+    Statements.execute(spark,
+      "INSERT INTO st.ingest FROM INFILE '/root/reference/tests/migrations_seq/test.csv.gz' FORMAT CSVWithNames")
+    assert(spark.table("st.ingest").count() == 100000)
+    assert(spark.table("st.ingest").filter("name > 3000").count() > 0)
+    spark.sql("DROP TABLE st.ingest")
+  }
+
+  test("INSERT INFILE with a column subset null-fills the remaining target columns") {
+    import java.nio.file.{Files, Paths}
+    spark.sql("CREATE DATABASE IF NOT EXISTS st")
+    Statements.execute(spark,
+      "CREATE TABLE st.subset(id UInt32, name String, extra UInt32) ENGINE MergeTree")
+    val csv = s"$scratch/subset.csv"
+    Files.writeString(Paths.get(csv), "id,name\n1,a\n2,b\n")
+    Statements.execute(spark,
+      s"INSERT INTO st.subset (id, name) FROM INFILE '$csv' FORMAT CSVWithNames")
+    val rows = spark.table("st.subset").orderBy("id").collect()
+    assert(rows.length == 2 && rows(0).getInt(0) == 1 && rows(0).getString(1) == "a")
+    assert(rows.forall(_.isNullAt(2)))
+    spark.sql("DROP TABLE st.subset")
+  }
+
+  test("INSERT INTO … FORMAT Values translates to an ANSI VALUES insert") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS st")
+    Statements.execute(spark,
+      "CREATE TABLE st.vals(id UInt32, name String) ENGINE MergeTree")
+    Statements.execute(spark,
+      "INSERT INTO st.vals FORMAT Values (1, 'x'), (2, 'y'), (3, 'z')")
+    assert(spark.table("st.vals").count() == 3)
+    Statements.execute(spark,
+      "INSERT INTO st.vals (id, name) FORMAT Values (4, 'w')")
+    assert(spark.table("st.vals").filter("name = 'w'").count() == 1)
+    spark.sql("DROP TABLE st.vals")
+  }
+
   test("unknown statements still fall through to spark.sql") {
     spark.sql("CREATE DATABASE IF NOT EXISTS st")
     Statements.execute(spark, "CREATE OR REPLACE TEMP VIEW st_fallthrough AS SELECT 7 AS x")
