@@ -19,13 +19,19 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   * Semantics: for every left row, the single right row with the same
   * key and the greatest time <= the left row's time (or nulls if none)
-  * — backward as-of, ties included.
+  * — backward as-of. Optional TIEBREAK columns refine "time" to the
+  * lexicographic tuple (time, tie1, tie2, …) compared ascending with
+  * nulls first: a right row is eligible iff its tuple is <= the left
+  * row's, and the greatest eligible tuple wins. This reproduces the
+  * window idiom's `ORDER BY time, tiebreak` total order EXACTLY, which
+  * is what lets [[AsOfWindowRewrite]] stay semantics-preserving when
+  * the user pinned cross-marker ties with extra order columns.
   *
   * Scale shape: both sides hash-cluster on the key and sort within
-  * partitions by (key, time); the exec then streams BOTH sides once per
-  * partition — O(n+m) work, O(1) state (one buffered right row), no
-  * pair explosion, no window buffer. Exactly the plan you want at
-  * 100 TB: one shuffle per side, then a linear merge.
+  * partitions by (key, time, ties…); the exec then streams BOTH sides
+  * once per partition — O(n+m) work, O(1) state (one buffered right
+  * row), no pair explosion, no window buffer. Exactly the plan you
+  * want at 100 TB: one shuffle per side, then a linear merge.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -33,7 +39,9 @@ case class AsOfJoinNode(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    leftTies: Seq[Expression] = Nil,
+    rightTies: Seq[Expression] = Nil)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -46,8 +54,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, lties, rties) =>
+      AsOfJoinExec(lk, rk, lt, rt, lties, rties, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -57,9 +65,14 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
+    leftTies: Seq[Expression],
+    rightTies: Seq[Expression],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
+
+  require(leftTies.length == rightTies.length,
+    "as-of tiebreak columns must pair up left/right")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -69,15 +82,18 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  /** Sort within partitions by (key, time): groups become contiguous
-    * runs, enabling the single-pass merge. */
+  /** Sort within partitions by (key, time, ties…): groups become
+    * contiguous runs in the SAME total order the merge compares in —
+    * required on the LEFT too, or an already-consumed right row could
+    * sit "after" a later tied left row. Ascending nulls-first, matching
+    * the merge's comparator and the window idiom's default ordering. */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    (Seq(leftKey, leftTime) ++ leftTies).map(SortOrder(_, Ascending)),
+    (Seq(rightKey, rightTime) ++ rightTies).map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    (Seq(leftKey, leftTime) ++ leftTies).map(SortOrder(_, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)
@@ -85,16 +101,27 @@ case class AsOfJoinExec(
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val lTiesB = leftTies.map(BindReferences.bindReference(_, left.output))
+    val rTiesB = rightTies.map(BindReferences.bindReference(_, right.output))
+    val tieOrderings = leftTies.map(e => TypeUtils.getInterpretedOrdering(e.dataType))
     val rightWidth = right.output.size
     val outputAttrs = output
+
+    // ascending-nulls-first scalar compare — the comparator twin of the
+    // SortOrder both children are required to satisfy
+    def cmpNullsFirst(a: Any, b: Any, ord: Ordering[Any]): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else ord.compare(a, b)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val rBuf = rIter.buffered
-      // the as-of state: last right row whose (key, time) was consumed,
-      // valid only while its key equals the current left key
+      // the as-of state: last right row whose (key, time, ties) was
+      // consumed, valid only while its key equals the current left key
       var lastRight: InternalRow = null
       var lastRightKey: Any = null
 
@@ -105,7 +132,8 @@ case class AsOfJoinExec(
           project(joined(lRow, nullRight))
         } else {
           val lTimeL = lTime.asInstanceOf[Long]
-          // consume right rows that are at-or-before this left row
+          // consume right rows whose (time, ties…) tuple is lex-<= this
+          // left row's — both sides arrive sorted in that same order
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rRow = rBuf.head
@@ -115,7 +143,14 @@ case class AsOfJoinExec(
               rBuf.next() // unmatchable, skip
             } else {
               val c = keyOrdering.compare(rKey.asInstanceOf[AnyRef], lKey.asInstanceOf[AnyRef])
-              if (c < 0 || (c == 0 && rTime.asInstanceOf[Long] <= lTimeL)) {
+              var rel = if (c != 0) c
+                else java.lang.Long.compare(rTime.asInstanceOf[Long], lTimeL)
+              var k = 0
+              while (rel == 0 && k < tieOrderings.length) {
+                rel = cmpNullsFirst(rTiesB(k).eval(rRow), lTiesB(k).eval(lRow), tieOrderings(k))
+                k += 1
+              }
+              if (c < 0 || (c == 0 && rel <= 0)) {
                 lastRight = rRow.copy()
                 lastRightKey = rKey
                 rBuf.next()
@@ -138,8 +173,10 @@ case class AsOfJoinExec(
 }
 
 /** Public API: backward as-of join on a shared key column and long
-  * (microsecond) time columns. Right-side columns must not collide with
-  * left-side names — rename before joining. */
+  * (microsecond) time columns, with optional tiebreak columns refining
+  * the time order lexicographically (ascending, nulls first). Right-side
+  * columns must not collide with left-side names — rename before
+  * joining. */
 object AsOf {
   def join(
       leftDf: DataFrame,
@@ -147,7 +184,9 @@ object AsOf {
       leftKeyCol: String,
       rightKeyCol: String,
       leftTimeCol: String,
-      rightTimeCol: String): DataFrame = {
+      rightTimeCol: String,
+      leftTieCols: Seq[String] = Nil,
+      rightTieCols: Seq[String] = Nil): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
@@ -158,6 +197,7 @@ object AsOf {
     Bridge.ofRows(spark, AsOfJoinNode(
       lPlan, rPlan,
       attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
+      leftTieCols.map(attr(lPlan, _)), rightTieCols.map(attr(rPlan, _))))
   }
 }

@@ -40,30 +40,35 @@ import org.apache.spark.sql.types.LongType
   *
   * Exactness: the filter marker and window marker must be DIFFERENT
   * literals on the same column, so left rows never contribute to the
-  * carried value — the rewrite is semantics-preserving except for rows
-  * tied on (key, time) across the two markers, where the window form
-  * breaks ties by any extra orderSpec columns while the as-of exec
-  * treats all right rows with time <= left time as eligible (standard
-  * ties-included as-of semantics). Both asof catalog queries share one
-  * oracle, which pins this agreement on real data.
+  * carried value. Extra orderSpec columns beyond the time — the
+  * tiebreakers a user writes to pin a total order across rows tied on
+  * (key, time) — are carried into [[AsOfJoinNode]] as lexicographic
+  * tiebreak columns, so the as-of merge compares the SAME
+  * (time, tie1, …) tuple the window sorted by and the rewrite stays
+  * exact even when a marker row ties a filtered row on (key, time).
+  * Tiebreakers that are not ascending-nulls-first or don't resolve to
+  * base columns decline the rewrite rather than approximate it.
   *
   * Guards (any miss ⇒ no rewrite, negative-case-tested in
   * AsOfJoinSpec): every window expression in the chain is the
-  * last-ignoreNulls-case-when shape over one shared (marker, key, time);
-  * a single partition key resolving to a base attribute; ascending
-  * LongType time; deterministic projections only; the filter predicate
-  * and all carried values resolve to base columns (no window output
-  * feeding another window or the filter).
+  * last-ignoreNulls-case-when shape over one shared
+  * (marker, key, time, ties); a single partition key resolving to a
+  * base attribute; ascending LongType time; ascending-nulls-first
+  * deterministic tiebreakers; deterministic projections only; the
+  * filter predicate and all carried values resolve to base columns (no
+  * window output feeding another window or the filter).
   */
 object AsOfWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** One matched window output: original alias + the as-of quadruple. */
+  /** One matched window output: original alias + the as-of quadruple
+    * (+ the orderSpec tail as resolved tiebreak expressions). */
   private case class AsOfOut(
       alias: Alias,
       typeAttr: Attribute,
       typeLit: Literal,
       partKey: Attribute,
       timeExpr: Expression,
+      ties: Seq[Expression],
       value: Expression)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -106,14 +111,20 @@ object AsOfWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 AggregateExpression(Last(lastChild, true), _, false, None, _),
                 WindowSpecDefinition(Seq(pk0), orderSpec,
                   SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)
-              if orderSpec.nonEmpty && orderSpec.head.direction == Ascending =>
+              if orderSpec.nonEmpty && orderSpec.head.direction == Ascending &&
+                // tiebreakers: user-pinned total order across (key,time)
+                // ties — carried into the join, so they must be the
+                // default ascending-nulls-first the merge reproduces
+                orderSpec.tail.forall(so =>
+                  so.direction == Ascending && so.nullOrdering == NullsFirst) =>
+            val ties = orderSpec.tail.map(so => subst(so.child))
             val out = (subst(lastChild), subst(pk0), subst(orderSpec.head.child)) match {
               case (CaseWhen(Seq((c, value)), None), pk: Attribute, time) =>
                 c match {
                   case EqualTo(ta: Attribute, tl: Literal) =>
-                    Some(AsOfOut(a, ta, tl, pk, time, value))
+                    Some(AsOfOut(a, ta, tl, pk, time, ties, value))
                   case EqualTo(tl: Literal, ta: Attribute) =>
-                    Some(AsOfOut(a, ta, tl, pk, time, value))
+                    Some(AsOfOut(a, ta, tl, pk, time, ties, value))
                   case _ => None
                 }
               case _ => None
@@ -132,13 +143,17 @@ object AsOfWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
       o.typeAttr.exprId == head.typeAttr.exprId &&
         o.typeLit.semanticEquals(head.typeLit) &&
         o.partKey.exprId == head.partKey.exprId &&
-        o.timeExpr.semanticEquals(head.timeExpr))
+        o.timeExpr.semanticEquals(head.timeExpr) &&
+        o.ties.length == head.ties.length &&
+        o.ties.zip(head.ties).forall { case (x, y) => x.semanticEquals(y) })
     if (!coherent) return None
     if (head.timeExpr.dataType != LongType || !head.timeExpr.deterministic) return None
     val baseIds = base.outputSet
     if (!head.typeAttr.references.subsetOf(baseIds) ||
       !head.partKey.references.subsetOf(baseIds) ||
       !head.timeExpr.references.subsetOf(baseIds)) return None
+    if (!head.ties.forall(t => t.deterministic && t.references.subsetOf(baseIds)))
+      return None
     if (!outs.forall(o => o.value.deterministic && o.value.references.subsetOf(baseIds)))
       return None
     val condSub = subst(cond)
@@ -152,15 +167,18 @@ object AsOfWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (!pinned.exists(l => !l.semanticEquals(head.typeLit))) return None
 
-    // 4. build the join
+    // 4. build the join (tiebreakers project through the right side so
+    //    the merge can compare the full (time, ties…) tuple)
     val left = Filter(condSub, base)
     val rightKey = Alias(head.partKey, "__asof_key")()
     val rightTime = Alias(head.timeExpr, "__asof_time")()
+    val rightTies = head.ties.zipWithIndex.map { case (t, i) => Alias(t, s"__asof_tie$i")() }
     val rightVals = outs.map(o => Alias(o.value, s"__asof_${o.alias.name}")())
-    val right = Project(rightKey +: rightTime +: rightVals.toSeq,
+    val right = Project(rightKey +: rightTime +: (rightTies ++ rightVals.toSeq),
       Filter(EqualTo(head.typeAttr, head.typeLit), base))
     val join = AsOfJoinNode(left, right,
-      head.partKey, rightKey.toAttribute, head.timeExpr, rightTime.toAttribute)
+      head.partKey, rightKey.toAttribute, head.timeExpr, rightTime.toAttribute,
+      head.ties, rightTies.map(_.toAttribute))
 
     // 5. reproduce the chain top's exact output (names + exprIds): base
     //    columns pass through the left side, project aliases are

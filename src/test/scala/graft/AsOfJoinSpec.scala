@@ -110,6 +110,61 @@ class AsOfJoinSpec extends SparkSpec {
     assert(same.count() == 3 && notLast.count() == 3)
   }
 
+  test("rewrite reproduces window tiebreak semantics on (key,time) ties") {
+    import spark.implicits._
+    // signup 5 TIES purchase 2 on (user,us) but sorts after it by
+    // event_id — the window form must not show it to purchase 2, and
+    // must show it to purchase 9. A ties-included as-of without the
+    // tiebreak column would wrongly hand signup 5 to purchase 2.
+    Seq(
+      (1L, 10L, 100L, "signup"), (2L, 10L, 200L, "purchase"),
+      (5L, 10L, 200L, "signup"), (9L, 10L, 200L, "purchase"),
+      (3L, 20L, 50L, "purchase"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .write.mode("overwrite").parquet(s"$scratch/tied_events")
+    val q = windowIdiom(spark.read.parquet(s"$scratch/tied_events"))
+    // the rewrite still fires (tiebreak carried, not declined)…
+    assert(q.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      q.queryExecution.executedPlan.toString)
+    // …and the answer is the window's exact lexicographic one
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(2L -> 1L, 9L -> 5L, 3L -> -1L), got.toString)
+  }
+
+  test("rewrite declines non-ascending or nulls-last tiebreakers") {
+    def idiom(order: Seq[org.apache.spark.sql.Column]) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      tinyEvents.withColumn("last_id",
+          last(when(col("event_type") === "signup", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("last_id"))
+    }
+    val desc = idiom(Seq(col("us"), col("event_id").desc))
+    assert(!desc.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val nullsLast = idiom(Seq(col("us"), col("event_id").asc_nulls_last))
+    assert(!nullsLast.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // both still compute through the plain window path
+    assert(desc.count() == 3 && nullsLast.count() == 3)
+  }
+
+  test("AsOf.join with explicit tiebreak columns uses the lexicographic order") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 200L, 2L), (2L, 10L, 200L, 9L))
+      .toDF("lid", "k", "t", "seq")
+    val r = Seq((101L, 10L, 200L, 5L), (102L, 10L, 100L, 1L))
+      .toDF("rid", "rk", "rt", "rseq")
+    val out = AsOf.join(l, r, "k", "rk", "t", "rt", Seq("seq"), Seq("rseq"))
+      .select("lid", "rid")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // (200,5) > (200,2) → lid 1 only sees (100,1); (200,5) <= (200,9) → lid 2 sees it
+    assert(out == Map(1L -> 102L, 2L -> 101L), out.toString)
+  }
+
   test("left rows before any right row get nulls; ties match") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L), (4L, 99L, 10L))
