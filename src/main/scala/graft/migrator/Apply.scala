@@ -74,7 +74,14 @@ object Apply {
         ledger.append(m) // after-success append, reference: migrate.py:53-54
         drained()
       }
-    } finally listener.foreach(spark.listenerManager.unregister)
+    } finally listener.foreach { l =>
+      // drain BEFORE unregistering, also on the failure path — the
+      // onFailure event for a failing statement (and trailing
+      // onSuccess events) are still in flight on the async bus, and
+      // they are exactly what the observability surface must record
+      drained()
+      spark.listenerManager.unregister(l)
+    }
   }
 
   /** Parity wrapper for the reference's `pipelined` timeout knob

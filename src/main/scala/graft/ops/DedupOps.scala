@@ -120,17 +120,19 @@ object DedupOps {
     * similarity for selectivity; near-exact dups (j→1) still collide
     * with probability →1. */
   private[ops] val MinhashPerms = 16
-  private[ops] val MinhashBands = 2
+  private[graft] val MinhashBands = 2
   private[ops] val MinhashRowsPerBand = MinhashPerms / MinhashBands
   /** Degenerate-bucket guard: a band bucket holding more than this many
     * documents contributes O(bucket²) candidate pairs from one key — at
     * 100 TB a single stop-pattern bucket would dominate the job. Such
     * buckets are dropped wholesale (their members are by construction
     * low-information collisions); the drop is observable through
-    * [[minhashBandOccupancy]]. The threshold is deliberately far above
-    * any bucket this corpus produces, so the oracle twin sees identical
-    * candidates. */
-  private[ops] val MinhashMaxBucket = 50
+    * [[minhashBandOccupancy]]. The cap FIRES on this corpus (sf0.01:
+    * three buckets, the largest at ~385 docs, are dropped) — oracle
+    * parity holds because the oracle SQL applies the identical
+    * `n_docs > cap` anti-join, not because the cap is never exercised.
+    * DedupSelectivitySpec pins that the cap stays live. */
+  private[graft] val MinhashMaxBucket = 50
 
   /** 16-permutation MinHash signature over ONE md5 per token: the
     * 128-bit digest is sliced into two independent 52-bit integers

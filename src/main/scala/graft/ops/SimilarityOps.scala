@@ -72,7 +72,11 @@ object SimilarityOps {
     * before use (as [[graft.ext.Centroids]] established), the nearest-
     * centroid score is `|c|² − 2·v·c` (the |v|² term is constant per
     * vector and dropped) computed from the shared sequential-fold dot
-    * product, and ties break on the cluster id. */
+    * product AND itself rounded to 6 decimals before the assignment
+    * ordering (the project's round-6 discipline for accumulated floats:
+    * a last-ulp divergence between the two engines' folds must not be
+    * able to flip a nearest-centroid assignment), and ties break on the
+    * cluster id. */
   val annIvfCentroid: Q = (s, dir) => {
     val e = vecs(s, dir)
     val cent = e.groupBy("label").agg(
@@ -80,7 +84,7 @@ object SimilarityOps {
       .select(col("label").as("cluster"), col("c"))
       .withColumn("cnorm2", expr(dotSql(s, "c", "c")))
     val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("d", col("cnorm2") - lit(2.0) * expr(dotSql(s, "v", "c")))
+      .withColumn("d", round(col("cnorm2") - lit(2.0) * expr(dotSql(s, "v", "c")), 6))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
     val best = assigned.withColumn("ark", row_number().over(wAssign))
       .filter(col("ark") === 1)
@@ -139,7 +143,7 @@ object SimilarityOps {
           cent2 AS (SELECT cluster, c, list_dot_product(c, c) AS cnorm2 FROM cent),
           assigned AS (
             SELECT e.vec_id, e.v, e.nrm, c2.cluster,
-              c2.cnorm2 - 2 * list_dot_product(e.v, c2.c) AS d
+              round(c2.cnorm2 - 2 * list_dot_product(e.v, c2.c), 6) AS d
             FROM e CROSS JOIN cent2 c2),
           best AS (SELECT vec_id, v, nrm, cluster FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS ark

@@ -27,11 +27,20 @@ class DedupSelectivitySpec extends SparkSpec {
 
   test("band occupancy surfaces capped degenerate buckets") {
     val occ = DedupOps.minhashBandOccupancy(spark, dir)
-    // the synthetic corpus produces at least one oversized bucket per
-    // band; the occupancy query is what makes that visible
-    val maxBucket = occ.agg(max(col("n_docs"))).collect()(0).getLong(0)
-    assert(maxBucket >= 1)
+    // this corpus genuinely exercises the cap: each band's largest
+    // bucket exceeds MinhashMaxBucket (sf0.01: 318 and 385 vs cap 50),
+    // so the occupancy query demonstrably SEES what the cap drops — a
+    // vacuous >= 1 here could not catch an occupancy regression
+    val perBandMax = occ.groupBy("bi").agg(max(col("n_docs")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perBandMax.size == DedupOps.MinhashBands.toInt)
+    perBandMax.foreach { case (bi, m) =>
+      assert(m > DedupOps.MinhashMaxBucket,
+        s"band $bi max bucket $m no longer exceeds the ${DedupOps.MinhashMaxBucket} cap — " +
+          "either the corpus changed or the occupancy query stopped seeing hot buckets")
+    }
     // and the verified-pair threshold still finds real near-dup pairs
+    // AFTER those hot buckets are dropped
     val verified = DedupOps.dedupMinhashLsh(spark, dir)
       .filter(col("n_match") >= 12).count()
     assert(verified > 0)

@@ -184,6 +184,27 @@ class MigratorE2ESpec extends SparkSpec {
     spark.sql("DROP TABLE pytest.t7")
   }
 
+  test("listener records the failing statement's onFailure before unregistering") {
+    // raise_error fires at EXECUTION time (not parse), so a real
+    // onFailure event lands on the async listener bus; the finally
+    // block must drain before unregistering or the event — the one the
+    // observability surface most needs — is silently dropped
+    val home = stage("m8",
+      "V1__create.sql" -> "CREATE TABLE pytest.t8(id UInt32) ENGINE MergeTree",
+      "V2__boom.sql" ->
+        "INSERT INTO pytest.t8 SELECT CAST(raise_error('mid-flight failure') AS INT)")
+    val listener = new Observability.MigrationListener
+    intercept[Exception] {
+      Migrator.migrate(spark, "pytest", home, s"$scratch/ledger8", listener = Some(listener))
+    }
+    val entries = listener.entries
+    assert(entries.exists(e => e.failed && e.label.contains("raise_error")),
+      s"failure event missing from: $entries")
+    assert(spark.read.parquet(s"$scratch/ledger8").collect()
+      .map(_.getAs[Int]("version")).toSeq == Seq(1))
+    spark.sql("DROP TABLE pytest.t8")
+  }
+
   test("mid-sequence failure stops later versions and is not committed") {
     val home = stage("m5",
       "V1__ok.sql" -> "CREATE TABLE pytest.t5(id UInt32) ENGINE MergeTree",
