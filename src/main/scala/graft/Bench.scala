@@ -19,7 +19,12 @@ object Bench {
     "ann_bruteforce_topk", "ann_ivf_label", "ann_ivf_centroid",
     "text_quality", "text_fingerprint", "events_sessionize",
     "asof_join_signup", "asof_join_custom",
-    "json_extract")
+    "json_extract",
+    // round 4: the iterative connected-components loop (the only
+    // nontrivial execution pattern previously without 2x-gate coverage)
+    // and the capstone curation pipeline (the closest thing to a real
+    // user workload)
+    "dedup_cluster_reps", "corpus_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -87,23 +87,22 @@ object Multimodal {
     * LSH would put every vector in one bucket; the bucket bits are sign
     * bits of MEAN-CENTERED dimensions instead (hyperplanes through the
     * centroid). The per-dimension means are one tiny 1-row aggregate,
-    * broadcast to the scan — no extra shuffle of the feature table. At
-    * scale the bucket count (2^bits) must grow with the corpus exactly
-    * as documented on dedupEmbeddingLsh.
+    * broadcast to the scan — no extra shuffle of the feature table.
+    *
+    * The `bits` default is the documented SCALE policy (≥8 → ≥256
+    * buckets), not a test convenience: defaults are the API users copy,
+    * and a 16-bucket default would make every per-bucket join
+    * quadratic-ish on a real corpus. Check the choice against
+    * [[featureBucketOccupancy]] — the same occupancy-before-it-hurts
+    * observable the embedding path has — and grow bits with the corpus
+    * exactly as documented on dedupEmbeddingLsh. `bits` is capped by
+    * the feature dimensionality (axis-aligned hyperplanes, one per
+    * leading dimension).
     */
-  def nearestNeighbors(features: DataFrame, bits: Int = 4, k: Int = 3): DataFrame = {
+  def nearestNeighbors(features: DataFrame, bits: Int = 8, k: Int = 3): DataFrame = {
     val spark = features.sparkSession
     val dot = graft.ops.Tables.dotSql(spark, "a.v", "b.v")
-    val selfDot = graft.ops.Tables.dotSql(spark, "v", "v")
-    val vecs = features.select(col("doc_id"),
-      expr("transform(feature, x -> cast(x as double))").as("v"))
-    val means = vecs.select((0 until bits).map(i =>
-      avg(expr(s"v[$i]")).as(s"m$i")): _*)
-    val bucketed = vecs.crossJoin(broadcast(means))
-      .withColumn("norm", expr(s"sqrt($selfDot)"))
-      .withColumn("bucket", concat((0 until bits).map(i =>
-        when(expr(s"v[$i]") >= col(s"m$i"), "1").otherwise("0")): _*))
-      .select("doc_id", "v", "norm", "bucket")
+    val bucketed = bucketedFeatures(features, bits)
     val scored = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("qid"), col("b.doc_id").as("nid"),
@@ -114,4 +113,31 @@ object Multimodal {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Mean-centered sign-bit bucketing of the feature column — shared by
+    * [[nearestNeighbors]] and [[featureBucketOccupancy]]. */
+  private def bucketedFeatures(features: DataFrame, bits: Int): DataFrame = {
+    val spark = features.sparkSession
+    val selfDot = graft.ops.Tables.dotSql(spark, "v", "v")
+    val vecs = features.select(col("doc_id"),
+      expr("transform(feature, x -> cast(x as double))").as("v"))
+    val means = vecs.select((0 until bits).map(i =>
+      avg(expr(s"v[$i]")).as(s"m$i")): _*)
+    vecs.crossJoin(broadcast(means))
+      .withColumn("norm", expr(s"sqrt($selfDot)"))
+      .withColumn("bucket", concat((0 until bits).map(i =>
+        when(expr(s"v[$i]") >= col(s"m$i"), "1").otherwise("0")): _*))
+      .select("doc_id", "v", "norm", "bucket")
+  }
+
+  /** Bucket-occupancy distribution for the media-feature LSH — the
+    * observability twin of `embedding_lsh_occupancy`: per occupancy
+    * level n_docs, how many buckets hold that many vectors. A skewed
+    * bucket (the one that would dominate the per-bucket join at scale)
+    * shows up here as a high-n_docs row BEFORE the join is run, which
+    * is when the `bits` policy gets adjusted. */
+  def featureBucketOccupancy(features: DataFrame, bits: Int = 8): DataFrame =
+    bucketedFeatures(features, bits)
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .groupBy("n_docs").agg(count(lit(1)).as("n_buckets"))
 }

@@ -35,8 +35,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == 500)
   }
 
+  test("feature bucket occupancy is observable and the default bits split the corpus") {
+    val feats = Multimodal.pipeline(spark, dir)
+    // default bits (the documented scale policy, >= 8) — occupancy must
+    // show a genuinely split corpus, not one or two mega-buckets
+    val occ = Multimodal.featureBucketOccupancy(feats).collect()
+      .map(r => r.getAs[Long]("n_docs") -> r.getAs[Long]("n_buckets"))
+    val nBuckets = occ.map(_._2).sum
+    val maxOcc = occ.map(_._1).max
+    val total = feats.count()
+    assert(nBuckets > 16, s"only $nBuckets buckets under the default bits")
+    assert(maxOcc < total / 2,
+      s"one bucket holds $maxOcc of $total vectors — bits policy broken")
+    assert(occ.map { case (n, b) => n * b }.sum == total) // partition of corpus
+  }
+
   test("decoded features flow into the bucketed ANN join end-to-end") {
     val feats = Multimodal.pipeline(spark, dir)
+    // explicit narrow bits for the 500-doc stub corpus (8 would leave
+    // near-singleton buckets and an empty join); production uses the
+    // default >= 8 policy with featureBucketOccupancy as the check
     val nn = Multimodal.nearestNeighbors(feats, bits = 4, k = 3)
     val rows = nn.collect()
     assert(rows.nonEmpty)
