@@ -35,4 +35,49 @@ class DedupClusterSpec extends SparkSpec {
     val got = cc((5L, 3L), (3L, 5L), (5L, 3L), (3L, 1L))
     assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
+
+  // --- large-star/small-star alternation (the adversarial-chain path) ---
+
+  test("star contraction: 1k-node shuffled chain converges in < 12 alternations") {
+    import spark.implicits._
+    // a 1000-node path whose ids are a seeded shuffle — the component
+    // minimum sits at a random interior position, so naive min
+    // propagation would need ~O(500) rounds; star contraction must
+    // finish logarithmically
+    val rnd = new scala.util.Random(42)
+    val ids = rnd.shuffle((1L to 1000L).toVector)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val (labels, alternations) = DedupOps.connectedComponentsStar(edges.toDF("a", "b"))
+    assert(alternations < 12, s"took $alternations alternations")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1000 && got.values.forall(_ == 1L),
+      s"labels not all 1: ${got.values.toSet}")
+  }
+
+  test("star contraction handles merges, duplicates, and empty input") {
+    import spark.implicits._
+    val (labels, _) = DedupOps.connectedComponentsStar(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (20L, 22L), (22L, 20L), (5L, 3L))
+        .toDF("a", "b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val (empty, n) = DedupOps.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(empty.count() == 0 && n == 0)
+  }
+
+  test("star contraction agrees with min-label propagation on the real pair graph") {
+    val verified = DedupOps.dedupMinhashLsh(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("n_match") >= 12)
+      .select("a", "b")
+    val prop = DedupOps.connectedComponents(verified)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val (starLabels, _) = DedupOps.connectedComponentsStar(verified)
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(prop.nonEmpty && prop == star)
+  }
 }
