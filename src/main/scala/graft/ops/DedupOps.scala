@@ -290,23 +290,36 @@ object DedupOps {
     val edges = pairs.toDF("a", "b")
       .union(pairs.toDF("a", "b").select(col("b"), col("a")))
       .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // the first propagation round fused into initialization: starting
+    // from label=self, round 1 would compute exactly
+    // min(self, direct neighbors) — one groupBy over the edge list
+    // does that without the round's two joins
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("label"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
+      // prop: neighbors' labels. jump: label-of-label — and since every
+      // label VALUE is itself a doc_id present in `labels` (labels are
+      // always existing member ids), the jump join hits every doc
+      // exactly once, so it both replaces the self-union branch and
+      // carries the doc's OLD label through as `prev`: the changed
+      // count is then a filter over the just-checkpointed table, not a
+      // join back onto the previous round
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("label"))
+        .select(col("dst").as("doc_id"), col("label"),
+          lit(null).cast("long").as("prev"))
       val jump = labels.as("x")
         .join(labels.select(col("doc_id").as("j_doc"), col("label").as("j_label")),
           col("x.label") === col("j_doc"))
-        .select(col("x.doc_id").as("doc_id"), col("j_label").as("label"))
-      val next = labels.union(prop).union(jump)
-        .groupBy("doc_id").agg(min(col("label")).as("label")).localCheckpoint()
-      changed = next.withColumnRenamed("label", "next_label")
-        .join(labels, "doc_id")
-        .filter(col("next_label") =!= col("label")).count()
-      labels = next
+        .select(col("x.doc_id").as("doc_id"), col("j_label").as("label"),
+          col("x.label").as("prev"))
+      val next = jump.union(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("doc_id", "label")
       rounds += 1
     }
     labels
