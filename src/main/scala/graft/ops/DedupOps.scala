@@ -548,6 +548,36 @@ object DedupOps {
     s"SELECT doc_id, $b AS bi, md5(concat_ws(',', $cat)) AS bh FROM sig"
   }.mkString("\n            UNION ALL\n            ")
 
+  /** Recursive-CTE prefix computing near-dup connected components
+    * (`reach(doc, lab)`), shared by the `dedup_cluster_reps` oracle and
+    * the curation oracles in [[TextOps]] that build on the clusters.
+    * Deliberately a DIFFERENT algorithm (transitive closure) than the
+    * engine's propagation loop — the oracles cross-check the RESULT. */
+  private[ops] val clusterCtePrefix: String =
+    s"""WITH RECURSIVE sig AS ($sigSql),
+          band AS (
+            $bandSql),
+          hot AS (SELECT bi, bh FROM (SELECT bi, bh, COUNT(*) AS n_docs
+                  FROM band GROUP BY bi, bh) WHERE n_docs > $MinhashMaxBucket),
+          kept AS (SELECT * FROM band b WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h WHERE h.bi = b.bi AND h.bh = b.bh)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM kept x JOIN kept y
+                   ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+          verified AS (
+            SELECT c.a, c.b FROM cand c
+            JOIN sig sa ON c.a = sa.doc_id
+            JOIN sig sb ON c.b = sb.doc_id
+            WHERE ${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")}
+              >= $MinhashClusterMatches),
+          edges AS (SELECT a AS src, b AS dst FROM verified
+                    UNION ALL SELECT b, a FROM verified),
+          nodes AS (SELECT DISTINCT src AS doc FROM edges),
+          reach(doc, lab) AS (
+            SELECT doc, doc FROM nodes
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc)"""
+
   val oracles: Seq[(String, String)] = Seq(
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
@@ -615,29 +645,7 @@ object DedupOps {
           occ AS (SELECT bi, bh, COUNT(*) AS n_docs FROM band GROUP BY bi, bh)
           SELECT bi, n_docs, COUNT(*) AS n_buckets FROM occ GROUP BY bi, n_docs""",
     "dedup_cluster_reps" ->
-      s"""WITH RECURSIVE sig AS ($sigSql),
-          band AS (
-            $bandSql),
-          hot AS (SELECT bi, bh FROM (SELECT bi, bh, COUNT(*) AS n_docs
-                  FROM band GROUP BY bi, bh) WHERE n_docs > $MinhashMaxBucket),
-          kept AS (SELECT * FROM band b WHERE NOT EXISTS
-                   (SELECT 1 FROM hot h WHERE h.bi = b.bi AND h.bh = b.bh)),
-          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                   FROM kept x JOIN kept y
-                   ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
-          verified AS (
-            SELECT c.a, c.b FROM cand c
-            JOIN sig sa ON c.a = sa.doc_id
-            JOIN sig sb ON c.b = sb.doc_id
-            WHERE ${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")}
-              >= $MinhashClusterMatches),
-          edges AS (SELECT a AS src, b AS dst FROM verified
-                    UNION ALL SELECT b, a FROM verified),
-          nodes AS (SELECT DISTINCT src AS doc FROM edges),
-          reach(doc, lab) AS (
-            SELECT doc, doc FROM nodes
-            UNION
-            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc)
+      s"""$clusterCtePrefix
           SELECT doc AS doc_id, MIN(lab) AS cluster_rep FROM reach GROUP BY doc""",
     "dedup_simhash" ->
       s"""WITH tok AS ($tokSql),

@@ -100,10 +100,47 @@ object SimilarityOps {
       .filter(col("rk") <= 3)
   }
 
+  /** IVF with MULTI-PROBE: queries search their 2 nearest coarse
+    * centroids instead of 1 — the standard recall-recovery knob of a
+    * real inverted-file index (a query near a Voronoi boundary has many
+    * of its true neighbors in the second-closest cell; probing it
+    * trades 2× probe work for most of the lost recall, far cheaper
+    * than growing the index). The INDEX side stays single-assigned
+    * (ark = 1); only the probe fan-out widens, so candidates from the
+    * two probed cells are disjoint by construction. Plan shape is the
+    * same broadcast-assignment + bucket equi-join as
+    * [[annIvfCentroid]] — at 100 TB a probe touches two bucketed
+    * partitions instead of one. */
+  val annIvfMultiprobe: Q = (s, dir) => {
+    val e = vecs(s, dir)
+    val cent = e.groupBy("label").agg(
+      array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("c"))
+      .select(col("label").as("cluster"), col("c"))
+      .withColumn("cnorm2", expr(dotSql(s, "c", "c")))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("d", round(col("cnorm2") - lit(2.0) * expr(dotSql(s, "v", "c")), 6))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))
+    val ranked = assigned.withColumn("ark", row_number().over(wAssign))
+    val index = ranked.filter(col("ark") === 1)
+      .select(col("vec_id"), col("cluster"), col("v"), col("norm"))
+    val probes = ranked.filter(col("ark") <= 2 && col("vec_id") < 50)
+      .select(col("vec_id"), col("cluster"), col("v"), col("norm"),
+        col("ark").cast("long").as("probe"))
+    val scored = probes.as("q").join(index.as("c"),
+        col("q.cluster") === col("c.cluster") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        col("q.probe").as("probe"),
+        round(expr(dotSql(s, "q.v", "c.v")) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
+    val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_ivf_label" -> annIvfLabel,
     "ann_ivf_centroid" -> annIvfCentroid,
+    "ann_ivf_multiprobe" -> annIvfMultiprobe,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
@@ -155,6 +192,31 @@ object SimilarityOps {
             WHERE q.vec_id < 50)
           SELECT qid, nid, bucket, cos6, rk FROM (
             SELECT qid, nid, bucket, cos6,
+              row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
+            FROM scored) WHERE rk <= 3"""
+    },
+    "ann_ivf_multiprobe" -> {
+      val centList = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
+      s"""WITH e AS ($vecsSql),
+          cent AS (SELECT label AS cluster, $centList AS c
+                   FROM e GROUP BY label),
+          cent2 AS (SELECT cluster, c, list_dot_product(c, c) AS cnorm2 FROM cent),
+          assigned AS (
+            SELECT e.vec_id, e.v, e.nrm, c2.cluster,
+              round(c2.cnorm2 - 2 * list_dot_product(e.v, c2.c), 6) AS d
+            FROM e CROSS JOIN cent2 c2),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS ark
+            FROM assigned),
+          idx AS (SELECT vec_id, v, nrm, cluster FROM ranked WHERE ark = 1),
+          probes AS (SELECT vec_id, v, nrm, cluster, CAST(ark AS BIGINT) AS probe
+                     FROM ranked WHERE ark <= 2 AND vec_id < 50),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid, q.probe,
+              round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6
+            FROM probes q JOIN idx c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id)
+          SELECT qid, nid, probe, cos6, rk FROM (
+            SELECT qid, nid, probe, cos6,
               row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
             FROM scored) WHERE rk <= 3"""
     },

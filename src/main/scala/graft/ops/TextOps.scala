@@ -116,6 +116,60 @@ object TextOps {
       .select("doc_id", "pred_lang", "n_tokens", "stop_ratio", "len_ok", "is_rep", "keep")
   }
 
+  /** Quality-aware cluster election — the curation decision a real
+    * training-data job makes AFTER near-dup clustering: within each
+    * near-dup cluster keep the highest-quality member (lexical
+    * diversity, ties to the smallest doc_id), not blindly the smallest
+    * id. Exact-dup election can't do this (identical text ⇒ identical
+    * quality), which is exactly why the NEAR-dup clusters are the
+    * right granularity for it. One extra equi-join + one window over
+    * the clustered subset (which is far smaller than the corpus), on
+    * top of the cluster computation itself.
+    *
+    * Output: one row per cluster — the representative id, the elected
+    * best member, its diversity, and the cluster size. */
+  val corpusCurationBest: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = DedupOps.dedupClusterReps(s, dir)
+      .select(col("doc_id"), col("cluster_rep").as("cluster"))
+    val quality = t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        round(size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 6)
+          .as("diversity6"))
+    val wAll = Window.partitionBy("cluster")
+    val wOrd = Window.partitionBy("cluster").orderBy(col("diversity6").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("r", row_number().over(wOrd))
+      .filter(col("r") === 1)
+      .select(col("cluster"), col("doc_id").as("best_doc"),
+        col("diversity6"), col("n_members"))
+  }
+
+  /** Hot duplicated 8-gram spans — the contamination/memorization check
+    * a training-data pipeline runs: which exact 8-token sequences occur
+    * in more than one document, ranked by document spread (the scalable
+    * cousin of the suffix-array substring-dedup family: fixed-width
+    * spans make it one explode + one groupBy instead of a suffix
+    * sort). Deterministic total order (n_docs, n_occur, ngram) so the
+    * top-k set is engine-independent. Scale shape: explode is map-side;
+    * the groupBy is one shuffle on the span text — at 100 TB you'd
+    * group on a span HASH and carry the text only for the survivors,
+    * the same narrow-shuffle discipline as the minhash path. */
+  val dedupCommonNgrams: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+        .as("ngram"))
+      .groupBy("ngram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occur").desc, col("ngram"))
+      .limit(20)
+
   /** Deterministic hash-based sampling: a document is in the p%-sample
     * iff a 52-bit md5-derived value of its CONTENT falls below the
     * cutoff. Unlike `df.sample()` (seeded per-partition RNG — changes
@@ -141,6 +195,8 @@ object TextOps {
     "token_regex_count" -> tokenRegexCount,
     "token_doc_freq_salted" -> tokenDocFreqSalted,
     "corpus_curation" -> corpusCuration,
+    "corpus_curation_best" -> corpusCurationBest,
+    "dedup_common_ngrams" -> dedupCommonNgrams,
     "corpus_sample" -> corpusSample(SamplePct))
 
   val oracles: Seq[(String, String)] = Seq(
@@ -218,6 +274,30 @@ object TextOps {
                  AND x.pred_lang <> 'und' AND x.stop_ratio <= 0.5
                 THEN 1 ELSE 0 END AS keep
          FROM x JOIN r ON x.fp = r.fp""",
+    "corpus_curation_best" ->
+      s"""${DedupOps.clusterCtePrefix},
+         clusters AS (SELECT doc AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc),
+         q AS (SELECT doc_id,
+                 round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS diversity6
+               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         ranked AS (
+           SELECT c.cluster, c.doc_id, q.diversity6,
+             row_number() OVER (PARTITION BY c.cluster
+                                ORDER BY q.diversity6 DESC, c.doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY c.cluster) AS n_members
+           FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+         SELECT cluster, doc_id AS best_doc, diversity6,
+           CAST(n_members AS BIGINT) AS n_members
+         FROM ranked WHERE r = 1""",
+    "dedup_common_ngrams" ->
+      """SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occur
+         FROM (
+           SELECT doc_id, array_to_string(t[i:i+7], ' ') AS ngram
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                unnest(generate_series(1, len(t) - 7)) u(i)
+           WHERE len(t) >= 8)
+         GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occur DESC, ngram LIMIT 20""",
     "corpus_sample" ->
       s"""SELECT doc_id, source, lang,
            CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 AS bucket
