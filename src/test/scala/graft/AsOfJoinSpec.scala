@@ -165,6 +165,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(1L -> 102L, 2L -> 101L), out.toString)
   }
 
+  test("property: rewrite matches the lexicographic window spec on random tie-heavy data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      // small us range over few users → plenty of cross-marker (key,us)
+      // ties, the exact regime the tiebreak semantics exist for
+      val rows = (1L to 200L).map { id =>
+        (id, 1L + rnd.nextInt(5), rnd.nextInt(12).toLong,
+          if (rnd.nextBoolean()) "signup" else "purchase")
+      }
+      rows.toDF("event_id", "user_id", "us", "event_type")
+        .write.mode("overwrite").parquet(s"$scratch/prop_events_$trial")
+      val q = windowIdiom(spark.read.parquet(s"$scratch/prop_events_$trial"))
+      assert(q.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      val got = q.collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // driver-side spec: last signup strictly-lex-<= the purchase by
+      // (us, event_id) within the same user
+      val byId = rows.map(r => r._1 -> r).toMap
+      val expected = rows.filter(_._4 == "purchase").map { p =>
+        val eligible = rows.filter(m => m._4 == "signup" && m._2 == p._2 &&
+          (m._3 < p._3 || (m._3 == p._3 && m._1 <= p._1)))
+        p._1 -> (if (eligible.isEmpty) -1L
+                 else eligible.maxBy(m => (m._3, m._1))._1)
+      }.toMap
+      assert(got == expected,
+        s"trial $trial: ${got.toSeq.diff(expected.toSeq).take(5)} vs expected ${expected.toSeq.diff(got.toSeq).take(5)} (events ${byId.size})")
+    }
+  }
+
   test("left rows before any right row get nulls; ties match") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L), (4L, 99L, 10L))
