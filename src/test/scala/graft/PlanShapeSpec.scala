@@ -1,0 +1,76 @@
+package graft
+
+/** Standing plan-shape guards — the "would this plan survive a 100×
+  * scale-up" properties, pinned as tests so a refactor that silently
+  * loses a pushdown, a broadcast, or a pruned schema fails here
+  * instead of shipping as a 100 TB regression. Each assertion targets
+  * a property the query's scale story depends on, not incidental plan
+  * text.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalize AQE so the real joins/exchanges are visible
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter_project pushes its predicate and prunes the scan schema") {
+    val plan = executedPlan("filter_project")
+    assert(plan.contains("PushedFilters: ["), plan)
+    // the pushdown list must not be empty
+    assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"), plan)
+    // projection reaches the reader: lineitem has 16 columns, the query
+    // needs a handful — a ReadSchema carrying l_comment means pruning broke
+    assert(!plan.contains("l_comment"), plan)
+  }
+
+  test("q5_region_revenue broadcasts the small dimension tables") {
+    val plan = executedPlan("q5_region_revenue")
+    // region/nation/supplier joins must not shuffle the fact table once
+    // AQE sees the sizes: at least one broadcast join in the final plan
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("asof_join_signup plans through AsOfJoin with no window fallback") {
+    val plan = executedPlan("asof_join_signup")
+    assert(plan.contains("AsOfJoin"), plan)
+    // the rewrite must have REPLACED the window form, not supplemented it
+    assert(!plan.contains("RunningWindowFunction"), plan)
+    assert(!plan.contains("last("), plan)
+  }
+
+  test("ann_ivf_centroid and multiprobe assign via one broadcast centroid table") {
+    Seq("ann_ivf_centroid", "ann_ivf_multiprobe").foreach { q =>
+      val plan = executedPlan(q)
+      // the N×K assignment is a broadcast nested-loop over the TINY
+      // centroid table — a non-broadcast cartesian here would be the
+      // corpus×corpus disaster
+      assert(plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      // the probe is an equi-join on the learned bucket
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("ShuffledHashJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("dedup_minhash_lsh keeps the hot-bucket anti-join broadcast") {
+    val plan = executedPlan("dedup_minhash_lsh")
+    // the MinhashMaxBucket cap is applied via broadcast anti-join —
+    // if it degrades to a shuffled anti-join the cap costs a full
+    // shuffle of the band index
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+  }
+
+  test("corpus_sample is a pure map-side filter over the scan") {
+    val df = SparkEntry.queries("corpus_sample")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // no Exchange at all: the deterministic-hash sample must not shuffle
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
