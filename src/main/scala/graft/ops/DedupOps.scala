@@ -153,6 +153,34 @@ object DedupOps {
     base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The SAME signature computed per-row with higher-order functions —
+    * no explode, no shuffle: md5 once per distinct token into (h1, h2),
+    * then 16 array_min folds. Bit-identical to [[minhashSig]] (same
+    * Kirsch–Mitzenmacher arithmetic over the same distinct-token set),
+    * but expressible on a STREAMING DataFrame, where the explode+groupBy
+    * form would be a stateful aggregation that cannot precede the
+    * stateful first-seen filter (Spark restricts chained stateful
+    * operators). Interpreted lambdas (HOFs are CodegenFallback) trade
+    * against the saved token-table shuffle; batch keeps the codegen'd
+    * explode+agg form, streaming uses this. */
+  private[graft] def minhashBandRowsFromText(docs: DataFrame): DataFrame = {
+    val withHs = docs.select(col("doc_id"),
+      expr("""transform(array_distinct(split(text, ' ')), tk -> named_struct(
+             'h1', cast(conv(substring(md5(tk), 1, 13), 16, 10) as bigint),
+             'h2', cast(conv(substring(md5(tk), 14, 13), 16, 10) as bigint)))""").as("hs"))
+    val mins = (0 until MinhashPerms).map(i =>
+      expr(s"array_min(transform(hs, p -> p.h1 + $i * p.h2))").as(s"mh$i"))
+    val sig = withHs.select(col("doc_id") +: mins: _*)
+    val bandHashes = (0 until MinhashBands).map { b =>
+      md5(concat_ws(",", (b * MinhashRowsPerBand until (b + 1) * MinhashRowsPerBand)
+        .map(i => col(s"mh$i")): _*)).as(s"bh$b")
+    }
+    sig.select(col("doc_id") +: bandHashes: _*)
+      .select(col("doc_id"), explode(array((0 until MinhashBands).map(b =>
+        struct(lit(b).as("bi"), col(s"bh$b").as("bh"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
+  }
+
   /** Per-document packed signature (array<long> — 128 bytes through the
     * verify joins) + one md5 bucket hash per band (over the
     * comma-delimited decimal mins — identical rendering both engines). */

@@ -136,11 +136,37 @@ object SimilarityOps {
       .filter(col("rk") <= 3)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * path a 100 TB embedding corpus actually ships (4× smaller than
+    * float32, 8× smaller than the double working form): per-vector
+    * scale = max|x|/127 (rounded to 6 — the shared constant both
+    * engines derive), elements quantized as clamp(floor(x/scale + ½))
+    * — floor(x+0.5) EXPLICITLY, because Spark's round() half-up and
+    * DuckDB's round() half-away differ in spirit and neither is wanted
+    * inside a quantizer. Emits per-vector audit stats (max absolute
+    * reconstruction error, quantized checksum) — the columns a
+    * quantization job verifies before deleting the float originals.
+    * All map-side; zero shuffles. */
+  val embeddingQuantizeInt8: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    e.withColumn("scale6",
+        round(expr("array_max(transform(v, x -> abs(x)))") / 127.0, 6))
+      .withColumn("qs", expr(
+        """transform(v, x -> CASE WHEN scale6 = 0 THEN 0
+           ELSE greatest(-127, least(127, cast(floor(x / scale6 + 0.5d) as int))) END)"""))
+      .select(col("vec_id"), col("scale6"),
+        round(expr("array_max(zip_with(qs, v, (q, x) -> abs(q * scale6 - x)))"), 6)
+          .as("max_abs_err6"),
+        expr("aggregate(qs, 0L, (a, q) -> a + q)").as("q_sum"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_ivf_label" -> annIvfLabel,
     "ann_ivf_centroid" -> annIvfCentroid,
     "ann_ivf_multiprobe" -> annIvfMultiprobe,
+    "embedding_quantize_int8" -> embeddingQuantizeInt8,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
@@ -220,6 +246,20 @@ object SimilarityOps {
               row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
             FROM scored) WHERE rk <= 3"""
     },
+    "embedding_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sc AS (SELECT vec_id, v,
+                  round(list_max(list_transform(v, x -> abs(x))) / 127.0, 6) AS scale6
+                FROM e),
+         per AS (SELECT vec_id, scale6,
+                   CASE WHEN scale6 = 0 THEN 0
+                        ELSE greatest(-127, least(127, CAST(floor(v[i] / scale6 + 0.5) AS INT)))
+                   END AS q, v[i] AS x
+                 FROM sc, unnest(generate_series(1, 64)) u(i))
+         SELECT vec_id, scale6,
+           round(MAX(abs(q * scale6 - x)), 6) AS max_abs_err6,
+           CAST(SUM(q) AS BIGINT) AS q_sum
+         FROM per GROUP BY vec_id, scale6""",
     "embedding_stats" ->
       s"""WITH e AS ($vecsSql)
           SELECT label, COUNT(*) AS n, round(AVG(nrm), 6) AS avg_norm6

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming document-pipeline operators — the ingest-time twins of the
+  * batch dedup path (graft.ops.DedupOps). A training-data ingest job
+  * wants to flag near-duplicates AS DOCUMENTS ARRIVE, not in a nightly
+  * batch; the streaming shape is the same MinHash banding with the
+  * band-bucket index held as keyed state instead of a joined table.
+  */
+object DocStreams {
+
+  case class BandHit(doc_id: Long, bi: Int, bh: String, first_doc_id: Long, is_first: Boolean)
+
+  /** Streaming near-dup band filter: every incoming document's MinHash
+    * band buckets (same 16-perm / 2-band family as the batch
+    * `dedup_minhash_lsh`, computed per-row so no shuffle precedes the
+    * stateful operator) are checked against per-bucket state holding
+    * the FIRST document that claimed the bucket. The first claimant is
+    * emitted with `is_first = true`; any later document landing in an
+    * occupied bucket is a near-dup CANDIDATE (`is_first = false`,
+    * `first_doc_id` = the incumbent) — the streaming analog of the
+    * batch band self-join, with candidates surfaced for the same
+    * signature-agreement verification the batch path runs.
+    *
+    * State: one (bi, bh) → first doc_id entry per occupied bucket —
+    * bounded by corpus vocabulary, and in production bounded further
+    * with a state TTL (GroupStateTimeout) the way the batch path bounds
+    * buckets with MinhashMaxBucket. Within a micro-batch, rows are
+    * processed in (doc_id) order so the smallest id claims the bucket —
+    * deterministic under replays. */
+  def nearDupBandFilter(docs: DataFrame)(implicit spark: SparkSession): Dataset[BandHit] = {
+    import spark.implicits._
+    graft.ops.DedupOps.minhashBandRowsFromText(docs)
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, bi, bh) => (bi, bh) }
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((bi, bh), rows, state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_._1)
+          val out = Seq.newBuilder[BandHit]
+          var first = state.getOption.getOrElse(Long.MinValue)
+          sorted.foreach { case (docId, _, _) =>
+            if (first == Long.MinValue) {
+              first = docId
+              out += BandHit(docId, bi, bh, docId, is_first = true)
+            } else {
+              out += BandHit(docId, bi, bh, first, is_first = false)
+            }
+          }
+          state.update(first)
+          out.result().iterator
+      }
+  }
+}

@@ -108,6 +108,49 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "value"))
   }
 
+  test("streaming near-dup band filter flags cross-batch band collisions") {
+    import spark.implicits._
+    implicit val sess = spark
+    implicit val sqlCtx = spark.sqlContext
+    // docs 1 and 2 share TEXT (all bands collide); doc 3 is disjoint
+    // vocabulary (no collision); doc 4 arrives in a LATER batch with
+    // doc 1's text — the state must carry the bucket claims across
+    // batches. Stream semantics must agree with the batch banding.
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val d3 = "one two three four five six seven eight"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocStreams.nearDupBandFilter(docs).toDF()
+      .writeStream.format("memory").queryName("band_hits")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, d1), (2L, d1), (3L, d3))
+      q.processAllAvailable()
+      input.addData((4L, d1))
+      q.processAllAvailable()
+      val hits = spark.table("band_hits").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getBoolean(4)))
+      // every (doc, band) appears exactly once: 4 docs × 2 bands
+      assert(hits.length == 8, hits.mkString(","))
+      val byDoc = hits.groupBy(_._1)
+      // doc 1 claimed both buckets (smallest id in its micro-batch)
+      assert(byDoc(1L).forall(h => h._4 && h._3 == 1L))
+      // doc 2: identical text → both bands collide with doc 1
+      assert(byDoc(2L).forall(h => !h._4 && h._3 == 1L))
+      // doc 3: disjoint vocabulary → first in its own buckets
+      assert(byDoc(3L).forall(_._4))
+      // doc 4, batch 2: state remembered doc 1's claims
+      assert(byDoc(4L).forall(h => !h._4 && h._3 == 1L))
+      // and the streaming banding is the batch banding: same bh values
+      val batchBands = graft.ops.DedupOps.minhashBandRowsFromText(
+        Seq((1L, d1)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+      val streamBands = spark.table("band_hits")
+        .filter("doc_id = 1").collect().map(r => (r.getInt(1), r.getString(2))).toSet
+      assert(batchBands == streamBands)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionization") {
     import spark.implicits._
     implicit val s = spark
