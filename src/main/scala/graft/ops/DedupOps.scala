@@ -49,11 +49,14 @@ object DedupOps {
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t)-3), i -> " +
-          "cast(conv(substring(md5(concat_ws(' ', slice(t, i+1, 3))), 1, 13), 16, 10) as bigint))"))
+      // per-row array_distinct BEFORE the explode: the (doc, shingle)
+      // set is identical, but the dedup happens inside the row instead
+      // of as a full shuffle of the exploded index — same move as the
+      // per-row minhash signature, one fewer shuffle in the pipeline
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(t)-3), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', slice(t, i+1, 3))), 1, 13), 16, 10) as bigint)))"))
         .as("s"))
-      .distinct()
 
   /** Jaccard pipeline over a (doc_id, s) shingle index: inverted-index
     * self-join → common counts → per-doc sizes → similarity filter. */
