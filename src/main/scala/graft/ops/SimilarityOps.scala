@@ -161,12 +161,43 @@ object SimilarityOps {
         expr("aggregate(qs, 0L, (a, q) -> a + q)").as("q_sum"))
   }
 
+  /** Brute-force top-5 cosine over the INT8-QUANTIZED vectors — the
+    * search half of the quantization story: per-vector scales cancel
+    * inside cosine (cos_q = q·q' / (|q||q'|)), so the quantized search
+    * is pure integer dot products + one sqrt + one division — exact
+    * and bit-identical across engines (all integer magnitudes < 2^53).
+    * Compare its neighbor sets against [[annBruteforceTopk]] to audit
+    * quantization recall before deleting the float originals. */
+  val annQuantizedTopk: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("scale6",
+        round(expr("array_max(transform(v, x -> abs(x)))") / 127.0, 6))
+      .withColumn("qs", expr(
+        """transform(v, x -> CASE WHEN scale6 = 0 THEN 0
+           ELSE greatest(-127, least(127, cast(floor(x / scale6 + 0.5d) as int))) END)"""))
+      .withColumn("qn", expr("aggregate(zip_with(qs, qs, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .filter(col("qn") > 0)
+      .select("vec_id", "qs", "qn")
+    val q = e.filter(col("vec_id") < 10)
+    val scored = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        round(
+          expr("aggregate(zip_with(a.qs, b.qs, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+            .cast("double") / sqrt((col("a.qn") * col("b.qn")).cast("double")), 6)
+          .as("cos6q"))
+    val w = Window.partitionBy("qid").orderBy(col("cos6q").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_ivf_label" -> annIvfLabel,
     "ann_ivf_centroid" -> annIvfCentroid,
     "ann_ivf_multiprobe" -> annIvfMultiprobe,
     "embedding_quantize_int8" -> embeddingQuantizeInt8,
+    "ann_quantized_topk" -> annQuantizedTopk,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
@@ -260,6 +291,28 @@ object SimilarityOps {
            round(MAX(abs(q * scale6 - x)), 6) AS max_abs_err6,
            CAST(SUM(q) AS BIGINT) AS q_sum
          FROM per GROUP BY vec_id, scale6""",
+    "ann_quantized_topk" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sc AS (SELECT vec_id, v,
+                  round(list_max(list_transform(v, x -> abs(x))) / 127.0, 6) AS scale6
+                FROM e0),
+         qv AS (SELECT vec_id,
+                  list_transform(v, x -> CASE WHEN scale6 = 0 THEN 0
+                    ELSE greatest(-127, least(127, CAST(floor(x / scale6 + 0.5) AS INT)))
+                  END) AS qs
+                FROM sc),
+         e AS (SELECT vec_id, qs, CAST(list_dot_product(qs, qs) AS BIGINT) AS qn
+               FROM qv WHERE list_dot_product(qs, qs) > 0),
+         scored AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(CAST(list_dot_product(a.qs, b.qs) AS DOUBLE)
+                   / sqrt(CAST(a.qn * b.qn AS DOUBLE)), 6) AS cos6q
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id < 10)
+         SELECT qid, nid, cos6q, rk FROM (
+           SELECT qid, nid, cos6q,
+             row_number() OVER (PARTITION BY qid ORDER BY cos6q DESC, nid) AS rk
+           FROM scored) WHERE rk <= 5""",
     "embedding_stats" ->
       s"""WITH e AS ($vecsSql)
           SELECT label, COUNT(*) AS n, round(AVG(nrm), 6) AS avg_norm6

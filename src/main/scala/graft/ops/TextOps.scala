@@ -116,6 +116,26 @@ object TextOps {
       .select("doc_id", "pred_lang", "n_tokens", "stop_ratio", "len_ok", "is_rep", "keep")
   }
 
+  /** Rare-token ratio — the IDF-flavored quality signal: the fraction
+    * of a document's DISTINCT tokens whose corpus document-frequency is
+    * <= 2. High ratio = vocabulary the rest of the corpus doesn't share
+    * (gibberish, OCR noise, boilerplate IDs); near-zero = nothing but
+    * common words. Two shuffles total: the df aggregation and the
+    * token↔df join (joined on the token — at 100 TB the vocabulary
+    * table is itself large, so the equi-join on token IS the scale
+    * shape; a broadcast would only apply to a capped stop-list). */
+  val textRareRatio: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tk"))
+    val dfTable = toks.groupBy("tk").agg(count(lit(1)).as("df"))
+    toks.join(dfTable, "tk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        count(when(col("df") <= 2, 1)).as("n_rare"))
+      .select(col("doc_id"), col("n_distinct"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_distinct")).as("rare_ratio"))
+  }
+
   /** Quality-aware cluster election — the curation decision a real
     * training-data job makes AFTER near-dup clustering: within each
     * near-dup cluster keep the highest-quality member (lexical
@@ -195,6 +215,7 @@ object TextOps {
     "token_regex_count" -> tokenRegexCount,
     "token_doc_freq_salted" -> tokenDocFreqSalted,
     "corpus_curation" -> corpusCuration,
+    "text_rare_ratio" -> textRareRatio,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
     "corpus_sample" -> corpusSample(SamplePct))
@@ -274,6 +295,16 @@ object TextOps {
                  AND x.pred_lang <> 'und' AND x.stop_ratio <= 0.5
                 THEN 1 ELSE 0 END AS keep
          FROM x JOIN r ON x.fp = r.fp""",
+    "text_rare_ratio" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk
+           FROM documents),
+         dft AS (SELECT tk, COUNT(*) AS df FROM toks GROUP BY tk)
+         SELECT t.doc_id, COUNT(*) AS n_distinct,
+           COUNT(CASE WHEN d.df <= 2 THEN 1 END) AS n_rare,
+           CAST(COUNT(CASE WHEN d.df <= 2 THEN 1 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+         FROM toks t JOIN dft d ON t.tk = d.tk
+         GROUP BY t.doc_id""",
     "corpus_curation_best" ->
       s"""${DedupOps.clusterCtePrefix},
          clusters AS (SELECT doc AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc),
