@@ -37,7 +37,8 @@ class CodegenGateSpec extends SparkSpec {
     (Bench.headline ++ Seq(
       "dedup_embedding_cosine", "dedup_embedding_lsh",
       "dedup_embedding_lsh_multiprobe", "embedding_stats",
-      "embedding_centroids")).distinct
+      "embedding_centroids", "ann_ivf_multiprobe",
+      "embedding_quantize_int8", "ann_quantized_topk")).distinct
       .filter(SparkEntry.queries.contains)
 
   test("every gated query executes with codegen fallback disabled") {
