@@ -173,8 +173,38 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Hourly volume anomalies per event type: z-score of each hour's
+    * count against the type's own hourly distribution. Cross-engine
+    * determinism without trusting either engine's stddev accumulation
+    * order: the variance is spelled out from EXACT integer window sums
+    * (Σn, Σn², H) with an identical handful of IEEE double operations
+    * on both sides — the same expression tree, so bit-equal before the
+    * round-6. Degenerate partitions (zero variance) pin z to 0. One
+    * grouped count + one partition window — two shuffles, both on
+    * event_type, the 100 TB-safe shape (types are few; the window
+    * state per type is its hour list, bounded by the calendar). */
+  val eventsHourlyAnomaly: Q = (s, dir) => {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+    hourly
+      .withColumn("h", count(lit(1)).over(w))
+      .withColumn("sum_n", sum(col("n")).over(w))
+      .withColumn("sum_n2", sum(col("n") * col("n")).over(w))
+      .withColumn("mean", col("sum_n").cast("double") / col("h"))
+      .withColumn("variance",
+        (col("sum_n2").cast("double") - col("sum_n").cast("double") * col("sum_n") / col("h"))
+          / (col("h") - 1))
+      .withColumn("z6",
+        when(col("variance") <= 0, lit(0.0))
+          .otherwise(round((col("n").cast("double") - col("mean")) / sqrt(col("variance")), 6)))
+      .select(col("event_type"), col("hour"), col("n"), col("z6"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
+    "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_sessionize" -> eventsSessionize,
     "events_pivot_type" -> eventsPivotType,
     "events_top_users" -> eventsTopUsers,
@@ -190,6 +220,25 @@ object EventOps {
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c,
          COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1""",
+    "events_hourly_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, hour, n,
+             COUNT(*) OVER (PARTITION BY event_type) AS h,
+             SUM(n) OVER (PARTITION BY event_type) AS sum_n,
+             SUM(n * n) OVER (PARTITION BY event_type) AS sum_n2
+           FROM hourly),
+         stats AS (
+           SELECT event_type, hour, n,
+             CAST(sum_n AS DOUBLE) / h AS mean,
+             (CAST(sum_n2 AS DOUBLE) - CAST(sum_n AS DOUBLE) * sum_n / h) / (h - 1) AS variance
+           FROM win)
+         SELECT event_type, hour, n,
+           CASE WHEN variance <= 0 THEN CAST(0 AS DOUBLE)
+                ELSE round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 6) END AS z6
+         FROM stats""",
     "events_sessionize" ->
       """WITH x AS (
            SELECT user_id, epoch_us(ts) AS us,
