@@ -169,6 +169,30 @@ class StatementsSpec extends SparkSpec {
     spark.sql("DROP TABLE st.vals")
   }
 
+  test("dialect statements tolerate case and whitespace variation") {
+    // real migration dirs are hand-written: keywords in any case,
+    // line breaks and double spaces everywhere — the (?is) regexes
+    // must not be layout-sensitive
+    spark.sql("CREATE DATABASE IF NOT EXISTS st")
+    Statements.execute(spark,
+      "create   TABLE\n  st.mixcase ( id  UInt32 ,\n  name String )\n ENGINE  MergeTree")
+    spark.sql("INSERT INTO st.mixcase VALUES (1, 'a'), (2, 'b')")
+    Statements.execute(spark,
+      "alter table st.mixcase\nADD   column if not exists flag UInt32 DEFAULT 1")
+    Statements.execute(spark,
+      "Alter Table st.mixcase Update flag=0 Where id > 1")
+    assert(spark.table("st.mixcase").filter("flag = 0").count() == 1)
+    Statements.execute(spark,
+      "insert into st.mixcase (id, name, flag)\n  format VALUES (3, 'c', 9)")
+    assert(spark.table("st.mixcase").count() == 3)
+    Statements.execute(spark, "detach  table  IF  EXISTS st.mixcase")
+    assert(!spark.catalog.tableExists("st.mixcase"))
+    Statements.execute(spark, "ATTACH\ntable st.mixcase")
+    assert(spark.table("st.mixcase").count() == 3)
+    Statements.execute(spark, "dRoP tAbLe If ExIsTs st.mixcase")
+    assert(!spark.catalog.tableExists("st.mixcase"))
+  }
+
   test("unknown statements still fall through to spark.sql") {
     spark.sql("CREATE DATABASE IF NOT EXISTS st")
     Statements.execute(spark, "CREATE OR REPLACE TEMP VIEW st_fallthrough AS SELECT 7 AS x")
