@@ -247,6 +247,40 @@ object DedupOps {
         (matches.cast("double") / MinhashPerms).as("est_jacc"))
   }
 
+  /** Incremental near-dup check — the daily-ingest shape: a NEW batch
+    * of documents is screened against the EXISTING corpus only. The
+    * band join is new×existing, never existing×existing — so a daily
+    * run costs |new| band lookups against the (bucketed, persisted)
+    * corpus index instead of re-deduping the corpus, and re-runs are
+    * idempotent. Within-batch duplicates are the streaming filter's
+    * job ([[graft.streaming.DocStreams]]) or a batch-local
+    * [[dedupMinhashLsh]] over the small new set. The batch split here
+    * is a deterministic modulus on doc_id (docs with doc_id % 5 = 0
+    * play the "arriving batch") so the oracle reproduces it; in
+    * production it is the ingest date partition. Hot existing-side
+    * buckets are dropped by the same [[MinhashMaxBucket]] cap. */
+  val dedupIncremental: Q = (s, dir) => {
+    val sig = minhashBanded(s, dir).persist()
+    val bands = minhashBandRows(sig)
+    val existingBands = bands.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val newBands = bands.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val hot = existingBands.groupBy("bi", "bh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > MinhashMaxBucket).select("bi", "bh")
+    val keptExisting = existingBands.join(broadcast(hot), Seq("bi", "bh"), "left_anti")
+    val cand = newBands.as("x").join(keptExisting.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("existing_id"))
+      .distinct()
+    val matches: Column = (0 until MinhashPerms)
+      .map(i => (col("sa.sig").getItem(i) === col("sb.sig").getItem(i)).cast("int"))
+      .reduce(_ + _)
+    cand
+      .join(sig.select(col("doc_id"), col("sig")).as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sig.select(col("doc_id"), col("sig")).as("sb"), col("existing_id") === col("sb.doc_id"))
+      .select(col("new_id"), col("existing_id"), matches.cast("long").as("n_match"))
+      .filter(col("n_match") >= MinhashClusterMatches)
+  }
+
   /** Band-bucket occupancy distribution: per band, how many buckets hold
     * n documents. The observability twin of the [[MinhashMaxBucket]] cap
     * — a skewed bucket (the one that would dominate the band join at
@@ -554,6 +588,7 @@ object DedupOps {
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped(JaccardMaxDf),
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_band_occupancy" -> minhashBandOccupancy,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_cluster_reps" -> dedupClusterReps,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -674,6 +709,25 @@ object DedupOps {
             $bandSql),
           occ AS (SELECT bi, bh, COUNT(*) AS n_docs FROM band GROUP BY bi, bh)
           SELECT bi, n_docs, COUNT(*) AS n_buckets FROM occ GROUP BY bi, n_docs""",
+    "dedup_incremental" ->
+      s"""WITH sig AS ($sigSql),
+          band AS (
+            $bandSql),
+          existing AS (SELECT * FROM band WHERE doc_id % 5 <> 0),
+          newb AS (SELECT * FROM band WHERE doc_id % 5 = 0),
+          hot AS (SELECT bi, bh FROM (SELECT bi, bh, COUNT(*) AS n_docs
+                  FROM existing GROUP BY bi, bh) WHERE n_docs > $MinhashMaxBucket),
+          kept AS (SELECT * FROM existing e WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h WHERE h.bi = e.bi AND h.bh = e.bh)),
+          cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS existing_id
+                   FROM newb x JOIN kept y ON x.bi = y.bi AND x.bh = y.bh)
+          SELECT c.new_id, c.existing_id,
+            CAST(${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")} AS BIGINT) AS n_match
+          FROM cand c
+          JOIN sig sa ON c.new_id = sa.doc_id
+          JOIN sig sb ON c.existing_id = sb.doc_id
+          WHERE ${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")}
+            >= $MinhashClusterMatches""",
     "dedup_cluster_reps" ->
       s"""$clusterCtePrefix
           SELECT doc AS doc_id, MIN(lab) AS cluster_rep FROM reach GROUP BY doc""",
