@@ -31,6 +31,38 @@ object DocStreams {
     * buckets with MinhashMaxBucket. Within a micro-batch, rows are
     * processed in (doc_id) order so the smallest id claims the bucket —
     * deterministic under replays. */
+  /** Streaming corpus curation — the ingest-time form of the batch
+    * capstone (graft.ops.TextOps.corpusCuration): exact-dedup election
+    * via streaming dropDuplicates on the content fingerprint (state:
+    * first arrival claims the fingerprint — the arrival-order analog of
+    * the batch min-doc_id election), then the same map-side quality and
+    * language gates, emitting only the KEPT documents. The output is
+    * literally the stream a training-data ingest writes to the curated
+    * corpus sink; near-dup screening composes upstream via
+    * [[nearDupBandFilter]]. All gates are per-row; the only state is
+    * the fingerprint set, bounded in production by a watermark on the
+    * ingest time column. */
+  def curationStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("stop_ratio",
+        expr("size(filter(tk, x -> x = 'the' or x = 'a' or x = 'of'))").cast("double")
+          / col("n_tokens"))
+      .withColumn("len_ok", when(col("n_tokens").between(20, 80), 1).otherwise(0))
+      .withColumn("n_en", expr("size(filter(tk, x -> x = 'the' or x = 'a'))").cast("long"))
+      .withColumn("n_de", expr("size(filter(tk, x -> x = 'der' or x = 'die'))").cast("long"))
+      .withColumn("n_fr", expr("size(filter(tk, x -> x = 'le' or x = 'la'))").cast("long"))
+      .withColumn("pred_lang",
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+          .when(col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
+          .when(col("n_fr") > 0, "fr")
+          .otherwise("und"))
+      .filter(col("len_ok") === 1 && col("pred_lang") =!= "und" && col("stop_ratio") <= 0.5)
+      .select("doc_id", "pred_lang", "n_tokens", "stop_ratio")
+
   def nearDupBandFilter(docs: DataFrame)(implicit spark: SparkSession): Dataset[BandHit] = {
     import spark.implicits._
     graft.ops.DedupOps.minhashBandRowsFromText(docs)

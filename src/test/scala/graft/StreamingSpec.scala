@@ -151,6 +151,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation emits exactly the batch capstone's kept documents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed the real sf0.001 corpus in doc_id order, two batches — the
+    // arrival-order fingerprint election then matches the batch
+    // min-doc_id election, so keep sets must be identical
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocStreams.curationStream(docs)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamKept = spark.table("curated")
+        .collect().map(_.getLong(0)).toSet
+      val batchKept = graft.ops.TextOps.corpusCuration(spark, "/root/testdata/sf0.001")
+        .filter("keep = 1").collect().map(_.getLong(0)).toSet
+      assert(streamKept == batchKept,
+        s"stream-only: ${(streamKept -- batchKept).take(5)}, batch-only: ${(batchKept -- streamKept).take(5)}")
+      assert(streamKept.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionization") {
     import spark.implicits._
     implicit val s = spark
