@@ -65,6 +65,16 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("LeftAnti"), plan)
   }
 
+  test("dedup_incremental joins new-batch bands against the corpus, not all-pairs") {
+    val plan = executedPlan("dedup_incremental")
+    // the hot-bucket cap stays a broadcast anti-join on the EXISTING side
+    assert(plan.contains("LeftAnti"), plan)
+    // candidate generation is an equi-join on the band bucket — a
+    // nested-loop or cross join here would be the all-pairs disaster
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.matches("(?s).*BroadcastNestedLoopJoin.*Inner.*"), plan)
+  }
+
   test("corpus_sample is a pure map-side filter over the scan") {
     val df = SparkEntry.queries("corpus_sample")(spark, sfDir)
     df.collect()
