@@ -45,23 +45,28 @@ object DedupOps {
     * hash, so even the (vanishingly rare) collision yields identical
     * results on both sides — the hash is part of the operator's
     * definition, not an approximation of it. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** Per-document DISTINCT shingle arrays — the dedup happens inside
+    * the row (array_distinct before any explode) instead of as a full
+    * shuffle of the exploded index: same move as the per-row minhash
+    * signature, one fewer shuffle in the pipeline. */
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-      // per-row array_distinct BEFORE the explode: the (doc, shingle)
-      // set is identical, but the dedup happens inside the row instead
-      // of as a full shuffle of the exploded index — same move as the
-      // per-row minhash signature, one fewer shuffle in the pipeline
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(0, size(t)-3), i -> " +
-          "cast(conv(substring(md5(concat_ws(' ', slice(t, i+1, 3))), 1, 13), 16, 10) as bigint)))"))
-        .as("s"))
+          "cast(conv(substring(md5(concat_ws(' ', slice(t, i+1, 3))), 1, 13), 16, 10) as bigint)))")
+        .as("ss"))
 
-  /** Jaccard pipeline over a (doc_id, s) shingle index: inverted-index
-    * self-join → common counts → per-doc sizes → similarity filter. */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleArrays(s, dir).select(col("doc_id"), explode(col("ss")).as("s"))
+
+  /** Jaccard pipeline over a (doc_id, s) shingle index with per-doc set
+    * sizes supplied by the caller: inverted-index self-join → common
+    * counts → similarity filter. The caller chooses where `cnt` comes
+    * from — map-side `size(ss)` when the index is uncapped, a groupBy
+    * over the post-cap index when a df cap has dropped shingles. */
+  private def jaccardPairs(sh: DataFrame, cnt: DataFrame): DataFrame = {
     // Two alternatives were measured at sf0.1 and rejected: (a) df>=2
     // posting pruning — removes almost nothing on this 40-word-vocab
     // corpus and adds a shuffle (10.8s vs 4.6s); (b) posting-list pair
@@ -82,9 +87,19 @@ object DedupOps {
   }
 
   /** N-gram (3-shingle) Jaccard near-dup pairs via inverted-index join.
-    * The shingle index feeds three consumers (counts + both join sides):
-    * cache it once instead of recomputing the explode+distinct. */
-  val dedupNgramJaccard: Q = (s, dir) => jaccardPairs(shingles(s, dir).persist())
+    * The shingle index feeds both join sides: cache it once. Per-doc
+    * set sizes come map-side from the array (`size(ss)`) — no groupBy
+    * shuffle of the exploded index just to count what each row already
+    * knows. */
+  val dedupNgramJaccard: Q = (s, dir) => {
+    // cache the ARRAY form: the md5 shingle hashing (the expensive
+    // map-side work) runs once, and the index explode, both self-join
+    // sides, and the map-side counts all read the cached arrays
+    val arr = shingleArrays(s, dir).persist()
+    val sh = arr.select(col("doc_id"), explode(col("ss")).as("s"))
+    val cnt = arr.select(col("doc_id"), size(col("ss")).cast("long").as("n"))
+    jaccardPairs(sh, cnt)
+  }
 
   /** Jaccard with a max-df cap on shingles: a shingle appearing in more
     * than `maxDf` documents is dropped from every document's shingle set
@@ -106,7 +121,10 @@ object DedupOps {
     val sh0 = shingles(s, dir).persist()
     val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
-    jaccardPairs(sh0.join(broadcast(hot), Seq("s"), "left_anti").persist())
+    val kept = sh0.join(broadcast(hot), Seq("s"), "left_anti").persist()
+    // counts must reflect the POST-cap sets (the oracle counts the same
+    // way), so the capped twin keeps the groupBy
+    jaccardPairs(kept, kept.groupBy("doc_id").agg(count(lit(1)).as("n")))
   }
 
   private def distinctTokens(s: SparkSession, dir: String): DataFrame =
