@@ -265,6 +265,32 @@ object DedupOps {
         (matches.cast("double") / MinhashPerms).as("est_jacc"))
   }
 
+  /** Cross-source contamination — the train/test-leakage check: NEAR-
+    * duplicate pairs whose two members come from different sources,
+    * aggregated into a per-source-pair leakage matrix. When the
+    * sources are dataset splits (or a training corpus vs an eval
+    * benchmark), any row here is leakage a decontamination pass must
+    * resolve. Near-dup (not exact-fingerprint) on purpose: real
+    * leakage is rarely byte-identical — benchmark items get
+    * reformatted, truncated, re-punctuated — and on this corpus the
+    * exact-fingerprint version is structurally empty (exact dups never
+    * straddle sources), which would make the check vacuous. Cost: the
+    * verified pair set (sub-quadratic LSH) + two hash joins to attach
+    * sources + one small groupBy. */
+  val crossSourceOverlap: Q = (s, dir) => {
+    val pairs = dedupMinhashLsh(s, dir)
+      .filter(col("n_match") >= MinhashClusterMatches).select("a", "b")
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("a", "source_a"), "a")
+      .join(src.toDF("b", "source_b"), "b")
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy(
+        least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Incremental near-dup check — the daily-ingest shape: a NEW batch
     * of documents is screened against the EXISTING corpus only. The
     * band join is new×existing, never existing×existing — so a daily
@@ -607,6 +633,7 @@ object DedupOps {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_band_occupancy" -> minhashBandOccupancy,
     "dedup_incremental" -> dedupIncremental,
+    "cross_source_overlap" -> crossSourceOverlap,
     "dedup_cluster_reps" -> dedupClusterReps,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -631,12 +658,11 @@ object DedupOps {
     s"SELECT doc_id, $b AS bi, md5(concat_ws(',', $cat)) AS bh FROM sig"
   }.mkString("\n            UNION ALL\n            ")
 
-  /** Recursive-CTE prefix computing near-dup connected components
-    * (`reach(doc, lab)`), shared by the `dedup_cluster_reps` oracle and
-    * the curation oracles in [[TextOps]] that build on the clusters.
-    * Deliberately a DIFFERENT algorithm (transitive closure) than the
-    * engine's propagation loop — the oracles cross-check the RESULT. */
-  private[ops] val clusterCtePrefix: String =
+  /** CTE prefix computing the VERIFIED near-dup pair set (`verified`),
+    * shared by every oracle that builds on the pairs. The RECURSIVE
+    * keyword is harmless for non-recursive extensions and required by
+    * [[clusterCtePrefix]]'s closure. */
+  private[ops] val verifiedCtePrefix: String =
     s"""WITH RECURSIVE sig AS ($sigSql),
           band AS (
             $bandSql),
@@ -652,7 +678,15 @@ object DedupOps {
             JOIN sig sa ON c.a = sa.doc_id
             JOIN sig sb ON c.b = sb.doc_id
             WHERE ${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")}
-              >= $MinhashClusterMatches),
+              >= $MinhashClusterMatches)"""
+
+  /** Recursive-CTE prefix computing near-dup connected components
+    * (`reach(doc, lab)`), shared by the `dedup_cluster_reps` oracle and
+    * the curation oracles in [[TextOps]] that build on the clusters.
+    * Deliberately a DIFFERENT algorithm (transitive closure) than the
+    * engine's propagation loop — the oracles cross-check the RESULT. */
+  private[ops] val clusterCtePrefix: String =
+    s"""$verifiedCtePrefix,
           edges AS (SELECT a AS src, b AS dst FROM verified
                     UNION ALL SELECT b, a FROM verified),
           nodes AS (SELECT DISTINCT src AS doc FROM edges),
@@ -727,6 +761,17 @@ object DedupOps {
             $bandSql),
           occ AS (SELECT bi, bh, COUNT(*) AS n_docs FROM band GROUP BY bi, bh)
           SELECT bi, n_docs, COUNT(*) AS n_buckets FROM occ GROUP BY bi, n_docs""",
+    "cross_source_overlap" ->
+      s"""$verifiedCtePrefix,
+          srcs AS (SELECT doc_id, source FROM documents)
+          SELECT least(sa.source, sb.source) AS source_x,
+                 greatest(sa.source, sb.source) AS source_y,
+                 COUNT(*) AS n_pairs
+          FROM verified v
+          JOIN srcs sa ON v.a = sa.doc_id
+          JOIN srcs sb ON v.b = sb.doc_id
+          WHERE sa.source <> sb.source
+          GROUP BY 1, 2""",
     "dedup_incremental" ->
       s"""WITH sig AS ($sigSql),
           band AS (
