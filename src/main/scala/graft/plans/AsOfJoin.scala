@@ -188,6 +188,16 @@ object AsOf {
       leftTieCols: Seq[String] = Nil,
       rightTieCols: Seq[String] = Nil): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
+    // fail loudly and early when the planner strategy is absent — the
+    // alternative is an opaque assertion deep in query planning. The
+    // catalog's SQL-expressible queries all degrade without the
+    // extension (dotSql falls back to the HOF fold, simhash to the
+    // dataflow form, the window as-of idiom just stays a window); this
+    // operator IS the extension, so it states its requirement.
+    if (!Bridge.hasStrategy(spark, AsOfJoinStrategy.getClass))
+      throw new IllegalStateException(
+        "AsOf.join requires the AsOfJoin planner strategy; start the session with " +
+          "spark.sql.extensions=graft.functions.GraftExtensions")
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =

@@ -14,6 +14,15 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
+  /** Whether a planner strategy of the given class is registered in
+    * this session (extension-injected strategies live in the session
+    * state's planner, which is `private[sql]`). Lets programmatic
+    * operators that REQUIRE their strategy fail with a clear
+    * "register the extension" message instead of a planner assertion. */
+  def hasStrategy(spark: SparkSession, strategyClass: Class[_]): Boolean =
+    spark.asInstanceOf[ClassicSession].sessionState.planner.strategies
+      .exists(s => strategyClass.isInstance(s))
+
   /** Block until the listener bus has delivered all posted events
     * (`private[spark]` in LiveListenerBus). Used by the migration
     * observability listener to make per-statement metric attribution

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degradation contract: a session started WITHOUT
+  * `spark.sql.extensions=graft.functions.GraftExtensions` must still
+  * run every SQL-expressible catalog query — `dotSql` falls back to
+  * the higher-order-function fold, `simhash32` to the dataflow
+  * formulation, the window as-of idiom simply stays a window — while
+  * the one operator that IS the extension (`AsOf.join`) states its
+  * requirement in a clear error instead of a planner assertion.
+  * (CLAUDE.md pins this convention; this suite is its gate.)
+  */
+class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val scratch = Files.createTempDirectory("graft_noext_").toString
+
+  // deliberately NO spark.sql.extensions
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("session really has no graft extensions") {
+    assert(!spark.catalog.functionExists("vec_dot"))
+    assert(!spark.catalog.functionExists("simhash32"))
+  }
+
+  test("vector queries degrade to the HOF fold and still compute") {
+    Seq("ann_bruteforce_topk", "ann_ivf_centroid", "dedup_embedding_cosine",
+      "embedding_stats").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(df.count() > 0, q)
+      assert(!df.queryExecution.executedPlan.toString.contains("vec_dot"), q)
+    }
+  }
+
+  test("simhash degrades to the dataflow formulation with identical output") {
+    val rows = SparkEntry.queries("dedup_simhash")(spark, sfDir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getString(1).forall(c => c == '0' || c == '1')))
+  }
+
+  test("window as-of idiom stays a window (no rewrite) and still computes") {
+    val df = SparkEntry.queries("asof_join_signup")(spark, sfDir)
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(df.count() > 0)
+  }
+
+  test("AsOf.join states its extension requirement clearly") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("us", expr("ts div 1000"))
+    val l = ev.filter("event_type = 'purchase'").select(col("event_id"), col("user_id"), col("us"))
+    val r = ev.filter("event_type = 'signup'")
+      .select(col("event_id").as("rid"), col("user_id").as("rk"), col("us").as("rus"))
+    val e = intercept[IllegalStateException] {
+      graft.plans.AsOf.join(l, r, "user_id", "rk", "us", "rus").count()
+    }
+    assert(e.getMessage.contains("graft.functions.GraftExtensions"), e.getMessage)
+  }
+}
