@@ -325,6 +325,43 @@ object DedupOps {
       .filter(col("n_match") >= MinhashClusterMatches)
   }
 
+  /** Persist the corpus band index as a BUCKETED table — the 100 TB
+    * form of [[dedupIncremental]]'s existing side: the index is
+    * computed once, written bucketed (and sorted) by the band hash,
+    * and every subsequent incremental screen probes it with NO shuffle
+    * of the corpus — only the (small) arriving batch repartitions to
+    * the index's bucketing. The hot-bucket cap is applied at WRITE
+    * time, so probes never even read the degenerate buckets. */
+  def writeBandIndex(corpusDocs: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val bands = minhashBandRowsFromText(
+      corpusDocs.select(col("doc_id"), col("text")))
+    val hot = bands.groupBy("bi", "bh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > MinhashMaxBucket).select("bi", "bh")
+    // bucketed on EXACTLY the probe-join key set — a partial set makes
+    // the planner disable the bucketed scan
+    bands.join(broadcast(hot), Seq("bi", "bh"), "left_anti")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bi", "bh").sortBy("bi", "bh")
+      .saveAsTable(table)
+  }
+
+  /** Incremental screen against a persisted [[writeBandIndex]] table:
+    * the arriving batch's band rows equi-join the bucketed index on
+    * the band hash — the index side reads its buckets in place
+    * (no Exchange), verified by BucketingSpec's plan check. Returns
+    * (new_id, existing_id, bi) candidate collisions; signature
+    * verification composes downstream exactly as in
+    * [[dedupIncremental]]. */
+  def incrementalAgainstIndex(s: SparkSession, newDocs: DataFrame, indexTable: String): DataFrame = {
+    val newBands = minhashBandRowsFromText(newDocs)
+    val index = s.table(indexTable)
+    newBands.as("x").join(index.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("existing_id"),
+        col("x.bi").as("bi"))
+      .distinct()
+  }
+
   /** Band-bucket occupancy distribution: per band, how many buckets hold
     * n documents. The observability twin of the [[MinhashMaxBucket]] cap
     * — a skewed bucket (the one that would dominate the band join at

@@ -50,4 +50,44 @@ class BucketingSpec extends SparkSpec {
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("persisted band index: incremental probe does not shuffle the corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    // existing corpus vs arriving batch: same doc_id % 5 split as
+    // dedup_incremental, so the candidate sets are comparable
+    val allDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.ops.DedupOps.writeBandIndex(
+      allDocs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "bkt.band_index")
+    val newDocs = allDocs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val hits = graft.ops.DedupOps.incrementalAgainstIndex(spark, newDocs, "bkt.band_index")
+    // the INDEX side of the join must read its buckets in place — the
+    // only exchanges allowed are on the (small) new-batch side and the
+    // final distinct
+    val plan = hits.queryExecution.executedPlan
+    val joinNode = plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joinNode.isDefined, plan.treeString)
+    val rightShuffles = joinNode.get.right.collect { case e: ShuffleExchangeExec => e }
+    assert(rightShuffles.isEmpty,
+      s"index side must not shuffle:\n${joinNode.get.right.treeString}")
+    // candidate set equals the catalog query's pre-verification pairs:
+    // dedup_incremental = these candidates + signature verification.
+    // Compare against its candidates recomputed the self-contained way.
+    val expect = graft.ops.DedupOps.dedupIncremental(spark, dir)
+      .select("new_id", "existing_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = hits.select("new_id", "existing_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verified pairs are a SUBSET of band-collision candidates
+    assert(expect.subsetOf(got), s"missing: ${(expect -- got).take(5)}")
+    assert(got.nonEmpty)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 }
