@@ -31,6 +31,24 @@ object DocStreams {
     * buckets with MinhashMaxBucket. Within a micro-batch, rows are
     * processed in (doc_id) order so the smallest id claims the bucket —
     * deterministic under replays. */
+  /** Streaming incremental near-dup screen against a PERSISTED corpus
+    * band index ([[graft.ops.DedupOps.writeBandIndex]]): a stream-static
+    * equi-join on the band key. This is the production ingest topology —
+    * the stateful [[nearDupBandFilter]] holds every bucket it has ever
+    * seen in stream state (unbounded without a TTL), while here the
+    * corpus lives in the bucketed table and the stream carries only the
+    * in-flight micro-batch; re-indexing is a batch job, not a state
+    * migration. Emits (doc_id, existing_id, bi) collision candidates
+    * for downstream verification. */
+  def incrementalScreen(docs: DataFrame, indexTable: String): DataFrame = {
+    val spark = docs.sparkSession
+    graft.ops.DedupOps.minhashBandRowsFromText(docs).as("x")
+      .join(spark.table(indexTable).as("y"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("existing_id"),
+        col("x.bi").as("bi"))
+  }
+
   /** Streaming corpus curation — the ingest-time form of the batch
     * capstone (graft.ops.TextOps.corpusCuration): exact-dedup election
     * via streaming dropDuplicates on the content fingerprint (state:

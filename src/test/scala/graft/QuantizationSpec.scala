@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mathematical invariants of the int8 quantization family — the
+  * oracle gate proves cross-engine PARITY; these prove the numbers
+  * mean what they claim. */
+class QuantizationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("reconstruction error is bounded by half a quantization step") {
+    // q = clamp(floor(x/scale + 1/2)) ⇒ |q·scale − x| ≤ scale/2 for
+    // unclamped elements; clamping can only occur at |x| = max|x|,
+    // where q = ±127 is exact up to the same bound. Allow the round-6
+    // rendering slack on both sides of the comparison.
+    val rows = SparkEntry.queries("embedding_quantize_int8")(spark, dir)
+      .select(col("scale6"), col("max_abs_err6")).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (scale, err) = (r.getDouble(0), r.getDouble(1))
+      assert(err <= scale / 2 + 1e-6, s"err $err > scale/2 ${scale / 2}")
+    }
+  }
+
+  test("quantized top-k search recalls most float-exact neighbors") {
+    def topk(q: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(q)(spark, dir).select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val exact = topk("ann_bruteforce_topk")
+    val quant = topk("ann_quantized_topk")
+    assert(exact.keySet == quant.keySet)
+    val recalls = exact.map { case (q, e) => (e & quant(q)).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    // 8-bit symmetric quantization on 64-dim vectors preserves ordering
+    // well; a broken quantizer (wrong scale, wrong rounding) collapses
+    // this toward chance (~5/499)
+    assert(mean >= 0.6, s"mean recall@5 $mean too low: $recalls")
+  }
+}

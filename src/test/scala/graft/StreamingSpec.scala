@@ -151,6 +151,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static incremental screen matches the batch index probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_bkt")
+    graft.ops.DedupOps.writeBandIndex(
+      all.filter("doc_id % 5 != 0"), "stream_bkt.band_index")
+    val newDocs = all.filter("doc_id % 5 = 0")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.incrementalScreen(
+        input.toDF().toDF("doc_id", "text"), "stream_bkt.band_index")
+      .writeStream.format("memory").queryName("screen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("screen")
+        .select("doc_id", "existing_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.ops.DedupOps.incrementalAgainstIndex(
+          spark, all.filter("doc_id % 5 = 0"), "stream_bkt.band_index")
+        .select("new_id", "existing_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(5)}, batch-only: ${(batch -- streamed).take(5)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming curation emits exactly the batch capstone's kept documents") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
