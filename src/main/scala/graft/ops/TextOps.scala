@@ -207,6 +207,96 @@ object TextOps {
 
   private val SamplePct = 10
 
+  /** TF-IDF top terms per document — the classic "what is this document
+    * about" signal. Term frequencies are computed IN-ROW (a HOF over the
+    * token array), so the only shuffles are the df aggregation, the
+    * vocabulary equi-join on the token (the scale shape at 100 TB — the
+    * vocabulary is itself large; see [[textRareRatio]]), and the per-doc
+    * top-k window (partitioned by doc_id — millions of tiny partitions,
+    * no skew). Scores round-6 before the ordering so an ulp of ln()
+    * disagreement between engines cannot flip a rank. */
+  private[graft] val TfIdfTopK = 3
+  val textTfidfTopTerms: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(array_distinct(tk), x -> struct(x AS tk, size(filter(tk, y -> y = x)) AS tf))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.tk").as("tk"), col("p.tf").cast("long").as("tf"))
+    val dfTable = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("tk"))
+    tf.join(dfTable, "tk")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf6",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= TfIdfTopK)
+      .select(col("doc_id"), col("tk"), col("tf"), col("df"), col("tfidf6"))
+  }
+
+  /** BM25 ranked retrieval for a fixed query-term set — the relevance
+    * scoring a retrieval/quality pipeline runs over the corpus. All
+    * corpus statistics (N, Σdl, per-term df) come from ONE aggregation,
+    * broadcast to every document; per-document term frequencies are
+    * in-row HOFs — so the whole query is one tiny agg + one map-side
+    * pass + a top-k sort. Every float step mirrors the oracle
+    * operation-for-operation (same literals, same association order),
+    * with one round-6 at the end. */
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  private[graft] val Bm25Terms = Seq("spark", "window", "merge")
+  private[graft] val Bm25TopK = 10
+  val bm25TopDocs: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").withColumn("tk", split(col("text"), " "))
+    val aggs = sum(size(col("tk")).cast("long")).as("sum_dl") +:
+      Bm25Terms.map(q =>
+        count(when(array_contains(col("tk"), q), 1)).as(s"df_$q"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val scored = docs.crossJoin(broadcast(stats))
+      .withColumn("dl", size(col("tk")).cast("long"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val termScore = Bm25Terms.map { q =>
+      val tf = expr(s"cast(size(filter(tk, x -> x = '$q')) as double)")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$q") + lit(0.5)) / (col(s"df_$q") + lit(0.5)))
+      idf * (tf * lit(Bm25K1 + 1)) /
+        (tf + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.withColumn("bm25_6", round(termScore, 6))
+      .filter(col("bm25_6") > 0)
+      .orderBy(col("bm25_6").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), col("bm25_6"))
+  }
+
+  /** Stratified per-language sample with an EXACT quota, as the salted
+    * two-stage top-k: stage 1 takes the quota-smallest content hashes
+    * within each (lang, doc_id%16) cell — 16-way parallel, so a 100 TB
+    * corpus with 5 languages never funnels a language through one
+    * partition — and stage 2 re-ranks the ≤16·K survivors per language.
+    * The union of per-salt top-Ks contains the global top-K (a row's
+    * rank within its cell never exceeds its global rank), so the result
+    * is identical to the single-window form the oracle runs. Ranking on
+    * (content-hash, doc_id) makes the sample reproducible across
+    * engines, runs, and partitionings — [[corpusSample]]'s determinism
+    * argument, with per-stratum exactness. */
+  private[graft] val StratQuota = 40
+  val corpusSampleStratified: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "documents").withColumn("h52",
+      expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"))
+    val w1 = Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(16)))
+      .orderBy(col("h52"), col("doc_id"))
+    val w2 = Window.partitionBy("lang").orderBy(col("h52"), col("doc_id"))
+    base.withColumn("r1", row_number().over(w1)).filter(col("r1") <= StratQuota)
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= StratQuota)
+      .select(col("lang"), col("doc_id"), col("h52"), col("rk"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
@@ -218,7 +308,33 @@ object TextOps {
     "text_rare_ratio" -> textRareRatio,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
-    "corpus_sample" -> corpusSample(SamplePct))
+    "corpus_sample" -> corpusSample(SamplePct),
+    "text_tfidf_top_terms" -> textTfidfTopTerms,
+    "bm25_topk" -> bm25TopDocs,
+    "corpus_sample_stratified" -> corpusSampleStratified)
+
+  /** BM25 oracle — generated from the same constants as the Spark side
+    * so the term list and every float literal stay in lock-step. */
+  private def bm25OracleSql: String = {
+    val dfAggs = Bm25Terms.map(q =>
+      s"COUNT(CASE WHEN list_contains(tk, '$q') THEN 1 END) AS df_$q").mkString(",\n             ")
+    val terms = Bm25Terms.map { q =>
+      val tf = s"CAST(len(list_filter(d.tk, x -> x = '$q')) AS DOUBLE)"
+      val idf = s"ln(1.0 + (s.n_docs - s.df_$q + 0.5) / (s.df_$q + 0.5))"
+      s"$idf * ($tf * ${Bm25K1 + 1}) / ($tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * d.dl / s.avgdl))"
+    }.mkString("\n             + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         s AS (SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             $dfAggs
+           FROM d)
+         SELECT doc_id, bm25_6 FROM (
+           SELECT d.doc_id,
+             round($terms, 6) AS bm25_6
+           FROM d CROSS JOIN s)
+         WHERE bm25_6 > 0 ORDER BY bm25_6 DESC, doc_id LIMIT $Bm25TopK"""
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "text_token_stats" ->
@@ -333,5 +449,28 @@ object TextOps {
       s"""SELECT doc_id, source, lang,
            CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 AS bucket
          FROM documents
-         WHERE CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 < $SamplePct""")
+         WHERE CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 < $SamplePct""",
+    "text_tfidf_top_terms" ->
+      s"""WITH tf AS (
+           SELECT doc_id, tk, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+           GROUP BY doc_id, tk),
+         dft AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT doc_id, tk, tf, df, tfidf6 FROM (
+           SELECT t.doc_id, t.tk, t.tf, d.df,
+             round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf6,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) DESC, t.tk) AS r
+           FROM tf t JOIN dft d ON t.tk = d.tk CROSS JOIN n)
+         WHERE r <= $TfIdfTopK""",
+    "bm25_topk" -> bm25OracleSql,
+    "corpus_sample_stratified" ->
+      s"""SELECT lang, doc_id, h52, rk FROM (
+           SELECT lang, doc_id, h52,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY h52, doc_id) AS BIGINT) AS rk
+           FROM (SELECT lang, doc_id,
+                   CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) AS h52
+                 FROM documents))
+         WHERE rk <= $StratQuota""")
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Tables, TextOps}
+
+/** Semantic invariants of the retrieval/sampling family — the oracle
+  * gate proves cross-engine parity; these prove the rankings and quotas
+  * mean what they claim. */
+class TextRetrievalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tfidf keeps at most top-k terms per doc, each occurring in the doc") {
+    val out = SparkEntry.queries("text_tfidf_top_terms")(spark, dir)
+      .select("doc_id", "tk", "tf", "tfidf6").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= TextOps.TfIdfTopK))
+    assert(byDoc.size == 500)
+    val texts = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    out.foreach { r =>
+      assert(texts(r.getLong(0)).contains(r.getString(1)),
+        s"term ${r.getString(1)} not in doc ${r.getLong(0)}")
+      assert(r.getDouble(3) >= 0)
+    }
+  }
+
+  test("tfidf ranks a repeated rare term above a common one") {
+    // Within any one document, tf*ln(N/df) must prefer (tf=1, rare df)
+    // over (tf=1, df=N) — a token shared by every document scores 0.
+    val scored = SparkEntry.queries("text_tfidf_top_terms")(spark, dir)
+    val worst = scored.groupBy("doc_id").agg(min("tfidf6").as("m"))
+      .agg(min("m")).collect()(0).getDouble(0)
+    assert(worst > 0, "a zero-information term survived into some doc's top-k")
+  }
+
+  test("bm25 returns only docs containing a query term, ranked descending") {
+    val rows = SparkEntry.queries("bm25_topk")(spark, dir).collect()
+    assert(rows.length == TextOps.Bm25TopK)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val texts = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    rows.foreach { r =>
+      val tks = texts(r.getLong(0))
+      assert(TextOps.Bm25Terms.exists(tks.contains),
+        s"doc ${r.getLong(0)} scored ${r.getDouble(1)} with no query term")
+    }
+  }
+
+  test("stratified sample meets the exact per-language quota and matches the single-window form") {
+    val out = SparkEntry.queries("corpus_sample_stratified")(spark, dir)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langSizes = Tables.t(spark, dir, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(counts(lang) == math.min(n, TextOps.StratQuota.toLong),
+        s"$lang: got ${counts.get(lang)} of $n docs")
+    }
+    // the salted two-stage result is exactly the single global window's
+    val single = Tables.t(spark, dir, "documents")
+      .withColumn("h52",
+        expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("lang").orderBy(col("h52"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= TextOps.StratQuota)
+      .select("lang", "doc_id", "h52", "rk")
+    assert(out.exceptAll(single).isEmpty && single.exceptAll(out).isEmpty)
+  }
+}
