@@ -24,7 +24,10 @@ object Bench {
     // nontrivial execution pattern previously without 2x-gate coverage)
     // and the capstone curation pipeline (the closest thing to a real
     // user workload)
-    "dedup_cluster_reps", "corpus_curation")
+    "dedup_cluster_reps", "corpus_curation",
+    // round 4 (late): the retrieval pair — the vocabulary-join TF-IDF
+    // ranking and the broadcast-stats BM25 scorer
+    "text_tfidf_top_terms", "bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,6 +75,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.matches("(?s).*BroadcastNestedLoopJoin.*Inner.*"), plan)
   }
 
+  test("bm25_topk is one broadcast stats row + a map-side score + top-k, no global sort") {
+    val plan = executedPlan("bm25_topk")
+    // the corpus statistics join must be a broadcast of the 1-row agg —
+    // a shuffled join here would shuffle the whole corpus to attach
+    // three scalars
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    // limit+orderBy must fuse into TakeOrderedAndProject (per-partition
+    // top-k then merge) — a global Sort of all scored docs is the
+    // 100 TB failure mode
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.matches("(?s).*Exchange rangepartitioning.*"), plan)
+  }
+
+  test("tfidf joins the vocabulary on the token, not a corpus broadcast") {
+    val plan = executedPlan("text_tfidf_top_terms")
+    // the single-row doc count is broadcast; the tf↔df join may be
+    // broadcast at this SF, but there must be no cartesian anywhere
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the per-doc top-k window partitions by doc_id — a missing
+    // partition spec would collapse to one partition
+    assert(!plan.contains("No Partition Defined"), plan)
+  }
+
   test("corpus_sample is a pure map-side filter over the scan") {
     val df = SparkEntry.queries("corpus_sample")(spark, sfDir)
     df.collect()
