@@ -297,6 +297,68 @@ object TextOps {
       .select(col("lang"), col("doc_id"), col("h52"), col("rk"))
   }
 
+  /** Test-set decontamination — the cross-set twin of
+    * [[dedupCommonNgrams]]: flag TRAINING documents sharing any exact
+    * 8-token span with a HELD-OUT split (here the top 5% of the
+    * deterministic content-hash buckets, standing in for a benchmark
+    * suite). This is the named "decontamination" step of a real LLM
+    * training pipeline: benchmark suites are small, so the held-out
+    * n-gram set is BROADCAST and the whole check is one map-side join
+    * over the training corpus — no shuffle of the big side, which is
+    * what makes it runnable on every training batch. */
+  private[graft] val HeldoutBucket = 95
+  val dedupDecontaminate: Q = (s, dir) => {
+    val grams = t(s, dir, "documents")
+      .withColumn("bucket",
+        pmod(expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"), lit(100L)))
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("bucket"), explode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+        .as("ngram"))
+    val heldout = grams.filter(col("bucket") >= HeldoutBucket)
+      .select(col("ngram"), col("doc_id").as("h_id")).distinct()
+    grams.filter(col("bucket") < HeldoutBucket)
+      .join(broadcast(heldout), "ngram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("ngram")).as("n_shared"),
+        countDistinct(col("h_id")).as("n_heldout_docs"))
+  }
+
+  /** Bigram collocation mining by pointwise mutual information —
+    * phrase extraction for vocabulary/tokenizer work:
+    * pmi = ln((n_ab/T) / ((n_a/U)·(n_b/U))) with the unigram and
+    * bigram totals from two tiny broadcast aggregates. Count tables
+    * join on the token (the vocabulary shape, as in
+    * [[textTfidfTopTerms]]); the ranking rounds to 6 BEFORE ordering
+    * with a (w1, w2) tiebreak so the top-k set is engine-independent. */
+  private[graft] val PmiMinCount = 5
+  private[graft] val PmiTopK = 20
+  val textBigramPmi: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").withColumn("tk", split(col("text"), " "))
+    val bi = docs.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val uni = docs.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = bi.agg(sum(col("n_ab")).as("t_bi"))
+      .crossJoin(uni.agg(sum(col("n_w")).as("t_uni")))
+    bi.filter(col("n_ab") >= PmiMinCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_a"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_b"), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi6", round(log(
+        (col("n_ab").cast("double") / col("t_bi")) /
+          ((col("n_a").cast("double") / col("t_uni")) *
+            (col("n_b").cast("double") / col("t_uni")))), 6))
+      .orderBy(col("pmi6").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+      .select(col("w1"), col("w2"), col("n_ab"), col("pmi6"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
@@ -311,7 +373,9 @@ object TextOps {
     "corpus_sample" -> corpusSample(SamplePct),
     "text_tfidf_top_terms" -> textTfidfTopTerms,
     "bm25_topk" -> bm25TopDocs,
-    "corpus_sample_stratified" -> corpusSampleStratified)
+    "corpus_sample_stratified" -> corpusSampleStratified,
+    "dedup_decontaminate" -> dedupDecontaminate,
+    "text_bigram_pmi" -> textBigramPmi)
 
   /** BM25 oracle — generated from the same constants as the Spark side
     * so the term list and every float literal stay in lock-step. */
@@ -465,6 +529,38 @@ object TextOps {
            FROM tf t JOIN dft d ON t.tk = d.tk CROSS JOIN n)
          WHERE r <= $TfIdfTopK""",
     "bm25_topk" -> bm25OracleSql,
+    "dedup_decontaminate" ->
+      s"""WITH g AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 AS bucket,
+             array_to_string(t[i:i+7], ' ') AS ngram
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+                unnest(generate_series(1, len(t) - 7)) u(i)
+           WHERE len(t) >= 8),
+         h AS (SELECT DISTINCT ngram, doc_id AS h_id FROM g
+               WHERE bucket >= $HeldoutBucket)
+         SELECT g.doc_id, COUNT(DISTINCT g.ngram) AS n_shared,
+           COUNT(DISTINCT h.h_id) AS n_heldout_docs
+         FROM g JOIN h ON g.ngram = h.ngram
+         WHERE g.bucket < $HeldoutBucket GROUP BY g.doc_id""",
+    "text_bigram_pmi" ->
+      s"""WITH bi AS (
+           SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS n_ab
+           FROM (SELECT string_split(text, ' ') AS t FROM documents),
+                unnest(generate_series(1, len(t) - 1)) u(i)
+           WHERE len(t) >= 2 GROUP BY 1, 2),
+         uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         unic AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+         tot AS (SELECT (SELECT SUM(n_ab) FROM bi) AS t_bi,
+                        (SELECT SUM(n_w) FROM unic) AS t_uni)
+         SELECT b.w1, b.w2, b.n_ab,
+           round(ln((CAST(b.n_ab AS DOUBLE) / t.t_bi) /
+             ((CAST(a.n_w AS DOUBLE) / t.t_uni) * (CAST(c.n_w AS DOUBLE) / t.t_uni))), 6)
+             AS pmi6
+         FROM bi b JOIN unic a ON b.w1 = a.w JOIN unic c ON b.w2 = c.w
+              CROSS JOIN tot t
+         WHERE b.n_ab >= $PmiMinCount
+         ORDER BY pmi6 DESC, b.w1, b.w2 LIMIT $PmiTopK""",
     "corpus_sample_stratified" ->
       s"""SELECT lang, doc_id, h52, rk FROM (
            SELECT lang, doc_id, h52,

@@ -52,6 +52,40 @@ class TextRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate flags only train docs that literally share an 8-gram with heldout") {
+    def grams(text: String): Set[String] = {
+      val tk = text.split(" ")
+      if (tk.length < 8) Set.empty
+      else tk.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .withColumn("bucket", pmod(
+        expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"), lit(100L)))
+      .select("doc_id", "bucket", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val heldGrams = docs.filter(_._2 >= TextOps.HeldoutBucket)
+      .flatMap(d => grams(d._3)).toSet
+    val expected = docs.filter(_._2 < TextOps.HeldoutBucket)
+      .filter(d => grams(d._3).exists(heldGrams.contains)).map(_._1).toSet
+    val flagged = SparkEntry.queries("dedup_decontaminate")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == expected,
+      s"extra: ${(flagged -- expected).take(5)}, missed: ${(expected -- flagged).take(5)}")
+    assert(flagged.nonEmpty, "fixture produced no contamination — test is vacuous")
+  }
+
+  test("top pmi pair occurs adjacently at least PmiMinCount times") {
+    val rows = SparkEntry.queries("text_bigram_pmi")(spark, dir).collect()
+    assert(rows.length == TextOps.PmiTopK)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val (w1, w2, nAb) = (rows.head.getString(0), rows.head.getString(1), rows.head.getLong(2))
+    val adj = Tables.t(spark, dir, "documents").select("text").collect()
+      .map(_.getString(0).split(" ").sliding(2)
+        .count(p => p.length == 2 && p(0) == w1 && p(1) == w2)).sum
+    assert(adj == nAb && adj >= TextOps.PmiMinCount, s"($w1,$w2): adj=$adj n_ab=$nAb")
+  }
+
   test("stratified sample meets the exact per-language quota and matches the single-window form") {
     val out = SparkEntry.queries("corpus_sample_stratified")(spark, dir)
     val counts = out.groupBy("lang").count().collect()
