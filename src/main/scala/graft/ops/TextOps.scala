@@ -284,18 +284,25 @@ object TextOps {
     * engines, runs, and partitionings — [[corpusSample]]'s determinism
     * argument, with per-stratum exactness. */
   private[graft] val StratQuota = 40
-  val corpusSampleStratified: Q = (s, dir) => {
+
+  /** The reusable form over any (doc_id, text, lang) frame — see the
+    * [[corpusSampleStratified]] scaladoc for the two-stage argument. */
+  private[graft] def stratifiedSample(docs: org.apache.spark.sql.DataFrame,
+      quota: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = t(s, dir, "documents").withColumn("h52",
+    val base = docs.withColumn("h52",
       expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"))
     val w1 = Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(16)))
       .orderBy(col("h52"), col("doc_id"))
     val w2 = Window.partitionBy("lang").orderBy(col("h52"), col("doc_id"))
-    base.withColumn("r1", row_number().over(w1)).filter(col("r1") <= StratQuota)
+    base.withColumn("r1", row_number().over(w1)).filter(col("r1") <= quota)
       .withColumn("rk", row_number().over(w2).cast("long"))
-      .filter(col("rk") <= StratQuota)
+      .filter(col("rk") <= quota)
       .select(col("lang"), col("doc_id"), col("h52"), col("rk"))
   }
+
+  val corpusSampleStratified: Q = (s, dir) =>
+    stratifiedSample(t(s, dir, "documents"), StratQuota)
 
   /** Test-set decontamination — the cross-set twin of
     * [[dedupCommonNgrams]]: flag TRAINING documents sharing any exact

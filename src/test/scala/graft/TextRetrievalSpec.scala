@@ -106,4 +106,31 @@ class TextRetrievalSpec extends SparkSpec {
       .select("lang", "doc_id", "h52", "rk")
     assert(out.exceptAll(single).isEmpty && single.exceptAll(out).isEmpty)
   }
+
+  test("two-stage stratified sampling equals the single window on adversarial random data") {
+    // heavy skew (90% one stratum), duplicate texts (h52 ties resolved
+    // by doc_id), strata smaller than the quota, and ids far sparser
+    // than the salt modulus — 5 seeded trials
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 400).map { i =>
+        val lang = if (rnd.nextDouble() < 0.9) "big"
+          else Seq("s1", "s2", "tiny")(rnd.nextInt(3))
+        val text = s"doc ${rnd.nextInt(120)} body" // ~3.3x duplicate rate
+        (rnd.nextLong().abs, text, lang)
+      }
+      val df = rows.toDF("doc_id", "text", "lang").repartition(13)
+      val quota = 7
+      val out = graft.ops.TextOps.stratifiedSample(df, quota)
+      val single = df.withColumn("h52",
+          expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"))
+        .withColumn("rk", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("h52"), col("doc_id"))).cast("long"))
+        .filter(col("rk") <= quota)
+        .select("lang", "doc_id", "h52", "rk")
+      assert(out.exceptAll(single).isEmpty && single.exceptAll(out).isEmpty,
+        s"seed $seed diverged")
+    }
+  }
 }
