@@ -165,6 +165,104 @@ case class Simhash32(child: Expression)
     copy(child = newChild)
 }
 
+/** 16-permutation MinHash signature (array<long>) over raw text — the
+  * native form of [[graft.ops.DedupOps.minhashSigFromText]]'s
+  * higher-order-function pipeline, bit-identical by construction:
+  * tokenize on single spaces (regex-split semantics incl. empty
+  * tokens), distinct, md5 once per distinct token, h1/h2 = the 52-bit
+  * integers the SQL form reads as hex substrings 1–13 / 14–26 (here
+  * taken directly from digest BYTES — high nibbles first — instead of
+  * rendering hex text and re-parsing via conv), and
+  * mh_i = min(h1 + i·h2) (Kirsch–Mitzenmacher; max < 2⁵⁶, exact in
+  * int64). What it removes versus the HOF form: the per-token hex
+  * render + conv parse (×2), the named_struct array materialization,
+  * and 16 interpreted array_min lambda passes over it.
+  *
+  * Output element count = [[perms]]; elements never null; result null
+  * iff input null. Codegen is one static call — no generated-code null
+  * hazards of the kind VecDot had.
+  */
+case class MinhashSig(child: Expression, perms: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig requires string input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSig.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinhashSig.compute($c, $perms)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  // one digest instance per executor thread, reset per token — the
+  // per-row getInstance() lookup is measurable at 50k+ rows/core
+  private val localMd: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static body shared by interpreted eval and generated code. Works
+    * directly on the UTF-8 bytes: tokens are found by scanning for the
+    * 0x20 delimiter (safe in UTF-8 — continuation bytes are >= 0x80),
+    * deduped as zero-copy UTF8String views, and digested straight from
+    * the backing array. Semantics match split(text, ' ') with regex
+    * limit -1: empty tokens from doubled/leading/trailing spaces are
+    * kept, and "" yields the single empty token. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, perms: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val mins = Array.fill(perms)(Long.MaxValue)
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val md = localMd.get()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val tok = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, start, i - start)
+        if (seen.add(tok)) {
+          md.reset()
+          md.update(bytes, start, i - start)
+          val d = md.digest()
+          // hex chars 1..13 (1-based) = bytes 0..5 + HIGH nibble of byte 6
+          var h1 = 0L
+          var k = 0
+          while (k < 6) { h1 = (h1 << 8) | (d(k) & 0xffL); k += 1 }
+          h1 = (h1 << 4) | ((d(6) & 0xf0L) >>> 4)
+          // hex chars 14..26 = LOW nibble of byte 6 + bytes 7..12
+          var h2 = d(6) & 0x0fL
+          k = 7
+          while (k < 13) { h2 = (h2 << 8) | (d(k) & 0xffL); k += 1 }
+          var p = 0
+          var g = h1
+          while (p < perms) {
+            if (g < mins(p)) mins(p) = g
+            g += h2
+            p += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
 /** Optimizer rule: rewrite the built-in higher-order-function self-dot
   * pattern `aggregate(zip_with(v, v, (x,y) -> x*y), 0D, (a,x) -> a+x)`
   * into the codegen'd [[VecDot]] — users writing the idiomatic HOF form
@@ -213,6 +311,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
       (children: Seq[Expression]) => Simhash32(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinhashSig(children.head, graft.ops.DedupOps.MinhashPerms)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsOfWindowRewrite)

@@ -140,7 +140,7 @@ object DedupOps {
     * (empirically quadratic). Wider bands trade recall at mid-range
     * similarity for selectivity; near-exact dups (j→1) still collide
     * with probability →1. */
-  private[ops] val MinhashPerms = 16
+  private[graft] val MinhashPerms = 16
   private[graft] val MinhashBands = 2
   private[ops] val MinhashRowsPerBand = MinhashPerms / MinhashBands
   /** Degenerate-bucket guard: a band bucket holding more than this many
@@ -175,6 +175,21 @@ object DedupOps {
     * stateful aggregation may not precede another stateful operator,
     * a per-row projection may ([[graft.streaming.DocStreams]]). */
   private[graft] def minhashSigFromText(docs: DataFrame): DataFrame = {
+    // native codegen expression when the session registered it (one
+    // md5 → two 52-bit ints → 16 mins, all in one static call; see
+    // graft.functions.MinhashSig — measured ~2x the HOF form), else
+    // the built-in-only HOF pipeline below with identical bits.
+    // MinhashSigSpec pins both bit-parity and single evaluation (the
+    // 16 sig[i] extracts must not re-run the expression).
+    if (docs.sparkSession.catalog.functionExists("minhash_sig")) {
+      docs.select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
+        .select(col("doc_id") +:
+          (0 until MinhashPerms).map(i => col("sig")(i).as(s"mh$i")): _*)
+    } else minhashSigHof(docs)
+  }
+
+  /** The HOF-only signature form — kept callable for the parity spec. */
+  private[graft] def minhashSigHof(docs: DataFrame): DataFrame = {
     val withHs = docs.select(col("doc_id"),
       expr("""transform(array_distinct(split(text, ' ')), tk -> named_struct(
              'h1', cast(conv(substring(md5(tk), 1, 13), 16, 10) as bigint),
