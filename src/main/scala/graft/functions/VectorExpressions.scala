@@ -263,6 +263,97 @@ object MinhashSig {
   }
 }
 
+/** Distinct 52-bit hashes of n-token shingles over raw text — the
+  * native form of the Jaccard pipeline's shingle index (see
+  * [[graft.ops.DedupOps]] `shingleArrays`), bit-identical to
+  * `array_distinct(transform(sequence(0, size(t)-n), i ->
+  * cast(conv(substring(md5(concat_ws(' ', slice(t, i+1, n))), 1, 13),
+  * 16, 10) as bigint)))`: the md5 is STREAMED over the window's token
+  * byte spans joined by single spaces (exactly the bytes concat_ws
+  * renders, including empty tokens from doubled spaces), the 52-bit
+  * value is read from the digest bytes, and first-occurrence order is
+  * preserved — no per-shingle string build, hex render, or conv parse.
+  * Fewer than n tokens yields an empty array (the callers filter those
+  * rows; the HOF form's sequence() would error on them).
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes requires (string, int) inputs, got $other")
+    }
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    ShingleHashes.compute(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, n) =>
+      s"graft.functions.ShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  private val localMd: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val Space = Array[Byte](' ')
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // token boundaries, split-on-single-space semantics (empty kept)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        starts += start; ends += i
+        start = i + 1
+      }
+      i += 1
+    }
+    val nTok = starts.length
+    if (nTok < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val md = localMd.get()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nTok - n + 1)
+    var w = 0
+    while (w <= nTok - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(Space, 0, 1)
+        md.update(bytes, starts(w + j), ends(w + j) - starts(w + j))
+        j += 1
+      }
+      val d = md.digest()
+      // 52 bits = hex chars 1..13: bytes 0..5 + high nibble of byte 6
+      var h = 0L
+      var k = 0
+      while (k < 6) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((d(6) & 0xf0L) >>> 4)
+      if (seen.add(h)) out += h
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Optimizer rule: rewrite the built-in higher-order-function self-dot
   * pattern `aggregate(zip_with(v, v, (x,y) -> x*y), 0D, (a,x) -> a+x)`
   * into the codegen'd [[VecDot]] — users writing the idiomatic HOF form
@@ -316,6 +407,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) =>
         MinhashSig(children.head, graft.ops.DedupOps.MinhashPerms)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsOfWindowRewrite)

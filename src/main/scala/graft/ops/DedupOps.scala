@@ -50,6 +50,19 @@ object DedupOps {
     * shuffle of the exploded index: same move as the per-row minhash
     * signature, one fewer shuffle in the pipeline. */
   private def shingleArrays(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("shingle_hashes"))
+      // native: streams each window's token byte spans through one
+      // digest — no per-shingle string build / hex render / conv parse
+      // (graft.functions.ShingleHashes; bit-parity pinned by
+      // MinhashSigSpec's shingle test)
+      docs(s, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), expr("shingle_hashes(text, 3)").as("ss"))
+    else shingleArraysHof(s, dir)
+
+  /** The built-in-only shingle form — kept callable for the parity
+    * spec and extension-absent sessions. */
+  private[graft] def shingleArraysHof(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)

@@ -40,6 +40,32 @@ class MinhashSigSpec extends SparkSpec {
     assert(nulls.sameElements(Array(4L)))
   }
 
+  test("native shingle hashes are bit-identical to the HOF form, order included") {
+    assert(spark.catalog.functionExists("shingle_hashes"))
+    val native = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr("shingle_hashes(text, 3)").as("ss"))
+    val hof = DedupOps.shingleArraysHof(spark, dir)
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+
+    import spark.implicits._
+    val edge = Seq((1L, "a  b c d"), (2L, "x y z"), (3L, "p q"), (4L, "r r r r r"))
+      .toDF("doc_id", "text")
+    val nEdge = edge.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr("shingle_hashes(text, 3)").as("ss"))
+    val hEdge = edge.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(t)-3), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', slice(t, i+1, 3))), 1, 13), 16, 10) as bigint)))")
+        .as("ss"))
+    assert(nEdge.exceptAll(hEdge).isEmpty && hEdge.exceptAll(nEdge).isEmpty)
+    // doc 3 (< 3 tokens) filtered; doc 4's repeated shingle deduped
+    val r4 = nEdge.filter(col("doc_id") === 4L)
+      .select(size(col("ss"))).collect()(0).getInt(0)
+    assert(r4 == 1)
+  }
+
   test("the 16 column extracts evaluate the signature once, not 16 times") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
