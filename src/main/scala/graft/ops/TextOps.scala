@@ -366,6 +366,34 @@ object TextOps {
       .select(col("w1"), col("w2"), col("n_ab"), col("pmi6"))
   }
 
+  /** Per-document average bigram log-likelihood under the corpus's own
+    * bigram LM — the perplexity-style quality filter (the KenLM role in
+    * real pipelines): low-probability token sequences mark gibberish /
+    * shuffled text, high ones boilerplate. p(w2|w1) = n_ab / n_a with
+    * counts over bigram INSTANCES (every doc bigram has count ≥ 1 since
+    * the LM is trained on the same corpus — no smoothing needed). Scale
+    * shape: in-row bigram explode, two vocabulary-sized equi-joins
+    * (bigram and first-word count tables), one per-doc aggregation.
+    * The per-instance ln is a single division then ln (exact-parity
+    * class); the per-doc SUM is accumulated floats → round-6, per the
+    * standing numeric discipline. */
+  val textBigramLogprob: Q = (s, dir) => {
+    val big = t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val ab = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val fst = big.groupBy("w1").agg(count(lit(1)).as("n_a"))
+    big.join(ab, Seq("w1", "w2")).join(fst, Seq("w1"))
+      .withColumn("lp", log(col("n_ab").cast("double") / col("n_a")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob6"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
@@ -382,7 +410,8 @@ object TextOps {
     "bm25_topk" -> bm25TopDocs,
     "corpus_sample_stratified" -> corpusSampleStratified,
     "dedup_decontaminate" -> dedupDecontaminate,
-    "text_bigram_pmi" -> textBigramPmi)
+    "text_bigram_pmi" -> textBigramPmi,
+    "text_bigram_logprob" -> textBigramLogprob)
 
   /** BM25 oracle — generated from the same constants as the Spark side
     * so the term list and every float literal stay in lock-step. */
@@ -568,6 +597,19 @@ object TextOps {
               CROSS JOIN tot t
          WHERE b.n_ab >= $PmiMinCount
          ORDER BY pmi6 DESC, b.w1, b.w2 LIMIT $PmiTopK""",
+    "text_bigram_logprob" ->
+      """WITH big AS (
+           SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                unnest(generate_series(1, len(t) - 1)) u(i)
+           WHERE len(t) >= 2),
+         ab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY 1, 2),
+         fst AS (SELECT w1, COUNT(*) AS n_a FROM big GROUP BY 1)
+         SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           round(SUM(ln(CAST(a.n_ab AS DOUBLE) / f.n_a)) / COUNT(*), 6) AS avg_logprob6
+         FROM big b JOIN ab a ON b.w1 = a.w1 AND b.w2 = a.w2
+              JOIN fst f ON b.w1 = f.w1
+         GROUP BY b.doc_id""",
     "corpus_sample_stratified" ->
       s"""SELECT lang, doc_id, h52, rk FROM (
            SELECT lang, doc_id, h52,

@@ -86,6 +86,21 @@ class TextRetrievalSpec extends SparkSpec {
     assert(adj == nAb && adj >= TextOps.PmiMinCount, s"($w1,$w2): adj=$adj n_ab=$nAb")
   }
 
+  test("bigram logprob is nonpositive and covers every bigram instance") {
+    val rows = SparkEntry.queries("text_bigram_logprob")(spark, dir)
+      .select("doc_id", "n_bigrams", "avg_logprob6").collect()
+    assert(rows.length == 500)
+    val nTokens = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == nTokens(r.getLong(0)) - 1,
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} bigrams from ${nTokens(r.getLong(0))} tokens")
+      // every p(w2|w1) <= 1, so the average log cannot be positive
+      assert(r.getDouble(2) <= 0.0)
+    }
+  }
+
   test("stratified sample meets the exact per-language quota and matches the single-window form") {
     val out = SparkEntry.queries("corpus_sample_stratified")(spark, dir)
     val counts = out.groupBy("lang").count().collect()
