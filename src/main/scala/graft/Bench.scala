@@ -26,8 +26,11 @@ object Bench {
     // user workload)
     "dedup_cluster_reps", "corpus_curation",
     // round 4 (late): the retrieval pair — the vocabulary-join TF-IDF
-    // ranking and the broadcast-stats BM25 scorer
-    "text_tfidf_top_terms", "bm25_topk")
+    // ranking and the broadcast-stats BM25 scorer — plus the broadcast
+    // heldout decontamination screen and the double-vocabulary-join LM
+    // quality filter
+    "text_tfidf_top_terms", "bm25_topk",
+    "dedup_decontaminate", "text_bigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
