@@ -49,6 +49,27 @@ object DocStreams {
         col("x.bi").as("bi"))
   }
 
+  /** Streaming decontamination screen — the ingest-time form of
+    * [[graft.ops.TextOps.dedupDecontaminate]]: each arriving document's
+    * in-row 8-gram spans join the (small, static) held-out benchmark
+    * n-gram set, which Spark broadcasts into every micro-batch — a
+    * map-side stream-static join, completely STATELESS (benchmark
+    * updates are a redeploy, not a state migration; distinct
+    * aggregations are unsupported over streams anyway, and a
+    * contamination hit is actionable per-row). Emits one
+    * (doc_id, ngram, h_id) row per hit; downstream aggregation to the
+    * batch screen's (n_shared, n_heldout_docs) is a batch concern —
+    * the spec pins that equivalence. */
+  def decontaminationScreen(docs: DataFrame, heldoutGrams: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+        .as("ngram"))
+      .join(broadcast(heldoutGrams), "ngram")
+      .select(col("doc_id"), col("ngram"), col("h_id"))
+
   /** Streaming corpus curation — the ingest-time form of the batch
     * capstone (graft.ops.TextOps.corpusCuration): exact-dedup election
     * via streaming dropDuplicates on the content fingerprint (state:

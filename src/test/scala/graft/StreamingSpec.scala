@@ -185,6 +185,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination hits aggregate to the batch screen exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val bucket = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.expr(
+        "cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"),
+      org.apache.spark.sql.functions.lit(100L))
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .withColumn("bucket", bucket)
+    val heldoutGrams = all.filter(s"bucket >= ${graft.ops.TextOps.HeldoutBucket}")
+      .withColumn("tk", org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " "))
+      .filter("size(tk) >= 8")
+      .selectExpr("doc_id AS h_id",
+        "explode(transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))) AS ngram")
+      .select("ngram", "h_id").distinct()
+    val train = all.filter(s"bucket < ${graft.ops.TextOps.HeldoutBucket}")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.decontaminationScreen(
+        input.toDF().toDF("doc_id", "text"), heldoutGrams)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = train.splitAt(train.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("decontam")
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.countDistinct("ngram").as("n_shared"),
+          org.apache.spark.sql.functions.countDistinct("h_id").as("n_heldout_docs"))
+      val batch = SparkEntry.queries("dedup_decontaminate")(spark, dir)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming curation emits exactly the batch capstone's kept documents") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
