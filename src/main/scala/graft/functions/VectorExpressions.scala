@@ -354,6 +354,85 @@ object ShingleHashes {
   }
 }
 
+/** Per-document term frequencies as map<token, count> in ONE pass over
+  * the UTF-8 bytes — the native form of the retrieval pipeline's
+  * `transform(array_distinct(tk), x -> (x, size(filter(tk, y -> y =
+  * x))))` idiom, which is O(distinct·length) per document in
+  * interpreted lambdas (measured 0.76 s vs 0.46 s for even an
+  * explode+groupBy at sf0.1 — and the groupBy form shuffles the whole
+  * token table, which is exactly what the per-row discipline avoids at
+  * 100 TB). Same split-on-single-space token semantics as the sibling
+  * expressions; counts cover every occurrence, keys are distinct by
+  * construction. Token keys are copied out of the (possibly reused)
+  * input buffer once per DISTINCT token.
+  */
+case class TokenTf(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.MapType(
+    org.apache.spark.sql.types.StringType,
+    org.apache.spark.sql.types.IntegerType, valueContainsNull = false)
+  override def prettyName: String = "token_tf"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_tf requires string input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenTf.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenTf.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTf =
+    copy(child = newChild)
+}
+
+object TokenTf {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // LinkedHashMap: deterministic (first-occurrence) key order in the
+    // emitted map — irrelevant to consumers that explode, but it keeps
+    // results stable for direct display/tests
+    val counts = new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, Int]()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val view = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, start, i - start)
+        val prev: Int = counts.getOrDefault(view, 0)
+        if (prev == 0) {
+          // copy once per distinct token: the input buffer may be reused
+          counts.put(org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(java.util.Arrays.copyOfRange(bytes, start, i)), 1)
+        } else counts.put(view, prev + 1)
+        start = i + 1
+      }
+      i += 1
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = e.getKey; vals(k) = e.getValue
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+}
+
 /** Optimizer rule: rewrite the built-in higher-order-function self-dot
   * pattern `aggregate(zip_with(v, v, (x,y) -> x*y), 0D, (a,x) -> a+x)`
   * into the codegen'd [[VecDot]] — users writing the idiomatic HOF form
@@ -411,6 +490,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("token_tf"),
+      new ExpressionInfo(classOf[TokenTf].getName, "token_tf"),
+      (children: Seq[Expression]) => TokenTf(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsOfWindowRewrite)

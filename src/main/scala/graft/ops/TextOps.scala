@@ -219,12 +219,20 @@ object TextOps {
   val textTfidfTopTerms: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    val tf = docs
-      .withColumn("tk", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        "transform(array_distinct(tk), x -> struct(x AS tk, size(filter(tk, y -> y = x)) AS tf))"))
-        .as("p"))
-      .select(col("doc_id"), col("p.tk").as("tk"), col("p.tf").cast("long").as("tf"))
+    // per-doc term frequencies stay IN-ROW (no token-table shuffle):
+    // natively via token_tf (one pass over the bytes) when the session
+    // registered it, else the O(distinct·length) HOF idiom — identical
+    // counts (MinhashSigSpec pins the parity)
+    val tf =
+      if (s.catalog.functionExists("token_tf"))
+        docs.select(col("doc_id"), explode(expr("token_tf(text)")))
+          .select(col("doc_id"), col("key").as("tk"), col("value").cast("long").as("tf"))
+      else docs
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(array_distinct(tk), x -> struct(x AS tk, size(filter(tk, y -> y = x)) AS tf))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.tk").as("tk"), col("p.tf").cast("long").as("tf"))
     val dfTable = tf.groupBy("tk").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("tk"))

@@ -66,6 +66,27 @@ class MinhashSigSpec extends SparkSpec {
     assert(r4 == 1)
   }
 
+  test("native token_tf matches the HOF term-frequency idiom") {
+    assert(spark.catalog.functionExists("token_tf"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val native = docs.select(col("doc_id"), explode(expr("token_tf(text)")))
+      .select(col("doc_id"), col("key").as("tk"), col("value").as("tf"))
+    val hof = docs.withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(array_distinct(tk), x -> struct(x AS tk, size(filter(tk, y -> y = x)) AS tf))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.tk").as("tk"), col("p.tf").as("tf"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+
+    import spark.implicits._
+    val edge = Seq((1L, "a a  b"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val e = edge.select(col("doc_id"), explode(expr("token_tf(text)")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // "a a  b": a×2, empty token ×1 (doubled space), b×1; "" is one empty token
+    assert(e == Set((1L, "a", 2), (1L, "", 1), (1L, "b", 1), (2L, "", 1), (3L, "x", 1)))
+  }
+
   test("the 16 column extracts evaluate the signature once, not 16 times") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
