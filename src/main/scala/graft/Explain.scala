@@ -1,16 +1,28 @@
 package graft
+
+/** Plan printer: `runMain graft.Explain q1_agg dedup_minhash_lsh …`
+  * prints each named catalog query's AQE-FINAL formatted physical plan
+  * (the query is executed first — see NOTES_r4.md: the pre-execution
+  * plan hides the joins AQE actually picks). Loads the GraftExtensions
+  * so native functions and the as-of strategy appear exactly as they
+  * do in Verify/Bench. tools/dump_plans.sh turns this into the
+  * committed PLANS_r*.md audit artifact. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (n <- args) {
       println(s"########## $n")
-      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+      val df = SparkEntry.queries(n)(spark, dir)
+      df.collect() // finalize AQE so the real joins/exchanges are shown
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
     spark.stop()
   }
