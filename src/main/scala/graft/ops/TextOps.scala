@@ -219,20 +219,7 @@ object TextOps {
   val textTfidfTopTerms: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    // per-doc term frequencies stay IN-ROW (no token-table shuffle):
-    // natively via token_tf (one pass over the bytes) when the session
-    // registered it, else the O(distinct·length) HOF idiom — identical
-    // counts (MinhashSigSpec pins the parity)
-    val tf =
-      if (s.catalog.functionExists("token_tf"))
-        docs.select(col("doc_id"), explode(expr("token_tf(text)")))
-          .select(col("doc_id"), col("key").as("tk"), col("value").cast("long").as("tf"))
-      else docs
-        .withColumn("tk", split(col("text"), " "))
-        .select(col("doc_id"), explode(expr(
-          "transform(array_distinct(tk), x -> struct(x AS tk, size(filter(tk, y -> y = x)) AS tf))"))
-          .as("p"))
-        .select(col("doc_id"), col("p.tk").as("tk"), col("p.tf").cast("long").as("tf"))
+    val tf = termFreqRows(docs)
     val dfTable = tf.groupBy("tk").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("tk"))
@@ -311,6 +298,59 @@ object TextOps {
 
   val corpusSampleStratified: Q = (s, dir) =>
     stratifiedSample(t(s, dir, "documents"), StratQuota)
+
+  /** Per-document (token, tf) rows, computed IN-ROW (no token-table
+    * shuffle): natively via token_tf when registered, else the HOF
+    * idiom — identical counts (MinhashSigSpec). */
+  private[graft] def termFreqRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (docs.sparkSession.catalog.functionExists("token_tf"))
+      docs.select(col("doc_id"), explode(expr("token_tf(text)")))
+        .select(col("doc_id"), col("key").as("tk"), col("value").cast("long").as("tf"))
+    else docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(array_distinct(tk), x -> struct(x AS tk, size(filter(tk, y -> y = x)) AS tf))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.tk").as("tk"), col("p.tf").cast("long").as("tf"))
+
+  /** Persist the corpus vocabulary statistics (per token: document
+    * frequency and total occurrences) as a table BUCKETED by token —
+    * the [[graft.ops.DedupOps.writeBandIndex]] move for the retrieval
+    * family. TF-IDF, BM25 and LM scoring all join the vocabulary on
+    * the token; at 100 TB that vocabulary is itself a large table
+    * recomputed identically by every job, so persisting it bucketed
+    * makes every subsequent scoring run (a) skip the corpus-wide df
+    * aggregation and (b) read the vocab side of the join in place with
+    * NO exchange (BucketingSpec pins the shuffle-free scan). Refresh
+    * is a batch job, exactly like the band index. */
+  def writeVocabIndex(docs: org.apache.spark.sql.DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    termFreqRows(docs)
+      .groupBy("tk")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("n_total"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "tk").sortBy("tk")
+      .saveAsTable(table)
+
+  /** TF-IDF top terms probing a persisted [[writeVocabIndex]] table:
+    * identical scores to [[textTfidfTopTerms]] (same tf rows, same
+    * round-6 ln ranking) with the df side coming from the bucketed
+    * vocabulary instead of an inline corpus aggregation. `nDocs` is
+    * the corpus size the vocabulary was built from — the caller owns
+    * it because the probed `docs` may be any subset (a new batch
+    * scored against yesterday's vocabulary). */
+  def tfidfAgainstVocab(s: org.apache.spark.sql.SparkSession, docs: org.apache.spark.sql.DataFrame,
+      vocabTable: String, nDocs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("tk"))
+    termFreqRows(docs)
+      .join(s.table(vocabTable).select("tk", "df"), "tk")
+      .withColumn("tfidf6",
+        round(col("tf") * log(lit(nDocs).cast("double") / col("df")), 6))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= TfIdfTopK)
+      .select(col("doc_id"), col("tk"), col("tf"), col("df"), col("tfidf6"))
+  }
 
   /** Test-set decontamination — the cross-set twin of
     * [[dedupCommonNgrams]]: flag TRAINING documents sharing any exact

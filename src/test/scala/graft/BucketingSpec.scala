@@ -51,6 +51,33 @@ class BucketingSpec extends SparkSpec {
     spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("persisted vocab index: tfidf probe reads the vocab in place and matches inline") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.ops.TextOps.writeVocabIndex(docs, "bkt.vocab")
+    val probed = graft.ops.TextOps.tfidfAgainstVocab(
+      spark, docs, "bkt.vocab", docs.count())
+    // the vocabulary side of the join must read its buckets in place
+    val plan = probed.queryExecution.executedPlan
+    val joinNode = plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joinNode.isDefined, plan.treeString)
+    val rightShuffles = joinNode.get.right.collect { case e: ShuffleExchangeExec => e }
+    assert(rightShuffles.isEmpty,
+      s"vocab side must not shuffle:\n${joinNode.get.right.treeString}")
+    // and the scores equal the self-contained catalog query's
+    val inline = SparkEntry.queries("text_tfidf_top_terms")(spark, dir)
+    assert(probed.exceptAll(inline).isEmpty && inline.exceptAll(probed).isEmpty)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("persisted band index: incremental probe does not shuffle the corpus") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
