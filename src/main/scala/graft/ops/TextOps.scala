@@ -244,13 +244,12 @@ object TextOps {
   private[graft] val Bm25B = 0.75
   private[graft] val Bm25Terms = Seq("spark", "window", "merge")
   private[graft] val Bm25TopK = 10
-  val bm25TopDocs: Q = (s, dir) => {
-    val docs = t(s, dir, "documents").withColumn("tk", split(col("text"), " "))
-    val aggs = sum(size(col("tk")).cast("long")).as("sum_dl") +:
-      Bm25Terms.map(q =>
-        count(when(array_contains(col("tk"), q), 1)).as(s"df_$q"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), aggs: _*)
-    val scored = docs.crossJoin(broadcast(stats))
+  /** Score + rank given docs-with-tk crossJoined to a one-row stats
+    * frame carrying (n_docs, sum_dl, df_<term>…) — shared by the
+    * self-contained catalog query and the vocab-index probe so the
+    * float arithmetic can never diverge between them. */
+  private def bm25Rank(withStats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = withStats
       .withColumn("dl", size(col("tk")).cast("long"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
     val termScore = Bm25Terms.map { q =>
@@ -265,6 +264,36 @@ object TextOps {
       .orderBy(col("bm25_6").desc, col("doc_id"))
       .limit(Bm25TopK)
       .select(col("doc_id"), col("bm25_6"))
+  }
+
+  val bm25TopDocs: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").withColumn("tk", split(col("text"), " "))
+    val aggs = sum(size(col("tk")).cast("long")).as("sum_dl") +:
+      Bm25Terms.map(q =>
+        count(when(array_contains(col("tk"), q), 1)).as(s"df_$q"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    bm25Rank(docs.crossJoin(broadcast(stats)))
+  }
+
+  /** BM25 probing a persisted [[writeVocabIndex]] table: every corpus
+    * statistic BM25 needs is already in the index — per-term df
+    * directly, and Σdl = Σ n_total (total token occurrences ARE the
+    * summed document lengths) — so the probe touches the corpus only
+    * for the documents being scored. Identical scores to
+    * [[bm25TopDocs]] over the same corpus (shared [[bm25Rank]]; the
+    * spec pins the equality). A term absent from the vocabulary gets
+    * df = 0, matching the self-contained aggregation. */
+  def bm25AgainstVocab(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, vocabTable: String,
+      nDocs: Long): org.apache.spark.sql.DataFrame = {
+    val vocab = s.table(vocabTable)
+    val aggs = sum(col("n_total")).cast("long").as("sum_dl") +:
+      Bm25Terms.map(q =>
+        coalesce(max(when(col("tk") === q, col("df"))), lit(0L)).as(s"df_$q"))
+    val stats = vocab.agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_docs", lit(nDocs))
+    bm25Rank(docs.withColumn("tk", split(col("text"), " "))
+      .crossJoin(broadcast(stats)))
   }
 
   /** Stratified per-language sample with an EXACT quota, as the salted

@@ -74,6 +74,14 @@ class BucketingSpec extends SparkSpec {
     // and the scores equal the self-contained catalog query's
     val inline = SparkEntry.queries("text_tfidf_top_terms")(spark, dir)
     assert(probed.exceptAll(inline).isEmpty && inline.exceptAll(probed).isEmpty)
+
+    // BM25 from the same index: df and sum(n_total)=Σdl come straight
+    // from the vocab — scores must equal the self-contained query's
+    val bm25Probed = graft.ops.TextOps.bm25AgainstVocab(
+      spark, docs, "bkt.vocab", docs.count())
+    val bm25Inline = SparkEntry.queries("bm25_topk")(spark, dir)
+    assert(bm25Probed.exceptAll(bm25Inline).isEmpty &&
+      bm25Inline.exceptAll(bm25Probed).isEmpty)
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.enabled")
   }
