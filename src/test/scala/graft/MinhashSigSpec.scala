@@ -87,6 +87,44 @@ class MinhashSigSpec extends SparkSpec {
     assert(e == Set((1L, "a", 2), (1L, "", 1), (1L, "b", 1), (2L, "", 1), (3L, "x", 1)))
   }
 
+  test("byte-scanning expressions match HOF forms on multibyte unicode text") {
+    // the corpus is ASCII-only, so this is the only coverage of the
+    // UTF-8 premise all three native expressions rely on: 0x20 never
+    // occurs inside a multibyte sequence (continuation bytes >= 0x80)
+    import spark.implicits._
+    val vocab = Vector("the", "Straße", "北京大学", "naïve", "🚀🌍", "résumé",
+      "λόγος", "データ", "a", "", "x1", "мир")
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 200L).map { id =>
+      val n = 3 + rnd.nextInt(12)
+      (id, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  "))
+    }.toDF("doc_id", "text")
+
+    val sigN = DedupOps.minhashSigFromText(docs)
+    val sigH = DedupOps.minhashSigHof(docs)
+    assert(sigN.exceptAll(sigH).isEmpty && sigH.exceptAll(sigN).isEmpty)
+
+    val shN = docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr("shingle_hashes(text, 3)").as("ss"))
+    val shH = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(t)-3), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', slice(t, i+1, 3))), 1, 13), 16, 10) as bigint)))")
+        .as("ss"))
+    assert(shN.exceptAll(shH).isEmpty && shH.exceptAll(shN).isEmpty)
+
+    val tfN = docs.select(col("doc_id"), explode(expr("token_tf(text)")))
+      .select(col("doc_id"), col("key"), col("value"))
+    val tfH = docs.withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(array_distinct(tk), x -> struct(x AS key, size(filter(tk, y -> y = x)) AS value))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.key").as("key"), col("p.value").as("value"))
+    assert(tfN.exceptAll(tfH).isEmpty && tfH.exceptAll(tfN).isEmpty)
+  }
+
   test("the 16 column extracts evaluate the signature once, not 16 times") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
