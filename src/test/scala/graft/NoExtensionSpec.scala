@@ -57,6 +57,20 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getString(1).forall(c => c == '0' || c == '1')))
   }
 
+  test("dedup and retrieval queries degrade to the HOF token pipelines") {
+    assert(!spark.catalog.functionExists("minhash_sig"))
+    assert(!spark.catalog.functionExists("shingle_hashes"))
+    assert(!spark.catalog.functionExists("token_tf"))
+    Seq("dedup_minhash_lsh", "dedup_ngram_jaccard_capped",
+      "text_tfidf_top_terms", "dedup_incremental").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(df.count() > 0, q)
+      val plan = df.queryExecution.executedPlan.toString
+      Seq("minhash_sig", "shingle_hashes", "token_tf").foreach(fn =>
+        assert(!plan.contains(fn), s"$q still plans $fn"))
+    }
+  }
+
   test("window as-of idiom stays a window (no rewrite) and still computes") {
     val df = SparkEntry.queries("asof_join_signup")(spark, sfDir)
     df.collect()
