@@ -458,18 +458,26 @@ object DedupOps {
     * the lineage at each round boundary; the label table is a few longs
     * per clustered doc, so executor-local storage is trivial. On a real
     * cluster prefer a reliable checkpoint dir (or accept
-    * recompute-from-scratch on executor loss — each round is cheap). */
+    * recompute-from-scratch on executor loss — each round is cheap).
+    *
+    * All checkpoints are LAZY: the per-round changed-count action
+    * materializes the round's checkpoint inside its own job, so each
+    * round schedules ONE job instead of two (eager-checkpoint job +
+    * count job). Measured NEUTRAL at sf0.1 (~1.9 s either way — the
+    * shuffle stages, not job-submission overhead, dominate there) but
+    * kept: half the driver-side job barriers is strictly less
+    * scheduling surface for a contended cluster, at zero cost. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("a", "b")
       .union(pairs.toDF("a", "b").select(col("b"), col("a")))
-      .toDF("src", "dst").localCheckpoint()
+      .toDF("src", "dst").localCheckpoint(eager = false)
     // the first propagation round fused into initialization: starting
     // from label=self, round 1 would compute exactly
     // min(self, direct neighbors) — one groupBy over the edge list
     // does that without the round's two joins
     var labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
       .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
@@ -490,7 +498,7 @@ object DedupOps {
           col("x.label").as("prev"))
       val next = jump.union(prop)
         .groupBy("doc_id").agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select("doc_id", "label")
       rounds += 1

@@ -142,8 +142,10 @@ object MigrationOps {
   }
 
   /** Bulk CSV ingest (reference: tests/test_clickhouse_migration.py:101 —
-    * gzip CSV with header; Spark reads gzip transparently). Rows-only
-    * check (no oracle): DuckDB-side CSV path access isn't guaranteed. */
+    * gzip CSV with header; Spark reads gzip transparently). Oracle:
+    * DuckDB reads the same gzip file natively via read_csv_auto, so the
+    * reference's own largest workload is hash-checked, not just
+    * row-counted. */
   val csvIngest: Q = (s, _) =>
     s.read.option("header", "true").schema("id INT, name INT")
       .csv("/root/reference/tests/migrations_seq/test.csv.gz")
@@ -229,5 +231,9 @@ object MigrationOps {
            SELECT CASE WHEN l_quantity > 30 THEN 0 ELSE 1 END AS enabled,
              CASE WHEN l_quantity > 30 THEN 0 ELSE 1 END AS guard
            FROM lineitem)
-         GROUP BY enabled, guard""")
+         GROUP BY enabled, guard""",
+    "csv_ingest" ->
+      """SELECT COUNT(*) AS n_total,
+         COUNT(CASE WHEN name > 3000 THEN 1 END) AS n_gt3000
+         FROM read_csv_auto('/root/reference/tests/migrations_seq/test.csv.gz')""")
 }

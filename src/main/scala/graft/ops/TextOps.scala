@@ -93,16 +93,33 @@ object TextOps {
   val corpusCuration: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val byFp = Window.partitionBy(md5(col("text")))
-    t(s, dir, "documents")
-      .withColumn("tk", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("tk")).cast("long"))
-      .withColumn("stop_ratio",
-        expr("size(filter(tk, x -> x = 'the' or x = 'a' or x = 'of'))").cast("double")
-          / col("n_tokens"))
+    val base = t(s, dir, "documents")
+    // All four marker counts (stopwords + the three language votes) come
+    // from ONE token_tf map pass + O(1) lookups when the native
+    // expression is registered; the fallback is the four-HOF-scan idiom
+    // the oracle mirrors. Counts are identical by construction (token_tf
+    // counts every occurrence with split-on-single-space semantics), so
+    // the two paths cannot diverge.
+    val counted =
+      if (s.catalog.functionExists("token_tf"))
+        base.withColumn("m", expr("token_tf(text)"))
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("n_stop",
+            expr("coalesce(m['the'], 0) + coalesce(m['a'], 0) + coalesce(m['of'], 0)").cast("long"))
+          .withColumn("n_en", expr("coalesce(m['the'], 0) + coalesce(m['a'], 0)").cast("long"))
+          .withColumn("n_de", expr("coalesce(m['der'], 0) + coalesce(m['die'], 0)").cast("long"))
+          .withColumn("n_fr", expr("coalesce(m['le'], 0) + coalesce(m['la'], 0)").cast("long"))
+      else
+        base.withColumn("tk", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("tk")).cast("long"))
+          .withColumn("n_stop",
+            expr("size(filter(tk, x -> x = 'the' or x = 'a' or x = 'of'))").cast("long"))
+          .withColumn("n_en", expr("size(filter(tk, x -> x = 'the' or x = 'a'))").cast("long"))
+          .withColumn("n_de", expr("size(filter(tk, x -> x = 'der' or x = 'die'))").cast("long"))
+          .withColumn("n_fr", expr("size(filter(tk, x -> x = 'le' or x = 'la'))").cast("long"))
+    counted
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("len_ok", when(col("n_tokens").between(20, 80), 1).otherwise(0))
-      .withColumn("n_en", expr("size(filter(tk, x -> x = 'the' or x = 'a'))").cast("long"))
-      .withColumn("n_de", expr("size(filter(tk, x -> x = 'der' or x = 'die'))").cast("long"))
-      .withColumn("n_fr", expr("size(filter(tk, x -> x = 'le' or x = 'la'))").cast("long"))
       .withColumn("pred_lang",
         when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
           .when(col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
@@ -244,16 +261,39 @@ object TextOps {
   private[graft] val Bm25B = 0.75
   private[graft] val Bm25Terms = Seq("spark", "window", "merge")
   private[graft] val Bm25TopK = 10
-  /** Score + rank given docs-with-tk crossJoined to a one-row stats
-    * frame carrying (n_docs, sum_dl, df_<term>…) — shared by the
-    * self-contained catalog query and the vocab-index probe so the
-    * float arithmetic can never diverge between them. */
+  /** Per-document (doc_id, dl, tf_<term>…) columns for a fixed query
+    * term list. Natively: ONE token_tf map pass + an O(1) lookup per
+    * term — the fix for the three-interpreted-HOF-scans-per-document
+    * cost the per-term `size(filter(tk, …))` idiom paid (the same
+    * measured win `token_tf` gave tf-idf; NOTES_r4). Fallback when the
+    * extension is absent: that HOF idiom, identical counts by
+    * construction (token_tf counts every occurrence with
+    * split-on-single-space semantics), so the two paths cannot
+    * diverge and the shared oracle covers both. */
+  private def perDocTermCols(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (docs.sparkSession.catalog.functionExists("token_tf"))
+      docs.withColumn("m", expr("token_tf(text)"))
+        .select(col("doc_id") +:
+          size(split(col("text"), " ")).cast("long").as("dl") +:
+          terms.map(q =>
+            expr(s"coalesce(m['$q'], 0)").cast("long").as(s"tf_$q")): _*)
+    else
+      docs.withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id") +:
+          size(col("tk")).cast("long").as("dl") +:
+          terms.map(q =>
+            expr(s"size(filter(tk, x -> x = '$q'))").cast("long").as(s"tf_$q")): _*)
+
+  /** Score + rank given per-doc (dl, tf_<term>…) columns crossJoined to
+    * a one-row stats frame carrying (n_docs, sum_dl, df_<term>…) —
+    * shared by the self-contained catalog query and the vocab-index
+    * probe so the float arithmetic can never diverge between them. */
   private def bm25Rank(withStats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val scored = withStats
-      .withColumn("dl", size(col("tk")).cast("long"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
     val termScore = Bm25Terms.map { q =>
-      val tf = expr(s"cast(size(filter(tk, x -> x = '$q')) as double)")
+      val tf = col(s"tf_$q").cast("double")
       val idf = log(lit(1.0) +
         (col("n_docs") - col(s"df_$q") + lit(0.5)) / (col(s"df_$q") + lit(0.5)))
       idf * (tf * lit(Bm25K1 + 1)) /
@@ -267,12 +307,13 @@ object TextOps {
   }
 
   val bm25TopDocs: Q = (s, dir) => {
-    val docs = t(s, dir, "documents").withColumn("tk", split(col("text"), " "))
-    val aggs = sum(size(col("tk")).cast("long")).as("sum_dl") +:
-      Bm25Terms.map(q =>
-        count(when(array_contains(col("tk"), q), 1)).as(s"df_$q"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), aggs: _*)
-    bm25Rank(docs.crossJoin(broadcast(stats)))
+    val perDoc = perDocTermCols(t(s, dir, "documents"), Bm25Terms)
+    // df_<term> = docs with tf > 0: identical to the array_contains
+    // membership count the previous form aggregated
+    val aggs = sum(col("dl")).as("sum_dl") +:
+      Bm25Terms.map(q => count(when(col(s"tf_$q") > 0, 1)).as(s"df_$q"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    bm25Rank(perDoc.crossJoin(broadcast(stats)))
   }
 
   /** BM25 probing a persisted [[writeVocabIndex]] table: every corpus
@@ -292,8 +333,7 @@ object TextOps {
         coalesce(max(when(col("tk") === q, col("df"))), lit(0L)).as(s"df_$q"))
     val stats = vocab.agg(aggs.head, aggs.tail: _*)
       .withColumn("n_docs", lit(nDocs))
-    bm25Rank(docs.withColumn("tk", split(col("text"), " "))
-      .crossJoin(broadcast(stats)))
+    bm25Rank(perDocTermCols(docs, Bm25Terms).crossJoin(broadcast(stats)))
   }
 
   /** Stratified per-language sample with an EXACT quota, as the salted

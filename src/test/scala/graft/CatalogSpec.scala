@@ -31,7 +31,11 @@ class CatalogSpec extends AnyFunSuite {
 
   test("rows-only queries (no oracle) are the documented exceptions only") {
     val rowsOnly = queryKeys.toSet -- oracleKeys.toSet
-    assert(rowsOnly == Set("csv_ingest", "approx_distinct"),
+    // approx_distinct is the single remaining rows-only entry: HLL
+    // sketch estimates are engine-specific by design. csv_ingest gained
+    // a real oracle in round 5 (DuckDB read_csv_auto over the same
+    // gzip file).
+    assert(rowsOnly == Set("approx_distinct"),
       s"unexpected rows-only queries: ${rowsOnly.mkString(", ")}")
   }
 
