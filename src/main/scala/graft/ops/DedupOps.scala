@@ -390,6 +390,49 @@ object DedupOps {
       .distinct()
   }
 
+  /** The streaming incremental screen surfaced into the CORRECTNESS
+    * gate: EXECUTES [[graft.streaming.DocStreams.incrementalScreen]] as
+    * a real Structured Streaming query — file-source stream over the
+    * same parquet table, memory sink — probing the persisted
+    * [[writeBandIndex]] table, then returns the sink contents. The
+    * oracle is [[dedupIncremental]]'s candidate-pair CTE chain (the
+    * stage before signature verification, which is what the screen
+    * emits), so the driver's gate pins stream == batch == oracle —
+    * previously only StreamingSpec asserted the first equality. The
+    * 1/5 doc_id split mirrors [[dedupIncremental]] and StreamingSpec. */
+  val dedupIncrementalStreamTwin: Q = (s, dir) => {
+    val all = docs(s, dir)
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_stream_twin")
+    if (!s.catalog.tableExists("graft_stream_twin.band_index")) {
+      // the session catalog is in-memory but the warehouse directory is
+      // not: a previous JVM's managed-table location would block CREATE,
+      // so purge any orphaned directory before (re)building the index
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_stream_twin.db/band_index")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    writeBandIndex(all.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "graft_stream_twin.band_index")
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    // the testdata table is a single FILE and the file stream source
+    // requires a directory: stream the sf directory with a glob pinned
+    // to exactly that file
+    val newDocs = s.readStream.schema(sch)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val sink = "graft_stream_twin_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.DocStreams
+      .incrementalScreen(newDocs, "graft_stream_twin.band_index")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+      .select(col("doc_id").as("new_id"), col("existing_id"), col("bi"))
+      .distinct()
+  }
+
   /** Band-bucket occupancy distribution: per band, how many buckets hold
     * n documents. The observability twin of the [[MinhashMaxBucket]] cap
     * — a skewed bucket (the one that would dominate the band join at
@@ -706,6 +749,7 @@ object DedupOps {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_band_occupancy" -> minhashBandOccupancy,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_stream_twin" -> dedupIncrementalStreamTwin,
     "cross_source_overlap" -> crossSourceOverlap,
     "dedup_cluster_reps" -> dedupClusterReps,
     "dedup_simhash" -> dedupSimhash,
@@ -864,6 +908,18 @@ object DedupOps {
           JOIN sig sb ON c.existing_id = sb.doc_id
           WHERE ${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")}
             >= $MinhashClusterMatches""",
+    "dedup_incremental_stream_twin" ->
+      s"""WITH sig AS ($sigSql),
+          band AS (
+            $bandSql),
+          existing AS (SELECT * FROM band WHERE doc_id % 5 <> 0),
+          newb AS (SELECT * FROM band WHERE doc_id % 5 = 0),
+          hot AS (SELECT bi, bh FROM (SELECT bi, bh, COUNT(*) AS n_docs
+                  FROM existing GROUP BY bi, bh) WHERE n_docs > $MinhashMaxBucket),
+          kept AS (SELECT * FROM existing e WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h WHERE h.bi = e.bi AND h.bh = e.bh))
+          SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS existing_id, x.bi AS bi
+          FROM newb x JOIN kept y ON x.bi = y.bi AND x.bh = y.bh""",
     "dedup_cluster_reps" ->
       s"""$clusterCtePrefix
           SELECT doc AS doc_id, MIN(lab) AS cluster_rep FROM reach GROUP BY doc""",
