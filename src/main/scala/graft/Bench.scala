@@ -30,7 +30,10 @@ object Bench {
     // heldout decontamination screen and the double-vocabulary-join LM
     // quality filter
     "text_tfidf_top_terms", "bm25_topk",
-    "dedup_decontaminate", "text_bigram_logprob")
+    "dedup_decontaminate", "text_bigram_logprob",
+    // round 5: the Gopher-family repetition signals (in-row token
+    // stats + per-doc bigram heavy hitter)
+    "text_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

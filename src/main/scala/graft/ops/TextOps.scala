@@ -153,6 +153,49 @@ object TextOps {
         (col("n_rare").cast("double") / col("n_distinct")).as("rare_ratio"))
   }
 
+  /** Repetition/boilerplate quality signals — the Gopher-rule family a
+    * real LLM corpus filter applies (repetitious documents mark
+    * boilerplate, scraped templates, or generation loops): duplicate-
+    * token fraction (1 − distinct/total), most-common-token fraction,
+    * and most-common-bigram fraction. The token signals are IN-ROW —
+    * one native token_tf map pass (HOF fallback when the extension is
+    * absent, identical counts); the bigram mode needs per-doc heavy-
+    * hitter state, which is exactly a (doc_id, bigram) count + per-doc
+    * max — one shuffle keyed by the doc, no global vocabulary, no
+    * skew (partitions are per-document). Every ratio is a single
+    * division of exact integer counts — the exact-parity class, so no
+    * rounding is needed. */
+  val textRepetition: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+    val tokStats =
+      if (s.catalog.functionExists("token_tf"))
+        base.withColumn("m", expr("token_tf(text)"))
+          .select(col("doc_id"),
+            expr("aggregate(map_values(m), 0, (a, x) -> a + x)").cast("long").as("n_tokens"),
+            size(expr("map_keys(m)")).cast("long").as("n_distinct"),
+            expr("array_max(map_values(m))").cast("long").as("top_tf"))
+      else
+        base.withColumn("tk", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+            expr("array_max(transform(array_distinct(tk), x -> size(filter(tk, y -> y = x))))")
+              .cast("long").as("top_tf"))
+    val bigrams = base.withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("bg"))
+    val biStats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_bi"), sum(col("c")).cast("long").as("n_bigrams"))
+    tokStats.join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_token_frac"),
+        (col("top_tf").cast("double") / col("n_tokens")).as("top_token_frac"),
+        (col("top_bi").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
   /** Quality-aware cluster election — the curation decision a real
     * training-data job makes AFTER near-dup clustering: within each
     * near-dup cluster keep the highest-quality member (lexical
@@ -519,6 +562,7 @@ object TextOps {
     "token_regex_count" -> tokenRegexCount,
     "token_doc_freq_salted" -> tokenDocFreqSalted,
     "corpus_curation" -> corpusCuration,
+    "text_repetition" -> textRepetition,
     "text_rare_ratio" -> textRareRatio,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
@@ -628,6 +672,24 @@ object TextOps {
                  AND x.pred_lang <> 'und' AND x.stop_ratio <= 0.5
                 THEN 1 ELSE 0 END AS keep
          FROM x JOIN r ON x.fp = r.fp""",
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tf AS (SELECT doc_id, tk, COUNT(*) AS c FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+                GROUP BY doc_id, tk),
+         ts AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+                  MAX(c) AS top_tf FROM tf GROUP BY doc_id),
+         bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+                FROM tok, unnest(generate_series(1, len(t) - 1)) u(i)
+                WHERE len(t) >= 2),
+         bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+         bs AS (SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bigrams
+                FROM bc GROUP BY doc_id)
+         SELECT ts.doc_id, CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+           1.0 - CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens AS dup_token_frac,
+           CAST(ts.top_tf AS DOUBLE) / ts.n_tokens AS top_token_frac,
+           CAST(bs.top_bi AS DOUBLE) / bs.n_bigrams AS top_bigram_frac
+         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""",
     "text_rare_ratio" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tk

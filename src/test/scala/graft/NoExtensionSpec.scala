@@ -62,7 +62,9 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.functionExists("shingle_hashes"))
     assert(!spark.catalog.functionExists("token_tf"))
     Seq("dedup_minhash_lsh", "dedup_ngram_jaccard_capped",
-      "text_tfidf_top_terms", "dedup_incremental").foreach { q =>
+      "text_tfidf_top_terms", "dedup_incremental",
+      // round 5: token_tf map-lookup scoring paths
+      "bm25_topk", "corpus_curation", "text_repetition").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       assert(df.count() > 0, q)
       val plan = df.queryExecution.executedPlan.toString

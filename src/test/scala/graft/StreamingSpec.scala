@@ -254,6 +254,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup_incremental_stream_twin catalog entry equals the batch index probe") {
+    val dir = "/root/testdata/sf0.001"
+    // the catalog entry executes the REAL streaming query (file source →
+    // memory sink) and rebuilds the band index itself
+    val twin = graft.ops.DedupOps.dedupIncrementalStreamTwin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // batch probe of the index the entry just wrote, over the same split
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val batch = graft.ops.DedupOps.incrementalAgainstIndex(
+        spark, all.filter("doc_id % 5 = 0"), "graft_stream_twin.band_index")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(twin == batch,
+      s"twin-only: ${(twin -- batch).take(5)}, batch-only: ${(batch -- twin).take(5)}")
+    assert(twin.nonEmpty)
+    // idempotent re-run in the same session (Verify/Probe may call twice)
+    val again = graft.ops.DedupOps.dedupIncrementalStreamTwin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == twin)
+  }
+
   test("mapGroupsWithState sessionization") {
     import spark.implicits._
     implicit val s = spark
