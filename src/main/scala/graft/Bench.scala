@@ -32,8 +32,10 @@ object Bench {
     "text_tfidf_top_terms", "bm25_topk",
     "dedup_decontaminate", "text_bigram_logprob",
     // round 5: the Gopher-family repetition signals (in-row token
-    // stats + per-doc bigram heavy hitter)
-    "text_repetition")
+    // stats + per-doc bigram heavy hitter), winnowing fingerprint
+    // dedup (native rolling-hash + window-minima expression), and the
+    // two training-prep ops (in-row chunking, per-shard bin packing)
+    "text_repetition", "dedup_winnow", "doc_chunking", "corpus_pack_bins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

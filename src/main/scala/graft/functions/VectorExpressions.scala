@@ -354,6 +354,110 @@ object ShingleHashes {
   }
 }
 
+/** Distinct winnowing fingerprints over raw text — the native form of
+  * [[graft.ops.DedupOps.dedupWinnow]]'s higher-order-function pipeline,
+  * bit-identical by construction: POSITIONAL k-token shingle hashes
+  * (52-bit md5 values, same streaming construction as
+  * [[ShingleHashes]] but keeping duplicates — winnowing needs window
+  * positions), sliding-window minima over w consecutive hashes
+  * (monotonic-deque, O(n) total), then distinct in first-occurrence
+  * order (array_distinct semantics). What it removes versus the HOF
+  * form: the per-shingle string build + hex render + conv parse, and
+  * the w-element array_min lambda per window. Fewer than k + w − 1
+  * tokens yields an empty array (callers filter those rows).
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps requires string input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFps.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowFps.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  private val localMd: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val Space = Array[Byte](' ')
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // token boundaries, split-on-single-space semantics (empty kept)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        starts += start; ends += i
+        start = i + 1
+      }
+      i += 1
+    }
+    val nTok = starts.length
+    if (nTok < k + w - 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val md = localMd.get()
+    val m = nTok - k + 1
+    val hs = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(Space, 0, 1)
+        md.update(bytes, starts(p + j), ends(p + j) - starts(p + j))
+        j += 1
+      }
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hs(p) = (h << 4) | ((d(6) & 0xf0L) >>> 4)
+      p += 1
+    }
+    // sliding-window minima via monotonic deque (indices, increasing h)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    var idx = 0
+    while (idx < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(idx)) tail -= 1
+      deque(tail) = idx; tail += 1
+      if (deque(head) <= idx - w) head += 1
+      if (idx >= w - 1) seen.add(hs(deque(head)))
+      idx += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Per-document term frequencies as map<token, count> in ONE pass over
   * the UTF-8 bytes — the native form of the retrieval pipeline's
   * `transform(array_distinct(tk), x -> (x, size(filter(tk, y -> y =
@@ -490,6 +594,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => WinnowFps(children.head,
+        graft.ops.DedupOps.WinnowK, graft.ops.DedupOps.WinnowW)))
     ext.injectFunction((
       new FunctionIdentifier("token_tf"),
       new ExpressionInfo(classOf[TokenTf].getName, "token_tf"),

@@ -390,6 +390,70 @@ object DedupOps {
       .distinct()
   }
 
+  /** Winnowing fingerprints — the robust rolling-hash document
+    * fingerprinting of the plagiarism/dedup literature (local
+    * fingerprinting via per-window minima over consecutive shingle
+    * hashes; the guarantee: any shared run of at least
+    * k + w − 1 tokens produces at least one shared fingerprint, while
+    * only ~1/w of the shingles are kept). Here: k = [[WinnowK]]-token
+    * shingles hashed to 52-bit md5 values IN ORDER (positional, not
+    * the deduped [[graft.functions.ShingleHashes]] set — winnowing
+    * needs window positions), windows of [[WinnowW]] consecutive
+    * hashes, fingerprint = window minimum, per-doc distinct. Pairs
+    * sharing >= [[WinnowMinShared]] fingerprints rank as near-dup
+    * candidates. Scale shape: fingerprinting is in-row map-side work;
+    * the pair generation is the same inverted-index equi-join as the
+    * Jaccard family — co-occurring docs co-locate on the fingerprint,
+    * never an all-pairs product — with ~w× fewer index rows than the
+    * full shingle index; a max-df cap composes exactly as in
+    * [[dedupNgramJaccardCapped]]. */
+  private[graft] val WinnowK = 8
+  private[graft] val WinnowW = 4
+  private[graft] val WinnowMinShared = 2
+  private[graft] val WinnowTopK = 25
+  /** (doc_id, fp) winnowing fingerprint rows — native one-pass form
+    * (rolling shingle hash + monotonic-deque window minima) when
+    * registered, else the HOF form the oracle mirrors; bit-identical
+    * arrays by construction (MinhashSigSpec pins it). */
+  private[graft] def winnowFpRows(docsDf: DataFrame): DataFrame = {
+    val eligible = docsDf
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= WinnowK + WinnowW - 1)
+    if (docsDf.sparkSession.catalog.functionExists("winnow_fps"))
+      eligible.select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
+    else eligible
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, size(tk) - ${WinnowK - 1}),
+            i -> cast(conv(substring(md5(array_join(slice(tk, i, $WinnowK), ' ')), 1, 13), 16, 10) as bigint))"""))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(hs) - ${WinnowW - 1}), j -> array_min(slice(hs, j, $WinnowW)))")))
+        .as("fp"))
+  }
+
+  /** The HOF-only fingerprint ARRAY form — kept callable for the
+    * parity spec (first-occurrence order, array_distinct semantics). */
+  private[graft] def winnowFpArraysHof(docsDf: DataFrame): DataFrame =
+    docsDf
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= WinnowK + WinnowW - 1)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, size(tk) - ${WinnowK - 1}),
+            i -> cast(conv(substring(md5(array_join(slice(tk, i, $WinnowK), ' ')), 1, 13), 16, 10) as bigint))"""))
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(1, size(hs) - ${WinnowW - 1}), j -> array_min(slice(hs, j, $WinnowW)))"))
+        .as("fps"))
+
+  val dedupWinnow: Q = (s, dir) => {
+    val fps = winnowFpRows(docs(s, dir))
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("n_shared").desc, col("a"), col("b"))
+      .limit(WinnowTopK)
+  }
+
   /** The streaming incremental screen surfaced into the CORRECTNESS
     * gate: EXECUTES [[graft.streaming.DocStreams.incrementalScreen]] as
     * a real Structured Streaming query — file-source stream over the
@@ -746,6 +810,7 @@ object DedupOps {
     "dedup_exact_norm" -> dedupExactNorm,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped(JaccardMaxDf),
+    "dedup_winnow" -> dedupWinnow,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "minhash_band_occupancy" -> minhashBandOccupancy,
     "dedup_incremental" -> dedupIncremental,
@@ -908,6 +973,20 @@ object DedupOps {
           JOIN sig sb ON c.existing_id = sb.doc_id
           WHERE ${(0 until MinhashPerms).map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")}
             >= $MinhashClusterMatches""",
+    "dedup_winnow" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          hs AS (SELECT doc_id,
+                   list_transform(generate_series(1, len(t) - ${WinnowK - 1}),
+                     i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+${WinnowK - 1}], ' ')), 1, 13)) AS BIGINT)) AS h
+                 FROM tok WHERE len(t) >= ${WinnowK + WinnowW - 1}),
+          fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(h) - ${WinnowW - 1}),
+                   j -> list_min(h[j:j+${WinnowW - 1}])))) AS fp
+                 FROM hs)
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+          FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+          ORDER BY n_shared DESC, a, b LIMIT $WinnowTopK""",
     "dedup_incremental_stream_twin" ->
       s"""WITH sig AS ($sigSql),
           band AS (

@@ -379,6 +379,62 @@ object TextOps {
     bm25Rank(perDocTermCols(docs, Bm25Terms).crossJoin(broadcast(stats)))
   }
 
+  /** Fixed-token-budget document chunking with overlap — the
+    * context-window preparation step of an embedding/RAG pipeline:
+    * every document yields chunks of [[ChunkSize]] tokens starting
+    * every [[ChunkStride]] tokens (overlap = size − stride), the
+    * trailing chunk short. Entirely IN-ROW (one transform + explode —
+    * linear, no shuffle, pushes to the scan); chunks are carried as
+    * md5 of the joined tokens so the rows stay narrow through any
+    * downstream join. chunk_idx is exact integer arithmetic
+    * ((start−1) div stride) — no float anywhere. */
+  private[graft] val ChunkSize = 32
+  private[graft] val ChunkStride = 24
+  val docChunking: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk), $ChunkStride), st -> struct(st AS start_tok, slice(tk, st, $ChunkSize) AS ck))"))
+        .as("c"))
+      .select(col("doc_id"),
+        expr(s"(c.start_tok - 1) div $ChunkStride").cast("long").as("chunk_idx"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        size(col("c.ck")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("c.ck"))).as("chunk_md5"))
+
+  /** Sequence packing — assign documents to fixed-token-budget bins
+    * (the training-batch packing step): within each (source, shard)
+    * cell, documents are ordered deterministically by content hash,
+    * the EXCLUSIVE running token sum is computed with one window, and
+    * bin = cum div [[PackBudget]]. The shard key (doc_id mod 16) is
+    * the scale story: packing needs contiguity only WITHIN a bin, so
+    * sharding each source 16 ways keeps every running sum bounded by
+    * its cell instead of funneling a 100 TB source through one
+    * partition — the same salting argument as
+    * [[corpusSampleStratified]], without a second pass because bins
+    * don't need global ids. All integer arithmetic (div, not floor). */
+  private[graft] val PackBudget = 2048L
+  private[graft] val PackShards = 16
+  val corpusPackBins: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h52",
+        expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"))
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards)))
+    val w = Window.partitionBy("source", "shard").orderBy(col("h52"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = base
+      .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_excl div $PackBudget"))
+    val wPos = Window.partitionBy("source", "shard", "bin")
+      .orderBy(col("h52"), col("doc_id"))
+    ranked
+      .withColumn("pos_in_bin", row_number().over(wPos).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("bin"), col("pos_in_bin"))
+  }
+
   /** Stratified per-language sample with an EXACT quota, as the salted
     * two-stage top-k: stage 1 takes the quota-smallest content hashes
     * within each (lang, doc_id%16) cell — 16-way parallel, so a 100 TB
@@ -567,6 +623,8 @@ object TextOps {
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
     "corpus_sample" -> corpusSample(SamplePct),
+    "doc_chunking" -> docChunking,
+    "corpus_pack_bins" -> corpusPackBins,
     "text_tfidf_top_terms" -> textTfidfTopTerms,
     "bm25_topk" -> bm25TopDocs,
     "corpus_sample_stratified" -> corpusSampleStratified,
@@ -729,6 +787,31 @@ object TextOps {
            CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 AS bucket
          FROM documents
          WHERE CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 < $SamplePct""",
+    "doc_chunking" ->
+      s"""SELECT doc_id,
+           CAST((st - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+           CAST(st AS BIGINT) AS start_tok,
+           CAST(len(t[st:st+${ChunkSize - 1}]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[st:st+${ChunkSize - 1}], ' ')) AS chunk_md5
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              unnest(generate_series(1, len(t), $ChunkStride)) u(st)""",
+    "corpus_pack_bins" ->
+      s"""WITH base AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) AS h52,
+             doc_id % $PackShards AS shard
+           FROM documents),
+         c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source, shard ORDER BY h52, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+               FROM base)
+         SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(cum_excl // $PackBudget AS BIGINT) AS bin,
+           CAST(row_number() OVER (
+             PARTITION BY source, shard, cum_excl // $PackBudget
+             ORDER BY h52, doc_id) AS BIGINT) AS pos_in_bin
+         FROM c""",
     "text_tfidf_top_terms" ->
       s"""WITH tf AS (
            SELECT doc_id, tk, COUNT(*) AS tf FROM (

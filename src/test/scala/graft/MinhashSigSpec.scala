@@ -87,6 +87,31 @@ class MinhashSigSpec extends SparkSpec {
     assert(e == Set((1L, "a", 2), (1L, "", 1), (1L, "b", 1), (2L, "", 1), (3L, "x", 1)))
   }
 
+  test("native winnowing fingerprints are bit-identical to the HOF form, order included") {
+    assert(spark.catalog.functionExists("winnow_fps"), "extension not loaded")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val eligible = docs
+      .filter(size(split(col("text"), " ")) >= DedupOps.WinnowK + DedupOps.WinnowW - 1)
+    val native = eligible.select(col("doc_id"), expr("winnow_fps(text)").as("fps"))
+    val hof = DedupOps.winnowFpArraysHof(docs)
+    // array equality pins VALUES and first-occurrence ORDER both
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    assert(native.count() > 0)
+    // short doc (< k + w - 1 tokens) yields the empty array
+    import spark.implicits._
+    val short = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(expr("winnow_fps(text)").as("fps")).collect()(0).getSeq[Long](0)
+    assert(short.isEmpty)
+    // a repeated-window doc dedupes its fingerprints (array_distinct
+    // semantics): w+k-1 identical tokens -> every window min equal
+    val rep = Seq((2L, Seq.fill(DedupOps.WinnowK + DedupOps.WinnowW)("z").mkString(" ")))
+      .toDF("doc_id", "text")
+    val repN = rep.select(expr("winnow_fps(text)").as("fps")).collect()(0).getSeq[Long](0)
+    val repH = DedupOps.winnowFpArraysHof(rep).select("fps").collect()(0).getSeq[Long](0)
+    assert(repN == repH && repN.length == 1)
+  }
+
   test("byte-scanning expressions match HOF forms on multibyte unicode text") {
     // the corpus is ASCII-only, so this is the only coverage of the
     // UTF-8 premise all three native expressions rely on: 0x20 never
@@ -123,6 +148,12 @@ class MinhashSigSpec extends SparkSpec {
         .as("p"))
       .select(col("doc_id"), col("p.key").as("key"), col("p.value").as("value"))
     assert(tfN.exceptAll(tfH).isEmpty && tfH.exceptAll(tfN).isEmpty)
+
+    val wnN = docs
+      .filter(size(split(col("text"), " ")) >= DedupOps.WinnowK + DedupOps.WinnowW - 1)
+      .select(col("doc_id"), expr("winnow_fps(text)").as("fps"))
+    val wnH = DedupOps.winnowFpArraysHof(docs)
+    assert(wnN.exceptAll(wnH).isEmpty && wnH.exceptAll(wnN).isEmpty)
   }
 
   test("the 16 column extracts evaluate the signature once, not 16 times") {

@@ -63,12 +63,13 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.functionExists("token_tf"))
     Seq("dedup_minhash_lsh", "dedup_ngram_jaccard_capped",
       "text_tfidf_top_terms", "dedup_incremental",
-      // round 5: token_tf map-lookup scoring paths
-      "bm25_topk", "corpus_curation", "text_repetition").foreach { q =>
+      // round 5: token_tf map-lookup scoring paths + winnowing
+      "bm25_topk", "corpus_curation", "text_repetition",
+      "dedup_winnow").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       assert(df.count() > 0, q)
       val plan = df.queryExecution.executedPlan.toString
-      Seq("minhash_sig", "shingle_hashes", "token_tf").foreach(fn =>
+      Seq("minhash_sig", "shingle_hashes", "token_tf", "winnow_fps").foreach(fn =>
         assert(!plan.contains(fn), s"$q still plans $fn"))
     }
   }
