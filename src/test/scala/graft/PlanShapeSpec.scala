@@ -99,6 +99,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("No Partition Defined"), plan)
   }
 
+  test("dedup_winnow fingerprints in-row and pairs via the inverted-index equi-join") {
+    val plan = executedPlan("dedup_winnow")
+    // the native expression must be in the plan (extension loaded here):
+    // its absence means the interpreted HOF chain came back
+    assert(plan.contains("winnow_fps"), plan)
+    // pair generation is the fingerprint equi-join — never all-pairs
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.matches("(?s).*BroadcastNestedLoopJoin.*Inner.*"), plan)
+  }
+
+  test("doc_chunking is pure in-row work over the scan") {
+    val df = SparkEntry.queries("doc_chunking")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // transform+explode+hash never needs an Exchange
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("corpus_pack_bins windows stay sharded — no single-partition funnel") {
+    val plan = executedPlan("corpus_pack_bins")
+    // both windows must partition by their (source, shard[, bin]) keys;
+    // an empty partition spec would serialize the corpus through one
+    // partition — the global-running-sum failure mode packing avoids
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("No Partition Defined"), plan)
+    assert(!plan.matches("(?s).*Exchange rangepartitioning.*"), plan)
+  }
+
   test("corpus_sample is a pure map-side filter over the scan") {
     val df = SparkEntry.queries("corpus_sample")(spark, sfDir)
     df.collect()
