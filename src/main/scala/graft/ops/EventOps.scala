@@ -202,10 +202,52 @@ object EventOps {
       .select(col("event_type"), col("hour"), col("n"), col("z6"))
   }
 
+  /** The STATEFUL streaming topology surfaced into the CORRECTNESS
+    * gate — the third stream-twin family after the stream-static index
+    * probe and the stateless broadcast screen: EXECUTES
+    * [[graft.streaming.EventStreams.sessionize]] (a mapGroupsWithState
+    * session state machine) as a real streaming query over a
+    * file-source stream of the events table, memory sink in Update
+    * mode. Update rows are cumulative per user, so the per-user MAX is
+    * the final total — identical to the batch window/lag form and its
+    * oracle (shared SQL). Depends on the round-5 µs-fidelity fix in
+    * the state machine (ms-truncated arithmetic can flip a session
+    * boundary that a gap exceeds by under 1 ms) — latent on this
+    * corpus (verified: zero boundary flips at sf0.01), so the
+    * deterministic sub-ms fixture in StreamingSpec, not this oracle,
+    * is what pins it. */
+  val eventsSessionizeStreamTwin: Q = (s, dir) => {
+    import graft.streaming.EventStreams
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val norm = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val input = norm.select(col("user_id"), col("ts"))
+      .as[EventStreams.SessionInput]
+    val sink = "graft_sessionize_twin_sink"
+    s.catalog.dropTempView(sink)
+    val q = EventStreams.sessionize(input).toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update-mode rows are cumulative; the per-user max IS the final
+    // state (single micro-batch here, but correct under replays too)
+    s.table(sink).groupBy("user_id")
+      .agg(max(col("n_events")).cast("long").as("n_events"),
+        max(col("n_sessions")).cast("long").as("n_sessions"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_sessionize" -> eventsSessionize,
+    "events_sessionize_stream_twin" -> eventsSessionizeStreamTwin,
     "events_pivot_type" -> eventsPivotType,
     "events_top_users" -> eventsTopUsers,
     "events_hopping" -> eventsHopping,
@@ -213,6 +255,17 @@ object EventOps {
     "events_retention" -> eventsRetention,
     "asof_join_signup" -> asofJoinSignup,
     "asof_join_custom" -> asofJoinCustom)
+
+  /** Shared by `events_sessionize` and its stateful stream twin. */
+  private val sessionizeOracleSql: String =
+    """WITH x AS (
+         SELECT user_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         FROM events)
+       SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+       FROM x GROUP BY user_id"""
 
   val oracles: Seq[(String, String)] = Seq(
     "events_tumbling" ->
@@ -239,15 +292,10 @@ object EventOps {
            CASE WHEN variance <= 0 THEN CAST(0 AS DOUBLE)
                 ELSE round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 6) END AS z6
          FROM stats""",
-    "events_sessionize" ->
-      """WITH x AS (
-           SELECT user_id, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-           FROM events)
-         SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-         FROM x GROUP BY user_id""",
+    "events_sessionize" -> sessionizeOracleSql,
+    // the stateful stream twin computes the SAME per-user totals
+    // through the mapGroupsWithState machine — one oracle text
+    "events_sessionize_stream_twin" -> sessionizeOracleSql,
     "events_pivot_type" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,

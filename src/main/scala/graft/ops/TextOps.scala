@@ -548,6 +548,45 @@ object TextOps {
         countDistinct(col("h_id")).as("n_heldout_docs"))
   }
 
+  /** The streaming decontamination screen surfaced into the
+    * CORRECTNESS gate — the second stream-twin after
+    * [[graft.ops.DedupOps.dedupIncrementalStreamTwin]]: EXECUTES
+    * [[graft.streaming.DocStreams.decontaminationScreen]] as a real
+    * Structured Streaming query (file-source stream of the training
+    * split, broadcast stream-static join against the batch-computed
+    * heldout n-gram set, memory sink), then aggregates the per-hit
+    * rows to the batch screen's (n_shared, n_heldout_docs) shape. The
+    * oracle is IDENTICAL to [[dedupDecontaminate]]'s, so the gate pins
+    * stream == batch == oracle for the stateless screen topology too. */
+  val dedupDecontaminateStreamTwin: Q = (s, dir) => {
+    val bucket = pmod(
+      expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"), lit(100L))
+    val heldout = t(s, dir, "documents")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") >= HeldoutBucket)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id").as("h_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+        .as("ngram"))
+      .select(col("ngram"), col("h_id")).distinct()
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    val train = s.readStream.schema(sch)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < HeldoutBucket)
+      .select(col("doc_id"), col("text"))
+    val sink = "graft_decontam_twin_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.DocStreams.decontaminationScreen(train, heldout)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).groupBy("doc_id")
+      .agg(countDistinct(col("ngram")).as("n_shared"),
+        countDistinct(col("h_id")).as("n_heldout_docs"))
+  }
+
   /** Bigram collocation mining by pointwise mutual information —
     * phrase extraction for vocabulary/tokenizer work:
     * pmi = ln((n_ab/T) / ((n_a/U)·(n_b/U))) with the unigram and
@@ -629,6 +668,7 @@ object TextOps {
     "bm25_topk" -> bm25TopDocs,
     "corpus_sample_stratified" -> corpusSampleStratified,
     "dedup_decontaminate" -> dedupDecontaminate,
+    "dedup_decontaminate_stream_twin" -> dedupDecontaminateStreamTwin,
     "text_bigram_pmi" -> textBigramPmi,
     "text_bigram_logprob" -> textBigramLogprob)
 
@@ -654,6 +694,23 @@ object TextOps {
            FROM d CROSS JOIN s)
          WHERE bm25_6 > 0 ORDER BY bm25_6 DESC, doc_id LIMIT $Bm25TopK"""
   }
+
+  /** Shared by `dedup_decontaminate` and its stream twin — one oracle
+    * text, two execution paths (batch aggregate vs streaming screen). */
+  private val decontaminateOracleSql: String =
+    s"""WITH g AS (
+         SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 AS bucket,
+           array_to_string(t[i:i+7], ' ') AS ngram
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+              unnest(generate_series(1, len(t) - 7)) u(i)
+         WHERE len(t) >= 8),
+       h AS (SELECT DISTINCT ngram, doc_id AS h_id FROM g
+             WHERE bucket >= $HeldoutBucket)
+       SELECT g.doc_id, COUNT(DISTINCT g.ngram) AS n_shared,
+         COUNT(DISTINCT h.h_id) AS n_heldout_docs
+       FROM g JOIN h ON g.ngram = h.ngram
+       WHERE g.bucket < $HeldoutBucket GROUP BY g.doc_id"""
 
   val oracles: Seq[(String, String)] = Seq(
     "text_token_stats" ->
@@ -827,20 +884,10 @@ object TextOps {
            FROM tf t JOIN dft d ON t.tk = d.tk CROSS JOIN n)
          WHERE r <= $TfIdfTopK""",
     "bm25_topk" -> bm25OracleSql,
-    "dedup_decontaminate" ->
-      s"""WITH g AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 AS bucket,
-             array_to_string(t[i:i+7], ' ') AS ngram
-           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-                unnest(generate_series(1, len(t) - 7)) u(i)
-           WHERE len(t) >= 8),
-         h AS (SELECT DISTINCT ngram, doc_id AS h_id FROM g
-               WHERE bucket >= $HeldoutBucket)
-         SELECT g.doc_id, COUNT(DISTINCT g.ngram) AS n_shared,
-           COUNT(DISTINCT h.h_id) AS n_heldout_docs
-         FROM g JOIN h ON g.ngram = h.ngram
-         WHERE g.bucket < $HeldoutBucket GROUP BY g.doc_id""",
+    "dedup_decontaminate" -> decontaminateOracleSql,
+    // the stream twin computes the SAME result through the streaming
+    // screen — one oracle text, two execution paths
+    "dedup_decontaminate_stream_twin" -> decontaminateOracleSql,
     "text_bigram_pmi" ->
       s"""WITH bi AS (
            SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS n_ab

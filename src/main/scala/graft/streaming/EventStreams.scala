@@ -47,10 +47,18 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // FULL microsecond fidelity: Timestamp.getTime is ms-truncated,
+          // so ms*1000 alone silently drops the sub-ms part — a >30 min
+          // gap that exceeds the threshold by under 1 ms would then
+          // diverge from the batch twin's unix_micros arithmetic
+          // (the sf events carry µs components on ~99.9% of rows; the
+          // StreamingSpec sub-ms fixture pins this)
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+          val sorted = rows.toSeq.sortBy(e => micros(e.ts))
           val init = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
           val updated = sorted.foldLeft(init) { (st, e) =>
-            val us = e.ts.getTime * 1000L
+            val us = micros(e.ts)
             val newSession = st.lastUs == Long.MinValue || us - st.lastUs > 1800000000L
             SessionState(st.nEvents + 1, st.nSessions + (if (newSession) 1 else 0), us)
           }

@@ -275,6 +275,43 @@ class StreamingSpec extends SparkSpec {
     assert(again == twin)
   }
 
+  test("events_sessionize_stream_twin catalog entry equals the batch form") {
+    val dir = "/root/testdata/sf0.001"
+    val twin = graft.ops.EventOps.queries.toMap
+      .apply("events_sessionize_stream_twin")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.EventOps.queries.toMap
+      .apply("events_sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twin == batch,
+      s"twin-only: ${(twin -- batch).take(5)}, batch-only: ${(batch -- twin).take(5)}")
+    assert(twin.nonEmpty)
+  }
+
+  test("sessionization state math keeps microsecond fidelity across the 30-min gap") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    // two events 30 min + 500 µs apart: µs arithmetic opens a second
+    // session; ms-truncated arithmetic reads the gap as exactly 30 min
+    // and would keep one session — the regression the round-5 fix closed
+    // (latent in the sf corpora: zero boundary flips there)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 00:30:00")
+    t1.setNanos(500000) // +500 µs
+    val input = MemoryStream[SessionInput]
+    val q = EventStreams.startToMemory(
+      EventStreams.sessionize(input.toDS()).toDF(), "us_fidelity", OutputMode.Update())
+    try {
+      input.addData(SessionInput(7L, t0), SessionInput(7L, t1))
+      q.processAllAvailable()
+      val r = spark.table("us_fidelity").as[SessionUpdate].collect()
+        .filter(_.user_id == 7L).maxBy(_.n_events)
+      assert(r.n_events == 2 && r.n_sessions == 2,
+        s"expected 2 sessions across the 30min+500us gap, got $r")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionization") {
     import spark.implicits._
     implicit val s = spark
