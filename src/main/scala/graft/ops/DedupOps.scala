@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -726,6 +727,78 @@ object DedupOps {
       .limit(20)
   }
 
+  /** SemDeDup cosine threshold. The synthetic embeddings carry no
+    * engineered near-duplicates (max intra-label cosine ≈ 0.475), so
+    * the catalog entry's τ sits where the operator's drop logic is
+    * actually exercised by the data; a production near-dup pass runs
+    * the same plan at τ ≈ 0.95+. */
+  private[graft] val SemdedupTau = 0.35
+
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
+    * the corpus, then inside each cluster drop every item whose cosine
+    * to an EARLIER item (smaller vec_id — the deterministic stand-in
+    * for the paper's keep-one-per-group choice) reaches τ. The
+    * clustering here is the `label` column (any coarse assignment
+    * works — [[graft.ops.SimilarityOps.embeddingKmeans]] produces one);
+    * what makes the recipe scale is that cosine is only ever evaluated
+    * INSIDE a cluster: an equi-join on the cluster key, co-partitioned
+    * at 100 TB by bucketing the embedding table on it, never an
+    * all-pairs product. Emits every vector with its max-earlier-cosine
+    * evidence and the drop verdict (null evidence = first of its
+    * cluster or no earlier neighbor). */
+  val dedupSemantic: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql(s, "v", "v")})"))
+    val evidence = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        round(expr(dotSql(s, "a.v", "b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos6"))
+      .groupBy("vec_id").agg(max(col("cos6")).as("max_earlier_cos6"))
+    e.select("vec_id", "label").join(evidence, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        col("max_earlier_cos6"),
+        (coalesce(col("max_earlier_cos6"), lit(-2.0)) >= SemdedupTau).as("dropped"))
+  }
+
+  /** Segment width for corpus-level paragraph dedup. The documents
+    * table is whitespace-token text with no paragraph delimiters, so a
+    * "paragraph" is a fixed non-overlapping 16-token segment — the
+    * token-stream analogue of CCNet/RefinedWeb line dedup. */
+  private[graft] val ParaSegTokens = 16
+
+  /** Corpus-level paragraph (segment) dedup — the CCNet recipe: hash
+    * every segment of every document, keep only the FIRST occurrence
+    * corpus-wide (ordered by doc_id, then position), and report per
+    * document how much of it was duplicated elsewhere. Segmentation is
+    * in-row (one `transform` over the token array — no explode-then-
+    * regroup round trip for the segment hash itself); the only
+    * corpus-wide exchange is the hash-shuffle on seg_md5 that ranks
+    * occurrences, followed by the per-doc re-aggregation. At 100 TB
+    * both are plain hash shuffles on high-cardinality keys — no
+    * windows over a global order, no skew funnel (a pathological
+    * boilerplate segment concentrates ONE md5 key; AQE skew split
+    * handles it, and the rank-1 semantics are unaffected). dup_frac6
+    * is a single division of exact counts. */
+  val dedupParagraph: Q = (s, dir) => {
+    val segs = docs(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(tk), $ParaSegTokens),
+            st -> struct(CAST((st - 1) div $ParaSegTokens AS BIGINT) AS seg_idx,
+                         md5(concat_ws(' ', slice(tk, st, $ParaSegTokens))) AS seg_md5))"""))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg_md5").as("seg_md5"))
+    val w = Window.partitionBy("seg_md5").orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("occ", row_number().over(w))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_segs"),
+        round(sum(when(col("occ") > 1, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("dup_frac6"))
+  }
+
   /** Embeddings with norms and a sign-bit LSH bucket over the first
     * `bits` dimensions. */
   private def embeddingBucketed(s: SparkSession, dir: String, bits: Int): DataFrame =
@@ -819,6 +892,8 @@ object DedupOps {
     "dedup_cluster_reps" -> dedupClusterReps,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_semantic" -> dedupSemantic,
+    "dedup_paragraph" -> dedupParagraph,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh(EmbeddingLshBits),
     "dedup_embedding_lsh_multiprobe" -> dedupEmbeddingLshMultiprobe(EmbeddingLshProbeBits),
     "embedding_lsh_occupancy" -> embeddingLshOccupancy(EmbeddingLshBits))
@@ -878,6 +953,33 @@ object DedupOps {
             SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc)"""
 
   val oracles: Seq[(String, String)] = Seq(
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings),
+          ev AS (SELECT a.vec_id,
+                   MAX(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)) AS max_earlier_cos6
+                 FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+                 GROUP BY a.vec_id)
+          SELECT e.vec_id, e.label, ev.max_earlier_cos6,
+            coalesce(ev.max_earlier_cos6, -2.0) >= $SemdedupTau AS dropped
+          FROM e LEFT JOIN ev ON e.vec_id = ev.vec_id""",
+    "dedup_paragraph" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                  md5(list_aggregate(tk[(i * $ParaSegTokens + 1):((i + 1) * $ParaSegTokens)],
+                      'string_agg', ' ')) AS seg_md5
+                FROM toks,
+                     unnest(generate_series(0,
+                       CAST(ceil(len(tk) / ${ParaSegTokens}.0) AS INT) - 1)) u(i)),
+          occs AS (SELECT doc_id,
+                     row_number() OVER (PARTITION BY seg_md5 ORDER BY doc_id, seg_idx) AS occ
+                   FROM segs)
+          SELECT doc_id, COUNT(*) AS n_segs,
+            CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+            round(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+              AS dup_frac6
+          FROM occs GROUP BY doc_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY md5(text)""",

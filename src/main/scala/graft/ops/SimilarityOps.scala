@@ -191,7 +191,65 @@ object SimilarityOps {
       .filter(col("rk") <= 5)
   }
 
+  private[graft] val KmeansK = 8
+  private[graft] val KmeansIters = 2
+
+  /** K-means (Lloyd's) over the embedding column — the clustering that
+    * feeds IVF index builds and SemDeDup-style semantic dedup at
+    * corpus scale. Deterministic throughout: init centroids are the
+    * vectors of the [[KmeansK]] lowest vec_ids (no RNG), every updated
+    * centroid is per-dim round-6 (the project's accumulated-float
+    * discipline), the assignment score `|c|² − 2·v·c` is itself
+    * round-6 before comparison, and ties break to the smaller cluster
+    * id.
+    *
+    * Scale shape — the part that matters at 100 TB: the centroid table
+    * is a K×64 driver-side model (collected once per iteration — the
+    * canonical tiny-aggregate collect, same class as MLlib's own
+    * KMeans), and the assignment is a PURE IN-ROW fold over a literal
+    * centroid array: zero joins, zero shuffles, zero window funnels on
+    * the corpus side. Each Lloyd iteration costs exactly one map-side
+    * pass plus one K-group partial aggregation; nothing reshuffles the
+    * corpus by vec_id (compare [[annIvfCentroid]], whose window argmin
+    * pays a corpus-wide shuffle — acceptable once, not per iteration).
+    * Doubles cross the driver boundary via `Double.toString` →
+    * `CAST(str AS DOUBLE)` (shortest-roundtrip, exact both ways). */
+  val embeddingKmeans: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+    def assignCol(cents: Seq[(Long, Seq[Double])]): String = {
+      val entries = cents.map { case (k, c) =>
+        val arr = c.map(x => s"CAST('${x.toString}' AS DOUBLE)")
+          .mkString("array(", ", ", ")")
+        val n2 = c.foldLeft(0.0)((acc, x) => acc + x * x) // sequential, = list_dot_product(c,c)
+        s"struct(CAST($k AS BIGINT) AS k, $arr AS c, CAST('${n2.toString}' AS DOUBLE) AS n2)"
+      }.mkString("array(", ", ", ")")
+      s"""aggregate(
+            transform($entries,
+              ct -> struct(ct.k AS k, round(ct.n2 - 2.0D * ${dotSql(s, "v", "ct.c")}, 6) AS d)),
+            struct(CAST(-1 AS BIGINT) AS k, CAST('Infinity' AS DOUBLE) AS d),
+            (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"""
+    }
+
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < KmeansK)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    for (_ <- 1 to KmeansIters) {
+      val assigned = e.withColumn("cluster", expr(assignCol(cents) + ".k"))
+      cents = assigned.groupBy("cluster")
+        .agg(array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("c"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    }
+    e.withColumn("best", expr(assignCol(cents)))
+      .select(col("vec_id"), col("best.k").as("cluster"), col("best.d").as("d6"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "embedding_kmeans" -> embeddingKmeans,
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_ivf_label" -> annIvfLabel,
     "ann_ivf_centroid" -> annIvfCentroid,
@@ -207,6 +265,27 @@ object SimilarityOps {
        FROM embeddings"""
 
   val oracles: Seq[(String, String)] = Seq(
+    "embedding_kmeans" -> {
+      val centList = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
+      def assign(centCte: String) =
+        s"""SELECT vec_id, v, k AS cluster FROM (
+              SELECT e.vec_id, e.v, c.k,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
+              FROM e CROSS JOIN $centCte c) WHERE rk = 1"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          c0 AS (SELECT CAST(vec_id AS BIGINT) AS k, v AS c FROM e WHERE vec_id < $KmeansK),
+          a1 AS (${assign("c0")}),
+          c1 AS (SELECT cluster AS k, $centList AS c FROM a1 GROUP BY cluster),
+          a2 AS (${assign("c1")}),
+          c2 AS (SELECT cluster AS k, $centList AS c FROM a2 GROUP BY cluster)
+          SELECT vec_id, cluster, d6 FROM (
+            SELECT e.vec_id, c.k AS cluster,
+              round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6) AS d6,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
+            FROM e CROSS JOIN c2 c) WHERE rk = 1"""
+    },
     "ann_bruteforce_topk" ->
       s"""WITH e AS ($vecsSql),
           scored AS (

@@ -153,6 +153,47 @@ object TextOps {
         (col("n_rare").cast("double") / col("n_distinct")).as("rare_ratio"))
   }
 
+  /** Top-K selection size for DSIR importance resampling. */
+  private[graft] val DsirTopK = 100
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its unigram distribution looks like a TARGET
+    * domain (here lang='en' — the domain label the corpus carries)
+    * versus the RAW corpus, then keep the top-[[DsirTopK]]. Weight of a
+    * word = ln of the ratio of its Laplace-smoothed (+1, shared vocab V)
+    * instance probabilities under target vs raw; a document's score is
+    * the sum over its token INSTANCES.
+    *
+    * Scale shape: two vocabulary-sized count aggregations, a 1-row
+    * totals aggregate broadcast onto the vocab table, then ONE
+    * broadcast-sized equi-join of the token stream against the weighted
+    * vocab and a per-doc aggregation — the same shape as
+    * [[textRareRatio]]. The final top-K is `orderBy().limit()` —
+    * planned as TakeOrderedAndProject, never a single-partition global
+    * window. Per-instance weight is divisions + one ln (exact-parity
+    * class as [[textBigramLogprob]]); the per-doc sum is accumulated
+    * floats → round-6. */
+  val corpusImportanceDsir: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy("w").agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val tot = vocab.agg(
+      sum(col("n_all")).as("t_all"), sum(col("n_en")).as("t_en"),
+      count(lit(1)).as("vsz"))
+    val weights = vocab.crossJoin(broadcast(tot))
+      .select(col("w"),
+        log(((col("n_en") + 1).cast("double") / (col("t_en") + col("vsz")))
+          / ((col("n_all") + 1).cast("double") / (col("t_all") + col("vsz")))).as("lw"))
+    toks.join(weights, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(sum(col("lw")), 6).as("dsir6"))
+      .orderBy(col("dsir6").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
   /** Repetition/boilerplate quality signals — the Gopher-rule family a
     * real LLM corpus filter applies (repetitious documents mark
     * boilerplate, scraped templates, or generation loops): duplicate-
@@ -659,6 +700,7 @@ object TextOps {
     "corpus_curation" -> corpusCuration,
     "text_repetition" -> textRepetition,
     "text_rare_ratio" -> textRareRatio,
+    "corpus_importance_dsir" -> corpusImportanceDsir,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
     "corpus_sample" -> corpusSample(SamplePct),
@@ -815,6 +857,25 @@ object TextOps {
            CAST(COUNT(CASE WHEN d.df <= 2 THEN 1 END) AS DOUBLE) / COUNT(*) AS rare_ratio
          FROM toks t JOIN dft d ON t.tk = d.tk
          GROUP BY t.doc_id""",
+    "corpus_importance_dsir" ->
+      s"""WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_all,
+                      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+                    FROM toks GROUP BY w),
+          tot AS (SELECT CAST(SUM(n_all) AS BIGINT) AS t_all,
+                    CAST(SUM(n_en) AS BIGINT) AS t_en,
+                    CAST(COUNT(*) AS BIGINT) AS vsz
+                  FROM vocab),
+          wt AS (SELECT w,
+                   ln((CAST(n_en + 1 AS DOUBLE) / (t_en + vsz))
+                      / (CAST(n_all + 1 AS DOUBLE) / (t_all + vsz))) AS lw
+                 FROM vocab CROSS JOIN tot)
+          SELECT doc_id, COUNT(*) AS n_tokens, round(SUM(lw), 6) AS dsir6
+          FROM toks JOIN wt ON toks.w = wt.w
+          GROUP BY doc_id
+          ORDER BY dsir6 DESC, doc_id LIMIT $DsirTopK""",
     "corpus_curation_best" ->
       s"""${DedupOps.clusterCtePrefix},
          clusters AS (SELECT doc AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc),

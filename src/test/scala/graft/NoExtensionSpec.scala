@@ -44,7 +44,7 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("vector queries degrade to the HOF fold and still compute") {
     Seq("ann_bruteforce_topk", "ann_ivf_centroid", "dedup_embedding_cosine",
-      "embedding_stats").foreach { q =>
+      "embedding_stats", "embedding_kmeans", "dedup_semantic").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       assert(df.count() > 0, q)
       assert(!df.queryExecution.executedPlan.toString.contains("vec_dot"), q)

@@ -1,0 +1,170 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+
+/** Behavior guards for the round-5-late pipeline operators: k-means,
+  * SemDeDup, paragraph dedup, DSIR importance resampling. The oracle
+  * gate pins cross-engine hashes; these specs pin the SEMANTICS the
+  * hashes encode (argmin really is argmin, a drop really has an
+  * earlier near neighbor, a dup segment really occurred before,
+  * importance weights really prefer the target domain).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  // matches Spark's Round on DoubleType (BigDecimal.valueOf = shortest
+  // decimal repr, then HALF_UP)
+  private def round6(x: Double): Double =
+    JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  test("embedding_kmeans assigns every vector to one of K clusters, deterministically") {
+    val out = SimilarityOps.embeddingKmeans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 500)
+    val clusters = out.map(_._2).toSet
+    assert(clusters == (0L until SimilarityOps.KmeansK.toLong).toSet,
+      s"expected ${SimilarityOps.KmeansK} live clusters, got $clusters")
+    // no degenerate giant cluster: Lloyd's on this corpus balances
+    val sizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.max < 200, s"degenerate clustering: $sizes")
+    // determinism: a second full run (fresh literal chain) is identical
+    val again = SimilarityOps.embeddingKmeans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("embedding_kmeans matches a full driver-side Lloyd recompute") {
+    // independent reimplementation of the whole chain: init = vectors of
+    // the K lowest vec_ids, 2 iterations of (assign by round-6
+    // |c|²−2·v·c with smaller-cluster tie-break, update = per-dim
+    // round-6 mean), then a final assignment — compared exactly.
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, (Long, Double)] =
+      vecs.map { case (id, v) =>
+        var bestK = -1L; var bestD = Double.PositiveInfinity
+        cents.foreach { case (k, c) =>
+          val d = round6(dot(c, c) - 2.0 * dot(v, c))
+          if (d < bestD) { bestK = k; bestD = d }
+        }
+        id -> ((bestK, bestD))
+      }.toMap
+    var cents: Seq[(Long, Array[Double])] =
+      vecs.filter(_._1 < SimilarityOps.KmeansK).map { case (id, v) => (id, v) }
+    for (_ <- 1 to SimilarityOps.KmeansIters) {
+      val a = assign(cents)
+      cents = vecs.groupBy { case (id, _) => a(id)._1 }.toSeq.sortBy(_._1)
+        .map { case (k, members) =>
+          val c = Array.tabulate(64) { i =>
+            round6(members.map(_._2(i)).sum / members.length)
+          }
+          (k, c)
+        }
+    }
+    val expected = assign(cents)
+    val got = SimilarityOps.embeddingKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expected.size)
+    got.foreach { case (id, cluster, d6) =>
+      val (expK, expD) = expected(id)
+      assert(cluster == expK, s"vec $id assigned $cluster, expected $expK")
+      assert(d6 == expD, s"vec $id d6 $d6, expected $expD")
+    }
+  }
+
+  test("dedup_semantic drop verdicts match a driver-side brute-force recompute") {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val norm = rows.map { case (id, _, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val expected = rows.map { case (id, label, v) =>
+      val earlier = rows.filter { case (oid, olabel, _) => olabel == label && oid < id }
+      val maxCos = earlier.map { case (oid, _, ov) =>
+        round6(dot(v, ov) / (norm(id) * norm(oid)))
+      }.sorted.lastOption
+      id -> ((maxCos, maxCos.exists(_ >= DedupOps.SemdedupTau)))
+    }.toMap
+    val got = DedupOps.dedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getBoolean(3)))
+    assert(got.length == rows.length)
+    got.foreach { case (id, maxCos, dropped) =>
+      val (_, expCos, expDrop) = (id, expected(id)._1, expected(id)._2)
+      assert(maxCos == expCos, s"vec $id: max_earlier_cos6 $maxCos != $expCos")
+      assert(dropped == expDrop, s"vec $id: dropped $dropped != $expDrop")
+    }
+    assert(got.count(_._3) > 0, "tau marks nothing on this corpus — vacuous entry")
+  }
+
+  test("dedup_paragraph flags exactly the re-occurring segments, first occurrence wins") {
+    val segLen = DedupOps.ParaSegTokens
+    val seg1 = (1 to segLen).map(i => s"w$i").mkString(" ")
+    val seg2 = (1 to segLen).map(i => s"x$i").mkString(" ")
+    val seg3 = (1 to segLen).map(i => s"y$i").mkString(" ")
+    val docsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, s"$seg1 $seg2"),        // doc 10: segs [seg1, seg2]
+        Row(20L, s"$seg3 $seg1"),        // doc 20: seg1 re-occurs -> dup
+        Row(30L, seg2 + " tail tokens")  // doc 30: seg2 dup + short unique tail
+      )),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val tmp = s"$scratch/para_docs"
+    docsDf.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DedupOps.dedupParagraph(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((2L, 0L, 0.0)), s"doc 10 got ${out(10L)}")
+    assert(out(20L) == ((2L, 1L, 0.5)), s"doc 20 got ${out(20L)}")
+    assert(out(30L) == ((2L, 1L, 0.5)), s"doc 30 got ${out(30L)}")
+  }
+
+  test("corpus_importance_dsir ranks target-domain documents above raw-domain ones") {
+    val en = (1 to 40).map(i => Row(i.toLong, "en", "alpha common " * 10 + "alpha"))
+    val de = (41 to 80).map(i => Row(i.toLong, "de", "beta common " * 10 + "beta"))
+    val docsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(en ++ de),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType))))
+    val tmp = s"$scratch/dsir_docs"
+    docsDf.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.corpusImportanceDsir(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 80) // TopK (100) exceeds the corpus — all rows emitted
+    val enScores = out.filter(_._1 <= 40).map(_._3)
+    val deScores = out.filter(_._1 > 40).map(_._3)
+    assert(enScores.min > deScores.max,
+      s"en docs (min ${enScores.min}) must outscore de docs (max ${deScores.max})")
+    // selection order: the first 40 by score are exactly the en docs
+    assert(out.sortBy(r => (-r._3, r._1)).take(40).forall(_._1 <= 40))
+  }
+
+  test("corpus_importance_dsir top-k on the real corpus is en-dominated and bounded") {
+    val out = TextOps.corpusImportanceDsir(spark, dir)
+    val rows = out.collect()
+    assert(rows.length == TextOps.DsirTopK)
+    val langs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang")
+    val enCount = out.join(langs, "doc_id").filter(col("lang") === "en").count()
+    assert(enCount > TextOps.DsirTopK / 2,
+      s"only $enCount of ${TextOps.DsirTopK} selected docs are target-domain")
+  }
+}

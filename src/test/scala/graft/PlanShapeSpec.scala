@@ -136,4 +136,38 @@ class PlanShapeSpec extends SparkSpec {
     // no Exchange at all: the deterministic-hash sample must not shuffle
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("embedding_kmeans final assignment is in-row: no joins, no shuffles") {
+    // the returned plan is the last Lloyd assignment: the centroid model
+    // is a driver-side literal folded per row — a Join or Exchange here
+    // means the per-iteration shuffle-free claim regressed
+    val plan = executedPlan("embedding_kmeans")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("dedup_semantic evaluates cosine only inside a cluster equi-join") {
+    val plan = executedPlan("dedup_semantic")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the label join must be an equi-join (hash or sort-merge), and the
+    // per-cluster pair condition rides it — never a nested loop over
+    // the corpus
+    assert(!plan.matches("(?s).*BroadcastNestedLoopJoin.*Inner.*"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("dedup_paragraph ranks occurrences via a seg_md5-partitioned window, no funnel") {
+    val plan = executedPlan("dedup_paragraph")
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Join"), plan) // segment → rank → re-agg needs no join at all
+  }
+
+  test("corpus_importance_dsir takes its top-k without a global sort or window") {
+    val plan = executedPlan("corpus_importance_dsir")
+    // TakeOrderedAndProject, not Sort+Window over one partition
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
