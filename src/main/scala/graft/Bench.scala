@@ -35,7 +35,14 @@ object Bench {
     // stats + per-doc bigram heavy hitter), winnowing fingerprint
     // dedup (native rolling-hash + window-minima expression), and the
     // two training-prep ops (in-row chunking, per-shard bin packing)
-    "text_repetition", "dedup_winnow", "doc_chunking", "corpus_pack_bins")
+    "text_repetition", "dedup_winnow", "doc_chunking", "corpus_pack_bins",
+    // round 5 (late): the clustering/selection family — iterative
+    // Lloyd's with the shuffle-free literal-centroid assignment,
+    // SemDeDup within-cluster drops, corpus-wide segment dedup, and
+    // DSIR importance top-k
+    "embedding_kmeans", "dedup_semantic", "dedup_paragraph",
+    "corpus_importance_dsir", "text_perplexity_bucket",
+    "corpus_mix_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -214,42 +214,86 @@ object SimilarityOps {
     * pays a corpus-wide shuffle — acceptable once, not per iteration).
     * Doubles cross the driver boundary via `Double.toString` →
     * `CAST(str AS DOUBLE)` (shortest-roundtrip, exact both ways). */
-  val embeddingKmeans: Q = (s, dir) => {
+  /** In-row argmin assignment expression over a literal centroid model:
+    * `struct(k, d)` of the nearest centroid by round-6 `|c|² − 2·v·c`
+    * with smaller-k tie-break (strict `<` over the k-ascending array ≡
+    * the oracle's `ORDER BY d, k` rank 1). Expects a column `v`:
+    * array<double>. */
+  private[graft] def kmeansAssignExpr(
+      s: SparkSession, cents: Seq[(Long, Seq[Double])]): String = {
+    val entries = cents.map { case (k, c) =>
+      val arr = c.map(x => s"CAST('${x.toString}' AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      val n2 = c.foldLeft(0.0)((acc, x) => acc + x * x) // sequential, = list_dot_product(c,c)
+      s"struct(CAST($k AS BIGINT) AS k, $arr AS c, CAST('${n2.toString}' AS DOUBLE) AS n2)"
+    }.mkString("array(", ", ", ")")
+    s"""aggregate(
+          transform($entries,
+            ct -> struct(ct.k AS k, round(ct.n2 - 2.0D * ${dotSql(s, "v", "ct.c")}, 6) AS d)),
+          struct(CAST(-1 AS BIGINT) AS k, CAST('Infinity' AS DOUBLE) AS d),
+          (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"""
+  }
+
+  /** Runs the [[KmeansIters]] Lloyd iterations and returns the trained
+    * K×64 centroid model (k-ascending). Each iteration is one map-side
+    * assignment pass + one K-group aggregation; the collect moves only
+    * the model. */
+  private[graft] def kmeansTrain(
+      s: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-
-    def assignCol(cents: Seq[(Long, Seq[Double])]): String = {
-      val entries = cents.map { case (k, c) =>
-        val arr = c.map(x => s"CAST('${x.toString}' AS DOUBLE)")
-          .mkString("array(", ", ", ")")
-        val n2 = c.foldLeft(0.0)((acc, x) => acc + x * x) // sequential, = list_dot_product(c,c)
-        s"struct(CAST($k AS BIGINT) AS k, $arr AS c, CAST('${n2.toString}' AS DOUBLE) AS n2)"
-      }.mkString("array(", ", ", ")")
-      s"""aggregate(
-            transform($entries,
-              ct -> struct(ct.k AS k, round(ct.n2 - 2.0D * ${dotSql(s, "v", "ct.c")}, 6) AS d)),
-            struct(CAST(-1 AS BIGINT) AS k, CAST('Infinity' AS DOUBLE) AS d),
-            (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"""
-    }
-
     var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < KmeansK)
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     for (_ <- 1 to KmeansIters) {
-      val assigned = e.withColumn("cluster", expr(assignCol(cents) + ".k"))
+      val assigned = e.withColumn("cluster", expr(kmeansAssignExpr(s, cents) + ".k"))
       cents = assigned.groupBy("cluster")
         .agg(array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("c"))
         .collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)
     }
-    e.withColumn("best", expr(assignCol(cents)))
+    cents
+  }
+
+  val embeddingKmeans: Q = (s, dir) => {
+    val cents = kmeansTrain(s, dir)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("best", expr(kmeansAssignExpr(s, cents)))
       .select(col("vec_id"), col("best.k").as("cluster"), col("best.d").as("d6"))
+  }
+
+  /** The k-means MODEL-SCORING stream surfaced into the CORRECTNESS
+    * gate — the fourth streaming topology after the stream-static index
+    * probe, the stateless broadcast screen, and the stateful state
+    * machine: a trained model applied to an unbounded stream as pure
+    * in-row work (the literal centroid fold — no state, no join, no
+    * watermark; at 100 TB/day of arriving embeddings this is the
+    * assignment topology an online IVF/SemDeDup ingest runs). The model
+    * is trained BATCH-side by [[kmeansTrain]], the stream re-scores the
+    * same table through a real file-source → memory-sink query, and the
+    * entry shares [[embeddingKmeans]]'s oracle verbatim, so the gate
+    * pins stream == batch == oracle. */
+  val embeddingKmeansStreamTwin: Q = (s, dir) => {
+    val cents = kmeansTrain(s, dir)
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val scored = graft.streaming.EmbeddingStreams
+      .modelAssignScreen(stream, kmeansAssignExpr(s, cents))
+    val sink = "graft_kmeans_stream_sink"
+    s.catalog.dropTempView(sink)
+    val q = scored.writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
   }
 
   val queries: Seq[(String, Q)] = Seq(
     "embedding_kmeans" -> embeddingKmeans,
+    "embedding_kmeans_stream_twin" -> embeddingKmeansStreamTwin,
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_ivf_label" -> annIvfLabel,
     "ann_ivf_centroid" -> annIvfCentroid,
@@ -264,28 +308,33 @@ object SimilarityOps {
        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        FROM embeddings"""
 
-  val oracles: Seq[(String, String)] = Seq(
-    "embedding_kmeans" -> {
-      val centList = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
-      def assign(centCte: String) =
-        s"""SELECT vec_id, v, k AS cluster FROM (
-              SELECT e.vec_id, e.v, c.k,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
-              FROM e CROSS JOIN $centCte c) WHERE rk = 1"""
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          c0 AS (SELECT CAST(vec_id AS BIGINT) AS k, v AS c FROM e WHERE vec_id < $KmeansK),
-          a1 AS (${assign("c0")}),
-          c1 AS (SELECT cluster AS k, $centList AS c FROM a1 GROUP BY cluster),
-          a2 AS (${assign("c1")}),
-          c2 AS (SELECT cluster AS k, $centList AS c FROM a2 GROUP BY cluster)
-          SELECT vec_id, cluster, d6 FROM (
-            SELECT e.vec_id, c.k AS cluster,
-              round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6) AS d6,
+  private val kmeansOracleSql: String = {
+    val centList = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
+    def assign(centCte: String) =
+      s"""SELECT vec_id, v, k AS cluster FROM (
+            SELECT e.vec_id, e.v, c.k,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
-            FROM e CROSS JOIN c2 c) WHERE rk = 1"""
-    },
+            FROM e CROSS JOIN $centCte c) WHERE rk = 1"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS BIGINT) AS k, v AS c FROM e WHERE vec_id < $KmeansK),
+        a1 AS (${assign("c0")}),
+        c1 AS (SELECT cluster AS k, $centList AS c FROM a1 GROUP BY cluster),
+        a2 AS (${assign("c1")}),
+        c2 AS (SELECT cluster AS k, $centList AS c FROM a2 GROUP BY cluster)
+        SELECT vec_id, cluster, d6 FROM (
+          SELECT e.vec_id, c.k AS cluster,
+            round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6) AS d6,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
+          FROM e CROSS JOIN c2 c) WHERE rk = 1"""
+  }
+
+  val oracles: Seq[(String, String)] = Seq(
+    "embedding_kmeans" -> kmeansOracleSql,
+    // the stream twin shares the batch oracle verbatim — the scoring
+    // stream over the full table must equal the batch assignment
+    "embedding_kmeans_stream_twin" -> kmeansOracleSql,
     "ann_bruteforce_topk" ->
       s"""WITH e AS ($vecsSql),
           scored AS (

@@ -194,6 +194,58 @@ object TextOps {
       .limit(DsirTopK)
   }
 
+  /** CCNet-style perplexity bucketing: split the corpus into
+    * head/middle/tail thirds by language-model score (here the corpus
+    * bigram LM of [[textBigramLogprob]] — higher avg log-prob = lower
+    * perplexity = head). CCNet keeps head+middle and drops the tail;
+    * emitting the bucket label keeps that decision downstream. The
+    * thresholds are the corpus 33rd/67th percentiles — ONE 2-value
+    * row computed by a global aggregate and broadcast back onto the
+    * per-doc scores (the same 1-row-stats shape as BM25): no global
+    * sort, no NTILE window. The exact `percentile` here is holistic
+    * (its final agg buffers every per-doc score — 8 bytes × #docs in
+    * one task); it is the oracle-parity form, and at 100 TB the
+    * one-line swap is `approx_percentile(., ., accuracy)` with the
+    * identical plan shape (t-digest-style mergeable state, no
+    * funnel) — the same exact/approx twin policy as
+    * `approx_distinct`. Threshold comparisons happen between round-6
+    * values on both engines, so a last-ulp interpolation difference
+    * cannot flip a bucket unless the rounded thresholds themselves
+    * differ. */
+  val textPerplexityBucket: Q = (s, dir) => {
+    val lp = textBigramLogprob(s, dir).select("doc_id", "avg_logprob6")
+    val th = lp.agg(
+      round(expr("percentile(avg_logprob6, 0.33D)"), 6).as("t33"),
+      round(expr("percentile(avg_logprob6, 0.67D)"), 6).as("t67"))
+    lp.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("avg_logprob6"),
+        when(col("avg_logprob6") >= col("t67"), "head")
+          .when(col("avg_logprob6") >= col("t33"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Corpus mix rebalancing — the sampling-weight computation a
+    * multi-source training mix runs (Pile/Dolma-style): for a UNIFORM
+    * target share across languages, each language's resampling weight
+    * is target_share / actual_token_share. Two tiny aggregates (per
+    * language, then the 1-row total) and a broadcast back — the weights
+    * table is what a downstream weighted sampler joins on. share6 and
+    * weight6 are single divisions of exactly-counted longs (exact-parity
+    * class), rounded to 6. */
+  val corpusMixRebalance: Q = (s, dir) => {
+    val perLang = t(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+    val tot = perLang.agg(
+      sum(col("lang_tokens")).as("tot_tokens"), count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        round(col("lang_tokens").cast("double") / col("tot_tokens"), 6).as("share6"),
+        round(col("tot_tokens").cast("double") / (col("n_langs") * col("lang_tokens")), 6)
+          .as("weight6"))
+  }
+
   /** Repetition/boilerplate quality signals — the Gopher-rule family a
     * real LLM corpus filter applies (repetitious documents mark
     * boilerplate, scraped templates, or generation loops): duplicate-
@@ -701,6 +753,8 @@ object TextOps {
     "text_repetition" -> textRepetition,
     "text_rare_ratio" -> textRareRatio,
     "corpus_importance_dsir" -> corpusImportanceDsir,
+    "text_perplexity_bucket" -> textPerplexityBucket,
+    "corpus_mix_rebalance" -> corpusMixRebalance,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
     "corpus_sample" -> corpusSample(SamplePct),
@@ -876,6 +930,40 @@ object TextOps {
           FROM toks JOIN wt ON toks.w = wt.w
           GROUP BY doc_id
           ORDER BY dsir6 DESC, doc_id LIMIT $DsirTopK""",
+    "text_perplexity_bucket" ->
+      """WITH lp AS (
+           SELECT doc_id, avg_logprob6 FROM (
+             WITH big AS (
+               SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                    unnest(generate_series(1, len(t) - 1)) u(i)
+               WHERE len(t) >= 2),
+             ab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY 1, 2),
+             fst AS (SELECT w1, COUNT(*) AS n_a FROM big GROUP BY 1)
+             SELECT b.doc_id,
+               round(SUM(ln(CAST(a.n_ab AS DOUBLE) / f.n_a)) / COUNT(*), 6) AS avg_logprob6
+             FROM big b JOIN ab a ON b.w1 = a.w1 AND b.w2 = a.w2
+                  JOIN fst f ON b.w1 = f.w1
+             GROUP BY b.doc_id)),
+         th AS (SELECT round(quantile_cont(avg_logprob6, 0.33), 6) AS t33,
+                  round(quantile_cont(avg_logprob6, 0.67), 6) AS t67
+                FROM lp)
+         SELECT doc_id, avg_logprob6,
+           CASE WHEN avg_logprob6 >= t67 THEN 'head'
+                WHEN avg_logprob6 >= t33 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM lp CROSS JOIN th""",
+    "corpus_mix_rebalance" ->
+      """WITH per AS (SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS tot_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+                 FROM per)
+         SELECT lang, n_docs, lang_tokens,
+           round(CAST(lang_tokens AS DOUBLE) / tot_tokens, 6) AS share6,
+           round(CAST(tot_tokens AS DOUBLE) / (n_langs * lang_tokens), 6) AS weight6
+         FROM per CROSS JOIN tot""",
     "corpus_curation_best" ->
       s"""${DedupOps.clusterCtePrefix},
          clusters AS (SELECT doc AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc),

@@ -158,6 +158,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.sortBy(r => (-r._3, r._1)).take(40).forall(_._1 <= 40))
   }
 
+  test("embedding_kmeans stream twin scores the stream identically to the batch assignment") {
+    val batch = SimilarityOps.embeddingKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val stream = SimilarityOps.embeddingKmeansStreamTwin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(stream.length == batch.length)
+    assert(stream.sameElements(batch), "stream scoring diverged from batch assignment")
+  }
+
+  test("text_perplexity_bucket splits the corpus into ordered thirds") {
+    val rows = TextOps.textPerplexityBucket(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val byBucket = rows.groupBy(_._3)
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // thirds by construction (percentile thresholds): each bucket holds
+    // roughly a third of the scored docs
+    byBucket.foreach { case (b, rs) =>
+      assert(rs.length > rows.length / 5 && rs.length < rows.length / 2,
+        s"bucket $b has ${rs.length} of ${rows.length}")
+    }
+    // ordering: every head score >= every middle score >= every tail score
+    assert(byBucket("head").map(_._2).min >= byBucket("middle").map(_._2).max)
+    assert(byBucket("middle").map(_._2).min >= byBucket("tail").map(_._2).max)
+  }
+
+  test("corpus_mix_rebalance weights invert token shares against a uniform target") {
+    val rows = TextOps.corpusMixRebalance(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 5) // five languages in the corpus
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "shares must sum to ~1")
+    // weight ~ target/actual: the largest share gets the smallest weight
+    val byShare = rows.sortBy(_._4)
+    assert(byShare.map(_._5).reverse.sameElements(byShare.map(_._5).sorted),
+      s"weights not inverse-ordered to shares: $rows")
+    // uniform target: share6 * weight6 ≈ 1/n_langs for every language
+    rows.foreach { case (lang, _, _, share, weight) =>
+      assert(math.abs(share * weight - 0.2) < 1e-4, s"$lang: $share * $weight != 0.2")
+    }
+  }
+
   test("corpus_importance_dsir top-k on the real corpus is en-dominated and bounded") {
     val out = TextOps.corpusImportanceDsir(spark, dir)
     val rows = out.collect()

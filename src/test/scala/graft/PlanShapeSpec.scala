@@ -170,4 +170,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("text_perplexity_bucket computes thresholds as one aggregate, not a window/ntile") {
+    val plan = executedPlan("text_perplexity_bucket")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.matches("(?s).*Exchange rangepartitioning.*"), plan)
+  }
+
+  test("corpus_mix_rebalance broadcasts its 1-row totals back onto the per-language table") {
+    val plan = executedPlan("corpus_mix_rebalance")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan)
+  }
 }
