@@ -291,9 +291,36 @@ object SimilarityOps {
     s.table(sink)
   }
 
+  /** IVF over TRAINED k-means cells — [[annIvfCentroid]] upgraded with
+    * both halves of the k-means work: real Lloyd-trained coarse
+    * centroids (not one mean per label) AND the shuffle-free literal
+    * assignment. Where annIvfCentroid pays a corpus-wide
+    * BroadcastNestedLoopJoin + window argmin to assign vectors, here
+    * the assignment is the same in-row fold the k-means final pass
+    * uses — the index build touches the corpus exactly once, map-side,
+    * then the probe is the usual bucket equi-join. This is the plan
+    * you'd actually ship at 100 TB: train on a sample, render the
+    * model, assign in-row while writing the index bucketed by cell. */
+  val annIvfKmeans: Q = (s, dir) => {
+    val cents = kmeansTrain(s, dir)
+    val e = vecs(s, dir)
+      .withColumn("cluster", expr(kmeansAssignExpr(s, cents) + ".k"))
+      .select(col("vec_id"), col("cluster"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 50)
+    val scored = q.as("q").join(e.as("c"),
+        col("q.cluster") === col("c.cluster") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        col("q.cluster").as("bucket"),
+        round(expr(dotSql(s, "q.v", "c.v")) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
+    val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "embedding_kmeans" -> embeddingKmeans,
     "embedding_kmeans_stream_twin" -> embeddingKmeansStreamTwin,
+    "ann_ivf_kmeans" -> annIvfKmeans,
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_ivf_label" -> annIvfLabel,
     "ann_ivf_centroid" -> annIvfCentroid,
@@ -308,7 +335,9 @@ object SimilarityOps {
        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        FROM embeddings"""
 
-  private val kmeansOracleSql: String = {
+  /** Shared oracle CTE chain: embeddings (with norms) → init centroids
+    * → 2 Lloyd iterations → trained centroid table c2. */
+  private val kmeansCtePrefix: String = {
     val centList = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
     def assign(centCte: String) =
       s"""SELECT vec_id, v, k AS cluster FROM (
@@ -316,25 +345,46 @@ object SimilarityOps {
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
             FROM e CROSS JOIN $centCte c) WHERE rk = 1"""
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
         c0 AS (SELECT CAST(vec_id AS BIGINT) AS k, v AS c FROM e WHERE vec_id < $KmeansK),
         a1 AS (${assign("c0")}),
         c1 AS (SELECT cluster AS k, $centList AS c FROM a1 GROUP BY cluster),
         a2 AS (${assign("c1")}),
-        c2 AS (SELECT cluster AS k, $centList AS c FROM a2 GROUP BY cluster)
+        c2 AS (SELECT cluster AS k, $centList AS c FROM a2 GROUP BY cluster)"""
+  }
+
+  private val kmeansOracleSql: String =
+    s"""$kmeansCtePrefix
         SELECT vec_id, cluster, d6 FROM (
           SELECT e.vec_id, c.k AS cluster,
             round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6) AS d6,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
           FROM e CROSS JOIN c2 c) WHERE rk = 1"""
-  }
 
   val oracles: Seq[(String, String)] = Seq(
     "embedding_kmeans" -> kmeansOracleSql,
     // the stream twin shares the batch oracle verbatim — the scoring
     // stream over the full table must equal the batch assignment
     "embedding_kmeans_stream_twin" -> kmeansOracleSql,
+    "ann_ivf_kmeans" ->
+      s"""$kmeansCtePrefix,
+          a3 AS (SELECT vec_id, v, nrm, cluster FROM (
+            SELECT e.vec_id, e.v, e.nrm, c.k AS cluster,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
+            FROM e CROSS JOIN c2 c) WHERE rk = 1),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster AS bucket,
+              round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6
+            FROM a3 q JOIN a3 c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 50)
+          SELECT qid, nid, bucket, cos6, rk FROM (
+            SELECT qid, nid, bucket, cos6,
+              row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
+            FROM scored) WHERE rk <= 3""",
     "ann_bruteforce_topk" ->
       s"""WITH e AS ($vecsSql),
           scored AS (

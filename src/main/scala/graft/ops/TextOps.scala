@@ -246,6 +246,42 @@ object TextOps {
           .as("weight6"))
   }
 
+  /** Base overall sampling rate for the weighted sampler. */
+  private[graft] val WeightedSampleRate = 0.25
+
+  /** Weighted deterministic sampling — [[corpusMixRebalance]]'s weights
+    * made EXECUTABLE: each language is sampled at
+    * `min(1, weight6 × rate)` so the kept subset approaches the uniform
+    * target mix at overall rate ≈ [[WeightedSampleRate]]. The keep
+    * decision reuses the content-hash discipline of `corpus_sample`
+    * (h52 = first 52 md5 bits of the text): keep iff
+    * `h52 < floor(p_keep × 2⁵²)` — deterministic across engines, runs,
+    * and partition layouts. Exact parity needs no rounding leap of
+    * faith: `rate` (0.25) and 2⁵² are powers of two, so the threshold
+    * arithmetic on the round-6 weight is EXACT in IEEE double on both
+    * engines. Plan: the 5-row threshold table broadcast-joins the scan
+    * and the filter is map-side — at 100 TB this is a single pass that
+    * reads and writes, with no shuffle at all. */
+  val corpusSampleWeighted: Q = (s, dir) => {
+    val perLang = t(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang").agg(sum(col("n_tokens")).as("lang_tokens"))
+    val tot = perLang.agg(
+      sum(col("lang_tokens")).as("tot_tokens"), count(lit(1)).as("n_langs"))
+    val cuts = perLang.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(least(lit(1.0),
+          round(col("tot_tokens").cast("double") / (col("n_langs") * col("lang_tokens")), 6)
+            * lit(WeightedSampleRate)) * lit(4503599627370496.0)) // 2^52
+          .cast("long").as("h_cut"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)").as("h52"))
+      .join(broadcast(cuts), "lang")
+      .filter(col("h52") < col("h_cut"))
+      .select(col("doc_id"), col("lang"), col("h52"))
+  }
+
   /** Repetition/boilerplate quality signals — the Gopher-rule family a
     * real LLM corpus filter applies (repetitious documents mark
     * boilerplate, scraped templates, or generation loops): duplicate-
@@ -755,6 +791,7 @@ object TextOps {
     "corpus_importance_dsir" -> corpusImportanceDsir,
     "text_perplexity_bucket" -> textPerplexityBucket,
     "corpus_mix_rebalance" -> corpusMixRebalance,
+    "corpus_sample_weighted" -> corpusSampleWeighted,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
     "corpus_sample" -> corpusSample(SamplePct),
@@ -964,6 +1001,24 @@ object TextOps {
            round(CAST(lang_tokens AS DOUBLE) / tot_tokens, 6) AS share6,
            round(CAST(tot_tokens AS DOUBLE) / (n_langs * lang_tokens), 6) AS weight6
          FROM per CROSS JOIN tot""",
+    "corpus_sample_weighted" ->
+      s"""WITH per AS (SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS tot_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+                 FROM per),
+         cuts AS (SELECT lang,
+             CAST(floor(least(1.0,
+               round(CAST(tot_tokens AS DOUBLE) / (n_langs * lang_tokens), 6)
+                 * $WeightedSampleRate) * 4503599627370496.0) AS BIGINT) AS h_cut
+           FROM per CROSS JOIN tot)
+         SELECT d.doc_id, d.lang, d.h52
+         FROM (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) AS h52
+               FROM documents) d
+         JOIN cuts ON d.lang = cuts.lang
+         WHERE d.h52 < cuts.h_cut""",
     "corpus_curation_best" ->
       s"""${DedupOps.clusterCtePrefix},
          clusters AS (SELECT doc AS doc_id, MIN(lab) AS cluster FROM reach GROUP BY doc),

@@ -198,6 +198,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_kmeans probes only the query's trained cell, ranked by cosine") {
+    val assign = SimilarityOps.embeddingKmeans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SimilarityOps.annIvfKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nid, bucket, _, rk) =>
+      assert(assign(qid) == bucket && assign(nid) == bucket,
+        s"pair ($qid,$nid) crosses cells: ${assign(qid)}/${assign(nid)} vs $bucket")
+      assert(rk >= 1 && rk <= 3)
+    }
+    // within each query the ranks order by cosine descending
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val byRk = rs.sortBy(_._5).map(_._4)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b }, s"qid $qid: $rs")
+    }
+  }
+
+  test("corpus_sample_weighted rebalances kept counts toward the uniform target") {
+    val kept = TextOps.corpusSampleWeighted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perLang.keySet == Set("en", "de", "es", "fr", "zh"))
+    // raw corpus is 218 en vs ~70 per other lang; the weighted sampler
+    // must pull kept counts toward equality (~25 each at rate 0.25)
+    perLang.foreach { case (lang, n) =>
+      assert(n >= 10 && n <= 45, s"$lang kept $n — weighting broken: $perLang")
+    }
+    // deterministic: same keep-set on a re-run
+    val again = TextOps.corpusSampleWeighted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("corpus_importance_dsir top-k on the real corpus is en-dominated and bounded") {
     val out = TextOps.corpusImportanceDsir(spark, dir)
     val rows = out.collect()

@@ -183,4 +183,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       plan)
   }
+
+  test("ann_ivf_kmeans assigns in-row — no nested-loop assignment join survives") {
+    val plan = executedPlan("ann_ivf_kmeans")
+    // the annIvfCentroid shape pays a BroadcastNestedLoopJoin for the
+    // N×K assignment; the trained-model form must not — the model is a
+    // literal in the projection, and the only join is the bucket probe
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("corpus_sample_weighted keeps the corpus side shuffle-free behind a broadcast join") {
+    val plan = executedPlan("corpus_sample_weighted")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
