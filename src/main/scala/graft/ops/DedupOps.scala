@@ -576,6 +576,15 @@ object DedupOps {
     * kept: half the driver-side job barriers is strictly less
     * scheduling surface for a contended cluster, at zero cost. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // REJECTED EXPERIMENT (round-5 continuation, NOTES_r5): collapsing
+    // the working set to 8 partitions (repartition(8, src) here +
+    // coalesce(8) on `next`) to cut per-round task counts measured
+    // ~1.5× SLOWER at sf0.1 under same-window probes (steady-state
+    // 3.3-3.9 s reverted vs 4.7-6.7 s with the change): the extra
+    // up-front shuffle plus starving the per-round joins of
+    // parallelism costs more than the saved task scheduling. AQE's
+    // post-shuffle coalescing already right-sizes the reducer side;
+    // leave the checkpointed partitioning alone.
     val edges = pairs.toDF("a", "b")
       .union(pairs.toDF("a", "b").select(col("b"), col("a")))
       .toDF("src", "dst").localCheckpoint(eager = false)

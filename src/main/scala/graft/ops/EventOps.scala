@@ -243,8 +243,35 @@ object EventOps {
         max(col("n_sessions")).cast("long").as("n_sessions"))
   }
 
+  /** The windowed-aggregation streaming topology surfaced into the
+    * CORRECTNESS gate — COMPLETE output mode re-emits the whole hourly
+    * table each micro-batch, so the final sink equals the batch
+    * aggregate with no watermark-finalization gymnastics. Carries
+    * [[eventsTumbling]]'s hour bucketing and exact-cents sum; its
+    * COUNT(DISTINCT user_id) column stays batch-only (distinct
+    * aggregation is unsupported over streams), so this entry has its
+    * own oracle = the tumbling oracle minus that column. */
+  val eventsTumblingStreamTwin: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val norm = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => stream
+    }
+    val sink = "graft_events_tumbling_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams.hourlyTotals(norm)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
+    "events_tumbling_stream_twin" -> eventsTumblingStreamTwin,
     "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_sessionize" -> eventsSessionize,
     "events_sessionize_stream_twin" -> eventsSessionizeStreamTwin,
@@ -272,6 +299,10 @@ object EventOps {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n,
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c,
          COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1""",
+    "events_tumbling_stream_twin" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
          FROM events GROUP BY 1""",
     "events_hourly_anomaly" ->
       """WITH hourly AS (

@@ -26,6 +26,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Hourly totals for the COMPLETE-mode oracle twin: the same hour
+    * bucketing + exact-cents sum as the batch `events_tumbling`
+    * (minus its COUNT(DISTINCT) — distinct aggregation is unsupported
+    * over streams; the batch form keeps it). Complete mode re-emits
+    * the full result table per micro-batch, so no watermark is needed
+    * — at scale this shape suits BOUNDED group counts (hours), while
+    * [[tumblingCounts]] with its watermark is the unbounded-key form. */
+  def hourlyTotals(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum((round(col("value") * 100, 0)).cast("long")).as("value_c"))
+
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the streaming form of exact dedup (bounded state; at 100 TB/day the
     * horizon bounds the dedup state size). */

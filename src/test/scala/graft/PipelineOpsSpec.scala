@@ -232,6 +232,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("events_tumbling stream twin equals the batch hourly aggregate") {
+    val batch = graft.ops.EventOps.queries.toMap.apply("events_tumbling")(spark, dir)
+      .select("hour", "n", "value_c").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val stream = graft.ops.EventOps.queries.toMap.apply("events_tumbling_stream_twin")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stream.nonEmpty)
+    assert(stream.sameElements(batch), "complete-mode stream diverged from batch hourly totals")
+  }
+
   test("corpus_importance_dsir top-k on the real corpus is en-dominated and bounded") {
     val out = TextOps.corpusImportanceDsir(spark, dir)
     val rows = out.collect()
