@@ -42,7 +42,8 @@ object Bench {
     // DSIR importance top-k
     "embedding_kmeans", "dedup_semantic", "dedup_paragraph",
     "corpus_importance_dsir", "text_perplexity_bucket",
-    "corpus_mix_rebalance", "ann_ivf_kmeans", "corpus_sample_weighted")
+    "corpus_mix_rebalance", "ann_ivf_kmeans", "corpus_sample_weighted",
+    "dedup_paragraph_rebuild")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -808,6 +808,35 @@ object DedupOps {
           .as("dup_frac6"))
   }
 
+  /** Paragraph dedup with RECONSTRUCTION — the artifact a CCNet-style
+    * pass actually ships: every document re-assembled from only its
+    * first-occurrence segments (order preserved), emitted as the new
+    * token count and the md5 of the rebuilt text. Documents whose
+    * every segment occurred earlier elsewhere vanish — that is the
+    * dedup decision. Same two-shuffle shape as [[dedupParagraph]]
+    * (seg_md5 rank, doc_id re-agg); the rebuild adds only an in-group
+    * `array_sort(collect_list(struct(seg_idx, …)))` — bounded by a
+    * document's own segment count, never corpus-wide state. */
+  val dedupParagraphRebuild: Q = (s, dir) => {
+    val segs = docs(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(tk), $ParaSegTokens),
+            st -> struct(CAST((st - 1) div $ParaSegTokens AS BIGINT) AS seg_idx,
+                         concat_ws(' ', slice(tk, st, $ParaSegTokens)) AS seg_txt))"""))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg_txt").as("seg_txt"))
+    val w = Window.partitionBy(md5(col("seg_txt"))).orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("occ", row_number().over(w))
+      .filter(col("occ") === 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept_segs"),
+        sum(size(split(col("seg_txt"), " ")).cast("long")).as("n_new_tokens"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(seg_idx, seg_txt))), x -> x.seg_txt), ' ')"))
+          .as("new_md5"))
+  }
+
   /** Embeddings with norms and a sign-bit LSH bucket over the first
     * `bits` dimensions. */
   private def embeddingBucketed(s: SparkSession, dir: String, bits: Int): DataFrame =
@@ -903,6 +932,7 @@ object DedupOps {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
     "dedup_paragraph" -> dedupParagraph,
+    "dedup_paragraph_rebuild" -> dedupParagraphRebuild,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh(EmbeddingLshBits),
     "dedup_embedding_lsh_multiprobe" -> dedupEmbeddingLshMultiprobe(EmbeddingLshProbeBits),
     "embedding_lsh_occupancy" -> embeddingLshOccupancy(EmbeddingLshBits))
@@ -989,6 +1019,21 @@ object DedupOps {
             round(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
               AS dup_frac6
           FROM occs GROUP BY doc_id""",
+    "dedup_paragraph_rebuild" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                  list_aggregate(tk[(i * $ParaSegTokens + 1):((i + 1) * $ParaSegTokens)],
+                      'string_agg', ' ') AS seg_txt
+                FROM toks,
+                     unnest(generate_series(0,
+                       CAST(ceil(len(tk) / ${ParaSegTokens}.0) AS INT) - 1)) u(i)),
+          occs AS (SELECT doc_id, seg_idx, seg_txt,
+                     row_number() OVER (PARTITION BY md5(seg_txt) ORDER BY doc_id, seg_idx) AS occ
+                   FROM segs)
+          SELECT doc_id, COUNT(*) AS n_kept_segs,
+            CAST(SUM(len(string_split(seg_txt, ' '))) AS BIGINT) AS n_new_tokens,
+            md5(string_agg(seg_txt, ' ' ORDER BY seg_idx)) AS new_md5
+          FROM occs WHERE occ = 1 GROUP BY doc_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY md5(text)""",

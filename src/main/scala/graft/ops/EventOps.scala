@@ -269,9 +269,31 @@ object EventOps {
     s.table(sink)
   }
 
+  /** Event-type transition matrix (first-order Markov): per user the
+    * stream orders by (ts, event_id), each consecutive pair is a
+    * transition, and the matrix carries counts plus the per-source
+    * transition probability. One user-keyed window (per-user
+    * partitions — high cardinality, skew-free) then two tiny
+    * aggregations over the |types|² matrix; p6 is a single division
+    * of exact counts. The funnel/retention queries tell you WHETHER
+    * users convert — this tells you where the paths actually go. */
+  val eventsPathTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val cells = trans.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(count(lit(1)).as("n_from"))
+    cells.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p6"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_tumbling_stream_twin" -> eventsTumblingStreamTwin,
+    "events_path_transitions" -> eventsPathTransitions,
     "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_sessionize" -> eventsSessionize,
     "events_sessionize_stream_twin" -> eventsSessionizeStreamTwin,
@@ -304,6 +326,18 @@ object EventOps {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n,
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
          FROM events GROUP BY 1""",
+    "events_path_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS to_type
+           FROM events),
+         trans AS (SELECT from_type, to_type FROM seq WHERE to_type IS NOT NULL),
+         cells AS (SELECT from_type, to_type, COUNT(*) AS n FROM trans GROUP BY 1, 2),
+         totals AS (SELECT from_type, COUNT(*) AS n_from FROM trans GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n,
+           round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p6
+         FROM cells c JOIN totals t ON c.from_type = t.from_type""",
     "events_hourly_anomaly" ->
       """WITH hourly AS (
            SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n

@@ -49,6 +49,21 @@ object TextOps {
           .when(col("n_fr") > 0, "fr")
           .otherwise("und").as("pred_lang"))
 
+  /** Language-ID confusion matrix — the evaluation an n-gram/stopword
+    * language classifier ships with: predicted vs labeled counts and
+    * per-label recall share. Derives from [[textLangid]]'s verdicts;
+    * two small aggregations and a label-keyed join (the matrix is
+    * |langs|² rows — driver-safe at any corpus size). recall6 is a
+    * single division of exact counts. */
+  val textLangidConfusion: Q = (s, dir) => {
+    val pred = textLangid(s, dir).select("doc_id", "labeled_lang", "pred_lang")
+    val cells = pred.groupBy("labeled_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val totals = pred.groupBy("labeled_lang").agg(count(lit(1)).as("n_labeled"))
+    cells.join(totals, "labeled_lang")
+      .select(col("labeled_lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("n_labeled"), 6).as("recall6"))
+  }
+
   /** Canonical fingerprint (sorted distinct token bag → md5) with group
     * sizes — bag-of-words near-dup detection. */
   val textFingerprint: Q = (s, dir) =>
@@ -782,6 +797,7 @@ object TextOps {
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_langid_confusion" -> textLangidConfusion,
     "text_fingerprint" -> textFingerprint,
     "token_regex_count" -> tokenRegexCount,
     "token_doc_freq_salted" -> tokenDocFreqSalted,
@@ -845,6 +861,25 @@ object TextOps {
        FROM g JOIN h ON g.ngram = h.ngram
        WHERE g.bucket < $HeldoutBucket GROUP BY g.doc_id"""
 
+  /** Shared by `text_langid` and the confusion-matrix derivation. */
+  private val langidOracleSql: String =
+    """SELECT doc_id, lang AS labeled_lang,
+       CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_en,
+       CAST(len(list_filter(t, x -> x = 'der' OR x = 'die')) AS BIGINT) AS n_de,
+       CAST(len(list_filter(t, x -> x = 'le' OR x = 'la')) AS BIGINT) AS n_fr,
+       CASE
+         WHEN len(list_filter(t, x -> x = 'the' OR x = 'a'))
+                >= len(list_filter(t, x -> x = 'der' OR x = 'die'))
+          AND len(list_filter(t, x -> x = 'the' OR x = 'a'))
+                >= len(list_filter(t, x -> x = 'le' OR x = 'la'))
+          AND len(list_filter(t, x -> x = 'the' OR x = 'a')) > 0 THEN 'en'
+         WHEN len(list_filter(t, x -> x = 'der' OR x = 'die'))
+                >= len(list_filter(t, x -> x = 'le' OR x = 'la'))
+          AND len(list_filter(t, x -> x = 'der' OR x = 'die')) > 0 THEN 'de'
+         WHEN len(list_filter(t, x -> x = 'le' OR x = 'la')) > 0 THEN 'fr'
+         ELSE 'und' END AS pred_lang
+       FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)"""
+
   val oracles: Seq[(String, String)] = Seq(
     "text_token_stats" ->
       """SELECT doc_id,
@@ -863,23 +898,16 @@ object TextOps {
          CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity,
          CASE WHEN len(t) >= 20 AND len(t) <= 80 THEN 1 ELSE 0 END AS len_ok
          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""",
-    "text_langid" ->
-      """SELECT doc_id, lang AS labeled_lang,
-         CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_en,
-         CAST(len(list_filter(t, x -> x = 'der' OR x = 'die')) AS BIGINT) AS n_de,
-         CAST(len(list_filter(t, x -> x = 'le' OR x = 'la')) AS BIGINT) AS n_fr,
-         CASE
-           WHEN len(list_filter(t, x -> x = 'the' OR x = 'a'))
-                  >= len(list_filter(t, x -> x = 'der' OR x = 'die'))
-            AND len(list_filter(t, x -> x = 'the' OR x = 'a'))
-                  >= len(list_filter(t, x -> x = 'le' OR x = 'la'))
-            AND len(list_filter(t, x -> x = 'the' OR x = 'a')) > 0 THEN 'en'
-           WHEN len(list_filter(t, x -> x = 'der' OR x = 'die'))
-                  >= len(list_filter(t, x -> x = 'le' OR x = 'la'))
-            AND len(list_filter(t, x -> x = 'der' OR x = 'die')) > 0 THEN 'de'
-           WHEN len(list_filter(t, x -> x = 'le' OR x = 'la')) > 0 THEN 'fr'
-           ELSE 'und' END AS pred_lang
-         FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)""",
+    "text_langid" -> langidOracleSql,
+    "text_langid_confusion" ->
+      s"""WITH pred AS ($langidOracleSql),
+          cells AS (SELECT labeled_lang, pred_lang, COUNT(*) AS n
+                    FROM pred GROUP BY 1, 2),
+          totals AS (SELECT labeled_lang, COUNT(*) AS n_labeled
+                     FROM pred GROUP BY 1)
+          SELECT c.labeled_lang, c.pred_lang, c.n,
+            round(CAST(c.n AS DOUBLE) / t.n_labeled, 6) AS recall6
+          FROM cells c JOIN totals t ON c.labeled_lang = t.labeled_lang""",
     "text_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
          MIN(doc_id) AS rep_id, COUNT(*) AS n

@@ -232,6 +232,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("dedup_paragraph_rebuild reassembles only first-occurrence segments in order") {
+    import java.security.MessageDigest
+    def md5(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val segLen = DedupOps.ParaSegTokens
+    val seg1 = (1 to segLen).map(i => s"w$i").mkString(" ")
+    val seg2 = (1 to segLen).map(i => s"x$i").mkString(" ")
+    val seg3 = (1 to segLen).map(i => s"y$i").mkString(" ")
+    val docsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, s"$seg1 $seg2"),
+        Row(20L, s"$seg3 $seg1"),        // seg1 dropped -> rebuilt text = seg3
+        Row(30L, seg2 + " tail tokens")  // seg2 dropped -> rebuilt text = "tail tokens"
+      )),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val tmp = s"$scratch/para_rebuild"
+    docsDf.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DedupOps.dedupParagraphRebuild(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(10L) == ((2L, 2L * segLen, md5(s"$seg1 $seg2"))), s"doc 10: ${out(10L)}")
+    assert(out(20L) == ((1L, segLen.toLong, md5(seg3))), s"doc 20: ${out(20L)}")
+    assert(out(30L) == ((1L, 2L, md5("tail tokens"))), s"doc 30: ${out(30L)}")
+  }
+
+  test("text_langid_confusion recall shares sum to 1 per labeled language") {
+    val rows = TextOps.textLangidConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet == Set("en", "de", "es", "fr", "zh"))
+    rows.groupBy(_._1).foreach { case (label, cells) =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-4,
+        s"$label recall shares: ${cells.toSeq}")
+    }
+    // the stopword heuristic must actually catch English
+    val enDiag = rows.find(r => r._1 == "en" && r._2 == "en").map(_._4).getOrElse(0.0)
+    assert(enDiag > 0.5, s"en→en recall $enDiag")
+  }
+
+  test("events_path_transitions probabilities sum to 1 per source type") {
+    val rows = graft.ops.EventOps.queries.toMap.apply("events_path_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, cells) =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-3, s"$from: ${cells.toSeq}")
+      assert(cells.forall(_._3 > 0))
+    }
+  }
+
   test("events_tumbling stream twin equals the batch hourly aggregate") {
     val batch = graft.ops.EventOps.queries.toMap.apply("events_tumbling")(spark, dir)
       .select("hour", "n", "value_c").collect()

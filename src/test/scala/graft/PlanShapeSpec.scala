@@ -195,6 +195,12 @@ class PlanShapeSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("dedup_paragraph_rebuild stays join-free with no funnel, like its stats twin") {
+    val plan = executedPlan("dedup_paragraph_rebuild")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("corpus_sample_weighted keeps the corpus side shuffle-free behind a broadcast join") {
     val plan = executedPlan("corpus_sample_weighted")
     assert(plan.contains("BroadcastHashJoin"), plan)
