@@ -777,21 +777,11 @@ object DedupOps {
     * token-stream analogue of CCNet/RefinedWeb line dedup. */
   private[graft] val ParaSegTokens = 16
 
-  /** Corpus-level paragraph (segment) dedup — the CCNet recipe: hash
-    * every segment of every document, keep only the FIRST occurrence
-    * corpus-wide (ordered by doc_id, then position), and report per
-    * document how much of it was duplicated elsewhere. Segmentation is
-    * in-row (one `transform` over the token array — no explode-then-
-    * regroup round trip for the segment hash itself); the only
-    * corpus-wide exchange is the hash-shuffle on seg_md5 that ranks
-    * occurrences, followed by the per-doc re-aggregation. At 100 TB
-    * both are plain hash shuffles on high-cardinality keys — no
-    * windows over a global order, no skew funnel (a pathological
-    * boilerplate segment concentrates ONE md5 key; AQE skew split
-    * handles it, and the rank-1 semantics are unaffected). dup_frac6
-    * is a single division of exact counts. */
-  val dedupParagraph: Q = (s, dir) => {
-    val segs = docs(s, dir)
+  /** In-row segmentation: one (doc_id, seg_idx, seg_md5) row per
+    * [[ParaSegTokens]]-token segment — no explode-then-regroup round
+    * trip for the segment hash itself. */
+  private def paragraphSegs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(tk), $ParaSegTokens),
@@ -799,12 +789,36 @@ object DedupOps {
                          md5(concat_ws(' ', slice(tk, st, $ParaSegTokens))) AS seg_md5))"""))
         .as("sg"))
       .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg_md5").as("seg_md5"))
-    val w = Window.partitionBy("seg_md5").orderBy(col("doc_id"), col("seg_idx"))
-    segs.withColumn("occ", row_number().over(w))
+
+  /** First occurrence (min (doc_id, seg_idx)) per segment hash, as a
+    * GROUPBY — deliberately NOT a `row_number` window: partial
+    * (map-side) aggregation makes the min skew-immune when a
+    * pathological boilerplate segment concentrates one md5 key,
+    * whereas a window's per-key partition CANNOT be split by AQE (AQE
+    * skew handling applies to joins, not window exchanges). The flag
+    * join back onto the segments is a plain equi-join on seg_md5 —
+    * which AQE CAN skew-split. */
+  private def paragraphFirsts(segs: DataFrame): DataFrame =
+    segs.groupBy("seg_md5")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+
+  /** Corpus-level paragraph (segment) dedup — the CCNet recipe: hash
+    * every segment of every document, keep only the FIRST occurrence
+    * corpus-wide (ordered by doc_id, then position), and report per
+    * document how much of it was duplicated elsewhere. Plan shape:
+    * in-row segmentation, one skew-immune groupBy-min on seg_md5
+    * ([[paragraphFirsts]]), one AQE-splittable equi-join to flag
+    * occurrences, one per-doc re-aggregation. dup_frac6 is a single
+    * division of exact counts. */
+  val dedupParagraph: Q = (s, dir) => {
+    val segs = paragraphSegs(s, dir)
+    val isDup = col("first.doc_id") =!= col("doc_id") ||
+      col("first.seg_idx") =!= col("seg_idx")
+    segs.join(paragraphFirsts(segs), "seg_md5")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_segs"),
-        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_segs"),
-        round(sum(when(col("occ") > 1, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+        sum(when(isDup, 1L).otherwise(0L)).as("n_dup_segs"),
+        round(sum(when(isDup, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
           .as("dup_frac6"))
   }
 
@@ -813,8 +827,8 @@ object DedupOps {
     * first-occurrence segments (order preserved), emitted as the new
     * token count and the md5 of the rebuilt text. Documents whose
     * every segment occurred earlier elsewhere vanish — that is the
-    * dedup decision. Same two-shuffle shape as [[dedupParagraph]]
-    * (seg_md5 rank, doc_id re-agg); the rebuild adds only an in-group
+    * dedup decision. Same skew-immune groupBy-min + equi-join shape as
+    * [[dedupParagraph]]; the rebuild adds only an in-group
     * `array_sort(collect_list(struct(seg_idx, …)))` — bounded by a
     * document's own segment count, never corpus-wide state. */
   val dedupParagraphRebuild: Q = (s, dir) => {
@@ -825,10 +839,10 @@ object DedupOps {
             st -> struct(CAST((st - 1) div $ParaSegTokens AS BIGINT) AS seg_idx,
                          concat_ws(' ', slice(tk, st, $ParaSegTokens)) AS seg_txt))"""))
         .as("sg"))
-      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg_txt").as("seg_txt"))
-    val w = Window.partitionBy(md5(col("seg_txt"))).orderBy(col("doc_id"), col("seg_idx"))
-    segs.withColumn("occ", row_number().over(w))
-      .filter(col("occ") === 1)
+      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg_txt").as("seg_txt"),
+        md5(col("sg.seg_txt")).as("seg_md5"))
+    segs.join(paragraphFirsts(segs), "seg_md5")
+      .filter(col("first.doc_id") === col("doc_id") && col("first.seg_idx") === col("seg_idx"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_kept_segs"),
         sum(size(split(col("seg_txt"), " ")).cast("long")).as("n_new_tokens"),

@@ -157,11 +157,15 @@ class PlanShapeSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), plan)
   }
 
-  test("dedup_paragraph ranks occurrences via a seg_md5-partitioned window, no funnel") {
+  test("dedup_paragraph flags occurrences via groupBy-min + equi-join, never a window") {
     val plan = executedPlan("dedup_paragraph")
     assert(!plan.contains("SinglePartition"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("Join"), plan) // segment → rank → re-agg needs no join at all
+    // the skew-immunity argument: first-occurrence comes from a partial
+    // aggregation, NOT a per-key window partition AQE cannot split
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_first")
+      || plan.contains("HashAggregate"), plan)
   }
 
   test("corpus_importance_dsir takes its top-k without a global sort or window") {
@@ -195,10 +199,11 @@ class PlanShapeSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), plan)
   }
 
-  test("dedup_paragraph_rebuild stays join-free with no funnel, like its stats twin") {
+  test("dedup_paragraph_rebuild shares the groupBy-min shape, no window funnel") {
     val plan = executedPlan("dedup_paragraph_rebuild")
-    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
     assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("corpus_sample_weighted keeps the corpus side shuffle-free behind a broadcast join") {
