@@ -771,6 +771,33 @@ object DedupOps {
         (coalesce(col("max_earlier_cos6"), lit(-2.0)) >= SemdedupTau).as("dropped"))
   }
 
+  /** The full SemDeDup paper recipe END-TO-END: k-means clusters the
+    * embeddings ([[graft.ops.SimilarityOps.kmeansTrain]] — the paper
+    * clusters with k-means, not pre-given labels), then the
+    * within-cluster max-earlier-cosine drop verdict of
+    * [[dedupSemantic]] runs inside the LEARNED cells. The cluster
+    * assignment is the in-row literal-model fold (no assignment join
+    * or shuffle), so the only corpus-wide exchanges are the cluster
+    * equi-join and the evidence re-join — identical scale posture to
+    * [[dedupSemantic]], with the clustering now part of the operator
+    * instead of an input column. */
+  val dedupSemanticKmeans: Q = (s, dir) => {
+    val cents = SimilarityOps.kmeansTrain(s, dir)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql(s, "v", "v")})"))
+      .withColumn("cluster", expr(SimilarityOps.kmeansAssignExpr(s, cents) + ".k"))
+    val evidence = e.as("a").join(e.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        round(expr(dotSql(s, "a.v", "b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos6"))
+      .groupBy("vec_id").agg(max(col("cos6")).as("max_earlier_cos6"))
+    e.select("vec_id", "cluster").join(evidence, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("max_earlier_cos6"),
+        (coalesce(col("max_earlier_cos6"), lit(-2.0)) >= SemdedupTau).as("dropped"))
+  }
+
   /** Segment width for corpus-level paragraph dedup. The documents
     * table is whitespace-token text with no paragraph delimiters, so a
     * "paragraph" is a fixed non-overlapping 16-token segment — the
@@ -945,6 +972,7 @@ object DedupOps {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_kmeans" -> dedupSemanticKmeans,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_paragraph_rebuild" -> dedupParagraphRebuild,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh(EmbeddingLshBits),
@@ -1017,6 +1045,15 @@ object DedupOps {
           SELECT e.vec_id, e.label, ev.max_earlier_cos6,
             coalesce(ev.max_earlier_cos6, -2.0) >= $SemdedupTau AS dropped
           FROM e LEFT JOIN ev ON e.vec_id = ev.vec_id""",
+    "dedup_semantic_kmeans" ->
+      s"""${SimilarityOps.kmeansAssignedCteSql},
+          ev AS (SELECT a.vec_id,
+                   MAX(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)) AS max_earlier_cos6
+                 FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                 GROUP BY a.vec_id)
+          SELECT a3.vec_id, a3.cluster, ev.max_earlier_cos6,
+            coalesce(ev.max_earlier_cos6, -2.0) >= $SemdedupTau AS dropped
+          FROM a3 LEFT JOIN ev ON a3.vec_id = ev.vec_id""",
     "dedup_paragraph" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
           segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,

@@ -337,7 +337,7 @@ object SimilarityOps {
 
   /** Shared oracle CTE chain: embeddings (with norms) → init centroids
     * → 2 Lloyd iterations → trained centroid table c2. */
-  private val kmeansCtePrefix: String = {
+  private[graft] val kmeansCtePrefix: String = {
     val centList = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
     def assign(centCte: String) =
       s"""SELECT vec_id, v, k AS cluster FROM (
@@ -355,6 +355,16 @@ object SimilarityOps {
         c2 AS (SELECT cluster AS k, $centList AS c FROM a2 GROUP BY cluster)"""
   }
 
+  /** Prefix + final full-table assignment (with norms) as CTE `a3` —
+    * shared by the trained-cell IVF and k-means SemDeDup oracles. */
+  private[graft] val kmeansAssignedCteSql: String =
+    s"""$kmeansCtePrefix,
+        a3 AS (SELECT vec_id, v, nrm, cluster FROM (
+          SELECT e.vec_id, e.v, e.nrm, c.k AS cluster,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
+          FROM e CROSS JOIN c2 c) WHERE rk = 1)"""
+
   private val kmeansOracleSql: String =
     s"""$kmeansCtePrefix
         SELECT vec_id, cluster, d6 FROM (
@@ -370,12 +380,7 @@ object SimilarityOps {
     // stream over the full table must equal the batch assignment
     "embedding_kmeans_stream_twin" -> kmeansOracleSql,
     "ann_ivf_kmeans" ->
-      s"""$kmeansCtePrefix,
-          a3 AS (SELECT vec_id, v, nrm, cluster FROM (
-            SELECT e.vec_id, e.v, e.nrm, c.k AS cluster,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
-            FROM e CROSS JOIN c2 c) WHERE rk = 1),
+      s"""$kmeansAssignedCteSql,
           scored AS (
             SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster AS bucket,
               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6

@@ -117,6 +117,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.count(_._3) > 0, "tau marks nothing on this corpus — vacuous entry")
   }
 
+  test("dedup_semantic_kmeans composes the learned clusters with the drop verdicts") {
+    val assign = SimilarityOps.embeddingKmeans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = DedupOps.dedupSemanticKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getBoolean(3)))
+    assert(rows.length == assign.size)
+    // the operator's clusters ARE the k-means assignment
+    rows.foreach { case (id, cluster, _, _) =>
+      assert(cluster == assign(id), s"vec $id cluster $cluster != kmeans ${assign(id)}")
+    }
+    assert(rows.count(_._4) > 0, "tau marks nothing over the learned clusters — vacuous")
+    // the first vector of every cluster can never be dropped
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val first = members.minBy(_._1)
+      assert(!first._4 && first._3.isEmpty, s"cluster $c first ${first._1} has evidence")
+    }
+  }
+
   test("dedup_paragraph flags exactly the re-occurring segments, first occurrence wins") {
     val segLen = DedupOps.ParaSegTokens
     val seg1 = (1 to segLen).map(i => s"w$i").mkString(" ")

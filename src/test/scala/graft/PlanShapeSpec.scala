@@ -147,14 +147,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dedup_semantic evaluates cosine only inside a cluster equi-join") {
-    val plan = executedPlan("dedup_semantic")
-    assert(!plan.contains("CartesianProduct"), plan)
-    // the label join must be an equi-join (hash or sort-merge), and the
-    // per-cluster pair condition rides it — never a nested loop over
-    // the corpus
-    assert(!plan.matches("(?s).*BroadcastNestedLoopJoin.*Inner.*"), plan)
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
-      || plan.contains("ShuffledHashJoin"), plan)
+    Seq("dedup_semantic", "dedup_semantic_kmeans").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      // the cluster join must be an equi-join (hash or sort-merge), and
+      // the per-cluster pair condition rides it — never a nested loop
+      // over the corpus (the kmeans variant's assignment is an in-row
+      // literal fold, so no BNLJ appears there either)
+      assert(!plan.matches("(?s).*BroadcastNestedLoopJoin.*Inner.*"), s"$q:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("ShuffledHashJoin"), s"$q:\n$plan")
+    }
   }
 
   test("dedup_paragraph flags occurrences via groupBy-min + equi-join, never a window") {
