@@ -160,6 +160,26 @@ object Relational {
       .except(ord.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
   }
 
+  /** Multiset (bag) set operators — `intersectAll`/`exceptAll` keep
+    * DUPLICATE multiplicities (INTERSECT ALL / EXCEPT ALL), and plan
+    * through a genuinely different physical shape than the DISTINCT
+    * forms: Spark rewrites them as a count-aggregate per side plus a
+    * `Generate(replicate_rows)` that re-expands the min/difference of
+    * the multiplicities — no row-by-row anti/semi join. A customer
+    * with 3 'F' orders and 1 'P' order appears min(3,1)=1 time in the
+    * intersection and 3−1=2 times in the difference. */
+  val setIntersectAll: Q = (s, dir) => {
+    val ord = t(s, dir, "orders")
+    ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersectAll(ord.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+  }
+
+  val setExceptAll: Q = (s, dir) => {
+    val ord = t(s, dir, "orders")
+    ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(ord.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+  }
+
   /** Cross join of two tiny dims. */
   val crossJoinSmall: Q = (s, dir) =>
     t(s, dir, "region").crossJoin(t(s, dir, "nation"))
@@ -360,6 +380,8 @@ object Relational {
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_intersect_all" -> setIntersectAll,
+    "set_except_all" -> setExceptAll,
     "cross_join_small" -> crossJoinSmall,
     "pivot_returnflag" -> pivotReturnflag,
     "scalar_string" -> scalarString,
@@ -469,6 +491,14 @@ object Relational {
     "set_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+    "set_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+    "set_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT ALL
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
     "cross_join_small" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation",

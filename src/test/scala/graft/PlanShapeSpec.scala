@@ -209,6 +209,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("multiset set ops plan through replicate-rows, not row-level joins") {
+    Seq("set_intersect_all", "set_except_all").foreach { q =>
+      val plan = executedPlan(q).toLowerCase
+      // Spark's INTERSECT ALL / EXCEPT ALL rewrite: per-side count
+      // aggregation + Generate(replicate_rows) re-expansion of the
+      // multiplicities — the shape that makes bag semantics one
+      // aggregate instead of a per-duplicate join
+      assert(plan.contains("replicaterows") || plan.contains("generate"), s"$q:\n$plan")
+      assert(!plan.contains("cartesianproduct"), s"$q:\n$plan")
+    }
+  }
+
   test("corpus_sample_weighted keeps the corpus side shuffle-free behind a broadcast join") {
     val plan = executedPlan("corpus_sample_weighted")
     assert(plan.contains("BroadcastHashJoin"), plan)
