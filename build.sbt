@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// graft.Bench's contract is ONE machine-parseable JSON line on stdout;
+// sbt's default fork logger prefixes every forked-stdout line with
+// "[info] ", which (combined with tail-limited capture downstream)
+// broke parsing of the bench line in rounds 1-6. Pass forked output
+// through verbatim instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,12 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.collection.mutable
+
 /** Benchmark main — one JSON line with per-query wall-clock seconds.
   *
   * Headline set: a fixed, stable subset covering every operator family
   * (scan/agg, multiway join, window, set op, reconcile, dedup exact +
   * LSH + Jaccard, ANN, text, events). Kept stable across rounds so the
   * BASELINE.md 2× envelope stays comparable.
+  *
+  * Sampling is PASS-INTERLEAVED: the full headline sequence runs
+  * `reps` times end-to-end (pass 1: q1..qN, pass 2: q1..qN, ...), and
+  * each query reports the MEDIAN of its cross-pass samples. Rounds 4-6
+  * proved the old back-to-back scheme (q1×3, q2×3, ...) fragile: one
+  * host-contention window poisons ALL samples of whichever queries it
+  * overlaps (BENCH_r06 `text_repetition` 10.8/6.4/7.6 s vs 0.17 s clean
+  * reality), so no clean sample survives and the median lies.
+  * Interleaving decorrelates: a window of the same length now costs at
+  * most one sample per query, and the median discards it. Per-sample
+  * start timestamps and per-pass windows are emitted so a contaminated
+  * region is diagnosable from the artifact without a rerun.
+  *
+  * The JSON line is emitted from a finally block over incrementally
+  * collected state, so a crash mid-run (or a single failing query)
+  * still produces a parseable artifact with everything measured up to
+  * that point plus an "error" field.
   */
 object Bench {
 
@@ -48,92 +67,124 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_bench_wh_").toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warmup: JVM/codegen/parquet-footer costs land here, not in query 1
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-
-    // Each query runs `reps` times and reports the MEDIAN: a single
-    // sample cannot distinguish host contention from a plan regression
-    // (round-1 driver bench showed uniform 2.5-4.6x inflation from
-    // contention alone), so n=1 made the 2x baseline gate meaningless.
-    // The RAW samples are emitted too — a median alone cannot
-    // distinguish "3 contended samples" from a plan regression (that
-    // ambiguity cost round 2 a false 26.7 s minhash reading); with the
-    // arrays in the artifact, a contaminated window is diagnosable
-    // without a rerun.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2 // midpoint for even n
-    }
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // no cross-query cache effects in timings
-        dt
-      }
-      name -> samples
-    }
-    // the reference's largest real workload, end-to-end: 100k-row gzip
-    // CSV bulk ingest + the migrations_seq sequence (2× ADD COLUMN, 3×
-    // dependent UPDATE) + the 7 verification counts
-    // (reference: tests/test_clickhouse_migration.py:91-118)
-    val migrateSamples = (1 to reps).flatMap { _ =>
-      try Some(timeMigrateSeq(spark))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] migrate_seq_100k: $e"); None }
-    }
-    // the persisted-index retrieval topology — the actual 100 TB shape
-    // for the scoring family: the vocabulary index is a batch job built
-    // once and amortized over every scoring run, so the index build sits
-    // OUTSIDE the timed section and each sample times one BM25 + one
-    // TF-IDF scoring pass probing the bucketed index (exchange-free on
-    // the vocab side, BucketingSpec)
-    val retrievalSamples = (try {
+
+    // Incrementally collected state: the finally block below serializes
+    // whatever is here, so a mid-run crash still yields a parseable line.
+    val samples = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Double]]
+    val starts = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Double]]
+    val passWindows = mutable.ArrayBuffer.empty[(Double, Double)]
+    var fatal: Option[String] = None
+    var spark: SparkSession = null
+
+    def epoch(): Double = System.currentTimeMillis() / 1000.0
+
+    try {
+      spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_bench_wh_").toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // warmup: JVM/codegen/parquet-footer costs land here, not in query 1
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+      // the persisted-index retrieval topology — the actual 100 TB shape
+      // for the scoring family: the vocabulary index is a batch job built
+      // once and amortized over every scoring run, so the index build
+      // sits OUTSIDE the timed passes and each sample times one BM25 +
+      // one TF-IDF scoring pass probing the bucketed index (exchange-free
+      // on the vocab side, BucketingSpec)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
-      spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench_retr")
-      graft.ops.TextOps.writeVocabIndex(docs, "graft_bench_retr.vocab")
-      val nDocs = docs.count()
-      (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        graft.ops.TextOps.bm25AgainstVocab(spark, docs,
-          "graft_bench_retr.vocab", nDocs).count()
-        graft.ops.TextOps.tfidfAgainstVocab(spark, docs,
-          "graft_bench_retr.vocab", nDocs).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
+      var nDocs = 0L
+      val retrievalReady =
+        try {
+          spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench_retr")
+          graft.ops.TextOps.writeVocabIndex(docs, "graft_bench_retr.vocab")
+          nDocs = docs.count()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] retrieval index build: $e"); false
+        }
+
+      val names = headline.filter(SparkEntry.queries.contains) ++
+        Seq("migrate_seq_100k") ++
+        (if (retrievalReady) Seq("retrieval_index_probe") else Nil)
+
+      def runOnce(name: String): Unit = name match {
+        case "migrate_seq_100k" => timeMigrateSeq(spark): Unit
+        case "retrieval_index_probe" =>
+          graft.ops.TextOps.bm25AgainstVocab(spark, docs,
+            "graft_bench_retr.vocab", nDocs).count()
+          graft.ops.TextOps.tfidfAgainstVocab(spark, docs,
+            "graft_bench_retr.vocab", nDocs).count(): Unit
+        case q => SparkEntry.queries(q)(spark, sfDir).count(): Unit
+      }
+
+      for (_ <- 1 to reps) {
+        val p0 = epoch()
+        for (name <- names) {
+          val s0 = epoch()
+          val t0 = System.nanoTime()
+          try runOnce(name)
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache() // no cross-query cache effects in timings
+          samples.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += dt
+          starts.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += s0
+        }
+        passWindows += ((p0, epoch()))
       }
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] retrieval_index_probe: $e"); Seq.empty[Double]
-    })
-    val all = results ++
-      (if (migrateSamples.nonEmpty) Seq("migrate_seq_100k" -> migrateSamples) else Nil) ++
-      (if (retrievalSamples.nonEmpty) Seq("retrieval_index_probe" -> retrievalSamples) else Nil)
-    def fm(v: Double) = f"$v%.3f"
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + fm(median(v)) }
-      .mkString("{", ",", "}")
-    val raw = all.map { case (k, v) => "\"" + k + "\":" + v.map(fm).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val total = all.map { case (_, v) => median(v) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
-    spark.stop()
+      fatal = Some(e.toString)
+      System.err.println(s"[bench] fatal: $e")
+    } finally {
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2 // midpoint for even n
+      }
+      // Locale-proof formatting: the f-interpolator honors the default
+      // locale, and a comma decimal separator would corrupt the JSON.
+      def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\r\n\t]", " ")
+      val all = samples.toSeq.filter(_._2.nonEmpty)
+      val qs = all.map { case (k, v) => "\"" + k + "\":" + fm(median(v.toSeq)) }
+        .mkString("{", ",", "}")
+      val raw = all.map { case (k, v) => "\"" + k + "\":" + v.map(fm).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+      val st = all.map { case (k, _) =>
+        "\"" + k + "\":" + starts.getOrElse(k, mutable.ArrayBuffer.empty[Double])
+          .map(fm).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val pw = passWindows.map { case (a, b) => s"[${fm(a)},${fm(b)}]" }
+        .mkString("[", ",", "]")
+      val total = all.map { case (_, v) => median(v.toSeq) }.sum
+      val err = fatal.map(m => s""","error":"${esc(m)}"""").getOrElse("")
+      // The stdout contract line must stay COMPACT: downstream capture
+      // keeps only the final ~2000 chars of output, and in rounds 1-6
+      // the raw-sample arrays pushed the line past that limit, so its
+      // head (and hence parseability) was lost every round. Medians-only
+      // on stdout; full per-sample diagnostics go to a detail file
+      // (+ stderr) referenced from the line.
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+      val detail =
+        s"""{"metric":"total","value":${fm(total)},"unit":"sec","queries":$qs,"samples":$raw,"sample_starts":$st,"passes":$pw,"reps":$reps,"sf":"${esc(sfDir)}"$err}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
+      System.err.println(s"[bench] detail: $detail")
+      println(s"""{"metric":"total","value":${fm(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","detail":"${esc(detailPath)}"$err}""")
+      Console.out.flush()
+      if (spark != null) try spark.stop() catch { case _: Throwable => () }
+    }
   }
 
   private def timeMigrateSeq(spark: SparkSession): Double = {
