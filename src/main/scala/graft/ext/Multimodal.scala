@@ -40,17 +40,25 @@ object Multimodal {
   /** STUB decoder — deterministic fake "decode" of a payload into
     * dimensions + a 8-dim feature vector derived from byte statistics.
     * Replace with a real decoder; the signature (bytes in, fixed-width
-    * features out) is the contract. */
+    * features out) is the contract.
+    *
+    * Numeric-parity discipline (graft.ops.Tables): per-position byte
+    * sums accumulate as EXACT integers and divide by 255.0 once at the
+    * end — a float-accumulation loop would make the feature values
+    * depend on summation order and unreproducible outside the JVM,
+    * which matters now that the `multimodal_ann` catalog entry mirrors
+    * this stub in the DuckDB oracle. */
   private[ext] def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
     val width = 16 + (n % 64)
     val height = 16 + ((n / 64) % 64)
-    val feature = new Array[Float](8)
+    val acc = new Array[Long](8)
     var i = 0
     while (i < n) {
-      feature(i % 8) += (payload(i) & 0xff) / 255.0f
+      acc(i % 8) += (payload(i) & 0xff)
       i += 1
     }
+    val feature = Array.tabulate(8)(j => (acc(j) / 255.0).toFloat)
     (width, height, feature)
   }
 
@@ -121,8 +129,13 @@ object Multimodal {
     val selfDot = graft.ops.Tables.dotSql(spark, "v", "v")
     val vecs = features.select(col("doc_id"),
       expr("transform(feature, x -> cast(x as double))").as("v"))
+    // means rounded to 6 decimals: an avg over a shuffled double column
+    // is summation-order-dependent at the last ulps, and the bucket bit
+    // is a >= comparison against it — round-6 (the project's standing
+    // discipline for accumulated floats) pins the hyperplane across
+    // runs and engines without moving it meaningfully
     val means = vecs.select((0 until bits).map(i =>
-      avg(expr(s"v[$i]")).as(s"m$i")): _*)
+      round(avg(expr(s"v[$i]")), 6).as(s"m$i")): _*)
     vecs.crossJoin(broadcast(means))
       .withColumn("norm", expr(s"sqrt($selfDot)"))
       .withColumn("bucket", concat((0 until bits).map(i =>

@@ -498,6 +498,38 @@ object DedupOps {
       .distinct()
   }
 
+  /** The STATEFUL streaming topology surfaced into the CORRECTNESS
+    * gate: EXECUTES [[graft.streaming.DocStreams.nearDupBandFilter]] —
+    * the flatMapGroupsWithState first-claimant state machine, the most
+    * state-intricate of the six streaming topologies — as a real
+    * Structured Streaming query (file-source stream over the same
+    * parquet table, memory sink). The whole table arrives as ONE
+    * micro-batch (single file, no maxFilesPerTrigger cap) and within a
+    * batch the operator processes each bucket's rows in doc_id order,
+    * so the first claimant of every band bucket is its global MIN
+    * doc_id; the oracle is therefore the batch groupBy-MIN over the
+    * same band rows. The driver's gate pins stream == batch == oracle —
+    * previously only StreamingSpec asserted the first equality
+    * (multi-batch arrival-order semantics stay covered there, where
+    * arrival order is controlled). */
+  val dedupMinhashStreamTwin: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    // the testdata table is a single FILE and the file stream source
+    // requires a directory: stream the sf directory with a glob pinned
+    // to exactly that file
+    val streamDocs = s.readStream.schema(sch)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val sink = "graft_minhash_stream_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.DocStreams.nearDupBandFilter(streamDocs)(s)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("doc_id"), col("bi"), col("bh"),
+      col("first_doc_id"), col("is_first").cast("int").as("is_first"))
+  }
+
   /** Band-bucket occupancy distribution: per band, how many buckets hold
     * n documents. The observability twin of the [[MinhashMaxBucket]] cap
     * — a skewed bucket (the one that would dominate the band join at
@@ -967,6 +999,7 @@ object DedupOps {
     "minhash_band_occupancy" -> minhashBandOccupancy,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_stream_twin" -> dedupIncrementalStreamTwin,
+    "dedup_minhash_stream_twin" -> dedupMinhashStreamTwin,
     "cross_source_overlap" -> crossSourceOverlap,
     "dedup_cluster_reps" -> dedupClusterReps,
     "dedup_simhash" -> dedupSimhash,
@@ -1206,6 +1239,15 @@ object DedupOps {
                    (SELECT 1 FROM hot h WHERE h.bi = e.bi AND h.bh = e.bh))
           SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS existing_id, x.bi AS bi
           FROM newb x JOIN kept y ON x.bi = y.bi AND x.bh = y.bh""",
+    "dedup_minhash_stream_twin" ->
+      s"""WITH sig AS ($sigSql),
+          band AS (
+            $bandSql),
+          firsts AS (SELECT bi, bh, MIN(doc_id) AS first_doc_id
+                     FROM band GROUP BY bi, bh)
+          SELECT b.doc_id, b.bi, b.bh, f.first_doc_id,
+                 CAST(b.doc_id = f.first_doc_id AS INT) AS is_first
+          FROM band b JOIN firsts f ON b.bi = f.bi AND b.bh = f.bh""",
     "dedup_cluster_reps" ->
       s"""$clusterCtePrefix
           SELECT doc AS doc_id, MIN(lab) AS cluster_rep FROM reach GROUP BY doc""",
