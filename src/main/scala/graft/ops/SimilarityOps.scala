@@ -68,6 +68,18 @@ object SimilarityOps {
     * At 100 TB the index table is written bucketed by `cluster`, so a
     * probe touches one partition, not the corpus.
     *
+    * DELIBERATE CONTRAST — this entry is the textbook join-based IVF
+    * assignment, kept as the didactic baseline: the BroadcastNestedLoopJoin
+    * + window argmin it pays for the N×K assignment is exactly what
+    * [[annIvfKmeans]] eliminates with the in-row literal-model fold
+    * (zero assignment joins, one map-side corpus pass). The two entries
+    * exist as a PAIR so the plan difference stays visible and tested:
+    * PlanShapeSpec pins the BNLJ PRESENT here and ABSENT in
+    * `ann_ivf_kmeans`. Ship [[annIvfKmeans]]'s shape at scale; reach
+    * for this one only when the model is too large to render as a
+    * literal (K×dim beyond expression-tree limits), where the
+    * broadcast join is the correct fallback.
+    *
     * Cross-engine determinism: centroids are rounded to 6 decimals
     * before use (as [[graft.ext.Centroids]] established), the nearest-
     * centroid score is `|c|² − 2·v·c` (the |v|² term is constant per

@@ -48,7 +48,10 @@ class PlanShapeSpec extends SparkSpec {
       val plan = executedPlan(q)
       // the N×K assignment is a broadcast nested-loop over the TINY
       // centroid table — a non-broadcast cartesian here would be the
-      // corpus×corpus disaster
+      // corpus×corpus disaster. This BNLJ is the DELIBERATE didactic
+      // half of the pair documented on annIvfCentroid: the
+      // ann_ivf_kmeans test below pins its absence in the in-row
+      // literal-fold shape you'd ship at scale.
       assert(plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
       // the probe is an equi-join on the learned bucket
       assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
