@@ -62,7 +62,11 @@ object Bench {
     "embedding_kmeans", "dedup_semantic", "dedup_paragraph",
     "corpus_importance_dsir", "text_perplexity_bucket",
     "corpus_mix_rebalance", "ann_ivf_kmeans", "corpus_sample_weighted",
-    "dedup_paragraph_rebuild")
+    "dedup_paragraph_rebuild",
+    // round 7: Lee-et-al exact-substring dedup (every-alignment
+    // 50-token span hashing + first-occurrence mask) — completes the
+    // sub-document dedup taxonomy in the 2x gate
+    "dedup_substring")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -910,6 +910,55 @@ object DedupOps {
           .as("new_md5"))
   }
 
+  /** Exact-substring span length — Lee et al.'s canonical 50 tokens
+    * ("Deduplicating Training Data Makes Language Models Better"): a
+    * verbatim duplicated region of ≥ 50 tokens is training-data
+    * memorization fuel regardless of the enclosing documents. */
+  private[graft] val SubstrSpanTokens = 50
+
+  /** Exact substring dedup — the bounded approximation of Lee et al.'s
+    * suffix-array ExactSubstr: hash EVERY overlapping
+    * [[SubstrSpanTokens]]-token span of every document (stride 1, so
+    * any verbatim duplicate of ≥ 50 tokens shares at least one span
+    * hash at some alignment — the exact guarantee, no suffix array
+    * needed), keep the corpus-wide FIRST occurrence of each span hash
+    * as the mask, and report per document how many of its spans were
+    * seen earlier elsewhere. This completes the dedup taxonomy at the
+    * sub-document verbatim granularity ([[dedupParagraph]] = aligned
+    * segments, [[dedupWinnow]] = sampled fingerprints, this = every
+    * alignment).
+    *
+    * Skew immunity, same argument as [[dedupParagraph]]: the span
+    * index is in-row work (≈ one row per token, the same order as the
+    * 8-gram shingle index), the first-occurrence election is a
+    * groupBy-MIN whose partial (map-side) aggregation absorbs a
+    * pathological boilerplate span before it reaches the shuffle —
+    * deliberately NOT a row_number window, whose per-key partition AQE
+    * cannot split — and the flag join back is a plain equi-join on the
+    * span hash, which AQE CAN skew-split. dup_frac6 is one division of
+    * exact counts. */
+  val dedupSubstring: Q = (s, dir) => {
+    val spans = docs(s, dir)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= SubstrSpanTokens)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(tk) - ${SubstrSpanTokens - 1}),
+            st -> struct(CAST(st - 1 AS BIGINT) AS span_idx,
+                         md5(concat_ws(' ', slice(tk, st, $SubstrSpanTokens))) AS span_md5))"""))
+        .as("sp"))
+      .select(col("doc_id"), col("sp.span_idx").as("span_idx"), col("sp.span_md5").as("span_md5"))
+    val firsts = spans.groupBy("span_md5")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+    val isDup = col("first.doc_id") =!= col("doc_id") ||
+      col("first.span_idx") =!= col("span_idx")
+    spans.join(firsts, "span_md5")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(isDup, 1L).otherwise(0L)).as("n_dup_spans"),
+        round(sum(when(isDup, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("dup_frac6"))
+  }
+
   /** Embeddings with norms and a sign-bit LSH bucket over the first
     * `bits` dimensions. */
   private def embeddingBucketed(s: SparkSession, dir: String, bits: Int): DataFrame =
@@ -1008,6 +1057,7 @@ object DedupOps {
     "dedup_semantic_kmeans" -> dedupSemanticKmeans,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_paragraph_rebuild" -> dedupParagraphRebuild,
+    "dedup_substring" -> dedupSubstring,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh(EmbeddingLshBits),
     "dedup_embedding_lsh_multiprobe" -> dedupEmbeddingLshMultiprobe(EmbeddingLshProbeBits),
     "embedding_lsh_occupancy" -> embeddingLshOccupancy(EmbeddingLshBits))
@@ -1118,6 +1168,21 @@ object DedupOps {
             CAST(SUM(len(string_split(seg_txt, ' '))) AS BIGINT) AS n_new_tokens,
             md5(string_agg(seg_txt, ' ' ORDER BY seg_idx)) AS new_md5
           FROM occs WHERE occ = 1 GROUP BY doc_id""",
+    "dedup_substring" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          spans AS (SELECT doc_id, CAST(st - 1 AS BIGINT) AS span_idx,
+                  md5(array_to_string(tk[st:st + ${SubstrSpanTokens - 1}], ' ')) AS span_md5
+                FROM toks,
+                     unnest(generate_series(1, len(tk) - ${SubstrSpanTokens - 1})) u(st)
+                WHERE len(tk) >= $SubstrSpanTokens),
+          occs AS (SELECT doc_id,
+                     row_number() OVER (PARTITION BY span_md5 ORDER BY doc_id, span_idx) AS occ
+                   FROM spans)
+          SELECT doc_id, COUNT(*) AS n_spans,
+            CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+            round(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+              AS dup_frac6
+          FROM occs GROUP BY doc_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY md5(text)""",
