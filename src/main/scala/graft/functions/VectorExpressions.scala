@@ -173,8 +173,11 @@ case class Simhash32(child: Expression)
   * integers the SQL form reads as hex substrings 1–13 / 14–26 (here
   * taken directly from digest BYTES — high nibbles first — instead of
   * rendering hex text and re-parsing via conv), and
-  * mh_i = min(h1 + i·h2) (Kirsch–Mitzenmacher; max < 2⁵⁶, exact in
-  * int64). What it removes versus the HOF form: the per-token hex
+  * mh_i = min((h1 + i·h2) mod p) with p = [[graft.ops.DedupOps
+  * .MinhashModPrime]] (Kirsch–Mitzenmacher; max pre-mod value < 2⁵⁶,
+  * exact in int64 — the mod is what keeps the 16 minima independent,
+  * see the constant's scaladoc). What it removes versus the HOF form:
+  * the per-token hex
   * render + conv parse (×2), the named_struct array materialization,
   * and 16 interpreted array_min lambda passes over it.
   *
@@ -248,9 +251,10 @@ object MinhashSig {
           k = 7
           while (k < 13) { h2 = (h2 << 8) | (d(k) & 0xffL); k += 1 }
           var p = 0
-          var g = h1
+          var g = h1 // running h1 + p*h2, exact (max < 2^56); mod per perm
           while (p < perms) {
-            if (g < mins(p)) mins(p) = g
+            val m = g % graft.ops.DedupOps.MinhashModPrime
+            if (m < mins(p)) mins(p) = m
             g += h2
             p += 1
           }

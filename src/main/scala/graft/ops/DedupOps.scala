@@ -156,27 +156,42 @@ object DedupOps {
     * with probability →1. */
   private[graft] val MinhashPerms = 16
   private[graft] val MinhashBands = 2
-  private[ops] val MinhashRowsPerBand = MinhashPerms / MinhashBands
+  private[graft] val MinhashRowsPerBand = MinhashPerms / MinhashBands
   /** Degenerate-bucket guard: a band bucket holding more than this many
     * documents contributes O(bucket²) candidate pairs from one key — at
     * 100 TB a single stop-pattern bucket would dominate the job. Such
     * buckets are dropped wholesale (their members are by construction
     * low-information collisions); the drop is observable through
     * [[minhashBandOccupancy]]. The cap FIRES on this corpus (sf0.01:
-    * three buckets, the largest at ~385 docs, are dropped) — oracle
-    * parity holds because the oracle SQL applies the identical
-    * `n_docs > cap` anti-join, not because the cap is never exercised.
-    * DedupSelectivitySpec pins that the cap stays live. */
+    * each band's largest bucket exceeds the cap — 161/141 docs under
+    * the round-7 mod-p family) — oracle parity holds because the
+    * oracle SQL applies the identical `n_docs > cap` anti-join, not
+    * because the cap is never exercised. DedupSelectivitySpec pins
+    * that the cap stays live. */
   private[graft] val MinhashMaxBucket = 50
+
+  /** Modulus of the permutation family: the largest prime below 2⁵².
+    * REQUIRED for the minima to behave like independent permutations —
+    * without it, g_i = h1 + i·h2 is monotone in i, so for i ≥ 2 the
+    * argmin token is simply the min-h2 token and the 16 "permutations"
+    * collapse to ~2 independent ones. The `dedup_minhash_accuracy`
+    * audit caught this empirically: pre-fix, candidate pairs read a
+    * mean estimated Jaccard of 0.98 against a true 0.59 (bias +0.39);
+    * with the modular reduction the bias drops to the +0.09 expected
+    * from band-selection conditioning and the MAE from 0.39 to 0.10.
+    * All arithmetic stays exact int64: h1 + 15·h2 < 2⁵⁶, and % on
+    * BIGINT is exact in both engines. */
+  private[graft] val MinhashModPrime = 4503599627370449L
 
   /** 16-permutation MinHash signature over ONE md5 per token: the
     * 128-bit digest is sliced into two independent 52-bit integers
     * (h1 = hex[1..13], h2 = hex[14..26]) and the permutation family is
-    * derived as g_i(tk) = h1 + i·h2 (Kirsch–Mitzenmacher double
-    * hashing), minimum per doc taken over BIGINTs. Versus hashing
-    * md5("i:"+tk) 16 times this cuts map-side digest work 16× and
-    * keeps the arithmetic exact int64 in both engines (max value
-    * 2⁵² + 15·2⁵² < 2⁵⁶), so the oracle reproduces it bit-for-bit.
+    * derived as g_i(tk) = (h1 + i·h2) mod [[MinhashModPrime]]
+    * (Kirsch–Mitzenmacher double hashing), minimum per doc taken over
+    * BIGINTs. Versus hashing md5("i:"+tk) 16 times this cuts map-side
+    * digest work 16× and keeps the arithmetic exact int64 in both
+    * engines (max pre-mod value 2⁵² + 15·2⁵² < 2⁵⁶), so the oracle
+    * reproduces it bit-for-bit.
     *
     * Computed per-ROW with higher-order functions — md5 once per
     * distinct token into an (h1, h2) struct array, then 16 array_min
@@ -209,7 +224,7 @@ object DedupOps {
              'h1', cast(conv(substring(md5(tk), 1, 13), 16, 10) as bigint),
              'h2', cast(conv(substring(md5(tk), 14, 13), 16, 10) as bigint)))""").as("hs"))
     val mins = (0 until MinhashPerms).map(i =>
-      expr(s"array_min(transform(hs, p -> p.h1 + $i * p.h2))").as(s"mh$i"))
+      expr(s"array_min(transform(hs, p -> (p.h1 + $i * p.h2) % $MinhashModPrime))").as(s"mh$i"))
     withHs.select(col("doc_id") +: mins: _*)
   }
 
@@ -292,6 +307,42 @@ object DedupOps {
       .join(sig.select(col("doc_id"), col("sig")).as("sb"), col("b") === col("sb.doc_id"))
       .select(col("a"), col("b"), matches.cast("long").as("n_match"),
         (matches.cast("double") / MinhashPerms).as("est_jacc"))
+  }
+
+  /** Sketch-accuracy audit for the MinHash family — estimated Jaccard
+    * (signature agreement / 16) vs TRUE token-set Jaccard on the LSH
+    * candidate pairs, the same measured-contract class as
+    * `ann_recall_at_k` (IVF recall) and ApproxDistinctSpec (HLL).
+    * This audit is what caught the round-7 estimator collapse (see
+    * [[MinhashModPrime]]): a biased sketch passes every hash-parity
+    * gate — both engines faithfully compute the same wrong number —
+    * so accuracy must be measured against ground truth, not an oracle.
+    *
+    * Scale posture: true Jaccard is computed ONLY for the candidate
+    * pairs (the sub-quadratic LSH output, the pairs the pipeline
+    * actually adjudicates) via an inverted-index token join bounded by
+    * the pair set — never all-pairs. MinhashAccuracySpec pins the
+    * statistical contract: near-unbiased (band-selection conditioning
+    * only), MAE within the 16-permutation sampling noise, and the
+    * structural band guarantee (every candidate shares a full band ⇒
+    * n_match ≥ 8). */
+  val dedupMinhashAccuracy: Q = (s, dir) => {
+    val pairs = dedupMinhashLsh(s, dir).select("a", "b", "n_match")
+    val tok = distinctTokens(s, dir)
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs.select("a", "b")
+      .join(tok.toDF("a", "tk"), "a")
+      .join(tok.toDF("b", "tk"), Seq("b", "tk"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .join(sz.toDF("a", "na"), "a")
+      .join(sz.toDF("b", "nb"), "b")
+      .select(col("a"), col("b"), col("n_match"),
+        round(col("n_match") / lit(MinhashPerms.toDouble), 6).as("est6"),
+        round(coalesce(col("ni"), lit(0L)) /
+          (col("na") + col("nb") - coalesce(col("ni"), lit(0L))), 6).as("true6"))
+      .withColumn("err6", round(abs(col("est6") - col("true6")), 6))
   }
 
   /** Cross-source contamination — the train/test-leakage check: NEAR-
@@ -1045,6 +1096,7 @@ object DedupOps {
     "dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped(JaccardMaxDf),
     "dedup_winnow" -> dedupWinnow,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_accuracy" -> dedupMinhashAccuracy,
     "minhash_band_occupancy" -> minhashBandOccupancy,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_stream_twin" -> dedupIncrementalStreamTwin,
@@ -1065,7 +1117,8 @@ object DedupOps {
   private val tokSql =
     "SELECT DISTINCT doc_id, tk FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)"
   private val sigSql = {
-    val mhs = (0 until MinhashPerms).map(i => s"min(h1 + $i * h2) AS mh$i").mkString(", ")
+    val mhs = (0 until MinhashPerms)
+      .map(i => s"min((h1 + $i * h2) % $MinhashModPrime) AS mh$i").mkString(", ")
     s"""SELECT doc_id, $mhs FROM (
         SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 13)) AS BIGINT) AS h1,
                        CAST(('0x' || substr(md5(tk), 14, 13)) AS BIGINT) AS h2
@@ -1242,6 +1295,39 @@ object DedupOps {
           FROM cand c
           JOIN sig sa ON c.a = sa.doc_id
           JOIN sig sb ON c.b = sb.doc_id""",
+    "dedup_minhash_accuracy" -> {
+      val matchSum = (0 until MinhashPerms)
+        .map(i => s"CAST(sa.mh$i = sb.mh$i AS INT)").mkString(" + ")
+      s"""WITH sig AS ($sigSql),
+          band AS (
+            $bandSql),
+          hot AS (SELECT bi, bh FROM (SELECT bi, bh, COUNT(*) AS n_docs
+                  FROM band GROUP BY bi, bh) WHERE n_docs > $MinhashMaxBucket),
+          kept AS (SELECT * FROM band b WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h WHERE h.bi = b.bi AND h.bh = b.bh)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM kept x JOIN kept y
+                   ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+          est AS (SELECT c.a, c.b, CAST($matchSum AS BIGINT) AS n_match
+                  FROM cand c
+                  JOIN sig sa ON c.a = sa.doc_id
+                  JOIN sig sb ON c.b = sb.doc_id),
+          tok AS ($tokSql),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+          inter AS (SELECT e.a, e.b, COUNT(*) AS ni FROM est e
+                    JOIN tok ta ON ta.doc_id = e.a
+                    JOIN tok tb ON tb.doc_id = e.b AND tb.tk = ta.tk
+                    GROUP BY e.a, e.b)
+          SELECT e.a, e.b, e.n_match,
+            round(e.n_match / $MinhashPerms.0, 6) AS est6,
+            round(COALESCE(i.ni, 0) / (za.n + zb.n - COALESCE(i.ni, 0)), 6) AS true6,
+            round(abs(round(e.n_match / $MinhashPerms.0, 6)
+                      - round(COALESCE(i.ni, 0) / (za.n + zb.n - COALESCE(i.ni, 0)), 6)), 6) AS err6
+          FROM est e
+          LEFT JOIN inter i ON e.a = i.a AND e.b = i.b
+          JOIN sz za ON e.a = za.doc_id
+          JOIN sz zb ON e.b = zb.doc_id"""
+    },
     "minhash_band_occupancy" ->
       s"""WITH sig AS ($sigSql),
           band AS (

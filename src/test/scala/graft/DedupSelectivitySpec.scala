@@ -28,7 +28,8 @@ class DedupSelectivitySpec extends SparkSpec {
   test("band occupancy surfaces capped degenerate buckets") {
     val occ = DedupOps.minhashBandOccupancy(spark, dir)
     // this corpus genuinely exercises the cap: each band's largest
-    // bucket exceeds MinhashMaxBucket (sf0.01: 318 and 385 vs cap 50),
+    // bucket exceeds MinhashMaxBucket (sf0.01: 161 and 141 vs cap 50
+    // under the round-7 mod-p permutation family),
     // so the occupancy query demonstrably SEES what the cap drops — a
     // vacuous >= 1 here could not catch an occupancy regression
     val perBandMax = occ.groupBy("bi").agg(max(col("n_docs")).as("m"))
