@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+/** The DETECTION THEOREMS of the two sub-document dedup operators,
+  * pinned as executable properties (the oracle gate proves both
+  * engines agree; these prove the operators catch what their papers
+  * promise they catch):
+  *
+  *  - Exact-substring (Lee et al., bounded): spans of
+  *    [[DedupOps.SubstrSpanTokens]] tokens at EVERY alignment
+  *    (stride 1), so any verbatim duplicated run of ≥ span-length
+  *    tokens contains at least one fully-duplicated aligned span —
+  *    in fact L − span + 1 of them.
+  *
+  *  - Winnowing (Schleimer et al.): with k-token shingles and
+  *    w-window minima, any shared run of ≥ w + k − 1 tokens yields at
+  *    least one shared fingerprint — the run contains a full window of
+  *    identical shingle hashes in both documents, whose minimum is
+  *    content-determined (md5 ties are negligible), so both documents
+  *    keep it.
+  *
+  * Both tests plant duplicated runs inside otherwise-random filler and
+  * use seeded randomness (deterministic failures). */
+class DedupGuaranteeSpec extends SparkSpec {
+
+  private val rnd = new Random(1234)
+
+  /** Random filler tokens drawn from a wide space so accidental
+    * cross-doc repeats of whole spans are impossible in practice. */
+  private def filler(n: Int): Seq[String] =
+    Seq.fill(n)(s"f${rnd.nextInt(1000000)}")
+
+  test("exact-substring: every >= span-length verbatim run is detected") {
+    import spark.implicits._
+    val span = DedupOps.SubstrSpanTokens
+    // 10 random trials: doc A carries the run; doc B embeds a verbatim
+    // copy of runLen >= span tokens at a random offset inside its own
+    // filler. Theorem: B has exactly runLen - span + 1 duplicated
+    // aligned spans (its filler cannot collide with anything).
+    val cases = (0 until 10).map { i =>
+      val runLen = span + rnd.nextInt(30) // 50..79
+      val run = Seq.fill(runLen)(s"r${i}_${rnd.nextInt(1000000)}")
+      val aPad = filler(rnd.nextInt(20))
+      val bPre = filler(rnd.nextInt(40))
+      val bPost = filler(rnd.nextInt(40))
+      val aId = 2L * i      // A first (smaller doc_id wins first-occurrence)
+      val bId = 2L * i + 1
+      (aId, bId, runLen,
+        (aPad ++ run).mkString(" "),
+        (bPre ++ run ++ bPost).mkString(" "))
+    }
+    val docs = cases.flatMap { case (aId, bId, _, aText, bText) =>
+      Seq((aId, aText, "en", "srcA", aText.length.toLong),
+        (bId, bText, "en", "srcB", bText.length.toLong))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_substr_guarantee_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val result = SparkEntry.queries("dedup_substring")(spark, dir)
+      .select("doc_id", "n_dup_spans").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (aId, bId, runLen, _, _) =>
+      assert(result.getOrElse(aId, -1L) == 0L,
+        s"doc $aId (first occurrence) flagged ${result.get(aId)} dup spans")
+      val expected = runLen - span + 1L
+      assert(result.getOrElse(bId, -1L) == expected,
+        s"doc $bId: expected $expected dup spans for a $runLen-token run, " +
+          s"got ${result.get(bId)}")
+    }
+  }
+
+  test("winnowing: every shared run of >= w + k - 1 tokens shares a fingerprint") {
+    import spark.implicits._
+    val guarantee = DedupOps.WinnowK + DedupOps.WinnowW - 1
+    val cases = (0 until 10).map { i =>
+      val runLen = guarantee + rnd.nextInt(10)
+      val run = Seq.fill(runLen)(s"w${i}_${rnd.nextInt(1000000)}")
+      (2L * i, 2L * i + 1,
+        (filler(5 + rnd.nextInt(20)) ++ run ++ filler(rnd.nextInt(10))).mkString(" "),
+        (filler(rnd.nextInt(25)) ++ run ++ filler(5 + rnd.nextInt(15))).mkString(" "))
+    }
+    val docs = cases.flatMap { case (aId, bId, aText, bText) =>
+      Seq((aId, aText), (bId, bText))
+    }.toDF("doc_id", "text")
+    val fps = DedupOps.winnowFpArraysHof(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    cases.foreach { case (aId, bId, _, _) =>
+      val shared = fps(aId) & fps(bId)
+      assert(shared.nonEmpty,
+        s"docs $aId/$bId share a $guarantee+-token run but no fingerprint — " +
+          "the winnowing guarantee is broken")
+    }
+    // and unrelated documents (pure filler) share nothing: pair docs
+    // from different cases — their token spaces are disjoint
+    val crossShared = fps(0L) & fps(3L)
+    assert(crossShared.isEmpty, s"unrelated docs share fingerprints: $crossShared")
+  }
+}
