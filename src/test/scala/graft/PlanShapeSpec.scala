@@ -229,4 +229,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("dedup_substring shares the paragraph skew-immune shape: groupBy-min, no window") {
+    val plan = executedPlan("dedup_substring")
+    // stride-1 spans make the span table ~span× the segment table, so
+    // the paragraph family's skew argument matters MORE here: first
+    // occurrence must come from partial aggregation (absorbed map-side
+    // for a boilerplate span), never a per-key window partition
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("dedup_minhash_accuracy bounds true-Jaccard work to the candidate set") {
+    val plan = executedPlan("dedup_minhash_accuracy")
+    // the inverted-index token join must be an equi-join driven by the
+    // candidate pairs — an all-pairs or cartesian token comparison
+    // would be the quadratic this audit exists to avoid
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("ann_recall_at_k probes via hash joins; only the bounded truth side is nested-loop") {
+    val plan = executedPlan("ann_recall_at_k")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the IVF candidate sides and the truth→candidate recall joins are
+    // equi-joins; the deliberate exception is the 50-query brute-force
+    // ground truth (vec_id <> vec_id), the documented bounded audit
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("multimodal_ann joins only inside LSH buckets") {
+    val plan = executedPlan("multimodal_ann")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
 }
