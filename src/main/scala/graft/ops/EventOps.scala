@@ -290,9 +290,36 @@ object EventOps {
         round(col("n").cast("double") / col("n_from"), 6).as("p6"))
   }
 
+  /** The SEVENTH oracle-checked streaming topology — stream-stream
+    * interval join (view→click attribution within 30 min per user),
+    * run as a real file-source → memory-sink query. Both sides are
+    * watermarked and the join condition carries the time bound (state
+    * expiry); over the finite source the append-mode inner join equals
+    * the batch interval join, which is the DuckDB oracle (epoch_us
+    * arithmetic — µs-exact on both engines). See
+    * [[graft.streaming.EventStreams.attributionJoin]]. */
+  val eventsJoinStreamTwin: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val norm = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => stream
+    }
+    val sink = "graft_events_join_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams.attributionJoin(norm)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_tumbling_stream_twin" -> eventsTumblingStreamTwin,
+    "events_join_stream_twin" -> eventsJoinStreamTwin,
     "events_path_transitions" -> eventsPathTransitions,
     "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_sessionize" -> eventsSessionize,
@@ -326,6 +353,16 @@ object EventOps {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n,
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
          FROM events GROUP BY 1""",
+    // batch interval join == the append-mode stream-stream inner join
+    // over the finite source; epoch_us matches Spark's unix_micros
+    "events_join_stream_twin" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type FROM events),
+         v AS (SELECT event_id AS view_id, us AS v_us, user_id FROM e WHERE event_type = 'view'),
+         c AS (SELECT event_id AS click_id, us AS c_us, user_id FROM e WHERE event_type = 'click')
+         SELECT v.view_id, c.click_id, v.user_id,
+           CAST(c.c_us - v.v_us AS BIGINT) AS delta_us
+         FROM v JOIN c ON v.user_id = c.user_id
+           AND c.c_us > v.v_us AND c.c_us <= v.v_us + 1800000000""",
     "events_path_transitions" ->
       """WITH seq AS (
            SELECT event_type AS from_type,

@@ -122,6 +122,39 @@ object EventStreams {
       }
   }
 
+  /** STREAM-STREAM interval join — the attribution topology (the
+    * seventh and hardest streaming shape: both sides unbounded, state
+    * on both sides): each click joins every view by the SAME user in
+    * the preceding 30 minutes. Both sides carry event-time watermarks
+    * and the join condition carries the time bound, which is what lets
+    * Spark expire buffered rows — without the bound the join state
+    * grows forever; with it, a view is dropped from state once the
+    * click-side watermark passes v_ts + 30 min. Inner joins emit a
+    * match the micro-batch both rows are present, so over a finite
+    * source the append-mode result equals the batch interval join —
+    * the oracle runs exactly that in DuckDB on epoch_us arithmetic
+    * (matching Spark's µs-exact timestamp difference).
+    *
+    * At 100 TB/day: the join keys on user_id (hash-partitioned state),
+    * the 30-minute bound caps per-user buffered views, and the 2-hour
+    * watermark caps total state by time — the standard attribution
+    * topology over Kafka sources. */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("v_ts"), col("user_id"))
+      .withWatermark("v_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+      .withWatermark("c_ts", "2 hours")
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("delta_us"))
+  }
+
   /** Wire a streaming query to an in-memory sink (tests) or console. */
   def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
