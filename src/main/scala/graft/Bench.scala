@@ -66,7 +66,12 @@ object Bench {
     // round 7: Lee-et-al exact-substring dedup (every-alignment
     // 50-token span hashing + first-occurrence mask) — completes the
     // sub-document dedup taxonomy in the 2x gate
-    "dedup_substring")
+    "dedup_substring",
+    // round 7 (late): the two measured accuracy audits — est-vs-true
+    // Jaccard on the LSH candidate set and IVF recall@3 vs brute-force
+    // ground truth. Both run once per index/dedup build in production,
+    // so their cost belongs in the gate alongside the builds they audit
+    "dedup_minhash_accuracy", "ann_recall_at_k")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
