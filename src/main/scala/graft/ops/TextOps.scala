@@ -239,6 +239,35 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Accuracy knob for [[textPerplexityBucketApprox]]: rank error ≤
+    * n/accuracy, so at corpus scale the bucket boundary is off by at
+    * most 0.01% of documents; at test scale (n < accuracy) the sketch
+    * holds every value and the only divergence from the exact twin is
+    * interpolation-vs-sample-value at the two thresholds (≤ 1 doc per
+    * boundary — PerplexityApproxSpec pins it). */
+  private[graft] val PerplexityApproxAccuracy = 10000
+
+  /** The 100 TB form of [[textPerplexityBucket]]: `approx_percentile`
+    * (Greenwald–Khanna sketch, mergeable partial aggregation) replaces
+    * exact `percentile`, whose final aggregation is holistic — it must
+    * collect every value per group, which at corpus scale is the one
+    * non-scalable step in the exact twin. Same exact/approx twin
+    * policy as `agg_distinct`/`approx_distinct`: the exact twin IS the
+    * oracle-checked entry; this one is rows-only by design (sketch
+    * internals are engine-specific) with its accuracy bounded against
+    * the exact twin in PerplexityApproxSpec. */
+  val textPerplexityBucketApprox: Q = (s, dir) => {
+    val lp = textBigramLogprob(s, dir).select("doc_id", "avg_logprob6")
+    val th = lp.agg(
+      round(expr(s"approx_percentile(avg_logprob6, 0.33D, $PerplexityApproxAccuracy)"), 6).as("t33"),
+      round(expr(s"approx_percentile(avg_logprob6, 0.67D, $PerplexityApproxAccuracy)"), 6).as("t67"))
+    lp.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("avg_logprob6"),
+        when(col("avg_logprob6") >= col("t67"), "head")
+          .when(col("avg_logprob6") >= col("t33"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Corpus mix rebalancing — the sampling-weight computation a
     * multi-source training mix runs (Pile/Dolma-style): for a UNIFORM
     * target share across languages, each language's resampling weight
@@ -806,6 +835,7 @@ object TextOps {
     "text_rare_ratio" -> textRareRatio,
     "corpus_importance_dsir" -> corpusImportanceDsir,
     "text_perplexity_bucket" -> textPerplexityBucket,
+    "text_perplexity_bucket_approx" -> textPerplexityBucketApprox,
     "corpus_mix_rebalance" -> corpusMixRebalance,
     "corpus_sample_weighted" -> corpusSampleWeighted,
     "corpus_curation_best" -> corpusCurationBest,

@@ -31,11 +31,14 @@ class CatalogSpec extends AnyFunSuite {
 
   test("rows-only queries (no oracle) are the documented exceptions only") {
     val rowsOnly = queryKeys.toSet -- oracleKeys.toSet
-    // approx_distinct is the single remaining rows-only entry: HLL
-    // sketch estimates are engine-specific by design. csv_ingest gained
-    // a real oracle in round 5 (DuckDB read_csv_auto over the same
-    // gzip file).
-    assert(rowsOnly == Set("approx_distinct"),
+    // the documented exact/approx twin policy: sketch-valued entries
+    // are rows-only BY DESIGN (sketch internals are engine-specific),
+    // each with an oracle-checked exact twin and a spec-bounded
+    // accuracy contract — approx_distinct vs agg_distinct
+    // (ApproxDistinctSpec), text_perplexity_bucket_approx vs
+    // text_perplexity_bucket (PerplexityApproxSpec). csv_ingest gained
+    // a real oracle in round 5 (DuckDB read_csv_auto).
+    assert(rowsOnly == Set("approx_distinct", "text_perplexity_bucket_approx"),
       s"unexpected rows-only queries: ${rowsOnly.mkString(", ")}")
   }
 
