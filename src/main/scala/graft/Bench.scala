@@ -71,7 +71,10 @@ object Bench {
     // Jaccard on the LSH candidate set and IVF recall@3 vs brute-force
     // ground truth. Both run once per index/dedup build in production,
     // so their cost belongs in the gate alongside the builds they audit
-    "dedup_minhash_accuracy", "ann_recall_at_k")
+    "dedup_minhash_accuracy", "ann_recall_at_k",
+    // round 7 (late): the third accuracy audit — SimHash bit-agreement
+    // vs the Charikar angle prediction on the same bounded candidate set
+    "dedup_simhash_accuracy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -805,6 +805,46 @@ object DedupOps {
         .as("simhash"))
   }
 
+  /** SimHash accuracy audit — the third sketch whose fidelity hash-
+    * parity CANNOT check (both engines faithfully compute the same
+    * bits; see `dedup_minhash_accuracy` for the collapse that lesson
+    * comes from). SimHash is random-hyperplane LSH over the token-
+    * indicator vectors, so its detection theorem (Charikar 2002) is
+    * P[bit agrees] = 1 − θ/π with cos θ = |A∩B| / √(|A|·|B|): the
+    * Hamming distance between two 32-bit sketches is a binomial
+    * estimator of the ANGLE between the token sets. This audit emits,
+    * per LSH candidate pair (the same bounded inverted-index pair set
+    * the minhash audit uses — never all-pairs), the observed Hamming
+    * distance, the observed agreement fraction, and the TRUE token-set
+    * cosine — all exact-integer arithmetic plus one terminal division
+    * each, so the row set is hash-green. The theorem itself
+    * (agree ≈ 1 − acos(cos)/π) is pinned in SimhashAccuracySpec, not
+    * the oracle: `acos` is a libm call with no cross-engine bit
+    * guarantee, so it stays out of hashed output by the same rule that
+    * keeps HLL internals out (NOTES_r1 numeric-parity discipline). */
+  val dedupSimhashAccuracy: Q = (s, dir) => {
+    val pairs = dedupMinhashLsh(s, dir).select("a", "b")
+    val sh = dedupSimhash(s, dir)
+    val tok = distinctTokens(s, dir)
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(tok.toDF("a", "tk"), "a")
+      .join(tok.toDF("b", "tk"), Seq("b", "tk"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    pairs
+      .join(sh.toDF("a", "sha"), "a")
+      .join(sh.toDF("b", "shb"), "b")
+      .join(inter, Seq("a", "b"), "left")
+      .join(sz.toDF("a", "na"), "a")
+      .join(sz.toDF("b", "nb"), "b")
+      .select(col("a"), col("b"),
+        expr("""cast(aggregate(sequence(1, 32), 0, (acc, j) ->
+               acc + if(substring(sha, j, 1) <> substring(shb, j, 1), 1, 0)) as bigint)""")
+          .as("hamming"),
+        round(coalesce(col("ni"), lit(0L)) / sqrt(col("na") * col("nb")), 6).as("cos6"))
+      .withColumn("agree6", round((lit(32) - col("hamming")) / lit(32.0), 6))
+  }
+
   /** Embedding near-dup: top-20 most-similar pairs by cosine (double
     * precision, rounded to 6 decimals for cross-engine determinism). */
   val dedupEmbeddingCosine: Q = (s, dir) => {
@@ -1097,6 +1137,7 @@ object DedupOps {
     "dedup_winnow" -> dedupWinnow,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_accuracy" -> dedupMinhashAccuracy,
+    "dedup_simhash_accuracy" -> dedupSimhashAccuracy,
     "minhash_band_occupancy" -> minhashBandOccupancy,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_stream_twin" -> dedupIncrementalStreamTwin,
@@ -1328,6 +1369,46 @@ object DedupOps {
           JOIN sz za ON e.a = za.doc_id
           JOIN sz zb ON e.b = zb.doc_id"""
     },
+    "dedup_simhash_accuracy" ->
+      s"""WITH sig AS ($sigSql),
+          band AS (
+            $bandSql),
+          hot AS (SELECT bi, bh FROM (SELECT bi, bh, COUNT(*) AS n_docs
+                  FROM band GROUP BY bi, bh) WHERE n_docs > $MinhashMaxBucket),
+          kept AS (SELECT * FROM band b WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h WHERE h.bi = b.bi AND h.bh = b.bh)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM kept x JOIN kept y
+                   ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+          tok AS ($tokSql),
+          th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+          bits AS (SELECT doc_id, i AS j,
+              SUM(CASE WHEN (instr('0123456789abcdef', substr(h, i, 1)) - 1) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+            FROM th, unnest(generate_series(1, 32)) u(i)
+            GROUP BY doc_id, i),
+          sh AS (SELECT doc_id,
+              string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+            FROM bits GROUP BY doc_id),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+          inter AS (SELECT c.a, c.b, COUNT(*) AS ni FROM cand c
+                    JOIN tok ta ON ta.doc_id = c.a
+                    JOIN tok tb ON tb.doc_id = c.b AND tb.tk = ta.tk
+                    GROUP BY c.a, c.b),
+          ham AS (SELECT c.a, c.b,
+              CAST(list_sum(list_transform(generate_series(1, 32),
+                j -> CASE WHEN substr(sa.simhash, j, 1) <> substr(sb.simhash, j, 1)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN sh sa ON c.a = sa.doc_id
+            JOIN sh sb ON c.b = sb.doc_id)
+          SELECT hm.a, hm.b, hm.hamming,
+            round(COALESCE(i.ni, 0) / sqrt(za.n * zb.n), 6) AS cos6,
+            round((32 - hm.hamming) / 32.0, 6) AS agree6
+          FROM ham hm
+          LEFT JOIN inter i ON hm.a = i.a AND hm.b = i.b
+          JOIN sz za ON hm.a = za.doc_id
+          JOIN sz zb ON hm.b = zb.doc_id""",
     "minhash_band_occupancy" ->
       s"""WITH sig AS ($sigSql),
           band AS (
