@@ -845,6 +845,30 @@ object DedupOps {
       .withColumn("agree6", round((lit(32) - col("hamming")) / lit(32.0), 6))
   }
 
+  /** Edit-distance verification of the LSH candidate pairs — the
+    * character-level confirm step a near-dup pipeline runs AFTER banding
+    * (token-set Jaccard is blind to reordering; Levenshtein is not).
+    * Quadratic-per-pair DP is affordable only because (a) the pair set
+    * is the banded candidate set, never all-pairs, and (b) the distance
+    * is computed on a fixed 256-char prefix — at 100 TB document length
+    * is unbounded, so the prefix cap is what keeps per-pair cost
+    * constant (a full-text distance would be O(len²) on outliers).
+    * Exact integer DP in both engines; the normalized similarity is one
+    * terminal division ⇒ hash-green. */
+  val dedupEditDistance: Q = (s, dir) => {
+    val pairs = dedupMinhashLsh(s, dir).select("a", "b")
+    val txt = docs(s, dir).select(col("doc_id"),
+      substring(col("text"), 1, 256).as("prefix"))
+    pairs
+      .join(txt.toDF("a", "pa"), "a")
+      .join(txt.toDF("b", "pb"), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("lev"),
+        greatest(length(col("pa")), length(col("pb"))).cast("long").as("max_len"))
+      .withColumn("sim6",
+        round(lit(1.0) - col("lev").cast("double") / col("max_len").cast("double"), 6))
+  }
+
   /** Embedding near-dup: top-20 most-similar pairs by cosine (double
     * precision, rounded to 6 decimals for cross-engine determinism). */
   val dedupEmbeddingCosine: Q = (s, dir) => {
@@ -1138,6 +1162,7 @@ object DedupOps {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_accuracy" -> dedupMinhashAccuracy,
     "dedup_simhash_accuracy" -> dedupSimhashAccuracy,
+    "dedup_edit_distance" -> dedupEditDistance,
     "minhash_band_occupancy" -> minhashBandOccupancy,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_stream_twin" -> dedupIncrementalStreamTwin,
@@ -1409,6 +1434,26 @@ object DedupOps {
           LEFT JOIN inter i ON hm.a = i.a AND hm.b = i.b
           JOIN sz za ON hm.a = za.doc_id
           JOIN sz zb ON hm.b = zb.doc_id""",
+    "dedup_edit_distance" ->
+      s"""WITH sig AS ($sigSql),
+          band AS (
+            $bandSql),
+          hot AS (SELECT bi, bh FROM (SELECT bi, bh, COUNT(*) AS n_docs
+                  FROM band GROUP BY bi, bh) WHERE n_docs > $MinhashMaxBucket),
+          kept AS (SELECT * FROM band b WHERE NOT EXISTS
+                   (SELECT 1 FROM hot h WHERE h.bi = b.bi AND h.bh = b.bh)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM kept x JOIN kept y
+                   ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+          px AS (SELECT doc_id, substr(text, 1, 256) AS prefix FROM documents)
+          SELECT c.a, c.b,
+            CAST(levenshtein(pa.prefix, pb.prefix) AS BIGINT) AS lev,
+            CAST(GREATEST(length(pa.prefix), length(pb.prefix)) AS BIGINT) AS max_len,
+            round(1.0 - CAST(levenshtein(pa.prefix, pb.prefix) AS DOUBLE)
+              / CAST(GREATEST(length(pa.prefix), length(pb.prefix)) AS DOUBLE), 6) AS sim6
+          FROM cand c
+          JOIN px pa ON c.a = pa.doc_id
+          JOIN px pb ON c.b = pb.doc_id""",
     "minhash_band_occupancy" ->
       s"""WITH sig AS ($sigSql),
           band AS (

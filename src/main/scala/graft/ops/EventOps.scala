@@ -316,8 +316,35 @@ object EventOps {
     s.table(sink)
   }
 
+  /** The EIGHTH oracle-checked streaming topology — watermark-bounded
+    * streaming dedup (`dropDuplicatesWithinWatermark`), the one
+    * stateful-dedup operator the topology set lacked (the incremental
+    * band-index twin dedups against a STATIC index; this one carries
+    * pure in-stream key state with time-based eviction). Rows carry
+    * only the dedup key columns, so append-mode output == the distinct
+    * (hour, user_id, event_type) triples == the DuckDB oracle. See
+    * [[graft.streaming.EventStreams.hourlyUserTypeDedup]]. */
+  val eventsDedupStreamTwin: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val norm = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => stream
+    }
+    val sink = "graft_events_dedup_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams.hourlyUserTypeDedup(norm)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
+    "events_dedup_stream_twin" -> eventsDedupStreamTwin,
     "events_tumbling_stream_twin" -> eventsTumblingStreamTwin,
     "events_join_stream_twin" -> eventsJoinStreamTwin,
     "events_path_transitions" -> eventsPathTransitions,
@@ -363,6 +390,11 @@ object EventOps {
            CAST(c.c_us - v.v_us AS BIGINT) AS delta_us
          FROM v JOIN c ON v.user_id = c.user_id
            AND c.c_us > v.v_us AND c.c_us <= v.v_us + 1800000000""",
+    // every output column is a dedup key, so the stream's kept-row
+    // race is invisible: output == DISTINCT triples
+    "events_dedup_stream_twin" ->
+      """SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         user_id, event_type FROM events""",
     "events_path_transitions" ->
       """WITH seq AS (
            SELECT event_type AS from_type,

@@ -354,6 +354,73 @@ object Relational {
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       approx_count_distinct(col("l_partkey")).as("approx_parts"))
 
+  /** TPC-H Q17-style correlated AGGREGATE-IN-PREDICATE: lineitems whose
+    * quantity is below half the average quantity of their part. A naive
+    * engine re-runs the subquery per outer row (O(N) scans); Catalyst's
+    * subquery decorrelation (RewriteCorrelatedScalarSubquery) turns it
+    * into ONE per-part aggregate joined back — the shape that survives
+    * 100 TB. Complements `scalar_subquery` (subquery in SELECT): here
+    * the subquery gates rows, so it lands in the join condition.
+    * Parity: l_quantity values are small integers stored as double, so
+    * SUM is exact in any order and AVG is a single IEEE division —
+    * the `< 0.5*avg` comparison is deterministic cross-engine. */
+  val q17SmallQuantity: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    t(s, dir, "part").createOrReplaceTempView("part_q17")
+    s.sql("""SELECT p_brand, COUNT(*) AS n,
+             CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_c
+             FROM lineitem_q17 l JOIN part_q17 p ON l.l_partkey = p.p_partkey
+             WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                                   FROM lineitem_q17 l2
+                                   WHERE l2.l_partkey = l.l_partkey)
+             GROUP BY p_brand""")
+  }
+
+  /** TPC-H Q7-style bi-national volume: the SAME dimension joined in TWO
+    * roles (supplier's nation and customer's nation) with a disjunctive
+    * pair predicate. The 2-name member filter is applied to each nation
+    * role BEFORE the broadcast (dimension pushdown shrinks the build
+    * side and lets the probe drop non-qualifying rows at the hash
+    * lookup); only the cross-role disjunction remains post-join. */
+  val q7NationVolume: Q = (s, dir) => {
+    val pair = Seq("NATION_1", "NATION_2")
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(n1), supp("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), cust("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("revenue_c4"))
+  }
+
+  /** Explicit GROUPING SETS with per-column grouping indicators — the
+    * general form behind rollup/cube (`rollup_agg`/`cube_agg` are its
+    * prefix/powerset specializations). Spark plans one Expand over the
+    * four set shapes, so the input is read once regardless of how many
+    * sets are requested. grouping() disambiguates a real NULL group key
+    * from a rolled-up one — rendered as its own BIGINT column because
+    * hashed output must not rely on NULL-vs-absent conventions. */
+  val groupingSetsAgg: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+             COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+             FROM lineitem_gs
+             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+               (l_returnflag), (l_linestatus), ())""")
+  }
+
   /** Exact percentiles (sort-based); DuckDB quantile_cont uses the same
     * linear-interpolation definition. */
   val percentiles: Q = (s, dir) =>
@@ -368,6 +435,9 @@ object Relational {
     "percentiles" -> percentiles,
     "q3_topk" -> q3Topk,
     "q5_region_revenue" -> q5RegionRevenue,
+    "q7_nation_volume" -> q7NationVolume,
+    "q17_small_quantity" -> q17SmallQuantity,
+    "grouping_sets_agg" -> groupingSetsAgg,
     "filter_project" -> filterProject,
     "topk_orders" -> topkOrders,
     "agg_distinct" -> aggDistinct,
@@ -439,6 +509,36 @@ object Relational {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           WHERE r_name = 'ASIA' GROUP BY n_name""",
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          CAST(SUM($C*$D) AS BIGINT) AS revenue_c4
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+            AND n2.n_name IN ('NATION_1', 'NATION_2')
+            AND n1.n_name <> n2.n_name
+          GROUP BY 1, 2, 3""",
+    "q17_small_quantity" ->
+      """SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_c
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)
+         GROUP BY p_brand""",
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+         COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), (l_linestatus), ())""",
     "filter_project" ->
       s"""SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty,
           $C AS price_c FROM lineitem

@@ -73,6 +73,56 @@ object TextOps {
       .groupBy("fp")
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
 
+  /** C4-style line-level quality filtering (Raffel et al. 2020 §2.2:
+    * drop short/junk lines, keep the document if useful lines remain).
+    * The fixture corpus carries no newlines (checked: 0 docs contain
+    * '\n'), which would make the rule vacuous — so the operator first
+    * derives a LINE-STRUCTURED corpus deterministically in-query
+    * (newline before every interior 'the' token via plain left-to-right
+    * replace — identical in both engines), then applies the rule. The
+    * derivation is the harness; the filter chain is the operator under
+    * test. Entirely per-row map-side work (split → filter → rejoin in
+    * one projection, zero Exchange), so it scales linearly and fuses
+    * into whole-stage codegen — the shape line-rules must have when the
+    * corpus is 100 TB. The fixture has no punctuation either, so the
+    * token-count gate stands in for C4's terminal-punctuation rule
+    * (same per-line shape, different predicate). */
+  val textLineFilterC4: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("aug", replace(col("text"), lit(" the "), lit("\nthe ")))
+      .withColumn("lines", split(col("aug"), "\n"))
+      .withColumn("kept", expr("filter(lines, l -> size(split(l, ' ')) >= 5)"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), "\n")).as("clean_md5"))
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** PII scrubbing: redact emails/phone patterns with typed placeholders
+    * and count what was removed — the audit trail a compliance pipeline
+    * keeps. The fixture corpus carries no PII (it is synthetic tokens),
+    * so the operator plants deterministic doc_id-derived contact strings
+    * first (the harness), then scrubs them (the operator). Patterns use
+    * the regex intersection Java and RE2 agree on (char classes,
+    * bounded/unbounded repetition — no lookarounds, which RE2 lacks).
+    * Per-row map-side regex work only; at 100 TB this is the same
+    * linear single-pass shape as the quality scorers. */
+  val textPiiScrub: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("aug", concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" or admin"), col("doc_id").cast("string"), lit("@mail.test")))
+          .otherwise(lit("")),
+        lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrub_md5"))
+
   /** Regex (BPE-ish) token counting — identical char-class semantics in
     * Java regex and RE2. */
   val tokenRegexCount: Q = (s, dir) =>
@@ -828,6 +878,8 @@ object TextOps {
     "text_langid" -> textLangid,
     "text_langid_confusion" -> textLangidConfusion,
     "text_fingerprint" -> textFingerprint,
+    "text_line_filter_c4" -> textLineFilterC4,
+    "text_pii_scrub" -> textPiiScrub,
     "token_regex_count" -> tokenRegexCount,
     "token_doc_freq_salted" -> tokenDocFreqSalted,
     "corpus_curation" -> corpusCuration,
@@ -938,8 +990,34 @@ object TextOps {
           SELECT c.labeled_lang, c.pred_lang, c.n,
             round(CAST(c.n AS DOUBLE) / t.n_labeled, 6) AS recall6
           FROM cells c JOIN totals t ON c.labeled_lang = t.labeled_lang""",
+    "text_line_filter_c4" ->
+      """SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept,
+         md5(array_to_string(kept, chr(10))) AS clean_md5
+         FROM (
+           SELECT doc_id, lines,
+             list_filter(lines, l -> len(string_split(l, ' ')) >= 5) AS kept
+           FROM (
+             SELECT doc_id,
+               string_split(replace(text, ' the ', chr(10) || 'the '), chr(10)) AS lines
+             FROM documents))""",
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+          md5(regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+            '$PhoneRe', '<PHONE>', 'g')) AS scrub_md5
+          FROM (
+            SELECT doc_id,
+              text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+              CASE WHEN doc_id % 3 = 0
+                   THEN ' or admin' || CAST(doc_id AS VARCHAR) || '@mail.test'
+                   ELSE '' END ||
+              ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+            FROM documents)""",
     "text_fingerprint" ->
-      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+"""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
          MIN(doc_id) AS rep_id, COUNT(*) AS n
          FROM documents GROUP BY 1""",
     "token_regex_count" ->

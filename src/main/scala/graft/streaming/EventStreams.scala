@@ -155,6 +155,29 @@ object EventStreams {
         (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("delta_us"))
   }
 
+  /** Watermark-bounded streaming dedup via `dropDuplicatesWithinWatermark`
+    * — a DIFFERENT state contract from [[dedupedEvents]]'s plain
+    * `dropDuplicates`: the dedup keys need not include the event-time
+    * column, and a key's state is evicted as soon as the watermark
+    * passes its event time + delay, so two occurrences of the same key
+    * are collapsed only when they arrive within the watermark horizon
+    * of each other — exactly the guarantee an at-least-once upstream
+    * (Kafka producer retries, replayed files) needs, with state bounded
+    * by time instead of by distinct-key cardinality. Rows are reduced
+    * to hour-truncated (hts, user_id, event_type) BEFORE the dedup so
+    * every column of the emitted row is part of the key — making the
+    * kept-row choice (first arrival, a race across partitions)
+    * observationally deterministic: the output is exactly the distinct
+    * triples. */
+  def hourlyUserTypeDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("hts", date_trunc("hour", col("ts")))
+      .select("hts", "user_id", "event_type")
+      .withWatermark("hts", "2 hours")
+      .dropDuplicatesWithinWatermark("hts", "user_id", "event_type")
+      .select(date_format(col("hts"), "yyyy-MM-dd HH").as("hour"),
+        col("user_id"), col("event_type"))
+
   /** Wire a streaming query to an in-memory sink (tests) or console. */
   def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

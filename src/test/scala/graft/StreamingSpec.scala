@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark collapses same-key rows across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.startToMemory(
+      EventStreams.hourlyUserTypeDedup(events), "wm_dedup", OutputMode.Append())
+    try {
+      // duplicates within one batch AND across batches (state carries over)
+      input.addData((ts(5), 1L, "click"), (ts(25), 1L, "click"), (ts(7), 2L, "view"))
+      q.processAllAvailable()
+      input.addData((ts(40), 1L, "click"), (ts(70), 1L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_dedup")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      // hour 00 has three same-hour duplicates of (1, click) — one survives
+      assert(rows == Set(
+        ("2024-01-01 00", 1L, "click"),
+        ("2024-01-01 00", 2L, "view"),
+        ("2024-01-01 01", 1L, "click")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState as-of: purchases match the latest prior signup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
