@@ -74,7 +74,12 @@ object Bench {
     "dedup_minhash_accuracy", "ann_recall_at_k",
     // round 7 (late): the third accuracy audit — SimHash bit-agreement
     // vs the Charikar angle prediction on the same bounded candidate set
-    "dedup_simhash_accuracy")
+    "dedup_simhash_accuracy",
+    // round 7 (late): the edit-distance confirm pass over the banded
+    // candidate set, the two corpus-cleaning ops (C4 line rule, PII
+    // scrub — linear map-side family), and the two-role dimension join
+    "dedup_edit_distance", "text_line_filter_c4", "text_pii_scrub",
+    "q7_nation_volume")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -52,6 +52,24 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"), sum(col("new_s")).cast("long").as("n_sessions"))
   }
 
+  /** Spark's native `session_window` operator (dynamic-gap session
+    * aggregation inside groupBy — the built-in alternative to the
+    * hand-rolled lag/cumsum in [[eventsSessionize]] and the
+    * mapGroupsWithState machine in the stream twin). Boundary contract
+    * differs from eventsSessionize's: session_window merges an event
+    * iff it starts STRICTLY before the current session end (last + gap),
+    * so a gap of exactly 30 min starts a NEW session here (vs `>` =
+    * same session there) — the oracle mirrors the `>=` convention.
+    * Parity: session start is emitted as exact integer microseconds
+    * (min event ts of the session), never a raw timestamp. */
+  val eventsSessionWindow: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("value_c"))
+
   /** Per-day × event-type pivot. */
   val eventsPivotType: Q = (s, dir) =>
     events(s, dir)
@@ -350,6 +368,7 @@ object EventOps {
     "events_path_transitions" -> eventsPathTransitions,
     "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_sessionize" -> eventsSessionize,
+    "events_session_window" -> eventsSessionWindow,
     "events_sessionize_stream_twin" -> eventsSessionizeStreamTwin,
     "events_pivot_type" -> eventsPivotType,
     "events_top_users" -> eventsTopUsers,
@@ -427,6 +446,27 @@ object EventOps {
                 ELSE round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 6) END AS z6
          FROM stats""",
     "events_sessionize" -> sessionizeOracleSql,
+    // gaps-and-islands mirror of session_window: new session iff the
+    // gap is >= 30 min (session_window's strict-before merge rule)
+    "events_session_window" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us, value,
+             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM x),
+         sess AS (
+           SELECT user_id, us, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id, CAST(MIN(us) AS BIGINT) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+         FROM sess GROUP BY user_id, sid""",
     // the stateful stream twin computes the SAME per-user totals
     // through the mapGroupsWithState machine — one oracle text
     "events_sessionize_stream_twin" -> sessionizeOracleSql,

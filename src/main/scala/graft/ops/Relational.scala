@@ -121,6 +121,35 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("running_c"))
   }
 
+  /** Distribution window functions — ntile/percent_rank/cume_dist over
+    * a fully deterministic order (price with key tiebreak). All three
+    * are rank arithmetic over exact integers: percent_rank =
+    * (rank−1)/(n−1) and cume_dist = rows≤current/n are single IEEE
+    * divisions, identical cross-engine. */
+  val windowDistribution: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank6"),
+      round(cume_dist().over(w), 6).as("cume6"))
+  }
+
+  /** UNPIVOT (melt): wide measure columns → (metric, value) rows — the
+    * inverse of `pivot_returnflag`. Plans as a Generate (row
+    * replication), no shuffle; the measure set is fixed at plan time so
+    * the operator scales by rows, not by schema discovery. */
+  val unpivotLineitem: Q = (s, dir) =>
+    t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        cents(col("l_extendedprice")).as("price_c"),
+        pct(col("l_discount")).as("disc_pct"),
+        pct(col("l_tax")).as("tax_pct"))
+      .unpivot(Array(col("l_orderkey"), col("ln")),
+        Array(col("price_c"), col("disc_pct"), col("tax_pct")),
+        "metric", "value_c")
+
   /** Left-semi join (EXISTS). */
   val semiJoin: Q = (s, dir) => {
     val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
@@ -445,6 +474,8 @@ object Relational {
     "cube_agg" -> cubeAgg,
     "window_rank" -> windowRank,
     "window_running_sum" -> windowRunningSum,
+    "window_distribution" -> windowDistribution,
+    "unpivot_lineitem" -> unpivotLineitem,
     "semi_join" -> semiJoin,
     "anti_join" -> antiJoin,
     "set_union" -> setUnion,
@@ -572,6 +603,22 @@ object Relational {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS running_c
          FROM orders""",
+    "window_distribution" ->
+      """SELECT o_orderkey, o_orderstatus,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank6,
+         round(cume_dist() OVER w, 6) AS cume6
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice, o_orderkey)""",
+    "unpivot_lineitem" ->
+      """SELECT l_orderkey, ln, metric, value_c FROM (
+           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+             CAST(round(l_discount*100) AS BIGINT) AS disc_pct,
+             CAST(round(l_tax*100) AS BIGINT) AS tax_pct
+           FROM lineitem WHERE l_orderkey < 1000)
+         UNPIVOT (value_c FOR metric IN (price_c, disc_pct, tax_pct))""",
     "semi_join" ->
       """SELECT c_custkey, c_name FROM customer WHERE EXISTS (
            SELECT 1 FROM orders WHERE o_custkey = c_custkey
