@@ -268,4 +268,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"), plan)
   }
+
+  test("q17_small_quantity decorrelates: one per-part aggregate, no per-row subquery") {
+    val plan = executedPlan("q17_small_quantity")
+    // RewriteCorrelatedScalarSubquery must turn the WHERE-clause
+    // subquery into an aggregate joined back — a surviving correlated
+    // Subquery node would mean a per-outer-row rescan at scale
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("subquery"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q7_nation_volume broadcasts both nation roles with the member filter applied") {
+    val plan = executedPlan("q7_nation_volume")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 2-name member filter must reach the nation scans (dimension
+    // pushdown), not run post-join over the fact stream
+    assert(plan.contains("n_name"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(n_name)") ||
+      plan.matches("(?s).*PushedFilters: \\[.*In\\(n_name.*"), plan)
+  }
+
+  test("grouping_sets_agg reads the input once through a single Expand") {
+    val plan = executedPlan("grouping_sets_agg")
+    // four grouping sets must NOT mean four scans/unions (formatted
+    // mode prints the tree twice + node details, so count DISTINCT
+    // scan node ids, not raw occurrences)
+    assert(plan.contains("Expand"), plan)
+    val scanIds = "Scan parquet\\s*\\((\\d+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"scan ids $scanIds\n$plan")
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("dedup_edit_distance attaches text via hash joins on the candidate pairs") {
+    val plan = executedPlan("dedup_edit_distance")
+    // the Levenshtein DP must only ever see banded candidate pairs —
+    // a cartesian/BNLJ here is the all-pairs quadratic the banding avoids
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("events_session_window plans one session aggregation, no self-join") {
+    val plan = executedPlan("events_session_window")
+    // session_window is a groupBy-native operator: one user-keyed
+    // exchange feeding the session aggregation — a join or window
+    // fallback would double the shuffle surface
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate")
+      || plan.contains("SessionWindow"), plan)
+  }
 }
