@@ -450,6 +450,40 @@ object Relational {
                (l_returnflag), (l_linestatus), ())""")
   }
 
+  /** Ordered string aggregation (listagg/string_agg). collect_list has
+    * no deterministic order under parallel aggregation, so the sort
+    * happens explicitly AFTER collection (array_sort) — the only
+    * order-stable formulation at scale, mirrored by the oracle's
+    * `ORDER BY` inside string_agg. */
+  val stringAggNations: Q = (s, dir) => {
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region")
+    nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q19-style DISJUNCTIVE join predicate: OR of conjunction arms
+    * mixing dimension and fact columns. The arms' union on the dim
+    * column (`p_brand IN (...)`) is applied to the part scan explicitly
+    * — the implied-filter extraction that keeps the broadcast build
+    * side small when the optimizer can't derive it from the OR — while
+    * the full disjunction evaluates post-join on the surviving rows. */
+  val q19DisjunctiveJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_brand").isin("Brand#1", "Brand#2"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
+          && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20)
+          && col("l_quantity").between(5, 30)))
+      .groupBy("p_brand")
+      .agg(sum(revenueC4(col("l_extendedprice"), col("l_discount"))).as("revenue_c4"),
+        count(lit(1)).as("n"))
+  }
+
   /** Exact percentiles (sort-based); DuckDB quantile_cont uses the same
     * linear-interpolation definition. */
   val percentiles: Q = (s, dir) =>
@@ -466,7 +500,9 @@ object Relational {
     "q5_region_revenue" -> q5RegionRevenue,
     "q7_nation_volume" -> q7NationVolume,
     "q17_small_quantity" -> q17SmallQuantity,
+    "q19_disjunctive_join" -> q19DisjunctiveJoin,
     "grouping_sets_agg" -> groupingSetsAgg,
+    "string_agg_nations" -> stringAggNations,
     "filter_project" -> filterProject,
     "topk_orders" -> topkOrders,
     "agg_distinct" -> aggDistinct,
@@ -562,6 +598,21 @@ object Relational {
                                FROM lineitem l2
                                WHERE l2.l_partkey = l.l_partkey)
          GROUP BY p_brand""",
+    "string_agg_nations" ->
+      """SELECT r_name,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations,
+         COUNT(*) AS n
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q19_disjunctive_join" ->
+      s"""SELECT p_brand, CAST(SUM($C*$D) AS BIGINT) AS revenue_c4,
+          COUNT(*) AS n
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 1 AND 20)
+             OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                 AND l_quantity BETWEEN 5 AND 30)
+          GROUP BY p_brand""",
     "grouping_sets_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
