@@ -22,12 +22,17 @@ object ScaleBench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard_capped",
     "dedup_winnow", "dedup_paragraph", "dedup_cluster_reps",
     "bm25_topk", "text_tfidf_top_terms", "text_perplexity_bucket",
-    "text_repetition", "embedding_kmeans", "ann_ivf_kmeans")
+    "text_repetition", "embedding_kmeans", "ann_ivf_kmeans",
+    // round-7 third-session doc-family additions
+    "dedup_substring", "dedup_edit_distance",
+    "text_line_filter_c4", "text_pii_scrub")
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleBench <sfDir> [reps]")
+    require(args.nonEmpty, "usage: ScaleBench <sfDir> [reps] [only=a,b,c]")
     val dir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
+    val only = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -42,8 +47,9 @@ object ScaleBench {
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count() // warmup
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
 
+    val run = only.fold(subjects)(o => subjects.filter(o.contains))
     val samples = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Double]]
-    for (_ <- 1 to reps; name <- subjects) {
+    for (_ <- 1 to reps; name <- run) {
       val t0 = System.nanoTime()
       try graft.SparkEntry.queries(name)(spark, dir).count()
       catch { case e: Throwable => System.err.println(s"[scalebench] $name: $e") }
