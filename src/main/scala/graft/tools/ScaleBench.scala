@@ -25,7 +25,10 @@ object ScaleBench {
     "text_repetition", "embedding_kmeans", "ann_ivf_kmeans",
     // round-7 third-session doc-family additions
     "dedup_substring", "dedup_edit_distance",
-    "text_line_filter_c4", "text_pii_scrub")
+    "text_line_filter_c4", "text_pii_scrub",
+    // the approx twin of text_perplexity_bucket — included so the
+    // exact-vs-sketch growth contrast is measured, not just asserted
+    "text_perplexity_bucket_approx")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <sfDir> [reps] [only=a,b,c]")
