@@ -261,6 +261,44 @@ object EventOps {
         max(col("n_sessions")).cast("long").as("n_sessions"))
   }
 
+  /** The NINTH oracle-checked streaming topology — the SAME session
+    * state machine through Spark 4's `transformWithState` (arbitrary
+    * stateful processing v2: typed ValueState handles + the RocksDB
+    * state store). Runs in a CHILD session because the v2 API requires
+    * `RocksDBStateStoreProvider`, and that conf must not leak into the
+    * sibling catalog queries sharing the Verify session. Same
+    * aggregation-of-update-rows tail and same oracle as
+    * `events_sessionize_stream_twin` — one oracle cross-checks the
+    * batch window form, the v1 mapGroupsWithState machine, and this
+    * v2 processor. */
+  val eventsSessionizeTwsTwin: Q = (s, dir) => {
+    import graft.streaming.EventStreams
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sp: SparkSession = ns
+    import ns.implicits._
+    val sch = ns.read.parquet(s"$dir/events.parquet").schema
+    val raw = ns.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val norm = sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val input = norm.select(col("user_id"), col("ts"))
+      .as[EventStreams.SessionInput]
+    val sink = "graft_sessionize_tws_sink"
+    ns.catalog.dropTempView(sink)
+    val q = EventStreams.sessionizeTWS(input).toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    ns.table(sink).groupBy("user_id")
+      .agg(max(col("n_events")).cast("long").as("n_events"),
+        max(col("n_sessions")).cast("long").as("n_sessions"))
+  }
+
   /** The windowed-aggregation streaming topology surfaced into the
     * CORRECTNESS gate — COMPLETE output mode re-emits the whole hourly
     * table each micro-batch, so the final sink equals the batch
@@ -370,6 +408,7 @@ object EventOps {
     "events_sessionize" -> eventsSessionize,
     "events_session_window" -> eventsSessionWindow,
     "events_sessionize_stream_twin" -> eventsSessionizeStreamTwin,
+    "events_sessionize_tws_twin" -> eventsSessionizeTwsTwin,
     "events_pivot_type" -> eventsPivotType,
     "events_top_users" -> eventsTopUsers,
     "events_hopping" -> eventsHopping,
@@ -470,6 +509,8 @@ object EventOps {
     // the stateful stream twin computes the SAME per-user totals
     // through the mapGroupsWithState machine — one oracle text
     "events_sessionize_stream_twin" -> sessionizeOracleSql,
+    // v2 (transformWithState) machine — same totals, same oracle text
+    "events_sessionize_tws_twin" -> sessionizeOracleSql,
     "events_pivot_type" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming twins of the batch event operators
   * (graft.ops.EventOps). The reference has no streaming surface
@@ -78,6 +79,49 @@ object EventStreams {
           state.update(updated)
           SessionUpdate(userId, updated.nEvents, updated.nSessions)
       }
+  }
+
+  /** The sessionize state machine on Spark 4's `transformWithState` —
+    * the successor API to mapGroupsWithState (arbitrary stateful
+    * processing v2): typed state handles (`ValueState` here; List/Map
+    * state and per-key timers exist for richer machines) registered in
+    * `init` against the StatefulProcessorHandle, per-key TTL support,
+    * and a RocksDB-backed state store requirement that is exactly the
+    * 100 TB posture — state lives off-heap/on-disk per partition
+    * instead of in executor heap. Same session arithmetic as
+    * [[sessionize]] (µs fidelity, >30 min gap) so the two APIs are
+    * cross-checked against ONE oracle. */
+  class SessionizeProcessor extends StatefulProcessor[Long, SessionInput, SessionUpdate] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[SessionInput],
+        timerValues: TimerValues): Iterator[SessionUpdate] = {
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+      val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+      val init0 = if (state.exists()) state.get() else SessionState(0L, 0L, Long.MinValue)
+      val updated = sorted.foldLeft(init0) { (st, e) =>
+        val us = micros(e.ts)
+        val newSession = st.lastUs == Long.MinValue || us - st.lastUs > 1800000000L
+        SessionState(st.nEvents + 1, st.nSessions + (if (newSession) 1 else 0), us)
+      }
+      state.update(updated)
+      Iterator.single(SessionUpdate(userId, updated.nEvents, updated.nSessions))
+    }
+  }
+
+  /** [[sessionize]] through transformWithState. Requires the RocksDB
+    * state store provider on the session (the v2 state API does not
+    * run on the default HDFS-backed store). */
+  def sessionizeTWS(events: Dataset[SessionInput])(implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class AsOfInput(event_id: Long, user_id: Long, event_type: String, us: Long)

@@ -298,6 +298,19 @@ class StreamingSpec extends SparkSpec {
     assert(again == twin)
   }
 
+  test("events_sessionize_tws_twin (transformWithState) equals v1 and the batch form") {
+    val dir = "/root/testdata/sf0.001"
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tws = totals(graft.ops.EventOps.eventsSessionizeTwsTwin(spark, dir))
+    val v1 = totals(graft.ops.EventOps.eventsSessionizeStreamTwin(spark, dir))
+    val batch = totals(graft.ops.EventOps.eventsSessionize(spark, dir)
+      .select("user_id", "n_events", "n_sessions"))
+    assert(tws.nonEmpty)
+    assert(tws == v1, s"tws-only: ${(tws -- v1).take(5)}, v1-only: ${(v1 -- tws).take(5)}")
+    assert(tws == batch, s"tws-only: ${(tws -- batch).take(5)}, batch-only: ${(batch -- tws).take(5)}")
+  }
+
   test("events_sessionize_stream_twin catalog entry equals the batch form") {
     val dir = "/root/testdata/sf0.001"
     val twin = graft.ops.EventOps.queries.toMap
