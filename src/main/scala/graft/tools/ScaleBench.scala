@@ -50,11 +50,23 @@ object ScaleBench {
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count() // warmup
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
 
-    val run = only.fold(subjects)(o => subjects.filter(o.contains))
+    // only= may name ANY catalog query (not just the standing subjects)
+    // so generated-corpus studies can probe additional operators
+    val run = only.fold(subjects)(o =>
+      (subjects ++ o.toSeq.sorted).distinct
+        .filter(q => o.contains(q) && graft.SparkEntry.queries.contains(q)))
     val samples = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Double]]
     for (_ <- 1 to reps; name <- run) {
       val t0 = System.nanoTime()
-      try graft.SparkEntry.queries(name)(spark, dir).count()
+      // FULL materialization via the noop sink — count() lets Catalyst
+      // prune terminal projections, so for pure-map operators (C4 line
+      // filter, PII scrub, the edit-distance DP column) it times the
+      // SCAN, not the operator. A growth study must pay for every
+      // output column; graft.Bench keeps count() deliberately (its
+      // anchors are self-relative and share that semantic since round
+      // 1 — documented in BASELINE.md).
+      try graft.SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[scalebench] $name: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()

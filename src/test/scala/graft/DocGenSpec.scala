@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** DataSource V2 generator (`graft-docs`): determinism, partition
+  * invariance, column pruning reaching the custom scan, partial limit
+  * pushdown, and drop-in compatibility with the documents-family
+  * operators.
+  */
+class DocGenSpec extends SparkSpec {
+
+  private def gen(opts: (String, String)*): DataFrame = {
+    val r = spark.read.format("graft-docs")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load()
+  }
+
+  test("same seed yields identical rows regardless of partitioning") {
+    val a = gen("n" -> "500", "partitions" -> "1").collect().map(_.toSeq).toSet
+    val b = gen("n" -> "500", "partitions" -> "7").collect().map(_.toSeq).toSet
+    val c = gen("n" -> "500", "partitions" -> "32").collect().map(_.toSeq).toSet
+    assert(a == b && b == c)
+    assert(a.size == 500)
+    val other = gen("n" -> "500", "seed" -> "7").collect().map(_.toSeq).toSet
+    assert(other != a, "seed must change the corpus")
+  }
+
+  test("schema and content contracts hold") {
+    val df = gen("n" -> "200", "minTokens" -> "10", "maxTokens" -> "20")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L until 200L).toSet)
+    rows.foreach { r =>
+      val tokens = r.getString(1).split(" ")
+      assert(tokens.length >= 10 && tokens.length <= 20, r)
+      assert(tokens.forall(_.startsWith("tok")), r)
+      assert(r.getLong(4) == r.getString(1).length.toLong, r)
+      assert(Set("en", "de", "fr", "es", "zh").contains(r.getString(2)))
+      assert(Set("web", "books", "code", "wiki").contains(r.getString(3)))
+    }
+  }
+
+  test("column pruning reaches the custom scan (text generation skipped)") {
+    val df = gen("n" -> "100").select("doc_id", "lang")
+    val plan = df.queryExecution.executedPlan.toString
+    // the v2 scan's ReadSchema must carry only the requested columns
+    assert(plan.contains("doc_id"), plan)
+    assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text"), plan)
+    assert(df.count() == 100)
+  }
+
+  test("limit is pushed into each partition (partial push)") {
+    val df = gen("n" -> "1000000", "partitions" -> "4").limit(5)
+    // without pushdown this would generate 1M docs to return 5
+    val t0 = System.nanoTime()
+    assert(df.collect().length == 5)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(dt < 30, s"limit not pushed: took $dt s")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("graft-docs"), scan)
+  }
+
+  test("documents-family operators run unchanged on the generated corpus") {
+    gen("n" -> "300").createOrReplaceTempView("gen_docs")
+    val stats = spark.table("gen_docs")
+      .withColumn("tk", org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " "))
+      .selectExpr("doc_id", "size(tk) as n_tokens", "size(array_distinct(tk)) as n_distinct")
+      .collect()
+    assert(stats.length == 300)
+    assert(stats.forall(r => r.getInt(1) >= r.getInt(2) && r.getInt(2) > 0))
+  }
+}
