@@ -142,7 +142,17 @@ object Bench {
             "graft_bench_retr.vocab", nDocs).count()
           graft.ops.TextOps.tfidfAgainstVocab(spark, docs,
             "graft_bench_retr.vocab", nDocs).count(): Unit
-        case q => SparkEntry.queries(q)(spark, sfDir).count(): Unit
+        // FULL materialization via the noop sink. Through round 7 the
+        // action was count(), under which Catalyst prunes terminal
+        // projections — for pure-map operators (text cleaning, the
+        // edit-distance DP column, simhash) count() times the SCAN,
+        // not the operator (discovered by the round-7 scaling study:
+        // dedup_edit_distance read 0.53 s under count() vs 5.7 s real).
+        // Agg/join-terminal queries are unaffected (their compute
+        // feeds cardinality). Affected map-family anchors re-recorded
+        // under the new action — BASELINE.md documents which.
+        case q => SparkEntry.queries(q)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
       }
 
       for (_ <- 1 to reps) {

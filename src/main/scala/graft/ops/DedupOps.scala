@@ -861,7 +861,19 @@ object DedupOps {
     * is unbounded, so the prefix cap is what keeps per-pair cost
     * constant (a full-text distance would be O(len²) on outliers).
     * Exact integer DP in both engines; the normalized similarity is one
-    * terminal division ⇒ hash-green. */
+    * terminal division ⇒ hash-green.
+    *
+    * The repartition before the DP projection is load-bearing: AQE
+    * coalesces the candidate-join output to ONE partition (15k rows is
+    * a few MB — under the advisory partition size), but coalescing is
+    * byte-sized and blind to downstream per-row CPU, so the O(256²)
+    * DP then runs serially (measured 5.7 s at sf0.1; 0.6 s with the
+    * pair-keyed repartition restoring the session's parallelism). The
+    * partition COUNT must be pinned: a column-only repartition is
+    * AQE-coalescable and collapses straight back to 1 (measured — the
+    * first fix attempt changed nothing). The general rule at 100 TB:
+    * an expensive per-row map AFTER a size-collapsed exchange needs
+    * its own explicitly-sized partitioning. */
   val dedupEditDistance: Q = (s, dir) => {
     val pairs = dedupMinhashLsh(s, dir).select("a", "b")
     val txt = docs(s, dir).select(col("doc_id"),
@@ -869,6 +881,7 @@ object DedupOps {
     pairs
       .join(txt.toDF("a", "pa"), "a")
       .join(txt.toDF("b", "pb"), "b")
+      .repartition(s.sessionState.conf.numShufflePartitions, col("a"), col("b"))
       .select(col("a"), col("b"),
         levenshtein(col("pa"), col("pb")).cast("long").as("lev"),
         greatest(length(col("pa")), length(col("pb"))).cast("long").as("max_len"))
