@@ -1167,6 +1167,48 @@ object DedupOps {
       .limit(20)
   }
 
+  /** Planted-twin recall audit of the sign-bit embedding LSH family —
+    * the closing sketch-accuracy contract (MinHash, HLL, IVF recall,
+    * quantization, SimHash all have one; embedding LSH was the gap).
+    * The synthetic embeddings carry no natural near-dups (max ambient
+    * cosine ≈ 0.475 — the round-7 prototype audit of exact-top-50
+    * recall pinned noise and was rejected, NOTES_r7), so the audit
+    * PLANTS one per probe vector (vec_id < 100): a twin w with
+    * w[i] = v[i] + ((vec_id·31 + i·7) mod 11 − 5)/1000 — integer
+    * arithmetic, one division, one addition per element, so both
+    * engines derive bit-identical twins (the same derive-in-query
+    * pattern as text_pii_scrub's planted PII; enriching the fixture
+    * corpus instead would perturb every other embedding oracle).
+    * Ambient contrast: the same probe against its vec_id+1 neighbor.
+    * Per (method, probe): hit_planted / hit_ambient as exact integers
+    * ⇒ hash-green. Methods: exact 8-bit bucket match, exact 12-bit
+    * match, and 12-bit within Hamming-1 (the multiprobe reach).
+    * Measured at sf0.01: planted recall 0.99 / 0.96 / 1.00 vs ambient
+    * 0.00 — the family co-locates true near-dups and the Hamming-1
+    * probes recover exactly the single-bit-straddle losses that
+    * widening the key costs (EmbeddingLshRecallSpec pins recall,
+    * contrast, and the probe ≥ exact ordering). */
+  val embeddingLshRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 101)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val p = e.filter(col("vec_id") < 100)
+      .withColumn("w", expr(
+        "transform(v, (x, i) -> x + (CAST((vec_id*31 + i*7) % 11 AS DOUBLE) - 5.0)/1000.0)"))
+    val j = p.join(e.select(col("vec_id").as("nid"), col("v").as("u")),
+      col("nid") === col("vec_id") + 1)
+    def ham(a: String, b: String, k: Int) =
+      s"aggregate(sequence(0, ${k - 1}), 0, (acc, i) -> acc + IF(($a[i] >= 0D) != ($b[i] >= 0D), 1, 0))"
+    j.selectExpr("vec_id",
+        s"${ham("v", "w", 8)} AS hp8", s"${ham("v", "u", 8)} AS ha8",
+        s"${ham("v", "w", 12)} AS hp12", s"${ham("v", "u", 12)} AS ha12")
+      .selectExpr(
+        """stack(3,
+           'sign8',         CAST(vec_id AS BIGINT), CAST(IF(hp8  = 0, 1, 0) AS BIGINT), CAST(IF(ha8  = 0, 1, 0) AS BIGINT),
+           'sign12',        CAST(vec_id AS BIGINT), CAST(IF(hp12 = 0, 1, 0) AS BIGINT), CAST(IF(ha12 = 0, 1, 0) AS BIGINT),
+           'sign12_probe1', CAST(vec_id AS BIGINT), CAST(IF(hp12 <= 1, 1, 0) AS BIGINT), CAST(IF(ha12 <= 1, 1, 0) AS BIGINT))
+           AS (method, vec_id, hit_planted, hit_ambient)""")
+  }
+
   /** The oracle-entry LSH bit width (256 buckets — test-table scale). */
   private[ops] val EmbeddingLshBits = 8
 
@@ -1198,7 +1240,8 @@ object DedupOps {
     "dedup_substring" -> dedupSubstring,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh(EmbeddingLshBits),
     "dedup_embedding_lsh_multiprobe" -> dedupEmbeddingLshMultiprobe(EmbeddingLshProbeBits),
-    "embedding_lsh_occupancy" -> embeddingLshOccupancy(EmbeddingLshBits))
+    "embedding_lsh_occupancy" -> embeddingLshOccupancy(EmbeddingLshBits),
+    "embedding_lsh_recall" -> embeddingLshRecall)
 
   private val tokSql =
     "SELECT DISTINCT doc_id, tk FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)"
@@ -1597,7 +1640,31 @@ object DedupOps {
     "embedding_lsh_occupancy" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           bk AS (SELECT vec_id, $embBucketSql AS bucket FROM e)
-          SELECT bucket, COUNT(*) AS n_vecs FROM bk GROUP BY bucket""")
+          SELECT bucket, COUNT(*) AS n_vecs FROM bk GROUP BY bucket""",
+    "embedding_lsh_recall" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+                    FROM embeddings WHERE vec_id < 101),
+          p AS (SELECT vec_id, v,
+                  [v[i+1] + (CAST((vec_id*31 + i*7) % 11 AS DOUBLE) - 5.0)/1000.0
+                   FOR i IN range(0,64)] AS w
+                FROM e WHERE vec_id < 100),
+          j AS (SELECT p.vec_id, p.v, p.w, e2.v AS u
+                FROM p JOIN e e2 ON e2.vec_id = p.vec_id + 1),
+          h AS (SELECT vec_id,
+                  len(list_filter(range(0,8),  i -> (v[i+1] >= 0) != (w[i+1] >= 0))) AS hp8,
+                  len(list_filter(range(0,8),  i -> (v[i+1] >= 0) != (u[i+1] >= 0))) AS ha8,
+                  len(list_filter(range(0,12), i -> (v[i+1] >= 0) != (w[i+1] >= 0))) AS hp12,
+                  len(list_filter(range(0,12), i -> (v[i+1] >= 0) != (u[i+1] >= 0))) AS ha12
+                FROM j)
+          SELECT 'sign8' AS method, CAST(vec_id AS BIGINT) AS vec_id,
+            CAST(CASE WHEN hp8 = 0 THEN 1 ELSE 0 END AS BIGINT) AS hit_planted,
+            CAST(CASE WHEN ha8 = 0 THEN 1 ELSE 0 END AS BIGINT) AS hit_ambient FROM h
+          UNION ALL SELECT 'sign12', CAST(vec_id AS BIGINT),
+            CAST(CASE WHEN hp12 = 0 THEN 1 ELSE 0 END AS BIGINT),
+            CAST(CASE WHEN ha12 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM h
+          UNION ALL SELECT 'sign12_probe1', CAST(vec_id AS BIGINT),
+            CAST(CASE WHEN hp12 <= 1 THEN 1 ELSE 0 END AS BIGINT),
+            CAST(CASE WHEN ha12 <= 1 THEN 1 ELSE 0 END AS BIGINT) FROM h""")
 
   /** Sign-bit bucket expression (DuckDB 1-based indexing), derived from
     * the same bit-width constants as the Scala plans. */

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit,
   SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,7 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    pruned ReadSchema, mirroring the parquet pushdown guard);
   *  - partial LIMIT pushdown via SupportsPushDownLimit: each partition
   *    stops after `limit` rows (Spark still applies the global limit —
-  *    hence `isPartiallyPushed`).
+  *    hence `isPartiallyPushed`);
+  *  - MICRO_BATCH_READ via [[DocGenMicroBatchStream]]: the same id
+  *    space admitted `rowsPerBatch` ids per trigger — offsets are row
+  *    counts, and determinism makes every offset range replayable, so
+  *    `spark.readStream.format("graft-docs")` drives the full DSv2
+  *    streaming path (Offset/planInputPartitions/commit) with rows
+  *    byte-identical to the batch read (DocGenSpec).
   *
   * Determinism: row content is a pure function of (seed, doc_id) via
   * SplitMix64 — no RNG state shared across rows or partitions, so any
@@ -43,7 +50,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Options: n (rows, default 1000), partitions (default 32), seed
   * (default 42), minTokens/maxTokens (default 40/80), vocab (default
-  * 1000 distinct tokens).
+  * 1000 distinct tokens), dupEvery (default 0 = off: every dupEvery-th
+  * row is a ~6%-mutated near-duplicate of its predecessor — a
+  * linear-in-N planted near-dup population for dedup studies).
   */
 class DocGenProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-docs"
@@ -72,14 +81,29 @@ private[sources] object DocGen {
     z ^ (z >>> 31)
   }
 
-  def text(seed: Long, docId: Long, minTok: Int, maxTok: Int, vocab: Int): String = {
-    val h0 = mix(seed ^ mix(docId))
+  /** When dupEvery > 0, every dupEvery-th doc is a NEAR-DUPLICATE of
+    * its predecessor: same token stream with every 16th token
+    * substituted (~6% mutation — above exact-dup, inside every
+    * near-dup family's detection range). Still a pure function of
+    * (seed, docId): the dup doc re-derives its base's stream from
+    * (seed, docId-1), so partition invariance is untouched and the
+    * dup population is exactly linear in N — what a dedup growth
+    * study needs (a FIXED dup pool would densify quadratically). */
+  def text(seed: Long, docId: Long, minTok: Int, maxTok: Int, vocab: Int,
+      dupEvery: Int = 0): String = {
+    val isDup = dupEvery > 0 && docId % dupEvery == (dupEvery - 1).toLong && docId > 0
+    val baseId = if (isDup) docId - 1 else docId
+    val h0 = mix(seed ^ mix(baseId))
     val n = minTok + (java.lang.Long.remainderUnsigned(h0, (maxTok - minTok + 1).toLong)).toInt
+    val hMut = mix(seed ^ mix(docId) ^ 0x5d09e962L)
     val sb = new java.lang.StringBuilder(n * 7)
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
-      val t = java.lang.Long.remainderUnsigned(mix(h0 + i + 1), vocab.toLong)
+      val t =
+        if (isDup && i % 16 == 15)
+          java.lang.Long.remainderUnsigned(mix(hMut + i), vocab.toLong)
+        else java.lang.Long.remainderUnsigned(mix(h0 + i + 1), vocab.toLong)
       sb.append("tok").append(t)
       i += 1
     }
@@ -92,7 +116,7 @@ private class DocGenTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_docs_gen"
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
     merged.putAll(o)
@@ -122,9 +146,13 @@ private class DocGenScan(options: CaseInsensitiveStringMap,
   private val minTok = options.getInt("mintokens", 40)
   private val maxTok = options.getInt("maxtokens", 80)
   private val vocab = options.getInt("vocab", 1000)
+  private val dupEvery = options.getInt("dupevery", 0)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocGenMicroBatchStream(n, options.getLong("rowsperbatch", 1000L),
+      parts, seed, minTok, maxTok, vocab, dupEvery, required)
   override def description(): String =
     s"graft-docs(n=$n, seed=$seed, cols=${required.fieldNames.mkString(",")})"
 
@@ -138,13 +166,64 @@ private class DocGenScan(options: CaseInsensitiveStringMap,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(required, seed, minTok, maxTok, vocab, limit)
+    new DocGenReaderFactory(required, seed, minTok, maxTok, vocab, limit, dupEvery)
 }
 
 private case class DocGenPartition(lo: Long, hi: Long) extends InputPartition
 
+/** Offset = the count of rows already emitted; a micro-batch is the id
+  * range [start, end). Because row content is a pure function of
+  * (seed, doc_id), replaying any offset range after a restart yields
+  * byte-identical rows — exactly the replayable-source contract
+  * Structured Streaming's WAL expects (the same property a Kafka
+  * offset range or a file-source file list provides). */
+private class DocGenOffset(val pos: Long) extends Offset {
+  override def json: String = pos.toString
+}
+
+/** MicroBatchStream over the generator: admission is `rowsPerBatch`
+  * ids per trigger until `n` is exhausted; each batch is split into
+  * (up to) `parts` range partitions read by the SAME reader factory as
+  * the batch path — the streaming surface adds offset bookkeeping, not
+  * a second generator. */
+private class DocGenMicroBatchStream(n: Long, rowsPerBatch: Long, parts: Int,
+    seed: Long, minTok: Int, maxTok: Int, vocab: Int, dupEvery: Int,
+    required: StructType) extends MicroBatchStream {
+
+  private var planned = 0L // high-water mark this run; replay-safe (see DocGenOffset)
+
+  override def initialOffset(): Offset = new DocGenOffset(0L)
+
+  override def latestOffset(): Offset = {
+    planned = math.min(n, planned + math.max(1L, rowsPerBatch))
+    new DocGenOffset(planned)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (lo, hi) = (start.asInstanceOf[DocGenOffset].pos, end.asInstanceOf[DocGenOffset].pos)
+    val rows = hi - lo
+    if (rows <= 0) return Array.empty
+    val k = math.max(1L, math.min(parts.toLong, rows)).toInt
+    (0 until k).map { i =>
+      DocGenPartition(lo + rows * i / k, lo + rows * (i + 1) / k): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(required, seed, minTok, maxTok, vocab, -1, dupEvery)
+
+  override def deserializeOffset(json: String): Offset = {
+    val p = new DocGenOffset(json.toLong)
+    planned = math.max(planned, p.pos) // resume past the checkpoint
+    p
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 private class DocGenReaderFactory(required: StructType, seed: Long,
-    minTok: Int, maxTok: Int, vocab: Int, limit: Int)
+    minTok: Int, maxTok: Int, vocab: Int, limit: Int, dupEvery: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DocGenPartition]
@@ -160,7 +239,7 @@ private class DocGenReaderFactory(required: StructType, seed: Long,
         // text is the expensive field: generate it only when the scan
         // schema asks for text or for n_chars (which derives from it)
         val txt = if (wantText || wantChars)
-          DocGen.text(seed, id, minTok, maxTok, vocab) else null
+          DocGen.text(seed, id, minTok, maxTok, vocab, dupEvery) else null
         val values = required.fieldNames.map {
           case "doc_id" => id
           case "text" => UTF8String.fromString(txt)

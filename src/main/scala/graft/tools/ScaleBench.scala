@@ -62,9 +62,9 @@ object ScaleBench {
       // prune terminal projections, so for pure-map operators (C4 line
       // filter, PII scrub, the edit-distance DP column) it times the
       // SCAN, not the operator. A growth study must pay for every
-      // output column; graft.Bench keeps count() deliberately (its
-      // anchors are self-relative and share that semantic since round
-      // 1 — documented in BASELINE.md).
+      // output column; graft.Bench adopted the same action once this
+      // study exposed the pruning artifact (BASELINE.md documents the
+      // affected re-anchors).
       try graft.SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[scalebench] $name: $e") }

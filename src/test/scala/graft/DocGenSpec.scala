@@ -61,6 +61,38 @@ class DocGenSpec extends SparkSpec {
     assert(scan.contains("graft-docs"), scan)
   }
 
+  test("dupEvery plants near-duplicates with ~6% token mutation") {
+    val rows = gen("n" -> "200", "dupEvery" -> "10").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 9L until 200L by 10L) {
+      val (dup, base) = (rows(i).split(" "), rows(i - 1).split(" "))
+      assert(dup.length == base.length, s"doc $i must mirror its base's length")
+      val diff = dup.zip(base).count { case (a, b) => a != b }
+      assert(diff > 0 && diff <= dup.length / 16 + 1,
+        s"doc $i: $diff of ${dup.length} tokens mutated")
+    }
+    // non-dup rows are untouched relative to the dupEvery=0 corpus
+    val plain = gen("n" -> "200").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 0L until 200L if i % 10 != 9) assert(rows(i) == plain(i))
+  }
+
+  test("micro-batch stream replays the exact batch rows in rowsPerBatch slices") {
+    val q = spark.readStream.format("graft-docs")
+      .option("n", "2000").option("rowsPerBatch", "500").option("dupEvery", "10")
+      .load()
+      .writeStream.format("memory").queryName("docgen_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("docgen_stream").collect().map(_.toSeq).toSet
+      val want = gen("n" -> "2000", "dupEvery" -> "10").collect().map(_.toSeq).toSet
+      assert(got == want, "stream must replay exactly the batch rows")
+      // 2000 ids admitted 500 per trigger: at least 4 non-empty batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4, q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("documents-family operators run unchanged on the generated corpus") {
     gen("n" -> "300").createOrReplaceTempView("gen_docs")
     val stats = spark.table("gen_docs")
