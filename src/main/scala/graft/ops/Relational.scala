@@ -405,6 +405,90 @@ object Relational {
              GROUP BY p_brand""")
   }
 
+  /** TPC-H Q4-style correlated EXISTS: orders in a one-year window that
+    * have at least one line shipped more than 60 days after the order
+    * date (the testdata carries no commit/receipt dates, so the
+    * late-line predicate adapts while keeping Q4's exact shape — a
+    * correlated EXISTS whose inner condition references BOTH sides).
+    * Catalyst's RewritePredicateSubquery decorrelates it to one LEFT
+    * SEMI hash join on l_orderkey — per-order short-circuit, no
+    * per-row re-scan, no row widening (the semi join never duplicates
+    * an order however many late lines it has). ~49% of joined lines
+    * pass the 60-day predicate, so the semi-join's early-out is real
+    * work avoided, not a no-op. */
+  val q4OrderPriority: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q4")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    s.sql("""SELECT o_orderpriority, COUNT(*) AS n_orders
+             FROM orders_q4
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
+               AND EXISTS (SELECT 1 FROM lineitem_q4
+                           WHERE l_orderkey = o_orderkey
+                             AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+             GROUP BY o_orderpriority""")
+  }
+
+  /** TPC-H Q21-style waiting-supplier: the hardest decorrelation shape
+    * in the TPC-H suite — EXISTS and NOT EXISTS over the SAME relation
+    * as the outer, with different correlated predicates ("another
+    * supplier contributed to this order" / "no OTHER supplier was
+    * late"). Catalyst plans the EXISTS as a left-semi and the NOT
+    * EXISTS as a left-anti join, both hash joins on l_orderkey; the
+    * fact table is scanned three times but each pass stays a plain
+    * equi-join a cluster can shuffle-partition — no nested-loop
+    * re-evaluation per outer row. Late = shipped > 60 days after the
+    * order date, as in [[q4OrderPriority]]. */
+  val q21WaitingSupplier: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q21")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_q21")
+    s.sql("""SELECT s_name, COUNT(*) AS numwait
+             FROM lineitem_q21 l1
+             JOIN orders_q21 ON o_orderkey = l1.l_orderkey
+             JOIN supplier_q21 ON s_suppkey = l1.l_suppkey
+             WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+               AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                           WHERE l2.l_orderkey = l1.l_orderkey
+                             AND l2.l_suppkey <> l1.l_suppkey)
+               AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                               JOIN orders_q21 o3 ON o3.o_orderkey = l3.l_orderkey
+                               WHERE l3.l_orderkey = l1.l_orderkey
+                                 AND l3.l_suppkey <> l1.l_suppkey
+                                 AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAYS)
+             GROUP BY s_name
+             ORDER BY numwait DESC, s_name LIMIT 10""")
+  }
+
+  /** TPC-H Q22-style dormant-high-balance: an UNCORRELATED scalar
+    * subquery (the global positive-balance average) feeding a filter,
+    * plus a NOT EXISTS anti-join ("no orders in the last seven
+    * months" — this corpus's customers all have old orders, so Q22's
+    * no-orders-ever predicate is adapted to a recency cutoff that
+    * keeps ~20% of customers). The average is compared in EXACT
+    * integer arithmetic — `bal_c * n_pos > sum_pos_c` instead of
+    * `bal > avg` — because a floating avg differs in the last ulp
+    * across engines' summation orders and a borderline customer would
+    * flip the row set (the NOTES_r1 single-division rule, applied as
+    * zero divisions). Catalyst evaluates both scalar aggregates once
+    * (one-row broadcast each) and the anti-join is a hash join — the
+    * customer table is never rescanned per row. */
+  val q22DormantBalance: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q22")
+    t(s, dir, "customer").createOrReplaceTempView("customer_q22")
+    s.sql("""WITH pos AS (SELECT CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+                          FROM customer_q22 WHERE c_acctbal > 0)
+             SELECT c_mktsegment, COUNT(*) AS n_cust,
+                    SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS total_c
+             FROM customer_q22
+             WHERE CAST(round(c_acctbal*100) AS BIGINT)
+                     * (SELECT COUNT(*) FROM pos) > (SELECT SUM(bal_c) FROM pos)
+               AND NOT EXISTS (SELECT 1 FROM orders_q22
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderdate >= TIMESTAMP '2001-01-01')
+             GROUP BY c_mktsegment""")
+  }
+
   /** TPC-H Q7-style bi-national volume: the SAME dimension joined in TWO
     * roles (supplier's nation and customer's nation) with a disjunctive
     * pair predicate. The 2-name member filter is applied to each nation
@@ -498,6 +582,9 @@ object Relational {
     "percentiles" -> percentiles,
     "q3_topk" -> q3Topk,
     "q5_region_revenue" -> q5RegionRevenue,
+    "q4_order_priority" -> q4OrderPriority,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
+    "q22_dormant_balance" -> q22DormantBalance,
     "q7_nation_volume" -> q7NationVolume,
     "q17_small_quantity" -> q17SmallQuantity,
     "q19_disjunctive_join" -> q19DisjunctiveJoin,
@@ -576,6 +663,43 @@ object Relational {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           WHERE r_name = 'ASIA' GROUP BY n_name""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""",
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 10""",
+    "q22_dormant_balance" ->
+      """WITH pos AS (SELECT CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+                      FROM customer WHERE c_acctbal > 0)
+         SELECT c_mktsegment, COUNT(*) AS n_cust,
+                SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS total_c
+         FROM customer
+         WHERE CAST(round(c_acctbal*100) AS BIGINT)
+                 * (SELECT COUNT(*) FROM pos) > (SELECT SUM(bal_c) FROM pos)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2001-01-01')
+         GROUP BY c_mktsegment""",
     "q7_nation_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
           CAST(year(l_shipdate) AS BIGINT) AS l_year,

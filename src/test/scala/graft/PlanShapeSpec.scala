@@ -312,6 +312,35 @@ class PlanShapeSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("q4_order_priority decorrelates EXISTS to one left-semi hash join") {
+    val plan = executedPlan("q4_order_priority")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // no surviving correlated subquery: the EXISTS must be a join
+    assert(!plan.toLowerCase.contains("subqueryexec"), plan)
+  }
+
+  test("q21_waiting_supplier plans EXISTS as semi and NOT EXISTS as anti, all hash joins") {
+    val plan = executedPlan("q21_waiting_supplier")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q22_dormant_balance evaluates the scalar aggregates once and anti-joins orders") {
+    val plan = executedPlan("q22_dormant_balance")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the uncorrelated scalar aggregates surface as one-time subqueries
+    // feeding a literal, not per-row re-evaluation: customer must be
+    // scanned a bounded number of times (outer + pos CTE ≤ 3 scans)
+    val custScans = "Scan parquet .*customer".r.findAllIn(plan).length
+    assert(custScans <= 3, s"customer scanned $custScans times\n$plan")
+  }
+
   test("events_session_window plans one session aggregation, no self-join") {
     val plan = executedPlan("events_session_window")
     // session_window is a groupBy-native operator: one user-keyed
