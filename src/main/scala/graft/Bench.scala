@@ -79,7 +79,11 @@ object Bench {
     // candidate set, the two corpus-cleaning ops (C4 line rule, PII
     // scrub — linear map-side family), and the two-role dimension join
     "dedup_edit_distance", "text_line_filter_c4", "text_pii_scrub",
-    "q7_nation_volume")
+    "q7_nation_volume",
+    // round 7 (final session): the heaviest of the subquery-shape
+    // additions — EXISTS + NOT EXISTS over the same fact table,
+    // decorrelated to semi + anti hash joins (three lineitem passes)
+    "q21_waiting_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
