@@ -368,4 +368,39 @@ class StreamingSpec extends SparkSpec {
       assert(byUser(2L).n_events == 1 && byUser(2L).n_sessions == 1)
     } finally q.stop()
   }
+
+  test("graft-docs micro-batch stream composes with the stateful band machine") {
+    // the custom DSv2 streaming source feeding the flatMapGroupsWithState
+    // first-claimant state machine across FOUR micro-batches: because
+    // offset ranges admit ids in increasing order, the cross-batch first
+    // claimant of every band bucket must equal the batch groupBy-MIN
+    // over the same generated corpus — the composition contract that
+    // makes generator-driven streaming dedup studies trustworthy
+    implicit val sess = spark
+    val streamDocs = spark.readStream.format("graft-docs")
+      .option("n", "1200").option("rowsPerBatch", "300").option("dupEvery", "10")
+      .load().select("doc_id", "text")
+    val q = graft.streaming.DocStreams.nearDupBandFilter(streamDocs).toDF()
+      .writeStream.format("memory").queryName("gen_band_hits")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gen_band_hits")
+        .select("doc_id", "bi", "bh", "first_doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+      val batchDocs = spark.read.format("graft-docs")
+        .option("n", "1200").option("dupEvery", "10").load().select("doc_id", "text")
+      val rows = graft.ops.DedupOps.minhashBandRowsFromText(batchDocs).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      val firstByBucket = rows.groupBy(t => (t._2, t._3))
+        .map { case (k, ts) => k -> ts.map(_._1).min }
+      assert(got.nonEmpty && got.size == rows.length)
+      rows.foreach { case (doc, bi, bh) =>
+        assert(got((doc, bi, bh)) == firstByBucket((bi, bh)),
+          s"doc $doc band ($bi,$bh)")
+      }
+      // the planted dups guarantee non-first hits exist (non-vacuous)
+      assert(got.exists { case ((doc, _, _), first) => first != doc })
+    } finally q.stop()
+  }
 }
