@@ -52,7 +52,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (default 42), minTokens/maxTokens (default 40/80), vocab (default
   * 1000 distinct tokens), dupEvery (default 0 = off: every dupEvery-th
   * row is a ~6%-mutated near-duplicate of its predecessor — a
-  * linear-in-N planted near-dup population for dedup studies).
+  * linear-in-N planted near-dup population for dedup studies),
+  * langMarkers (default false: every 8th token is a stopword matching
+  * the row's lang and the TextOps langid heuristic, so language-ID,
+  * stop-ratio quality gates, and the curation pipeline are
+  * non-vacuous on generated corpora).
   */
 class DocGenProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-docs"
@@ -62,7 +66,7 @@ class DocGenProvider extends TableProvider with DataSourceRegister {
     new DocGenTable(new CaseInsensitiveStringMap(properties))
 }
 
-private[sources] object DocGen {
+private[graft] object DocGen {
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = false),
@@ -72,6 +76,19 @@ private[sources] object DocGen {
 
   val langs: Array[String] = Array("en", "de", "fr", "es", "zh")
   val sources: Array[String] = Array("web", "books", "code", "wiki")
+
+  /** Language-marker stopwords matching the TextOps langid heuristic
+    * (en the/a/of, de der/die, fr le/la); es/zh carry their own
+    * articles, which langid deliberately does NOT know — generated
+    * docs in those languages classify `und`, exercising the
+    * unknown-language drop path of the curation gates. */
+  val markerWords: Map[String, Array[String]] = Map(
+    "en" -> Array("the", "a", "of"), "de" -> Array("der", "die"),
+    "fr" -> Array("le", "la"), "es" -> Array("el", "los"),
+    "zh" -> Array("zh1", "zh2"))
+
+  def lang(seed: Long, docId: Long): String =
+    langs((java.lang.Long.remainderUnsigned(mix(seed ^ ~docId), 5L)).toInt)
 
   /** SplitMix64 — the standard 64-bit mix; pure function of the input. */
   def mix(z0: Long): Long = {
@@ -90,21 +107,30 @@ private[sources] object DocGen {
     * dup population is exactly linear in N — what a dedup growth
     * study needs (a FIXED dup pool would densify quadratically). */
   def text(seed: Long, docId: Long, minTok: Int, maxTok: Int, vocab: Int,
-      dupEvery: Int = 0): String = {
+      dupEvery: Int = 0, langMarkers: Boolean = false): String = {
     val isDup = dupEvery > 0 && docId % dupEvery == (dupEvery - 1).toLong && docId > 0
     val baseId = if (isDup) docId - 1 else docId
     val h0 = mix(seed ^ mix(baseId))
     val n = minTok + (java.lang.Long.remainderUnsigned(h0, (maxTok - minTok + 1).toLong)).toInt
     val hMut = mix(seed ^ mix(docId) ^ 0x5d09e962L)
+    // markers derive from the BASE doc so a near-dup twin keeps its
+    // base's language signal (the realistic case)
+    val marks = if (langMarkers) markerWords(lang(seed, baseId)) else null
     val sb = new java.lang.StringBuilder(n * 7)
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
-      val t =
-        if (isDup && i % 16 == 15)
-          java.lang.Long.remainderUnsigned(mix(hMut + i), vocab.toLong)
-        else java.lang.Long.remainderUnsigned(mix(h0 + i + 1), vocab.toLong)
-      sb.append("tok").append(t)
+      if (marks != null && i % 8 == 7)
+        sb.append(marks((java.lang.Long.remainderUnsigned(mix(h0 - i), marks.length.toLong)).toInt))
+      else {
+        // mutation sites (i % 16 == 12) are chosen OFF the marker grid
+        // (i % 8 == 7) so a near-dup twin still differs when markers are on
+        val t =
+          if (isDup && i % 16 == 12)
+            java.lang.Long.remainderUnsigned(mix(hMut + i), vocab.toLong)
+          else java.lang.Long.remainderUnsigned(mix(h0 + i + 1), vocab.toLong)
+        sb.append("tok").append(t)
+      }
       i += 1
     }
     sb.toString
@@ -147,6 +173,7 @@ private class DocGenScan(options: CaseInsensitiveStringMap,
   private val maxTok = options.getInt("maxtokens", 80)
   private val vocab = options.getInt("vocab", 1000)
   private val dupEvery = options.getInt("dupevery", 0)
+  private val langMarkers = options.getBoolean("langmarkers", false)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -166,7 +193,7 @@ private class DocGenScan(options: CaseInsensitiveStringMap,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(required, seed, minTok, maxTok, vocab, limit, dupEvery)
+    new DocGenReaderFactory(required, seed, minTok, maxTok, vocab, limit, dupEvery, langMarkers)
 }
 
 private case class DocGenPartition(lo: Long, hi: Long) extends InputPartition
@@ -223,7 +250,8 @@ private class DocGenMicroBatchStream(n: Long, rowsPerBatch: Long, parts: Int,
 }
 
 private class DocGenReaderFactory(required: StructType, seed: Long,
-    minTok: Int, maxTok: Int, vocab: Int, limit: Int, dupEvery: Int)
+    minTok: Int, maxTok: Int, vocab: Int, limit: Int, dupEvery: Int,
+    langMarkers: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DocGenPartition]
@@ -239,12 +267,11 @@ private class DocGenReaderFactory(required: StructType, seed: Long,
         // text is the expensive field: generate it only when the scan
         // schema asks for text or for n_chars (which derives from it)
         val txt = if (wantText || wantChars)
-          DocGen.text(seed, id, minTok, maxTok, vocab, dupEvery) else null
+          DocGen.text(seed, id, minTok, maxTok, vocab, dupEvery, langMarkers) else null
         val values = required.fieldNames.map {
           case "doc_id" => id
           case "text" => UTF8String.fromString(txt)
-          case "lang" => UTF8String.fromString(
-            DocGen.langs((java.lang.Long.remainderUnsigned(DocGen.mix(seed ^ ~id), 5L)).toInt))
+          case "lang" => UTF8String.fromString(DocGen.lang(seed, id))
           case "source" => UTF8String.fromString(
             DocGen.sources((java.lang.Long.remainderUnsigned(DocGen.mix(seed + id), 4L)).toInt))
           case "n_chars" => txt.length.toLong

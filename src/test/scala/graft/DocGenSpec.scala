@@ -77,6 +77,25 @@ class DocGenSpec extends SparkSpec {
     for (i <- 0L until 200L if i % 10 != 9) assert(rows(i) == plain(i))
   }
 
+  test("langMarkers make langid and the dup signal coexist") {
+    val rows = gen("n" -> "300", "dupEvery" -> "10", "langMarkers" -> "true")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toList
+    val markers = Set("the", "a", "of", "der", "die", "le", "la", "el", "los", "zh1", "zh2")
+    rows.foreach { case (id, text, _) =>
+      val found = text.split(" ").filter(markers).toSet
+      assert(found.nonEmpty, s"no markers in doc $id")
+      // markers are drawn from the BASE doc's language set (dup rows
+      // inherit their base's language signal)
+      val baseId = if (id % 10 == 9 && id > 0) id - 1 else id
+      val expect = graft.sources.DocGen.markerWords(
+        graft.sources.DocGen.lang(42L, baseId)).toSet
+      assert(found.subsetOf(expect), s"doc $id markers $found vs $expect")
+    }
+    // dup twins still differ from their base (mutation off the marker grid)
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    for (i <- 9L until 300L by 10L) assert(byId(i) != byId(i - 1), s"doc $i")
+  }
+
   test("micro-batch stream replays the exact batch rows in rowsPerBatch slices") {
     val q = spark.readStream.format("graft-docs")
       .option("n", "2000").option("rowsPerBatch", "500").option("dupEvery", "10")
