@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** DSv2 TableCatalog plugin (`graft.sources.GraftCatalog`): runtime
   * registration via session conf, namespace/table listing from the
   * testdata layout, catalog-resolved scans planning through Spark's V2
@@ -62,6 +64,24 @@ class GraftCatalogSpec extends SparkSpec {
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
       c.getMessage.contains("read-only")), e.toString)
+  }
+
+  test("a partitioned sink layout mounts as a catalog table with partition pruning") {
+    // CorpusSink writes lang-partitioned parquet; mounted through the
+    // catalog, a lang predicate must prune PARTITIONS (directory-level
+    // skip), not just push a row filter — the read path a per-language
+    // downstream job takes at 100 TB
+    val root = s"$scratch/cat_root"
+    graft.sources.CorpusSink.writeCurated(
+      spark, "/root/testdata/sf0.001", s"$root/curated/docs.parquet")
+    spark.conf.set("spark.sql.catalog.sink", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sink.root", root)
+    val df = spark.sql("SELECT doc_id FROM sink.curated.docs WHERE lang = 'en'")
+    val viaPath = spark.read.parquet(s"$root/curated/docs.parquet")
+      .filter(col("lang") === "en").count()
+    assert(df.count() == viaPath && viaPath > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*lang.*"), plan)
   }
 
   test("missing namespaces and tables raise the standard analysis errors") {
