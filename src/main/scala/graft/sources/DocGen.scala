@@ -8,10 +8,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit,
-  SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,6 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - partial LIMIT pushdown via SupportsPushDownLimit: each partition
   *    stops after `limit` rows (Spark still applies the global limit —
   *    hence `isPartiallyPushed`);
+  *  - FILTER pushdown via SupportsPushDownFilters: doc_id comparisons
+  *    narrow the generated id range itself (pruned ids are never
+  *    materialized — the generator analog of partition pruning), and
+  *    lang equality/membership is tested in the reader BEFORE text
+  *    generation; both exact, so Spark plans no post-scan re-filter;
   *  - MICRO_BATCH_READ via [[DocGenMicroBatchStream]]: the same id
   *    space admitted `rowsPerBatch` ids per trigger — offsets are row
   *    counts, and determinism makes every offset range replayable, so
@@ -151,9 +157,14 @@ private class DocGenTable(options: CaseInsensitiveStringMap)
 }
 
 private class DocGenScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownFilters {
   private var required: StructType = DocGen.schema
   private var limit: Int = -1
+  private var idLo: Long = Long.MinValue
+  private var idHi: Long = Long.MaxValue // exclusive
+  private var langSet: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -161,11 +172,40 @@ private class DocGenScanBuilder(options: CaseInsensitiveStringMap)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = true // per-partition cap only
 
-  override def build(): Scan = new DocGenScan(options, required, limit)
+  /** doc_id comparisons narrow the GENERATED id range (the scan never
+    * materializes pruned ids at all); lang equality/membership is
+    * evaluated in the reader BEFORE text generation, the dominant
+    * per-row cost. Both are exact, so nothing accepted here needs
+    * post-scan re-evaluation. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("doc_id", v: Long) => idLo = math.max(idLo, v); idHi = math.min(idHi, v + 1); true
+      case GreaterThan("doc_id", v: Long) => idLo = math.max(idLo, v + 1); true
+      case GreaterThanOrEqual("doc_id", v: Long) => idLo = math.max(idLo, v); true
+      case LessThan("doc_id", v: Long) => idHi = math.min(idHi, v); true
+      case LessThanOrEqual("doc_id", v: Long) => idHi = math.min(idHi, v + 1); true
+      case EqualTo("lang", v: String) =>
+        langSet = Some(langSet.getOrElse(Set.empty[String] ++ DocGen.langs).intersect(Set(v))); true
+      case In("lang", vs) if vs.forall(_.isInstanceOf[String]) =>
+        langSet = Some(langSet.getOrElse(Set.empty[String] ++ DocGen.langs)
+          .intersect(vs.map(_.asInstanceOf[String]).toSet)); true
+      case IsNotNull("doc_id") | IsNotNull("lang") => true // nothing is null here
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new DocGenScan(options, required, limit, idLo, idHi, langSet)
 }
 
 private class DocGenScan(options: CaseInsensitiveStringMap,
-    required: StructType, limit: Int) extends Scan with Batch {
+    required: StructType, limit: Int,
+    idLo: Long = Long.MinValue, idHi: Long = Long.MaxValue,
+    langSet: Option[Set[String]] = None) extends Scan with Batch {
   private val n = options.getLong("n", 1000L)
   private val parts = options.getInt("partitions", 32)
   private val seed = options.getLong("seed", 42L)
@@ -179,21 +219,27 @@ private class DocGenScan(options: CaseInsensitiveStringMap,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new DocGenMicroBatchStream(n, options.getLong("rowsperbatch", 1000L),
-      parts, seed, minTok, maxTok, vocab, dupEvery, required)
+      parts, seed, minTok, maxTok, vocab, dupEvery, required, langMarkers, langSet)
   override def description(): String =
-    s"graft-docs(n=$n, seed=$seed, cols=${required.fieldNames.mkString(",")})"
+    s"graft-docs(n=$n, seed=$seed, cols=${required.fieldNames.mkString(",")}" +
+      (if (idLo != Long.MinValue || idHi != Long.MaxValue) s", ids=[$idLo,$idHi)" else "") +
+      langSet.map(s => s", langs=${s.toSeq.sorted.mkString("|")}").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val k = math.max(1, math.min(parts.toLong, n)).toInt
+    // pushed doc_id bounds narrow the generated range itself
+    val lo0 = math.max(0L, idLo)
+    val hi0 = math.min(n, idHi)
+    val rows = math.max(0L, hi0 - lo0)
+    if (rows == 0) return Array.empty
+    val k = math.max(1L, math.min(parts.toLong, rows)).toInt
     (0 until k).map { i =>
-      val lo = n * i / k
-      val hi = n * (i + 1) / k
-      DocGenPartition(lo, hi): InputPartition
+      DocGenPartition(lo0 + rows * i / k, lo0 + rows * (i + 1) / k): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(required, seed, minTok, maxTok, vocab, limit, dupEvery, langMarkers)
+    new DocGenReaderFactory(required, seed, minTok, maxTok, vocab, limit, dupEvery,
+      langMarkers, langSet)
 }
 
 private case class DocGenPartition(lo: Long, hi: Long) extends InputPartition
@@ -215,7 +261,8 @@ private class DocGenOffset(val pos: Long) extends Offset {
   * a second generator. */
 private class DocGenMicroBatchStream(n: Long, rowsPerBatch: Long, parts: Int,
     seed: Long, minTok: Int, maxTok: Int, vocab: Int, dupEvery: Int,
-    required: StructType) extends MicroBatchStream {
+    required: StructType, langMarkers: Boolean = false,
+    langSet: Option[Set[String]] = None) extends MicroBatchStream {
 
   private var planned = 0L // high-water mark this run; replay-safe (see DocGenOffset)
 
@@ -237,7 +284,8 @@ private class DocGenMicroBatchStream(n: Long, rowsPerBatch: Long, parts: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(required, seed, minTok, maxTok, vocab, -1, dupEvery)
+    new DocGenReaderFactory(required, seed, minTok, maxTok, vocab, -1, dupEvery,
+      langMarkers, langSet)
 
   override def deserializeOffset(json: String): Offset = {
     val p = new DocGenOffset(json.toLong)
@@ -251,7 +299,7 @@ private class DocGenMicroBatchStream(n: Long, rowsPerBatch: Long, parts: Int,
 
 private class DocGenReaderFactory(required: StructType, seed: Long,
     minTok: Int, maxTok: Int, vocab: Int, limit: Int, dupEvery: Int,
-    langMarkers: Boolean = false)
+    langMarkers: Boolean = false, langSet: Option[Set[String]] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DocGenPartition]
@@ -263,6 +311,10 @@ private class DocGenReaderFactory(required: StructType, seed: Long,
       private val wantChars = required.fieldNames.contains("n_chars")
 
       override def next(): Boolean = {
+        // pushed lang filter: skip BEFORE generating text (the
+        // dominant per-row cost) — exact, no post-scan re-evaluation
+        while (id < p.hi && langSet.exists(s => !s.contains(DocGen.lang(seed, id))))
+          id += 1
         if (id >= p.hi || (limit >= 0 && emitted >= limit)) return false
         // text is the expensive field: generate it only when the scan
         // schema asks for text or for n_chars (which derives from it)

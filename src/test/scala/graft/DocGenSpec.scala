@@ -50,6 +50,31 @@ class DocGenSpec extends SparkSpec {
     assert(df.count() == 100)
   }
 
+  test("doc_id filters narrow the generated range (generator partition pruning)") {
+    // 100M nominal ids, but the pushed range keeps only 500 — without
+    // range narrowing this would generate 100M docs to return 500
+    val df = gen("n" -> "100000000").filter("doc_id >= 1000 AND doc_id < 1500")
+    val t0 = System.nanoTime()
+    val rows = df.collect()
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 500)
+    assert(rows.map(_.getLong(0)).toSet == (1000L until 1500L).toSet)
+    assert(dt < 30, s"range not pushed: took $dt s")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ids=[1000,1500)"), plan)
+  }
+
+  test("lang filters skip text generation and match post-scan filtering") {
+    val pushed = gen("n" -> "3000").filter("lang = 'en'")
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("langs=en"), plan)
+    val viaScan = pushed.collect().map(_.toSeq).toSet
+    // ground truth: filter applied AFTER an unfiltered scan
+    val viaPost = gen("n" -> "3000").collect()
+      .filter(_.getString(2) == "en").map(_.toSeq).toSet
+    assert(viaScan == viaPost && viaScan.nonEmpty)
+  }
+
   test("limit is pushed into each partition (partial push)") {
     val df = gen("n" -> "1000000", "partitions" -> "4").limit(5)
     // without pushdown this would generate 1M docs to return 5
