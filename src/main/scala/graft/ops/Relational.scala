@@ -568,6 +568,218 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q13-style customer distribution: LEFT OUTER join with a
+    * predicate INSIDE the join condition (not a post-join filter — a
+    * WHERE would drop the zero-order customers the query exists to
+    * count), then two stacked aggregations: orders per customer
+    * (COUNT of a nullable side preserves zeros), then customers per
+    * order-count. Both shuffles key on grouping columns whose
+    * cardinality shrinks at each level — the histogram agg is over at
+    * most a few dozen distinct counts regardless of corpus size. */
+  val q13CustomerDistribution: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey")
+        && ord("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15-style top supplier: an aggregate view (quarterly revenue
+    * per supplier) consumed twice — once as the join input, once under
+    * an uncorrelated scalar MAX. Catalyst evaluates the CTE's agg once
+    * per consumer (twice total), the MAX reduces to a one-row broadcast,
+    * and the equality keeps ties (the spec's semantics). Revenue is in
+    * exact cents×10⁻⁴ so `= MAX(...)` can't be flipped by float
+    * accumulation order — the NOTES_r1 rule that makes top-by-equality
+    * deterministic cross-engine. */
+  val q15TopSupplier: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q15")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_q15")
+    s.sql("""WITH rev AS (
+               SELECT l_suppkey,
+                 CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+                   AS total_c4
+               FROM lineitem_q15
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-04-01'
+               GROUP BY l_suppkey)
+             SELECT s_suppkey, s_name, total_c4
+             FROM supplier_q15 JOIN rev ON s_suppkey = l_suppkey
+             WHERE total_c4 = (SELECT MAX(total_c4) FROM rev)""")
+  }
+
+  /** TPC-H Q18-style large-volume orders: IN over a groupBy-HAVING
+    * subquery (orders whose total quantity exceeds a threshold).
+    * Catalyst plans the IN as a left-semi hash join against the
+    * pre-aggregated key set — the aggregate runs once, not per outer
+    * row, and the semi join never widens the probe side. The outer
+    * block then re-aggregates the surviving orders; quantity sums are
+    * small exact integers, and top-k output uses the usual
+    * sort-limit with a full deterministic tiebreak. */
+  val q18LargeOrders: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("customer_q18")
+    t(s, dir, "orders").createOrReplaceTempView("orders_q18")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q18")
+    s.sql("""SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+               CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+             FROM customer_q18 JOIN orders_q18 ON c_custkey = o_custkey
+             JOIN lineitem_q18 ON o_orderkey = l_orderkey
+             WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_q18
+                                  GROUP BY l_orderkey
+                                  HAVING SUM(l_quantity) > 180)
+             GROUP BY 1, 2, 3, 4, 5
+             ORDER BY price_c DESC, o_orderkey LIMIT 20""")
+  }
+
+  /** TPC-H Q2-style minimum-cost supplier: a correlated scalar MIN
+    * subquery whose inner block repeats the outer's dim-filter chain
+    * (region-qualified suppliers only, on both sides). Catalyst
+    * decorrelates to ONE per-part min aggregate joined back — the same
+    * RewriteCorrelatedScalarSubquery shape as [[q17SmallQuantity]] but
+    * with the correlated side itself a multi-join. Price compares in
+    * exact integer cents so `= MIN(...)` keeps ties deterministically;
+    * DISTINCT collapses repeat (part, supplier) line matches. */
+  val q2MinCostSupplier: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q2")
+    t(s, dir, "part").createOrReplaceTempView("part_q2")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_q2")
+    t(s, dir, "nation").createOrReplaceTempView("nation_q2")
+    t(s, dir, "region").createOrReplaceTempView("region_q2")
+    s.sql("""SELECT DISTINCT p_partkey, s_suppkey, s_name, n_name,
+               CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+             FROM lineitem_q2 JOIN part_q2 ON l_partkey = p_partkey
+             JOIN supplier_q2 ON l_suppkey = s_suppkey
+             JOIN nation_q2 ON s_nationkey = n_nationkey
+             JOIN region_q2 ON n_regionkey = r_regionkey
+             WHERE r_name = 'EUROPE' AND p_size = 10
+               AND CAST(round(l_extendedprice*100) AS BIGINT) =
+                 (SELECT MIN(CAST(round(l2.l_extendedprice*100) AS BIGINT))
+                  FROM lineitem_q2 l2
+                  JOIN supplier_q2 s2 ON l2.l_suppkey = s2.s_suppkey
+                  JOIN nation_q2 n2 ON s2.s_nationkey = n2.n_nationkey
+                  JOIN region_q2 r2 ON n2.n_regionkey = r2.r_regionkey
+                  WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')""")
+  }
+
+  /** TPC-H Q11-style important values: groupBy + HAVING against a
+    * FRACTION OF A GLOBAL aggregate (parts carrying more than 1/500 of
+    * one nation's total line value). The global total is an uncorrelated
+    * scalar subquery — evaluated once, broadcast as one row — and the
+    * comparison is exact-integer cross-multiplication
+    * (`value*500 > total`), zero divisions, so no float threshold can
+    * flip a borderline part between engines. */
+  val q11ImportantValues: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q11")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_q11")
+    t(s, dir, "nation").createOrReplaceTempView("nation_q11")
+    s.sql("""SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+             FROM lineitem_q11 JOIN supplier_q11 ON l_suppkey = s_suppkey
+             JOIN nation_q11 ON s_nationkey = n_nationkey
+             WHERE n_name = 'NATION_1'
+             GROUP BY l_partkey
+             HAVING SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) * 500 >
+               (SELECT SUM(CAST(round(l2.l_extendedprice*100) AS BIGINT)
+                   * CAST(l2.l_quantity AS BIGINT))
+                FROM lineitem_q11 l2
+                JOIN supplier_q11 s2 ON l2.l_suppkey = s2.s_suppkey
+                JOIN nation_q11 n2 ON s2.s_nationkey = n2.n_nationkey
+                WHERE n2.n_name = 'NATION_1')""")
+  }
+
+  /** TPC-H Q14-style promo revenue share: conditional aggregation ratio
+    * — CASE inside SUM classifies revenue by a dim attribute, then ONE
+    * division of the two exactly-computed integer sums per group (the
+    * single-division rule; `100.0 * a / b` is two IEEE ops on exact
+    * operands, identical cross-engine). Groups by ship year so the
+    * ratio trend is visible instead of Q14's single global row. */
+  val q14PromoRevenue: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          revenueC4(col("l_extendedprice"), col("l_discount"))).otherwise(0L))
+          .cast("long").as("promo_c4"),
+        sum(revenueC4(col("l_extendedprice"), col("l_discount")))
+          .cast("long").as("total_c4"))
+      .withColumn("promo_pct", lit(100.0) * col("promo_c4") / col("total_c4"))
+  }
+
+  /** TPC-H Q20-style dominant suppliers: nested IN whose subquery joins
+    * a per-(part,supplier) aggregate against the per-part total — "this
+    * supplier shipped more than 3/4 of the part's yearly volume". The
+    * decorrelated two-aggregate join IS the scalable form of Q20's
+    * correlated HAVING (one pass each over the window slice, equi-join
+    * on part), and the outer IN plans as a left-semi hash join. The
+    * dominance test is exact-integer cross-multiplication — zero
+    * divisions. The volume floor (`qty_p >= 30`) keeps the predicate
+    * discriminating on this corpus (28 of 100 suppliers excluded). */
+  val q20DominantSuppliers: Q = (s, dir) => {
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_q20")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q20")
+    s.sql("""SELECT s_suppkey, s_name FROM supplier_q20
+             WHERE s_suppkey IN (
+               SELECT ps.l_suppkey FROM
+                 (SELECT l_partkey, l_suppkey,
+                    CAST(SUM(l_quantity) AS BIGINT) AS qty_ps
+                  FROM lineitem_q20
+                  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l_shipdate < TIMESTAMP '1998-01-01'
+                  GROUP BY l_partkey, l_suppkey) ps
+               JOIN (SELECT l_partkey,
+                       CAST(SUM(l_quantity) AS BIGINT) AS qty_p
+                     FROM lineitem_q20
+                     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate < TIMESTAMP '1998-01-01'
+                     GROUP BY l_partkey) pt
+               ON ps.l_partkey = pt.l_partkey
+               WHERE 4 * ps.qty_ps > 3 * pt.qty_p AND pt.qty_p >= 30)""")
+  }
+
+  /** TPC-H Q8-style market share: the two-role nation join of
+    * [[q7NationVolume]] (customer's nation via region gate, supplier's
+    * nation as the share subject) feeding a per-year conditional ratio.
+    * Share numerator/denominator ship as exact integers PLUS the
+    * rounded single-division share — the int columns are the hash
+    * anchor, the ratio the human-facing number. Nation/region dims
+    * broadcast; the fact chain shuffles on join keys only. */
+  val q8MarketShare: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val n1 = t(s, dir, "nation").select(
+      col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val n2 = t(s, dir, "nation").select(
+      col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(n1), cust("c_nationkey") === col("c_nk"))
+      .join(broadcast(region), col("c_rk") === region("r_regionkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(n2), supp("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1",
+          revenueC4(col("l_extendedprice"), col("l_discount"))).otherwise(0L))
+          .cast("long").as("nation_c4"),
+        sum(revenueC4(col("l_extendedprice"), col("l_discount")))
+          .cast("long").as("total_c4"))
+      .withColumn("share6",
+        round(col("nation_c4").cast("double") / col("total_c4"), 6))
+  }
+
   /** Exact percentiles (sort-based); DuckDB quantile_cont uses the same
     * linear-interpolation definition. */
   val percentiles: Q = (s, dir) =>
@@ -588,6 +800,14 @@ object Relational {
     "q7_nation_volume" -> q7NationVolume,
     "q17_small_quantity" -> q17SmallQuantity,
     "q19_disjunctive_join" -> q19DisjunctiveJoin,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q8_market_share" -> q8MarketShare,
+    "q11_important_values" -> q11ImportantValues,
+    "q13_customer_distribution" -> q13CustomerDistribution,
+    "q14_promo_revenue" -> q14PromoRevenue,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q18_large_orders" -> q18LargeOrders,
+    "q20_dominant_suppliers" -> q20DominantSuppliers,
     "grouping_sets_agg" -> groupingSetsAgg,
     "string_agg_nations" -> stringAggNations,
     "filter_project" -> filterProject,
@@ -737,6 +957,109 @@ object Relational {
              OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
                  AND l_quantity BETWEEN 5 AND 30)
           GROUP BY p_brand""",
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT p_partkey, s_suppkey, s_name, n_name,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE' AND p_size = 10
+           AND CAST(round(l_extendedprice*100) AS BIGINT) =
+             (SELECT MIN(CAST(round(l2.l_extendedprice*100) AS BIGINT))
+              FROM lineitem l2
+              JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')""",
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN $C*$D ELSE 0 END)
+            AS BIGINT) AS nation_c4,
+          CAST(SUM($C*$D) AS BIGINT) AS total_c4,
+          round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN $C*$D ELSE 0 END)
+              AS DOUBLE)
+            / CAST(SUM($C*$D) AS BIGINT), 6) AS share6
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+          GROUP BY 1""",
+    "q11_important_values" ->
+      """SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_1'
+         GROUP BY l_partkey
+         HAVING SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) * 500 >
+           (SELECT SUM(CAST(round(l2.l_extendedprice*100) AS BIGINT)
+               * CAST(l2.l_quantity AS BIGINT))
+            FROM lineitem l2
+            JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+            WHERE n2.n_name = 'NATION_1')""",
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "q14_promo_revenue" ->
+      s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $C*$D ELSE 0 END)
+            AS BIGINT) AS promo_c4,
+          CAST(SUM($C*$D) AS BIGINT) AS total_c4,
+          100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $C*$D ELSE 0 END)
+              AS BIGINT)
+            / CAST(SUM($C*$D) AS BIGINT) AS promo_pct
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1""",
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+            SELECT l_suppkey, CAST(SUM($C*$D) AS BIGINT) AS total_c4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_c4
+          FROM supplier JOIN rev ON s_suppkey = l_suppkey
+          WHERE total_c4 = (SELECT MAX(total_c4) FROM rev)""",
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+         CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING SUM(l_quantity) > 180)
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY price_c DESC, o_orderkey LIMIT 20""",
+    "q20_dominant_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT ps.l_suppkey FROM
+             (SELECT l_partkey, l_suppkey,
+                CAST(SUM(l_quantity) AS BIGINT) AS qty_ps
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_partkey, l_suppkey) ps
+           JOIN (SELECT l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS qty_p
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                 GROUP BY l_partkey) pt
+           ON ps.l_partkey = pt.l_partkey
+           WHERE 4 * ps.qty_ps > 3 * pt.qty_p AND pt.qty_p >= 30)""",
     "grouping_sets_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
