@@ -341,6 +341,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(custScans <= 3, s"customer scanned $custScans times\n$plan")
   }
 
+  test("q2_min_cost_supplier decorrelates the scalar MIN to a join, no per-row re-scan") {
+    val plan = executedPlan("q2_min_cost_supplier")
+    // the correlated MIN must become one per-part aggregate joined back;
+    // a surviving per-row subquery would re-run the 4-table inner join
+    // once per outer lineitem
+    assert(!plan.toLowerCase.contains("subqueryexec"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("q18_large_orders plans the IN-aggregate as a left-semi hash join") {
+    val plan = executedPlan("q18_large_orders")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q20_dominant_suppliers keeps both aggregates one-pass and the IN a semi join") {
+    val plan = executedPlan("q20_dominant_suppliers")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q13_customer_distribution keeps the filter inside the outer join") {
+    val plan = executedPlan("q13_customer_distribution")
+    // the orderpriority predicate must gate the ORDERS side of the
+    // outer join (join-condition placement), never filter customers —
+    // a post-join Filter on the null-extended side would silently drop
+    // the zero-order customers the histogram exists to count
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("events_session_window plans one session aggregation, no self-join") {
     val plan = executedPlan("events_session_window")
     // session_window is a groupBy-native operator: one user-keyed
