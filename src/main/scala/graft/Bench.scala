@@ -83,7 +83,12 @@ object Bench {
     // round 7 (final session): the heaviest of the subquery-shape
     // additions — EXISTS + NOT EXISTS over the same fact table,
     // decorrelated to semi + anti hash joins (three lineitem passes)
-    "q21_waiting_supplier")
+    "q21_waiting_supplier",
+    // round 7 (fifth session): the outer-join count-of-counts histogram
+    // (predicate inside the join condition) and the IN-over-aggregate
+    // semi join with re-aggregation + top-k — the two remaining TPC-H
+    // shapes heavy enough to belong in the 2x gate
+    "q13_customer_distribution", "q18_large_orders")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
