@@ -136,6 +136,30 @@ object Relational {
       round(cume_dist().over(w), 6).as("cume6"))
   }
 
+  /** Frame-based analytic windows — first/last/nth value and a sliding
+    * 3-row neighborhood sum, all over EXPLICIT ROWS frames with a
+    * unique (date, key) order. ROWS (not the default RANGE) because
+    * RANGE frames treat order-by peers as one unit and the default
+    * last_value frame stops at CURRENT ROW — both classic silent-skew
+    * sources; with explicit frames + a total order every engine agrees
+    * row-for-row. One user-keyed exchange, then per-partition sorted
+    * evaluation — the same shape at any scale. */
+  val windowFrameStats: Q = (s, dir) => {
+    val order = Seq(col("o_orderdate"), col("o_orderkey"))
+    val base = Window.partitionBy("o_custkey").orderBy(order: _*)
+    val all = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val upToHere = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nbhd = base.rowsBetween(-1, 1)
+    t(s, dir, "orders")
+      .withColumn("price_c", cents(col("o_totalprice")))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("price_c")).over(upToHere).as("first_c"),
+        last(col("price_c")).over(upToHere).as("running_last_c"),
+        nth_value(col("price_c"), 2).over(all).as("second_c"),
+        sum(col("price_c")).over(nbhd).as("nbhd_c"))
+  }
+
   /** UNPIVOT (melt): wide measure columns → (metric, value) rows — the
     * inverse of `pivot_returnflag`. Plans as a Generate (row
     * replication), no shuffle; the measure set is fixed at plan time so
@@ -818,6 +842,7 @@ object Relational {
     "window_rank" -> windowRank,
     "window_running_sum" -> windowRunningSum,
     "window_distribution" -> windowDistribution,
+    "window_frame_stats" -> windowFrameStats,
     "unpivot_lineitem" -> unpivotLineitem,
     "semi_join" -> semiJoin,
     "anti_join" -> antiJoin,
@@ -1109,6 +1134,22 @@ object Relational {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderstatus
            ORDER BY o_totalprice, o_orderkey)""",
+    "window_frame_stats" ->
+      """SELECT o_custkey, o_orderkey,
+         first_value(price_c) OVER w_run AS first_c,
+         last_value(price_c) OVER w_run AS running_last_c,
+         nth_value(price_c, 2) OVER w_all AS second_c,
+         sum(price_c) OVER w_nbhd AS nbhd_c
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+               FROM orders)
+         WINDOW
+           w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_all AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           w_nbhd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""",
     "unpivot_lineitem" ->
       """SELECT l_orderkey, ln, metric, value_c FROM (
            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
