@@ -17,17 +17,35 @@ import Tables._
   */
 object EventOps {
 
-  /** events with `ts` normalized to a µs-precision timestamp. The parquet
-    * type is TIMESTAMP(NANOS); the session reads it as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and we truncate to µs —
-    * byte-identical to DuckDB's epoch_us on the same column. */
+  /** Normalize a raw events `ts` column to a µs-precision TIMESTAMP
+    * regardless of how the fixture writer encoded it — the encoding has
+    * changed across driver testdata generations, and the operators must
+    * not care:
+    *  - TIMESTAMP(NANOS) parquet read as long nanos
+    *    (spark.sql.legacy.parquet.nanosAsLong) → truncate to µs;
+    *  - TIMESTAMP_NTZ (a µs writer without timezone metadata) →
+    *    reinterpret the wall clock as UTC. Every graft session pins
+    *    spark.sql.session.timeZone=UTC, so the cast is
+    *    instant-preserving and byte-identical to DuckDB's epoch_us on
+    *    the same file;
+    *  - TIMESTAMP → already what we want.
+    * Works on batch and streaming frames alike (pass the batch-read
+    * schema's ts type for a readStream frame). */
+  private[graft] def normalizeTs(df: DataFrame,
+      dt: org.apache.spark.sql.types.DataType): DataFrame = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
+  }
+
+  /** events with `ts` normalized to a µs-precision timestamp (see
+    * [[normalizeTs]]). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    normalizeTs(raw, raw.schema("ts").dataType)
   }
 
   /** Tumbling 1-hour window aggregation. */
@@ -241,11 +259,7 @@ object EventOps {
     val sch = s.read.parquet(s"$dir/events.parquet").schema
     val raw = s.readStream.schema(sch)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val norm = sch("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    val norm = normalizeTs(raw, sch("ts").dataType)
     val input = norm.select(col("user_id"), col("ts"))
       .as[EventStreams.SessionInput]
     val sink = "graft_sessionize_twin_sink"
@@ -281,11 +295,7 @@ object EventOps {
     val sch = ns.read.parquet(s"$dir/events.parquet").schema
     val raw = ns.readStream.schema(sch)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val norm = sch("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    val norm = normalizeTs(raw, sch("ts").dataType)
     val input = norm.select(col("user_id"), col("ts"))
       .as[EventStreams.SessionInput]
     val sink = "graft_sessionize_tws_sink"
@@ -311,11 +321,7 @@ object EventOps {
     val sch = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(sch)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val norm = sch("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => stream
-    }
+    val norm = normalizeTs(stream, sch("ts").dataType)
     val sink = "graft_events_tumbling_sink"
     s.catalog.dropTempView(sink)
     val q = graft.streaming.EventStreams.hourlyTotals(norm)
@@ -358,11 +364,7 @@ object EventOps {
     val sch = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(sch)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val norm = sch("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => stream
-    }
+    val norm = normalizeTs(stream, sch("ts").dataType)
     val sink = "graft_events_join_sink"
     s.catalog.dropTempView(sink)
     val q = graft.streaming.EventStreams.attributionJoin(norm)
@@ -384,11 +386,7 @@ object EventOps {
     val sch = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(sch)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val norm = sch("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => stream
-    }
+    val norm = normalizeTs(stream, sch("ts").dataType)
     val sink = "graft_events_dedup_sink"
     s.catalog.dropTempView(sink)
     val q = graft.streaming.EventStreams.hourlyUserTypeDedup(norm)

@@ -8,9 +8,11 @@ import graft.plans.{AsOf, AsOfJoinExec}
   * the window-based formulation, and edge cases. */
 class AsOfJoinSpec extends SparkSpec {
 
-  private def events(sf: String) =
-    spark.read.parquet(s"/root/testdata/sf$sf/events.parquet")
-      .withColumn("us", expr("ts div 1000")) // ns long → µs long
+  private def events(sf: String) = {
+    val raw = spark.read.parquet(s"/root/testdata/sf$sf/events.parquet")
+    ops.EventOps.normalizeTs(raw, raw.schema("ts").dataType)
+      .withColumn("us", expr("unix_micros(ts)")) // any encoding → µs long
+  }
 
   test("plans through the injected strategy as AsOfJoinExec") {
     val purchases = events("0.001").filter("event_type = 'purchase'")

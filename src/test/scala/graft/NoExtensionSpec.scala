@@ -83,8 +83,9 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("AsOf.join states its extension requirement clearly") {
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("us", expr("ts div 1000"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = ops.EventOps.normalizeTs(raw, raw.schema("ts").dataType)
+      .withColumn("us", expr("unix_micros(ts)"))
     val l = ev.filter("event_type = 'purchase'").select(col("event_id"), col("user_id"), col("us"))
     val r = ev.filter("event_type = 'signup'")
       .select(col("event_id").as("rid"), col("user_id").as("rk"), col("us").as("rus"))

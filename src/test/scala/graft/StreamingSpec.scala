@@ -114,8 +114,9 @@ class StreamingSpec extends SparkSpec {
     val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val inDir = s"$scratch/stream_in"
     src.write.mode("overwrite").parquet(inDir)
-    val stream = spark.readStream.schema(src.schema).parquet(inDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream = ops.EventOps.normalizeTs(
+        spark.readStream.schema(src.schema).parquet(inDir),
+        src.schema("ts").dataType)
       .filter("event_type = 'purchase'")
       .select("event_id", "user_id", "ts", "value")
     val q = stream.writeStream
