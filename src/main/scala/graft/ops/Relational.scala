@@ -804,6 +804,121 @@ object Relational {
         round(col("nation_c4").cast("double") / col("total_c4"), 6))
   }
 
+  /** TPC-H Q6-style forecasting revenue change: the no-join query — one
+    * scan, three pushable predicates, one global sum. Every predicate
+    * reaches the parquet reader (PushedFilters), so at 100 TB the query
+    * is I/O-bound on row groups whose min/max stats already exclude
+    * most of the corpus — the pure predicate-pushdown benchmark. The
+    * discount band compares in integer pct (NOTES_r1: never compare
+    * floats to float literals across engines). */
+  val q6RevenueDelta: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && pct(col("l_discount")).between(4, 6)
+        && col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice")) * pct(col("l_discount")))
+        .as("disc_revenue_c4"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q9-style product-type profit: profit per supplier-nation per
+    * year over a name-matched part subset. The corpus has no partsupp
+    * table, so supply cost adapts to `p_retailprice × quantity` — the
+    * shape (LIKE-filtered dim gating a 3-dim fact chain, two-column
+    * group) is Q9's. The LIKE filter applies to `part` BEFORE its
+    * broadcast (a contains-match can't push to parquet stats, but it
+    * runs on the tiny dim, not the fact table); profit is exact c4
+    * integers: both terms scale to cents×100 before the subtraction so
+    * the mixed-unit difference can't round differently per engine. */
+  val q9ProductProfit: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_name").contains("widget"))
+    val supp = t(s, dir, "supplier")
+    val nation = t(s, dir, "nation")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(sum(revenueC4(col("l_extendedprice"), col("l_discount"))
+          - cents(col("p_retailprice")) * col("l_quantity").cast("long") * 100L)
+        .as("profit_c4"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q10-style returned-item reporting: which customers returned
+    * the most revenue in a quarter. Classic fact-chain → wide group →
+    * top-k: the order-date window pushes to the orders scan, the
+    * returnflag filter to the lineitem scan, nation broadcasts, and the
+    * output is a TakeOrderedAndProject (per-partition top-20 merged on
+    * the driver — never a global sort of all customers). */
+  val q10ReturnedItems: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val nation = t(s, dir, "nation")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_c"), col("n_name"))
+      .agg(sum(revenueC4(col("l_extendedprice"), col("l_discount")))
+        .as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12-style shipping-priority split: a fact join classified by
+    * a DERIVED line attribute (shipping delay bucket — the corpus has
+    * no l_shipmode, so the class derives from date arithmetic) with
+    * CASE-WHEN conditional counts per priority tier. Q12's essential
+    * shape — join, derive, two-way conditional aggregation over a
+    * 3-value key — survives intact; both engines compute the delay in
+    * integer days, so bucket edges can't drift. */
+  val q12ShipPriority: Q = (s, dir) => {
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .withColumn("delay", datediff(col("l_shipdate"), col("o_orderdate")))
+      .withColumn("delay_class",
+        when(col("delay") < 30, "fast")
+          .when(col("delay") < 60, "normal")
+          .otherwise("late"))
+      .groupBy("delay_class")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q16-style supplier-relationship count: distinct suppliers
+    * per (brand, type, size) over an excluded-supplier NOT IN. The
+    * corpus has no partsupp, so the part↔supplier association is the
+    * DISTINCT (l_partkey, l_suppkey) projection of lineitem — one
+    * two-column scan + distinct, the narrowest possible derivation —
+    * and the "complaint" exclusion adapts to negative account balance.
+    * The NOT IN plans as a broadcast left-anti hash join (both key
+    * sides non-null by schema, so no null-semantics hazard); part is
+    * pre-filtered then broadcast; COUNT(DISTINCT) is Spark's two-phase
+    * expand aggregate — every step shuffle-bounded by the distinct
+    * pair set, never by raw lineitem. */
+  val q16SupplierCount: Q = (s, dir) => {
+    val pairs = t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select("s_suppkey")
+    pairs
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** Exact percentiles (sort-based); DuckDB quantile_cont uses the same
     * linear-interpolation definition. */
   val percentiles: Q = (s, dir) =>
@@ -822,6 +937,11 @@ object Relational {
     "q21_waiting_supplier" -> q21WaitingSupplier,
     "q22_dormant_balance" -> q22DormantBalance,
     "q7_nation_volume" -> q7NationVolume,
+    "q6_revenue_delta" -> q6RevenueDelta,
+    "q9_product_profit" -> q9ProductProfit,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q12_ship_priority" -> q12ShipPriority,
+    "q16_supplier_count" -> q16SupplierCount,
     "q17_small_quantity" -> q17SmallQuantity,
     "q19_disjunctive_join" -> q19DisjunctiveJoin,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
@@ -959,6 +1079,60 @@ object Relational {
             AND n2.n_name IN ('NATION_1', 'NATION_2')
             AND n1.n_name <> n2.n_name
           GROUP BY 1, 2, 3""",
+    "q6_revenue_delta" ->
+      s"""SELECT CAST(SUM($C * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+            AS disc_revenue_c4,
+          COUNT(*) AS n
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 4 AND 6
+            AND l_quantity < 24""",
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+          CAST(SUM($C*$D
+            - CAST(round(p_retailprice*100) AS BIGINT)
+              * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_c4,
+          COUNT(*) AS n
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%widget%'
+          GROUP BY 1, 2""",
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+          CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_c, n_name,
+          CAST(SUM($C*$D) AS BIGINT) AS revenue_c4
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-04-01'
+            AND l_returnflag = 'R'
+          GROUP BY 1, 2, 3, 4
+          ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""",
+    "q12_ship_priority" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+                WHEN date_diff('day', o_orderdate, l_shipdate) < 60 THEN 'normal'
+                ELSE 'late' END AS delay_class,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS high_line_count,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+         COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
     "q17_small_quantity" ->
       """SELECT p_brand, COUNT(*) AS n,
          CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_c

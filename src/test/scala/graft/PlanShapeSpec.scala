@@ -376,6 +376,62 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q6_revenue_delta pushes all three predicates and joins nothing") {
+    val plan = executedPlan("q6_revenue_delta")
+    // the no-join query: its entire 100 TB story is predicate pushdown —
+    // the date window must reach the parquet reader so row-group stats
+    // can exclude most of the corpus
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"), plan)
+    assert(!plan.contains("Join"), plan)
+    // projection pruning: 4 needed columns, not 16
+    assert(!plan.contains("l_comment"), plan)
+  }
+
+  test("q9_product_profit filters part before broadcasting it") {
+    val plan = executedPlan("q9_product_profit")
+    // the LIKE gate runs on the tiny dim pre-broadcast; the fact table
+    // then hash-probes it — a cartesian or post-join LIKE would scan-
+    // multiply lineitem by the unfiltered part table
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the contains-filter must sit under the broadcast exchange side
+    assert(plan.contains("Contains") || plan.contains("contains"), plan)
+  }
+
+  test("q10_returned_items takes its top-20 without a global sort") {
+    val plan = executedPlan("q10_returned_items")
+    // orderBy+limit must fuse to TakeOrderedAndProject — a full range-
+    // partitioned sort of every customer is the 100 TB failure mode
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.matches("(?s).*Exchange rangepartitioning.*"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the returnflag predicate reaches the lineitem reader
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_returnflag.*"), plan)
+  }
+
+  test("q12_ship_priority pushes the ship-date window and aggregates once") {
+    val plan = executedPlan("q12_ship_priority")
+    // the one-year window must reach the lineitem scan; the delay-class
+    // derivation and both conditional counts are then one aggregation —
+    // no second pass, no join fan-out
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate.*"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q16_supplier_count plans the NOT IN as a broadcast anti-join on the pair set") {
+    val plan = executedPlan("q16_supplier_count")
+    // the supplier exclusion must be a broadcast left-anti hash join —
+    // and everything downstream of the DISTINCT is bounded by the
+    // (part,supp) pair set, never raw lineitem
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("events_session_window plans one session aggregation, no self-join") {
     val plan = executedPlan("events_session_window")
     // session_window is a groupBy-native operator: one user-keyed
