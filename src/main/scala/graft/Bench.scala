@@ -88,7 +88,12 @@ object Bench {
     // (predicate inside the join condition) and the IN-over-aggregate
     // semi join with re-aggregation + top-k — the two remaining TPC-H
     // shapes heavy enough to belong in the 2x gate
-    "q13_customer_distribution", "q18_large_orders")
+    "q13_customer_distribution", "q18_large_orders",
+    // round 7 (sixth session): the suite-completing TPC-H additions
+    // heavy enough for the 2x gate — the no-join pushdown benchmark,
+    // the LIKE-gated 3-dim fact chain, and the distinct-pair-set
+    // NOT IN + COUNT(DISTINCT)
+    "q6_revenue_delta", "q9_product_profit", "q16_supplier_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
