@@ -607,6 +607,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_tf"),
       new ExpressionInfo(classOf[TokenTf].getName, "token_tf"),
       (children: Seq[Expression]) => TokenTf(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MgSketch].getName, "mg_sketch"),
+      (children: Seq[Expression]) => MgSketch(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsOfWindowRewrite)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -872,6 +873,77 @@ object TextOps {
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob6"))
   }
 
+  /** Heavy-hitter parameters: an item qualifies iff
+    * cnt·HhThreshold ≥ N (i.e. frequency ≥ 1/32 of the stream);
+    * HhSketchK is the Misra–Gries counter budget. HhSketchK ≥
+    * HhThreshold is the correctness coupling: MG guarantees every item
+    * with frequency > N/(HhSketchK+1) survives the sketch, so with
+    * 64 ≥ 32 every qualifying item is provably in the candidate set
+    * and the recounted result is exact.
+    *
+    * The fixture vocabulary is 31 near-uniform tokens — no natural
+    * frequency skew (same fixture gap text_pii_scrub had), so the item
+    * stream is DERIVED in-query, identically on both engines, from
+    * each (token, doc) occurrence's md5: u = h52 mod 1024; u < 512
+    * folds into 8 hot items (~6.25% of the stream each — all heavy
+    * hitters), u ≥ 512 stays a ~512-item rare tail (~0.05% each —
+    * none qualify, and their cardinality is what forces the sketch to
+    * actually shed state). The derivation is the harness; the operator
+    * under test is the heavy-hitter plan below it. */
+  val HhThreshold = 32
+  val HhSketchK = 64
+
+  private[graft] def hhItems(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .withColumn("u", pmod(expr(
+        "cast(conv(substring(md5(concat(tk, ':', cast(doc_id as string))), 1, 13), 16, 10) as bigint)"),
+        lit(1024L)))
+      .withColumn("item",
+        when(col("u") < 512, concat(lit("hot_"), expr("cast(u div 64 as string)")))
+          .otherwise(concat(lit("rare_"), col("u").cast("string"))))
+
+  /** Exact heavy hitters: full groupBy + 1-row-total broadcast compare.
+    * Correct at any scale, but the shuffle carries the entire distinct
+    * item vocabulary — unbounded on a web corpus (typos, URLs, ids).
+    * The MG twin below is the bounded-state scale path. */
+  val textHeavyHitters: Q = (s, dir) => {
+    val items = hhItems(s, dir)
+    val total = items.agg(count(lit(1)).as("n"))
+    items.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * HhThreshold >= col("n"))
+      .select("item", "cnt", "n")
+  }
+
+  /** Misra–Gries two-pass heavy hitters — the 100 TB form. Pass 1:
+    * `mg_sketch(item, 64)` (native TypedImperativeAggregate,
+    * [[graft.functions.MgSketch]]) keeps exactly 64 counters per
+    * partition and ships ONE ≤64-entry summary per partition to the
+    * merge — candidate-set memory and shuffle are O(k), independent of
+    * vocabulary size. Pass 2: exact recount of candidates only (the
+    * corpus side map-filters against the ≤64-item broadcast before any
+    * shuffle) + the same threshold filter. Because MG candidates
+    * provably include every item above N/(k+1) ≤ N/HhThreshold, the
+    * output is byte-identical to the exact twin — same oracle —
+    * even though the intermediate candidate set depends on
+    * partitioning. Degrades to the unbounded distinct-candidate form
+    * when the extension is absent. */
+  val textHeavyHittersMg: Q = (s, dir) => {
+    val items = hhItems(s, dir)
+    val cand =
+      if (s.catalog.functionExists("mg_sketch"))
+        items.agg(expr(s"mg_sketch(item, $HhSketchK)").as("sk"))
+          .select(explode(map_keys(col("sk"))).as("item"))
+      else items.select("item").distinct()
+    val total = items.agg(count(lit(1)).as("n"))
+    items.join(broadcast(cand), Seq("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * HhThreshold >= col("n"))
+      .select("item", "cnt", "n")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
@@ -901,7 +973,23 @@ object TextOps {
     "dedup_decontaminate" -> dedupDecontaminate,
     "dedup_decontaminate_stream_twin" -> dedupDecontaminateStreamTwin,
     "text_bigram_pmi" -> textBigramPmi,
-    "text_bigram_logprob" -> textBigramLogprob)
+    "text_bigram_logprob" -> textBigramLogprob,
+    "text_heavy_hitters" -> textHeavyHitters,
+    "text_heavy_hitters_mg" -> textHeavyHittersMg)
+
+  /** Shared oracle for both heavy-hitter twins — the MG pass is an
+    * internal-plan difference with a provably identical result. */
+  private def hhOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+             FROM documents),
+         it AS (SELECT CASE WHEN u < 512 THEN 'hot_' || CAST(u // 64 AS VARCHAR)
+                       ELSE 'rare_' || CAST(u AS VARCHAR) END AS item
+                FROM (SELECT CAST(('0x' || substr(md5(tk || ':' ||
+                        CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 1024 AS u
+                      FROM tok)),
+         nn AS (SELECT COUNT(*) AS n FROM it)
+       SELECT item, COUNT(*) AS cnt, n
+       FROM it, nn GROUP BY item, n HAVING COUNT(*) * $HhThreshold >= n"""
 
   /** BM25 oracle — generated from the same constants as the Spark side
     * so the term list and every float literal stay in lock-step. */
@@ -1266,5 +1354,7 @@ object TextOps {
            FROM (SELECT lang, doc_id,
                    CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) AS h52
                  FROM documents))
-         WHERE rk <= $StratQuota""")
+         WHERE rk <= $StratQuota""",
+    "text_heavy_hitters" -> hhOracleSql,
+    "text_heavy_hitters_mg" -> hhOracleSql)
 }

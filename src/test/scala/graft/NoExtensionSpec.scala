@@ -81,6 +81,15 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("heavy hitters degrade to the unbounded-candidate form with identical rows") {
+    assert(!spark.catalog.functionExists("mg_sketch"))
+    val exact = SparkEntry.queries("text_heavy_hitters")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val mg = SparkEntry.queries("text_heavy_hitters_mg")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && mg == exact)
+  }
+
   test("AsOf.join states its extension requirement clearly") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"$sfDir/events.parquet")

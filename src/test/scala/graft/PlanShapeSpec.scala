@@ -432,6 +432,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("text_heavy_hitters_mg sketches via ObjectHashAggregate and recounts only candidates") {
+    val plan = executedPlan("text_heavy_hitters_mg")
+    // the MG TypedImperativeAggregate must plan as ObjectHashAggregate
+    // (partial per partition — one <=k-entry summary crosses the wire)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("mg_sketch"), plan)
+    // the recount pass filters the corpus against the tiny candidate
+    // set BEFORE any shuffle: a broadcast hash join, never a shuffled
+    // join of the full token stream
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("events_session_window plans one session aggregation, no self-join") {
     val plan = executedPlan("events_session_window")
     // session_window is a groupBy-native operator: one user-keyed
