@@ -93,7 +93,10 @@ object Bench {
     // heavy enough for the 2x gate — the no-join pushdown benchmark,
     // the LIKE-gated 3-dim fact chain, and the distinct-pair-set
     // NOT IN + COUNT(DISTINCT)
-    "q6_revenue_delta", "q9_product_profit", "q16_supplier_count")
+    "q6_revenue_delta", "q9_product_profit", "q16_supplier_count",
+    // round 7 (sixth session): the Misra-Gries two-pass heavy hitters —
+    // the only ObjectHashAggregate sketch topology in the catalog
+    "text_heavy_hitters_mg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
