@@ -345,6 +345,63 @@ object DedupOps {
       .withColumn("err6", round(abs(col("est6") - col("true6")), 6))
   }
 
+  /** Hot-fingerprint cap for [[dedupContainment]] candidates — same
+    * role as [[MinhashMaxBucket]]: a boilerplate shingle shared by
+    * thousands of documents must not quadratically expand the pair
+    * join. */
+  private[graft] val ContainMaxDf = 16
+
+  /** Asymmetric CONTAINMENT — the subset-duplicate detector that
+    * symmetric Jaccard structurally under-scores. A short document
+    * contained in a longer one (quoted snippet, prefix crop,
+    * boilerplate-wrapped repost — the common shapes in web training
+    * corpora) has Jaccard ≈ |A|/|B|, which a dedup threshold misses,
+    * but containment C = |A∩B| / min(|A|,|B|) = 1.0. Broder's
+    * resemblance paper defines both measures for exactly this reason.
+    *
+    * Candidate generation is the WINNOWING fingerprint index, not
+    * minhash bands: a 2×8 band join is calibrated to surface
+    * high-JACCARD pairs and by design never surfaces a J≈0.25 subset
+    * pair, while the winnowing shared-run theorem is length-ratio
+    * independent — any shared contiguous run of ≥ w+k−1 tokens
+    * yields a shared fingerprint (DedupGuaranteeSpec), and real
+    * subset dups are contiguous. Hot fingerprints (> [[ContainMaxDf]]
+    * docs) are dropped by broadcast anti-join before the pair join
+    * (the [[MinhashMaxBucket]] pattern), and pairs must share
+    * ≥ [[WinnowMinShared]] fingerprints. The token intersection is
+    * then computed ONLY for candidate pairs via the pair-bounded
+    * inverted-index join — never all-pairs. The `subset_dup` verdict
+    * compares in exact integers (ni·10 ≥ min(na,nb)·9 ⇔ C ≥ 0.9) so
+    * no float ulp can flip a borderline row; `cont6` is the one
+    * terminal IEEE division, rounded per the standing discipline. */
+  val dedupContainment: Q = (s, dir) => {
+    val fps = winnowFpRows(docs(s, dir))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > ContainMaxDf).select("fp")
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .select("a", "b")
+    val tok = distinctTokens(s, dir)
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(tok.toDF("a", "tk"), "a")
+      .join(tok.toDF("b", "tk"), Seq("b", "tk"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .join(sz.toDF("a", "na"), "a")
+      .join(sz.toDF("b", "nb"), "b")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .select(col("a"), col("b"), col("ni"), col("na"), col("nb"),
+        round(col("ni") / least(col("na"), col("nb")), 6).as("cont6"),
+        (col("ni") * 10L >= least(col("na"), col("nb")) * 9L)
+          .cast("long").as("subset_dup"))
+  }
+
   /** Cross-source contamination — the train/test-leakage check: NEAR-
     * duplicate pairs whose two members come from different sources,
     * aggregated into a per-source-pair leakage matrix. When the
@@ -1223,6 +1280,7 @@ object DedupOps {
     "dedup_winnow" -> dedupWinnow,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_accuracy" -> dedupMinhashAccuracy,
+    "dedup_containment" -> dedupContainment,
     "dedup_simhash_accuracy" -> dedupSimhashAccuracy,
     "dedup_edit_distance" -> dedupEditDistance,
     "minhash_band_occupancy" -> minhashBandOccupancy,
@@ -1457,6 +1515,38 @@ object DedupOps {
           JOIN sz za ON e.a = za.doc_id
           JOIN sz zb ON e.b = zb.doc_id"""
     },
+    "dedup_containment" ->
+      s"""WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          hs AS (SELECT doc_id,
+                   list_transform(generate_series(1, len(t) - ${WinnowK - 1}),
+                     i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+${WinnowK - 1}], ' ')), 1, 13)) AS BIGINT)) AS h
+                 FROM tok0 WHERE len(t) >= ${WinnowK + WinnowW - 1}),
+          fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(h) - ${WinnowW - 1}),
+                   j -> list_min(h[j:j+${WinnowW - 1}])))) AS fp
+                 FROM hs),
+          hot AS (SELECT fp FROM (SELECT fp, COUNT(*) AS n_docs
+                  FROM fp GROUP BY fp) WHERE n_docs > $ContainMaxDf),
+          keptfp AS (SELECT * FROM fp f WHERE NOT EXISTS
+                     (SELECT 1 FROM hot h WHERE h.fp = f.fp)),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+                   FROM keptfp x JOIN keptfp y
+                   ON x.fp = y.fp AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared),
+          tok AS ($tokSql),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+          inter AS (SELECT c.a, c.b, COUNT(*) AS ni FROM cand c
+                    JOIN tok ta ON ta.doc_id = c.a
+                    JOIN tok tb ON tb.doc_id = c.b AND tb.tk = ta.tk
+                    GROUP BY c.a, c.b)
+          SELECT c.a, c.b, COALESCE(i.ni, 0) AS ni, za.n AS na, zb.n AS nb,
+            round(COALESCE(i.ni, 0) / least(za.n, zb.n), 6) AS cont6,
+            CAST(COALESCE(i.ni, 0) * 10 >= least(za.n, zb.n) * 9 AS BIGINT)
+              AS subset_dup
+          FROM cand c
+          LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+          JOIN sz za ON c.a = za.doc_id
+          JOIN sz zb ON c.b = zb.doc_id""",
     "dedup_simhash_accuracy" ->
       s"""WITH sig AS ($sigSql),
           band AS (

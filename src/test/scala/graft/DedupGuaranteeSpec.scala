@@ -102,4 +102,44 @@ class DedupGuaranteeSpec extends SparkSpec {
     val crossShared = fps(0L) & fps(3L)
     assert(crossShared.isEmpty, s"unrelated docs share fingerprints: $crossShared")
   }
+
+  test("containment flags a subset duplicate that Jaccard under-scores") {
+    import spark.implicits._
+    // doc A = a 30-token run; doc B = the same run + 90 filler tokens.
+    // Token-set containment is 1.0 while Jaccard is 30/120 = 0.25 —
+    // which a 2x8 minhash band join by design never surfaces (that is
+    // the point of this operator using the winnowing index instead).
+    // Detection is DETERMINISTIC: a shared contiguous run of 30 >=
+    // w+k-1 = 11 tokens yields >= ceil((30-11+1)/w) = 5 >= 2 shared
+    // fingerprints, so every planted pair must be a candidate and
+    // must read cont6 = 1.0 / subset_dup = 1.
+    val rnd2 = new Random(99)
+    val cases = (0 until 8).map { i =>
+      val core = (0 until 30).map(j => s"c${i}_$j")
+      val extras = (0 until 90).map(j => s"x${i}_${rnd2.nextInt(1000000)}_$j")
+      (2L * i, 2L * i + 1, core.mkString(" "),
+        (core ++ extras).mkString(" "))
+    }
+    val docs = cases.flatMap { case (aId, bId, aText, bText) =>
+      Seq((aId, aText, "en", "srcA", aText.length.toLong),
+        (bId, bText, "en", "srcB", bText.length.toLong))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_containment_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry.queries("dedup_containment")(spark, dir).collect()
+    val planted = cases.map { case (aId, bId, _, _) => (aId, bId) }.toSet
+    val hits = rows.filter(r => planted.contains((r.getLong(0), r.getLong(1))))
+    assert(hits.length == planted.size,
+      s"only ${hits.length}/${planted.size} planted subset pairs detected — " +
+        "the winnowing shared-run guarantee is broken")
+    hits.foreach { r =>
+      assert(r.getLong(2) == 30L, s"intersection ${r.getLong(2)} != 30")
+      assert(r.getDouble(5) == 1.0, s"containment ${r.getDouble(5)} != 1.0")
+      assert(r.getLong(6) == 1L, "subset_dup flag not set")
+      // and the Jaccard view of the same pair is far below threshold
+      val jacc = 30.0 / (r.getLong(3) + r.getLong(4) - 30.0)
+      assert(jacc < 0.3, s"fixture broken: jacc $jacc not a subset shape")
+    }
+  }
 }

@@ -432,6 +432,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("dedup_containment pairs via the fingerprint index with the hot-fp cap broadcast") {
+    val plan = executedPlan("dedup_containment")
+    // hot-fingerprint cap must stay a broadcast anti-join; candidate
+    // generation is the fp equi-join; token intersection is bounded to
+    // the candidate pairs — no cartesian/BNLJ anywhere
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("text_heavy_hitters_mg sketches via ObjectHashAggregate and recounts only candidates") {
     val plan = executedPlan("text_heavy_hitters_mg")
     // the MG TypedImperativeAggregate must plan as ObjectHashAggregate
