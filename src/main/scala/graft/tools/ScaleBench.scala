@@ -28,7 +28,11 @@ object ScaleBench {
     "text_line_filter_c4", "text_pii_scrub",
     // the approx twin of text_perplexity_bucket — included so the
     // exact-vs-sketch growth contrast is measured, not just asserted
-    "text_perplexity_bucket_approx")
+    "text_perplexity_bucket_approx",
+    // round-7 sixth-session additions: the MG two-pass heavy hitters
+    // (bounded-state sketch — must scale like the map families) and
+    // the winnow-index containment audit (candidate-bounded join)
+    "text_heavy_hitters", "text_heavy_hitters_mg", "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <sfDir> [reps] [only=a,b,c]")
