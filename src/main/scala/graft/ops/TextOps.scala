@@ -944,6 +944,22 @@ object TextOps {
       .select("item", "cnt", "n")
   }
 
+  /** Built-in sketch twin: Spark 4's `approx_top_k` (Apache
+    * DataSketches frequent-items) over the same derived stream — the
+    * builtin-first rule demonstrated on the one sketch Spark 4 ships
+    * natively. Rows-only by design, like `approx_distinct` (sketch
+    * estimates aren't portable to DuckDB); MgSketchSpec bounds it
+    * against the exact twin instead. `mg_sketch` is not redundant
+    * with this builtin: the two-pass EXACT plan needs MG's explicit
+    * inclusion theorem (every item above N/(k+1) survives) to prove
+    * recount-equivalence, while the builtin returns top-k estimates,
+    * not recount-able candidates with lower-bound semantics. */
+  val textHeavyHittersApprox: Q = (s, dir) =>
+    hhItems(s, dir)
+      .agg(expr("approx_top_k(item, 20)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt_est"))
+
   val queries: Seq[(String, Q)] = Seq(
     "text_token_stats" -> textTokenStats,
     "text_quality" -> textQuality,
@@ -975,7 +991,8 @@ object TextOps {
     "text_bigram_pmi" -> textBigramPmi,
     "text_bigram_logprob" -> textBigramLogprob,
     "text_heavy_hitters" -> textHeavyHitters,
-    "text_heavy_hitters_mg" -> textHeavyHittersMg)
+    "text_heavy_hitters_mg" -> textHeavyHittersMg,
+    "text_heavy_hitters_approx" -> textHeavyHittersApprox)
 
   /** Shared oracle for both heavy-hitter twins — the MG pass is an
     * internal-plan difference with a provably identical result. */

@@ -61,6 +61,22 @@ class MgSketchSpec extends SparkSpec {
       s"MG twin diverged: only-mg=${mgRows -- exactRows} only-exact=${exactRows -- mgRows}")
   }
 
+  test("the builtin approx_top_k twin is exact at sub-capacity scale and covers the hitters") {
+    val est = SparkEntry.queries("text_heavy_hitters_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size == 20)
+    // ~500 distinct items sit far below the sketch's default tracked
+    // capacity, so the DataSketches estimates must be exact counts and
+    // the top-20 must contain every true heavy hitter
+    val hitters = exact.filter { case (_, c) =>
+      c * ops.TextOps.HhThreshold >= n }.keySet
+    assert(hitters.subsetOf(est.keySet),
+      s"approx_top_k missed hitters: ${hitters -- est.keySet}")
+    est.foreach { case (item, c) =>
+      assert(exact(item) == c, s"$item: estimate $c != exact ${exact(item)}")
+    }
+  }
+
   test("a degenerate over-tight budget still returns only true items with lower bounds") {
     // k' = 4 < the 8 hot items: MG may evict any candidate, but every
     // surviving (item, est) must still be a lower bound of a REAL item
