@@ -36,9 +36,11 @@ class CatalogSpec extends AnyFunSuite {
     // each with an oracle-checked exact twin and a spec-bounded
     // accuracy contract — approx_distinct vs agg_distinct
     // (ApproxDistinctSpec), text_perplexity_bucket_approx vs
-    // text_perplexity_bucket (PerplexityApproxSpec). csv_ingest gained
-    // a real oracle in round 5 (DuckDB read_csv_auto).
-    assert(rowsOnly == Set("approx_distinct", "text_perplexity_bucket_approx"),
+    // text_perplexity_bucket (PerplexityApproxSpec),
+    // text_heavy_hitters_approx vs text_heavy_hitters (MgSketchSpec).
+    // csv_ingest gained a real oracle in round 5 (DuckDB read_csv_auto).
+    assert(rowsOnly == Set("approx_distinct", "text_perplexity_bucket_approx",
+      "text_heavy_hitters_approx"),
       s"unexpected rows-only queries: ${rowsOnly.mkString(", ")}")
   }
 
