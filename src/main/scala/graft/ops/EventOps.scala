@@ -396,9 +396,52 @@ object EventOps {
     s.table(sink)
   }
 
+  /** The TENTH oracle-checked streaming topology — a streaming
+    * frequent-items screen: per-hour Misra–Gries sketch state (native
+    * `mg_sketch` TypedImperativeAggregate inside a complete-mode
+    * streaming aggregation), then an exact batch recount of the
+    * emitted candidates. Oracle-expressible because the MG inclusion
+    * theorem — every item above N_h/(k+1) survives the sketch — holds
+    * regardless of arrival order, micro-batch boundaries, or partition
+    * merges, so the recounted output thresholded at N_h/32 equals the
+    * batch exact per-hour heavy hitters whatever path the stream took
+    * (k = 64 ≥ 32, the same coupling as `text_heavy_hitters_mg`).
+    * Degrades to exact streaming (hour, item) counts as candidates
+    * when the extension is absent. */
+  val eventsHeavyHittersStreamTwin: Q = (s, dir) => {
+    import graft.streaming.EventStreams
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val norm = normalizeTs(stream, sch("ts").dataType)
+    val sink = "graft_events_hh_sink"
+    s.catalog.dropTempView(sink)
+    val (streamed, extract) =
+      if (s.catalog.functionExists("mg_sketch"))
+        (EventStreams.hourlyFrequentItems(norm, TextOps.HhSketchK),
+          (t: DataFrame) => t.select(col("hour"),
+            explode(map_keys(col("sk"))).as("item")))
+      else
+        (EventStreams.hourlyItemCounts(norm),
+          (t: DataFrame) => t.select("hour", "item"))
+    val q = streamed.writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val cand = extract(s.table(sink))
+    val items = EventStreams.eventItems(events(s, dir))
+      .select(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("item"))
+    val totals = items.groupBy("hour").agg(count(lit(1)).as("n_h"))
+    items.join(broadcast(cand), Seq("hour", "item"))
+      .groupBy("hour", "item").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("hour"))
+      .filter(col("cnt") * TextOps.HhThreshold >= col("n_h"))
+      .select("hour", "item", "cnt", "n_h")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_dedup_stream_twin" -> eventsDedupStreamTwin,
+    "events_heavy_hitters_stream_twin" -> eventsHeavyHittersStreamTwin,
     "events_tumbling_stream_twin" -> eventsTumblingStreamTwin,
     "events_join_stream_twin" -> eventsJoinStreamTwin,
     "events_path_transitions" -> eventsPathTransitions,
@@ -436,6 +479,19 @@ object EventOps {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n,
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
          FROM events GROUP BY 1""",
+    // exact per-hour heavy hitters over the derived item stream — the
+    // MG inclusion theorem makes the streaming sketch + batch recount
+    // equal this regardless of the stream's arrival/merge order
+    "events_heavy_hitters_stream_twin" ->
+      s"""WITH it AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+               CASE WHEN u < 512 THEN 'hot_' || CAST(u // 64 AS VARCHAR)
+                    ELSE 'rare_' || CAST(u AS VARCHAR) END AS item
+             FROM (SELECT ts, CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) % 1024 AS u FROM events)),
+          nh AS (SELECT hour, COUNT(*) AS n_h FROM it GROUP BY hour)
+          SELECT i.hour, i.item, COUNT(*) AS cnt, n.n_h
+          FROM it i JOIN nh n ON i.hour = n.hour
+          GROUP BY 1, 2, 4 HAVING COUNT(*) * ${TextOps.HhThreshold} >= n.n_h""",
     // batch interval join == the append-mode stream-stream inner join
     // over the finite source; epoch_us matches Spark's unix_micros
     "events_join_stream_twin" ->

@@ -40,6 +40,45 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum((round(col("value") * 100, 0)).cast("long")).as("value_c"))
 
+  /** Deterministic skewed item per event — 8 hot items (~6.25% of the
+    * stream each) + a ~512-item rare tail, derived from the event_id's
+    * md5 exactly like `TextOps.hhItems` derives document items (the
+    * fixture has no natural high-cardinality skewed column). Pure
+    * column ops, so the same derivation runs on the batch recount side
+    * and inside the DuckDB oracle. */
+  def eventItems(events: DataFrame): DataFrame =
+    events
+      .withColumn("u", pmod(expr(
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 13), 16, 10) as bigint)"),
+        lit(1024L)))
+      .withColumn("item",
+        when(col("u") < 512, concat(lit("hot_"), expr("cast(u div 64 as string)")))
+          .otherwise(concat(lit("rare_"), col("u").cast("string"))))
+
+  /** Streaming frequent-items screen — per-hour Misra–Gries sketch
+    * state: the native `mg_sketch` TypedImperativeAggregate runs INSIDE
+    * a complete-mode streaming aggregation, so the k counters per hour
+    * are exactly what the state store persists between micro-batches.
+    * Complete mode because hour groups are bounded (the
+    * [[hourlyTotals]] rationale). The caller recounts the emitted
+    * candidates in batch: MG's inclusion guarantee is independent of
+    * arrival order, micro-batch boundaries, and partition merges, so
+    * the recounted, thresholded result is exact whatever path the
+    * stream took. */
+  def hourlyFrequentItems(events: DataFrame, k: Int): DataFrame =
+    eventItems(events)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(expr(s"mg_sketch(item, $k)").as("sk"))
+
+  /** Extension-free degradation of [[hourlyFrequentItems]]: exact
+    * streaming per-(hour, item) counts as the candidate set —
+    * unbounded-key in principle, bounded here, same downstream
+    * recount. */
+  def hourlyItemCounts(events: DataFrame): DataFrame =
+    eventItems(events)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("item"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the streaming form of exact dedup (bounded state; at 100 TB/day the
     * horizon bounds the dedup state size). */

@@ -90,6 +90,13 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.nonEmpty && mg == exact)
   }
 
+  test("the streaming frequent-items twin degrades to exact streaming candidates") {
+    assert(!spark.catalog.functionExists("mg_sketch"))
+    val rows = SparkEntry.queries("events_heavy_hitters_stream_twin")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty, "degraded streaming heavy hitters returned no rows")
+  }
+
   test("AsOf.join states its extension requirement clearly") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
