@@ -610,8 +610,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("mg_sketch"),
       new ExpressionInfo(classOf[MgSketch].getName, "mg_sketch"),
-      (children: Seq[Expression]) => MgSketch(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) => {
+        // k is consumed at plan-build time (it sizes the sketch), so it
+        // must be a foldable integer — validate here or the user gets an
+        // opaque IndexOutOfBounds/ClassCast instead of an analysis error
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`mg_sketch`", "expectedNum" -> "2",
+              "actualNum" -> children.length.toString, "docroot" -> ""))
+        val kExpr = children(1)
+        val kVal = if (kExpr.foldable) kExpr.eval() else null
+        kVal match {
+          case n: Number => MgSketch(children(0), n.intValue())
+          case _ =>
+            throw new org.apache.spark.sql.AnalysisException(
+              "NON_FOLDABLE_ARGUMENT",
+              Map("funcName" -> "`mg_sketch`", "paramName" -> "`k`",
+                "paramType" -> "\"INT\""))
+        }
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsOfWindowRewrite)

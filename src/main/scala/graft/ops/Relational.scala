@@ -1057,7 +1057,7 @@ object Relational {
       """WITH pos AS (SELECT CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
                       FROM customer WHERE c_acctbal > 0)
          SELECT c_mktsegment, COUNT(*) AS n_cust,
-                SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS total_c
+                CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_c
          FROM customer
          WHERE CAST(round(c_acctbal*100) AS BIGINT)
                  * (SELECT COUNT(*) FROM pos) > (SELECT SUM(bal_c) FROM pos)
@@ -1115,10 +1115,10 @@ object Relational {
       """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
                 WHEN date_diff('day', o_orderdate, l_shipdate) < 60 THEN 'normal'
                 ELSE 'late' END AS delay_class,
-         SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-             THEN 1 ELSE 0 END) AS high_line_count,
-         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-             THEN 1 ELSE 0 END) AS low_line_count
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1313,7 +1313,7 @@ object Relational {
          first_value(price_c) OVER w_run AS first_c,
          last_value(price_c) OVER w_run AS running_last_c,
          nth_value(price_c, 2) OVER w_all AS second_c,
-         sum(price_c) OVER w_nbhd AS nbhd_c
+         CAST(sum(price_c) OVER w_nbhd AS BIGINT) AS nbhd_c
          FROM (SELECT o_custkey, o_orderkey, o_orderdate,
                  CAST(round(o_totalprice*100) AS BIGINT) AS price_c
                FROM orders)

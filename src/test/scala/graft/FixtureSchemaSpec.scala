@@ -82,6 +82,22 @@ class FixtureSchemaSpec extends SparkSpec {
       emb("embedding").toString)
   }
 
+  test("l_quantity is integral (q9's cast-long == oracle's CAST AS BIGINT relies on it)") {
+    // q9_product_profit converts l_quantity with Spark cast("long")
+    // (truncates) while the DuckDB oracle uses CAST(... AS BIGINT)
+    // (rounds). Parity holds ONLY while quantities are integral doubles
+    // — a fixture drift to fractional quantities would silently diverge
+    // the engines, so pin integrality here (the ADVICE r7 option that
+    // avoids touching both engines' round-half semantics).
+    val nonIntegral = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter("l_quantity <> cast(cast(l_quantity as long) as double)")
+      .count()
+    assert(nonIntegral == 0L,
+      s"$nonIntegral lineitem rows carry fractional l_quantity — " +
+        "q9's truncate-vs-round conversion parity no longer holds; " +
+        "switch BOTH engines to an explicit round() before the long cast")
+  }
+
   test("events.ts is an encoding normalizeTs handles; normalized frame is TIMESTAMP") {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dt = raw.schema("ts").dataType

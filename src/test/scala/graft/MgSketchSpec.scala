@@ -89,4 +89,18 @@ class MgSketchSpec extends SparkSpec {
       assert(est <= exact(item))
     }
   }
+
+  test("bad arity / non-foldable k raise analysis errors naming mg_sketch") {
+    // ADVICE r7: the registration used to index children(1) blind —
+    // mg_sketch(col) threw IndexOutOfBounds and mg_sketch(col, col)
+    // an opaque ClassCast. Both must now be clear analysis errors.
+    val oneArg = intercept[org.apache.spark.sql.AnalysisException] {
+      items.agg(expr("mg_sketch(item)")).collect()
+    }
+    assert(oneArg.getMessage.contains("mg_sketch"), oneArg.getMessage)
+    val colK = intercept[org.apache.spark.sql.AnalysisException] {
+      items.agg(expr("mg_sketch(item, length(item))")).collect()
+    }
+    assert(colK.getMessage.contains("mg_sketch"), colK.getMessage)
+  }
 }

@@ -25,8 +25,11 @@ def load_bench(path):
     line = None
     with open(path) as f:
         for l in f:
-            if l.lstrip().startswith('{"metric"'):
-                line = l.strip()
+            # sbt prefixes program stdout with '[info] ' — find the
+            # contract line anywhere in the line, not just at the start
+            idx = l.find('{"metric"')
+            if idx >= 0:
+                line = l[idx:].strip()
     if line is None:
         raise SystemExit(f"{path}: no Bench contract line found")
     return json.loads(line)

@@ -8,6 +8,7 @@ libs (duckdb/pandas) — this script is tooling, not shipped engine code.
 """
 import json, sys, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -24,19 +25,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), key=lambda s: s.map(repr)).reset_index(drop=True)
 
 
+def _is_float(v):
+    return isinstance(v, (float, np.floating))
+
+
+def _is_int(v):
+    return isinstance(v, (int, np.integer)) and not isinstance(v, (bool, np.bool_))
+
+
 def values_equal(a, b):
+    """Dtype-strict compare, mirroring the driver's value hasher.
+
+    The driver hashes the stringified values, so int 15 vs float 15.0
+    MUST fail here too (DuckDB HUGEINT aggregates come back float64 in
+    pandas — the round-7 q12/q22/window_frame_stats trap). An
+    int-class vs float-class mismatch is therefore a failure even when
+    numerically equal."""
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
+    if a is None or b is None:
+        return False
+    a_bool = isinstance(a, (bool, np.bool_))
+    b_bool = isinstance(b, (bool, np.bool_))
+    if a_bool != b_bool:
+        return False
+    if (_is_int(a) and _is_float(b)) or (_is_float(a) and _is_int(b)):
+        return False
+    if _is_float(a) and _is_float(b):
+        fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
         return fa == fb
     try:
-        return a == b or float(a) == float(b)
+        return bool(a == b)
     except (TypeError, ValueError):
         return a == b
 
