@@ -96,7 +96,13 @@ object Bench {
     "q6_revenue_delta", "q9_product_profit", "q16_supplier_count",
     // round 7 (sixth session): the Misra-Gries two-pass heavy hitters —
     // the only ObjectHashAggregate sketch topology in the catalog
-    "text_heavy_hitters_mg")
+    "text_heavy_hitters_mg",
+    // round 8: the complete PQ serving probe (train + encode + ADC
+    // shortlist + exact rerank — the heaviest member of the new PQ
+    // family) and the bloom decontamination screen (bloom_filter_agg
+    // scalar subquery + confirm join — the scale twin of
+    // dedup_decontaminate, benched beside it)
+    "ann_pq_rerank", "dedup_decontaminate_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

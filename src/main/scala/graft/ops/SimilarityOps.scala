@@ -379,6 +379,218 @@ object SimilarityOps {
     recall("ivf_kmeans", ivfKmeans).union(recall("ivf_label", ivfLabel))
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (IVF-PQ's compression half) — the ANN form that
+  // actually fits 100 TB of embeddings in memory: each 64-dim float
+  // vector (256 bytes) is encoded as PqM sub-space code ids (8 bytes as
+  // longs, 3 BITS each information-theoretically), and query-time
+  // scoring reads ONLY the codes via an ADC (asymmetric distance
+  // computation) lookup table. Jégou, Douze, Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011.
+  // ---------------------------------------------------------------------
+
+  private[graft] val PqM = 8 // subspaces
+  private[graft] val PqSubDim = 8 // dims per subspace (8×8 = 64)
+  private[graft] val PqK = 16 // codes per subspace
+  private[graft] val PqIters = 2
+  private[graft] val PqQueryCount = 50
+  private[graft] val PqTopK = 3
+
+  /** Literal rendering of the PqM per-subspace codebooks (k-ascending,
+    * re-keyed 0..n-1), each entry carrying its precomputed |c|² — the
+    * same shortest-roundtrip double→string→double channel as
+    * [[kmeansAssignExpr]]. Indexed `lit[m]` inside lambdas. */
+  private def pqCbLit(cb: Seq[Seq[(Int, Seq[Double])]]): String =
+    cb.map { entries =>
+      entries.map { case (k, c) =>
+        val arr = c.map(x => s"CAST('${x.toString}' AS DOUBLE)")
+          .mkString("array(", ", ", ")")
+        val n2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        s"struct(CAST($k AS BIGINT) AS k, $arr AS c, CAST('${n2.toString}' AS DOUBLE) AS n2)"
+      }.mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+
+  /** In-row argmin over one subspace's codebook — `|c|² − 2·sv·c`
+    * round-6 with smaller-k tie-break, the [[kmeansAssignExpr]] fold
+    * specialized to an indexed codebook. */
+  private def pqAssignFold(s: SparkSession, cbIdxed: String, svExpr: String): String =
+    s"""aggregate(
+          transform($cbIdxed,
+            ct -> struct(ct.k AS k, round(ct.n2 - 2.0D * ${dotSql(s, svExpr, "ct.c")}, 6) AS d)),
+          struct(CAST(-1 AS BIGINT) AS k, CAST('Infinity' AS DOUBLE) AS d),
+          (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END).k"""
+
+  /** Global per-dim mean (round-6) as a literal — PQ here quantizes the
+    * RESIDUAL v − μ, the 1-cell version of IVF-PQ's coarse-quantizer
+    * residual encoding. On an ambient-similar corpus the shared mean
+    * component dominates every dot product, so raw-vector codebooks
+    * spend their bits re-encoding μ in every cell and the informative
+    * margin drowns; ranking by the centered dot is EQUIVALENT to
+    * ranking by the true dot (⟨q, x⟩ = ⟨q, x−μ⟩ + ⟨q, μ⟩ and the second
+    * term is constant per query), so centering costs nothing
+    * semantically and buys the quantizer its whole dynamic range. */
+  private[graft] def pqMean(s: SparkSession, dir: String): Seq[Double] =
+    t(s, dir, "embeddings")
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .agg(array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("mu"))
+      .head().getSeq[Double](0)
+
+  private def muLit(mu: Seq[Double]): String =
+    mu.map(x => s"CAST('${x.toString}' AS DOUBLE)").mkString("array(", ", ", ")")
+
+  /** `v` → centered `v − μ` (in-row zip against the literal mean). */
+  private def centerExpr(mu: Seq[Double]): String =
+    s"zip_with(v, ${muLit(mu)}, (x, mu) -> x - mu)"
+
+  /** Trains the PqM sub-codebooks over the CENTERED vectors:
+    * [[PqIters]] Lloyd rounds where each round is ONE corpus pass — the
+    * per-subspace assignments all happen in-row against the literal
+    * codebook (no joins), and the update is a single (m, code)-group
+    * aggregation whose shuffle volume is PqM×PqK×PqSubDim partials per
+    * partition. The driver holds only the PqM×PqK×PqSubDim-double
+    * model; codebooks are re-keyed 0..n-1 per subspace after every
+    * round (k-order-preserving, so tie-breaks are stable) because ADC
+    * indexes lookup tables positionally and Lloyd rounds may empty a
+    * cell. */
+  private[graft] def pqTrain(
+      s: SparkSession, dir: String, mu: Seq[Double]): Seq[Seq[(Int, Seq[Double])]] = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), expr(centerExpr(mu)).as("v"))
+    val subs = e.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(v, $PqSubDim * m + 1, $PqSubDim) AS sv))"))
+      .as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+    def rekey(rows: Seq[(Int, Long, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] =
+      (0 until PqM).map { m =>
+        rows.filter(_._1 == m).sortBy(_._2).zipWithIndex
+          .map { case ((_, _, c), i) => (i, c) }
+      }
+    var cb: Seq[Seq[(Int, Seq[Double])]] = rekey(
+      subs.filter(col("vec_id") < PqK)
+        .collect().toSeq
+        .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2))))
+    for (_ <- 1 to PqIters) {
+      val assigned = subs.withColumn("code",
+        expr(pqAssignFold(s, s"${pqCbLit(cb)}[m]", "sv")))
+      cb = rekey(assigned.groupBy("m", "code")
+        .agg(array((0 until PqSubDim).map(i => round(avg(expr(s"sv[$i]")), 6)): _*).as("c"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))))
+    }
+    cb
+  }
+
+  /** Per-row PQ encoding: array of PqM code ids, all subspaces assigned
+    * in one in-row pass over column `v`. */
+  private def pqEncodeExpr(s: SparkSession, cb: Seq[Seq[(Int, Seq[Double])]]): String =
+    s"""transform(sequence(0, ${PqM - 1}),
+          m -> ${pqAssignFold(s, s"${pqCbLit(cb)}[m]", s"slice(v, $PqSubDim * m + 1, $PqSubDim)")})"""
+
+  /** Per-query ADC lookup table: lut[m][k] = round-6 dot(q_sub_m, c_mk)
+    * — PqM×PqK doubles, computed in-row from the literal codebook. */
+  private def pqLutExpr(s: SparkSession, cb: Seq[Seq[(Int, Seq[Double])]]): String =
+    s"""transform(sequence(0, ${PqM - 1}),
+          m -> transform(${pqCbLit(cb)}[m],
+            ct -> round(${dotSql(s, s"slice(v, $PqSubDim * m + 1, $PqSubDim)", "ct.c")}, 6)))"""
+
+  /** The corpus encoded: one row per vector, codes joined to a string
+    * (cross-engine array compare is repr-fragile; a canonical string is
+    * not). This is the "index build" half — at 100 TB you write exactly
+    * this projection (plus the IVF cell id from [[annIvfKmeans]]'s
+    * assignment) as the search index: 32× smaller than the vectors. */
+  val embeddingPqCodes: Q = (s, dir) => {
+    val mu = pqMean(s, dir)
+    val cb = pqTrain(s, dir, mu)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), expr(centerExpr(mu)).as("v"))
+      .withColumn("codes", expr(pqEncodeExpr(s, cb)))
+      .select(col("vec_id"),
+        expr("array_join(transform(codes, c -> cast(c AS STRING)), ',')").as("codes_str"))
+  }
+
+  /** ADC top-k over the PQ codes — query-time never touches a raw
+    * corpus vector: the 50 queries carry their lookup tables
+    * (broadcast, PqM×PqK doubles each), the corpus side reads ONLY the
+    * code column, and each candidate's score is PqM positional lookups
+    * summed in fixed subspace order (left-associated — deterministic
+    * IEEE sum, round-6 for the cross-engine contract). The join is the
+    * deliberately-bounded audit BNLJ (50 broadcast rows × corpus — the
+    * `ann_recall_at_k` class, pinned in PlanShapeSpec); the production
+    * probe composes this scorer with [[annIvfKmeans]]'s cell equi-join
+    * so only one cell's codes are scored per query. */
+  val annPqTopk: Q = (s, dir) => {
+    val mu = pqMean(s, dir)
+    val cb = pqTrain(s, dir, mu)
+    val raw = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val coded = raw.select(col("vec_id"), expr(centerExpr(mu)).as("v"))
+      .withColumn("codes", expr(pqEncodeExpr(s, cb)))
+      .select(col("vec_id"), col("codes"))
+    // the query stays RAW: ADC = ⟨q, x̂−μ⟩ = ⟨q, x̂⟩ − ⟨q, μ⟩, and the
+    // second term is constant per query — so the ADC ranking is exactly
+    // the dot-product ranking against the reconstructions (centering
+    // the query too would add a −⟨μ, x⟩ term that varies with the
+    // candidate and silently skews the order)
+    val q = raw.filter(col("vec_id") < PqQueryCount)
+      .withColumn("lut", expr(pqLutExpr(s, cb)))
+      .select(col("vec_id").as("qid"), col("lut"))
+    val adcChain = (0 until PqM)
+      .map(m => s"lut[$m][CAST(codes[$m] AS INT)]").mkString(" + ")
+    val scored = coded.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
+      .select(col("qid"), col("c.vec_id").as("nid"),
+        expr(s"round($adcChain, 6)").as("adc6"))
+    val w = Window.partitionBy("qid").orderBy(col("adc6").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PqTopK)
+  }
+
+  private[graft] val PqShortlist = 20
+
+  /** The complete production PQ probe: ADC shortlist → exact rerank.
+    * Stage 1 is [[annPqTopk]]'s code-only scan widened to
+    * [[PqShortlist]] candidates per query (recall@20 of the coarse
+    * codes is what bounds the final quality, and it is far higher than
+    * their recall@3 — the margin the ADC noise blurs at rank 3 rarely
+    * spans 20 places). Stage 2 fetches RAW vectors for the ≤ 50×20
+    * shortlist rows only — an equi-join on the candidate id, i.e. a
+    * point-lookup against the (bucketed, at scale) vector store — and
+    * reranks by the exact round-6 dot product. The corpus-wide scan
+    * reads codes; full vectors are touched for 1000 rows total. This
+    * two-stage shape is the standard IVF-PQ serving plan (Jégou et al.
+    * 2011 §V: ADC + verification). */
+  val annPqRerank: Q = (s, dir) => {
+    val mu = pqMean(s, dir)
+    val cb = pqTrain(s, dir, mu)
+    val raw = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val coded = raw.select(col("vec_id"), expr(centerExpr(mu)).as("v"))
+      .withColumn("codes", expr(pqEncodeExpr(s, cb)))
+      .select(col("vec_id"), col("codes"))
+    val q = raw.filter(col("vec_id") < PqQueryCount)
+      .withColumn("lut", expr(pqLutExpr(s, cb)))
+      .select(col("vec_id").as("qid"), col("lut"))
+    val adcChain = (0 until PqM)
+      .map(m => s"lut[$m][CAST(codes[$m] AS INT)]").mkString(" + ")
+    val scored = coded.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
+      .select(col("qid"), col("c.vec_id").as("nid"),
+        expr(s"round($adcChain, 6)").as("adc6"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc6").desc, col("nid"))
+    val shortlist = scored.withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= PqShortlist).select("qid", "nid")
+    val qv = raw.filter(col("vec_id") < PqQueryCount)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val reranked = shortlist
+      .join(raw.select(col("vec_id").as("nid"), col("v").as("cv")), "nid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"),
+        round(expr(dotSql(s, "qv", "cv")), 6).as("dp6"))
+    val w = Window.partitionBy("qid").orderBy(col("dp6").desc, col("nid"))
+    reranked.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PqTopK)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "embedding_kmeans" -> embeddingKmeans,
     "embedding_kmeans_stream_twin" -> embeddingKmeansStreamTwin,
@@ -390,6 +602,9 @@ object SimilarityOps {
     "ann_recall_at_k" -> annRecallAtK,
     "embedding_quantize_int8" -> embeddingQuantizeInt8,
     "ann_quantized_topk" -> annQuantizedTopk,
+    "embedding_pq_codes" -> embeddingPqCodes,
+    "ann_pq_topk" -> annPqTopk,
+    "ann_pq_rerank" -> annPqRerank,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
@@ -436,6 +651,94 @@ object SimilarityOps {
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
           FROM e CROSS JOIN c2 c) WHERE rk = 1"""
+
+  /** Oracle mirror of [[pqTrain]] + [[pqEncodeExpr]]: the per-subspace
+    * Lloyd rounds unrolled as CTEs (the [[kmeansCtePrefix]] pattern
+    * keyed by subspace m), with the same re-key-to-0..n-1 after every
+    * round and the same round-6 `|c|² − 2·sv·c` / smaller-k tie-break. */
+  private[graft] val pqCtePrefix: String = {
+    def assign(cbCte: String) =
+      s"""SELECT vec_id, m, k AS code, sv FROM (
+            SELECT s.vec_id, s.m, c.k, s.sv,
+              row_number() OVER (PARTITION BY s.vec_id, s.m
+                ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(s.sv, c.c), 6), c.k) AS rk
+            FROM sub s JOIN $cbCte c ON s.m = c.m) WHERE rk = 1"""
+    val avgList = (1 to PqSubDim).map(i => s"round(AVG(sv[$i]), 6)")
+      .mkString("[", ", ", "]")
+    def update(aCte: String) =
+      s"""SELECT m, row_number() OVER (PARTITION BY m ORDER BY code) - 1 AS k, c FROM (
+            SELECT m, code, $avgList AS c FROM $aCte GROUP BY m, code)"""
+    val avgMu = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        muT AS (SELECT $avgMu AS mu FROM e0),
+        e AS (SELECT vec_id,
+            list_transform(range(1, 65), i -> v[i] - mu[i]) AS v
+          FROM e0 CROSS JOIN muT),
+        sub AS (SELECT vec_id, m,
+            list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
+          FROM e, unnest(generate_series(0, ${PqM - 1})) u(m)),
+        cb0 AS (SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k, sv AS c
+                FROM sub WHERE vec_id < $PqK),
+        a1 AS (${assign("cb0")}),
+        cb1 AS (${update("a1")}),
+        a2 AS (${assign("cb1")}),
+        cb2 AS (${update("a2")}),
+        a3 AS (${assign("cb2")}),
+        codes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM a3 GROUP BY vec_id)"""
+  }
+
+  private val pqTopkOracleSql: String = {
+    val adcChain = (1 to PqM)
+      .map(m => s"l.lut[$m][CAST(c.codes[$m] AS INT) + 1]").mkString(" + ")
+    s"""$pqCtePrefix,
+        subq AS (SELECT vec_id, m,
+            list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
+          FROM e0, unnest(generate_series(0, ${PqM - 1})) u(m)
+          WHERE vec_id < $PqQueryCount),
+        lutm AS (SELECT q.vec_id AS qid, q.m,
+            list(round(list_dot_product(q.sv, c.c), 6) ORDER BY c.k) AS dpk
+          FROM subq q JOIN cb2 c ON q.m = c.m
+          GROUP BY q.vec_id, q.m),
+        lut AS (SELECT qid, list(dpk ORDER BY m) AS lut FROM lutm GROUP BY qid),
+        scored AS (SELECT l.qid, c.vec_id AS nid,
+            round($adcChain, 6) AS adc6
+          FROM lut l JOIN codes c ON c.vec_id <> l.qid)
+        SELECT qid, nid, adc6, rk FROM (
+          SELECT qid, nid, adc6,
+            row_number() OVER (PARTITION BY qid ORDER BY adc6 DESC, nid) AS rk
+          FROM scored) WHERE rk <= $PqTopK"""
+  }
+
+  private val pqRerankOracleSql: String = {
+    val adcChain = (1 to PqM)
+      .map(m => s"l.lut[$m][CAST(c.codes[$m] AS INT) + 1]").mkString(" + ")
+    s"""$pqCtePrefix,
+        subq AS (SELECT vec_id, m,
+            list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
+          FROM e0, unnest(generate_series(0, ${PqM - 1})) u(m)
+          WHERE vec_id < $PqQueryCount),
+        lutm AS (SELECT q.vec_id AS qid, q.m,
+            list(round(list_dot_product(q.sv, c.c), 6) ORDER BY c.k) AS dpk
+          FROM subq q JOIN cb2 c ON q.m = c.m
+          GROUP BY q.vec_id, q.m),
+        lut AS (SELECT qid, list(dpk ORDER BY m) AS lut FROM lutm GROUP BY qid),
+        adc AS (SELECT l.qid, c.vec_id AS nid,
+            round($adcChain, 6) AS adc6
+          FROM lut l JOIN codes c ON c.vec_id <> l.qid),
+        shortlist AS (SELECT qid, nid FROM (
+            SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY adc6 DESC, nid) AS srk
+            FROM adc) WHERE srk <= $PqShortlist),
+        rer AS (SELECT s.qid, s.nid,
+            round(list_dot_product(q.v, c.v), 6) AS dp6
+          FROM shortlist s
+          JOIN e0 q ON q.vec_id = s.qid
+          JOIN e0 c ON c.vec_id = s.nid)
+        SELECT qid, nid, dp6, rk FROM (
+          SELECT qid, nid, dp6,
+            row_number() OVER (PARTITION BY qid ORDER BY dp6 DESC, nid) AS rk
+          FROM rer) WHERE rk <= $PqTopK"""
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "embedding_kmeans" -> kmeansOracleSql,
@@ -591,6 +894,13 @@ object SimilarityOps {
            SELECT qid, nid, cos6q,
              row_number() OVER (PARTITION BY qid ORDER BY cos6q DESC, nid) AS rk
            FROM scored) WHERE rk <= 5""",
+    "embedding_pq_codes" ->
+      s"""$pqCtePrefix
+          SELECT vec_id,
+            array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes_str
+          FROM codes""",
+    "ann_pq_topk" -> pqTopkOracleSql,
+    "ann_pq_rerank" -> pqRerankOracleSql,
     "embedding_stats" ->
       s"""WITH e AS ($vecsSql)
           SELECT label, COUNT(*) AS n, round(AVG(nrm), 6) AS avg_norm6

@@ -811,6 +811,69 @@ object TextOps {
         countDistinct(col("h_id")).as("n_heldout_docs"))
   }
 
+  /** Bloom-filter decontamination — [[dedupDecontaminate]]'s screen
+    * rebuilt for the regime where the held-out n-gram set OUTGROWS a
+    * broadcast hash set (a full previous-crawl decontamination, or a
+    * benchmark battery in the hundreds of millions of spans). Three
+    * stages, result provably identical to the exact screen:
+    *
+    *  1. `graft_bloom_agg` folds the held-out spans into ONE bloom
+    *     filter (Spark's own runtime-filter aggregate — mergeable
+    *     partial sketches, one fixed-size bitmap over the wire per
+    *     partition, the same shuffle contract as `mg_sketch`). The
+    *     bitmap is ~10 bits/item versus ~50+ bytes/item for the
+    *     broadcast string set — the 40× that keeps a 10⁹-span heldout
+    *     broadcastable.
+    *  2. The training side filters by `graft_might_contain` against the
+    *     bloom as a SCALAR SUBQUERY — evaluated once, shipped to every
+    *     executor as a query-scoped constant, screen is pure map-side
+    *     (zero shuffle of the training corpus, same as the exact twin).
+    *  3. Survivors (true matches + the ε false-positive tail) confirm
+    *     against the real held-out spans in an ordinary equi-join on
+    *     the span — deliberately NOT broadcast here: in the target
+    *     regime the heldout doesn't broadcast, and the join input is
+    *     already candidate-bounded by the bloom, so the shuffle is
+    *     ε·|training spans| + true hits, not the corpus.
+    *
+    * Blooms have no false negatives, so stage 3's join restores
+    * EXACTNESS — the entry shares [[dedupDecontaminate]]'s oracle
+    * verbatim, making "bloom pre-screen + confirm ≡ exact screen" a
+    * driver-gate theorem rather than a comment. Degrades to the
+    * broadcast-set screen when the extension (which registers the
+    * bloom functions) is absent. */
+  val dedupDecontaminateBloom: Q = (s, dir) => {
+    if (!s.catalog.functionExists("graft_bloom_agg")) dedupDecontaminate(s, dir)
+    else {
+      val grams = t(s, dir, "documents")
+        .withColumn("bucket",
+          pmod(expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"), lit(100L)))
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), col("bucket"), explode(expr(
+          "transform(sequence(1, size(tk) - 7), i -> array_join(slice(tk, i, 8), ' '))"))
+          .as("ngram"))
+      grams.filter(col("bucket") >= HeldoutBucket)
+        .select(col("ngram"), col("doc_id").as("h_id")).distinct()
+        .createOrReplaceTempView("graft_decontam_heldout")
+      grams.filter(col("bucket") < HeldoutBucket)
+        .createOrReplaceTempView("graft_decontam_train")
+      // 64k expected items / 640k bits ≈ 10 bits per span → ε ≈ 1%;
+      // size tracks the heldout, never the corpus
+      s.sql(s"""
+        WITH cand AS (
+          SELECT doc_id, ngram FROM graft_decontam_train
+          WHERE graft_might_contain(
+            (SELECT graft_bloom_agg(xxhash64(ngram), ${64 * 1024}L, ${640 * 1024}L)
+             FROM graft_decontam_heldout),
+            xxhash64(ngram)))
+        SELECT c.doc_id,
+               COUNT(DISTINCT c.ngram) AS n_shared,
+               COUNT(DISTINCT h.h_id) AS n_heldout_docs
+        FROM cand c JOIN graft_decontam_heldout h ON c.ngram = h.ngram
+        GROUP BY c.doc_id""")
+    }
+  }
+
   /** Bigram collocation mining by pointwise mutual information —
     * phrase extraction for vocabulary/tokenizer work:
     * pmi = ln((n_ab/T) / ((n_a/U)·(n_b/U))) with the unigram and
@@ -988,6 +1051,7 @@ object TextOps {
     "corpus_sample_stratified" -> corpusSampleStratified,
     "dedup_decontaminate" -> dedupDecontaminate,
     "dedup_decontaminate_stream_twin" -> dedupDecontaminateStreamTwin,
+    "dedup_decontaminate_bloom" -> dedupDecontaminateBloom,
     "text_bigram_pmi" -> textBigramPmi,
     "text_bigram_logprob" -> textBigramLogprob,
     "text_heavy_hitters" -> textHeavyHitters,
@@ -1333,6 +1397,10 @@ object TextOps {
     // the stream twin computes the SAME result through the streaming
     // screen — one oracle text, two execution paths
     "dedup_decontaminate_stream_twin" -> decontaminateOracleSql,
+    // the bloom pre-screen + exact confirm join MUST equal the exact
+    // screen (no false negatives; confirm removes the FP tail) — one
+    // oracle text, three execution paths
+    "dedup_decontaminate_bloom" -> decontaminateOracleSql,
     "text_bigram_pmi" ->
       s"""WITH bi AS (
            SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS n_ab

@@ -73,9 +73,13 @@ object ClusterBench {
       }
     val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JVM/codegen/parquet-footer + (cluster) executor launch
-    spark.read.parquet(s"$dir/lineitem.parquet").count()
-    spark.read.parquet(s"$dir/documents.parquet").count()
+    // warmup: JVM/codegen/parquet-footer + (cluster) executor launch.
+    // Generated corpora (GenCorpus output) carry only the doc tables, so
+    // warm whichever of the two families is present.
+    Seq("lineitem", "documents").foreach { t =>
+      if (new java.io.File(s"$dir/$t.parquet").exists())
+        spark.read.parquet(s"$dir/$t.parquet").count(): Unit
+    }
 
     val run = only.fold(subjects)(o => subjects.filter(o.contains))
       .filter(graft.SparkEntry.queries.contains)

@@ -74,6 +74,15 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloom decontamination degrades to the broadcast-set screen, same rows") {
+    assert(!spark.catalog.functionExists("graft_bloom_agg"))
+    val exact = SparkEntry.queries("dedup_decontaminate")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val bloom = SparkEntry.queries("dedup_decontaminate_bloom")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
   test("window as-of idiom stays a window (no rewrite) and still computes") {
     val df = SparkEntry.queries("asof_join_signup")(spark, sfDir)
     df.collect()

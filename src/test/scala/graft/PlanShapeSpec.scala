@@ -465,4 +465,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate")
       || plan.contains("SessionWindow"), plan)
   }
+
+  test("embedding_pq_codes encodes in-row: no joins, no corpus exchange") {
+    // training collects only the 8×16×8 model; the returned plan is the
+    // encode pass — all 8 subspace assignments are literal-codebook
+    // folds per row, so a Join or Exchange means the one-pass
+    // index-build claim regressed
+    val plan = executedPlan("embedding_pq_codes")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("ann_pq_topk scans codes with the queries broadcast; rerank joins by hash") {
+    // the ADC scan is the deliberately-bounded audit BNLJ (50 broadcast
+    // query rows × corpus codes — the ann_recall_at_k class); what must
+    // NOT appear is a CartesianProduct or a shuffled join of the corpus
+    val adc = executedPlan("ann_pq_topk")
+    assert(!adc.contains("CartesianProduct"), adc)
+    assert(adc.contains("BroadcastNestedLoopJoin"), adc)
+    // the rerank stage fetches its ≤ 50×20 shortlist vectors via
+    // hash joins — the point-lookup shape, never a second corpus BNLJ
+    // beyond the same shortlist scan
+    val rer = executedPlan("ann_pq_rerank")
+    assert(!rer.contains("CartesianProduct"), rer)
+    assert(rer.contains("BroadcastHashJoin") || rer.contains("SortMergeJoin")
+      || rer.contains("ShuffledHashJoin"), rer)
+  }
+
+  test("dedup_decontaminate_bloom screens via a reused scalar subquery, then equi-joins") {
+    val plan = executedPlan("dedup_decontaminate_bloom")
+    // the bloom must ride as a subquery result (one evaluation,
+    // query-scoped constant), the pre-screen filter must reference
+    // might_contain, and the confirm join must be an equi-join — a
+    // CartesianProduct or a bloom-side shuffle join would defeat the
+    // map-side screen
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.toLowerCase.contains("subquery"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
 }
