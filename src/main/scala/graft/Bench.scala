@@ -102,7 +102,11 @@ object Bench {
     // family) and the bloom decontamination screen (bloom_filter_agg
     // scalar subquery + confirm join — the scale twin of
     // dedup_decontaminate, benched beside it)
-    "ann_pq_rerank", "dedup_decontaminate_bloom")
+    "ann_pq_rerank", "dedup_decontaminate_bloom",
+    // round 8 (late): the composed two-level IVF-PQ probe — coarse-cell
+    // equi-join + within-cell ADC + shortlist rerank; the end-to-end
+    // serving plan, and the only PQ entry whose scan is BNLJ-free
+    "ann_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

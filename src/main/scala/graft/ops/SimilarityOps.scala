@@ -482,17 +482,19 @@ object SimilarityOps {
   }
 
   /** Per-row PQ encoding: array of PqM code ids, all subspaces assigned
-    * in one in-row pass over column `v`. */
-  private def pqEncodeExpr(s: SparkSession, cb: Seq[Seq[(Int, Seq[Double])]]): String =
+    * in one in-row pass over column `vcol`. */
+  private def pqEncodeExpr(s: SparkSession, cb: Seq[Seq[(Int, Seq[Double])]],
+      vcol: String = "v"): String =
     s"""transform(sequence(0, ${PqM - 1}),
-          m -> ${pqAssignFold(s, s"${pqCbLit(cb)}[m]", s"slice(v, $PqSubDim * m + 1, $PqSubDim)")})"""
+          m -> ${pqAssignFold(s, s"${pqCbLit(cb)}[m]", s"slice($vcol, $PqSubDim * m + 1, $PqSubDim)")})"""
 
   /** Per-query ADC lookup table: lut[m][k] = round-6 dot(q_sub_m, c_mk)
     * — PqM×PqK doubles, computed in-row from the literal codebook. */
-  private def pqLutExpr(s: SparkSession, cb: Seq[Seq[(Int, Seq[Double])]]): String =
+  private def pqLutExpr(s: SparkSession, cb: Seq[Seq[(Int, Seq[Double])]],
+      vcol: String = "v"): String =
     s"""transform(sequence(0, ${PqM - 1}),
           m -> transform(${pqCbLit(cb)}[m],
-            ct -> round(${dotSql(s, s"slice(v, $PqSubDim * m + 1, $PqSubDim)", "ct.c")}, 6)))"""
+            ct -> round(${dotSql(s, s"slice($vcol, $PqSubDim * m + 1, $PqSubDim)", "ct.c")}, 6)))"""
 
   /** The corpus encoded: one row per vector, codes joined to a string
     * (cross-engine array compare is repr-fragile; a canonical string is
@@ -591,6 +593,56 @@ object SimilarityOps {
       .filter(col("rk") <= PqTopK)
   }
 
+  /** The CAPSTONE probe — the full two-level IVF-PQ index, both halves
+    * composed: the Lloyd-trained coarse quantizer restricts each query
+    * to its OWN cell (the `ann_ivf_kmeans` equi-join — one partition
+    * probed, not the corpus), and inside the cell candidates are scored
+    * from their PQ CODES via the ADC table, with the exact rerank
+    * touching raw vectors only for the per-cell shortlist. At 100 TB
+    * this is the serving plan end-to-end: the index table is written
+    * bucketed by cell carrying (vec_id, codes) — 32× smaller than the
+    * vectors — a probe reads one cell's codes, and raw vectors are
+    * point-looked-up [[PqShortlist]] times per query. */
+  val annIvfPqTopk: Q = (s, dir) => {
+    val mu = pqMean(s, dir)
+    val cb = pqTrain(s, dir, mu)
+    val cents = kmeansTrain(s, dir)
+    val raw = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // ONE corpus pass builds the whole index row: coarse cell (raw v)
+    // + PQ codes (centered v), both in-row literal folds
+    val index = raw
+      .withColumn("cell", expr(kmeansAssignExpr(s, cents) + ".k"))
+      .withColumn("vc", expr(centerExpr(mu)))
+      .withColumn("codes", expr(pqEncodeExpr(s, cb, "vc")))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val q = raw.filter(col("vec_id") < PqQueryCount)
+      .withColumn("cell", expr(kmeansAssignExpr(s, cents) + ".k"))
+      .withColumn("lut", expr(pqLutExpr(s, cb)))
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"), col("lut"))
+    val adcChain = (0 until PqM)
+      .map(m => s"lut[$m][CAST(codes[$m] AS INT)]").mkString(" + ")
+    // the probe: equi-join on the cell — only the query's cell's CODES
+    // are scored; broadcast is the 50-query side
+    val adc = index.as("c").join(broadcast(q),
+        col("qcell") === col("c.cell") && col("qid") =!= col("c.vec_id"))
+      .select(col("qid"), col("c.vec_id").as("nid"), col("c.cell").as("bucket"),
+        expr(s"round($adcChain, 6)").as("adc6"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc6").desc, col("nid"))
+    val shortlist = adc.withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= PqShortlist).select("qid", "nid", "bucket")
+    val qv = raw.filter(col("vec_id") < PqQueryCount)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val reranked = shortlist
+      .join(raw.select(col("vec_id").as("nid"), col("v").as("cv")), "nid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"), col("bucket"),
+        round(expr(dotSql(s, "qv", "cv")), 6).as("dp6"))
+    val w = Window.partitionBy("qid").orderBy(col("dp6").desc, col("nid"))
+    reranked.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PqTopK)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "embedding_kmeans" -> embeddingKmeans,
     "embedding_kmeans_stream_twin" -> embeddingKmeansStreamTwin,
@@ -605,6 +657,7 @@ object SimilarityOps {
     "embedding_pq_codes" -> embeddingPqCodes,
     "ann_pq_topk" -> annPqTopk,
     "ann_pq_rerank" -> annPqRerank,
+    "ann_ivfpq_topk" -> annIvfPqTopk,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
@@ -656,36 +709,43 @@ object SimilarityOps {
     * Lloyd rounds unrolled as CTEs (the [[kmeansCtePrefix]] pattern
     * keyed by subspace m), with the same re-key-to-0..n-1 after every
     * round and the same round-6 `|c|² − 2·sv·c` / smaller-k tie-break. */
-  private[graft] val pqCtePrefix: String = {
+  /** The PQ training chain as a CTE list (no leading WITH), every CTE
+    * name prefixed with `np` so the chain can compose with the kmeans
+    * chain (whose e/a1/a2/a3 names would otherwise collide) in the
+    * combined IVF-PQ oracle. NOTE the centered-vector CTE is `${np}ec`,
+    * not `e` — the kmeans chain owns `e`. */
+  private[graft] def pqCteChain(np: String): String = {
     def assign(cbCte: String) =
       s"""SELECT vec_id, m, k AS code, sv FROM (
             SELECT s.vec_id, s.m, c.k, s.sv,
               row_number() OVER (PARTITION BY s.vec_id, s.m
                 ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(s.sv, c.c), 6), c.k) AS rk
-            FROM sub s JOIN $cbCte c ON s.m = c.m) WHERE rk = 1"""
+            FROM ${np}sub s JOIN $cbCte c ON s.m = c.m) WHERE rk = 1"""
     val avgList = (1 to PqSubDim).map(i => s"round(AVG(sv[$i]), 6)")
       .mkString("[", ", ", "]")
     def update(aCte: String) =
       s"""SELECT m, row_number() OVER (PARTITION BY m ORDER BY code) - 1 AS k, c FROM (
             SELECT m, code, $avgList AS c FROM $aCte GROUP BY m, code)"""
     val avgMu = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        muT AS (SELECT $avgMu AS mu FROM e0),
-        e AS (SELECT vec_id,
+    s"""${np}e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ${np}muT AS (SELECT $avgMu AS mu FROM ${np}e0),
+        ${np}ec AS (SELECT vec_id,
             list_transform(range(1, 65), i -> v[i] - mu[i]) AS v
-          FROM e0 CROSS JOIN muT),
-        sub AS (SELECT vec_id, m,
+          FROM ${np}e0 CROSS JOIN ${np}muT),
+        ${np}sub AS (SELECT vec_id, m,
             list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
-          FROM e, unnest(generate_series(0, ${PqM - 1})) u(m)),
-        cb0 AS (SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k, sv AS c
-                FROM sub WHERE vec_id < $PqK),
-        a1 AS (${assign("cb0")}),
-        cb1 AS (${update("a1")}),
-        a2 AS (${assign("cb1")}),
-        cb2 AS (${update("a2")}),
-        a3 AS (${assign("cb2")}),
-        codes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM a3 GROUP BY vec_id)"""
+          FROM ${np}ec, unnest(generate_series(0, ${PqM - 1})) u(m)),
+        ${np}cb0 AS (SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k, sv AS c
+                FROM ${np}sub WHERE vec_id < $PqK),
+        ${np}a1 AS (${assign(s"${np}cb0")}),
+        ${np}cb1 AS (${update(s"${np}a1")}),
+        ${np}a2 AS (${assign(s"${np}cb1")}),
+        ${np}cb2 AS (${update(s"${np}a2")}),
+        ${np}a3 AS (${assign(s"${np}cb2")}),
+        ${np}codes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM ${np}a3 GROUP BY vec_id)"""
   }
+
+  private[graft] val pqCtePrefix: String = s"WITH ${pqCteChain("")}"
 
   private val pqTopkOracleSql: String = {
     val adcChain = (1 to PqM)
@@ -736,6 +796,47 @@ object SimilarityOps {
           JOIN e0 c ON c.vec_id = s.nid)
         SELECT qid, nid, dp6, rk FROM (
           SELECT qid, nid, dp6,
+            row_number() OVER (PARTITION BY qid ORDER BY dp6 DESC, nid) AS rk
+          FROM rer) WHERE rk <= $PqTopK"""
+  }
+
+  /** Combined IVF-PQ oracle: the kmeans chain (cells via a3) + the
+    * p-prefixed PQ chain (codes via pcodes), probe restricted to the
+    * query's cell, ADC shortlist, exact rerank — the mirror of
+    * [[annIvfPqTopk]] stage for stage. */
+  private val ivfPqOracleSql: String = {
+    val adcChain = (1 to PqM)
+      .map(m => s"l.lut[$m][CAST(co.codes[$m] AS INT) + 1]").mkString(" + ")
+    s"""$kmeansAssignedCteSql,
+        ${pqCteChain("p")},
+        psubq AS (SELECT vec_id, m,
+            list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
+          FROM pe0, unnest(generate_series(0, ${PqM - 1})) u(m)
+          WHERE vec_id < $PqQueryCount),
+        plutm AS (SELECT q.vec_id AS qid, q.m,
+            list(round(list_dot_product(q.sv, c.c), 6) ORDER BY c.k) AS dpk
+          FROM psubq q JOIN pcb2 c ON q.m = c.m
+          GROUP BY q.vec_id, q.m),
+        plut AS (SELECT qid, list(dpk ORDER BY m) AS lut FROM plutm GROUP BY qid),
+        qcell AS (SELECT vec_id AS qid, cluster AS qc FROM a3
+                  WHERE vec_id < $PqQueryCount),
+        adc AS (SELECT l.qid, co.vec_id AS nid, ca.cluster AS bucket,
+            round($adcChain, 6) AS adc6
+          FROM plut l
+          JOIN qcell q ON q.qid = l.qid
+          JOIN a3 ca ON ca.cluster = q.qc
+          JOIN pcodes co ON co.vec_id = ca.vec_id AND co.vec_id <> l.qid),
+        shortlist AS (SELECT qid, nid, bucket FROM (
+            SELECT qid, nid, bucket,
+              row_number() OVER (PARTITION BY qid ORDER BY adc6 DESC, nid) AS srk
+            FROM adc) WHERE srk <= $PqShortlist),
+        rer AS (SELECT s.qid, s.nid, s.bucket,
+            round(list_dot_product(q.v, c.v), 6) AS dp6
+          FROM shortlist s
+          JOIN pe0 q ON q.vec_id = s.qid
+          JOIN pe0 c ON c.vec_id = s.nid)
+        SELECT qid, nid, bucket, dp6, rk FROM (
+          SELECT qid, nid, bucket, dp6,
             row_number() OVER (PARTITION BY qid ORDER BY dp6 DESC, nid) AS rk
           FROM rer) WHERE rk <= $PqTopK"""
   }
@@ -901,6 +1002,7 @@ object SimilarityOps {
           FROM codes""",
     "ann_pq_topk" -> pqTopkOracleSql,
     "ann_pq_rerank" -> pqRerankOracleSql,
+    "ann_ivfpq_topk" -> ivfPqOracleSql,
     "embedding_stats" ->
       s"""WITH e AS ($vecsSql)
           SELECT label, COUNT(*) AS n, round(AVG(nrm), 6) AS avg_norm6

@@ -492,6 +492,19 @@ class PlanShapeSpec extends SparkSpec {
       || rer.contains("ShuffledHashJoin"), rer)
   }
 
+  test("ann_ivfpq_topk probes by cell equi-join — no corpus nested loop at all") {
+    // the composed two-level index: the coarse cell key turns the ADC
+    // scan from ann_pq_topk's bounded BNLJ into a plain equi-join — the
+    // property that makes the probe read ONE cell per query at scale.
+    // A BroadcastNestedLoopJoin anywhere here means the cell
+    // restriction regressed
+    val plan = executedPlan("ann_ivfpq_topk")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("dedup_decontaminate_bloom screens via a reused scalar subquery, then equi-joins") {
     val plan = executedPlan("dedup_decontaminate_bloom")
     // the bloom must ride as a subquery result (one evaluation,

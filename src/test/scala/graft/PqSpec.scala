@@ -95,6 +95,36 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.5, f"rerank mean recall@3 $mean%.3f below floor 0.5")
   }
 
+  test("the composed IVF-PQ probe returns results from the query's own cell only") {
+    val rows = SparkEntry.queries("ann_ivfpq_topk")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every (qid, nid) pair must share the reported bucket — recompute
+    // assignments through the public kmeans entry and cross-check
+    val cells = SparkEntry.queries("embedding_kmeans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (qid, nid, bucket) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(cells(qid) == bucket, s"query $qid reported cell $bucket, assigned ${cells(qid)}")
+      assert(cells(nid) == bucket, s"neighbor $nid of $qid outside cell $bucket")
+    }
+    // and the composed probe's hits agree with the cell-restricted
+    // exact truth far above chance — i.e. the within-cell ADC+rerank
+    // pipeline is doing its job, not returning arbitrary cell members
+    val ivfExact = SparkEntry.queries("ann_ivf_kmeans")(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val composed = rows.groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val common = ivfExact.keySet & composed.keySet
+    assert(common.nonEmpty)
+    // note: ann_ivf_kmeans ranks by cosine, the PQ family by dot — the
+    // two orders differ legitimately where norms vary, so this is an
+    // overlap sanity floor, not an equality
+    val overlap = common.toSeq.map(k => (ivfExact(k) & composed(k)).size.toDouble /
+      math.max(1, ivfExact(k).size))
+    val mean = overlap.sum / overlap.size
+    info(f"IVF-PQ vs within-cell cosine-exact overlap@3 = $mean%.3f")
+    assert(mean >= 0.2, f"overlap $mean%.3f — composed probe disagrees wildly with cell truth")
+  }
+
   test("ADC score equals the dot product against the PQ reconstruction") {
     // ADC(q, x) = Σ_m <q_m, c_{m,code_m(x)}> = <q, reconstruct(x)> — so
     // |ADC − trueDot| is exactly |<q, x − reconstruct(x)>|, the
