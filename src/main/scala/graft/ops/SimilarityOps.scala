@@ -512,6 +512,29 @@ object SimilarityOps {
         expr("array_join(transform(codes, c -> cast(c AS STRING)), ',')").as("codes_str"))
   }
 
+  /** The PQ-encode INGEST stream surfaced into the CORRECTNESS gate —
+    * the model-scoring topology ([[embeddingKmeansStreamTwin]]'s class)
+    * applied to the round-8 model family: the trained mean + codebooks
+    * ride inside the rendered expressions, the stream is stateless and
+    * join-free, and the entry shares [[embeddingPqCodes]]'s oracle
+    * verbatim so the gate pins stream == batch == oracle for the PQ
+    * index build too. */
+  val embeddingPqCodesStreamTwin: Q = (s, dir) => {
+    val mu = pqMean(s, dir)
+    val cb = pqTrain(s, dir, mu)
+    val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val scored = graft.streaming.EmbeddingStreams
+      .pqEncodeScreen(stream, centerExpr(mu), pqEncodeExpr(s, cb))
+    val sink = "graft_pq_stream_sink"
+    s.catalog.dropTempView(sink)
+    val q = scored.writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
   /** ADC top-k over the PQ codes — query-time never touches a raw
     * corpus vector: the 50 queries carry their lookup tables
     * (broadcast, PqM×PqK doubles each), the corpus side reads ONLY the
@@ -655,6 +678,7 @@ object SimilarityOps {
     "embedding_quantize_int8" -> embeddingQuantizeInt8,
     "ann_quantized_topk" -> annQuantizedTopk,
     "embedding_pq_codes" -> embeddingPqCodes,
+    "embedding_pq_codes_stream_twin" -> embeddingPqCodesStreamTwin,
     "ann_pq_topk" -> annPqTopk,
     "ann_pq_rerank" -> annPqRerank,
     "ann_ivfpq_topk" -> annIvfPqTopk,
@@ -996,6 +1020,13 @@ object SimilarityOps {
              row_number() OVER (PARTITION BY qid ORDER BY cos6q DESC, nid) AS rk
            FROM scored) WHERE rk <= 5""",
     "embedding_pq_codes" ->
+      s"""$pqCtePrefix
+          SELECT vec_id,
+            array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes_str
+          FROM codes""",
+    // the ingest stream computes the SAME codes through the stateless
+    // model-scoring topology — one oracle text, two execution paths
+    "embedding_pq_codes_stream_twin" ->
       s"""$pqCtePrefix
           SELECT vec_id,
             array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes_str

@@ -26,4 +26,20 @@ object EmbeddingStreams {
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("best", expr(assignExpr))
       .select(col("vec_id"), col("best.k").as("cluster"), col("best.d").as("d6"))
+
+  /** PQ-encode every arriving embedding against a trained codebook
+    * model — the index-ingest topology of the round-8 PQ family: at
+    * 100 TB/day of new embeddings, this stream writes (vec_id, codes)
+    * rows 32× smaller than the vectors, stateless and join-free like
+    * [[modelAssignScreen]] (the mean and all 8 codebooks ride inside
+    * the rendered expressions). `centerE` is the v−μ zip, `encodeE`
+    * the per-subspace argmin fold, both built batch-side by
+    * SimilarityOps. Emits (vec_id, codes_str). */
+  def pqEncodeScreen(embs: DataFrame, centerE: String, encodeE: String): DataFrame =
+    embs
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), expr(centerE).as("v"))
+      .withColumn("codes", expr(encodeE))
+      .select(col("vec_id"),
+        expr("array_join(transform(codes, c -> cast(c AS STRING)), ',')").as("codes_str"))
 }
