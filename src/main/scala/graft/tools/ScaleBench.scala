@@ -32,7 +32,13 @@ object ScaleBench {
     // round-7 sixth-session additions: the MG two-pass heavy hitters
     // (bounded-state sketch — must scale like the map families) and
     // the winnow-index containment audit (candidate-bounded join)
-    "text_heavy_hitters", "text_heavy_hitters_mg", "dedup_containment")
+    "text_heavy_hitters", "text_heavy_hitters_mg", "dedup_containment",
+    // round-8 PQ family: index build (training passes + in-row encode —
+    // must scale like the map families), the flat ADC+rerank probe
+    // (50-query bounded scan — linear in N), and the composed
+    // cell-restricted probe (pair count ~ 50 × N/K — linear with a
+    // K-fold smaller constant)
+    "embedding_pq_codes", "ann_pq_rerank", "ann_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <sfDir> [reps] [only=a,b,c]")
