@@ -874,6 +874,102 @@ object TextOps {
     }
   }
 
+  /** Supervised Naive Bayes text classification — the deterministic
+    * cousin of the fastText-style quality/language classifiers real
+    * curation pipelines train (CCNet's LM filter, GPT-3-style quality
+    * screens): a linear model over token counts, trained and applied
+    * entirely in-engine.
+    *
+    * Supervision is PLANTED IN-QUERY (the `embedding_lsh_recall`
+    * pattern — no fixture change, both engines derive the identical
+    * ground truth): the content hash labels each document pos/neg
+    * (bit 0) and appends two class-specific marker tokens (4 per
+    * class, chosen by hash bits 2-5) to the text; every natural token
+    * is class-independent noise on this corpus, so a WORKING NB must
+    * learn exactly the markers and generalize to held-out docs
+    * (NbClassifySpec pins test accuracy ≥ 0.95 vs the 0.5 base rate —
+    * a broken count join, smoothing, or scoring sum collapses it).
+    * The train/test split keys on hash bits ≥ 6, independent of both
+    * the label bit and the marker bits.
+    *
+    * Numerics — one step STRICTER than the round-6 ln discipline: each
+    * token's add-1-smoothed log-likelihood ratio is rounded to 1e-6
+    * and stored as an INTEGER (`lr_micro`), so the per-doc score is an
+    * exact BIGINT sum — order-free across partitions and engines by
+    * construction (the integer-cents trick applied to log-probs),
+    * where a double Σln would depend on partial-agg order in the last
+    * ulp. Ties (score_micro = 0) break to 'neg'.
+    *
+    * Scale shape: token counts and the weight table join on the token
+    * (the vocabulary equi-join — tf-idf's shape); the 1-row totals
+    * broadcast; scoring is a left join + integer partial agg. Nothing
+    * new to audit at 100 TB — this entry exists to prove the TRAINED
+    * LINEAR MODEL family runs in-engine with gate-grade determinism
+    * AND measurable generalization. */
+  private[graft] val NbTestMod = 5 // (h >> 6) % 5 == 0 → test (~20%)
+  val textNbClassify: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .withColumn("h", expr("cast(conv(substring(md5(text), 1, 13), 16, 10) as bigint)"))
+      .withColumn("actual", when(pmod(col("h"), lit(2L)) === 0L, "pos").otherwise("neg"))
+      .withColumn("is_test",
+        when(pmod(expr("h div 64"), lit(NbTestMod.toLong)) === 0L, 1L).otherwise(0L))
+      .withColumn("mk1", expr(
+        """CASE WHEN h % 2 = 0
+             THEN element_at(array('zqa','zqb','zqc','zqd'), CAST(h div 4 % 4 AS INT) + 1)
+             ELSE element_at(array('zna','znb','znc','znd'), CAST(h div 4 % 4 AS INT) + 1)
+           END"""))
+      .withColumn("mk2", expr(
+        """CASE WHEN h % 2 = 0
+             THEN element_at(array('zqa','zqb','zqc','zqd'), CAST(h div 16 % 4 AS INT) + 1)
+             ELSE element_at(array('zna','znb','znc','znd'), CAST(h div 16 % 4 AS INT) + 1)
+           END"""))
+      .withColumn("text2", concat_ws(" ", col("text"), col("mk1"), col("mk2")))
+    val toks = docs.select(col("doc_id"), col("is_test"), col("actual"),
+      explode(split(col("text2"), " ")).as("tk"))
+    val train = toks.filter(col("is_test") === 0L)
+    val counts = train.groupBy("tk").agg(
+      sum(when(col("actual") === "pos", 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("actual") === "pos", 0L).otherwise(1L)).as("n_neg"))
+    val trainDocs = docs.filter(col("is_test") === 0L)
+    val totals = counts.agg(
+        sum(col("n_pos")).as("tot_pos"), sum(col("n_neg")).as("tot_neg"),
+        count(lit(1)).as("v"))
+      .crossJoin(broadcast(trainDocs.agg(
+        sum(when(col("actual") === "pos", 1L).otherwise(0L)).as("d_pos"),
+        sum(when(col("actual") === "pos", 0L).otherwise(1L)).as("d_neg"))))
+    // token weights: integer micro log-likelihood ratios (add-1)
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("tk"),
+        expr("""CAST(round((ln((n_pos + 1) / CAST(tot_pos + v AS DOUBLE))
+                 - ln((n_neg + 1) / CAST(tot_neg + v AS DOUBLE))) * 1000000, 0) AS BIGINT)""")
+          .as("lr_micro"))
+    val t0 = totals.head()
+    val (totPos, totNeg, v, dPos, dNeg) =
+      (t0.getLong(0), t0.getLong(1), t0.getLong(2), t0.getLong(3), t0.getLong(4))
+    // unseen-token weight and class prior as integer micro constants —
+    // computed driver-side from the same 1-row totals (exact longs in,
+    // two ln calls, round-6×1e6 out: the kmeans literal channel).
+    // HALF_UP (away from zero), matching Spark's and DuckDB's round()
+    // on the ratio path — math.round floors negatives at .5 and would
+    // diverge on an exact boundary
+    def microHalfUp(x: Double): Long =
+      new java.math.BigDecimal(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val lr0Micro = microHalfUp(
+      math.log(1.0 / (totPos + v).toDouble) - math.log(1.0 / (totNeg + v).toDouble))
+    val priorMicro = microHalfUp(
+      math.log(dPos.toDouble) - math.log(dNeg.toDouble))
+    toks.join(lr, Seq("tk"), "left")
+      .na.fill(Map("lr_micro" -> lr0Micro))
+      .groupBy(col("doc_id"), col("is_test"), col("actual"))
+      .agg((sum(col("lr_micro")) + lit(priorMicro)).as("score_micro"))
+      .select(col("doc_id"), col("is_test"), col("score_micro"),
+        when(col("score_micro") > 0, "pos").otherwise("neg").as("pred"),
+        col("actual"),
+        when((col("score_micro") > 0) === (col("actual") === "pos"), 1L)
+          .otherwise(0L).as("correct"))
+  }
+
   /** Bigram collocation mining by pointwise mutual information —
     * phrase extraction for vocabulary/tokenizer work:
     * pmi = ln((n_ab/T) / ((n_a/U)·(n_b/U))) with the unigram and
@@ -1052,6 +1148,7 @@ object TextOps {
     "dedup_decontaminate" -> dedupDecontaminate,
     "dedup_decontaminate_stream_twin" -> dedupDecontaminateStreamTwin,
     "dedup_decontaminate_bloom" -> dedupDecontaminateBloom,
+    "text_nb_classify" -> textNbClassify,
     "text_bigram_pmi" -> textBigramPmi,
     "text_bigram_logprob" -> textBigramLogprob,
     "text_heavy_hitters" -> textHeavyHitters,
@@ -1401,6 +1498,57 @@ object TextOps {
     // screen (no false negatives; confirm removes the FP tail) — one
     // oracle text, three execution paths
     "dedup_decontaminate_bloom" -> decontaminateOracleSql,
+    "text_nb_classify" ->
+      s"""WITH d0 AS (SELECT doc_id, text,
+              CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) AS h
+            FROM documents),
+          d AS (SELECT doc_id,
+              CASE WHEN h % 2 = 0 THEN 'pos' ELSE 'neg' END AS actual,
+              CAST(CASE WHEN (h // 64) % $NbTestMod = 0 THEN 1 ELSE 0 END AS BIGINT)
+                AS is_test,
+              text || ' ' ||
+              (CASE WHEN h % 2 = 0
+                 THEN ['zqa','zqb','zqc','zqd'][CAST(h // 4 % 4 AS INT) + 1]
+                 ELSE ['zna','znb','znc','znd'][CAST(h // 4 % 4 AS INT) + 1] END)
+              || ' ' ||
+              (CASE WHEN h % 2 = 0
+                 THEN ['zqa','zqb','zqc','zqd'][CAST(h // 16 % 4 AS INT) + 1]
+                 ELSE ['zna','znb','znc','znd'][CAST(h // 16 % 4 AS INT) + 1] END)
+                AS text2
+            FROM d0),
+          toks AS (SELECT doc_id, is_test, actual,
+              unnest(string_split(text2, ' ')) AS tk FROM d),
+          counts AS (SELECT tk,
+              SUM(CASE WHEN actual = 'pos' THEN 1 ELSE 0 END) AS n_pos,
+              SUM(CASE WHEN actual = 'pos' THEN 0 ELSE 1 END) AS n_neg
+            FROM toks WHERE is_test = 0 GROUP BY tk),
+          tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+              CAST(SUM(n_neg) AS BIGINT) AS tot_neg, COUNT(*) AS v FROM counts),
+          dt AS (SELECT SUM(CASE WHEN actual = 'pos' THEN 1 ELSE 0 END) AS d_pos,
+              SUM(CASE WHEN actual = 'pos' THEN 0 ELSE 1 END) AS d_neg
+            FROM d WHERE is_test = 0),
+          lr AS (SELECT tk,
+              CAST(round((ln((n_pos + 1) / CAST(tot_pos + v AS DOUBLE))
+                - ln((n_neg + 1) / CAST(tot_neg + v AS DOUBLE))) * 1000000, 0) AS BIGINT)
+                AS lr_micro
+            FROM counts CROSS JOIN tot),
+          consts AS (SELECT
+              CAST(round((ln(1.0 / (tot_pos + v)) - ln(1.0 / (tot_neg + v)))
+                * 1000000, 0) AS BIGINT) AS lr0,
+              (SELECT CAST(round((ln(CAST(d_pos AS DOUBLE)) - ln(CAST(d_neg AS DOUBLE)))
+                * 1000000, 0) AS BIGINT) FROM dt) AS prior
+            FROM tot),
+          scored AS (SELECT t.doc_id, t.is_test, t.actual,
+              CAST(SUM(COALESCE(l.lr_micro, c.lr0)) + MAX(c.prior) AS BIGINT)
+                AS score_micro
+            FROM toks t CROSS JOIN consts c LEFT JOIN lr l ON l.tk = t.tk
+            GROUP BY t.doc_id, t.is_test, t.actual)
+          SELECT doc_id, is_test, score_micro,
+            CASE WHEN score_micro > 0 THEN 'pos' ELSE 'neg' END AS pred,
+            actual,
+            CAST(CASE WHEN (score_micro > 0) = (actual = 'pos') THEN 1 ELSE 0 END AS BIGINT)
+              AS correct
+          FROM scored""",
     "text_bigram_pmi" ->
       s"""WITH bi AS (
            SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS n_ab
