@@ -577,6 +577,97 @@ object VecDotNormRewrite
   }
 }
 
+/** `graft_cms_estimate(sketch, item)` — point-query a serialized
+  * count-min sketch (Spark's public `org.apache.spark.util.sketch
+  * .CountMinSketch`, the binary the built-in `count_min_sketch`
+  * aggregate emits) for an xxhash64-keyed item, returning the
+  * estimated count as BIGINT.
+  *
+  * This is [[graft.ops.TextOps.textHeavyHittersCms]]'s screen half and
+  * the third member of the mergeable-sketch family (MG counters,
+  * bloom bitmap, CMS grid). The sketch argument must be a query-scoped
+  * CONSTANT — a literal or (the intended shape) a scalar subquery over
+  * the sketch aggregate, exactly `graft_might_contain`'s contract —
+  * because the expression deserializes it ONCE per task into a lazy
+  * field; a per-row sketch would silently query a stale grid, so
+  * non-constant inputs are rejected at analysis. Codegen references
+  * the deserialized sketch object directly (`addReferenceObj`), so the
+  * per-row cost is the d≈⌈ln(1/δ)⌉ array probes and the expression
+  * stays inside whole-stage codegen (CodegenGateSpec-compatible).
+  *
+  * CMS estimates only ever OVERCOUNT (each cell is a sum of true
+  * counts) — the no-false-negatives direction the screen-then-confirm
+  * exactness theorem needs. */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_cms_estimate"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.LongType) =>
+        if (left.foldable ||
+            left.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+          TypeCheckResult.TypeCheckSuccess
+        else
+          TypeCheckResult.TypeCheckFailure(
+            "graft_cms_estimate requires the sketch argument to be a " +
+              "constant (literal or scalar subquery) — it is deserialized " +
+              "once per task, not per row")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_cms_estimate requires (binary sketch, bigint item), got " +
+            s"${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  // Deserialized once per task (the expression is serialized to
+  // executors with the lazy field unset; first eval materializes it
+  // from the constant child — graft_might_contain's lifecycle).
+  @transient private lazy val cms: org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = left.eval(null)
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      bytes.asInstanceOf[Array[Byte]])
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (cms == null) null
+    else {
+      val v = right.eval(input)
+      if (v == null) null
+      else cms.estimateCount(java.lang.Long.valueOf(v.asInstanceOf[Long]))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen._
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    if (cms == null) {
+      ev.copy(isNull = TrueLiteral, value = JavaCode.defaultLiteral(dataType))
+    } else {
+      val sk = ctx.addReferenceObj("cmsSketch", cms,
+        classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+      val itemEval = right.genCode(ctx)
+      ev.copy(code = code"""
+        ${itemEval.code}
+        boolean ${ev.isNull} = ${itemEval.isNull};
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          ${ev.value} = $sk.estimateCount(
+            (Object) java.lang.Long.valueOf(${itemEval.value}));
+        }""")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension registering the engine's native functions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -666,6 +757,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> children.length.toString, "docroot" -> ""))
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))
+      }))
+    // CMS point-estimate (the sketch AGGREGATE is Spark's built-in
+    // `count_min_sketch`; only the query side needs a native function).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`graft_cms_estimate`", "expectedNum" -> "2",
+              "actualNum" -> children.length.toString, "docroot" -> ""))
+        CmsEstimate(children(0), children(1))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)

@@ -438,8 +438,62 @@ object EventOps {
       .select("hour", "item", "cnt", "n_h")
   }
 
+  /** Changelog compaction — latest state per key, the CDC kernel that
+    * turns an append-only event log back into a snapshot (Kafka
+    * log-compaction / Debezium "last image wins" semantics; also the
+    * read side of every incremental-materialization pipeline). The
+    * events table is read as a changelog keyed by user_id, versioned
+    * by (ts, event_id) — event_id breaks same-microsecond ties, so the
+    * winner is total-order deterministic on both engines.
+    *
+    * Shape: groupBy(key).max(struct(version, payload)) — ONE partial
+    * aggregation, map-side combined, shuffle bounded by DISTINCT KEYS
+    * not log length. Deliberately NOT a row_number window: an equi-agg
+    * is AQE-splittable on a skewed key while a window partition is not
+    * (the dedup_paragraph doctrine), and at 100 TB a changelog's key
+    * skew (one hot entity) is the norm. Struct max compares fields
+    * lexicographically; (us, event_id) is unique, so the payload
+    * fields behind them never arbitrate. */
+  val cdcChangelogCompact: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("user_id"),
+        struct(
+          unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          col("event_type"),
+          cents(col("value")).as("value_c")).as("v"))
+      .groupBy("user_id").agg(max(col("v")).as("last"))
+      .select(col("user_id"),
+        col("last.us").as("last_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value_c").as("last_value_c"))
+
+  /** SCD type-2 expansion — the inverse of [[cdcChangelogCompact]]:
+    * every change becomes a validity interval [valid_from, valid_to)
+    * with an open-ended current row, the shape warehouse dimensions
+    * keep history in (Kimball SCD2). valid_to is the NEXT change's
+    * timestamp via lead() over a PER-KEY window — windows partitioned
+    * by a high-cardinality key are the sanctioned kind (state is one
+    * key's rows, never a global sort; contrast the banned
+    * Window.orderBy-global shapes in PLANS_r5). Exact integer
+    * microseconds cross the engines; the open interval is NULL (the
+    * driver hashes nulls fine — `null_handling` pins that). */
+  val cdcScd2Intervals: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
+    "cdc_changelog_compact" -> cdcChangelogCompact,
+    "cdc_scd2_intervals" -> cdcScd2Intervals,
     "events_dedup_stream_twin" -> eventsDedupStreamTwin,
     "events_heavy_hitters_stream_twin" -> eventsHeavyHittersStreamTwin,
     "events_tumbling_stream_twin" -> eventsTumblingStreamTwin,
@@ -470,6 +524,25 @@ object EventOps {
        FROM x GROUP BY user_id"""
 
   val oracles: Seq[(String, String)] = Seq(
+    "cdc_changelog_compact" ->
+      """WITH v AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, us AS last_us, event_id AS last_event_id,
+           event_type AS last_event_type, value_c AS last_value_c
+         FROM v WHERE rn = 1""",
+    "cdc_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+           (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) IS NULL)
+             AS is_current
+         FROM events""",
     "events_tumbling" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n,
          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c,

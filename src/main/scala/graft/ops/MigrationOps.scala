@@ -141,6 +141,64 @@ object MigrationOps {
       .groupBy("enabled", "guard").agg(count(lit(1)).as("n"))
   }
 
+  /** The CDC snapshot side of [[cdcMergeUpsert]]: orders keyed by
+    * o_orderkey with the price in exact integer cents. */
+  private def cdcSnapshot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      col("o_custkey").as("s_custkey"),
+      col("o_orderstatus").as("s_status"),
+      cents(col("o_totalprice")).as("s_price_c"))
+
+  /** A deterministic change batch derived from the snapshot's own keys
+    * (both engines rebuild it identically — the planted-input pattern):
+    * per key, md5 mod 10 selects 0 → DELETE, 1-3 → UPDATE (+$5.00 in
+    * exact cents), 4 → INSERT under a disjoint key range (+10⁷), 5-9 →
+    * untouched. One op per key, so no intra-batch ordering question —
+    * multi-version batches are [[graft.ops.EventOps.cdcChangelogCompact]]'s
+    * job and compose in front of this merge. */
+  private def cdcChanges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("m", pmod(expr(
+        "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 13), 16, 10) as bigint)"),
+        lit(10L)))
+      .filter(col("m") <= 4)
+      .select(
+        when(col("m") === 4, col("o_orderkey") + lit(10000000L))
+          .otherwise(col("o_orderkey")).as("key"),
+        when(col("m") === 0, lit("delete"))
+          .when(col("m") === 4, lit("insert"))
+          .otherwise(lit("update")).as("op"),
+        col("o_custkey").as("c_custkey"),
+        (cents(col("o_totalprice")) +
+          when(col("m") === 4, lit(0L)).otherwise(lit(500L))).as("c_price_c"))
+
+  /** MERGE INTO as a dataflow kernel — the scale-correct successor to
+    * M1/M2's whole-table rewrites (SURVEY §2.9): apply an
+    * insert/update/delete change batch to a keyed snapshot in ONE
+    * full-outer equi-join, the exact relational shape Delta/Iceberg
+    * MERGE compiles to. Semantics per joined key: change-only row →
+    * insert; snapshot-only row → carry over; matched update →
+    * overwrite payload; matched delete → drop.
+    *
+    * At 100 TB the snapshot dominates the delta, so the join
+    * broadcast/shuffle asymmetry is the whole game: a small batch
+    * broadcast-joins (zero snapshot shuffle — but then full-outer
+    * degrades to left + union anti, which is what AQE's
+    * broadcast-threshold planning effectively picks); a large batch
+    * shuffles both sides on the key, where a snapshot BUCKETED on the
+    * key (BucketingSpec's layout) makes every subsequent merge
+    * delta-only shuffle. Deletes cost nothing extra — they ride the
+    * same join instead of a second anti-join pass. */
+  val cdcMergeUpsert: Q = (s, dir) =>
+    cdcSnapshot(s, dir).join(cdcChanges(s, dir), Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(
+        col("key"),
+        coalesce(col("c_custkey"), col("s_custkey")).as("custkey"),
+        when(col("op") === "insert", lit("I")).otherwise(col("s_status")).as("status"),
+        coalesce(col("c_price_c"), col("s_price_c")).as("price_c"))
+
   /** Bulk CSV ingest (reference: tests/test_clickhouse_migration.py:101 —
     * gzip CSV with header; Spark reads gzip transparently). Oracle:
     * DuckDB reads the same gzip file natively via read_csv_auto, so the
@@ -164,6 +222,7 @@ object MigrationOps {
     "count_where" -> countWhere,
     "add_column_default" -> addColumnDefault,
     "masked_update" -> maskedUpdate,
+    "cdc_merge_upsert" -> cdcMergeUpsert,
     "csv_ingest" -> csvIngest)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -232,6 +291,30 @@ object MigrationOps {
              CASE WHEN l_quantity > 30 THEN 0 ELSE 1 END AS guard
            FROM lineitem)
          GROUP BY enabled, guard""",
+    "cdc_merge_upsert" ->
+      """WITH snap AS (
+           SELECT o_orderkey AS key, o_custkey AS s_custkey,
+             o_orderstatus AS s_status,
+             CAST(round(o_totalprice*100) AS BIGINT) AS s_price_c
+           FROM orders),
+         chg AS (
+           SELECT CASE WHEN m = 4 THEN o_orderkey + 10000000 ELSE o_orderkey END AS key,
+             CASE WHEN m = 0 THEN 'delete' WHEN m = 4 THEN 'insert'
+                  ELSE 'update' END AS op,
+             o_custkey AS c_custkey,
+             CAST(round(o_totalprice*100) AS BIGINT)
+               + CASE WHEN m = 4 THEN 0 ELSE 500 END AS c_price_c
+           FROM (SELECT *,
+                   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                     AS BIGINT) % 10 AS m
+                 FROM orders)
+           WHERE m <= 4)
+         SELECT key,
+           COALESCE(c.c_custkey, s.s_custkey) AS custkey,
+           CASE WHEN c.op = 'insert' THEN 'I' ELSE s.s_status END AS status,
+           COALESCE(c.c_price_c, s.s_price_c) AS price_c
+         FROM snap s FULL OUTER JOIN chg c USING (key)
+         WHERE c.op IS NULL OR c.op <> 'delete'""",
     "csv_ingest" ->
       """SELECT COUNT(*) AS n_total,
          COUNT(CASE WHEN name > 3000 THEN 1 END) AS n_gt3000

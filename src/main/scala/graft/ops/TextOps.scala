@@ -1103,6 +1103,50 @@ object TextOps {
       .select("item", "cnt", "n")
   }
 
+  /** Count-min-sketch two-pass heavy hitters — the third member of the
+    * mergeable-sketch family (MG counters / bloom bitmap / CMS grid),
+    * and the variant that generalizes past heavy hitters to ANY
+    * frequency-threshold predicate (MG only answers "top-k-ish"; a CMS
+    * answers "estimated count of x" for arbitrary x). Pass 1: Spark's
+    * BUILT-IN `count_min_sketch` aggregate folds every occurrence into
+    * one eps=0.001 grid (~e/eps × ⌈ln(1/0.01)⌉ cells; partial grids
+    * merge cell-wise — one ~150 KB summary per partition over the
+    * wire, vocabulary-independent, the same shuffle contract as
+    * `mg_sketch`). Pass 2: the occurrence stream screens MAP-SIDE
+    * against the grid as a scalar-subquery constant
+    * ([[graft.functions.CmsEstimate]] — `graft_might_contain`'s
+    * hosting), so the recount shuffle carries only candidate items'
+    * occurrences; the exact recount + threshold restores exactness.
+    *
+    * The theorem: CMS cells only ever overcount, so
+    * estimate(x) ≥ count(x) unconditionally — every true heavy hitter
+    * passes the screen (no false negatives), and the screen predicate
+    * is per-ITEM deterministic, so candidates keep ALL their
+    * occurrences and recounts are full counts. Shares the exact twin's
+    * oracle verbatim: "CMS screen + confirm ≡ exact" is a driver-gate
+    * theorem, independent of the eps/confidence knobs. Degrades to the
+    * exact plan when the extension is absent. */
+  val textHeavyHittersCms: Q = (s, dir) => {
+    if (!s.catalog.functionExists("graft_cms_estimate")) textHeavyHitters(s, dir)
+    else {
+      hhItems(s, dir).select("item")
+        .createOrReplaceTempView("graft_hh_cms_items")
+      s.sql(s"""
+        WITH sk AS (
+          SELECT count_min_sketch(xxhash64(item), CAST(0.001 AS DOUBLE),
+                                  CAST(0.99 AS DOUBLE), 42) AS s,
+                 COUNT(*) AS n
+          FROM graft_hh_cms_items),
+        cand AS (
+          SELECT item FROM graft_hh_cms_items
+          WHERE graft_cms_estimate((SELECT s FROM sk), xxhash64(item))
+                  * $HhThreshold >= (SELECT n FROM sk))
+        SELECT item, COUNT(*) AS cnt, (SELECT n FROM sk) AS n
+        FROM cand GROUP BY item
+        HAVING COUNT(*) * $HhThreshold >= (SELECT n FROM sk)""")
+    }
+  }
+
   /** Built-in sketch twin: Spark 4's `approx_top_k` (Apache
     * DataSketches frequent-items) over the same derived stream — the
     * builtin-first rule demonstrated on the one sketch Spark 4 ships
@@ -1153,6 +1197,7 @@ object TextOps {
     "text_bigram_logprob" -> textBigramLogprob,
     "text_heavy_hitters" -> textHeavyHitters,
     "text_heavy_hitters_mg" -> textHeavyHittersMg,
+    "text_heavy_hitters_cms" -> textHeavyHittersCms,
     "text_heavy_hitters_approx" -> textHeavyHittersApprox)
 
   /** Shared oracle for both heavy-hitter twins — the MG pass is an
@@ -1589,5 +1634,6 @@ object TextOps {
                  FROM documents))
          WHERE rk <= $StratQuota""",
     "text_heavy_hitters" -> hhOracleSql,
-    "text_heavy_hitters_mg" -> hhOracleSql)
+    "text_heavy_hitters_mg" -> hhOracleSql,
+    "text_heavy_hitters_cms" -> hhOracleSql)
 }

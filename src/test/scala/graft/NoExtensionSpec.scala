@@ -97,6 +97,11 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mg = SparkEntry.queries("text_heavy_hitters_mg")(spark, sfDir)
       .collect().map(_.toSeq).toSet
     assert(exact.nonEmpty && mg == exact)
+    // the CMS twin degrades to the exact plan the same way
+    assert(!spark.catalog.functionExists("graft_cms_estimate"))
+    val cms = SparkEntry.queries("text_heavy_hitters_cms")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(cms == exact)
   }
 
   test("the streaming frequent-items twin degrades to exact streaming candidates") {
