@@ -106,7 +106,13 @@ object Bench {
     // round 8 (late): the composed two-level IVF-PQ probe — coarse-cell
     // equi-join + within-cell ADC + shortlist rerank; the end-to-end
     // serving plan, and the only PQ entry whose scan is BNLJ-free
-    "ann_ivfpq_topk")
+    "ann_ivfpq_topk",
+    // round 8 (continuation): the CDC merge kernel (the catalog's only
+    // FULL-OUTER fact-sized join — a shuffle regime nothing else in the
+    // gate exercises) and the CMS screen-then-confirm heavy hitters
+    // (count_min_sketch aggregate + native estimate screen — benched
+    // beside the MG twin it complements)
+    "cdc_merge_upsert", "text_heavy_hitters_cms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -23,12 +23,12 @@ object SparkEntry {
   private val all: Seq[(String, (SparkSession, String) => DataFrame)] =
     Relational.queries ++ MigrationOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ TextOps.queries ++ EventOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++ LayoutOps.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = all.toMap
 
   def oracleSql: Map[String, String] =
     (Relational.oracles ++ MigrationOps.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ TextOps.oracles ++ EventOps.oracles ++
-      MultimodalOps.oracles).toMap
+      MultimodalOps.oracles ++ LayoutOps.oracles).toMap
 }

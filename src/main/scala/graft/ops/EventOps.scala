@@ -490,10 +490,33 @@ object EventOps {
         col("valid_to_us").isNull.as("is_current"))
   }
 
+  /** The TWELFTH streaming topology, surfaced into the gate: executes
+    * [[graft.streaming.EventStreams.latestPerKey]] as a real
+    * Structured Streaming query (file-source events stream, stateful
+    * complete-mode max(struct) aggregation, memory sink) and shares
+    * [[cdcChangelogCompact]]'s oracle VERBATIM — so "the compacted
+    * view a stream maintains equals the batch compaction of the same
+    * log" is a driver-gate theorem, independent of micro-batch
+    * boundaries and state-merge order. */
+  val cdcCompactStreamTwin: Q = (s, dir) => {
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val norm = normalizeTs(stream, sch("ts").dataType)
+    val sink = "graft_cdc_compact_sink"
+    s.catalog.dropTempView(sink)
+    val q = graft.streaming.EventStreams.latestPerKey(norm)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "cdc_changelog_compact" -> cdcChangelogCompact,
     "cdc_scd2_intervals" -> cdcScd2Intervals,
+    "cdc_compact_stream_twin" -> cdcCompactStreamTwin,
     "events_dedup_stream_twin" -> eventsDedupStreamTwin,
     "events_heavy_hitters_stream_twin" -> eventsHeavyHittersStreamTwin,
     "events_tumbling_stream_twin" -> eventsTumblingStreamTwin,
@@ -523,17 +546,22 @@ object EventOps {
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
        FROM x GROUP BY user_id"""
 
+  /** Shared by `cdc_changelog_compact` and its streaming twin — one
+    * oracle, two execution paths, stream == batch == oracle. */
+  private val cdcCompactOracleSql: String =
+    """WITH v AS (
+         SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+           CAST(round(value*100) AS BIGINT) AS value_c,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, us AS last_us, event_id AS last_event_id,
+         event_type AS last_event_type, value_c AS last_value_c
+       FROM v WHERE rn = 1"""
+
   val oracles: Seq[(String, String)] = Seq(
-    "cdc_changelog_compact" ->
-      """WITH v AS (
-           SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
-             CAST(round(value*100) AS BIGINT) AS value_c,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-           FROM events)
-         SELECT user_id, us AS last_us, event_id AS last_event_id,
-           event_type AS last_event_type, value_c AS last_value_c
-         FROM v WHERE rn = 1""",
+    "cdc_changelog_compact" -> cdcCompactOracleSql,
+    "cdc_compact_stream_twin" -> cdcCompactOracleSql,
     "cdc_scd2_intervals" ->
       """SELECT user_id, event_id, event_type,
            epoch_us(ts) AS valid_from_us,

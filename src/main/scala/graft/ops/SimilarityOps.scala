@@ -585,7 +585,15 @@ object SimilarityOps {
     * reads codes; full vectors are touched for 1000 rows total. This
     * two-stage shape is the standard IVF-PQ serving plan (Jégou et al.
     * 2011 §V: ADC + verification). */
-  val annPqRerank: Q = (s, dir) => {
+  val annPqRerank: Q = (s, dir) => pqRerankWidth(s, dir, PqShortlist)
+
+  /** [[annPqRerank]] with the shortlist width as a parameter — the one
+    * serving knob the two-stage plan exposes (wider = more raw-vector
+    * point lookups per query, higher recall ceiling). The catalog entry
+    * pins width = [[PqShortlist]]; [[graft.tools.PqWidthStudy]] sweeps
+    * it to measure the recall/IO frontier. */
+  private[graft] def pqRerankWidth(
+      s: SparkSession, dir: String, width: Int): DataFrame = {
     val mu = pqMean(s, dir)
     val cb = pqTrain(s, dir, mu)
     val raw = t(s, dir, "embeddings")
@@ -603,7 +611,7 @@ object SimilarityOps {
         expr(s"round($adcChain, 6)").as("adc6"))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc6").desc, col("nid"))
     val shortlist = scored.withColumn("srk", row_number().over(wAdc))
-      .filter(col("srk") <= PqShortlist).select("qid", "nid")
+      .filter(col("srk") <= width).select("qid", "nid")
     val qv = raw.filter(col("vec_id") < PqQueryCount)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val reranked = shortlist

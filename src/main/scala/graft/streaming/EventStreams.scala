@@ -40,6 +40,33 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum((round(col("value") * 100, 0)).cast("long")).as("value_c"))
 
+  /** Streaming latest-state-per-key — the CDC compaction kernel
+    * ([[graft.ops.EventOps.cdcChangelogCompact]]) run AS the changelog
+    * arrives: a stateful max(struct(version, payload)) aggregation
+    * whose per-key state is exactly ONE struct (the current winner),
+    * merged associatively across micro-batches — the log-compacted
+    * materialized view Kafka Streams' KTable is. Complete mode here
+    * (the twin's key space is the bounded user set and the memory sink
+    * wants the whole table); at scale the same aggregation runs in
+    * Update mode emitting only keys whose winner changed — a changelog
+    * of the changelog — into an upsert sink. Struct max is
+    * arrival-order-free, so stream == batch holds whatever the
+    * micro-batch boundaries did, which is what the shared oracle pins. */
+  def latestPerKey(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(
+          unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("value_c")).as("v"))
+      .groupBy("user_id").agg(max(col("v")).as("last"))
+      .select(col("user_id"),
+        col("last.us").as("last_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value_c").as("last_value_c"))
+
   /** Deterministic skewed item per event — 8 hot items (~6.25% of the
     * stream each) + a ~512-item rare tail, derived from the event_id's
     * md5 exactly like `TextOps.hhItems` derives document items (the

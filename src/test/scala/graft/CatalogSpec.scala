@@ -11,12 +11,12 @@ class CatalogSpec extends AnyFunSuite {
   private val queryKeys = Seq(
     ops.Relational.queries, ops.MigrationOps.queries, ops.DedupOps.queries,
     ops.SimilarityOps.queries, ops.TextOps.queries, ops.EventOps.queries,
-    ops.MultimodalOps.queries).flatten.map(_._1)
+    ops.MultimodalOps.queries, ops.LayoutOps.queries).flatten.map(_._1)
 
   private val oracleKeys = Seq(
     ops.Relational.oracles, ops.MigrationOps.oracles, ops.DedupOps.oracles,
     ops.SimilarityOps.oracles, ops.TextOps.oracles, ops.EventOps.oracles,
-    ops.MultimodalOps.oracles).flatten.map(_._1)
+    ops.MultimodalOps.oracles, ops.LayoutOps.oracles).flatten.map(_._1)
 
   test("no duplicate query names across op modules") {
     val dupes = queryKeys.groupBy(identity).filter(_._2.size > 1).keys

@@ -38,7 +38,12 @@ class CodegenGateSpec extends SparkSpec {
       "dedup_embedding_cosine", "dedup_embedding_lsh",
       "dedup_embedding_lsh_multiprobe", "embedding_stats",
       "embedding_centroids", "ann_ivf_multiprobe",
-      "embedding_quantize_int8", "ann_quantized_topk")).distinct
+      "embedding_quantize_int8", "ann_quantized_topk",
+      // round-8 continuation: the CMS screen (native CmsEstimate
+      // codegen), the CDC family, and the Morton-key bit arithmetic
+      "text_heavy_hitters_cms", "cdc_merge_upsert",
+      "cdc_changelog_compact", "cdc_scd2_intervals",
+      "layout_zorder_key")).distinct
       .filter(SparkEntry.queries.contains)
 
   test("every gated query executes with codegen fallback disabled") {

@@ -518,4 +518,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"), plan)
   }
+
+  test("cdc_merge_upsert applies the whole batch in ONE full-outer equi-join") {
+    val plan = executedPlan("cdc_merge_upsert")
+    // the merge's scale contract: inserts/updates/deletes all ride one
+    // keyed join — a second anti-join pass for deletes, or a nested
+    // loop, would double/explode the snapshot traffic
+    assert(plan.contains("FullOuter"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cdc_changelog_compact compacts via partial-agg groupBy, never a window") {
+    val plan = executedPlan("cdc_changelog_compact")
+    // latest-per-key must stay an equi-aggregation (AQE can split a
+    // skewed key's partial aggs; a row_number window partition it
+    // cannot) and needs no join at all
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    // max(struct) carries a struct buffer, which is not hash-aggregable,
+    // so Spark plans SortAggregate — still a PARTIAL + FINAL pair (the
+    // scale property: map-side combine bounds the shuffle by distinct
+    // keys), just sorted within partitions instead of hashed
+    assert(plan.contains("SortAggregate") || plan.contains("HashAggregate"), plan)
+    assert(plan.split("Aggregate").length > 2,
+      s"expected a partial+final aggregate pair:\n$plan")
+  }
+
+  test("cdc_scd2_intervals windows per key — no single-partition funnel") {
+    val plan = executedPlan("cdc_scd2_intervals")
+    assert(plan.contains("Window"), plan)
+    // the window must be keyed (hashpartitioning on user_id), never a
+    // global sort's SinglePartition exchange
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("user_id"), plan)
+  }
+
+  test("text_heavy_hitters_cms screens map-side via a scalar-subquery sketch") {
+    val plan = executedPlan("text_heavy_hitters_cms")
+    // the grid rides as a subquery constant; the screen references the
+    // estimate inside a Filter BEFORE the recount aggregation; the
+    // sketch aggregate itself is object-hash (TypedImperativeAggregate)
+    assert(plan.contains("graft_cms_estimate"), plan)
+    assert(plan.toLowerCase.contains("subquery"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("layout_zorder_key is pure in-row bit arithmetic over the scan") {
+    val plan = executedPlan("layout_zorder_key")
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }

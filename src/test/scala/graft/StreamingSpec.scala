@@ -38,6 +38,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestPerKey maintains the compacted view across out-of-order micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.startToMemory(
+      EventStreams.latestPerKey(events), "compacted", OutputMode.Complete())
+    try {
+      // batch 1: user 1 has two versions (the later wins), user 2 one
+      input.addData(
+        (10L, ts(5), 1L, "a", 1.00), (11L, ts(9), 1L, "b", 2.00),
+        (20L, ts(3), 2L, "c", 3.00))
+      q.processAllAvailable()
+      val v1 = spark.table("compacted").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      assert(v1 == Map(1L -> (11L, "b"), 2L -> (20L, "c")))
+      // batch 2: a LATE (older) row for user 1 must NOT displace the
+      // winner; a newer row for user 2 must
+      input.addData((9L, ts(1), 1L, "z", 9.00), (21L, ts(8), 2L, "d", 4.00))
+      q.processAllAvailable()
+      val v2 = spark.table("compacted").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      assert(v2 == Map(1L -> (11L, "b"), 2L -> (21L, "d")))
+      // same-timestamp tie breaks to the higher event_id, deterministically
+      input.addData((12L, ts(9), 1L, "t", 5.00))
+      q.processAllAvailable()
+      val v3 = spark.table("compacted").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      assert(v3(1L) == (12L, "t"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import ops.LayoutOps
+
+/** Measures the layout property Z-ordering exists for: after writing
+  * the SAME rows under (a) a single-column range clustering and (b) a
+  * Morton-key range clustering, per-file min/max stats on the raw
+  * columns admit different file-skip sets for box predicates. The
+  * single-column layout is unbeatable on its own column and useless on
+  * the other; the Z layout prunes on BOTH. This is exactly the
+  * decision a 100 TB table owner makes between `ORDER BY (x)` and
+  * `ZORDER BY (x, y)` — here it is executed and counted on real
+  * parquet files instead of asserted from folklore.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private val NFiles = 16
+
+  // per-file (min,max) of x and y, read back from the written layout
+  private def fileStats(path: String): Array[(Long, Long, Long, Long)] =
+    spark.read.parquet(path)
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  // files a scan with predicate x∈[bx0,bx1] ∧ y∈[by0,by1] cannot skip
+  // (a one-sided bound of -1/256 disables that dimension)
+  private def filesNeeded(stats: Array[(Long, Long, Long, Long)],
+      bx0: Long, bx1: Long, by0: Long, by1: Long): Int =
+    stats.count { case (x0, x1, y0, y1) =>
+      x1 >= bx0 && x0 <= bx1 && y1 >= by0 && y0 <= by1
+    }
+
+  private lazy val keyed: DataFrame =
+    LayoutOps.layoutZorderKey(spark, sfDir).cache()
+
+  private lazy val statsLinear: Array[(Long, Long, Long, Long)] = {
+    val p = s"$scratch/layout_linear"
+    keyed.repartitionByRange(NFiles, col("x")).write.mode("overwrite").parquet(p)
+    fileStats(p)
+  }
+
+  private lazy val statsZ: Array[(Long, Long, Long, Long)] = {
+    val p = s"$scratch/layout_z"
+    keyed.repartitionByRange(NFiles, col("z")).write.mode("overwrite").parquet(p)
+    fileStats(p)
+  }
+
+  test("the Morton key interleaves bits correctly (spot values)") {
+    // (x=3, y=5): x bits 11 -> positions 0,2; y bits 101 -> positions 1,3,5
+    // z = 1 + 2 + 4 + 32 = 0b100111 = 39
+    val row = spark.sql(
+      s"SELECT ${LayoutOps.zOrderSparkSql("3", "5", 8)} AS z").head()
+    assert(row.getLong(0) == 39L)
+    // identity on the axes: (x, 0) maps to spread-x, (0, y) to 2*spread-y
+    val axes = spark.sql(s"""SELECT
+      ${LayoutOps.zOrderSparkSql("255", "0", 8)} AS zx,
+      ${LayoutOps.zOrderSparkSql("0", "255", 8)} AS zy""").head()
+    assert(axes.getLong(0) * 2 == axes.getLong(1))
+    // bijectivity over the full 16-bit domain on the fixture rows
+    assert(keyed.filter(col("z") < 0 || col("z") > 65535).count() == 0)
+  }
+
+  test("both layouts produced the expected file count with non-degenerate stats") {
+    assert(statsLinear.length == NFiles && statsZ.length == NFiles)
+    // x-clustered files must have tight x ranges (~256/16 wide)
+    assert(statsLinear.forall { case (x0, x1, _, _) => x1 - x0 <= 32 })
+  }
+
+  test("single-column layout: perfect on its column, zero pruning on the other") {
+    val onX = filesNeeded(statsLinear, 32, 63, 0, 255)
+    val onY = filesNeeded(statsLinear, 0, 255, 96, 127)
+    assert(onX <= 4, s"x-clustered layout should prune an x-box hard, needed $onX")
+    assert(onY >= NFiles - 1,
+      s"x-clustered layout cannot prune a y-box — expected ~$NFiles, got $onY")
+  }
+
+  test("Z layout prunes on BOTH dimensions and hardest on the 2-d box") {
+    val onX = filesNeeded(statsZ, 32, 63, 0, 255)
+    val onY = filesNeeded(statsZ, 0, 255, 96, 127)
+    val on2d = filesNeeded(statsZ, 32, 63, 96, 127)
+    val linearY = filesNeeded(statsLinear, 0, 255, 96, 127)
+    // 16 z-range files ≈ a 4×4 grid of 64×64 tiles: a 32-wide stripe in
+    // either dimension touches ~one row/column of tiles (+ boundary slop)
+    assert(onX <= 8, s"z layout x-box needed $onX of $NFiles")
+    assert(onY <= 8, s"z layout y-box needed $onY of $NFiles")
+    assert(onY < linearY, "z layout must beat the x-clustered layout on y predicates")
+    assert(on2d <= 4, s"z layout 2-d box needed $on2d of $NFiles")
+    assert(on2d <= onX && on2d <= onY)
+  }
+}
