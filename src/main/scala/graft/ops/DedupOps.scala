@@ -650,7 +650,7 @@ object DedupOps {
   /** Signature-agreement threshold for a verified near-dup edge:
     * 12/16 matching permutations ≈ Jaccard 0.75 — well above this
     * corpus's ~0.5 ambient similarity. Shared with the oracle SQL. */
-  private[ops] val MinhashClusterMatches = 12
+  private[graft] val MinhashClusterMatches = 12
 
   /** Near-dup cluster representatives — the "keep one per cluster" step
     * that turns pairwise LSH output into an actual dedup decision.
@@ -690,6 +690,38 @@ object DedupOps {
       .select(col("a"), col("b"))
     connectedComponents(verified)
       .select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
+  /** Leakage-safe train/val/test split — the assignment every
+    * held-out evaluation silently depends on: hash-splitting PER
+    * DOCUMENT puts a near-duplicate pair's members in different splits
+    * with probability 2·p·(1−p), leaking training text into the test
+    * set verbatim (the contamination `dedup_decontaminate` then has to
+    * detect after the fact). The fix is structural: split on the
+    * near-dup CLUSTER, not the document — every member inherits its
+    * cluster representative's hash bucket (singletons are their own
+    * group), so a duplicate pair straddling the split boundary is
+    * impossible BY CONSTRUCTION, not by audit. 80/10/10 via the
+    * content-stable 52-bit md5 of the group key.
+    *
+    * Scale shape: the cluster pass is [[dedupClusterReps]] (banded
+    * candidates + iterative equi-joins); the assignment itself is one
+    * left equi-join + in-row hashing — nothing new to audit. The split
+    * is REPRODUCIBLE (pure function of the doc-id graph) and stable
+    * under re-partitioning; it changes only when the dedup graph
+    * itself changes, which is exactly when it should. */
+  val corpusSplitLeakageSafe: Q = (s, dir) => {
+    val reps = dedupClusterReps(s, dir)
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left_outer")
+      .withColumn("group_key", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("bucket", pmod(expr(
+        "cast(conv(substring(md5(cast(group_key as string)), 1, 13), 16, 10) as bigint)"),
+        lit(10L)))
+      .select(col("doc_id"), col("group_key"), col("bucket"),
+        when(col("bucket") <= 7, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
   }
 
   /** Connected components over an undirected pair list (`a`, `b`
@@ -1289,6 +1321,7 @@ object DedupOps {
     "dedup_minhash_stream_twin" -> dedupMinhashStreamTwin,
     "cross_source_overlap" -> crossSourceOverlap,
     "dedup_cluster_reps" -> dedupClusterReps,
+    "corpus_split_leakage_safe" -> corpusSplitLeakageSafe,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
@@ -1681,6 +1714,21 @@ object DedupOps {
     "dedup_cluster_reps" ->
       s"""$clusterCtePrefix
           SELECT doc AS doc_id, MIN(lab) AS cluster_rep FROM reach GROUP BY doc""",
+    "corpus_split_leakage_safe" ->
+      s"""$clusterCtePrefix,
+          reps AS (SELECT doc AS doc_id, MIN(lab) AS cluster_rep
+                   FROM reach GROUP BY doc),
+          assigned AS (
+            SELECT d.doc_id,
+              COALESCE(r.cluster_rep, d.doc_id) AS group_key,
+              CAST(('0x' || substr(md5(CAST(COALESCE(r.cluster_rep, d.doc_id)
+                AS VARCHAR)), 1, 13)) AS BIGINT) % 10 AS bucket
+            FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id)
+          SELECT doc_id, group_key, bucket,
+            CASE WHEN bucket <= 7 THEN 'train'
+                 WHEN bucket = 8 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM assigned""",
     "dedup_simhash" ->
       s"""WITH tok AS ($tokSql),
           h AS (SELECT doc_id, md5(tk) AS h FROM tok),

@@ -81,7 +81,10 @@ object ClusterBench {
         spark.read.parquet(s"$dir/$t.parquet").count(): Unit
     }
 
-    val run = only.fold(subjects)(o => subjects.filter(o.contains))
+    // only= may name ANY catalog query (the ScaleBench convention), so
+    // new operators get multi-process datapoints without a subjects edit
+    val run = only.fold(subjects)(o =>
+        (subjects ++ o.toSeq.sorted).distinct.filter(o.contains))
       .filter(graft.SparkEntry.queries.contains)
     val samples = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Double]]
     for (_ <- 1 to reps; name <- run) {
