@@ -173,13 +173,19 @@ object MigrationOps {
         (cents(col("o_totalprice")) +
           when(col("m") === 4, lit(0L)).otherwise(lit(500L))).as("c_price_c"))
 
-  /** MERGE INTO as a dataflow kernel — the scale-correct successor to
-    * M1/M2's whole-table rewrites (SURVEY §2.9): apply an
-    * insert/update/delete change batch to a keyed snapshot in ONE
-    * full-outer equi-join, the exact relational shape Delta/Iceberg
-    * MERGE compiles to. Semantics per joined key: change-only row →
-    * insert; snapshot-only row → carry over; matched update →
-    * overwrite payload; matched delete → drop.
+  /** The generic MERGE kernel: apply a change batch to a keyed
+    * snapshot in ONE full-outer equi-join — the exact relational shape
+    * Delta/Iceberg MERGE compiles to. Contract: `snapshot` carries
+    * `key` + `s_<p>` per payload column, `changes` carries `key`,
+    * `op` ∈ {insert, update, delete} (one row per key —
+    * [[graft.ops.EventOps.cdcChangelogCompact]] reduces multi-version
+    * batches to this precondition) and `c_<p>` payloads (null = keep
+    * the snapshot's value). Per joined key: change-only insert/update
+    * → take the change payloads (last-write-wins upsert — the
+    * Debezium "apply u without a prior image" convention); snapshot-
+    * only → carry over; matched update → per-column
+    * coalesce(change, snapshot); any delete → drop, including deletes
+    * of already-absent keys (idempotent).
     *
     * At 100 TB the snapshot dominates the delta, so the join
     * broadcast/shuffle asymmetry is the whole game: a small batch
@@ -189,15 +195,27 @@ object MigrationOps {
     * shuffles both sides on the key, where a snapshot BUCKETED on the
     * key (BucketingSpec's layout) makes every subsequent merge
     * delta-only shuffle. Deletes cost nothing extra — they ride the
-    * same join instead of a second anti-join pass. */
-  val cdcMergeUpsert: Q = (s, dir) =>
-    cdcSnapshot(s, dir).join(cdcChanges(s, dir), Seq("key"), "full_outer")
+    * same join instead of a second anti-join pass.
+    * CdcPropertySpec pins the semantics against a from-first-
+    * principles reference on randomized batches. */
+  def mergeBatch(snapshot: DataFrame, changes: DataFrame,
+      payload: Seq[String]): DataFrame =
+    snapshot.join(changes, Seq("key"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "delete")
-      .select(
-        col("key"),
-        coalesce(col("c_custkey"), col("s_custkey")).as("custkey"),
-        when(col("op") === "insert", lit("I")).otherwise(col("s_status")).as("status"),
-        coalesce(col("c_price_c"), col("s_price_c")).as("price_c"))
+      .select(col("key") +:
+        payload.map(p => coalesce(col(s"c_$p"), col(s"s_$p")).as(p)): _*)
+
+  /** The catalog entry: [[mergeBatch]] applied to the orders snapshot
+    * and the derived change batch (insert rows pre-mark their status
+    * payload 'I'; updates leave status null so the snapshot's value
+    * carries through the per-column coalesce). */
+  val cdcMergeUpsert: Q = (s, dir) =>
+    mergeBatch(
+      cdcSnapshot(s, dir),
+      cdcChanges(s, dir)
+        .withColumn("c_status",
+          when(col("op") === "insert", lit("I")).otherwise(lit(null).cast("string"))),
+      Seq("custkey", "status", "price_c"))
 
   /** Bulk CSV ingest (reference: tests/test_clickhouse_migration.py:101 —
     * gzip CSV with header; Spark reads gzip transparently). Oracle:
