@@ -62,6 +62,72 @@ object Multimodal {
     (width, height, feature)
   }
 
+  case class FrameSample(
+      doc_id: Long, frame_idx: Int, n_frames: Int, frame_n_bytes: Int, checksum: Long)
+  case class ResizedMedia(doc_id: Long, n_bytes: Int, resized_checksum: Long)
+
+  /** Frame sampling — the video half of the decode contract: a payload
+    * is read as consecutive fixed-size frames (trailing partial frame
+    * dropped, exactly what a fixed-GOP reader does) and every
+    * `everyNth`-th frame is emitted as its OWN ROW with an
+    * integer-exact checksum standing in for the decoded frame. The
+    * Spark mechanics are the real deliverable: a 1→N flatMap inside
+    * the source-sharded mapPartitions kernel (per-partition decoder
+    * init, not per-row; same contract as [[extractFeatures]]), with
+    * the output row count a function of payload sizes — the shape a
+    * video-pretraining reader fans out at 100 TB. The stub checksum
+    * keeps the whole fan-out DuckDB-expressible, so the catalog entry
+    * checks frame boundaries, sampling arithmetic, and per-frame byte
+    * sums exactly. */
+  def sampleFrames(records: Dataset[MediaRecord],
+      frameBytes: Int = 64, everyNth: Int = 2): Dataset[FrameSample] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .repartition(col("source"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val nFrames = r.payload.length / frameBytes
+          (0 until nFrames).iterator.filter(_ % everyNth == 0).map { fi =>
+            var sum = 0L
+            var i = fi * frameBytes
+            val end = i + frameBytes
+            while (i < end) { sum += (r.payload(i) & 0xff); i += 1 }
+            FrameSample(r.doc_id, fi, nFrames, frameBytes, sum)
+          }
+        }
+      }
+  }
+
+  /** Resize — the image half, as a stub with honest semantics:
+    * nearest-neighbor downsample of the byte stream to `targetBytes`
+    * samples (index k reads source byte ⌊k·n/target⌋ — shorter
+    * payloads upsample by repetition, the nearest-neighbor convention).
+    * Integer-exact output (the resized stream's checksum), so the
+    * catalog entry pins the index mapping against the oracle; swap
+    * [[resizeStub]] for a real scaler and the pipeline shape —
+    * source-sharded mapPartitions, fixed-width output — is unchanged. */
+  private[ext] def resizeStub(payload: Array[Byte], targetBytes: Int): Long = {
+    val n = payload.length
+    var sum = 0L
+    var k = 0
+    while (k < targetBytes) {
+      sum += (payload((k.toLong * n / targetBytes).toInt) & 0xff)
+      k += 1
+    }
+    sum
+  }
+
+  def resizeAll(records: Dataset[MediaRecord],
+      targetBytes: Int = 64): Dataset[ResizedMedia] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .repartition(col("source"))
+      .mapPartitions(_.map(r =>
+        ResizedMedia(r.doc_id, r.payload.length, resizeStub(r.payload, targetBytes))))
+  }
+
   /** Decode pass: shard by source, then partition-local decode via
     * mapPartitions (one decoder per partition, not per row). */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {

@@ -469,6 +469,36 @@ object EventOps {
         col("last.event_type").as("last_event_type"),
         col("last.value_c").as("last_value_c"))
 
+  /** Salted two-stage twin of [[cdcChangelogCompact]] — the plan for
+    * the changelog whose key skew AQE can't fully save (one entity
+    * receiving millions of updates; even a split equi-agg leaves the
+    * partial-merge of that key's splits on one task): stage 1 groups
+    * on (key, salt = version-hash mod 16) so the hot key's partials
+    * spread across 16 tasks; stage 2 max-merges the ≤16 survivors per
+    * key. EXACT by max's associativity — any grouping of the rows
+    * yields the same maximum — so the twin shares the oracle verbatim
+    * and "salted ≡ unsalted" is a driver-gate theorem (the
+    * `token_doc_freq_salted` pattern applied to struct-max). The salt
+    * must key on a CHANGE attribute (version), never the key alone —
+    * salting by key-hash would put the hot key's rows back on one
+    * salt. */
+  val cdcChangelogCompactSalted: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("user_id"),
+        struct(
+          unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          col("event_type"),
+          cents(col("value")).as("value_c")).as("v"))
+      .withColumn("salt", pmod(xxhash64(col("v.event_id")), lit(16L)))
+      .groupBy("user_id", "salt").agg(max(col("v")).as("pv"))
+      .groupBy("user_id").agg(max(col("pv")).as("last"))
+      .select(col("user_id"),
+        col("last.us").as("last_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value_c").as("last_value_c"))
+
   /** SCD type-2 expansion — the inverse of [[cdcChangelogCompact]]:
     * every change becomes a validity interval [valid_from, valid_to)
     * with an open-ended current row, the shape warehouse dimensions
@@ -515,6 +545,7 @@ object EventOps {
   val queries: Seq[(String, Q)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "cdc_changelog_compact" -> cdcChangelogCompact,
+    "cdc_changelog_compact_salted" -> cdcChangelogCompactSalted,
     "cdc_scd2_intervals" -> cdcScd2Intervals,
     "cdc_compact_stream_twin" -> cdcCompactStreamTwin,
     "events_dedup_stream_twin" -> eventsDedupStreamTwin,
@@ -561,6 +592,7 @@ object EventOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "cdc_changelog_compact" -> cdcCompactOracleSql,
+    "cdc_changelog_compact_salted" -> cdcCompactOracleSql,
     "cdc_compact_stream_twin" -> cdcCompactOracleSql,
     "cdc_scd2_intervals" ->
       """SELECT user_id, event_id, event_type,

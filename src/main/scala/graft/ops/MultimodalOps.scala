@@ -49,9 +49,30 @@ object MultimodalOps {
       .select("qid", "nid", "bucket", "cos6", "rk")
   }
 
+  /** Video-reader fan-out: fixed-size frames, every-2nd sampling, one
+    * row per kept frame with an exact byte-sum checksum
+    * ([[graft.ext.Multimodal.sampleFrames]] — the 1→N flatMap inside
+    * the sharded mapPartitions kernel). The oracle re-derives frame
+    * boundaries and per-frame sums from the payload's hex dump, so the
+    * slicing arithmetic itself is gate-checked. */
+  val multimodalFrameSample: Q = (s, dir) =>
+    graft.ext.Multimodal.sampleFrames(
+        graft.ext.Multimodal.attachPayload(t(s, dir, "documents")))
+      .toDF()
+
+  /** Nearest-neighbor byte-stream resize to 64 samples
+    * ([[graft.ext.Multimodal.resizeAll]]); the checksum pins the
+    * ⌊k·n/64⌋ index mapping exactly. */
+  val multimodalResize: Q = (s, dir) =>
+    graft.ext.Multimodal.resizeAll(
+        graft.ext.Multimodal.attachPayload(t(s, dir, "documents")))
+      .toDF()
+
   val queries: Seq[(String, Q)] = Seq(
     "multimodal_meta" -> multimodalMeta,
     "multimodal_batch_shape" -> multimodalBatchShape,
+    "multimodal_frame_sample" -> multimodalFrameSample,
+    "multimodal_resize" -> multimodalResize,
     "multimodal_ann" -> multimodalAnn)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -65,6 +86,36 @@ object MultimodalOps {
          CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes,
          CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
          FROM documents GROUP BY source""",
+    "multimodal_frame_sample" ->
+      // frame boundaries and per-frame byte sums re-derived from the
+      // hex dump: byte b (0-based) lives at substr(hx, 2b+1, 2);
+      // DuckDB's generate_series is inclusive, so the empty cases
+      // (payload shorter than one frame) fall out of n//64 - 1 < 0
+      """WITH by AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+                            octet_length(CAST(text AS BLOB)) AS n
+                     FROM documents),
+          frames AS (SELECT doc_id, CAST(f.fi AS INTEGER) AS frame_idx,
+                            CAST(n // 64 AS INTEGER) AS n_frames
+                     FROM by, unnest(generate_series(0, n // 64 - 1)) f(fi)
+                     WHERE n >= 64),
+          sampled AS (SELECT * FROM frames WHERE frame_idx % 2 = 0)
+          SELECT s.doc_id, s.frame_idx, s.n_frames,
+            CAST(64 AS INTEGER) AS frame_n_bytes,
+            CAST(SUM(CAST(('0x' || substr(b.hx, 2 * (s.frame_idx * 64 + u.i) + 1, 2))
+                     AS BIGINT)) AS BIGINT) AS checksum
+          FROM sampled s JOIN by b ON s.doc_id = b.doc_id,
+               unnest(generate_series(0, 63)) u(i)
+          GROUP BY s.doc_id, s.frame_idx, s.n_frames""",
+    "multimodal_resize" ->
+      // the ⌊k·n/64⌋ nearest-neighbor index mapping, byte-for-byte
+      """WITH by AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+                            octet_length(CAST(text AS BLOB)) AS n
+                     FROM documents)
+          SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+            CAST(SUM(CAST(('0x' || substr(hx, 2 * ((u.k * n) // 64) + 1, 2))
+                     AS BIGINT)) AS BIGINT) AS resized_checksum
+          FROM by, unnest(generate_series(0, 63)) u(k)
+          GROUP BY doc_id, n""",
     "multimodal_ann" ->
       // mirrors the stub decode byte-for-byte: UTF-8 payload bytes via
       // hex(), per-(pos % 8) integer sums, one /255.0 division, cast to

@@ -158,13 +158,43 @@ private class DocGenTable(options: CaseInsensitiveStringMap)
 
 private class DocGenScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownFilters {
+    with SupportsPushDownLimit with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = DocGen.schema
   private var limit: Int = -1
   private var idLo: Long = Long.MinValue
   private var idHi: Long = Long.MaxValue // exclusive
   private var langSet: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var countStarPushed = false
+
+  /** COMPLETE COUNT(*) pushdown: a generated table's ungrouped row
+    * count is a CLOSED FORM of its definition — max(0, hi−lo) after
+    * the pushed doc_id range — so the "aggregate" is O(1) arithmetic
+    * and the scan materializes NOTHING (the aggregate-pushdown analog
+    * of parquet's footer-count shortcut, which Spark only gets from
+    * file sources; a metadata-aware DSv2 source can do the same).
+    * Only the exactly-computable case is claimed: ungrouped COUNT(*)
+    * with no lang filter (lang is a per-row function of the id — a
+    * lang-filtered count would need the row pass the pushdown exists
+    * to avoid) and no pushed limit. Everything else declines and runs
+    * as a normal scan + aggregate. */
+  private def canPushCount(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    langSet.isEmpty && limit < 0 &&
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!canPushCount(agg)) false
+    else { countStarPushed = true; true }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -199,7 +229,40 @@ private class DocGenScanBuilder(options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new DocGenScan(options, required, limit, idLo, idHi, langSet)
+    if (countStarPushed) new DocGenCountScan(options, idLo, idHi)
+    else new DocGenScan(options, required, limit, idLo, idHi, langSet)
+}
+
+/** The scan a completely-pushed COUNT(*) builds: one partition, one
+  * row, zero document generation — the count is closed-form from the
+  * (filter-narrowed) generated range. Its schema IS the aggregation
+  * output (one non-null BIGINT; Spark maps it positionally). */
+private class DocGenCountScan(options: CaseInsensitiveStringMap,
+    idLo: Long, idHi: Long) extends Scan with Batch {
+  private val n = options.getLong("n", 1000L)
+  private val count = math.max(0L, math.min(n, idHi) - math.max(0L, idLo))
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docs(COUNT(*) pushed = $count)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocGenPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocGenCountReaderFactory(count)
+}
+
+private case class DocGenCountReaderFactory(count: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](count))
+      override def close(): Unit = ()
+    }
 }
 
 private class DocGenScan(options: CaseInsensitiveStringMap,

@@ -147,4 +147,37 @@ class DocGenSpec extends SparkSpec {
     assert(stats.length == 300)
     assert(stats.forall(r => r.getInt(1) >= r.getInt(2) && r.getInt(2) > 0))
   }
+
+  test("COUNT(*) pushes down completely: closed-form count, no generation, no aggregate") {
+    import org.apache.spark.sql.functions.col
+    // 10 BILLION generated rows: countable only because the scan never
+    // materializes one — the aggregate collapses to range arithmetic
+    val big = spark.read.format("graft-docs").option("n", "10000000000").load()
+    val t0 = System.nanoTime()
+    val df = big.filter(col("doc_id") >= 2500000000L).agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    val n = df.head().getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n == 7500000000L)
+    assert(secs < 30, s"pushed count took $secs s — did it generate rows?")
+    // the final plan carries the pushed-count scan and NO aggregate exec
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("COUNT(*) pushed"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+  }
+
+  test("aggregate pushdown declines when it cannot be exact (lang filter, group-by)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.format("graft-docs").option("n", "500").load()
+    // lang-filtered count: declined (lang is per-row) — runs as scan+agg
+    val byLang = docs.filter(col("lang") === "en").count()
+    val expected = docs.collect().count(_.getString(2) == "en")
+    assert(byLang == expected)
+    // grouped count: declined — values must match the full computation
+    val grouped = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped.values.sum == 500L)
+    val gPlan = docs.groupBy("lang").count().queryExecution.executedPlan.toString
+    assert(!gPlan.contains("COUNT(*) pushed"), gPlan)
+  }
 }

@@ -17,6 +17,40 @@ class MultimodalSpec extends SparkSpec {
     assert(recs.schema("payload").dataType.typeName == "binary")
   }
 
+  test("sampleFrames fans out the expected frame rows with exact checksums") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val recs = Multimodal.attachPayload(docs)
+    val frames = Multimodal.sampleFrames(recs).collect()
+    // independent reference on the driver from the raw payload bytes
+    val byDoc = recs.collect().map(r => r.doc_id -> r.payload).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      val p = byDoc(f.doc_id)
+      assert(f.n_frames == p.length / 64)
+      assert(f.frame_idx % 2 == 0 && f.frame_idx < f.n_frames)
+      val want = (f.frame_idx * 64 until f.frame_idx * 64 + 64)
+        .map(i => (p(i) & 0xff).toLong).sum
+      assert(f.checksum == want, s"doc ${f.doc_id} frame ${f.frame_idx}")
+    }
+    // fan-out arithmetic: every doc contributes ceil(nFrames/2) rows
+    val wantRows = byDoc.values.map(p => (p.length / 64 + 1) / 2).sum
+    assert(frames.length == wantRows)
+  }
+
+  test("resizeAll pins the nearest-neighbor index mapping, up- and down-sampling") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val recs = Multimodal.attachPayload(docs)
+    val resized = Multimodal.resizeAll(recs).collect()
+      .map(r => r.doc_id -> r).toMap
+    val byDoc = recs.collect().map(r => r.doc_id -> r.payload).toMap
+    assert(resized.size == byDoc.size)
+    byDoc.foreach { case (id, p) =>
+      val want = (0 until 64).map(k => (p((k.toLong * p.length / 64).toInt) & 0xff).toLong).sum
+      assert(resized(id).resized_checksum == want, s"doc $id")
+      assert(resized(id).n_bytes == p.length)
+    }
+  }
+
   test("extractFeatures is deterministic and preserves counts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val n = docs.count()
