@@ -38,7 +38,11 @@ object ScaleBench {
     // (50-query bounded scan — linear in N), and the composed
     // cell-restricted probe (pair count ~ 50 × N/K — linear with a
     // K-fold smaller constant)
-    "embedding_pq_codes", "ann_pq_rerank", "ann_ivfpq_topk")
+    "embedding_pq_codes", "ann_pq_rerank", "ann_ivfpq_topk",
+    // round-8 continuation: the CMS screen joins the standing growth
+    // subjects (its 1×/10×/30× trio study is in SCALING.md; keeping it
+    // here means future rounds re-measure it for free)
+    "text_heavy_hitters_cms")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <sfDir> [reps] [only=a,b,c]")

@@ -42,8 +42,8 @@ class CodegenGateSpec extends SparkSpec {
       // round-8 continuation: the CMS screen (native CmsEstimate
       // codegen), the CDC family, and the Morton-key bit arithmetic
       "text_heavy_hitters_cms", "cdc_merge_upsert",
-      "cdc_changelog_compact", "cdc_scd2_intervals",
-      "layout_zorder_key")).distinct
+      "cdc_changelog_compact", "cdc_changelog_compact_salted",
+      "cdc_scd2_intervals", "layout_zorder_key")).distinct
       .filter(SparkEntry.queries.contains)
 
   test("every gated query executes with codegen fallback disabled") {
