@@ -571,6 +571,41 @@ object SimilarityOps {
       .filter(col("rk") <= PqTopK)
   }
 
+  private[graft] val MrlDim = 16
+
+  /** Matryoshka truncation ANN — the DIMENSIONAL member of the
+    * compression triad (int8 = scalar quantization, PQ = product
+    * quantization, this = prefix truncation, Kusupati et al. 2022):
+    * MRL-trained embeddings concentrate information in the leading
+    * dimensions, so serving can search on the first [[MrlDim]] of 64
+    * (4× less scan IO and per-pair compute) and optionally rerank
+    * survivors at full width — the PQ-rerank composition applies
+    * unchanged. Cosine over the truncated prefix is renormalized by
+    * the PREFIX norms (cosine in the subspace), the round-6 single
+    * division discipline as everywhere. This fixture's vectors are
+    * not MRL-trained, so the measured recall IS the un-finetuned
+    * baseline MRL papers improve on — QuantizationSpec pins it
+    * above chance and records it beside int8's for the
+    * bits-vs-recall reading. */
+  val annMrlTopk: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("tv", expr(s"slice(v, 1, $MrlDim)"))
+      .withColumn("tn", expr(
+        "aggregate(zip_with(tv, tv, (x, y) -> x*y), 0D, (a, x) -> a + x)"))
+      .filter(col("tn") > 0)
+      .select("vec_id", "tv", "tn")
+    val q = e.filter(col("vec_id") < 10)
+    val scored = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        round(
+          expr("aggregate(zip_with(a.tv, b.tv, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
+            / sqrt(col("a.tn") * col("b.tn")), 6).as("tcos6"))
+    val w = Window.partitionBy("qid").orderBy(col("tcos6").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
   private[graft] val PqShortlist = 20
 
   /** The complete production PQ probe: ADC shortlist → exact rerank.
@@ -685,6 +720,7 @@ object SimilarityOps {
     "ann_recall_at_k" -> annRecallAtK,
     "embedding_quantize_int8" -> embeddingQuantizeInt8,
     "ann_quantized_topk" -> annQuantizedTopk,
+    "ann_mrl_topk" -> annMrlTopk,
     "embedding_pq_codes" -> embeddingPqCodes,
     "embedding_pq_codes_stream_twin" -> embeddingPqCodesStreamTwin,
     "ann_pq_topk" -> annPqTopk,
@@ -1026,6 +1062,20 @@ object SimilarityOps {
          SELECT qid, nid, cos6q, rk FROM (
            SELECT qid, nid, cos6q,
              row_number() OVER (PARTITION BY qid ORDER BY cos6q DESC, nid) AS rk
+           FROM scored) WHERE rk <= 5""",
+    "ann_mrl_topk" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         tr AS (SELECT vec_id, v[1:$MrlDim] AS tv FROM e0),
+         e AS (SELECT vec_id, tv, list_dot_product(tv, tv) AS tn
+               FROM tr WHERE list_dot_product(tv, tv) > 0),
+         scored AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_dot_product(a.tv, b.tv) / sqrt(a.tn * b.tn), 6) AS tcos6
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id < 10)
+         SELECT qid, nid, tcos6, rk FROM (
+           SELECT qid, nid, tcos6,
+             row_number() OVER (PARTITION BY qid ORDER BY tcos6 DESC, nid) AS rk
            FROM scored) WHERE rk <= 5""",
     "embedding_pq_codes" ->
       s"""$pqCtePrefix

@@ -37,4 +37,22 @@ class QuantizationSpec extends SparkSpec {
     // this toward chance (~5/499)
     assert(mean >= 0.6, s"mean recall@5 $mean too low: $recalls")
   }
+
+  test("MRL truncation to 16 dims recalls above chance (the un-finetuned baseline)") {
+    def topk(q: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(q)(spark, dir).select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val exact = topk("ann_bruteforce_topk")
+    val mrl = topk("ann_mrl_topk")
+    assert(exact.keySet == mrl.keySet)
+    val recalls = exact.map { case (q, e) => (e & mrl(q)).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    val chance = 5.0 / 499
+    // a prefix of an UNTRAINED embedding keeps 1/4 of the information —
+    // recall must sit clearly above chance but (on this corpus) below
+    // int8's 0.6, which spends 8× the bits per retained dimension; a
+    // broken slice/renormalization collapses to chance
+    assert(mean > 5 * chance, s"mean recall@5 $mean vs chance $chance")
+    info(f"MRL-16 mean recall@5 = $mean%.3f (chance $chance%.4f)")
+  }
 }
