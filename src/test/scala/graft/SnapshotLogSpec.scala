@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import sources.SnapshotLog
+
+/** Reader guarantees of the atomic snapshot log
+  * ([[graft.sources.SnapshotLog]]): versions are readable exactly when
+  * committed, time travel resolves the newest version at-or-before the
+  * ask, uncommitted data directories are invisible (the torn-write
+  * case a plain directory convention cannot exclude), and the merge
+  * kernel composes through it.
+  */
+class SnapshotLogSpec extends SparkSpec {
+
+  test("commit/read round-trips and versions monotonically") {
+    import spark.implicits._
+    val t = s"$scratch/snap_basic"
+    val v0 = SnapshotLog.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("key", "s"))
+    val v1 = SnapshotLog.commit(spark, t, Seq((1L, "a2"), (3L, "c")).toDF("key", "s"))
+    assert(v0 == 0L && v1 == 1L)
+    assert(SnapshotLog.latestVersion(t).contains(1L))
+    val latest = SnapshotLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest == Map(1L -> "a2", 3L -> "c"))
+    // time travel
+    val old = SnapshotLog.read(spark, t, asOf = Some(0L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("uncommitted data is invisible: data files without a manifest do not exist") {
+    import spark.implicits._
+    val t = s"$scratch/snap_torn"
+    SnapshotLog.commit(spark, t, Seq((1L, 10L)).toDF("key", "p"))
+    // simulate a crashed writer: v1 data fully written, manifest never moved
+    Seq((1L, 99L), (2L, 98L)).toDF("key", "p")
+      .write.parquet(s"$t/data/v1")
+    assert(SnapshotLog.latestVersion(t).contains(0L))
+    val rows = SnapshotLog.read(spark, t).collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 10L)
+  }
+
+  test("publishing an already-taken version fails instead of silently overwriting") {
+    import spark.implicits._
+    val t = s"$scratch/snap_dup"
+    SnapshotLog.commit(spark, t, Seq((1L, 1L)).toDF("key", "p"))
+    // the losing side of the race: a writer that read latest=-1 and now
+    // tries to publish version 0, which the first commit already owns
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      SnapshotLog.publish(t, 0L, Seq("/nonexistent.parquet"))
+    }
+    // the winner's manifest is untouched
+    assert(SnapshotLog.read(spark, t).count() == 1)
+  }
+
+  test("the merge kernel composes: CDC batches maintained through the log") {
+    import spark.implicits._
+    val t = s"$scratch/snap_cdc"
+    SnapshotLog.commit(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("key", "s_price"))
+    val batch = Seq((1L, "update", Some(11L)), (3L, "insert", Some(30L)))
+      .toDF("key", "op", "c_price")
+    val merged = graft.ops.MigrationOps
+      .mergeBatch(SnapshotLog.read(spark, t), batch, Seq("price"))
+      .withColumnRenamed("price", "s_price")
+    val v = SnapshotLog.commit(spark, t, merged)
+    assert(v == 1L)
+    val fin = SnapshotLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+    // both history points remain readable
+    assert(SnapshotLog.read(spark, t, asOf = Some(0L)).count() == 2)
+  }
+}
