@@ -57,10 +57,12 @@ object IncrementalDemo {
       .select("doc_id", "text", "lang", "source")
     val splitId = 300L
 
-    // ---- day 0: snapshot + persisted band index -------------------
+    // ---- day 0: snapshot (atomic log commit) + persisted band index
     val day0 = docs.filter(col("doc_id") < splitId)
     val n0 = day0.count()
-    day0.write.mode("overwrite").parquet(s"$outDir/snapshot_v0")
+    val table = s"$outDir/snapshot"
+    val v0 = graft.sources.SnapshotLog.commit(spark, table, day0)
+    require(v0 == 0L)
     DedupOps.writeBandIndex(day0, "inc_demo_band_index")
 
     // ---- the raw change batch -------------------------------------
@@ -106,7 +108,7 @@ object IncrementalDemo {
     val cleanBatch = batch.join(nearDupNew, Seq("doc_id"), "left_anti")
 
     // ---- 5. MERGE (one full-outer equi-join) ----------------------
-    val snapshot = spark.read.parquet(s"$outDir/snapshot_v0")
+    val snapshot = graft.sources.SnapshotLog.read(spark, table)
     val merged = snapshot.join(cleanBatch, Seq("doc_id"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "delete")
       .select(col("doc_id"),
@@ -119,17 +121,25 @@ object IncrementalDemo {
       s"accounting: $n1 != $n0 - $nDel + $nIns - $nDropped")
     require(merged.filter(col("text").endsWith("edited-v2")).count() == v2Wins)
 
-    // ---- 6. fragmented write, then clustered compaction -----------
+    // ---- 6. fragmented write, clustered compaction, atomic commit -
     merged.repartition(32).write.mode("overwrite").parquet(s"$outDir/snapshot_v1_frag")
     val st = Compaction.compactParquet(spark,
-      s"$outDir/snapshot_v1_frag", s"$outDir/snapshot_v1",
+      s"$outDir/snapshot_v1_frag", s"$outDir/snapshot_v1_compacted",
       targetRecordsPerFile = 200, clusterBy = Seq("doc_id"))
     require(st.rows == n1 && st.filesBefore == 32 && st.filesAfter < 32,
       s"compaction: $st")
+    // the compacted result becomes the NEXT committed version; until
+    // this line, every reader still sees v0 — and v0 stays readable
+    // after it (time travel)
+    val v1 = graft.sources.SnapshotLog.commit(spark, table,
+      spark.read.parquet(s"$outDir/snapshot_v1_compacted"))
+    require(v1 == 1L)
+    require(graft.sources.SnapshotLog.read(spark, table).count() == n1)
+    require(graft.sources.SnapshotLog.read(spark, table, asOf = Some(0L)).count() == n0)
 
     println(s"INCREMENTAL: n0=$n0 raw_batch=$nRawBatch batch=$nBatch " +
       s"deletes=$nDel inserts=$nIns neardup_dropped=$nDropped n1=$n1 " +
-      s"files=${st.filesBefore}->${st.filesAfter}")
+      s"files=${st.filesBefore}->${st.filesAfter} versions=${v0}->${v1}")
     spark.stop()
   }
 }
