@@ -108,6 +108,7 @@ object Multimodal {
     * [[resizeStub]] for a real scaler and the pipeline shape —
     * source-sharded mapPartitions, fixed-width output — is unchanged. */
   private[ext] def resizeStub(payload: Array[Byte], targetBytes: Int): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
     val n = payload.length
     var sum = 0L
     var k = 0
@@ -124,6 +125,9 @@ object Multimodal {
     import spark.implicits._
     records
       .repartition(col("source"))
+      // empty payloads have no byte to nearest-neighbor from — skipped
+      // on BOTH engines (the oracle's WHERE n > 0), never crashed on
+      .filter(_.payload.nonEmpty)
       .mapPartitions(_.map(r =>
         ResizedMedia(r.doc_id, r.payload.length, resizeStub(r.payload, targetBytes))))
   }

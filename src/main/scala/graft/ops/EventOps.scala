@@ -453,21 +453,14 @@ object EventOps {
     * (the dedup_paragraph doctrine), and at 100 TB a changelog's key
     * skew (one hot entity) is the norm. Struct max compares fields
     * lexicographically; (us, event_id) is unique, so the payload
-    * fields behind them never arbitrate. */
+    * fields behind them never arbitrate.
+    *
+    * The transform is [[graft.streaming.EventStreams.latestPerKey]] —
+    * ONE definition executed by both this batch entry and the stream
+    * twin, so "stream == batch" cannot drift out from under the
+    * shared oracle by an edit to one copy. */
   val cdcChangelogCompact: Q = (s, dir) =>
-    events(s, dir)
-      .select(col("user_id"),
-        struct(
-          unix_micros(col("ts")).as("us"),
-          col("event_id"),
-          col("event_type"),
-          cents(col("value")).as("value_c")).as("v"))
-      .groupBy("user_id").agg(max(col("v")).as("last"))
-      .select(col("user_id"),
-        col("last.us").as("last_us"),
-        col("last.event_id").as("last_event_id"),
-        col("last.event_type").as("last_event_type"),
-        col("last.value_c").as("last_value_c"))
+    graft.streaming.EventStreams.latestPerKey(events(s, dir))
 
   /** Salted two-stage twin of [[cdcChangelogCompact]] — the plan for
     * the changelog whose key skew AQE can't fully save (one entity

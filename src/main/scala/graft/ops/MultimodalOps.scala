@@ -115,6 +115,7 @@ object MultimodalOps {
             CAST(SUM(CAST(('0x' || substr(hx, 2 * ((u.k * n) // 64) + 1, 2))
                      AS BIGINT)) AS BIGINT) AS resized_checksum
           FROM by, unnest(generate_series(0, 63)) u(k)
+          WHERE n > 0
           GROUP BY doc_id, n""",
     "multimodal_ann" ->
       // mirrors the stub decode byte-for-byte: UTF-8 payload bytes via

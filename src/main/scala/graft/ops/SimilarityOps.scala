@@ -383,7 +383,7 @@ object SimilarityOps {
   // Product quantization (IVF-PQ's compression half) — the ANN form that
   // actually fits 100 TB of embeddings in memory: each 64-dim float
   // vector (256 bytes) is encoded as PqM sub-space code ids (8 bytes as
-  // longs, 3 BITS each information-theoretically), and query-time
+  // longs, 4 BITS each information-theoretically: PqK = 16 codes), and query-time
   // scoring reads ONLY the codes via an ADC (asymmetric distance
   // computation) lookup table. Jégou, Douze, Schmid, "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011.
@@ -546,6 +546,24 @@ object SimilarityOps {
     * probe composes this scorer with [[annIvfKmeans]]'s cell equi-join
     * so only one cell's codes are scored per query. */
   val annPqTopk: Q = (s, dir) => {
+    val (scored, _) = pqAdcScored(s, dir)
+    val w = Window.partitionBy("qid").orderBy(col("adc6").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PqTopK)
+  }
+
+  /** The shared flat-ADC stage — (qid, nid, adc6) for every query ×
+    * corpus-code pair, plus the raw-vector scan for downstream rerank.
+    * ONE definition feeds both [[annPqTopk]] (top-3 directly) and
+    * [[pqRerankWidth]] (shortlist stage), so the ADC indexing and
+    * rounding cannot drift between the twins.
+    *
+    * The query stays RAW: ADC = ⟨q, x̂−μ⟩ = ⟨q, x̂⟩ − ⟨q, μ⟩, and the
+    * second term is constant per query — so the ADC ranking is exactly
+    * the dot-product ranking against the reconstructions (centering
+    * the query too would add a −⟨μ, x⟩ term that varies with the
+    * candidate and silently skews the order). */
+  private def pqAdcScored(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val mu = pqMean(s, dir)
     val cb = pqTrain(s, dir, mu)
     val raw = t(s, dir, "embeddings")
@@ -553,11 +571,6 @@ object SimilarityOps {
     val coded = raw.select(col("vec_id"), expr(centerExpr(mu)).as("v"))
       .withColumn("codes", expr(pqEncodeExpr(s, cb)))
       .select(col("vec_id"), col("codes"))
-    // the query stays RAW: ADC = ⟨q, x̂−μ⟩ = ⟨q, x̂⟩ − ⟨q, μ⟩, and the
-    // second term is constant per query — so the ADC ranking is exactly
-    // the dot-product ranking against the reconstructions (centering
-    // the query too would add a −⟨μ, x⟩ term that varies with the
-    // candidate and silently skews the order)
     val q = raw.filter(col("vec_id") < PqQueryCount)
       .withColumn("lut", expr(pqLutExpr(s, cb)))
       .select(col("vec_id").as("qid"), col("lut"))
@@ -566,9 +579,7 @@ object SimilarityOps {
     val scored = coded.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
       .select(col("qid"), col("c.vec_id").as("nid"),
         expr(s"round($adcChain, 6)").as("adc6"))
-    val w = Window.partitionBy("qid").orderBy(col("adc6").desc, col("nid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= PqTopK)
+    (scored, raw)
   }
 
   private[graft] val MrlDim = 16
@@ -629,21 +640,7 @@ object SimilarityOps {
     * it to measure the recall/IO frontier. */
   private[graft] def pqRerankWidth(
       s: SparkSession, dir: String, width: Int): DataFrame = {
-    val mu = pqMean(s, dir)
-    val cb = pqTrain(s, dir, mu)
-    val raw = t(s, dir, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val coded = raw.select(col("vec_id"), expr(centerExpr(mu)).as("v"))
-      .withColumn("codes", expr(pqEncodeExpr(s, cb)))
-      .select(col("vec_id"), col("codes"))
-    val q = raw.filter(col("vec_id") < PqQueryCount)
-      .withColumn("lut", expr(pqLutExpr(s, cb)))
-      .select(col("vec_id").as("qid"), col("lut"))
-    val adcChain = (0 until PqM)
-      .map(m => s"lut[$m][CAST(codes[$m] AS INT)]").mkString(" + ")
-    val scored = coded.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
-      .select(col("qid"), col("c.vec_id").as("nid"),
-        expr(s"round($adcChain, 6)").as("adc6"))
+    val (scored, raw) = pqAdcScored(s, dir)
     val wAdc = Window.partitionBy("qid").orderBy(col("adc6").desc, col("nid"))
     val shortlist = scored.withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= width).select("qid", "nid")

@@ -34,9 +34,13 @@ object ClickHouseDialect extends JdbcDialect {
   override def canHandle(url: String): Boolean =
     url.startsWith("jdbc:clickhouse:") || url.startsWith("jdbc:ch:")
 
-  /** Spark → ClickHouse DDL types (write path, all-signed policy). */
+  /** Spark → ClickHouse DDL types (write path, all-signed policy).
+    * Booleans write as ClickHouse's native `Bool` (not the UInt8
+    * convention) so the type ROUND-TRIPS: the read map sends UInt8 to
+    * ShortType (it may hold 0..255 from foreign tables), and a boolean
+    * column written as UInt8 would come back Short. */
   override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
-    case BooleanType => Some(JdbcType("UInt8", Types.BOOLEAN))
+    case BooleanType => Some(JdbcType("Bool", Types.BOOLEAN))
     case ByteType => Some(JdbcType("Int8", Types.TINYINT))
     case ShortType => Some(JdbcType("Int16", Types.SMALLINT))
     case IntegerType => Some(JdbcType("Int32", Types.INTEGER))

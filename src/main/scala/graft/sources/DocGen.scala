@@ -207,13 +207,20 @@ private class DocGenScanBuilder(options: CaseInsensitiveStringMap)
     * evaluated in the reader BEFORE text generation, the dominant
     * per-row cost. Both are exact, so nothing accepted here needs
     * post-scan re-evaluation. */
+  // saturating v+1: at Long.MaxValue a naive +1 wraps to MinValue and
+  // an ACCEPTED bound (which Spark therefore drops from its own plan)
+  // silently inverts the range — the pushed COUNT would return 0 for a
+  // predicate matching everything
+  private def succ(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case EqualTo("doc_id", v: Long) => idLo = math.max(idLo, v); idHi = math.min(idHi, v + 1); true
-      case GreaterThan("doc_id", v: Long) => idLo = math.max(idLo, v + 1); true
+      case EqualTo("doc_id", v: Long) => idLo = math.max(idLo, v); idHi = math.min(idHi, succ(v)); true
+      case GreaterThan("doc_id", v: Long) => idLo = math.max(idLo, succ(v)); true
       case GreaterThanOrEqual("doc_id", v: Long) => idLo = math.max(idLo, v); true
       case LessThan("doc_id", v: Long) => idHi = math.min(idHi, v); true
-      case LessThanOrEqual("doc_id", v: Long) => idHi = math.min(idHi, v + 1); true
+      case LessThanOrEqual("doc_id", v: Long) => idHi = math.min(idHi, succ(v)); true
       case EqualTo("lang", v: String) =>
         langSet = Some(langSet.getOrElse(Set.empty[String] ++ DocGen.langs).intersect(Set(v))); true
       case In("lang", vs) if vs.forall(_.isInstanceOf[String]) =>

@@ -13,8 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * both stay consistent. This is the kernel idea of Delta/Iceberg
   * reduced to its load-bearing minimum:
   *
-  *   - data files land under `data/v<N>/` FIRST (arbitrarily slow,
-  *     crash-prone — harmless, nothing references them yet);
+  *   - data files land under a writer-unique `data/v<N>-<token>/`
+  *     FIRST (arbitrarily slow, crash-prone — harmless, nothing
+  *     references them yet, and no two writers ever share a path);
   *   - the commit is ONE atomic manifest publish into `_log/<N>.json`
   *     (write temp + hard-link put-if-absent): after it the version exists
   *     with its full file list, before it the version does not exist
@@ -35,16 +36,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SnapshotLog {
 
   private def logDir(tableDir: String) = Paths.get(tableDir, "_log")
-  private def dataDir(tableDir: String, v: Long) = Paths.get(tableDir, "data", s"v$v")
 
   /** Write `df` as version `latest+1` and atomically publish it.
     * Returns the committed version. Throws
     * `FileAlreadyExistsException` if another writer published the same
     * version between the read of `latestVersion` and the publish —
-    * the optimistic-concurrency failure a caller retries. */
+    * the optimistic-concurrency failure a caller retries.
+    *
+    * Data lands under a WRITER-UNIQUE directory (`data/v<N>-<token>`),
+    * not a version-deterministic one: with a shared `data/v<N>` path a
+    * racing LOSER's mode("overwrite") would delete the winner's
+    * already-committed files before its own publish fails — a torn
+    * committed snapshot, exactly what the log exists to exclude. The
+    * manifest records the actual paths, so readers never care what the
+    * directory is named; a loser's orphaned directory is dead weight
+    * for a vacuum pass, never a correctness hazard. */
   def commit(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
     val v = latestVersion(tableDir).getOrElse(-1L) + 1
-    val dd = dataDir(tableDir, v)
+    val dd = Paths.get(tableDir, "data",
+      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(dd.toString)
     val files = Files.list(dd).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted

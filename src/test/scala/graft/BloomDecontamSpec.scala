@@ -30,6 +30,12 @@ class BloomDecontamSpec extends SparkSpec {
     // spans pass might_contain vs how many truly match. With 10
     // bits/item the FP rate is ~1%, so candidates must be well under
     // 10% of the training spans (on this corpus true hits are rare).
+    // Register the train/heldout views THIS test depends on (they are
+    // a side effect of running the bloom entry) — without this the
+    // test only passed when the equivalence test ran first in the
+    // same session, an ordering dependency a testOnly -z filter or
+    // suite parallelization would expose.
+    TextOps.dedupDecontaminateBloom(spark, sfDir).count()
     val grams = spark.sql(
       """SELECT doc_id, ngram FROM graft_decontam_train""")
     val trainSpans = grams.count()

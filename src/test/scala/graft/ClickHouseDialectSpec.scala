@@ -30,7 +30,9 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(ch(LongType) == "Int64")
     assert(ch(ShortType) == "Int16")
     assert(ch(ByteType) == "Int8")
-    assert(ch(BooleanType) == "UInt8")
+    // native Bool, not the UInt8 convention: UInt8 reads back as Short
+    // (foreign tables may hold 0..255), so only Bool round-trips
+    assert(ch(BooleanType) == "Bool")
     assert(ch(FloatType) == "Float32")
     assert(ch(DoubleType) == "Float64")
     assert(ch(StringType) == "String")

@@ -27,7 +27,7 @@ class PqSpec extends SparkSpec {
       assert(cs.forall(c => c >= 0 && c < SimilarityOps.PqK), s"vec $id codes out of range")
     }
     // a broken quantizer (collapsed codebook) maps everything to one
-    // codeword; a healthy one uses most of the 8 codes in each subspace
+    // codeword; a healthy one uses most of the 16 codes in each subspace
     (0 until SimilarityOps.PqM).foreach { m =>
       val used = parsed.map(_._2(m)).distinct.length
       assert(used >= SimilarityOps.PqK / 2, s"subspace $m uses only $used codes")
