@@ -84,6 +84,31 @@ class CdcSpec extends SparkSpec {
     assert(scd.count() == nEvents)
   }
 
+  test("salted compaction is row-identical to the unsalted plan") {
+    // the gate pins this via the shared oracle; pinning it here too
+    // means a refactor that breaks the associativity argument fails
+    // in seconds, not at the next Verify run
+    val a = EventOps.queries.toMap.apply("cdc_changelog_compact")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val b = EventOps.queries.toMap.apply("cdc_changelog_compact_salted")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("the compacted winner is exactly SCD2's open (is_current) row per key") {
+    // cross-operator invariant: compaction and SCD2 expansion are two
+    // views of one changelog — the latest version equals the one
+    // open-ended validity interval
+    val compact = EventOps.queries.toMap.apply("cdc_changelog_compact")(spark, sfDir)
+      .select(col("user_id"), col("last_event_id"))
+    val current = EventOps.queries.toMap.apply("cdc_scd2_intervals")(spark, sfDir)
+      .filter(col("is_current"))
+      .select(col("user_id"), col("event_id").as("cur_event_id"))
+    val joined = compact.join(current, "user_id")
+    assert(joined.count() == compact.count())
+    assert(joined.filter(col("last_event_id") =!= col("cur_event_id")).count() == 0)
+  }
+
   test("compact-then-merge composes: compaction output is a legal one-op-per-key batch") {
     // the documented contract that multi-version batches reduce through
     // cdc_changelog_compact before cdc_merge_upsert: post-compaction
