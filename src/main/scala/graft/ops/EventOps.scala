@@ -513,6 +513,30 @@ object EventOps {
         col("valid_to_us").isNull.as("is_current"))
   }
 
+  /** Point-in-time (AS OF) read over the SCD2 intervals — the query
+    * side the validity-interval layout exists for: the state of every
+    * key at time T is the ONE interval containing T
+    * (valid_from ≤ T < valid_to, open current interval = +∞). T here
+    * is the fixture's exact midpoint ((min+max) DIV 2 of the
+    * microsecond range — integer-exact on both engines, stable across
+    * fixture regenerations), broadcast as a 1-row aggregate. Scale
+    * shape: a map-side range filter over the interval table — no join,
+    * no window; at 100 TB an interval table partitioned on
+    * valid_from date ranges additionally prunes most partitions for
+    * any given T. */
+  val cdcScd2Asof: Q = (s, dir) => {
+    val scd = cdcScd2Intervals(s, dir)
+    val tRow = events(s, dir)
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").as("t_us"))
+    scd.crossJoin(broadcast(tRow))
+      .filter(col("valid_from_us") <= col("t_us") &&
+        (col("valid_to_us").isNull || col("valid_to_us") > col("t_us")))
+      .select(col("user_id"),
+        col("event_id").as("live_event_id"),
+        col("event_type").as("live_event_type"),
+        col("valid_from_us"), col("t_us"))
+  }
+
   /** The TWELFTH streaming topology, surfaced into the gate: executes
     * [[graft.streaming.EventStreams.latestPerKey]] as a real
     * Structured Streaming query (file-source events stream, stateful
@@ -540,6 +564,7 @@ object EventOps {
     "cdc_changelog_compact" -> cdcChangelogCompact,
     "cdc_changelog_compact_salted" -> cdcChangelogCompactSalted,
     "cdc_scd2_intervals" -> cdcScd2Intervals,
+    "cdc_scd2_asof" -> cdcScd2Asof,
     "cdc_compact_stream_twin" -> cdcCompactStreamTwin,
     "events_dedup_stream_twin" -> eventsDedupStreamTwin,
     "events_heavy_hitters_stream_twin" -> eventsHeavyHittersStreamTwin,
@@ -587,6 +612,20 @@ object EventOps {
     "cdc_changelog_compact" -> cdcCompactOracleSql,
     "cdc_changelog_compact_salted" -> cdcCompactOracleSql,
     "cdc_compact_stream_twin" -> cdcCompactOracleSql,
+    "cdc_scd2_asof" ->
+      """WITH scd AS (
+           SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS valid_to_us
+           FROM events),
+         tt AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS t_us
+                FROM events)
+         SELECT s.user_id, s.event_id AS live_event_id,
+           s.event_type AS live_event_type, s.valid_from_us, tt.t_us
+         FROM scd s, tt
+         WHERE s.valid_from_us <= tt.t_us
+           AND (s.valid_to_us IS NULL OR s.valid_to_us > tt.t_us)""",
     "cdc_scd2_intervals" ->
       """SELECT user_id, event_id, event_type,
            epoch_us(ts) AS valid_from_us,

@@ -109,6 +109,25 @@ class CdcSpec extends SparkSpec {
     assert(joined.filter(col("last_event_id") =!= col("cur_event_id")).count() == 0)
   }
 
+  test("AS OF read returns exactly one live interval per key active at T") {
+    val asof = EventOps.queries.toMap.apply("cdc_scd2_asof")(spark, sfDir).cache()
+    // one row per user that has any event at-or-before T
+    assert(asof.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    val t = asof.select("t_us").head().getLong(0)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val norm = EventOps.normalizeTs(events, events.schema("ts").dataType)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val activeUsers = norm.filter(col("us") <= t).select("user_id").distinct().count()
+    assert(asof.count() == activeUsers)
+    // the live row is the (us, event_id)-max among events at-or-before T
+    val expected = norm.filter(col("us") <= t)
+      .groupBy("user_id").agg(max(struct(col("us"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("w.event_id").as("exp_id"))
+    val mismatch = asof.join(expected, "user_id")
+      .filter(col("live_event_id") =!= col("exp_id"))
+    assert(mismatch.count() == 0)
+  }
+
   test("compact-then-merge composes: compaction output is a legal one-op-per-key batch") {
     // the documented contract that multi-version batches reduce through
     // cdc_changelog_compact before cdc_merge_upsert: post-compaction
