@@ -70,27 +70,39 @@ object IncrementalDemo {
     // deterministic: m=0 → delete, m∈{1,2} → update, new ids → insert
     val h = expr(
       "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint), 10)")
+    // updates/deletes carry NULL metadata (null means keep the
+    // snapshot's); inserts MUST carry lang/source — there is no
+    // snapshot side to inherit from, and dropping them here would let
+    // the count-based requires pass while 40% of the corpus silently
+    // loses its per-doc metadata
+    val noMeta = Seq(lit(null).cast("string").as("new_lang"),
+      lit(null).cast("string").as("new_source"))
     val deletes = day0.filter(h === 0)
-      .select(col("doc_id"), lit("delete").as("op"), lit(null).cast("string").as("new_text"),
-        lit(1L).as("version"))
+      .select(Seq(col("doc_id"), lit("delete").as("op"),
+        lit(null).cast("string").as("new_text"), lit(1L).as("version")) ++ noMeta: _*)
     val updates = day0.filter(h.isin(1, 2))
-      .select(col("doc_id"), lit("update").as("op"),
-        concat(col("text"), lit(" edited-v1")).as("new_text"), lit(1L).as("version"))
+      .select(Seq(col("doc_id"), lit("update").as("op"),
+        concat(col("text"), lit(" edited-v1")).as("new_text"),
+        lit(1L).as("version")) ++ noMeta: _*)
     // half the updates arrive TWICE — a later version supersedes
     val updates2 = day0.filter(h === 1)
-      .select(col("doc_id"), lit("update").as("op"),
-        concat(col("text"), lit(" edited-v2")).as("new_text"), lit(2L).as("version"))
+      .select(Seq(col("doc_id"), lit("update").as("op"),
+        concat(col("text"), lit(" edited-v2")).as("new_text"),
+        lit(2L).as("version")) ++ noMeta: _*)
     val inserts = docs.filter(col("doc_id") >= splitId)
       .select(col("doc_id"), lit("insert").as("op"), col("text").as("new_text"),
-        lit(1L).as("version"))
+        lit(1L).as("version"),
+        col("lang").as("new_lang"), col("source").as("new_source"))
     val rawBatch = deletes.unionByName(updates).unionByName(updates2).unionByName(inserts)
     val nRawBatch = rawBatch.count()
 
     // ---- 3. changelog compaction: one op per key ------------------
     val batch = rawBatch
-      .select(col("doc_id"), struct(col("version"), col("op"), col("new_text")).as("v"))
+      .select(col("doc_id"), struct(col("version"), col("op"), col("new_text"),
+        col("new_lang"), col("new_source")).as("v"))
       .groupBy("doc_id").agg(max(col("v")).as("last"))
-      .select(col("doc_id"), col("last.op").as("op"), col("last.new_text").as("new_text"))
+      .select(col("doc_id"), col("last.op").as("op"), col("last.new_text").as("new_text"),
+        col("last.new_lang").as("new_lang"), col("last.new_source").as("new_source"))
     val nBatch = batch.count()
     require(batch.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
       "compaction must leave one op per key")
@@ -113,13 +125,18 @@ object IncrementalDemo {
       .filter(col("op").isNull || col("op") =!= "delete")
       .select(col("doc_id"),
         coalesce(col("new_text"), col("text")).as("text"),
-        col("lang"), col("source"))
+        coalesce(col("new_lang"), col("lang")).as("lang"),
+        coalesce(col("new_source"), col("source")).as("source"))
     val nDel = deletes.count()
     val nIns = inserts.count()
     val n1 = merged.count()
     require(n1 == n0 - nDel + nIns - nDropped,
       s"accounting: $n1 != $n0 - $nDel + $nIns - $nDropped")
     require(merged.filter(col("text").endsWith("edited-v2")).count() == v2Wins)
+    // payload completeness: counts alone would pass even if every
+    // inserted doc landed with NULL lang/source — assert it can't
+    require(merged.filter(col("lang").isNull || col("source").isNull).count() == 0,
+      "no merged doc may lose its metadata")
 
     // ---- 6. fragmented write, clustered compaction, atomic commit -
     merged.repartition(32).write.mode("overwrite").parquet(s"$outDir/snapshot_v1_frag")
@@ -137,9 +154,21 @@ object IncrementalDemo {
     require(graft.sources.SnapshotLog.read(spark, table).count() == n1)
     require(graft.sources.SnapshotLog.read(spark, table, asOf = Some(0L)).count() == n0)
 
+    // ---- 7. vacuum: reclaim what crashed writers leave behind ------
+    // simulate a writer that wrote its data and died before publishing:
+    // the directory is invisible to readers but occupies storage
+    merged.limit(5).write.parquet(s"$table/data/v2-crashed")
+    val reclaimed = graft.sources.SnapshotLog.vacuum(table, minAgeMillis = 0L)
+    require(reclaimed.size == 1 && reclaimed.head.endsWith("v2-crashed"),
+      s"vacuum must reclaim exactly the orphan: $reclaimed")
+    // committed history is untouched
+    require(graft.sources.SnapshotLog.read(spark, table).count() == n1)
+    require(graft.sources.SnapshotLog.read(spark, table, asOf = Some(0L)).count() == n0)
+
     println(s"INCREMENTAL: n0=$n0 raw_batch=$nRawBatch batch=$nBatch " +
       s"deletes=$nDel inserts=$nIns neardup_dropped=$nDropped n1=$n1 " +
-      s"files=${st.filesBefore}->${st.filesAfter} versions=${v0}->${v1}")
+      s"files=${st.filesBefore}->${st.filesAfter} versions=${v0}->${v1} " +
+      s"vacuumed=${reclaimed.size}")
     spark.stop()
   }
 }

@@ -1,8 +1,9 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -28,14 +29,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * On a real object store the same recipe holds wherever a
   * put-if-absent primitive exists (S3 If-None-Match, GCS
   * generation-0 preconditions) — exactly the requirement table
-  * formats document. No compaction of the log, no schema evolution, no
-  * concurrent-WRITER arbitration (last manifest wins) — those are the
-  * parts a real table format adds; SnapshotLogSpec pins the reader
-  * guarantees this minimum already provides.
+  * formats document. Concurrent writers arbitrate through
+  * [[commitWithRetry]] (optimistic concurrency: validate against a
+  * pinned version, publish exactly that version + 1, replay on
+  * conflict) and the directories losers/crashes orphan are reclaimed
+  * by [[vacuum]]. No compaction of the log and no schema evolution —
+  * those are the parts a real table format adds; SnapshotLogSpec pins
+  * the reader and writer guarantees this minimum already provides.
   */
 object SnapshotLog {
 
   private def logDir(tableDir: String) = Paths.get(tableDir, "_log")
+
+  /** Files.list holds a directory handle until closed; a long-running
+    * driver committing frequently would leak descriptors if these
+    * streams waited for GC. Every listing in this object goes through
+    * here so the handle is closed eagerly. */
+  private def listDir(dir: Path): Seq[Path] =
+    Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
 
   /** Write `df` as version `latest+1` and atomically publish it.
     * Returns the committed version. Throws
@@ -53,13 +64,55 @@ object SnapshotLog {
     * for a vacuum pass, never a correctness hazard. */
   def commit(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
     val v = latestVersion(tableDir).getOrElse(-1L) + 1
+    commitAt(spark, tableDir, df, v)
+  }
+
+  /** Write + publish at an EXPLICIT version. [[commitWithRetry]] needs
+    * this: optimistic concurrency is only correct when the version a
+    * writer validated against (read its base from) is the one it
+    * publishes on top of. Re-reading `latest` at publish time — as the
+    * convenience [[commit]] does — would let a writer that computed
+    * against version N silently land at N+2 after an interleaved
+    * commit: a lost update that never surfaces as a conflict. */
+  private def commitAt(spark: SparkSession, tableDir: String,
+      df: DataFrame, v: Long): Long = {
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(dd.toString)
-    val files = Files.list(dd).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val files = listDir(dd)
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
     publish(tableDir, v, files)
     v
+  }
+
+  /** `commit` with the optimistic-concurrency retry loop the
+    * put-if-absent contract asks of callers: on
+    * `FileAlreadyExistsException` (another writer took the version),
+    * re-read the latest version and re-commit against it, up to
+    * `maxAttempts`. The data is REWRITTEN each attempt on purpose —
+    * the DataFrame may derive from the snapshot the loser read (a CDC
+    * merge), so replaying against the new latest is the only generally
+    * correct retry; a caller that wants rebase semantics recomputes
+    * `df` in `recompute` from the freshly-read table. Loser data dirs
+    * orphan for [[vacuum]]. */
+  def commitWithRetry(spark: SparkSession, tableDir: String,
+      recompute: Option[DataFrame] => DataFrame, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val baseV = latestVersion(tableDir)
+      // pin the read to the validated version: between this read and the
+      // publish a third writer may commit, and the publish below must then
+      // CONFLICT (we publish baseV+1 exactly), not silently skip ahead
+      val base = baseV.map(v => read(spark, tableDir, asOf = Some(v)))
+      try return commitAt(spark, tableDir, recompute(base),
+        baseV.getOrElse(-1L) + 1)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** The commit point, isolated: an atomic PUT-IF-ABSENT. POSIX
@@ -73,7 +126,15 @@ object SnapshotLog {
     Files.createDirectories(logDir(tableDir))
     val manifest = files.map(f => "\"" + f.replace("\\", "\\\\") + "\"")
       .mkString(s"""{"version":$v,"files":[""", ",", "]}")
-    val tmp = logDir(tableDir).resolve(s".$v.json.tmp")
+    // the temp path is WRITER-UNIQUE, like the data directory: with a
+    // shared `.$v.json.tmp` a racing loser's writeString could truncate
+    // the winner's temp between its write and createLink, making the
+    // winner link the loser's (possibly half-written) manifest while
+    // reporting success for its own data — acknowledged-commit loss.
+    // Unique temps mean each writer links only bytes it wrote; the
+    // createLink put-if-absent alone arbitrates who wins.
+    val tmp = logDir(tableDir).resolve(
+      s".$v-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     Files.writeString(tmp, manifest)
     val target = logDir(tableDir).resolve(s"$v.json")
     try Files.createLink(target, tmp)
@@ -85,13 +146,55 @@ object SnapshotLog {
     val ld = logDir(tableDir)
     if (!Files.isDirectory(ld)) None
     else {
-      val vs = Files.list(ld).iterator().asScala
+      val vs = listDir(ld)
         .map(_.getFileName.toString)
         .filter(n => n.endsWith(".json") && !n.startsWith("."))
         .map(_.stripSuffix(".json").toLong)
-        .toSeq
       if (vs.isEmpty) None else Some(vs.max)
     }
+  }
+
+  /** Delete data directories no manifest references — the orphans that
+    * crashed and race-losing writers leave behind by design. Returns
+    * the deleted directory paths.
+    *
+    * Safety argument: a directory is deletable only when (a) no
+    * committed manifest lists any file under it — committed data is
+    * never touched — and (b) it is older than `minAgeMillis`, which
+    * protects an IN-FLIGHT writer that has finished its parquet write
+    * but not yet published (between those two steps the directory is
+    * unreferenced yet about to become live). On a real deployment the
+    * age floor is hours; the default keeps the same shape. This is
+    * exactly Delta's VACUUM retention reasoning reduced to the
+    * minimum. */
+  def vacuum(tableDir: String, minAgeMillis: Long = 3600000L): Seq[String] = {
+    val dataDir = Paths.get(tableDir, "data")
+    val ld = logDir(tableDir)
+    if (!Files.isDirectory(dataDir)) return Nil
+    val referenced: Set[Path] =
+      if (!Files.isDirectory(ld)) Set.empty
+      else listDir(ld)
+        .filter(p => p.getFileName.toString.endsWith(".json") &&
+          !p.getFileName.toString.startsWith("."))
+        .flatMap { m =>
+          val txt = Files.readString(m)
+          "\"(.*?)\"".r.findAllMatchIn(txt.dropWhile(_ != '['))
+            .map(g => Paths.get(g.group(1).replace("\\\\", "\\")).getParent)
+        }.toSet
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    val dead = listDir(dataDir).filter { d =>
+      Files.isDirectory(d) && !referenced.contains(d) &&
+        Files.getLastModifiedTime(d).toMillis < cutoff
+    }
+    dead.foreach(deleteRecursively)
+    dead.map(_.toString)
+  }
+
+  /** Depth-first delete — a crashed writer can leave a nested
+    * `_temporary` tree, not just flat part files. */
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   /** Read a committed snapshot: the latest, or the newest version

@@ -56,6 +56,64 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, t).count() == 1)
   }
 
+  test("vacuum reclaims orphaned data dirs, never committed or young ones") {
+    import spark.implicits._
+    val t = s"$scratch/snap_vac"
+    SnapshotLog.commit(spark, t, Seq((1L, 10L)).toDF("key", "p"))
+    SnapshotLog.commit(spark, t, Seq((1L, 11L)).toDF("key", "p"))
+    // a crashed/losing writer's orphan: data written, never published
+    Seq((9L, 99L)).toDF("key", "p").write.parquet(s"$t/data/v1-deadbeef")
+    // young-orphan guard: with a 1h age floor nothing qualifies yet
+    assert(SnapshotLog.vacuum(t).isEmpty)
+    val deleted = SnapshotLog.vacuum(t, minAgeMillis = 0L)
+    assert(deleted.size == 1 && deleted.head.endsWith("v1-deadbeef"))
+    // every committed version still reads intact after the vacuum
+    assert(SnapshotLog.read(spark, t).collect().head.getLong(1) == 11L)
+    assert(SnapshotLog.read(spark, t, asOf = Some(0L)).collect().head.getLong(1) == 10L)
+    // idempotent
+    assert(SnapshotLog.vacuum(t, minAgeMillis = 0L).isEmpty)
+  }
+
+  test("commitWithRetry: conflicting writers serialize, neither update is lost") {
+    import spark.implicits._
+    val t = s"$scratch/snap_retry"
+    SnapshotLog.commit(spark, t, Seq((1L, 0L)).toDF("key", "n"))
+    // writer A increments key 1; a rival commit is injected between A's
+    // base read and A's publish on the FIRST attempt only — the classic
+    // OCC interleaving. A must conflict (it publishes baseV+1 exactly),
+    // then replay against the rival's result.
+    var rivalDone = false
+    val v = SnapshotLog.commitWithRetry(spark, t, { base =>
+      val b = base.get
+      if (!rivalDone) {
+        rivalDone = true
+        SnapshotLog.commit(spark, t, Seq((2L, 100L)).toDF("key", "n"))
+      }
+      b.withColumn("n", col("n") + lit(1L))
+    })
+    assert(v == 2L, "first attempt must lose to the rival and replay")
+    val fin = SnapshotLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the replay recomputed against the rival's snapshot: rival's write
+    // survives with the increment applied on top
+    assert(fin == Map(2L -> 101L))
+  }
+
+  test("commitWithRetry gives up after maxAttempts under a persistent conflict") {
+    import spark.implicits._
+    val t = s"$scratch/snap_retry_cap"
+    SnapshotLog.commit(spark, t, Seq((1L, 0L)).toDF("key", "n"))
+    var attempts = 0
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      SnapshotLog.commitWithRetry(spark, t, { base =>
+        attempts += 1
+        SnapshotLog.commit(spark, t, Seq((3L, 3L)).toDF("key", "n")) // always rivals
+        base.get
+      }, maxAttempts = 3)
+    }
+    assert(attempts == 3)
+  }
+
   test("the merge kernel composes: CDC batches maintained through the log") {
     import spark.implicits._
     val t = s"$scratch/snap_cdc"
