@@ -453,17 +453,23 @@ object SimilarityOps {
     * indexes lookup tables positionally and Lloyd rounds may empty a
     * cell. */
   private[graft] def pqTrain(
-      s: SparkSession, dir: String, mu: Seq[Double]): Seq[Seq[(Int, Seq[Double])]] = {
+      s: SparkSession, dir: String, mu: Seq[Double],
+      m: Int = PqM, subDim: Int = PqSubDim): Seq[Seq[(Int, Seq[Double])]] = {
+    // dims = mu.length: the MRL composition trains over the truncated
+    // prefix, so the source vector is sliced to the mean's width first
+    // (zip_with null-pads mismatched lengths — silent poison otherwise)
+    val dims = mu.length
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), expr(s"slice(v, 1, $dims)").as("v"))
       .select(col("vec_id"), expr(centerExpr(mu)).as("v"))
     val subs = e.select(col("vec_id"), explode(expr(
-      s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(v, $PqSubDim * m + 1, $PqSubDim) AS sv))"))
+      s"transform(sequence(0, ${m - 1}), m -> struct(m AS m, slice(v, $subDim * m + 1, $subDim) AS sv))"))
       .as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
     def rekey(rows: Seq[(Int, Long, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] =
-      (0 until PqM).map { m =>
-        rows.filter(_._1 == m).sortBy(_._2).zipWithIndex
+      (0 until m).map { mm =>
+        rows.filter(_._1 == mm).sortBy(_._2).zipWithIndex
           .map { case ((_, _, c), i) => (i, c) }
       }
     var cb: Seq[Seq[(Int, Seq[Double])]] = rekey(
@@ -474,27 +480,33 @@ object SimilarityOps {
       val assigned = subs.withColumn("code",
         expr(pqAssignFold(s, s"${pqCbLit(cb)}[m]", "sv")))
       cb = rekey(assigned.groupBy("m", "code")
-        .agg(array((0 until PqSubDim).map(i => round(avg(expr(s"sv[$i]")), 6)): _*).as("c"))
+        .agg(array((0 until subDim).map(i => round(avg(expr(s"sv[$i]")), 6)): _*).as("c"))
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))))
     }
     cb
   }
 
-  /** Per-row PQ encoding: array of PqM code ids, all subspaces assigned
-    * in one in-row pass over column `vcol`. */
+  /** Per-row PQ encoding: array of code ids, all subspaces assigned
+    * in one in-row pass over column `vcol`. Subspace count and width
+    * come from the codebook itself, so the MRL variant reuses this
+    * verbatim. */
   private def pqEncodeExpr(s: SparkSession, cb: Seq[Seq[(Int, Seq[Double])]],
-      vcol: String = "v"): String =
-    s"""transform(sequence(0, ${PqM - 1}),
-          m -> ${pqAssignFold(s, s"${pqCbLit(cb)}[m]", s"slice($vcol, $PqSubDim * m + 1, $PqSubDim)")})"""
+      vcol: String = "v"): String = {
+    val (m, subDim) = (cb.length, cb.head.head._2.length)
+    s"""transform(sequence(0, ${m - 1}),
+          m -> ${pqAssignFold(s, s"${pqCbLit(cb)}[m]", s"slice($vcol, $subDim * m + 1, $subDim)")})"""
+  }
 
   /** Per-query ADC lookup table: lut[m][k] = round-6 dot(q_sub_m, c_mk)
-    * — PqM×PqK doubles, computed in-row from the literal codebook. */
+    * — m×k doubles, computed in-row from the literal codebook. */
   private def pqLutExpr(s: SparkSession, cb: Seq[Seq[(Int, Seq[Double])]],
-      vcol: String = "v"): String =
-    s"""transform(sequence(0, ${PqM - 1}),
+      vcol: String = "v"): String = {
+    val (m, subDim) = (cb.length, cb.head.head._2.length)
+    s"""transform(sequence(0, ${m - 1}),
           m -> transform(${pqCbLit(cb)}[m],
-            ct -> round(${dotSql(s, s"slice($vcol, $PqSubDim * m + 1, $PqSubDim)", "ct.c")}, 6)))"""
+            ct -> round(${dotSql(s, s"slice($vcol, $subDim * m + 1, $subDim)", "ct.c")}, 6)))"""
+  }
 
   /** The corpus encoded: one row per vector, codes joined to a string
     * (cross-engine array compare is repr-fragile; a canonical string is
@@ -563,19 +575,25 @@ object SimilarityOps {
     * the dot-product ranking against the reconstructions (centering
     * the query too would add a −⟨μ, x⟩ term that varies with the
     * candidate and silently skews the order). */
-  private def pqAdcScored(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val mu = pqMean(s, dir)
-    val cb = pqTrain(s, dir, mu)
+  private def pqAdcScored(s: SparkSession, dir: String,
+      dims: Int = 64, m: Int = PqM, subDim: Int = PqSubDim): (DataFrame, DataFrame) = {
+    val mu = pqMean(s, dir).take(dims)
+    val cb = pqTrain(s, dir, mu, m, subDim)
     val raw = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val coded = raw.select(col("vec_id"), expr(centerExpr(mu)).as("v"))
+    // the PQ side sees the (possibly truncated) prefix; `raw` stays
+    // full-width — downstream rerank is exact at the original dimension
+    val pre =
+      if (dims == 64) raw
+      else raw.select(col("vec_id"), expr(s"slice(v, 1, $dims)").as("v"))
+    val coded = pre.select(col("vec_id"), expr(centerExpr(mu)).as("v"))
       .withColumn("codes", expr(pqEncodeExpr(s, cb)))
       .select(col("vec_id"), col("codes"))
-    val q = raw.filter(col("vec_id") < PqQueryCount)
+    val q = pre.filter(col("vec_id") < PqQueryCount)
       .withColumn("lut", expr(pqLutExpr(s, cb)))
       .select(col("vec_id").as("qid"), col("lut"))
-    val adcChain = (0 until PqM)
-      .map(m => s"lut[$m][CAST(codes[$m] AS INT)]").mkString(" + ")
+    val adcChain = (0 until m)
+      .map(mm => s"lut[$mm][CAST(codes[$mm] AS INT)]").mkString(" + ")
     val scored = coded.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
       .select(col("qid"), col("c.vec_id").as("nid"),
         expr(s"round($adcChain, 6)").as("adc6"))
@@ -639,8 +657,9 @@ object SimilarityOps {
     * pins width = [[PqShortlist]]; [[graft.tools.PqWidthStudy]] sweeps
     * it to measure the recall/IO frontier. */
   private[graft] def pqRerankWidth(
-      s: SparkSession, dir: String, width: Int): DataFrame = {
-    val (scored, raw) = pqAdcScored(s, dir)
+      s: SparkSession, dir: String, width: Int,
+      dims: Int = 64, m: Int = PqM, subDim: Int = PqSubDim): DataFrame = {
+    val (scored, raw) = pqAdcScored(s, dir, dims, m, subDim)
     val wAdc = Window.partitionBy("qid").orderBy(col("adc6").desc, col("nid"))
     val shortlist = scored.withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= width).select("qid", "nid")
@@ -706,6 +725,31 @@ object SimilarityOps {
       .filter(col("rk") <= PqTopK)
   }
 
+  private[graft] val MrlPqM = 4
+  private[graft] val MrlPqSubDim = 4 // 4×4 = MrlDim = 16
+
+  /** The composed MRL SERVING probe — truncate-then-PQ: the
+    * [[MrlDim]]-dim Matryoshka prefix is itself product-quantized
+    * ([[MrlPqM]] subspaces × [[MrlPqSubDim]] dims × [[PqK]] codes =
+    * 2 bytes/vector, half PQ-64's 4-byte code budget on a quarter of
+    * the dimensions), ADC-scored code-only for the shortlist, then
+    * reranked EXACT AT FULL 64-dim width — so the Matryoshka
+    * truncation costs index size and scan IO, never final-score
+    * fidelity. This is the serving shape [[annMrlTopk]]'s scaladoc
+    * promises ("the PQ-rerank composition applies unchanged"), realized
+    * through the SAME [[pqAdcScored]]/[[pqRerankWidth]] definitions as
+    * `ann_pq_rerank` (one code path, so ADC indexing and rounding
+    * cannot drift between the compression-triad members), with
+    * [[annMrlTopk]] itself remaining the bounded brute-force AUDIT of
+    * the truncated metric (PlanShapeSpec pins that BNLJ as deliberate).
+    * At 100 TB the index table carries 2-byte prefix codes — 128×
+    * smaller than the raw vectors — and full vectors are point-looked-
+    * up only for the [[PqShortlist]]-deep shortlist; QuantizationSpec
+    * records its recall beside int8/PQ-64 in the bits-vs-recall
+    * triad. */
+  val annMrlPqTopk: Q = (s, dir) =>
+    pqRerankWidth(s, dir, PqShortlist, MrlDim, MrlPqM, MrlPqSubDim)
+
   val queries: Seq[(String, Q)] = Seq(
     "embedding_kmeans" -> embeddingKmeans,
     "embedding_kmeans_stream_twin" -> embeddingKmeansStreamTwin,
@@ -723,6 +767,7 @@ object SimilarityOps {
     "ann_pq_topk" -> annPqTopk,
     "ann_pq_rerank" -> annPqRerank,
     "ann_ivfpq_topk" -> annIvfPqTopk,
+    "ann_mrl_pq_topk" -> annMrlPqTopk,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
@@ -779,27 +824,31 @@ object SimilarityOps {
     * chain (whose e/a1/a2/a3 names would otherwise collide) in the
     * combined IVF-PQ oracle. NOTE the centered-vector CTE is `${np}ec`,
     * not `e` — the kmeans chain owns `e`. */
-  private[graft] def pqCteChain(np: String): String = {
+  private[graft] def pqCteChain(np: String, m: Int = PqM,
+      subDim: Int = PqSubDim, dims: Int = 64): String = {
     def assign(cbCte: String) =
       s"""SELECT vec_id, m, k AS code, sv FROM (
             SELECT s.vec_id, s.m, c.k, s.sv,
               row_number() OVER (PARTITION BY s.vec_id, s.m
                 ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(s.sv, c.c), 6), c.k) AS rk
             FROM ${np}sub s JOIN $cbCte c ON s.m = c.m) WHERE rk = 1"""
-    val avgList = (1 to PqSubDim).map(i => s"round(AVG(sv[$i]), 6)")
+    val avgList = (1 to subDim).map(i => s"round(AVG(sv[$i]), 6)")
       .mkString("[", ", ", "]")
     def update(aCte: String) =
       s"""SELECT m, row_number() OVER (PARTITION BY m ORDER BY code) - 1 AS k, c FROM (
             SELECT m, code, $avgList AS c FROM $aCte GROUP BY m, code)"""
-    val avgMu = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
+    // the mean and the centered vector stop at `dims` — for the MRL
+    // composition this IS the truncation (range touches only the
+    // prefix); at the default 64 the text is the original chain
+    val avgMu = (1 to dims).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
     s"""${np}e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         ${np}muT AS (SELECT $avgMu AS mu FROM ${np}e0),
         ${np}ec AS (SELECT vec_id,
-            list_transform(range(1, 65), i -> v[i] - mu[i]) AS v
+            list_transform(range(1, ${dims + 1}), i -> v[i] - mu[i]) AS v
           FROM ${np}e0 CROSS JOIN ${np}muT),
         ${np}sub AS (SELECT vec_id, m,
-            list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
-          FROM ${np}ec, unnest(generate_series(0, ${PqM - 1})) u(m)),
+            list_slice(v, $subDim * m + 1, $subDim * m + $subDim) AS sv
+          FROM ${np}ec, unnest(generate_series(0, ${m - 1})) u(m)),
         ${np}cb0 AS (SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k, sv AS c
                 FROM ${np}sub WHERE vec_id < $PqK),
         ${np}a1 AS (${assign(s"${np}cb0")}),
@@ -834,13 +883,19 @@ object SimilarityOps {
           FROM scored) WHERE rk <= $PqTopK"""
   }
 
-  private val pqRerankOracleSql: String = {
-    val adcChain = (1 to PqM)
-      .map(m => s"l.lut[$m][CAST(c.codes[$m] AS INT) + 1]").mkString(" + ")
-    s"""$pqCtePrefix,
+  /** Shared shortlist-then-exact-rerank oracle, parameterized the same
+    * way as [[pqRerankWidth]]: defaults render `ann_pq_rerank`'s text;
+    * the MRL arguments render the truncate-then-PQ composition. The
+    * rerank CTE always joins back to `e0`'s FULL vectors — exact
+    * final scores at the original width in both instantiations. */
+  private def pqRerankOracle(m: Int = PqM, subDim: Int = PqSubDim,
+      dims: Int = 64): String = {
+    val adcChain = (1 to m)
+      .map(mm => s"l.lut[$mm][CAST(c.codes[$mm] AS INT) + 1]").mkString(" + ")
+    s"""WITH ${pqCteChain("", m, subDim, dims)},
         subq AS (SELECT vec_id, m,
-            list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
-          FROM e0, unnest(generate_series(0, ${PqM - 1})) u(m)
+            list_slice(v, $subDim * m + 1, $subDim * m + $subDim) AS sv
+          FROM e0, unnest(generate_series(0, ${m - 1})) u(m)
           WHERE vec_id < $PqQueryCount),
         lutm AS (SELECT q.vec_id AS qid, q.m,
             list(round(list_dot_product(q.sv, c.c), 6) ORDER BY c.k) AS dpk
@@ -1087,8 +1142,9 @@ object SimilarityOps {
             array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes_str
           FROM codes""",
     "ann_pq_topk" -> pqTopkOracleSql,
-    "ann_pq_rerank" -> pqRerankOracleSql,
+    "ann_pq_rerank" -> pqRerankOracle(),
     "ann_ivfpq_topk" -> ivfPqOracleSql,
+    "ann_mrl_pq_topk" -> pqRerankOracle(MrlPqM, MrlPqSubDim, MrlDim),
     "embedding_stats" ->
       s"""WITH e AS ($vecsSql)
           SELECT label, COUNT(*) AS n, round(AVG(nrm), 6) AS avg_norm6

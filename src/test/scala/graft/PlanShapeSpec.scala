@@ -492,6 +492,31 @@ class PlanShapeSpec extends SparkSpec {
       || rer.contains("ShuffledHashJoin"), rer)
   }
 
+  test("ann_mrl_topk's brute-force scan is the bounded truncated-metric audit") {
+    // the MRL entry is NOT a serving plan: it is the ground-truth audit
+    // of the truncated-prefix metric (10 query rows broadcast × corpus
+    // — the ann_ivf_centroid / ann_recall_at_k class of deliberate,
+    // bounded BNLJ). The serving shape for MRL is ann_mrl_pq_topk
+    // (truncate-then-PQ). What must never appear is an unbroadcast
+    // CartesianProduct — that would be corpus × corpus
+    val plan = executedPlan("ann_mrl_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ann_mrl_pq_topk shares the PQ serving shape: bounded ADC scan, hash-join rerank") {
+    // the composed truncate-then-PQ probe runs through the SAME
+    // pqAdcScored/pqRerankWidth definitions as ann_pq_rerank, so its
+    // plan must show the same two stages: the bounded 50-query ADC
+    // code scan (audit-class BNLJ over 2-byte codes, not raw vectors)
+    // and hash-join point-lookups for the full-width exact rerank
+    val plan = executedPlan("ann_mrl_pq_topk")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("ann_ivfpq_topk probes by cell equi-join — no corpus nested loop at all") {
     // the composed two-level index: the coarse cell key turns the ADC
     // scan from ann_pq_topk's bounded BNLJ into a plain equi-join — the

@@ -55,4 +55,37 @@ class QuantizationSpec extends SparkSpec {
     assert(mean > 5 * chance, s"mean recall@5 $mean vs chance $chance")
     info(f"MRL-16 mean recall@5 = $mean%.3f (chance $chance%.4f)")
   }
+
+  test("the compression triad at equal protocol: truncate-then-PQ serves above chance") {
+    // bits-vs-recall, the three compression axes side by side at the
+    // shared 50-query / shortlist-20 / exact-rerank-top-3 protocol:
+    //   int8 (scalar):   512 bits/vec — recall floor 0.6 (test above, @5)
+    //   PQ-64 (product): 32 bits/vec  — rerank floor 0.5 (PqSpec, @3)
+    //   MRL-16×PQ (dim): 16 bits/vec  — this test, the cheapest index
+    // The MRL-PQ shortlist quantizes a quarter of the dimensions with
+    // half PQ-64's code budget, so its recall must sit below PQ-64's
+    // but far above chance — collapse to chance means the truncation
+    // or the 4-subspace codebooks broke
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.filter(col("vec_id") < graft.ops.SimilarityOps.PqQueryCount)
+    val exactScored = q.as("q").join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        expr("aggregate(zip_with(q.v, c.v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)").as("dp"))
+    val w = Window.partitionBy("qid").orderBy(col("dp").desc, col("nid"))
+    val exact = exactScored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= graft.ops.SimilarityOps.PqTopK)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val mrlPq = SparkEntry.queries("ann_mrl_pq_topk")(spark, dir)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(exact.keySet == mrlPq.keySet)
+    val recalls = exact.map { case (k, t) => (t & mrlPq(k)).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    val chance = 3.0 / 499
+    info(f"MRL-16xPQ-4 rerank mean recall@3 = $mean%.3f (chance $chance%.4f)")
+    assert(mean > 10 * chance, f"mean recall@3 $mean%.3f collapsed toward chance")
+  }
 }
