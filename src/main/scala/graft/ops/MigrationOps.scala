@@ -228,6 +228,53 @@ object MigrationOps {
       .agg(count(lit(1)).as("n_total"),
         count(when(col("name") > 3000, 1)).as("n_gt3000"))
 
+  /** The reference's crown-jewel workload, driver-gated end-to-end
+    * (reference: tests/test_clickhouse_migration.py:91-138 — V1 CREATE,
+    * 100k gzip-CSV ingest, the five dependent sequential DMLs of
+    * tests/migrations_seq/V1_sequential_dmls.json): runs the FULL
+    * public API (`Migrator.migrate` twice) against a scratch database,
+    * then returns the verification counts over the post-migration
+    * table plus the applied ledger-version count. The oracle replays
+    * the masked-update CASE chain over the same CSV in DuckDB, so the
+    * e2e path crosses the hash gate instead of living spec-only. The
+    * counts are collected (one row) BEFORE the scratch database is
+    * dropped — the returned frame must not depend on catalog state the
+    * entry already tore down. */
+  val migrateSeqCounts: Q = (s, _) => {
+    import java.nio.file.{Files, Paths}
+    s.sql("DROP DATABASE IF EXISTS graft_seq_gate CASCADE")
+    val scratch = Files.createTempDirectory("graft_seq_gate_").toString
+    val home = s"$scratch/migrations"
+    Files.createDirectories(Paths.get(home))
+    Files.writeString(Paths.get(s"$home/V1__create.sql"),
+      "CREATE TABLE graft_seq_gate.sample(id UInt32, name UInt32) ENGINE MergeTree PARTITION BY tuple() ORDER BY tuple()")
+    graft.migrator.Migrator.migrate(s, "graft_seq_gate", home, s"$scratch/ledger")
+    s.read.option("header", "true").schema("id INT, name INT")
+      .csv("/root/reference/tests/migrations_seq/test.csv.gz")
+      .write.mode("append").insertInto("graft_seq_gate.sample")
+    Files.writeString(Paths.get(s"$home/V2_seq_dmls.json"),
+      """["ALTER TABLE graft_seq_gate.sample ADD COLUMN enabled UInt32 DEFAULT 1",
+        |"ALTER TABLE graft_seq_gate.sample ADD COLUMN guard UInt32 DEFAULT -1",
+        |"ALTER TABLE graft_seq_gate.sample UPDATE enabled=0 WHERE name > 3000",
+        |"ALTER TABLE graft_seq_gate.sample UPDATE guard=0 WHERE enabled = 0",
+        |"ALTER TABLE graft_seq_gate.sample UPDATE guard=1 WHERE enabled = 1"]""".stripMargin)
+    graft.migrator.Migrator.migrate(s, "graft_seq_gate", home, s"$scratch/ledger")
+    val r = s.sql(
+      """SELECT count(*) AS total,
+         count(CASE WHEN name > 3000 THEN 1 END) AS gt3000,
+         count(CASE WHEN enabled = 0 THEN 1 END) AS enabled0,
+         count(CASE WHEN guard = 0 THEN 1 END) AS guard0,
+         count(CASE WHEN guard = 1 THEN 1 END) AS guard1,
+         count(CASE WHEN guard = -1 THEN 1 END) AS guardneg
+         FROM graft_seq_gate.sample""").collect()(0)
+    val versions = s.read.parquet(s"$scratch/ledger").count()
+    s.sql("DROP DATABASE graft_seq_gate CASCADE")
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), versions))
+      .toDF("total", "gt3000", "enabled0", "guard0", "guard1", "guardneg", "versions")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "reconcile_pending" -> reconcilePending,
     "reconcile_tampered" -> reconcileTampered,
@@ -241,7 +288,8 @@ object MigrationOps {
     "add_column_default" -> addColumnDefault,
     "masked_update" -> maskedUpdate,
     "cdc_merge_upsert" -> cdcMergeUpsert,
-    "csv_ingest" -> csvIngest)
+    "csv_ingest" -> csvIngest,
+    "migrate_seq_counts" -> migrateSeqCounts)
 
   val oracles: Seq[(String, String)] = Seq(
     "reconcile_pending" ->
@@ -336,5 +384,24 @@ object MigrationOps {
     "csv_ingest" ->
       """SELECT COUNT(*) AS n_total,
          COUNT(CASE WHEN name > 3000 THEN 1 END) AS n_gt3000
-         FROM read_csv_auto('/root/reference/tests/migrations_seq/test.csv.gz')""")
+         FROM read_csv_auto('/root/reference/tests/migrations_seq/test.csv.gz')""",
+    // the masked-update CASE chain replayed over the raw CSV: enabled
+    // is 0 exactly where name > 3000 (statement 3 over statement 1's
+    // DEFAULT 1), guard then copies enabled's partition (statements 4+5
+    // over statement 2's DEFAULT -1), and versions = the two fixture
+    // migrations the ledger must have applied
+    "migrate_seq_counts" ->
+      """WITH mig AS (
+           SELECT id, name,
+             CASE WHEN name > 3000 THEN 0 ELSE 1 END AS enabled,
+             CASE WHEN name > 3000 THEN 0 ELSE 1 END AS guard
+           FROM read_csv_auto('/root/reference/tests/migrations_seq/test.csv.gz'))
+         SELECT COUNT(*) AS total,
+           COUNT(CASE WHEN name > 3000 THEN 1 END) AS gt3000,
+           COUNT(CASE WHEN enabled = 0 THEN 1 END) AS enabled0,
+           COUNT(CASE WHEN guard = 0 THEN 1 END) AS guard0,
+           COUNT(CASE WHEN guard = 1 THEN 1 END) AS guard1,
+           COUNT(CASE WHEN guard = -1 THEN 1 END) AS guardneg,
+           CAST(2 AS BIGINT) AS versions
+         FROM mig""")
 }
