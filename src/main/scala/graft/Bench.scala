@@ -33,9 +33,16 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_topk", "q5_region_revenue", "window_rank",
     "agg_distinct", "set_except", "reconcile_pending",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    // round 9: `dedup_ngram_jaccard` (uncapped) and
+    // `ann_bruteforce_topk` retired from the headline to hold the
+    // stdout contract line under its ~2 KB tail budget — each kept a
+    // strictly-covering twin in the gate (the `_capped` max-df scale
+    // path; the brute-force truth recomputed inside `ann_recall_at_k`).
+    // Anchors retained in tools/anchors.json; BASELINE.md records the
+    // retirement for comparability.
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard_capped", "dedup_simhash",
-    "ann_bruteforce_topk", "ann_ivf_label", "ann_ivf_centroid",
+    "ann_ivf_label", "ann_ivf_centroid",
     "text_quality", "text_fingerprint", "events_sessionize",
     "asof_join_signup", "asof_join_custom",
     "json_extract",
@@ -112,7 +119,12 @@ object Bench {
     // gate exercises) and the CMS screen-then-confirm heavy hitters
     // (count_min_sketch aggregate + native estimate screen — benched
     // beside the MG twin it complements)
-    "cdc_merge_upsert", "text_heavy_hitters_cms")
+    "cdc_merge_upsert", "text_heavy_hitters_cms",
+    // round 9: the composed MRL serving probe — truncate-then-PQ with
+    // full-width rerank, the third compression-triad member's serving
+    // shape (benched beside ann_pq_rerank / ann_ivfpq_topk, same
+    // training-dominated cost class)
+    "ann_mrl_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -216,8 +228,15 @@ object Bench {
       def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\r\n\t]", " ")
+      // stdout medians at 2 decimals: the contract line lives in a ~2 KB
+      // tail budget and one char per query is ~65 chars of headroom; the
+      // envelope margins are 2×, so 10 ms precision loses nothing. The
+      // detail file keeps 3 decimals.
+      def fm2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       val all = samples.toSeq.filter(_._2.nonEmpty)
       val qs = all.map { case (k, v) => "\"" + k + "\":" + fm(median(v.toSeq)) }
+        .mkString("{", ",", "}")
+      val qs2 = all.map { case (k, v) => "\"" + k + "\":" + fm2(median(v.toSeq)) }
         .mkString("{", ",", "}")
       val raw = all.map { case (k, v) => "\"" + k + "\":" + v.map(fm).mkString("[", ",", "]") }
         .mkString("{", ",", "}")
@@ -241,7 +260,7 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] detail write: $e") }
       System.err.println(s"[bench] detail: $detail")
-      println(s"""{"metric":"total","value":${fm(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","detail":"${esc(detailPath)}"$err}""")
+      println(s"""{"metric":"total","value":${fm2(total)},"unit":"sec","queries":$qs2,"sf":"${esc(sfDir)}","detail":"${esc(detailPath)}"$err}""")
       Console.out.flush()
       if (spark != null) try spark.stop() catch { case _: Throwable => () }
     }
