@@ -205,6 +205,65 @@ object MigrationOps {
       .select(col("key") +:
         payload.map(p => coalesce(col(s"c_$p"), col(s"s_$p")).as(p)): _*)
 
+  /** Change-data-feed: the diff of two keyed snapshots — the READ-side
+    * inverse of [[mergeBatch]] (the Delta CDF / `table_changes` shape:
+    * given two committed versions, what changed?). Both inputs carry
+    * `key` + the same plain payload columns; the output is one row per
+    * CHANGED key — op ∈ {insert, update, delete} with the POST-IMAGE
+    * payloads (null for deletes). Change detection is null-safe per
+    * column (`<=>`), and presence rides explicit marker columns
+    * through the join because a payload null cannot distinguish
+    * "absent key" from "present with null payload". Unchanged keys
+    * drop out, so the feed is churn-sized, not table-sized. The plan
+    * is ONE full-outer equi-join — the same class as the MERGE it
+    * inverts, with the same bucketing economics at 100 TB (two
+    * key-bucketed snapshot versions diff with no exchange at all).
+    * Post-images rather than per-column deltas make [[applyDiff]]'s
+    * roundtrip exact even through non-null → null transitions — the
+    * convention real change feeds use (per-column null-means-keep, the
+    * [[mergeBatch]] convention, cannot express nulling a column).
+    * CdcPropertySpec pins both theorems on randomized frames:
+    * applyDiff(s0, tableDiff(s0, s1)) == s1, and
+    * tableDiff(s0, mergeBatch(s0, b)) recovers b's effective rows. */
+  def tableDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      payload: Seq[String]): DataFrame = {
+    val o = oldSnap.select(col("key") +: payload.map(p => col(p).as(s"o_$p")): _*)
+      .withColumn("o_present", lit(true))
+    val n = newSnap.select(col("key") +: payload.map(p => col(p).as(s"n_$p")): _*)
+      .withColumn("n_present", lit(true))
+    val changed = payload.map(p => !(col(s"o_$p") <=> col(s"n_$p"))).reduce(_ || _)
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("op",
+        when(col("o_present").isNull, lit("insert"))
+          .when(col("n_present").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("op").isNotNull)
+      .select(Seq(col("key"), col("op")) ++ payload.map(p => col(s"n_$p").as(p)): _*)
+  }
+
+  /** Apply a [[tableDiff]] feed: whole-row post-image semantics —
+    * surviving old rows are the anti-join against the feed's keys,
+    * inserted/updated rows come from the feed verbatim. No full-outer
+    * join needed on the apply side: the feed already carries complete
+    * post-images, so this is an anti + union (both sides key-bucketable
+    * at scale). */
+  def applyDiff(oldSnap: DataFrame, diff: DataFrame): DataFrame =
+    oldSnap.join(diff.select("key"), Seq("key"), "left_anti")
+      .unionByName(diff.filter(col("op") =!= "delete").drop("op"))
+
+  /** The catalog entry: [[tableDiff]] over two derived versions — v0 =
+    * the orders snapshot, v1 = [[cdcMergeUpsert]]'s merged result — so
+    * the gate checks that diffing a merge recovers exactly the
+    * effective change batch (deletes for m=0 keys, +$5.00 post-image
+    * updates for m∈1..3, inserts for the disjoint m=4 range; untouched
+    * keys absent). */
+  val cdcTableDiff: Q = (s, dir) => {
+    val v0 = cdcSnapshot(s, dir).select(col("key"),
+      col("s_custkey").as("custkey"), col("s_status").as("status"),
+      col("s_price_c").as("price_c"))
+    tableDiff(v0, cdcMergeUpsert(s, dir), Seq("custkey", "status", "price_c"))
+  }
+
   /** The catalog entry: [[mergeBatch]] applied to the orders snapshot
     * and the derived change batch (insert rows pre-mark their status
     * payload 'I'; updates leave status null so the snapshot's value
@@ -288,6 +347,7 @@ object MigrationOps {
     "add_column_default" -> addColumnDefault,
     "masked_update" -> maskedUpdate,
     "cdc_merge_upsert" -> cdcMergeUpsert,
+    "cdc_table_diff" -> cdcTableDiff,
     "csv_ingest" -> csvIngest,
     "migrate_seq_counts" -> migrateSeqCounts)
 
@@ -381,6 +441,46 @@ object MigrationOps {
            COALESCE(c.c_price_c, s.s_price_c) AS price_c
          FROM snap s FULL OUTER JOIN chg c USING (key)
          WHERE c.op IS NULL OR c.op <> 'delete'""",
+    // diff-of-a-merge: v0/v1 rebuilt from the same snap/chg CTEs, then
+    // the null-safe (IS NOT DISTINCT FROM) full-outer comparison — the
+    // mirror of tableDiff stage for stage
+    "cdc_table_diff" ->
+      """WITH snap AS (
+           SELECT o_orderkey AS key, o_custkey AS s_custkey,
+             o_orderstatus AS s_status,
+             CAST(round(o_totalprice*100) AS BIGINT) AS s_price_c
+           FROM orders),
+         chg AS (
+           SELECT CASE WHEN m = 4 THEN o_orderkey + 10000000 ELSE o_orderkey END AS key,
+             CASE WHEN m = 0 THEN 'delete' WHEN m = 4 THEN 'insert'
+                  ELSE 'update' END AS op,
+             o_custkey AS c_custkey,
+             CAST(round(o_totalprice*100) AS BIGINT)
+               + CASE WHEN m = 4 THEN 0 ELSE 500 END AS c_price_c
+           FROM (SELECT *,
+                   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                     AS BIGINT) % 10 AS m
+                 FROM orders)
+           WHERE m <= 4),
+         v0 AS (SELECT key, s_custkey AS custkey, s_status AS status,
+                  s_price_c AS price_c FROM snap),
+         v1 AS (SELECT key,
+             COALESCE(c.c_custkey, s.s_custkey) AS custkey,
+             CASE WHEN c.op = 'insert' THEN 'I' ELSE s.s_status END AS status,
+             COALESCE(c.c_price_c, s.s_price_c) AS price_c
+           FROM snap s FULL OUTER JOIN chg c USING (key)
+           WHERE c.op IS NULL OR c.op <> 'delete')
+         SELECT key, op, custkey, status, price_c FROM (
+           SELECT COALESCE(o.key, n.key) AS key,
+             CASE WHEN o.key IS NULL THEN 'insert'
+                  WHEN n.key IS NULL THEN 'delete'
+                  WHEN NOT (o.custkey IS NOT DISTINCT FROM n.custkey
+                        AND o.status IS NOT DISTINCT FROM n.status
+                        AND o.price_c IS NOT DISTINCT FROM n.price_c)
+                    THEN 'update' END AS op,
+             n.custkey AS custkey, n.status AS status, n.price_c AS price_c
+           FROM v0 o FULL OUTER JOIN v1 n ON o.key = n.key)
+         WHERE op IS NOT NULL""",
     "csv_ingest" ->
       """SELECT COUNT(*) AS n_total,
          COUNT(CASE WHEN name > 3000 THEN 1 END) AS n_gt3000

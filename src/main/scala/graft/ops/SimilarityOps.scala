@@ -438,9 +438,12 @@ object SimilarityOps {
   private def muLit(mu: Seq[Double]): String =
     mu.map(x => s"CAST('${x.toString}' AS DOUBLE)").mkString("array(", ", ", ")")
 
-  /** `v` → centered `v − μ` (in-row zip against the literal mean). */
-  private def centerExpr(mu: Seq[Double]): String =
-    s"zip_with(v, ${muLit(mu)}, (x, mu) -> x - mu)"
+  /** `vcol` → centered `vcol − μ` (in-row zip against the literal
+    * mean). The vector column must already be μ's width — zip_with
+    * null-pads mismatched lengths, so a truncated μ needs a sliced
+    * column, never the full one. */
+  private def centerExpr(mu: Seq[Double], vcol: String = "v"): String =
+    s"zip_with($vcol, ${muLit(mu)}, (x, mu) -> x - mu)"
 
   /** Trains the PqM sub-codebooks over the CENTERED vectors:
     * [[PqIters]] Lloyd rounds where each round is ONE corpus pass — the
@@ -728,6 +731,57 @@ object SimilarityOps {
   private[graft] val MrlPqM = 4
   private[graft] val MrlPqSubDim = 4 // 4×4 = MrlDim = 16
 
+  /** The full composition LATTICE closed: coarse IVF cells (trained on
+    * the FULL vectors — the cell geometry should not pay the truncation
+    * tax) × PQ codes over the [[MrlDim]]-dim Matryoshka prefix (the
+    * 16-bit/vector index of [[annMrlPqTopk]]) × exact rerank at full
+    * width. Relative to [[annIvfPqTopk]] the index row shrinks 2×
+    * (codes) and encode arithmetic 4×; relative to [[annMrlPqTopk]]
+    * the ADC scan reads ONE CELL's codes per query instead of the
+    * corpus (the equi-join, no BNLJ — pinned). At 100 TB this is the
+    * cheapest serving index in the family: (vec_id, cell, 4 nibble
+    * codes) bucketed by cell, raw vectors point-looked-up only for the
+    * [[PqShortlist]]-deep shortlist. */
+  val annMrlIvfPqTopk: Q = (s, dir) => {
+    val mu = pqMean(s, dir).take(MrlDim)
+    val cb = pqTrain(s, dir, mu, MrlPqM, MrlPqSubDim)
+    val cents = kmeansTrain(s, dir)
+    val raw = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // one corpus pass builds the index row: full-width cell, truncated
+    // centered prefix codes — both in-row literal folds
+    val index = raw
+      .withColumn("cell", expr(kmeansAssignExpr(s, cents) + ".k"))
+      .withColumn("tv", expr(s"slice(v, 1, $MrlDim)"))
+      .withColumn("vc", expr(centerExpr(mu, "tv")))
+      .withColumn("codes", expr(pqEncodeExpr(s, cb, "vc")))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val q = raw.filter(col("vec_id") < PqQueryCount)
+      .withColumn("cell", expr(kmeansAssignExpr(s, cents) + ".k"))
+      .withColumn("tv", expr(s"slice(v, 1, $MrlDim)"))
+      .withColumn("lut", expr(pqLutExpr(s, cb, "tv")))
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"), col("lut"))
+    val adcChain = (0 until MrlPqM)
+      .map(m => s"lut[$m][CAST(codes[$m] AS INT)]").mkString(" + ")
+    val adc = index.as("c").join(broadcast(q),
+        col("qcell") === col("c.cell") && col("qid") =!= col("c.vec_id"))
+      .select(col("qid"), col("c.vec_id").as("nid"), col("c.cell").as("bucket"),
+        expr(s"round($adcChain, 6)").as("adc6"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc6").desc, col("nid"))
+    val shortlist = adc.withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= PqShortlist).select("qid", "nid", "bucket")
+    val qv = raw.filter(col("vec_id") < PqQueryCount)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val reranked = shortlist
+      .join(raw.select(col("vec_id").as("nid"), col("v").as("cv")), "nid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"), col("bucket"),
+        round(expr(dotSql(s, "qv", "cv")), 6).as("dp6"))
+    val w = Window.partitionBy("qid").orderBy(col("dp6").desc, col("nid"))
+    reranked.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PqTopK)
+  }
+
   /** The composed MRL SERVING probe — truncate-then-PQ: the
     * [[MrlDim]]-dim Matryoshka prefix is itself product-quantized
     * ([[MrlPqM]] subspaces × [[MrlPqSubDim]] dims × [[PqK]] codes =
@@ -768,6 +822,7 @@ object SimilarityOps {
     "ann_pq_rerank" -> annPqRerank,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_mrl_pq_topk" -> annMrlPqTopk,
+    "ann_mrl_ivfpq_topk" -> annMrlIvfPqTopk,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
@@ -924,14 +979,20 @@ object SimilarityOps {
     * p-prefixed PQ chain (codes via pcodes), probe restricted to the
     * query's cell, ADC shortlist, exact rerank — the mirror of
     * [[annIvfPqTopk]] stage for stage. */
-  private val ivfPqOracleSql: String = {
-    val adcChain = (1 to PqM)
-      .map(m => s"l.lut[$m][CAST(co.codes[$m] AS INT) + 1]").mkString(" + ")
+  /** Composed IVF×PQ oracle, parameterized like [[pqRerankOracle]]:
+    * defaults render `ann_ivfpq_topk`'s text; the MRL arguments render
+    * the triple composition (full-width cells from the kmeans chain,
+    * truncated-prefix codes from the parameterized PQ chain, full-width
+    * rerank from pe0). */
+  private def ivfPqOracle(m: Int = PqM, subDim: Int = PqSubDim,
+      dims: Int = 64): String = {
+    val adcChain = (1 to m)
+      .map(mm => s"l.lut[$mm][CAST(co.codes[$mm] AS INT) + 1]").mkString(" + ")
     s"""$kmeansAssignedCteSql,
-        ${pqCteChain("p")},
+        ${pqCteChain("p", m, subDim, dims)},
         psubq AS (SELECT vec_id, m,
-            list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
-          FROM pe0, unnest(generate_series(0, ${PqM - 1})) u(m)
+            list_slice(v, $subDim * m + 1, $subDim * m + $subDim) AS sv
+          FROM pe0, unnest(generate_series(0, ${m - 1})) u(m)
           WHERE vec_id < $PqQueryCount),
         plutm AS (SELECT q.vec_id AS qid, q.m,
             list(round(list_dot_product(q.sv, c.c), 6) ORDER BY c.k) AS dpk
@@ -1143,8 +1204,9 @@ object SimilarityOps {
           FROM codes""",
     "ann_pq_topk" -> pqTopkOracleSql,
     "ann_pq_rerank" -> pqRerankOracle(),
-    "ann_ivfpq_topk" -> ivfPqOracleSql,
+    "ann_ivfpq_topk" -> ivfPqOracle(),
     "ann_mrl_pq_topk" -> pqRerankOracle(MrlPqM, MrlPqSubDim, MrlDim),
+    "ann_mrl_ivfpq_topk" -> ivfPqOracle(MrlPqM, MrlPqSubDim, MrlDim),
     "embedding_stats" ->
       s"""WITH e AS ($vecsSql)
           SELECT label, COUNT(*) AS n, round(AVG(nrm), 6) AS avg_norm6

@@ -154,6 +154,22 @@ object SnapshotLog {
     }
   }
 
+  /** Change data feed between two committed versions — Delta's
+    * `table_changes` reduced to the same minimum as the log itself:
+    * read both versions (each immune to concurrent writers) and diff
+    * them with [[graft.ops.MigrationOps.tableDiff]] (one full-outer
+    * equi-join, churn-sized output, post-image semantics). `payload` =
+    * every non-key column of the table's schema unless named
+    * explicitly. */
+  def diff(spark: SparkSession, tableDir: String, fromV: Long, toV: Long,
+      payload: Seq[String] = Nil): DataFrame = {
+    val oldS = read(spark, tableDir, asOf = Some(fromV))
+    val newS = read(spark, tableDir, asOf = Some(toV))
+    val cols = if (payload.nonEmpty) payload
+      else oldS.columns.filterNot(_ == "key").toSeq
+    graft.ops.MigrationOps.tableDiff(oldS, newS, cols)
+  }
+
   /** Delete data directories no manifest references — the orphans that
     * crashed and race-losing writers leave behind by design. Returns
     * the deleted directory paths.

@@ -79,6 +79,66 @@ class CdcPropertySpec extends SparkSpec {
     }
   }
 
+  /** Plain keyed frames (post-merge column shape) for the diff pair. */
+  private def plainDf(rows: Seq[(Long, Option[Long], Option[String])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, p, s) =>
+        Row(k, p.map(Long.box).orNull, s.orNull) }, 4),
+      StructType(Seq(StructField("key", LongType),
+        StructField("price", LongType), StructField("status", StringType))))
+
+  private def randomPlain(keySpace: Long): Seq[(Long, Option[Long], Option[String])] =
+    (0L until keySpace).filter(_ => rnd.nextBoolean()).map { k =>
+      (k,
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(1000).toLong),
+        if (rnd.nextInt(4) == 0) None else Some(s"s${rnd.nextInt(3)}"))
+    }
+
+  test("tableDiff/applyDiff roundtrip: applying the feed reconstructs the new snapshot exactly") {
+    // arbitrary s0, s1 — including NULL payloads and non-null → null
+    // transitions, the case per-column null-means-keep cannot express
+    // and post-image semantics must survive
+    (1 to 6).foreach { round =>
+      val s0 = randomPlain(40L)
+      val s1 = randomPlain(40L)
+      val diff = MigrationOps.tableDiff(plainDf(s0), plainDf(s1),
+        Seq("price", "status"))
+      val rebuilt = MigrationOps.applyDiff(plainDf(s0), diff).collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[String]))).toMap
+      val want = s1.map { case (k, p, s) => k -> (p, s) }.toMap
+      assert(rebuilt == want, s"round $round: rebuilt ${rebuilt.size}, want ${want.size}")
+      // and the feed is churn-sized: unchanged keys never appear
+      val unchanged = s0.toSet & s1.toSet
+      val feedKeys = diff.select("key").collect().map(_.getLong(0)).toSet
+      assert(unchanged.forall { case (k, _, _) => !feedKeys.contains(k) })
+    }
+  }
+
+  test("tableDiff inverts mergeBatch: the feed recovers the batch's effective rows") {
+    val snap = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+    val chg = Seq(
+      (1L, "update", Some(11L), None),         // effective: post-image (11, a)
+      (2L, "delete", None, None),              // effective: delete
+      (5L, "insert", Some(50L), Some("x")),    // effective: insert
+      (3L, "update", None, Some("c")))         // NO-OP: coalesces to the same row
+    val s0 = snapshotDf(snap)
+      .withColumnRenamed("s_price", "price").withColumnRenamed("s_status", "status")
+    val s1 = MigrationOps.mergeBatch(snapshotDf(snap), changesDf(chg),
+      Seq("price", "status"))
+    val feed = MigrationOps.tableDiff(s0, s1, Seq("price", "status")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[String]))).toSet
+    // key 3's no-op update must NOT surface; the others surface with
+    // post-images (key 1 keeps status 'a' through the coalesce)
+    assert(feed == Set(
+      (1L, "update", Some(11L), Some("a")),
+      (2L, "delete", None, None),
+      (5L, "insert", Some(50L), Some("x"))), feed.toString)
+  }
+
   test("degenerate shapes: empty batch, empty snapshot, delete-everything") {
     val snap = Seq((1L, 10L, "a"), (2L, 20L, "b"))
     // empty batch → identity

@@ -522,12 +522,15 @@ class PlanShapeSpec extends SparkSpec {
     // scan from ann_pq_topk's bounded BNLJ into a plain equi-join — the
     // property that makes the probe read ONE cell per query at scale.
     // A BroadcastNestedLoopJoin anywhere here means the cell
-    // restriction regressed
-    val plan = executedPlan("ann_ivfpq_topk")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
-      || plan.contains("ShuffledHashJoin"), plan)
+    // restriction regressed. The MRL triple composition must keep the
+    // same shape — its ADC scan is also cell-equi-joined
+    Seq("ann_ivfpq_topk", "ann_mrl_ivfpq_topk").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+        || plan.contains("ShuffledHashJoin"), s"$q:\n$plan")
+    }
   }
 
   test("dedup_decontaminate_bloom screens via a reused scalar subquery, then equi-joins") {
@@ -553,6 +556,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin")
       && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cdc_table_diff reads two versions through one full-outer equi-join") {
+    // the change feed is the merge's read-side inverse and must keep
+    // its plan class: both versions keyed through one FullOuter join,
+    // churn-sized output — never a nested loop or a per-key window
+    val plan = executedPlan("cdc_table_diff")
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("cdc_changelog_compact compacts via partial-agg groupBy, never a window") {

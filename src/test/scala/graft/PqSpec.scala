@@ -125,6 +125,36 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.2, f"overlap $mean%.3f — composed probe disagrees wildly with cell truth")
   }
 
+  test("the MRL triple composition stays cell-contained and tracks the cell truth") {
+    // the cheapest index in the family (16-bit truncated-prefix codes
+    // inside full-width cells) must keep BOTH composition invariants:
+    // results come only from the query's own coarse cell, and the
+    // within-cell shortlist+rerank agrees with the cell-restricted
+    // exact ranking far above chance (the rerank is full-width exact,
+    // so only shortlist misses can lower the overlap)
+    val rows = SparkEntry.queries("ann_mrl_ivfpq_topk")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val cells = SparkEntry.queries("embedding_kmeans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (qid, nid, bucket) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(cells(qid) == bucket, s"query $qid reported cell $bucket, assigned ${cells(qid)}")
+      assert(cells(nid) == bucket, s"neighbor $nid of $qid outside cell $bucket")
+    }
+    val ivfExact = SparkEntry.queries("ann_ivf_kmeans")(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val composed = rows.groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val common = ivfExact.keySet & composed.keySet
+    assert(common.nonEmpty)
+    val overlap = common.toSeq.map(k => (ivfExact(k) & composed(k)).size.toDouble /
+      math.max(1, ivfExact(k).size))
+    val mean = overlap.sum / overlap.size
+    info(f"MRL-IVF-PQ vs within-cell cosine-exact overlap@3 = $mean%.3f")
+    // floor below the 64-bit composition's 0.2: the 16-bit prefix codes
+    // blur the shortlist more, but collapse to ~0 means a broken chain
+    assert(mean >= 0.1, f"overlap $mean%.3f — triple composition disagrees wildly with cell truth")
+  }
+
   test("ADC score equals the dot product against the PQ reconstruction") {
     // ADC(q, x) = Σ_m <q_m, c_{m,code_m(x)}> = <q, reconstruct(x)> — so
     // |ADC − trueDot| is exactly |<q, x − reconstruct(x)>|, the
