@@ -319,6 +319,38 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** EXACT top-percentile selection without a global sort — the
+    * QUANTILE member of the screen-then-confirm family (bloom
+    * decontamination / CMS heavy hitters / this): select the exact top
+    * 1% of documents by length (tie-break doc_id) while sorting only a
+    * sketch-bounded candidate slice. Screen: `approx_percentile` at
+    * 0.985 with rank error ≤ n/10000 yields a boundary b of true rank
+    * ≥ 0.9849n, so {len ≥ b} ⊇ the exact top 1% (whose k-th row sits
+    * at rank ≥ 0.99n); the top-k then orders CANDIDATES only (~1.5% of
+    * the corpus, more on a tie plateau — which widens the superset,
+    * never breaks it). The sketch affects WHICH superset is sorted,
+    * never the result — so unlike the rows-only `_approx` twins this
+    * entry hash-checks against the exact oracle (screen+confirm ≡
+    * exact, a gate theorem like bloom's and CMS's). The superset
+    * guarantee is ASSERTED at runtime, so a sketch regression fails
+    * loudly instead of silently truncating the selection. At 100 TB:
+    * one combined (count, sketch) pass, one filtered scan, top-k over
+    * the slice — vs the full-corpus global sort NTILE-style selection
+    * would pay. */
+  val quantileSelectExact: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val st = docs.agg(count(lit(1)).as("n"),
+      expr("approx_percentile(len, 0.985D, 10000)").as("b")).head()
+    val (n, b) = (st.getLong(0), st.getLong(1))
+    val k = math.max(1L, math.ceil(n / 100.0).toLong)
+    val cands = docs.filter(col("len") >= b)
+    val nCands = cands.count()
+    require(nCands >= k,
+      s"quantile screen must be a superset: $nCands candidates < k=$k (n=$n, b=$b)")
+    cands.orderBy(col("len").desc, col("doc_id")).limit(k.toInt)
+  }
+
   /** Corpus mix rebalancing — the sampling-weight computation a
     * multi-source training mix runs (Pile/Dolma-style): for a UNIFORM
     * target share across languages, each language's resampling weight
@@ -1179,6 +1211,7 @@ object TextOps {
     "corpus_importance_dsir" -> corpusImportanceDsir,
     "text_perplexity_bucket" -> textPerplexityBucket,
     "text_perplexity_bucket_approx" -> textPerplexityBucketApprox,
+    "quantile_select_exact" -> quantileSelectExact,
     "corpus_mix_rebalance" -> corpusMixRebalance,
     "corpus_sample_weighted" -> corpusSampleWeighted,
     "corpus_curation_best" -> corpusCurationBest,
@@ -1437,6 +1470,16 @@ object TextOps {
                 WHEN avg_logprob6 >= t33 THEN 'middle'
                 ELSE 'tail' END AS bucket
          FROM lp CROSS JOIN th""",
+    // exact top-1% ground truth: the oracle pays the full sort the
+    // entry's sketch screen avoids — identical output is the theorem
+    "quantile_select_exact" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+                    FROM documents)
+         SELECT doc_id, len FROM (
+           SELECT doc_id, len,
+             row_number() OVER (ORDER BY len DESC, doc_id) AS rk
+           FROM d)
+         WHERE rk <= (SELECT CAST(ceil(COUNT(*) / 100.0) AS BIGINT) FROM d)""",
     "corpus_mix_rebalance" ->
       """WITH per AS (SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

@@ -558,6 +558,19 @@ class PlanShapeSpec extends SparkSpec {
       && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("quantile_select_exact sorts only the screened slice — top-k, never a rank window") {
+    // the screen-confirm quantile selection must keep its scale shape:
+    // the candidate slice feeds a distributed TakeOrderedAndProject
+    // (top-k), and no Window (a global row_number rank would serialize
+    // the corpus through one partition — the NTILE shape this entry
+    // exists to avoid). The full-table work is the one (count, sketch)
+    // aggregate, which runs eagerly before this plan.
+    val plan = executedPlan("quantile_select_exact")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("cdc_table_diff reads two versions through one full-outer equi-join") {
     // the change feed is the merge's read-side inverse and must keep
     // its plan class: both versions keyed through one FullOuter join,
