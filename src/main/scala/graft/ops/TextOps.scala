@@ -373,6 +373,37 @@ object TextOps {
           .as("weight6"))
   }
 
+  /** Temperature-scaled mixing — the multilingual-LLM sampling law
+    * (mBERT/XLM-R exponential smoothing, T=2 here): instead of
+    * [[corpusMixRebalance]]'s uniform target, the target share is
+    * q_l ∝ s_l^(1/T) — low-resource languages are up-sampled
+    * sub-proportionally, so the head is tamed without flattening the
+    * mix entirely. Numeric-parity discipline for the cross-engine
+    * gate: T=2 makes the exponent a `sqrt` (correctly-rounded IEEE on
+    * both engines — a general `pow` is NOT and was rejected), each
+    * sqrt-share is micro-rounded to a BIGINT (×10⁶ — the
+    * text_nb_classify discipline) so the normalizer Z is an ORDER-FREE
+    * integer sum, and every emitted ratio is a single division
+    * rounded 6. Same two-tiny-aggregates + broadcast shape as the
+    * uniform twin — zero corpus shuffles beyond the per-lang count. */
+  val corpusMixTemperature: Q = (s, dir) => {
+    val perLang = t(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+    val tot = perLang.agg(sum(col("lang_tokens")).as("tot_tokens"))
+    val scaled = perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        round(col("lang_tokens").cast("double") / col("tot_tokens"), 6).as("share6"))
+      .withColumn("r", round(sqrt(col("share6")) * 1000000d, 0).cast("long"))
+    val z = scaled.agg(sum(col("r")).as("z"))
+    scaled.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("share6"),
+        round(col("r").cast("double") / col("z"), 6).as("tshare6"),
+        round(round(col("r").cast("double") / col("z"), 6) / col("share6"), 6)
+          .as("weight6"))
+  }
+
   /** Base overall sampling rate for the weighted sampler. */
   private[graft] val WeightedSampleRate = 0.25
 
@@ -1213,6 +1244,7 @@ object TextOps {
     "text_perplexity_bucket_approx" -> textPerplexityBucketApprox,
     "quantile_select_exact" -> quantileSelectExact,
     "corpus_mix_rebalance" -> corpusMixRebalance,
+    "corpus_mix_temperature" -> corpusMixTemperature,
     "corpus_sample_weighted" -> corpusSampleWeighted,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
@@ -1491,6 +1523,23 @@ object TextOps {
            round(CAST(lang_tokens AS DOUBLE) / tot_tokens, 6) AS share6,
            round(CAST(tot_tokens AS DOUBLE) / (n_langs * lang_tokens), 6) AS weight6
          FROM per CROSS JOIN tot""",
+    // T=2 exponential smoothing: sqrt is correctly-rounded IEEE on
+    // both engines; the micro-rounded BIGINT r makes Z an order-free
+    // integer sum (the nb-classify discipline)
+    "corpus_mix_temperature" ->
+      """WITH per AS (SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS tot_tokens FROM per),
+         sc AS (SELECT lang, n_docs, lang_tokens,
+             round(CAST(lang_tokens AS DOUBLE) / tot_tokens, 6) AS share6,
+             CAST(round(sqrt(round(CAST(lang_tokens AS DOUBLE) / tot_tokens, 6)) * 1000000, 0) AS BIGINT) AS r
+           FROM per CROSS JOIN tot),
+         zz AS (SELECT CAST(SUM(r) AS BIGINT) AS z FROM sc)
+         SELECT lang, n_docs, lang_tokens, share6,
+           round(CAST(r AS DOUBLE) / z, 6) AS tshare6,
+           round(round(CAST(r AS DOUBLE) / z, 6) / share6, 6) AS weight6
+         FROM sc CROSS JOIN zz""",
     "corpus_sample_weighted" ->
       s"""WITH per AS (SELECT lang,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

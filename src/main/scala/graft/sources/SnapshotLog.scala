@@ -154,6 +154,23 @@ object SnapshotLog {
     }
   }
 
+  /** Idempotent commit at an EXPLICIT version — the exactly-once sink
+    * primitive: a foreachBatch writer that derives the version
+    * deterministically from the micro-batch id (v = batchId + base)
+    * turns Spark's at-least-once replay contract into exactly-once
+    * TABLE state, because a replayed batch re-publishes the same
+    * version and the put-if-absent makes that a no-op instead of a
+    * double-apply. Returns true iff THIS call published the version.
+    * The data rewrite on a replay is wasted work but never visible —
+    * the loser directory orphans for [[vacuum]], the manifest the
+    * readers follow is unchanged. StreamingSpec pins the pattern. */
+  def commitIdempotent(spark: SparkSession, tableDir: String,
+      df: DataFrame, v: Long): Boolean = {
+    if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
+    try { commitAt(spark, tableDir, df, v); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
   /** Change data feed between two committed versions — Delta's
     * `table_changes` reduced to the same minimum as the log itself:
     * read both versions (each immune to concurrent writers) and diff

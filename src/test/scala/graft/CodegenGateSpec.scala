@@ -43,7 +43,14 @@ class CodegenGateSpec extends SparkSpec {
       // codegen), the CDC family, and the Morton-key bit arithmetic
       "text_heavy_hitters_cms", "cdc_merge_upsert",
       "cdc_changelog_compact", "cdc_changelog_compact_salted",
-      "cdc_scd2_intervals", "layout_zorder_key")).distinct
+      "cdc_scd2_intervals", "layout_zorder_key",
+      // round 9: the two queries RETIRED from the bench headline keep
+      // their codegen coverage here, plus the round-9 additions (the
+      // composed MRL probes' literal-codebook folds, the change feed's
+      // null-safe comparison chain, the quantile screen)
+      "dedup_ngram_jaccard", "ann_bruteforce_topk", "ann_mrl_topk",
+      "ann_mrl_ivfpq_topk", "cdc_table_diff",
+      "quantile_select_exact")).distinct
       .filter(SparkEntry.queries.contains)
 
   test("every gated query executes with codegen fallback disabled") {

@@ -110,6 +110,59 @@ class StreamingSpec extends SparkSpec {
     assert(v1 == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
   }
 
+  test("exactly-once foreachBatch sink: batchId-keyed atomic commits make replays no-ops") {
+    // the CDC-apply topology upgraded from versioned parquet dirs to
+    // the snapshot log's put-if-absent: each micro-batch merges against
+    // the PRIOR committed version and commits at the DETERMINISTIC
+    // version batchId+1 (commitIdempotent). foreachBatch's delivery
+    // contract is at-least-once — after a failure Spark re-invokes the
+    // same (batch, id) — and the version-keyed publish turns that
+    // replay into a no-op: at-least-once delivery + idempotent
+    // versioned commit = exactly-once table state.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = s"$scratch/stream_xonce"
+    graft.sources.SnapshotLog.commit(spark, table,
+      Seq((1L, 10L), (2L, 20L)).toDF("key", "s_price")) // v0
+    def applyBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long): Boolean = {
+      val snap = graft.sources.SnapshotLog.read(spark, table, asOf = Some(id))
+      val merged = graft.ops.MigrationOps.mergeBatch(snap, batch, Seq("price"))
+        .withColumnRenamed("price", "s_price")
+      graft.sources.SnapshotLog.commitIdempotent(spark, table, merged, id + 1)
+    }
+    val input = MemoryStream[(Long, String, Option[Long])]
+    val changes = input.toDF().toDF("key", "op", "c_price")
+    val q = changes.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyBatch(batch, id): Unit
+    }.start()
+    val b0 = Seq((1L, "update", Some(11L)), (3L, "insert", Some(30L)))
+    try {
+      input.addData(b0: _*)
+      q.processAllAvailable()
+      input.addData((2L, "delete", Option.empty[Long]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = graft.sources.SnapshotLog.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == Map(1L -> 11L, 3L -> 30L))
+    // REPLAY batch 0 (what Spark does after a foreachBatch failure):
+    // the idempotent commit declines, and neither the latest state nor
+    // the version history moves — exactly-once observed state
+    val replayed = applyBatch(b0.toDF("key", "op", "c_price"), 0L)
+    assert(!replayed, "replay must be a no-op, not a new commit")
+    assert(graft.sources.SnapshotLog.latestVersion(table).contains(2L))
+    val after = graft.sources.SnapshotLog.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == fin)
+    // the manifest pre-check declined BEFORE rewriting any data, so a
+    // sequential replay costs nothing and leaves no orphan (only a
+    // replay RACING a first delivery pays a wasted rewrite, which then
+    // orphans for vacuum)
+    assert(graft.sources.SnapshotLog.vacuum(table, minAgeMillis = 0L).isEmpty)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
