@@ -351,6 +351,120 @@ object TextOps {
     cands.orderBy(col("len").desc, col("doc_id")).limit(k.toInt)
   }
 
+  /** Number of BPE merge rounds the in-engine trainer runs. */
+  private[graft] val BpeRounds = 3
+
+  /** The BPE word-frequency table: lowercased whitespace tokens
+    * stripped to [a-z] (so the `( )` symbol delimiters below can never
+    * collide with symbol content), weighted by corpus frequency —
+    * classic BPE trains on this table, not on documents, which is why
+    * the whole trainer scales with VOCABULARY, not corpus: the one
+    * corpus-sized job is this groupBy. */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .select(regexp_replace(col("w"), "[^a-z]", "").as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016) —
+    * the tokenizer-training operator an LLM data pipeline runs over its
+    * own corpus. Symbol sequences are carried as a `(sym)(sym)…`
+    * string: plain `replace` of `(l)(r)` → `(lr)` IS the BPE merge rule
+    * (left-to-right, non-overlapping — `(a)(a)(a)(a)` → `(aa)(aa)`),
+    * the wrapping parens make cross-symbol false matches impossible,
+    * and `replace` behaves identically on both engines, so each round
+    * is pure column work. Per round: adjacent-pair counts weighted by
+    * word frequency (one vocabulary-sized aggregation), the argmax
+    * pair (weight desc, then lexicographic — the deterministic
+    * tie-break) collected to the driver like a kmeans centroid, and
+    * the merge folded into the running seq expression as a literal
+    * replace. Driver state = [[BpeRounds]] string pairs; nothing
+    * corpus-sized ever leaves the executors. Oracle: the same rounds
+    * unrolled as CTEs (the kmeansCtePrefix discipline). */
+  /** seq after applying `merges` in order: every char wrapped
+    * (`(.)` → `($1)`), then one literal replace per learned merge. */
+  private def bpeSeqCol(merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(regexp_replace(col("word"), "(.)", "($1)")) {
+      case (acc, (l, r)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+
+  private[graft] def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(String, String, Long)], DataFrame) = {
+    val words = bpeWords(s, dir)
+    var merges = Seq.empty[(String, String, Long)]
+    for (_ <- 1 to BpeRounds) {
+      val syms = words
+        .select(col("cnt"), bpeSeqCol(merges.map(m => (m._1, m._2))).as("seq"))
+        .select(col("cnt"),
+          split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(").as("ss"))
+        .filter(size(col("ss")) >= 2)
+      val pairs = syms.select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> struct(element_at(ss, i) AS l, element_at(ss, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("w"))
+      val b = pairs.orderBy(col("w").desc, col("l"), col("r")).limit(1).collect()(0)
+      merges = merges :+ ((b.getString(0), b.getString(1), b.getLong(2)))
+    }
+    (merges, words)
+  }
+
+  /** The trained merge table — the BPE MODEL, one row per round
+    * (1-indexed): which pair won and at what corpus weight. 3 rows,
+    * but hash-matching them end-to-end validates every distributed
+    * round that produced them (the embedding_kmeans precedent: tiny
+    * model, heavyweight provenance). */
+  val bpeMerges: Q = (s, dir) => {
+    val (merges, _) = bpeTrain(s, dir)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, w), i) => (i + 1L, l, r, w) }
+      .toDF("round", "lhs", "rhs", "pair_weight")
+  }
+
+  /** Every vocabulary word segmented by the trained merges — the
+    * tokenizer APPLIED: in-row literal replaces, vocabulary-sized
+    * output, hash-green across the whole table. At 100 TB the same
+    * rendered expression tokenizes the corpus itself as a pure map. */
+  val bpeSegment: Q = (s, dir) => {
+    val (merges, words) = bpeTrain(s, dir)
+    words.select(col("word"), col("cnt"),
+      bpeSeqCol(merges.map(m => (m._1, m._2))).as("seg"))
+  }
+
+  /** Oracle mirror of [[bpeTrain]] + [[bpeSeqCol]]: the merge rounds
+    * unrolled as CTEs (the kmeansCtePrefix discipline) — per round the
+    * weighted pair counts, the (wt DESC, l, r) argmax, and the literal
+    * `replace` merge. DuckDB backreference syntax is `\1` where Spark's
+    * is `$1`; `replace`'s left-to-right non-overlapping semantics match
+    * on both engines, which is what makes the merge rule portable. */
+  private lazy val bpeCtePrefix: String = {
+    def round(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+            SELECT ss[i] AS l, ss[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS wt
+            FROM (SELECT cnt, string_split(substr(seq, 2, len(seq) - 2), ')(') AS ss
+                  FROM $prev),
+                 unnest(generate_series(1, len(ss) - 1)) u(i)
+            WHERE len(ss) >= 2
+            GROUP BY 1, 2),
+          b$k AS (SELECT l, r, wt FROM p$k ORDER BY wt DESC, l, r LIMIT 1),
+          s$k AS (SELECT word, cnt,
+              replace(seq, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS seq
+            FROM $prev CROSS JOIN b$k)"""
+    }
+    val s0 = """s0 AS (SELECT word, cnt, regexp_replace(word, '(.)', '(\1)', 'g') AS seq FROM w)"""
+    s"""WITH w AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT regexp_replace(tok, '[^a-z]', '', 'g') AS word
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents))
+          WHERE word <> '' GROUP BY word),
+        $s0,
+        ${(1 to BpeRounds).map(round).mkString(",\n")}"""
+  }
+
   /** Corpus mix rebalancing — the sampling-weight computation a
     * multi-source training mix runs (Pile/Dolma-style): for a UNIFORM
     * target share across languages, each language's resampling weight
@@ -1245,6 +1359,8 @@ object TextOps {
     "quantile_select_exact" -> quantileSelectExact,
     "corpus_mix_rebalance" -> corpusMixRebalance,
     "corpus_mix_temperature" -> corpusMixTemperature,
+    "bpe_merges" -> bpeMerges,
+    "bpe_segment" -> bpeSegment,
     "corpus_sample_weighted" -> corpusSampleWeighted,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
@@ -1523,6 +1639,15 @@ object TextOps {
            round(CAST(lang_tokens AS DOUBLE) / tot_tokens, 6) AS share6,
            round(CAST(tot_tokens AS DOUBLE) / (n_langs * lang_tokens), 6) AS weight6
          FROM per CROSS JOIN tot""",
+    "bpe_merges" -> s"""$bpeCtePrefix
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS round, l AS lhs, r AS rhs, wt AS pair_weight FROM b1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), l, r, wt FROM b2
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), l, r, wt FROM b3)""",
+    "bpe_segment" -> s"""$bpeCtePrefix
+         SELECT word, cnt, seq AS seg FROM s$BpeRounds""",
     // T=2 exponential smoothing: sqrt is correctly-rounded IEEE on
     // both engines; the micro-rounded BIGINT r makes Z an order-free
     // integer sum (the nb-classify discipline)
