@@ -392,7 +392,11 @@ object TextOps {
 
   private[graft] def bpeTrain(s: SparkSession, dir: String)
       : (Seq[(String, String, Long)], DataFrame) = {
-    val words = bpeWords(s, dir)
+    // the word table feeds every round plus the final application —
+    // persist it so training costs ONE corpus pass, not rounds+1 (the
+    // 100 TB form writes this table once; Verify clears caches between
+    // entries)
+    val words = bpeWords(s, dir).persist()
     var merges = Seq.empty[(String, String, Long)]
     for (_ <- 1 to BpeRounds) {
       val syms = words
