@@ -438,6 +438,33 @@ object TextOps {
       bpeSeqCol(merges.map(m => (m._1, m._2))).as("seg"))
   }
 
+  /** The trained tokenizer applied to the CORPUS — the claim
+    * "tokenizes 100 TB as a pure map" made a gate entry: per document,
+    * whitespace-split, normalize each token like [[bpeWords]], apply
+    * the merge chain in-row (the same char-wrap + literal replaces,
+    * rendered INSIDE a higher-order transform so no join touches the
+    * corpus), and count BPE symbols as occurrences of the `(` symbol
+    * delimiter. Output compares whitespace tokens vs BPE tokens per
+    * doc — the compression the learned merges buy. Plan: one Project
+    * over the documents scan (training's aggregates ran eagerly in
+    * [[bpeTrain]]). */
+  val bpeTokenCount: Q = (s, dir) => {
+    val (merges, _) = bpeTrain(s, dir)
+    // the seq chain as an expr STRING over lambda variable `w`
+    val chain = merges.foldLeft("regexp_replace(w, '(.)', '($1)')") {
+      case (acc, (l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(transform(split(lower(text), ' '), " +
+          "t -> regexp_replace(t, '[^a-z]', '')), w -> w <> '')").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_ws_tokens"),
+        expr(s"""aggregate(ws, CAST(0 AS BIGINT),
+             (acc, w) -> acc + length($chain) - length(replace($chain, '(', '')))""")
+          .as("n_bpe_tokens"))
+  }
+
   /** Oracle mirror of [[bpeTrain]] + [[bpeSeqCol]]: the merge rounds
     * unrolled as CTEs (the kmeansCtePrefix discipline) — per round the
     * weighted pair counts, the (wt DESC, l, r) argmax, and the literal
@@ -1365,6 +1392,7 @@ object TextOps {
     "corpus_mix_temperature" -> corpusMixTemperature,
     "bpe_merges" -> bpeMerges,
     "bpe_segment" -> bpeSegment,
+    "bpe_token_count" -> bpeTokenCount,
     "corpus_sample_weighted" -> corpusSampleWeighted,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
@@ -1652,6 +1680,22 @@ object TextOps {
            SELECT CAST(3 AS BIGINT), l, r, wt FROM b3)""",
     "bpe_segment" -> s"""$bpeCtePrefix
          SELECT word, cnt, seq AS seg FROM s$BpeRounds""",
+    "bpe_token_count" -> {
+      val chain = (1 to BpeRounds).foldLeft(
+        """regexp_replace(w, '(.)', '(\1)', 'g')""") { (acc, k) =>
+        s"replace($acc, '(' || b$k.l || ')(' || b$k.r || ')', '(' || b$k.l || b$k.r || ')')"
+      }
+      val crosses = (1 to BpeRounds).map(k => s"CROSS JOIN b$k").mkString(" ")
+      s"""$bpeCtePrefix,
+         dtok AS (SELECT doc_id, regexp_replace(tok, '[^a-z]', '', 'g') AS w
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents)
+           WHERE regexp_replace(tok, '[^a-z]', '', 'g') <> ''),
+         dseg AS (SELECT doc_id, $chain AS seg FROM dtok $crosses)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(len(seg) - len(replace(seg, '(', ''))) AS BIGINT) AS n_bpe_tokens
+         FROM dseg GROUP BY doc_id"""
+    },
     // T=2 exponential smoothing: sqrt is correctly-rounded IEEE on
     // both engines; the micro-rounded BIGINT r makes Z an order-free
     // integer sum (the nb-classify discipline)
