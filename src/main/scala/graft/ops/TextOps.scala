@@ -448,21 +448,37 @@ object TextOps {
     * doc — the compression the learned merges buy. Plan: one Project
     * over the documents scan (training's aggregates ran eagerly in
     * [[bpeTrain]]). */
-  val bpeTokenCount: Q = (s, dir) => {
-    val (merges, _) = bpeTrain(s, dir)
-    // the seq chain as an expr STRING over lambda variable `w`
-    val chain = merges.foldLeft("regexp_replace(w, '(.)', '($1)')") {
+  /** The merge chain as an expr STRING over lambda variable `w`. */
+  private def bpeChainExpr(merges: Seq[(String, String, Long)]): String =
+    merges.foldLeft("regexp_replace(w, '(.)', '($1)')") {
       case (acc, (l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
     }
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("filter(transform(split(lower(text), ' '), " +
-          "t -> regexp_replace(t, '[^a-z]', '')), w -> w <> '')").as("ws"))
-      .select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_ws_tokens"),
-        expr(s"""aggregate(ws, CAST(0 AS BIGINT),
-             (acc, w) -> acc + length($chain) - length(replace($chain, '(', '')))""")
-          .as("n_bpe_tokens"))
+
+  val bpeTokenCount: Q = (s, dir) => {
+    val (merges, _) = bpeTrain(s, dir)
+    graft.streaming.DocStreams
+      .bpeTokenizeScreen(t(s, dir, "documents"), bpeChainExpr(merges))
+  }
+
+  /** The tokenizer as an INGEST stream — the THIRTEENTH oracle-checked
+    * streaming topology (model-scoring class, like the kmeans and
+    * PQ-encode twins): the trained merges ride inside the rendered
+    * expression, the stream is stateless and join-free, and the entry
+    * shares [[bpeTokenCount]]'s oracle verbatim — the gate pins
+    * stream == batch == oracle for tokenization too. */
+  val bpeTokenCountStreamTwin: Q = (s, dir) => {
+    val (merges, _) = bpeTrain(s, dir)
+    val sch = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val scored = graft.streaming.DocStreams
+      .bpeTokenizeScreen(stream, bpeChainExpr(merges))
+    val sink = "graft_bpe_stream_sink"
+    s.catalog.dropTempView(sink)
+    val q = scored.writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
   }
 
   /** Oracle mirror of [[bpeTrain]] + [[bpeSeqCol]]: the merge rounds
@@ -494,6 +510,25 @@ object TextOps {
           WHERE word <> '' GROUP BY word),
         $s0,
         ${(1 to BpeRounds).map(round).mkString(",\n")}"""
+  }
+
+  /** Oracle for [[bpeTokenCount]] and its stream twin: the merge
+    * chain applied per document token, counts grouped per doc. */
+  private lazy val bpeTokenCountOracle: String = {
+    val chain = (1 to BpeRounds).foldLeft(
+      """regexp_replace(w, '(.)', '(\1)', 'g')""") { (acc, k) =>
+      s"replace($acc, '(' || b$k.l || ')(' || b$k.r || ')', '(' || b$k.l || b$k.r || ')')"
+    }
+    val crosses = (1 to BpeRounds).map(k => s"CROSS JOIN b$k").mkString(" ")
+    s"""$bpeCtePrefix,
+       dtok AS (SELECT doc_id, regexp_replace(tok, '[^a-z]', '', 'g') AS w
+         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents)
+         WHERE regexp_replace(tok, '[^a-z]', '', 'g') <> ''),
+       dseg AS (SELECT doc_id, $chain AS seg FROM dtok $crosses)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+         CAST(SUM(len(seg) - len(replace(seg, '(', ''))) AS BIGINT) AS n_bpe_tokens
+       FROM dseg GROUP BY doc_id"""
   }
 
   /** Corpus mix rebalancing — the sampling-weight computation a
@@ -1393,6 +1428,7 @@ object TextOps {
     "bpe_merges" -> bpeMerges,
     "bpe_segment" -> bpeSegment,
     "bpe_token_count" -> bpeTokenCount,
+    "bpe_token_count_stream_twin" -> bpeTokenCountStreamTwin,
     "corpus_sample_weighted" -> corpusSampleWeighted,
     "corpus_curation_best" -> corpusCurationBest,
     "dedup_common_ngrams" -> dedupCommonNgrams,
@@ -1680,22 +1716,10 @@ object TextOps {
            SELECT CAST(3 AS BIGINT), l, r, wt FROM b3)""",
     "bpe_segment" -> s"""$bpeCtePrefix
          SELECT word, cnt, seq AS seg FROM s$BpeRounds""",
-    "bpe_token_count" -> {
-      val chain = (1 to BpeRounds).foldLeft(
-        """regexp_replace(w, '(.)', '(\1)', 'g')""") { (acc, k) =>
-        s"replace($acc, '(' || b$k.l || ')(' || b$k.r || ')', '(' || b$k.l || b$k.r || ')')"
-      }
-      val crosses = (1 to BpeRounds).map(k => s"CROSS JOIN b$k").mkString(" ")
-      s"""$bpeCtePrefix,
-         dtok AS (SELECT doc_id, regexp_replace(tok, '[^a-z]', '', 'g') AS w
-           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-                 FROM documents)
-           WHERE regexp_replace(tok, '[^a-z]', '', 'g') <> ''),
-         dseg AS (SELECT doc_id, $chain AS seg FROM dtok $crosses)
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
-           CAST(SUM(len(seg) - len(replace(seg, '(', ''))) AS BIGINT) AS n_bpe_tokens
-         FROM dseg GROUP BY doc_id"""
-    },
+    "bpe_token_count" -> bpeTokenCountOracle,
+    // the ingest stream computes the SAME per-doc counts through the
+    // stateless model-scoring topology — one oracle text, two paths
+    "bpe_token_count_stream_twin" -> bpeTokenCountOracle,
     // T=2 exponential smoothing: sqrt is correctly-rounded IEEE on
     // both engines; the micro-rounded BIGINT r makes Z an order-free
     // integer sum (the nb-classify discipline)

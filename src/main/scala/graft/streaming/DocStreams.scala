@@ -31,6 +31,26 @@ object DocStreams {
     * buckets with MinhashMaxBucket. Within a micro-batch, rows are
     * processed in (doc_id) order so the smallest id claims the bucket —
     * deterministic under replays. */
+  /** The trained-BPE tokenize screen — the model-scoring topology
+    * (the `pqEncodeScreen` class) applied to the round-9 tokenizer:
+    * `chainE` is the rendered char-wrap + literal-merge replace chain
+    * over lambda variable `w`, built batch-side by
+    * [[graft.ops.TextOps.bpeTrain]], so the stream is stateless and
+    * join-free — the trained merges ride INSIDE the expression. Both
+    * the batch entry `bpe_token_count` and its stream twin execute
+    * THIS transform, so stream == batch cannot drift by one-copy
+    * edits. Emits (doc_id, n_ws_tokens, n_bpe_tokens). */
+  def bpeTokenizeScreen(docs: DataFrame, chainE: String): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(transform(split(lower(text), ' '), " +
+          "t -> regexp_replace(t, '[^a-z]', '')), w -> w <> '')").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_ws_tokens"),
+        expr(s"""aggregate(ws, CAST(0 AS BIGINT),
+             (acc, w) -> acc + length($chainE) - length(replace($chainE, '(', '')))""")
+          .as("n_bpe_tokens"))
+
   /** Streaming incremental near-dup screen against a PERSISTED corpus
     * band index ([[graft.ops.DedupOps.writeBandIndex]]): a stream-static
     * equi-join on the band key. This is the production ingest topology —
