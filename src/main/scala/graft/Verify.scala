@@ -11,6 +11,14 @@ object Verify {
     // fast single-entry iteration; the driver always passes two args
     val onlyNames: Option[Set[String]] =
       args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail loudly on a typo'd name: a silent empty filter would write an
+    // empty oracle_sql.json and selfcheck would pass VACUOUSLY — a green
+    // gate for a query that never ran
+    onlyNames.foreach { ns =>
+      val unknown = ns.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
     def wanted(name: String): Boolean = onlyNames.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

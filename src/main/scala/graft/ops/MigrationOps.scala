@@ -231,7 +231,11 @@ object MigrationOps {
       .withColumn("o_present", lit(true))
     val n = newSnap.select(col("key") +: payload.map(p => col(p).as(s"n_$p")): _*)
       .withColumn("n_present", lit(true))
-    val changed = payload.map(p => !(col(s"o_$p") <=> col(s"n_$p"))).reduce(_ || _)
+    // foldLeft over false: a key-only table (empty payload — e.g. a
+    // membership/tombstone set) yields a legal insert/delete-only feed
+    // instead of an empty-reduce crash
+    val changed = payload.map(p => !(col(s"o_$p") <=> col(s"n_$p")))
+      .foldLeft(lit(false))(_ || _)
     o.join(n, Seq("key"), "full_outer")
       .withColumn("op",
         when(col("o_present").isNull, lit("insert"))

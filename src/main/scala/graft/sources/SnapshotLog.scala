@@ -204,6 +204,12 @@ object SnapshotLog {
     val dataDir = Paths.get(tableDir, "data")
     val ld = logDir(tableDir)
     if (!Files.isDirectory(dataDir)) return Nil
+    // normalize BOTH sides before comparing: manifests record the
+    // spelling the committer used, the listing reflects the vacuum
+    // caller's — Java Path equality does not normalize, and "./t" vs
+    // "t" vs a symlinked absolute form must not let a committed
+    // directory look unreferenced (that would delete live data)
+    def canon(p: Path): Path = p.toAbsolutePath.normalize
     val referenced: Set[Path] =
       if (!Files.isDirectory(ld)) Set.empty
       else listDir(ld)
@@ -212,12 +218,15 @@ object SnapshotLog {
         .flatMap { m =>
           val txt = Files.readString(m)
           "\"(.*?)\"".r.findAllMatchIn(txt.dropWhile(_ != '['))
-            .map(g => Paths.get(g.group(1).replace("\\\\", "\\")).getParent)
+            .map(g => canon(Paths.get(g.group(1).replace("\\\\", "\\")).getParent))
         }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMillis
+    // <= so minAgeMillis = 0 means "no age protection" exactly — with
+    // strict < an orphan written in the same clock millisecond would
+    // survive a zero-age vacuum intermittently
     val dead = listDir(dataDir).filter { d =>
-      Files.isDirectory(d) && !referenced.contains(d) &&
-        Files.getLastModifiedTime(d).toMillis < cutoff
+      Files.isDirectory(d) && !referenced.contains(canon(d)) &&
+        Files.getLastModifiedTime(d).toMillis <= cutoff
     }
     dead.foreach(deleteRecursively)
     dead.map(_.toString)

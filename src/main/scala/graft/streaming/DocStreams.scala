@@ -45,6 +45,11 @@ object DocStreams {
       .select(col("doc_id"),
         expr("filter(transform(split(lower(text), ' '), " +
           "t -> regexp_replace(t, '[^a-z]', '')), w -> w <> '')").as("ws"))
+      // a doc with NO alphabetic tokens has no tokenizer output — drop
+      // it (the oracle's per-token GROUP BY drops such docs implicitly,
+      // and a (0, 0) row here would be a latent row-count mismatch on
+      // any future fixture containing a numeric/punctuation-only doc)
+      .filter(size(col("ws")) > 0)
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_ws_tokens"),
         expr(s"""aggregate(ws, CAST(0 AS BIGINT),

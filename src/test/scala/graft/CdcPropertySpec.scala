@@ -139,6 +139,19 @@ class CdcPropertySpec extends SparkSpec {
       (5L, "insert", Some(50L), Some("x"))), feed.toString)
   }
 
+  test("tableDiff on a key-only table yields an insert/delete-only feed") {
+    // empty payload (a membership/tombstone set): no update can exist —
+    // the feed is pure set difference, and the empty comparison chain
+    // must fold to false, not crash on an empty reduce
+    import org.apache.spark.sql.Row
+    def keys(ks: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ks.map(Row(_)), 2),
+      StructType(Seq(StructField("key", LongType))))
+    val feed = MigrationOps.tableDiff(keys(Seq(1L, 2L)), keys(Seq(2L, 3L)), Nil)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((1L, "delete"), (3L, "insert")))
+  }
+
   test("degenerate shapes: empty batch, empty snapshot, delete-everything") {
     val snap = Seq((1L, 10L, "a"), (2L, 20L, "b"))
     // empty batch → identity
