@@ -363,7 +363,12 @@ object TextOps {
   private def bpeWords(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(split(lower(col("text")), " ")).as("w"))
-      .select(regexp_replace(col("w"), "[^a-z]", "").as("word"))
+      // digits transliterate to letters (a no-op on the digit-free
+      // fixture, gate-verified) so digit-bearing vocabularies — the
+      // generated corpora — keep their distinctions instead of
+      // collapsing; remaining non-letters strip as before
+      .select(regexp_replace(
+        translate(col("w"), "0123456789", "qwertyuiop"), "[^a-z]", "").as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -390,15 +395,15 @@ object TextOps {
         org.apache.spark.sql.functions.replace(acc, lit(s"($l)($r)"), lit(s"($l$r)"))
     }
 
-  private[graft] def bpeTrain(s: SparkSession, dir: String)
-      : (Seq[(String, String, Long)], DataFrame) = {
+  private[graft] def bpeTrain(s: SparkSession, dir: String,
+      rounds: Int = BpeRounds): (Seq[(String, String, Long)], DataFrame) = {
     // the word table feeds every round plus the final application —
     // persist it so training costs ONE corpus pass, not rounds+1 (the
     // 100 TB form writes this table once; Verify clears caches between
     // entries)
     val words = bpeWords(s, dir).persist()
     var merges = Seq.empty[(String, String, Long)]
-    for (_ <- 1 to BpeRounds) {
+    for (_ <- 1 to rounds) {
       val syms = words
         .select(col("cnt"), bpeSeqCol(merges.map(m => (m._1, m._2))).as("seq"))
         .select(col("cnt"),
@@ -409,8 +414,15 @@ object TextOps {
           .as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("w"))
-      val b = pairs.orderBy(col("w").desc, col("l"), col("r")).limit(1).collect()(0)
-      merges = merges :+ ((b.getString(0), b.getString(1), b.getLong(2)))
+      // SATURATION: when every word is one symbol no pairs remain —
+      // classical BPE stops here; return the merges learned so far
+      // (found by the round-9 probe: a 3-char saturating vocabulary
+      // crashed round 3 with an empty collect)
+      pairs.orderBy(col("w").desc, col("l"), col("r")).limit(1)
+        .collect().headOption match {
+        case Some(b) => merges = merges :+ ((b.getString(0), b.getString(1), b.getLong(2)))
+        case None => return (merges, words)
+      }
     }
     (merges, words)
   }
@@ -505,7 +517,7 @@ object TextOps {
     val s0 = """s0 AS (SELECT word, cnt, regexp_replace(word, '(.)', '(\1)', 'g') AS seq FROM w)"""
     s"""WITH w AS (
           SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-            SELECT regexp_replace(tok, '[^a-z]', '', 'g') AS word
+            SELECT regexp_replace(translate(tok, '0123456789', 'qwertyuiop'), '[^a-z]', '', 'g') AS word
             FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents))
           WHERE word <> '' GROUP BY word),
         $s0,
@@ -521,10 +533,11 @@ object TextOps {
     }
     val crosses = (1 to BpeRounds).map(k => s"CROSS JOIN b$k").mkString(" ")
     s"""$bpeCtePrefix,
-       dtok AS (SELECT doc_id, regexp_replace(tok, '[^a-z]', '', 'g') AS w
+       dtok AS (SELECT doc_id,
+           regexp_replace(translate(tok, '0123456789', 'qwertyuiop'), '[^a-z]', '', 'g') AS w
          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                FROM documents)
-         WHERE regexp_replace(tok, '[^a-z]', '', 'g') <> ''),
+         WHERE regexp_replace(translate(tok, '0123456789', 'qwertyuiop'), '[^a-z]', '', 'g') <> ''),
        dseg AS (SELECT doc_id, $chain AS seg FROM dtok $crosses)
        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
          CAST(SUM(len(seg) - len(replace(seg, '(', ''))) AS BIGINT) AS n_bpe_tokens

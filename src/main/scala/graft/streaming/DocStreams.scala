@@ -44,7 +44,8 @@ object DocStreams {
     docs
       .select(col("doc_id"),
         expr("filter(transform(split(lower(text), ' '), " +
-          "t -> regexp_replace(t, '[^a-z]', '')), w -> w <> '')").as("ws"))
+          "t -> regexp_replace(translate(t, '0123456789', 'qwertyuiop'), '[^a-z]', '')), " +
+          "w -> w <> '')").as("ws"))
       // a doc with NO alphabetic tokens has no tokenizer output — drop
       // it (the oracle's per-token GROUP BY drops such docs implicitly,
       // and a (0, 0) row here would be a latent row-count mismatch on

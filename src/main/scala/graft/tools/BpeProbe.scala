@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** BPE stress probe — answers the round-9 open question: does the
+  * rendered-expression path (one literal `replace` per learned merge,
+  * appearing TWICE inside the token-count lambda) hold at
+  * tokenizer-real round counts, and how does training cost move with
+  * rounds at a large vocabulary? Trains `rounds` merges on `dir`, then
+  * times one full-corpus tokenize pass under
+  * `spark.sql.codegen.fallback=false` + `factoryMode=CODEGEN_ONLY` so
+  * a Janino failure of the deep replace chain is LOUD, not a silent
+  * interpreted fallback.
+  *
+  * Usage: BpeProbe <sfDir> [rounds]   (default 16)
+  */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BpeProbe <sfDir> [rounds]")
+    val dir = args(0)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val (merges, words) = graft.ops.TextOps.bpeTrain(spark, dir, rounds)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val vocab = words.count()
+
+    // the applied tokenizer over the corpus, strict-codegen
+    val chain = merges.foldLeft("regexp_replace(w, '(.)', '($1)')") {
+      case (acc, (l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
+    }
+    val t1 = System.nanoTime()
+    val agg = graft.streaming.DocStreams
+      .bpeTokenizeScreen(spark.read.parquet(s"$dir/documents.parquet"), chain)
+      .agg(sum("n_ws_tokens").as("ws"), sum("n_bpe_tokens").as("bpe")).head()
+    val tokSec = (System.nanoTime() - t1) / 1e9
+    val (ws, bpe) = (agg.getLong(0), agg.getLong(1))
+    def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"probe":"bpe","rounds":$rounds,"vocab":$vocab,"train_sec":${fm(trainSec)},""" +
+      s""""tokenize_sec":${fm(tokSec)},"ws_tokens":$ws,"bpe_tokens":$bpe,""" +
+      // fertility = BPE tokens per whitespace word — the standard
+      // tokenizer quality metric, decreasing as rounds merge more
+      s""""fertility":${fm(bpe.toDouble / ws)},"merges":"${merges.map(m => m._1 + "+" + m._2).mkString(",")}"}""")
+    spark.stop()
+  }
+}

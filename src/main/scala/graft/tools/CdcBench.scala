@@ -86,7 +86,18 @@ object CdcBench {
     val kernels: Seq[(String, Long => DataFrame)] = Seq(
       "compact" -> (n => graft.streaming.EventStreams.latestPerKey(changelog(spark, n))),
       "merge" -> (n => graft.ops.MigrationOps.mergeBatch(
-        snapshot(n), changes(n), Seq("len", "lang"))))
+        snapshot(n), changes(n), Seq("len", "lang"))),
+      // the change feed: diff the snapshot against its own merged
+      // successor — BOTH versions are table-sized, the regime where the
+      // FullOuter's two-sided serde exposure actually applies (the
+      // ClusterBench fixture-scale point sat inside variance)
+      "diff" -> { n =>
+        val v0 = snapshot(n)
+          .withColumnRenamed("s_len", "len").withColumnRenamed("s_lang", "lang")
+        val v1 = graft.ops.MigrationOps.mergeBatch(
+          snapshot(n), changes(n), Seq("len", "lang"))
+        graft.ops.MigrationOps.tableDiff(v0, v1, Seq("len", "lang"))
+      })
     val samples = mutable.LinkedHashMap.empty[(String, Long), mutable.ArrayBuffer[Double]]
     for (_ <- 1 to reps; (kn, kf) <- kernels; n <- sizes) {
       val t0 = System.nanoTime()

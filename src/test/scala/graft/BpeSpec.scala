@@ -35,4 +35,24 @@ class BpeSpec extends SparkSpec {
     val pairs = merges.map(m => (m.getString(1), m.getString(2)))
     assert(pairs.distinct.length == pairs.length)
   }
+
+  test("training stops at saturation instead of crashing on an empty pair table") {
+    // ask for far more rounds than this 31-word vocabulary can supply:
+    // once every word is a single symbol there are no pairs left, and
+    // classical BPE stops — found by the round-9 probe, where a 3-char
+    // saturating vocabulary crashed round 3 with an empty collect
+    val (merges, words) = graft.ops.TextOps.bpeTrain(spark, dir, rounds = 200)
+    assert(merges.nonEmpty && merges.length < 200)
+    // saturation reached: every word is ONE symbol — the total symbol
+    // count equals the vocabulary size
+    val chain = merges.foldLeft("regexp_replace(word, '(.)', '($1)')") {
+      case (acc, (l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
+    }
+    import org.apache.spark.sql.functions._
+    val totalSyms = words
+      .select(expr(s"length($chain) - length(replace($chain, '(', ''))").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(totalSyms == words.count(),
+      s"saturated training must leave one symbol per word ($totalSyms vs ${words.count()})")
+  }
 }
