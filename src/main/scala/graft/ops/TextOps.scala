@@ -337,18 +337,31 @@ object TextOps {
     * one combined (count, sketch) pass, one filtered scan, top-k over
     * the slice — vs the full-corpus global sort NTILE-style selection
     * would pay. */
-  val quantileSelectExact: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
-    val st = docs.agg(count(lit(1)).as("n"),
-      expr("approx_percentile(len, 0.985D, 10000)").as("b")).head()
+  val quantileSelectExact: Q = (s, dir) =>
+    quantileTopFraction(
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len")),
+      "len", "doc_id")
+
+  /** The screen-confirm selection kernel behind [[quantileSelectExact]],
+    * extracted so QuantilePlateauSpec can drive it with adversarial
+    * distributions (a massive tie plateau straddling the boundary
+    * widens the candidate superset — correct by argument, and the spec
+    * executes the argument). `frac` = the top fraction selected
+    * exactly; `screenP` must satisfy 1 − screenP > frac + rank-error
+    * (n/accuracy) for the superset guarantee. */
+  private[graft] def quantileTopFraction(data: DataFrame,
+      valueCol: String, idCol: String, frac: Double = 0.01,
+      screenP: Double = 0.985): DataFrame = {
+    val st = data.agg(count(lit(1)).as("n"),
+      expr(s"approx_percentile($valueCol, ${screenP}D, 10000)").as("b")).head()
     val (n, b) = (st.getLong(0), st.getLong(1))
-    val k = math.max(1L, math.ceil(n / 100.0).toLong)
-    val cands = docs.filter(col("len") >= b)
+    val k = math.max(1L, math.ceil(n * frac).toLong)
+    val cands = data.filter(col(valueCol) >= b)
     val nCands = cands.count()
     require(nCands >= k,
       s"quantile screen must be a superset: $nCands candidates < k=$k (n=$n, b=$b)")
-    cands.orderBy(col("len").desc, col("doc_id")).limit(k.toInt)
+    cands.orderBy(col(valueCol).desc, col(idCol)).limit(k.toInt)
   }
 
   /** Number of BPE merge rounds the in-engine trainer runs. */
