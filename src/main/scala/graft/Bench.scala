@@ -124,7 +124,12 @@ object Bench {
     // full-width rerank, the third compression-triad member's serving
     // shape (benched beside ann_pq_rerank / ann_ivfpq_topk, same
     // training-dominated cost class)
-    "ann_mrl_pq_topk")
+    "ann_mrl_pq_topk",
+    // round 9 (late): the change feed (the gate's second fact-sized
+    // FullOuter — the merge's read-side inverse), the sketch-screened
+    // exact quantile selection, and the BPE train+tokenize pass (the
+    // only iterative-training + rendered-model map entry in the gate)
+    "cdc_table_diff", "quantile_select_exact", "bpe_token_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
