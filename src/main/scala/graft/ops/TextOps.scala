@@ -364,6 +364,55 @@ object TextOps {
     cands.orderBy(col(valueCol).desc, col(idCol)).limit(k.toInt)
   }
 
+  /** Plateau-aware twin of [[quantileTopFraction]] — SAME exact result
+    * (the catalog twin shares the exact entry's oracle, so equivalence
+    * is a gate theorem), strictly better cost bound: the simple kernel
+    * sorts the whole `{v ≥ b}` slice, which a tie plateau straddling
+    * the boundary inflates to O(table) (QuantilePlateauSpec's 50%
+    * plateau). Here candidates split at the boundary value: `A =
+    * {v > b}` is bounded by the screen guarantee REGARDLESS of plateau
+    * mass (the plateau sits at b, outside A), so A sorts cheaply; if A
+    * alone cannot fill k, the remaining rows all TIE at b and only the
+    * (k − |A|) smallest ids are taken from the plateau — a TakeOrdered
+    * by the narrow id column, never a value-sort of the plateau. */
+  private[graft] def quantileTopFractionPlateauAware(data: DataFrame,
+      valueCol: String, idCol: String, frac: Double = 0.01,
+      screenP: Double = 0.985): DataFrame = {
+    val st = data.agg(count(lit(1)).as("n"),
+      expr(s"approx_percentile($valueCol, ${screenP}D, 10000)").as("b")).head()
+    val (n, b) = (st.getLong(0), st.getLong(1))
+    val k = math.max(1L, math.ceil(n * frac).toLong)
+    val above = data.filter(col(valueCol) > b)
+    val nAbove = above.count()
+    if (nAbove >= k)
+      above.orderBy(col(valueCol).desc, col(idCol)).limit(k.toInt)
+    else {
+      val plateau = data.filter(col(valueCol) === b)
+      val need = (k - nAbove).toInt
+      require(plateau.count() >= need,
+        s"screen must be a superset: |A|=$nAbove + plateau < k=$k (n=$n, b=$b)")
+      above.orderBy(col(valueCol).desc, col(idCol))
+        .unionByName(plateau.orderBy(col(idCol)).limit(need))
+    }
+  }
+
+  private lazy val quantileSelectOracle: String =
+    """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+                  FROM documents)
+       SELECT doc_id, len FROM (
+         SELECT doc_id, len,
+           row_number() OVER (ORDER BY len DESC, doc_id) AS rk
+         FROM d)
+       WHERE rk <= (SELECT CAST(ceil(COUNT(*) / 100.0) AS BIGINT) FROM d)"""
+
+  /** The catalog twin: plateau-aware selection over the same document
+    * lengths — shares [[quantileSelectExact]]'s oracle verbatim. */
+  val quantileSelectPlateau: Q = (s, dir) =>
+    quantileTopFractionPlateauAware(
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len")),
+      "len", "doc_id")
+
   /** Number of BPE merge rounds the in-engine trainer runs. */
   private[graft] val BpeRounds = 3
 
@@ -1449,6 +1498,7 @@ object TextOps {
     "text_perplexity_bucket" -> textPerplexityBucket,
     "text_perplexity_bucket_approx" -> textPerplexityBucketApprox,
     "quantile_select_exact" -> quantileSelectExact,
+    "quantile_select_plateau" -> quantileSelectPlateau,
     "corpus_mix_rebalance" -> corpusMixRebalance,
     "corpus_mix_temperature" -> corpusMixTemperature,
     "bpe_merges" -> bpeMerges,
@@ -1714,14 +1764,10 @@ object TextOps {
          FROM lp CROSS JOIN th""",
     // exact top-1% ground truth: the oracle pays the full sort the
     // entry's sketch screen avoids — identical output is the theorem
-    "quantile_select_exact" ->
-      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
-                    FROM documents)
-         SELECT doc_id, len FROM (
-           SELECT doc_id, len,
-             row_number() OVER (ORDER BY len DESC, doc_id) AS rk
-           FROM d)
-         WHERE rk <= (SELECT CAST(ceil(COUNT(*) / 100.0) AS BIGINT) FROM d)""",
+    "quantile_select_exact" -> quantileSelectOracle,
+    // the plateau-aware twin shares the SAME oracle — split-at-boundary
+    // selection ≡ slice-sort selection is itself a gate theorem
+    "quantile_select_plateau" -> quantileSelectOracle,
     "corpus_mix_rebalance" ->
       """WITH per AS (SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

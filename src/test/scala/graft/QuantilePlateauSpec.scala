@@ -58,6 +58,51 @@ class QuantilePlateauSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("the plateau-aware twin selects the identical set on every stress shape") {
+    import spark.implicits._
+    // same three adversarial distributions; the twin must agree with
+    // the simple kernel row-for-row (the catalog pair also shares one
+    // oracle, so this equality is additionally gate-checked on the
+    // fixture distribution)
+    val shapes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "boundary-plateau" -> spark.range(100000).select(col("id"),
+        when(col("id") < 1000, lit(1000L) + col("id") % 7)
+          .when(col("id") < 51000, lit(500L))
+          .otherwise(col("id") % 400).as("len")),
+      "cut-inside-plateau" -> spark.range(50000).select(col("id"),
+        when(col("id") % 20 === 0, lit(999L)).otherwise(col("id") % 100).as("len")),
+      "all-ties" -> spark.range(10000).select(col("id"), lit(7L).as("len")))
+    shapes.foreach { case (name, df0) =>
+      val df = df0.persist()
+      val simple = TextOps.quantileTopFraction(df, "len", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val aware = TextOps.quantileTopFractionPlateauAware(df, "len", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(aware == simple, s"$name: twin diverged")
+      df.unpersist(): Unit
+    }
+  }
+
+  test("the twin never value-sorts the plateau: its ordered slice is screen-bounded") {
+    import spark.implicits._
+    // the twin's cost claim, executed: on the 50%-plateau shape the
+    // simple kernel's sorted slice is ~51% of the table, the twin's
+    // value-sorted side (A = {v > b}) is ~1% — the plateau contributes
+    // only a narrow-column TakeOrdered by id
+    val n = 100000L
+    val df = spark.range(n).select(col("id"),
+      when(col("id") < 1000, lit(1000L) + col("id") % 7)
+        .when(col("id") < 51000, lit(500L))
+        .otherwise(col("id") % 400).as("len")).persist()
+    val b = df.agg(expr("approx_percentile(len, 0.985D, 10000)")).head().getLong(0)
+    assert(b == 500L, s"the screen boundary must land ON the plateau (got $b)")
+    val slice = df.filter(col("len") >= b).count()
+    val aSide = df.filter(col("len") > b).count()
+    assert(slice > n / 2, s"simple kernel's sorted slice = $slice (plateau-inflated)")
+    assert(aSide <= (0.016 * n).toLong, s"twin's value-sorted side = $aSide (screen-bounded)")
+    df.unpersist()
+  }
+
   test("near-degenerate distribution (everything ties) still selects exactly k") {
     import spark.implicits._
     val n = 10000L
