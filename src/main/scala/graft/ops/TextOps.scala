@@ -357,6 +357,11 @@ object TextOps {
       expr(s"approx_percentile($valueCol, ${screenP}D, 10000)").as("b")).head()
     val (n, b) = (st.getLong(0), st.getLong(1))
     val k = math.max(1L, math.ceil(n * frac).toLong)
+    // limit() takes an Int: past ~214 G selected rows .toInt would wrap
+    // NEGATIVE and silently corrupt the selection (the round-8 pushdown
+    // overflow class) — fail loudly instead; a selection that large
+    // should be a filtered write, not a driver-bounded top-k
+    require(k <= Int.MaxValue, s"k=$k exceeds the top-k limit; use a filtered write")
     val cands = data.filter(col(valueCol) >= b)
     val nCands = cands.count()
     require(nCands >= k,
@@ -382,6 +387,7 @@ object TextOps {
       expr(s"approx_percentile($valueCol, ${screenP}D, 10000)").as("b")).head()
     val (n, b) = (st.getLong(0), st.getLong(1))
     val k = math.max(1L, math.ceil(n * frac).toLong)
+    require(k <= Int.MaxValue, s"k=$k exceeds the top-k limit; use a filtered write")
     val above = data.filter(col(valueCol) > b)
     val nAbove = above.count()
     if (nAbove >= k)
@@ -522,9 +528,13 @@ object TextOps {
     * doc — the compression the learned merges buy. Plan: one Project
     * over the documents scan (training's aggregates ran eagerly in
     * [[bpeTrain]]). */
-  /** The merge chain as an expr STRING over lambda variable `w`. */
-  private def bpeChainExpr(merges: Seq[(String, String, Long)]): String =
-    merges.foldLeft("regexp_replace(w, '(.)', '($1)')") {
+  /** The merge chain as an expr STRING over `v` (a lambda variable or
+    * column name) — THE production rendered tokenizer; BpeProbe and
+    * BpeSpec call this same builder so their codegen/cost/fixed-point
+    * answers cover exactly what the entries run. */
+  private[graft] def bpeChainExpr(merges: Seq[(String, String, Long)],
+      v: String = "w"): String =
+    merges.foldLeft(s"regexp_replace($v, '(.)', '($$1)')") {
       case (acc, (l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
     }
 
@@ -571,11 +581,19 @@ object TextOps {
                  unnest(generate_series(1, len(ss) - 1)) u(i)
             WHERE len(ss) >= 2
             GROUP BY 1, 2),
-          b$k AS (SELECT l, r, wt FROM p$k ORDER BY wt DESC, l, r LIMIT 1),
+          b$k AS ((SELECT l, r, wt FROM p$k ORDER BY wt DESC, l, r LIMIT 1)
+                  UNION ALL
+                  SELECT '', '', CAST(0 AS BIGINT) FROM (SELECT 1)
+                  WHERE (SELECT COUNT(*) FROM p$k) = 0),
           s$k AS (SELECT word, cnt,
               replace(seq, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS seq
             FROM $prev CROSS JOIN b$k)"""
     }
+    // SATURATION GUARD mirror of bpeTrain's early stop: when a round's
+    // pair table is empty, b_k carries a sentinel ('', '') whose merge
+    // search '()()' can never match a nonempty symbol — the round is a
+    // no-op instead of a row-annihilating CROSS JOIN against an empty
+    // b_k, and the merges oracle filters sentinels out below
     val s0 = """s0 AS (SELECT word, cnt, regexp_replace(word, '(.)', '(\1)', 'g') AS seq FROM w)"""
     s"""WITH w AS (
           SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -1785,7 +1803,8 @@ object TextOps {
            UNION ALL
            SELECT CAST(2 AS BIGINT), l, r, wt FROM b2
            UNION ALL
-           SELECT CAST(3 AS BIGINT), l, r, wt FROM b3)""",
+           SELECT CAST(3 AS BIGINT), l, r, wt FROM b3)
+         WHERE lhs <> ''""",
     "bpe_segment" -> s"""$bpeCtePrefix
          SELECT word, cnt, seq AS seg FROM s$BpeRounds""",
     "bpe_token_count" -> bpeTokenCountOracle,

@@ -204,12 +204,18 @@ object SnapshotLog {
     val dataDir = Paths.get(tableDir, "data")
     val ld = logDir(tableDir)
     if (!Files.isDirectory(dataDir)) return Nil
-    // normalize BOTH sides before comparing: manifests record the
+    // canonicalize BOTH sides before comparing: manifests record the
     // spelling the committer used, the listing reflects the vacuum
     // caller's — Java Path equality does not normalize, and "./t" vs
     // "t" vs a symlinked absolute form must not let a committed
-    // directory look unreferenced (that would delete live data)
-    def canon(p: Path): Path = p.toAbsolutePath.normalize
+    // directory look unreferenced (that would delete live data).
+    // toRealPath RESOLVES symlinks (toAbsolutePath.normalize is only
+    // syntactic — /tmp vs /private/tmp would still diverge); the
+    // fallback covers paths that no longer exist, which by definition
+    // cannot be live data
+    def canon(p: Path): Path =
+      try p.toRealPath()
+      catch { case _: java.io.IOException => p.toAbsolutePath.normalize }
     val referenced: Set[Path] =
       if (!Files.isDirectory(ld)) Set.empty
       else listDir(ld)

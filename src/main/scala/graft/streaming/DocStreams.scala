@@ -51,10 +51,13 @@ object DocStreams {
       // and a (0, 0) row here would be a latent row-count mismatch on
       // any future fixture containing a numeric/punctuation-only doc)
       .filter(size(col("ws")) > 0)
+      // segment each token ONCE (transform), then count delimiters —
+      // the chain (the dominant per-token cost at 100 TB) must not be
+      // evaluated twice per token for the two length() reads
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_ws_tokens"),
-        expr(s"""aggregate(ws, CAST(0 AS BIGINT),
-             (acc, w) -> acc + length($chainE) - length(replace($chainE, '(', '')))""")
+        expr(s"""aggregate(transform(ws, w -> $chainE), CAST(0 AS BIGINT),
+             (acc, s) -> acc + length(s) - length(replace(s, '(', '')))""")
           .as("n_bpe_tokens"))
 
   /** Streaming incremental near-dup screen against a PERSISTED corpus

@@ -35,10 +35,10 @@ object BpeProbe {
     val trainSec = (System.nanoTime() - t0) / 1e9
     val vocab = words.count()
 
-    // the applied tokenizer over the corpus, strict-codegen
-    val chain = merges.foldLeft("regexp_replace(w, '(.)', '($1)')") {
-      case (acc, (l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
-    }
+    // the applied tokenizer over the corpus, strict-codegen — built by
+    // THE production chain builder so the probe certifies exactly what
+    // bpe_token_count runs
+    val chain = graft.ops.TextOps.bpeChainExpr(merges)
     val t1 = System.nanoTime()
     val agg = graft.streaming.DocStreams
       .bpeTokenizeScreen(spark.read.parquet(s"$dir/documents.parquet"), chain)

@@ -44,10 +44,9 @@ class BpeSpec extends SparkSpec {
     val (merges, words) = graft.ops.TextOps.bpeTrain(spark, dir, rounds = 200)
     assert(merges.nonEmpty && merges.length < 200)
     // saturation reached: every word is ONE symbol — the total symbol
-    // count equals the vocabulary size
-    val chain = merges.foldLeft("regexp_replace(word, '(.)', '($1)')") {
-      case (acc, (l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
-    }
+    // count equals the vocabulary size (chain built by the production
+    // builder, over the word column)
+    val chain = graft.ops.TextOps.bpeChainExpr(merges, v = "word")
     import org.apache.spark.sql.functions._
     val totalSyms = words
       .select(expr(s"length($chain) - length(replace($chain, '(', ''))").as("n"))
