@@ -411,6 +411,44 @@ object TextOps {
          FROM d)
        WHERE rk <= (SELECT CAST(ceil(COUNT(*) / 100.0) AS BIGINT) FROM d)"""
 
+  /** GROUPED screen-then-confirm selection — the per-language form of
+    * [[quantileTopFraction]] (a real curation stage: keep each
+    * language's longest 1%, so low-resource languages are not drowned
+    * by the head language's length distribution). The same superset
+    * theorem holds PER GROUP: per-language boundaries come from ONE
+    * grouped (count, approx_percentile) aggregate (a languages-sized
+    * table, broadcast back), the corpus-side filter keeps each
+    * language's candidate slice, and the final per-language top-k runs
+    * a rank window PARTITIONED BY LANGUAGE over candidates only —
+    * partitioned (so AQE-splittable across languages) and
+    * screen-bounded per partition, unlike the global-rank window the
+    * ungrouped entry exists to avoid. Hash-green against the
+    * per-partition full-rank oracle — the sketch picks each group's
+    * superset, never its result. */
+  val quantileSelectByLang: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
+    val bounds = docs.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      expr("approx_percentile(len, 0.985D, 10000)").as("b"))
+      .select(col("lang"), col("b"),
+        greatest(lit(1L), ceil(col("n") / lit(100.0)).cast("long")).as("k"))
+    val cands = docs.join(broadcast(bounds), Seq("lang"))
+      .filter(col("len") >= col("b"))
+    // per-group superset guarantee, ASSERTED like the ungrouped kernel:
+    // a language whose slice cannot fill its k would silently truncate
+    val short = cands.groupBy("lang").agg(count(lit(1)).as("nc"))
+      .join(bounds.select("lang", "k"), Seq("lang"))
+      .filter(col("nc") < col("k")).collect()
+    require(short.isEmpty,
+      s"grouped quantile screen must be a superset per language: ${short.mkString(",")}")
+    val w = Window.partitionBy("lang").orderBy(col("len").desc, col("doc_id"))
+    cands.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= col("k"))
+      .select("lang", "doc_id", "len", "rk")
+  }
+
   /** The catalog twin: plateau-aware selection over the same document
     * lengths — shares [[quantileSelectExact]]'s oracle verbatim. */
   val quantileSelectPlateau: Q = (s, dir) =>
@@ -1517,6 +1555,7 @@ object TextOps {
     "text_perplexity_bucket_approx" -> textPerplexityBucketApprox,
     "quantile_select_exact" -> quantileSelectExact,
     "quantile_select_plateau" -> quantileSelectPlateau,
+    "quantile_select_by_lang" -> quantileSelectByLang,
     "corpus_mix_rebalance" -> corpusMixRebalance,
     "corpus_mix_temperature" -> corpusMixTemperature,
     "bpe_merges" -> bpeMerges,
@@ -1786,6 +1825,19 @@ object TextOps {
     // the plateau-aware twin shares the SAME oracle — split-at-boundary
     // selection ≡ slice-sort selection is itself a gate theorem
     "quantile_select_plateau" -> quantileSelectOracle,
+    // grouped ground truth: the per-language full rank the screened
+    // entry avoids computing over non-candidates
+    "quantile_select_by_lang" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
+                    FROM documents),
+         kk AS (SELECT lang, CAST(ceil(COUNT(*) / 100.0) AS BIGINT) AS k
+                FROM d GROUP BY lang),
+         r AS (SELECT lang, doc_id, len,
+                 row_number() OVER (PARTITION BY lang ORDER BY len DESC, doc_id) AS rk
+               FROM d)
+         SELECT r.lang, doc_id, len, CAST(rk AS BIGINT) AS rk
+         FROM r JOIN kk ON r.lang = kk.lang
+         WHERE rk <= kk.k""",
     "corpus_mix_rebalance" ->
       """WITH per AS (SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens

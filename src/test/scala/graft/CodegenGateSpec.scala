@@ -50,7 +50,9 @@ class CodegenGateSpec extends SparkSpec {
       // null-safe comparison chain, the quantile screen)
       "dedup_ngram_jaccard", "ann_bruteforce_topk", "ann_mrl_topk",
       "ann_mrl_ivfpq_topk", "cdc_table_diff",
-      "quantile_select_exact")).distinct
+      "quantile_select_exact", "quantile_select_plateau",
+      "quantile_select_by_lang",
+      "corpus_mix_temperature", "bpe_merges", "bpe_segment")).distinct
       .filter(SparkEntry.queries.contains)
 
   test("every gated query executes with codegen fallback disabled") {

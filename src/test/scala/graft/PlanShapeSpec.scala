@@ -571,6 +571,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("quantile_select_by_lang ranks inside language partitions over a broadcast-bounded slice") {
+    // the grouped screen: per-language boundaries broadcast back (a
+    // languages-sized table — never a shuffled join of the corpus
+    // against it), and the rank window is PARTITIONED BY LANGUAGE over
+    // candidates only — partitioned is the acceptable window form here
+    // (per-group ranks are required output); what must not appear is a
+    // single-partition global Window or a nested-loop bounds join
+    val plan = executedPlan("quantile_select_by_lang")
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("cdc_table_diff reads two versions through one full-outer equi-join") {
     // the change feed is the merge's read-side inverse and must keep
     // its plan class: both versions keyed through one FullOuter join,
