@@ -457,6 +457,73 @@ object TextOps {
         .select(col("doc_id"), length(col("text")).cast("long").as("len")),
       "len", "doc_id")
 
+  /** Trigram LM with Stupid Backoff (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") scored on a HELD-OUT
+    * hash split — the upgrade of [[textBigramLogprob]]'s quality
+    * filter that actually exercises backoff: scoring the training
+    * corpus itself never meets an unseen n-gram, so eval docs
+    * (md5 mod 5 == 0, ~20%) are scored against counts from the other
+    * 80% and every backoff level fires. Per trigram:
+    * S = c3/c2(w1w2) when seen, else 0.4·c2(w2w3)/c1(w2), else
+    * 0.4²·add-1-unigram (always defined). Numeric parity: each ln(S)
+    * is micro-rounded to BIGINT (the nb-classify discipline — per-doc
+    * sums are order-free across partitions and engines), the final avg
+    * is ONE division rounded 6, and the per-level hit counts ride
+    * along as exact integers (the observable that shows backoff
+    * firing). Plan: the n-gram tables are the LM model — three
+    * grouped counts over the train split — and scoring is five
+    * equi-joins of the eval trigrams against them; at 100 TB the
+    * model tables are bucketed by their n-gram key (or broadcast for
+    * pruned vocabularies) and scoring is the same join shape. */
+  val textTrigramBackoff: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("is_eval", expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint), 5) = 0"))
+    val train = d.filter(!col("is_eval"))
+    val ev = d.filter(col("is_eval"))
+    val uni = train.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    val bi = train.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = train.filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2, element_at(t, i + 2) AS w3))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val g = ev.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2, element_at(t, i + 2) AS w3))")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
+    val scored = g
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.withColumnRenamed("c2", "c12"), Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"), col("c2").as("c23")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c1w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr("CASE WHEN c3 IS NOT NULL THEN 3 WHEN c23 IS NOT NULL THEN 2 ELSE 1 END")
+          .as("lvl"),
+        expr("""CAST(round(ln(
+             CASE WHEN c3 IS NOT NULL THEN c3 / CAST(c12 AS DOUBLE)
+                  WHEN c23 IS NOT NULL THEN 0.4D * c23 / CAST(c1w2 AS DOUBLE)
+                  ELSE 0.16D * (COALESCE(c1w3, 0) + 1) / CAST(n + v AS DOUBLE)
+             END) * 1000000, 0) AS BIGINT)""").as("micro"))
+    scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tri"),
+      count(when(col("lvl") === 3, 1)).as("hits3"),
+      count(when(col("lvl") === 2, 1)).as("hits2"),
+      count(when(col("lvl") === 1, 1)).as("hits1"),
+      round(sum(col("micro")).cast("double") /
+        (lit(1000000.0) * count(lit(1))), 6).as("avg_sb6"))
+  }
+
   /** Number of BPE merge rounds the in-engine trainer runs. */
   private[graft] val BpeRounds = 3
 
@@ -1561,6 +1628,7 @@ object TextOps {
     "bpe_merges" -> bpeMerges,
     "bpe_segment" -> bpeSegment,
     "bpe_token_count" -> bpeTokenCount,
+    "text_trigram_backoff" -> textTrigramBackoff,
     "bpe_token_count_stream_twin" -> bpeTokenCountStreamTwin,
     "corpus_sample_weighted" -> corpusSampleWeighted,
     "corpus_curation_best" -> corpusCurationBest,
@@ -1849,6 +1917,45 @@ object TextOps {
            round(CAST(lang_tokens AS DOUBLE) / tot_tokens, 6) AS share6,
            round(CAST(tot_tokens AS DOUBLE) / (n_langs * lang_tokens), 6) AS weight6
          FROM per CROSS JOIN tot""",
+    "text_trigram_backoff" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 5 = 0 AS is_eval
+           FROM documents),
+         train AS (SELECT * FROM d WHERE NOT is_eval),
+         ev AS (SELECT * FROM d WHERE is_eval),
+         uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+                 FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+         bi AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM train, unnest(generate_series(1, len(t) - 1)) u(i)
+                WHERE len(t) >= 2 GROUP BY 1, 2),
+         tri AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, CAST(COUNT(*) AS BIGINT) AS c3
+                 FROM train, unnest(generate_series(1, len(t) - 2)) u(i)
+                 WHERE len(t) >= 3 GROUP BY 1, 2, 3),
+         g AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+               FROM ev, unnest(generate_series(1, len(t) - 2)) u(i)
+               WHERE len(t) >= 3),
+         sc AS (SELECT doc_id,
+             CASE WHEN tr.c3 IS NOT NULL THEN 3
+                  WHEN b23.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+             CAST(round(ln(
+               CASE WHEN tr.c3 IS NOT NULL THEN tr.c3 / CAST(b12.c2 AS DOUBLE)
+                    WHEN b23.c2 IS NOT NULL THEN 0.4 * b23.c2 / CAST(u2.c1 AS DOUBLE)
+                    ELSE 0.16 * (COALESCE(u3.c1, 0) + 1) / CAST(tot.n + tot.v AS DOUBLE)
+               END) * 1000000, 0) AS BIGINT) AS micro
+           FROM g
+           LEFT JOIN tri tr ON g.w1 = tr.w1 AND g.w2 = tr.w2 AND g.w3 = tr.w3
+           LEFT JOIN bi b12 ON g.w1 = b12.w1 AND g.w2 = b12.w2
+           LEFT JOIN bi b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+           LEFT JOIN uni u2 ON g.w2 = u2.w
+           LEFT JOIN uni u3 ON g.w3 = u3.w
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(COUNT(CASE WHEN lvl = 3 THEN 1 END) AS BIGINT) AS hits3,
+           CAST(COUNT(CASE WHEN lvl = 2 THEN 1 END) AS BIGINT) AS hits2,
+           CAST(COUNT(CASE WHEN lvl = 1 THEN 1 END) AS BIGINT) AS hits1,
+           round(CAST(SUM(micro) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) AS avg_sb6
+         FROM sc GROUP BY doc_id""",
     "bpe_merges" -> s"""$bpeCtePrefix
          SELECT * FROM (
            SELECT CAST(1 AS BIGINT) AS round, l AS lhs, r AS rhs, wt AS pair_weight FROM b1
