@@ -308,6 +308,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stream.sameElements(batch), "complete-mode stream diverged from batch hourly totals")
   }
 
+  test("trigram backoff accounting: levels partition every trigram and scores are sane") {
+    val rows = SparkEntry.queries("text_trigram_backoff")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTri, h3, h2, h1) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // every trigram lands in exactly one backoff level
+      assert(h3 + h2 + h1 == nTri, s"doc ${r.getLong(0)}: $h3+$h2+$h1 != $nTri")
+      // avg log-score of a probability-like quantity is strictly negative
+      assert(r.getDouble(5) < 0.0)
+    }
+    // the held-out split must actually exercise backoff somewhere —
+    // a corpus scored against itself would read hits3 == n_tri
+    // everywhere and the entry would be testing nothing
+    assert(rows.map(_.getLong(3)).sum + rows.map(_.getLong(4)).sum > 0,
+      "no backoff ever fired — the eval/train split is broken")
+  }
+
   test("corpus_importance_dsir top-k on the real corpus is en-dominated and bounded") {
     val out = TextOps.corpusImportanceDsir(spark, dir)
     val rows = out.collect()
