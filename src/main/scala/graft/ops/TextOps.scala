@@ -429,18 +429,31 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
-    val bounds = docs.groupBy("lang").agg(
+    // materialize the boundaries ONCE (a languages-sized collect, the
+    // ungrouped kernel's head() discipline): approx_percentile merges
+    // its summaries in shuffle-fetch order, so a lazily re-evaluated
+    // bounds table could yield a DIFFERENT boundary in the guard job
+    // vs the returned plan — the guard would then validate a slice the
+    // query never runs. A null boundary (a language with no non-null
+    // lengths) degrades to Long.MinValue: keep-everything is always a
+    // legal superset.
+    val boundRows = docs.groupBy("lang").agg(
       count(lit(1)).as("n"),
-      expr("approx_percentile(len, 0.985D, 10000)").as("b"))
-      .select(col("lang"), col("b"),
-        greatest(lit(1L), ceil(col("n") / lit(100.0)).cast("long")).as("k"))
+      expr("approx_percentile(len, 0.985D, 10000)").as("b")).collect()
+    import s.implicits._
+    val bounds = boundRows.map { r =>
+      (r.getString(0),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+        math.max(1L, math.ceil(r.getLong(1) / 100.0).toLong))
+    }.toSeq.toDF("lang", "b", "k")
     val cands = docs.join(broadcast(bounds), Seq("lang"))
       .filter(col("len") >= col("b"))
-    // per-group superset guarantee, ASSERTED like the ungrouped kernel:
-    // a language whose slice cannot fill its k would silently truncate
-    val short = cands.groupBy("lang").agg(count(lit(1)).as("nc"))
-      .join(bounds.select("lang", "k"), Seq("lang"))
-      .filter(col("nc") < col("k")).collect()
+    // per-group superset guarantee, ASSERTED like the ungrouped kernel
+    // — LEFT-joined from bounds so a language with ZERO candidates
+    // surfaces as a violation instead of vanishing from an inner join
+    val short = bounds.join(
+        cands.groupBy("lang").agg(count(lit(1)).as("nc")), Seq("lang"), "left")
+      .filter(coalesce(col("nc"), lit(0L)) < col("k")).collect()
     require(short.isEmpty,
       s"grouped quantile screen must be a superset per language: ${short.mkString(",")}")
     val w = Window.partitionBy("lang").orderBy(col("len").desc, col("doc_id"))
