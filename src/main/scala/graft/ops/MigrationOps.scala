@@ -304,38 +304,53 @@ object MigrationOps {
     * dropped — the returned frame must not depend on catalog state the
     * entry already tore down. */
   val migrateSeqCounts: Q = (s, _) => {
-    import java.nio.file.{Files, Paths}
-    s.sql("DROP DATABASE IF EXISTS graft_seq_gate CASCADE")
-    val scratch = Files.createTempDirectory("graft_seq_gate_").toString
-    val home = s"$scratch/migrations"
-    Files.createDirectories(Paths.get(home))
-    Files.writeString(Paths.get(s"$home/V1__create.sql"),
-      "CREATE TABLE graft_seq_gate.sample(id UInt32, name UInt32) ENGINE MergeTree PARTITION BY tuple() ORDER BY tuple()")
-    graft.migrator.Migrator.migrate(s, "graft_seq_gate", home, s"$scratch/ledger")
-    s.read.option("header", "true").schema("id INT, name INT")
-      .csv("/root/reference/tests/migrations_seq/test.csv.gz")
-      .write.mode("append").insertInto("graft_seq_gate.sample")
-    Files.writeString(Paths.get(s"$home/V2_seq_dmls.json"),
-      """["ALTER TABLE graft_seq_gate.sample ADD COLUMN enabled UInt32 DEFAULT 1",
-        |"ALTER TABLE graft_seq_gate.sample ADD COLUMN guard UInt32 DEFAULT -1",
-        |"ALTER TABLE graft_seq_gate.sample UPDATE enabled=0 WHERE name > 3000",
-        |"ALTER TABLE graft_seq_gate.sample UPDATE guard=0 WHERE enabled = 0",
-        |"ALTER TABLE graft_seq_gate.sample UPDATE guard=1 WHERE enabled = 1"]""".stripMargin)
-    graft.migrator.Migrator.migrate(s, "graft_seq_gate", home, s"$scratch/ledger")
-    val r = s.sql(
-      """SELECT count(*) AS total,
-         count(CASE WHEN name > 3000 THEN 1 END) AS gt3000,
-         count(CASE WHEN enabled = 0 THEN 1 END) AS enabled0,
-         count(CASE WHEN guard = 0 THEN 1 END) AS guard0,
-         count(CASE WHEN guard = 1 THEN 1 END) AS guard1,
-         count(CASE WHEN guard = -1 THEN 1 END) AS guardneg
-         FROM graft_seq_gate.sample""").collect()(0)
-    val versions = s.read.parquet(s"$scratch/ledger").count()
-    s.sql("DROP DATABASE graft_seq_gate CASCADE")
-    import s.implicits._
-    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getLong(4), r.getLong(5), versions))
-      .toDF("total", "gt3000", "enabled0", "guard0", "guard1", "guardneg", "versions")
+    import java.nio.file.{Files, Path, Paths}
+    // a UUID-suffixed database + a finally-deleted scratch dir: the gate
+    // may run concurrently against a shared warehouse (two Verify
+    // invocations), and repeated runs must not leak temp migrations /
+    // ledger parquet across invocations (round-9 ADVICE)
+    val db = s"graft_seq_gate_${java.util.UUID.randomUUID.toString.take(8)}"
+    val scratchP = Files.createTempDirectory("graft_seq_gate_")
+    val scratch = scratchP.toString
+    try {
+      val home = s"$scratch/migrations"
+      Files.createDirectories(Paths.get(home))
+      Files.writeString(Paths.get(s"$home/V1__create.sql"),
+        s"CREATE TABLE $db.sample(id UInt32, name UInt32) ENGINE MergeTree PARTITION BY tuple() ORDER BY tuple()")
+      graft.migrator.Migrator.migrate(s, db, home, s"$scratch/ledger")
+      s.read.option("header", "true").schema("id INT, name INT")
+        .csv("/root/reference/tests/migrations_seq/test.csv.gz")
+        .write.mode("append").insertInto(s"$db.sample")
+      Files.writeString(Paths.get(s"$home/V2_seq_dmls.json"),
+        s"""["ALTER TABLE $db.sample ADD COLUMN enabled UInt32 DEFAULT 1",
+           |"ALTER TABLE $db.sample ADD COLUMN guard UInt32 DEFAULT -1",
+           |"ALTER TABLE $db.sample UPDATE enabled=0 WHERE name > 3000",
+           |"ALTER TABLE $db.sample UPDATE guard=0 WHERE enabled = 0",
+           |"ALTER TABLE $db.sample UPDATE guard=1 WHERE enabled = 1"]""".stripMargin)
+      graft.migrator.Migrator.migrate(s, db, home, s"$scratch/ledger")
+      val r = s.sql(
+        s"""SELECT count(*) AS total,
+           count(CASE WHEN name > 3000 THEN 1 END) AS gt3000,
+           count(CASE WHEN enabled = 0 THEN 1 END) AS enabled0,
+           count(CASE WHEN guard = 0 THEN 1 END) AS guard0,
+           count(CASE WHEN guard = 1 THEN 1 END) AS guard1,
+           count(CASE WHEN guard = -1 THEN 1 END) AS guardneg
+           FROM $db.sample""").collect()(0)
+      val versions = s.read.parquet(s"$scratch/ledger").count()
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), versions))
+        .toDF("total", "gt3000", "enabled0", "guard0", "guard1", "guardneg", "versions")
+    } finally {
+      try s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      finally {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(Files.walk(scratchP)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
   }
 
   val queries: Seq[(String, Q)] = Seq(

@@ -355,6 +355,11 @@ object TextOps {
       screenP: Double = 0.985): DataFrame = {
     val st = data.agg(count(lit(1)).as("n"),
       expr(s"approx_percentile($valueCol, ${screenP}D, 10000)").as("b")).head()
+    // an empty input (or an all-null value column) has no percentile
+    // boundary: fail with the kernel's own loud contract instead of an
+    // opaque NPE from getLong on the null sketch result
+    require(st.getLong(0) > 0 && !st.isNullAt(1),
+      s"quantile selection needs rows with non-null $valueCol (n=${st.getLong(0)})")
     val (n, b) = (st.getLong(0), st.getLong(1))
     val k = math.max(1L, math.ceil(n * frac).toLong)
     // limit() takes an Int: past ~214 G selected rows .toInt would wrap
@@ -385,6 +390,8 @@ object TextOps {
       screenP: Double = 0.985): DataFrame = {
     val st = data.agg(count(lit(1)).as("n"),
       expr(s"approx_percentile($valueCol, ${screenP}D, 10000)").as("b")).head()
+    require(st.getLong(0) > 0 && !st.isNullAt(1),
+      s"quantile selection needs rows with non-null $valueCol (n=${st.getLong(0)})")
     val (n, b) = (st.getLong(0), st.getLong(1))
     val k = math.max(1L, math.ceil(n * frac).toLong)
     require(k <= Int.MaxValue, s"k=$k exceeds the top-k limit; use a filtered write")
@@ -414,52 +421,103 @@ object TextOps {
   /** GROUPED screen-then-confirm selection — the per-language form of
     * [[quantileTopFraction]] (a real curation stage: keep each
     * language's longest 1%, so low-resource languages are not drowned
-    * by the head language's length distribution). The same superset
-    * theorem holds PER GROUP: per-language boundaries come from ONE
-    * grouped (count, approx_percentile) aggregate (a languages-sized
-    * table, broadcast back), the corpus-side filter keeps each
-    * language's candidate slice, and the final per-language top-k runs
-    * a rank window PARTITIONED BY LANGUAGE over candidates only —
-    * partitioned (so AQE-splittable across languages) and
-    * screen-bounded per partition, unlike the global-rank window the
-    * ungrouped entry exists to avoid. Hash-green against the
-    * per-partition full-rank oracle — the sketch picks each group's
-    * superset, never its result. */
-  val quantileSelectByLang: Q = (s, dir) => {
+    * by the head language's length distribution). Thin catalog wrapper
+    * over [[quantileTopFractionByGroup]]; null lengths (null text) are
+    * excluded by the kernel before k is counted, so the oracle filters
+    * them identically. */
+  val quantileSelectByLang: Q = (s, dir) =>
+    quantileTopFractionByGroup(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len")),
+      "lang", "len", "doc_id")
+
+  /** The grouped kernel: exact per-group top-⌈n_g·frac⌉ by
+    * (value desc, id), composing the two scale mechanisms this family
+    * already proved separately — [[stratifiedSample]]'s SALTED
+    * TWO-STAGE top-k and [[quantileTopFractionPlateauAware]]'s
+    * split-at-the-boundary plateau handling — so that NO window ever
+    * runs over a group's candidate slice (the round-9 `weak`: a window
+    * partition cannot be split WITHIN a key, and the head language's
+    * ≥b slice is linear in corpus size; a boundary plateau makes it
+    * O(language) regardless of the screen).
+    *
+    * Shape: (1) per-group (n, boundary) from ONE grouped
+    * (count, approx_percentile) pass, materialized ONCE driver-side
+    * (approx_percentile merges summaries in shuffle-fetch order, so a
+    * lazily re-evaluated bounds table could give the guard a different
+    * boundary than the returned plan) and broadcast back; (2) one
+    * corpus pass counts each group's strictly-above slice |A_g| and
+    * boundary plateau — the per-group superset guard (|A_g| + plateau
+    * ≥ k_g) asserted driver-side like the ungrouped kernel's; (3)
+    * stage-1 windows partitioned by (group, id-hash salt) take the
+    * local top-k of A_g — the screen bounds |A_g| but a SALT CELL is
+    * what bounds any single task's sort — and, only for groups where
+    * |A_g| < k_g, the (k_g − |A_g|) smallest ids AT the boundary value
+    * (an id-only rank: the plateau is never value-sorted, its mass
+    * never enters any window); (4) the stage-2 merge window partitions
+    * by group over ≤ salts·k_g survivors — output-sized, independent
+    * of corpus and plateau mass — and assigns the final ranks. Every
+    * above-row with global rank ≤ k survives stage 1 (cell rank never
+    * exceeds group rank) and every selected plateau row has id-rank
+    * ≤ need in its cell, so the merge sees the exact top-k and ranks
+    * it globally — identical output to the single-window oracle.
+    * QuantilePlateauSpec drives the plateau-straddles-one-group shape;
+    * PlanShapeSpec pins the salted stage-1 partitioning. */
+  private[graft] def quantileTopFractionByGroup(data0: DataFrame,
+      grpCol: String, valueCol: String, idCol: String, frac: Double = 0.01,
+      screenP: Double = 0.985, salts: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
-    // materialize the boundaries ONCE (a languages-sized collect, the
-    // ungrouped kernel's head() discipline): approx_percentile merges
-    // its summaries in shuffle-fetch order, so a lazily re-evaluated
-    // bounds table could yield a DIFFERENT boundary in the guard job
-    // vs the returned plan — the guard would then validate a slice the
-    // query never runs. A null boundary (a language with no non-null
-    // lengths) degrades to Long.MinValue: keep-everything is always a
-    // legal superset.
-    val boundRows = docs.groupBy("lang").agg(
-      count(lit(1)).as("n"),
-      expr("approx_percentile(len, 0.985D, 10000)").as("b")).collect()
+    val s = data0.sparkSession
     import s.implicits._
-    val bounds = boundRows.map { r =>
-      (r.getString(0),
-        if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
-        math.max(1L, math.ceil(r.getLong(1) / 100.0).toLong))
-    }.toSeq.toDF("lang", "b", "k")
-    val cands = docs.join(broadcast(bounds), Seq("lang"))
-      .filter(col("len") >= col("b"))
-    // per-group superset guarantee, ASSERTED like the ungrouped kernel
-    // — LEFT-joined from bounds so a language with ZERO candidates
-    // surfaces as a violation instead of vanishing from an inner join
-    val short = bounds.join(
-        cands.groupBy("lang").agg(count(lit(1)).as("nc")), Seq("lang"), "left")
-      .filter(coalesce(col("nc"), lit(0L)) < col("k")).collect()
-    require(short.isEmpty,
-      s"grouped quantile screen must be a superset per language: ${short.mkString(",")}")
-    val w = Window.partitionBy("lang").orderBy(col("len").desc, col("doc_id"))
-    cands.withColumn("rk", row_number().over(w).cast("long"))
+    // a null value can never rank: exclude it BEFORE n is counted, so
+    // k reflects selectable rows and an all-null group selects nothing
+    // instead of tripping the superset guard (round-9 ADVICE)
+    val data = data0.filter(col(valueCol).isNotNull)
+    val boundRows = data.groupBy(grpCol).agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile($valueCol, ${screenP}D, 10000)").as("b")).collect()
+    val boundSeq = boundRows.map { r =>
+      val k = math.max(1L, math.ceil(r.getLong(1) * frac).toLong)
+      require(k <= Int.MaxValue,
+        s"k=$k for group ${r.get(0)} exceeds the top-k limit; use a filtered write")
+      (r.getString(0), r.getLong(2), k) // b is non-null: nulls filtered above
+    }.toSeq
+    val bounds = boundSeq.toDF(grpCol, "b", "k")
+    val withB = data.join(broadcast(bounds), Seq(grpCol))
+    // one corpus pass for the guard AND the plateau need: per group,
+    // the strictly-above count and the boundary-plateau count
+    val cc = withB.groupBy(grpCol).agg(
+      count(when(col(valueCol) > col("b"), 1)).as("na"),
+      count(when(col(valueCol) === col("b"), 1)).as("npl")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val needs = boundSeq.flatMap { case (g, _, k) =>
+      val (na, npl) = cc.getOrElse(g, (0L, 0L))
+      require(na + npl >= k,
+        s"grouped quantile screen must be a superset per group: $g has " +
+          s"above=$na + plateau=$npl < k=$k")
+      if (na < k) Some((g, k - na)) else None
+    }
+    val salt = pmod(hash(col(idCol)), lit(salts))
+    val w1a = Window.partitionBy(col(grpCol), salt)
+      .orderBy(col(valueCol).desc, col(idCol))
+    val aboveSurv = withB.filter(col(valueCol) > col("b"))
+      .withColumn("r1", row_number().over(w1a).cast("long"))
+      .filter(col("r1") <= col("k")).drop("r1")
+    val surv =
+      if (needs.isEmpty) aboveSurv
+      else {
+        val needDf = needs.toDF(grpCol, "need")
+        val w1p = Window.partitionBy(col(grpCol), salt).orderBy(col(idCol))
+        val plateauSurv = withB.filter(col(valueCol) === col("b"))
+          .join(broadcast(needDf), Seq(grpCol))
+          .withColumn("r1", row_number().over(w1p).cast("long"))
+          .filter(col("r1") <= col("need")).drop("r1", "need")
+        aboveSurv.unionByName(plateauSurv)
+      }
+    val w2 = Window.partitionBy(grpCol).orderBy(col(valueCol).desc, col(idCol))
+    surv.withColumn("rk", row_number().over(w2).cast("long"))
       .filter(col("rk") <= col("k"))
-      .select("lang", "doc_id", "len", "rk")
+      .select(col(grpCol), col(idCol), col(valueCol), col("rk"))
   }
 
   /** The catalog twin: plateau-aware selection over the same document
@@ -784,15 +842,22 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
     val tot = perLang.agg(sum(col("lang_tokens")).as("tot_tokens"))
     val scaled = perLang.crossJoin(broadcast(tot))
-      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("tot_tokens"),
         round(col("lang_tokens").cast("double") / col("tot_tokens"), 6).as("share6"))
       .withColumn("r", round(sqrt(col("share6")) * 1000000d, 0).cast("long"))
     val z = scaled.agg(sum(col("r")).as("z"))
+    // weight = tshare / TRUE share, as tshare6 × tot/lang — dividing by
+    // the ROUND-6 share6 instead (the pre-round-10 form) turns any
+    // language whose true share is below 5e-7 into share6 = 0 and an
+    // engine-divergent Infinity/NULL; lang_tokens ≥ 1 always, so this
+    // form is finite on every input. Each step is one correctly-rounded
+    // IEEE op on identical operands in both engines (the sqrt-not-pow
+    // argument), so the hash gate holds without a guard branch.
     scaled.crossJoin(broadcast(z))
       .select(col("lang"), col("n_docs"), col("lang_tokens"), col("share6"),
         round(col("r").cast("double") / col("z"), 6).as("tshare6"),
-        round(round(col("r").cast("double") / col("z"), 6) / col("share6"), 6)
-          .as("weight6"))
+        round(round(col("r").cast("double") / col("z"), 6)
+          * col("tot_tokens") / col("lang_tokens"), 6).as("weight6"))
   }
 
   /** Base overall sampling rate for the weighted sampler. */
@@ -1910,7 +1975,7 @@ object TextOps {
     // entry avoids computing over non-candidates
     "quantile_select_by_lang" ->
       """WITH d AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
-                    FROM documents),
+                    FROM documents WHERE text IS NOT NULL),
          kk AS (SELECT lang, CAST(ceil(COUNT(*) / 100.0) AS BIGINT) AS k
                 FROM d GROUP BY lang),
          r AS (SELECT lang, doc_id, len,
@@ -1991,14 +2056,14 @@ object TextOps {
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
            FROM documents GROUP BY lang),
          tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS tot_tokens FROM per),
-         sc AS (SELECT lang, n_docs, lang_tokens,
+         sc AS (SELECT lang, n_docs, lang_tokens, tot_tokens,
              round(CAST(lang_tokens AS DOUBLE) / tot_tokens, 6) AS share6,
              CAST(round(sqrt(round(CAST(lang_tokens AS DOUBLE) / tot_tokens, 6)) * 1000000, 0) AS BIGINT) AS r
            FROM per CROSS JOIN tot),
          zz AS (SELECT CAST(SUM(r) AS BIGINT) AS z FROM sc)
          SELECT lang, n_docs, lang_tokens, share6,
            round(CAST(r AS DOUBLE) / z, 6) AS tshare6,
-           round(round(CAST(r AS DOUBLE) / z, 6) / share6, 6) AS weight6
+           round(round(CAST(r AS DOUBLE) / z, 6) * tot_tokens / lang_tokens, 6) AS weight6
          FROM sc CROSS JOIN zz""",
     "corpus_sample_weighted" ->
       s"""WITH per AS (SELECT lang,

@@ -41,6 +41,33 @@ object SnapshotLog {
 
   private def logDir(tableDir: String) = Paths.get(tableDir, "_log")
 
+  /** Jackson (bundled with Spark) for manifest serialization: the
+    * pre-round-10 hand-rolled writer escaped backslashes but not double
+    * quotes, and the regex reader could not tell an escaped quote from
+    * a delimiter — a path containing `"` would corrupt the manifest and
+    * make [[vacuum]] see committed data as unreferenced. A real JSON
+    * codec closes the whole escaping class; old manifests are valid
+    * JSON and parse unchanged. */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Canonical form for path comparison AND for what manifests record:
+    * toRealPath RESOLVES symlinks (toAbsolutePath.normalize is only
+    * syntactic); the fallback covers paths that no longer exist, which
+    * by definition cannot be live data. Canonicalizing at PUBLISH time
+    * makes the recorded spelling independent of the committer's cwd
+    * (a relative `tableDir` used to leave relative paths in the
+    * manifest, which a vacuum run from another directory would
+    * mis-resolve against its own cwd). */
+  private def canon(p: Path): Path =
+    try p.toRealPath()
+    catch { case _: java.io.IOException => p.toAbsolutePath.normalize }
+
+  /** Parse a manifest's file list (shared by [[read]] and [[vacuum]]). */
+  private def manifestFiles(manifestPath: Path): Seq[String] = {
+    val node = mapper.readTree(Files.readString(manifestPath))
+    node.get("files").elements().asScala.map(_.asText()).toSeq
+  }
+
   /** Files.list holds a directory handle until closed; a long-running
     * driver committing frequently would leak descriptors if these
     * streams waited for GC. Every listing in this object goes through
@@ -80,7 +107,8 @@ object SnapshotLog {
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(dd.toString)
     val files = listDir(dd)
-      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => canon(p).toString).sorted
     publish(tableDir, v, files)
     v
   }
@@ -124,8 +152,11 @@ object SnapshotLog {
     * version — the caller's optimistic-concurrency retry signal. */
   private[graft] def publish(tableDir: String, v: Long, files: Seq[String]): Unit = {
     Files.createDirectories(logDir(tableDir))
-    val manifest = files.map(f => "\"" + f.replace("\\", "\\\\") + "\"")
-      .mkString(s"""{"version":$v,"files":[""", ",", "]}")
+    val root = mapper.createObjectNode()
+    root.put("version", v)
+    val arr = root.putArray("files")
+    files.foreach(arr.add)
+    val manifest = mapper.writeValueAsString(root)
     // the temp path is WRITER-UNIQUE, like the data directory: with a
     // shared `.$v.json.tmp` a racing loser's writeString could truncate
     // the winner's temp between its write and createLink, making the
@@ -204,28 +235,21 @@ object SnapshotLog {
     val dataDir = Paths.get(tableDir, "data")
     val ld = logDir(tableDir)
     if (!Files.isDirectory(dataDir)) return Nil
-    // canonicalize BOTH sides before comparing: manifests record the
-    // spelling the committer used, the listing reflects the vacuum
-    // caller's — Java Path equality does not normalize, and "./t" vs
-    // "t" vs a symlinked absolute form must not let a committed
-    // directory look unreferenced (that would delete live data).
-    // toRealPath RESOLVES symlinks (toAbsolutePath.normalize is only
-    // syntactic — /tmp vs /private/tmp would still diverge); the
-    // fallback covers paths that no longer exist, which by definition
-    // cannot be live data
-    def canon(p: Path): Path =
-      try p.toRealPath()
-      catch { case _: java.io.IOException => p.toAbsolutePath.normalize }
+    // canonicalize BOTH sides before comparing: new manifests record
+    // canonical absolute paths already (publish-time [[canon]]), but
+    // pre-round-10 manifests hold the committer's spelling, and the
+    // listing reflects the vacuum caller's — Java Path equality does
+    // not normalize, and "./t" vs "t" vs a symlinked absolute form
+    // must not let a committed directory look unreferenced (that would
+    // delete live data)
     val referenced: Set[Path] =
       if (!Files.isDirectory(ld)) Set.empty
       else listDir(ld)
         .filter(p => p.getFileName.toString.endsWith(".json") &&
           !p.getFileName.toString.startsWith("."))
-        .flatMap { m =>
-          val txt = Files.readString(m)
-          "\"(.*?)\"".r.findAllMatchIn(txt.dropWhile(_ != '['))
-            .map(g => canon(Paths.get(g.group(1).replace("\\\\", "\\")).getParent))
-        }.toSet
+        .flatMap(m => manifestFiles(m)
+          .map(f => canon(Paths.get(f).getParent)))
+        .toSet
     val cutoff = System.currentTimeMillis() - minAgeMillis
     // <= so minAgeMillis = 0 means "no age protection" exactly — with
     // strict < an orphan written in the same clock millisecond would
@@ -257,10 +281,7 @@ object SnapshotLog {
           Files.exists(logDir(tableDir).resolve(s"$x.json")) && x <= t)
         if (vs.isEmpty) sys.error(s"no version <= $t in $tableDir") else vs.max
     }
-    val manifest = Files.readString(logDir(tableDir).resolve(s"$v.json"))
-    // minimal parse of the file array this object itself wrote
-    val files = "\"(.*?)\"".r.findAllMatchIn(manifest.dropWhile(_ != '['))
-      .map(_.group(1).replace("\\\\", "\\")).toSeq
+    val files = manifestFiles(logDir(tableDir).resolve(s"$v.json"))
     spark.read.parquet(files: _*)
   }
 }

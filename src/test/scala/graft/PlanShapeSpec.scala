@@ -571,15 +571,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
-  test("quantile_select_by_lang ranks inside language partitions over a broadcast-bounded slice") {
-    // the grouped screen: per-language boundaries broadcast back (a
-    // languages-sized table — never a shuffled join of the corpus
-    // against it), and the rank window is PARTITIONED BY LANGUAGE over
-    // candidates only — partitioned is the acceptable window form here
-    // (per-group ranks are required output); what must not appear is a
-    // single-partition global Window or a nested-loop bounds join
+  test("quantile_select_by_lang never windows a group's candidate slice: salted stage-1, merge-sized stage-2") {
+    // the round-9 scale-killer, pinned fixed: a window partition cannot
+    // be split WITHIN a key, so NO window may run over a language's
+    // ≥boundary candidate slice (linear in corpus size for the head
+    // language; O(language) under a boundary plateau). The kernel's
+    // stage-1 windows must partition by (lang, id-hash SALT) — the
+    // pmod(hash(..)) expression in a partition spec is the witness —
+    // and the only lang-partitioned window is the stage-2 merge over
+    // the ≤ salts·k stage-1 survivors (output-sized, corpus- and
+    // plateau-independent). Bounds/needs stay broadcast; no nested-loop
+    // or cartesian bounds join.
     val plan = executedPlan("quantile_select_by_lang")
-    assert(plan.contains("Window"), plan)
+    assert(plan.split("Window").length > 2,
+      s"expected salted stage-1 + merge stage-2 windows:\n$plan")
+    assert(plan.contains("pmod") && plan.contains("hash"),
+      s"stage-1 window must partition by the id-hash salt:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)

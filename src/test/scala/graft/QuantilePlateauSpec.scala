@@ -103,6 +103,80 @@ class QuantilePlateauSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("grouped kernel: a plateau straddling ONE group's boundary moves nothing, ranks included") {
+    import spark.implicits._
+    // three languages, one adversarial: "en" carries the 50%-plateau
+    // shape (its boundary lands ON the plateau, so its candidate slice
+    // would be ~51% of the group — the shape the salted two-stage form
+    // exists to keep out of any single window), "fr" is benign, "de"
+    // is all-ties (the cut happens entirely inside a plateau). The
+    // grouped kernel must reproduce the per-group exact rank result —
+    // including the rk column — on all three at once.
+    val df = spark.range(100000).select(col("id"),
+      when(col("id") % 10 < 6, lit("en"))
+        .when(col("id") % 10 < 9, lit("fr")).otherwise(lit("de")).as("lang"),
+      when(col("id") % 10 >= 9, lit(7L)) // de: everything ties (k from plateau alone)
+        .when(col("id") % 10 >= 6, col("id") % 1000) // fr: benign spread
+        // en (60k rows): head = 300 rows (0.5% — LESS than k=600, so the
+        // selection must cut INTO the plateau), plateau ≈ 59% of en, so
+        // the screen boundary lands ON the plateau and the naive ≥b
+        // slice would be ~59% of the group
+        .when(col("id") < 500, lit(1000L) + col("id") % 7)
+        .when(col("id") < 60000, lit(500L))
+        .otherwise(col("id") % 400).as("len"))
+      .persist()
+    val got = graft.ops.TextOps
+      .quantileTopFractionByGroup(df, "lang", "len", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("lang").orderBy(col("len").desc, col("id"))
+    val kk = df.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> math.ceil(r.getLong(1) * 0.01).toLong).toMap
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .filter { case (g, _, _, rk) => rk <= kk(g) }.toSet
+    assert(got == want, "grouped selection must equal the per-group exact rank result")
+    // and the adversarial group really was adversarial: en's boundary
+    // sits on the plateau, so its ≥b slice is plateau-inflated
+    val bEn = df.filter(col("lang") === "en")
+      .agg(expr("approx_percentile(len, 0.985D, 10000)")).head().getLong(0)
+    assert(bEn == 500L, s"en's screen boundary must land ON the plateau (got $bEn)")
+    df.unpersist()
+  }
+
+  test("grouped kernel: an all-null group selects nothing; others are unaffected") {
+    import spark.implicits._
+    val df = spark.range(20000).select(col("id"),
+      when(col("id") % 2 === 0, lit("xx")).otherwise(lit("en")).as("lang"),
+      when(col("id") % 2 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 997).as("len")).persist()
+    val got = graft.ops.TextOps
+      .quantileTopFractionByGroup(df, "lang", "len", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // xx has no selectable rows — excluded before k is counted, so it
+    // neither trips the superset guard nor emits rows
+    assert(got.nonEmpty && got.forall(_._1 == "en"))
+    val kEn = math.ceil(10000 * 0.01).toLong
+    assert(got.size == kEn.toInt)
+    df.unpersist()
+  }
+
+  test("empty or all-null input fails the ungrouped kernels loudly, not with an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "len")
+    val allNull = spark.range(100)
+      .select(col("id"), lit(null).cast("long").as("len"))
+    Seq[org.apache.spark.sql.DataFrame => Any](
+      d => graft.ops.TextOps.quantileTopFraction(d, "len", "id"),
+      d => graft.ops.TextOps.quantileTopFractionPlateauAware(d, "len", "id")
+    ).foreach { kernel =>
+      Seq(empty, allNull).foreach { d =>
+        val e = intercept[IllegalArgumentException](kernel(d))
+        assert(e.getMessage.contains("non-null len"), e.getMessage)
+      }
+    }
+  }
+
   test("near-degenerate distribution (everything ties) still selects exactly k") {
     import spark.implicits._
     val n = 10000L
