@@ -129,7 +129,12 @@ object Bench {
     // FullOuter — the merge's read-side inverse), the sketch-screened
     // exact quantile selection, and the BPE train+tokenize pass (the
     // only iterative-training + rendered-model map entry in the gate)
-    "cdc_table_diff", "quantile_select_exact", "bpe_token_count")
+    "cdc_table_diff", "quantile_select_exact", "bpe_token_count",
+    // round 10: the trigram Stupid-Backoff scorer — the heaviest
+    // text-family entry on its own generated ladder (SCALING.md) and
+    // the round-9 multi-process serde study's highest-exposure query,
+    // previously the only measured heavyweight without an envelope
+    "text_trigram_backoff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
