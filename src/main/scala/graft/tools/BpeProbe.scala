@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   * a Janino failure of the deep replace chain is LOUD, not a silent
   * interpreted fallback.
   *
-  * Usage: BpeProbe <sfDir> [rounds]   (default 16)
+  * Usage: BpeProbe <sfDir> [rounds] [reps]   (defaults 16, 1)
+  *
+  * `reps` > 1 times the tokenize pass repeatedly after the single
+  * training run (training is the factored-OUT term in the ladder
+  * studies) and reports every sample plus the median — the honest
+  * protocol of the SCALING.md growth studies, where pass-1 JIT must
+  * be visible in the artifact rather than silently averaged in.
   */
 object BpeProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: BpeProbe <sfDir> [rounds]")
+    require(args.nonEmpty, "usage: BpeProbe <sfDir> [rounds] [reps]")
     val dir = args(0)
     val rounds = args.lift(1).map(_.toInt).getOrElse(16)
+    val reps = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -39,15 +46,23 @@ object BpeProbe {
     // THE production chain builder so the probe certifies exactly what
     // bpe_token_count runs
     val chain = graft.ops.TextOps.bpeChainExpr(merges)
-    val t1 = System.nanoTime()
-    val agg = graft.streaming.DocStreams
-      .bpeTokenizeScreen(spark.read.parquet(s"$dir/documents.parquet"), chain)
-      .agg(sum("n_ws_tokens").as("ws"), sum("n_bpe_tokens").as("bpe")).head()
-    val tokSec = (System.nanoTime() - t1) / 1e9
+    var agg: org.apache.spark.sql.Row = null
+    val samples = (1 to reps).map { _ =>
+      val t1 = System.nanoTime()
+      agg = graft.streaming.DocStreams
+        .bpeTokenizeScreen(spark.read.parquet(s"$dir/documents.parquet"), chain)
+        .agg(sum("n_ws_tokens").as("ws"), sum("n_bpe_tokens").as("bpe")).head()
+      (System.nanoTime() - t1) / 1e9
+    }
+    val sorted = samples.sorted
+    val tokSec =
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
     val (ws, bpe) = (agg.getLong(0), agg.getLong(1))
     def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"probe":"bpe","rounds":$rounds,"vocab":$vocab,"train_sec":${fm(trainSec)},""" +
-      s""""tokenize_sec":${fm(tokSec)},"ws_tokens":$ws,"bpe_tokens":$bpe,""" +
+      s""""tokenize_sec":${fm(tokSec)},"tokenize_samples":[${samples.map(fm).mkString(",")}],""" +
+      s""""ws_tokens":$ws,"bpe_tokens":$bpe,""" +
       // fertility = BPE tokens per whitespace word — the standard
       // tokenizer quality metric, decreasing as rounds merge more
       s""""fertility":${fm(bpe.toDouble / ws)},"merges":"${merges.map(m => m._1 + "+" + m._2).mkString(",")}"}""")
