@@ -547,15 +547,28 @@ object TextOps {
     * model tables are bucketed by their n-gram key (or broadcast for
     * pruned vocabularies) and scoring is the same join shape. */
   val textTrigramBackoff: Q = (s, dir) => {
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val d = trigramDocs(t(s, dir, "documents"))
+    val (uni, bi, tri) = trigramModel(d.filter(!col("is_eval")))
+    val tot = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    trigramScore(trigramEvalGrams(d.filter(col("is_eval"))), uni, bi, tri, tot)
+  }
+
+  /** (doc_id, tokens, is_eval) rows for the trigram family — the
+    * held-out hash split shared by the inline entry and the persisted
+    * index pair below. */
+  private[graft] def trigramDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("is_eval", expr(
         "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint), 5) = 0"))
-    val train = d.filter(!col("is_eval"))
-    val ev = d.filter(col("is_eval"))
+
+  /** The LM model: the three n-gram count tables over the train split.
+    * These ARE the trainable state — at 100 TB they persist bucketed by
+    * their n-gram key ([[writeNgramIndex]]) exactly like the retrieval
+    * vocabulary, so scoring runs never re-aggregate the corpus. */
+  private[graft] def trigramModel(train: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val uni = train.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val tot = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
     val bi = train.filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
@@ -566,10 +579,27 @@ object TextOps {
         "transform(sequence(1, size(t) - 2), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2, element_at(t, i + 2) AS w3))")).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
       .agg(count(lit(1)).as("c3"))
-    val g = ev.filter(size(col("t")) >= 3)
+    (uni, bi, tri)
+  }
+
+  /** Per-document eval trigrams (doc_id, w1, w2, w3). */
+  private[graft] def trigramEvalGrams(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 2), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2, element_at(t, i + 2) AS w3))")).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
+
+  /** The Stupid-Backoff scoring plan over prepared model tables — five
+    * equi-joins + the per-document micro-rounded aggregate. Extracted
+    * so the inline entry and [[trigramAgainstIndex]] run the SAME
+    * scoring code over differently-sourced models (inline aggregates
+    * vs persisted bucketed tables): equivalence between the two is
+    * then a property of the model tables alone, which BucketingSpec
+    * checks row-for-row. */
+  private[graft] def trigramScore(g: org.apache.spark.sql.DataFrame,
+      uni: org.apache.spark.sql.DataFrame, bi: org.apache.spark.sql.DataFrame,
+      tri: org.apache.spark.sql.DataFrame, tot: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val scored = g
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(bi.withColumnRenamed("c2", "c12"), Seq("w1", "w2"), "left")
@@ -594,6 +624,46 @@ object TextOps {
       round(sum(col("micro")).cast("double") /
         (lit(1000000.0) * count(lit(1))), 6).as("avg_sb6"))
   }
+
+  /** Persist the trigram LM as four tables, the three n-gram count
+    * tables BUCKETED by their n-gram join key plus the one-row totals —
+    * the [[writeVocabIndex]] move for the LM family. At 100 TB the
+    * model tables are themselves large (observed n-grams are
+    * corpus-bounded) and recomputed identically by every scoring run;
+    * persisting them bucketed makes each scoring pass (a) skip the
+    * three corpus-wide model aggregations and (b) read the model side
+    * of every scoring join in place with NO exchange (BucketingSpec
+    * pins the shuffle-free scan; the `bi` table serves BOTH the
+    * (w1,w2) context probe and the renamed (w2,w3) backoff probe from
+    * the same buckets, since rename preserves the bucket-column
+    * lineage). Refresh is a batch job, exactly like the band and
+    * vocab indexes. Tables land under `<prefix>_{uni,bi,tri,tot}`. */
+  def writeNgramIndex(docs: org.apache.spark.sql.DataFrame, prefix: String,
+      buckets: Int = 8): Unit = {
+    val (uni, bi, tri) = trigramModel(trigramDocs(docs).filter(!col("is_eval")))
+    uni.write.mode("overwrite").bucketBy(buckets, "w").sortBy("w")
+      .saveAsTable(s"${prefix}_uni")
+    bi.write.mode("overwrite").bucketBy(buckets, "w1", "w2").sortBy("w1", "w2")
+      .saveAsTable(s"${prefix}_bi")
+    tri.write.mode("overwrite").bucketBy(buckets, "w1", "w2", "w3")
+      .sortBy("w1", "w2", "w3").saveAsTable(s"${prefix}_tri")
+    docs.sparkSession.table(s"${prefix}_uni")
+      .agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+      .write.mode("overwrite").saveAsTable(s"${prefix}_tot")
+  }
+
+  /** Stupid-Backoff scoring probing a persisted [[writeNgramIndex]]
+    * model: identical scores to [[textTrigramBackoff]] (same split,
+    * same five-join scoring code — [[trigramScore]] is shared) with
+    * every model-side join input coming from the bucketed tables
+    * instead of inline corpus aggregations. The probed `docs` may be
+    * any batch (a new crawl scored against yesterday's LM). */
+  def trigramAgainstIndex(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, prefix: String): org.apache.spark.sql.DataFrame =
+    trigramScore(
+      trigramEvalGrams(trigramDocs(docs).filter(col("is_eval"))),
+      s.table(s"${prefix}_uni"), s.table(s"${prefix}_bi"),
+      s.table(s"${prefix}_tri"), s.table(s"${prefix}_tot"))
 
   /** Number of BPE merge rounds the in-engine trainer runs. */
   private[graft] val BpeRounds = 3
@@ -835,8 +905,15 @@ object TextOps {
     * integer sum, and every emitted ratio is a single division
     * rounded 6. Same two-tiny-aggregates + broadcast shape as the
     * uniform twin — zero corpus shuffles beyond the per-lang count. */
-  val corpusMixTemperature: Q = (s, dir) => {
-    val perLang = t(s, dir, "documents")
+  val corpusMixTemperature: Q = (s, dir) =>
+    mixTemperature(t(s, dir, "documents"))
+
+  /** The reusable kernel over any (lang, text) frame — extracted so
+    * MixSkewSpec can drive the sub-5e-7-share regime (a language whose
+    * round-6 share is 0.0) that the fixture's balanced mix never
+    * exercises. */
+  private[graft] def mixTemperature(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perLang = docs
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))

@@ -125,4 +125,37 @@ class BucketingSpec extends SparkSpec {
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("persisted n-gram index: trigram probe reads every model table in place and matches inline") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.ops.TextOps.writeNgramIndex(docs, "bkt.ngram")
+    val probed = graft.ops.TextOps.trigramAgainstIndex(spark, docs, "bkt.ngram")
+    // every model-side scoring join (tri on (w1,w2,w3), bi on (w1,w2)
+    // AND on the renamed (w2,w3) — rename must preserve the bucket
+    // lineage — uni twice on one word) must read its buckets in place:
+    // the only exchanges allowed sit on the eval-trigram side
+    val plan = probed.queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.length >= 5, s"expected the five scoring joins:\n${plan.treeString}")
+    joins.foreach { j =>
+      val rightShuffles = j.right.collect { case e: ShuffleExchangeExec => e }
+      assert(rightShuffles.isEmpty,
+        s"model side must not shuffle:\n${j.right.treeString}")
+    }
+    // and the scores equal the self-contained catalog query's,
+    // row-for-row (shared trigramScore: equivalence reduces to the
+    // model tables, which this compares end-to-end)
+    val inline = SparkEntry.queries("text_trigram_backoff")(spark, dir)
+    assert(probed.exceptAll(inline).isEmpty && inline.exceptAll(probed).isEmpty)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 }

@@ -217,6 +217,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus_mix_temperature stays finite when a language's round-6 share is zero") {
+    import spark.implicits._
+    // one language with 4M tokens, one with 1 token: the tail's true
+    // share ≈ 2.5e-7 rounds to share6 = 0.0 — the pre-round-10 form
+    // divided weight6 by share6 and emitted Infinity with
+    // engine-divergent rendering; the kernel now divides by the
+    // UNROUNDED share (as tshare6 × tot/lang), so every output is a
+    // finite double on every input
+    val big = (1 to 4000).map(i => ("en", Seq.fill(1000)("w").mkString(" ")))
+    val tiny = Seq(("xx", "solo"))
+    val docs = (big ++ tiny).toDF("lang", "text")
+    val rows = TextOps.mixTemperature(docs).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (tshare, weight) = (r.getDouble(4), r.getDouble(5))
+      assert(!weight.isNaN && !weight.isInfinite, s"non-finite weight: $r")
+      assert(!tshare.isNaN && !tshare.isInfinite, s"non-finite tshare: $r")
+    }
+    val byLang = rows.map(r => r.getString(0) ->
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // the zero-share tail: share6 rounds to 0, so sqrt-micro-rounding
+    // gives it r = 0 and tshare6 = 0 — down-weighted to 0, never blown
+    // up to Infinity (the sampling law's T=2 smoothing only applies to
+    // languages the share resolution can see at all)
+    assert(byLang("xx")._1 == 0.0 && byLang("xx")._3 == 0.0, byLang.toString)
+    // the head keeps weight ≈ 1 (it IS the corpus)
+    assert(math.abs(byLang("en")._3 - 1.0) < 1e-4, byLang.toString)
+  }
+
   test("ann_ivf_kmeans probes only the query's trained cell, ranked by cosine") {
     val assign = SimilarityOps.embeddingKmeans(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
