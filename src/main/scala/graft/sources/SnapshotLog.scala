@@ -33,9 +33,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[commitWithRetry]] (optimistic concurrency: validate against a
   * pinned version, publish exactly that version + 1, replay on
   * conflict) and the directories losers/crashes orphan are reclaimed
-  * by [[vacuum]]. No compaction of the log and no schema evolution —
-  * those are the parts a real table format adds; SnapshotLogSpec pins
-  * the reader and writer guarantees this minimum already provides.
+  * by [[vacuum]]. A `_last_checkpoint` HINT keeps [[latestVersion]]
+  * O(1) point-probes instead of an O(commits) directory listing (the
+  * Delta `_last_checkpoint` idea at the same minimum — see
+  * [[readCheckpoint]] for why it is never load-bearing). No manifest
+  * compaction and no schema evolution — those are the parts a real
+  * table format adds; SnapshotLogSpec pins the reader and writer
+  * guarantees this minimum already provides.
   */
 object SnapshotLog {
 
@@ -67,6 +71,48 @@ object SnapshotLog {
     val node = mapper.readTree(Files.readString(manifestPath))
     node.get("files").elements().asScala.map(_.asText()).toSeq
   }
+
+  private def checkpointPath(tableDir: String): Path =
+    logDir(tableDir).resolve("_last_checkpoint")
+
+  /** The checkpoint HINT — Delta's `_last_checkpoint` reduced to this
+    * log's minimum: without it every [[latestVersion]] (and hence every
+    * read and every commit) LISTS the whole `_log` directory, O(commits)
+    * and a paginated LIST per call on an object store. The hint names a
+    * known-committed version; resolution probes upward from it with
+    * point exists() checks (one HEAD each), normally exactly one.
+    *
+    * It is only ever a hint, never load-bearing: written best-effort
+    * after a successful publish (a failure here never fails the
+    * commit), ignored when it names a version with no manifest, and a
+    * concurrently-regressed value (two writers' last-write-wins) only
+    * costs extra probes. Correctness of the upward probe rests on the
+    * log's VERSION DENSITY invariant — [[commit]] publishes latest+1 by
+    * construction and [[commitIdempotent]] rejects gap-creating
+    * versions — which is the same invariant [[read]]'s time-travel scan
+    * already assumes. */
+  private def readCheckpoint(tableDir: String): Option[Long] =
+    try {
+      val p = checkpointPath(tableDir)
+      if (!Files.exists(p)) None
+      else Some(mapper.readTree(Files.readString(p)).get("version").asLong())
+    } catch { case _: Exception => None }
+
+  private def writeCheckpoint(tableDir: String, v: Long): Unit =
+    try {
+      // monotone: a slow writer finishing after a faster one must not
+      // move the hint backwards (it would still be correct, just slower)
+      if (readCheckpoint(tableDir).forall(_ < v)) {
+        val tmp = logDir(tableDir).resolve(
+          s"._ckpt-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+        val root = mapper.createObjectNode()
+        root.put("version", v)
+        Files.writeString(tmp, mapper.writeValueAsString(root))
+        Files.move(tmp, checkpointPath(tableDir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch { case _: Exception => () }
 
   /** Files.list holds a directory handle until closed; a long-running
     * driver committing frequently would leak descriptors if these
@@ -170,18 +216,29 @@ object SnapshotLog {
     val target = logDir(tableDir).resolve(s"$v.json")
     try Files.createLink(target, tmp)
     finally Files.deleteIfExists(tmp)
+    writeCheckpoint(tableDir, v)
   }
 
-  /** Highest committed version, if any. */
+  /** Highest committed version, if any. Resolved through the
+    * [[readCheckpoint]] hint when one exists (upward point probes from
+    * a known-committed version — O(new commits), normally 1 check);
+    * falls back to the full directory listing when the hint is absent
+    * or names a version with no manifest. */
   def latestVersion(tableDir: String): Option[Long] = {
     val ld = logDir(tableDir)
-    if (!Files.isDirectory(ld)) None
-    else {
-      val vs = listDir(ld)
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(".json") && !n.startsWith("."))
-        .map(_.stripSuffix(".json").toLong)
-      if (vs.isEmpty) None else Some(vs.max)
+    if (!Files.isDirectory(ld)) return None
+    readCheckpoint(tableDir)
+      .filter(v => Files.exists(ld.resolve(s"$v.json"))) match {
+      case Some(v0) =>
+        var v = v0
+        while (Files.exists(ld.resolve(s"${v + 1}.json"))) v += 1
+        Some(v)
+      case None =>
+        val vs = listDir(ld)
+          .map(_.getFileName.toString)
+          .filter(n => n.endsWith(".json") && !n.startsWith("."))
+          .map(_.stripSuffix(".json").toLong)
+        if (vs.isEmpty) None else Some(vs.max)
     }
   }
 
@@ -198,6 +255,15 @@ object SnapshotLog {
   def commitIdempotent(spark: SparkSession, tableDir: String,
       df: DataFrame, v: Long): Boolean = {
     if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
+    // density guard: versions are dense by construction ([[commit]]
+    // publishes latest+1), and both the checkpoint's upward probe and
+    // time travel's dense scan rely on it — a caller-chosen version
+    // that would leave a hole (a skipped batchId base arithmetic bug)
+    // must fail loudly, not create an unreachable future version
+    val latest = latestVersion(tableDir).getOrElse(-1L)
+    require(v <= latest + 1,
+      s"version $v would leave a gap above latest=$latest — the log's " +
+        "versions are dense; derive v as base + batchId")
     try { commitAt(spark, tableDir, df, v); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }

@@ -155,4 +155,49 @@ class SnapshotLogSpec extends SparkSpec {
     // both history points remain readable
     assert(SnapshotLog.read(spark, t, asOf = Some(0L)).count() == 2)
   }
+
+  test("the checkpoint hint is never load-bearing: absent, stale, or bogus, latest stays right") {
+    import spark.implicits._
+    val t = s"$scratch/snap_ckpt"
+    (0 until 12).foreach(i =>
+      SnapshotLog.commit(spark, t, Seq((1L, i.toLong)).toDF("key", "p")))
+    val ckpt = Paths.get(t, "_log", "_last_checkpoint")
+    // the hint tracks the publishes and names a committed version
+    assert(Files.exists(ckpt), "publish must leave a checkpoint hint")
+    val hinted = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(ckpt)).get("version").asLong()
+    assert(hinted == 11L, s"hint should track latest, got $hinted")
+    assert(SnapshotLog.latestVersion(t).contains(11L))
+    // STALE hint (a regressed last-write-wins value): probe walks up
+    Files.writeString(ckpt, """{"version":3}""")
+    assert(SnapshotLog.latestVersion(t).contains(11L))
+    // BOGUS hint (names a version with no manifest): listing fallback
+    Files.writeString(ckpt, """{"version":999}""")
+    assert(SnapshotLog.latestVersion(t).contains(11L))
+    // UNPARSEABLE hint: listing fallback
+    Files.writeString(ckpt, "not json")
+    assert(SnapshotLog.latestVersion(t).contains(11L))
+    // ABSENT hint: listing fallback, and the next commit restores it
+    Files.delete(ckpt)
+    assert(SnapshotLog.latestVersion(t).contains(11L))
+    SnapshotLog.commit(spark, t, Seq((1L, 99L)).toDF("key", "p"))
+    assert(Files.exists(ckpt) && SnapshotLog.latestVersion(t).contains(12L))
+  }
+
+  test("commitIdempotent rejects gap-creating versions, keeping the log dense") {
+    import spark.implicits._
+    val t = s"$scratch/snap_dense"
+    SnapshotLog.commit(spark, t, Seq((1L, 1L)).toDF("key", "p")) // v0
+    // replay of an existing version: no-op, false
+    assert(!SnapshotLog.commitIdempotent(spark, t, Seq((1L, 2L)).toDF("key", "p"), 0L))
+    // the next dense version publishes
+    assert(SnapshotLog.commitIdempotent(spark, t, Seq((1L, 3L)).toDF("key", "p"), 1L))
+    // a hole (v3 when latest is 1) fails loudly — both the checkpoint
+    // probe and time travel's dense scan rely on density
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.commitIdempotent(spark, t, Seq((1L, 4L)).toDF("key", "p"), 3L)
+    }
+    assert(e.getMessage.contains("gap"), e.getMessage)
+    assert(SnapshotLog.latestVersion(t).contains(1L))
+  }
 }
