@@ -665,6 +665,24 @@ object TextOps {
       s.table(s"${prefix}_uni"), s.table(s"${prefix}_bi"),
       s.table(s"${prefix}_tri"), s.table(s"${prefix}_tot"))
 
+  /** Score a NEW batch in full against a stale persisted model — the
+    * serving path [[trigramAgainstIndex]]'s eval-split twin does not
+    * cover: today's crawl scored by yesterday's LM, so EVERY document
+    * scores (no held-out split — the batch is disjoint from training
+    * by construction) and vocabulary the model has never seen must
+    * degrade gracefully. Staleness semantics are already total in
+    * [[trigramScore]]: an unseen trigram backs off to the bigram, an
+    * unseen bigram to the add-1 unigram, and a wholly-unseen WORD
+    * bottoms out at the +1 floor over (n + v) — every score is defined
+    * and finite, which TrigramIndexSpec pins on an
+    * all-out-of-vocabulary batch. */
+  def trigramScoreNewBatch(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame, prefix: String): org.apache.spark.sql.DataFrame =
+    trigramScore(
+      trigramEvalGrams(batch.select(col("doc_id"), split(col("text"), " ").as("t"))),
+      s.table(s"${prefix}_uni"), s.table(s"${prefix}_bi"),
+      s.table(s"${prefix}_tri"), s.table(s"${prefix}_tot"))
+
   /** Number of BPE merge rounds the in-engine trainer runs. */
   private[graft] val BpeRounds = 3
 
