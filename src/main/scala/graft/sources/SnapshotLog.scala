@@ -36,10 +36,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * by [[vacuum]]. A `_last_checkpoint` HINT keeps [[latestVersion]]
   * O(1) point-probes instead of an O(commits) directory listing (the
   * Delta `_last_checkpoint` idea at the same minimum — see
-  * [[readCheckpoint]] for why it is never load-bearing). No manifest
-  * compaction and no schema evolution — those are the parts a real
-  * table format adds; SnapshotLogSpec pins the reader and writer
-  * guarantees this minimum already provides.
+  * [[readCheckpoint]] for why it is never load-bearing). Commits also
+  * record per-file min/max column STATS harvested from the parquet
+  * footers (footer-only I/O — one ranged read per file, on the WRITE
+  * path, amortized over every future pruned read), and [[readWhere]]
+  * prunes the manifest's file list against them before Spark ever
+  * sees a path — the Delta/Iceberg data-skipping idea at the same
+  * minimum, and the read-side half of what [[graft.ops.LayoutOps]]'s
+  * Z-order write layout exists to enable (ZOrderSpec measures the
+  * parquet-level half of the same skip). No manifest compaction and
+  * no schema evolution — those are the parts a real table format
+  * adds; SnapshotLogSpec / SnapshotStatsSpec pin the reader and
+  * writer guarantees this minimum already provides.
   */
 object SnapshotLog {
 
@@ -70,6 +78,211 @@ object SnapshotLog {
   private def manifestFiles(manifestPath: Path): Seq[String] = {
     val node = mapper.readTree(Files.readString(manifestPath))
     node.get("files").elements().asScala.map(_.asText()).toSeq
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-file column stats: footer harvest at commit, pruning at read
+  // ---------------------------------------------------------------------
+
+  /** Harvest per-file min/max/null column stats from parquet FOOTERS —
+    * no data pages are read; on an object store this is one ranged GET
+    * per freshly-written file, paid once on the write path (exactly the
+    * Iceberg recipe; Delta gets the same numbers from write-time
+    * collectors). Recorded in the manifest as
+    * `stats.<file>.<col> = {min, max, nulls}` (or `{allNull: true}`),
+    * so [[readWhere]] can prune files without touching storage at all.
+    *
+    * What gets stats — deliberately conservative, because a wrong stat
+    * PRUNES COMMITTED DATA: only top-level columns whose parquet
+    * primitive type has an unambiguous cross-layer ordering.
+    *   - INT32/INT64 (plain or signed-int annotated) → recorded as long;
+    *   - FLOAT/DOUBLE (plain) → recorded as double (float widens
+    *     exactly);
+    *   - BINARY + String annotation → recorded as text, but ONLY when
+    *     both bounds are pure ASCII: parquet orders UTF8 binaries by
+    *     unsigned byte (= code point), Java strings by UTF-16 code
+    *     unit, and the two collations diverge above the BMP's surrogate
+    *     range — inside ASCII they provably coincide, so beyond it the
+    *     column's stats are DROPPED for that file rather than risk a
+    *     wrong prune.
+    * Everything else (dates, timestamps, decimals, nested paths, INT96,
+    * booleans) is skipped: no stats ⇒ never pruned ⇒ always correct.
+    * A row group whose statistics are missing/empty invalidates the
+    * column for the whole file for the same reason. */
+  private def footerColStats(file: String)
+      : Map[String, com.fasterxml.jackson.databind.node.ObjectNode] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration())
+    val footer =
+      Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in))(_.getFooter)
+    // per-column fold across row groups: Left(()) = invalidated,
+    // Right((lo, hi, nulls, sawValue)) with lo/hi null while only
+    // all-null groups have been seen
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, Either[Unit, (Any, Any, Long, Boolean)]]
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case _                      => sys.error(s"unreachable mixed stat kinds: $a / $b")
+    }
+    for (block <- footer.getBlocks.asScala; cc <- block.getColumns.asScala) {
+      val path = cc.getPath.toArray
+      if (path.length == 1) {
+        val name = path(0)
+        if (!acc.get(name).contains(Left(()))) {
+          val pt = cc.getPrimitiveType
+          val ann = pt.getLogicalTypeAnnotation
+          val supported = pt.getPrimitiveTypeName match {
+            case INT32 | INT64 => ann == null ||
+              (ann match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+                case _ => false
+              })
+            case FLOAT | DOUBLE => ann == null
+            case BINARY =>
+              ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            case _ => false
+          }
+          val st: org.apache.parquet.column.statistics.Statistics[_] =
+            cc.getStatistics
+          if (!supported || st == null) acc(name) = Left(())
+          else if (!st.hasNonNullValue) {
+            // bounds absent: this is a genuinely all-null row group
+            // ONLY if the null count is set and accounts for every row
+            // — anything else means the writer dropped stats, which
+            // invalidates the column for the whole file
+            if (st.isNumNullsSet && st.getNumNulls == block.getRowCount) {
+              val prev = acc.getOrElse(name, Right((null, null, 0L, false)))
+              acc(name) = prev.map { case (lo, hi, n, saw) =>
+                (lo, hi, n + st.getNumNulls, saw) }
+            } else acc(name) = Left(())
+          } else {
+            def norm(v: Any): Option[Any] = v match {
+              case i: java.lang.Integer => Some(i.longValue)
+              case l: java.lang.Long    => Some(l.longValue)
+              case f: java.lang.Float   => Some(f.doubleValue)
+              case d: java.lang.Double  => Some(d.doubleValue)
+              case b: org.apache.parquet.io.api.Binary =>
+                val s = b.toStringUsingUTF8
+                if (s.forall(_ < 0x80)) Some(s) else None
+              case _ => None
+            }
+            (norm(st.genericGetMin), norm(st.genericGetMax)) match {
+              case (Some(mn), Some(mx)) =>
+                val prev = acc.getOrElse(name, Right((null, null, 0L, false)))
+                acc(name) = prev.map { case (lo, hi, n, _) =>
+                  (if (lo == null || lt(mn, lo)) mn else lo,
+                    if (hi == null || lt(hi, mx)) mx else hi,
+                    n + math.max(0L, st.getNumNulls), true)
+                }
+              case _ => acc(name) = Left(())
+            }
+          }
+        }
+      }
+    }
+    acc.collect {
+      case (name, Right((lo, hi, nulls, saw))) =>
+        val node = mapper.createObjectNode()
+        if (!saw) node.put("allNull", true)
+        else {
+          def put(field: String, v: Any): Unit = v match {
+            case x: Long   => node.put(field, x): Unit
+            case x: Double => node.put(field, x): Unit
+            case x: String => node.put(field, x): Unit
+          }
+          put("min", lo)
+          put("max", hi)
+        }
+        node.put("nulls", nulls)
+        name -> node
+    }.toMap
+  }
+
+  /** Decide from manifest stats whether `file` can hold a row with
+    * `column` in [lower, upper] (either bound optional). `null` /
+    * missing stats ⇒ keep — pruning is only ever an optimization; the
+    * exact residual filter in [[readWhere]] carries the semantics.
+    * Comparisons go through BigDecimal when either side is fractional
+    * (a long→double cast above 2^53 could otherwise prune wrongly);
+    * kind-mismatched bounds (a string bound against numeric stats)
+    * keep the file. */
+  private def keepFile(stats: com.fasterxml.jackson.databind.JsonNode,
+      file: String, column: String, lower: Option[Any], upper: Option[Any]): Boolean = {
+    if (lower.isEmpty && upper.isEmpty) return true
+    if (stats == null) return true
+    val cols = stats.get(file)
+    if (cols == null) return true
+    val st = cols.get(column)
+    if (st == null) return true
+    if (st.path("allNull").asBoolean(false))
+      return false // a range bound never selects NULL
+    val (mn, mx) = (st.get("min"), st.get("max"))
+    if (mn == null || mx == null) return true
+    def cmp(node: com.fasterxml.jackson.databind.JsonNode, bound: Any): Option[Int] =
+      bound match {
+        case s: String if node.isTextual => Some(node.asText.compareTo(s))
+        case (_: Long | _: Int | _: Double | _: Float) if node.isNumber =>
+          Some(node.decimalValue.compareTo(new java.math.BigDecimal(bound.toString)))
+        case _ => None
+      }
+    val aboveRange = upper.exists(u => cmp(mn, u).exists(_ > 0)) // min > upper
+    val belowRange = lower.exists(l => cmp(mx, l).exists(_ < 0)) // max < lower
+    !(aboveRange || belowRange)
+  }
+
+  /** The manifest's (files, stats-node) for the resolved version —
+    * stats is null for pre-stats manifests, which simply never prune. */
+  private def manifestFor(tableDir: String, asOf: Option[Long])
+      : (Seq[String], com.fasterxml.jackson.databind.JsonNode) = {
+    val v = resolveVersion(tableDir, asOf)
+    val node = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$v.json")))
+    (node.get("files").elements().asScala.map(_.asText()).toSeq,
+      node.get("stats"))
+  }
+
+  /** Which files a [[readWhere]] with these bounds would scan:
+    * (kept files, total files). Public so callers (and the spec) can
+    * observe skipping without timing a scan. */
+  def pruneFiles(tableDir: String, column: String, lower: Option[Any],
+      upper: Option[Any], asOf: Option[Long] = None): (Seq[String], Int) = {
+    val (files, stats) = manifestFor(tableDir, asOf)
+    (files.filter(f => keepFile(stats, f, column, lower, upper)), files.size)
+  }
+
+  /** [[read]] with manifest-stats file pruning: scan only the files
+    * whose recorded [min, max] interval for `column` can intersect
+    * [lower, upper], then apply the EXACT residual filter on the scan —
+    * pruning can only ever remove provably-dead I/O, never change the
+    * result (SnapshotStatsSpec pins result equality against the
+    * unpruned read on every shape, including pre-stats manifests).
+    * At 100 TB this is the difference between listing-then-filtering a
+    * million files' worth of scan tasks and launching only the handful
+    * a clustered layout (range or [[graft.ops.LayoutOps]] Z-order)
+    * makes relevant. */
+  def readWhere(spark: SparkSession, tableDir: String, column: String,
+      lower: Option[Any] = None, upper: Option[Any] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (files, stats) = manifestFor(tableDir, asOf)
+    val kept = files.filter(f => keepFile(stats, f, column, lower, upper))
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      else {
+        // all files pruned: an empty frame with the table's schema
+        // (footer-only read of one manifest file)
+        val schema = spark.read.parquet(files.head).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    val preds = lower.map(l => col(column) >= lit(l)) ++
+      upper.map(u => col(column) <= lit(u))
+    preds.reduceOption(_ && _).map(base.filter).getOrElse(base)
   }
 
   private def checkpointPath(tableDir: String): Path =
@@ -155,7 +368,14 @@ object SnapshotLog {
     val files = listDir(dd)
       .filter(_.toString.endsWith(".parquet"))
       .map(p => canon(p).toString).sorted
-    publish(tableDir, v, files)
+    // footer-only harvest; stats are an optimization, so a harvest
+    // failure degrades to a stat-less (never-pruned) manifest rather
+    // than failing the commit
+    val stats = files.map { f =>
+      f -> (try footerColStats(f) catch { case _: Exception => Map.empty[
+        String, com.fasterxml.jackson.databind.node.ObjectNode] })
+    }.filter(_._2.nonEmpty).toMap
+    publish(tableDir, v, files, stats)
     v
   }
 
@@ -196,12 +416,28 @@ object SnapshotLog {
     * the complete content in one step AND fails with
     * `FileAlreadyExistsException` when a concurrent writer won the
     * version — the caller's optimistic-concurrency retry signal. */
-  private[graft] def publish(tableDir: String, v: Long, files: Seq[String]): Unit = {
+  private[graft] def publish(tableDir: String, v: Long, files: Seq[String],
+      stats: Map[String, Map[String,
+        com.fasterxml.jackson.databind.node.ObjectNode]] = Map.empty): Unit = {
     Files.createDirectories(logDir(tableDir))
     val root = mapper.createObjectNode()
     root.put("version", v)
     val arr = root.putArray("files")
     files.foreach(arr.add)
+    if (stats.nonEmpty) {
+      val sNode = root.putObject("stats")
+      // iterate `files` (sorted) rather than the map, for a
+      // deterministic manifest byte-for-byte across writers
+      files.foreach { f =>
+        stats.get(f).foreach { cols =>
+          val fNode = sNode.putObject(f)
+          // set[T] is generic on its RETURN type — an ascribed Unit
+          // would make Jackson cast the node to BoxedUnit at runtime
+          cols.foreach { case (c, n) =>
+            fNode.set[com.fasterxml.jackson.databind.JsonNode](c, n); () }
+        }
+      }
+    }
     val manifest = mapper.writeValueAsString(root)
     // the temp path is WRITER-UNIQUE, like the data directory: with a
     // shared `.$v.json.tmp` a racing loser's writeString could truncate
@@ -335,11 +571,11 @@ object SnapshotLog {
     Files.deleteIfExists(p)
   }
 
-  /** Read a committed snapshot: the latest, or the newest version
-    * ≤ `asOf` (time travel). Reads EXACTLY the manifest's files. */
-  def read(spark: SparkSession, tableDir: String,
-      asOf: Option[Long] = None): DataFrame = {
-    val v = (latestVersion(tableDir), asOf) match {
+  /** The version a read resolves to: the latest, or the newest
+    * version ≤ `asOf` (time travel). Shared by [[read]] and the
+    * stats-pruned [[readWhere]]/[[pruneFiles]] path. */
+  private def resolveVersion(tableDir: String, asOf: Option[Long]): Long =
+    (latestVersion(tableDir), asOf) match {
       case (None, _) => sys.error(s"no committed version in $tableDir")
       case (Some(latest), None) => latest
       case (Some(latest), Some(t)) =>
@@ -347,6 +583,12 @@ object SnapshotLog {
           Files.exists(logDir(tableDir).resolve(s"$x.json")) && x <= t)
         if (vs.isEmpty) sys.error(s"no version <= $t in $tableDir") else vs.max
     }
+
+  /** Read a committed snapshot: the latest, or the newest version
+    * ≤ `asOf` (time travel). Reads EXACTLY the manifest's files. */
+  def read(spark: SparkSession, tableDir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val v = resolveVersion(tableDir, asOf)
     val files = manifestFiles(logDir(tableDir).resolve(s"$v.json"))
     spark.read.parquet(files: _*)
   }

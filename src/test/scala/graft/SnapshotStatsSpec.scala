@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import sources.SnapshotLog
+
+/** Manifest-stats data skipping ([[graft.sources.SnapshotLog]]):
+  * commits record per-file min/max column stats from the parquet
+  * footers, [[SnapshotLog.readWhere]] prunes files against them, and —
+  * the load-bearing property — pruning NEVER changes a result: every
+  * case here asserts equality against the unpruned read + exact
+  * filter, including the shapes where stats are deliberately absent
+  * (pre-stats manifests, non-ASCII strings, unsupported types).
+  */
+class SnapshotStatsSpec extends SparkSpec {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Ground truth: the unpruned read with the same exact predicate. */
+  private def oracle(t: String, c: String, lo: Option[Any], hi: Option[Any],
+      asOf: Option[Long] = None): Set[String] = {
+    val base = SnapshotLog.read(spark, t, asOf)
+    val preds = lo.map(l => col(c) >= lit(l)) ++ hi.map(u => col(c) <= lit(u))
+    preds.reduceOption(_ && _).map(base.filter).getOrElse(base)
+      .collect().map(_.toString).toSet
+  }
+
+  private def result(t: String, c: String, lo: Option[Any], hi: Option[Any],
+      asOf: Option[Long] = None): Set[String] =
+    SnapshotLog.readWhere(spark, t, c, lo, hi, asOf)
+      .collect().map(_.toString).toSet
+
+  test("range-clustered commit records footer stats and a narrow read prunes files") {
+    val t = s"$scratch/stats_range"
+    val df = spark.range(10000).select(
+      col("id").as("key"),
+      (col("id") % 97).as("mod"),
+      concat(lit("u"), lpad(col("id").cast("string"), 5, "0")).as("s"))
+      .repartitionByRange(8, col("key"))
+    val v = SnapshotLog.commit(spark, t, df)
+
+    // the manifest carries min/max for every column of every file
+    val node = mapper.readTree(Files.readString(Paths.get(t, "_log", s"$v.json")))
+    val stats = node.get("stats")
+    assert(stats != null, "commit must record a stats node")
+    val files = node.get("files").elements()
+    var n = 0
+    while (files.hasNext) {
+      val f = files.next().asText()
+      n += 1
+      val cols = stats.get(f)
+      assert(cols != null, s"no stats for $f")
+      for (c <- Seq("key", "mod", "s")) {
+        assert(cols.get(c) != null && cols.get(c).get("min") != null,
+          s"no min for $c in $f")
+      }
+    }
+    assert(n == 8)
+
+    // key is range-clustered: a 2-range ask scans ~2 of 8 files
+    val (kept, total) = SnapshotLog.pruneFiles(t, "key", Some(100L), Some(2599L))
+    assert(total == 8 && kept.size < total,
+      s"expected pruning on the clustered column, kept ${kept.size}/$total")
+    assert(result(t, "key", Some(100L), Some(2599L)) ==
+      oracle(t, "key", Some(100L), Some(2599L)))
+
+    // mod is uniform across files: nothing prunes, result still exact
+    val (keptMod, _) = SnapshotLog.pruneFiles(t, "mod", Some(3L), Some(5L))
+    assert(keptMod.size == total, "an unclustered column must not prune")
+    assert(result(t, "mod", Some(3L), Some(5L)) ==
+      oracle(t, "mod", Some(3L), Some(5L)))
+
+    // one-sided bounds prune too
+    val (keptHi, _) = SnapshotLog.pruneFiles(t, "key", Some(9000L), None)
+    assert(keptHi.size < total)
+    assert(result(t, "key", Some(9000L), None) ==
+      oracle(t, "key", Some(9000L), None))
+
+    // a range outside the domain prunes EVERYTHING and still returns
+    // an empty frame with the table's schema
+    val out = SnapshotLog.readWhere(spark, t, "key", Some(50000L), Some(60000L))
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("key", "mod", "s"))
+  }
+
+  test("string stats prune lexically; fractional bounds compare exactly against long stats") {
+    val t = s"$scratch/stats_str"
+    val df = spark.range(2600).select(
+      col("id").as("key"),
+      concat(
+        lit(('a' to 'z').mkString).substr((col("id") % 26 + 1).cast("int"), lit(1)),
+        lpad(col("id").cast("string"), 4, "0")).as("s"))
+      .repartitionByRange(4, col("s"))
+    SnapshotLog.commit(spark, t, df)
+    val (kept, total) = SnapshotLog.pruneFiles(t, "s", Some("b"), Some("c~"))
+    assert(total == 4 && kept.size < total)
+    assert(result(t, "s", Some("b"), Some("c~")) ==
+      oracle(t, "s", Some("b"), Some("c~")))
+    // fractional bounds on an integral column: BigDecimal compare, no
+    // long→double cast — and the residual filter keeps exactness
+    assert(result(t, "key", Some(10.5), Some(12.5)) ==
+      oracle(t, "key", Some(10.5), Some(12.5)))
+    // a kind-mismatched bound never prunes and never crashes
+    val (keptMix, _) = SnapshotLog.pruneFiles(t, "key", Some("zzz"), None)
+    assert(keptMix.size == total)
+  }
+
+  test("non-ASCII string values drop the column's stats for that file rather than risk a wrong prune") {
+    val t = s"$scratch/stats_nonascii"
+    // file 0 holds a supplementary-plane string (UTF-8 byte order and
+    // UTF-16 order diverge there); files 1..3 are pure ASCII
+    val df = spark.range(400).select(
+      col("id").as("key"),
+      when(col("id") < 100, lit("𐀀ok")) // U+10000
+        .otherwise(concat(lit("plain"), col("id").cast("string"))).as("s"))
+      .repartitionByRange(4, col("id"))
+    val v = SnapshotLog.commit(spark, t, df)
+    val node = mapper.readTree(Files.readString(Paths.get(t, "_log", s"$v.json")))
+    val stats = node.get("stats")
+    val fileStats = node.get("files").elements()
+    var withS = 0
+    var withoutS = 0
+    while (fileStats.hasNext) {
+      val cols = stats.get(fileStats.next().asText())
+      assert(cols.get("key") != null, "numeric stats must survive")
+      if (cols.get("s") == null) withoutS += 1 else withS += 1
+    }
+    assert(withoutS == 1 && withS == 3,
+      s"exactly the non-ASCII file drops s-stats, got $withoutS/$withS")
+    // the stat-less file is always kept, so results stay exact
+    assert(result(t, "s", Some("a"), Some("z")) ==
+      oracle(t, "s", Some("a"), Some("z")))
+  }
+
+  test("an all-null column file is pruned by any bound (a range never selects NULL)") {
+    val t = s"$scratch/stats_allnull"
+    val df = spark.range(400).select(
+      col("id").as("key"),
+      when(col("id") >= 100, col("id") * 2).as("v")) // file 0: v all null
+      .repartitionByRange(4, col("key"))
+    SnapshotLog.commit(spark, t, df)
+    val (kept, total) = SnapshotLog.pruneFiles(t, "v", Some(0L), Some(1000000L))
+    assert(total == 4 && kept.size == 3, s"kept ${kept.size}")
+    assert(result(t, "v", Some(0L), Some(1000000L)) ==
+      oracle(t, "v", Some(0L), Some(1000000L)))
+  }
+
+  test("a Z-order clustered commit prunes on EITHER dimension") {
+    val t = s"$scratch/stats_zorder"
+    // 256x256 grid, Morton-clustered exactly as LayoutOps builds it
+    val df = spark.range(65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).as("y"))
+      .withColumn("z", expr(graft.ops.LayoutOps.zOrderSparkSql("x", "y", 8)))
+      .repartitionByRange(16, col("z"))
+    SnapshotLog.commit(spark, t, df)
+    val (keptX, total) = SnapshotLog.pruneFiles(t, "x", Some(0L), Some(31L))
+    val (keptY, _) = SnapshotLog.pruneFiles(t, "y", Some(0L), Some(31L))
+    assert(total == 16)
+    assert(keptX.size < total && keptY.size < total,
+      s"both dimensions must prune: x ${keptX.size}, y ${keptY.size} of $total")
+    assert(result(t, "x", Some(0L), Some(31L)) ==
+      oracle(t, "x", Some(0L), Some(31L)))
+    assert(result(t, "y", Some(0L), Some(31L)) ==
+      oracle(t, "y", Some(0L), Some(31L)))
+  }
+
+  test("pre-stats manifests never prune and still read exactly; time travel prunes per-version") {
+    val t = s"$scratch/stats_prestats"
+    // v0 via the normal commit (has stats), then a hand-published v1
+    // WITHOUT stats — the pre-round-10 manifest shape
+    SnapshotLog.commit(spark, t,
+      spark.range(100).select(col("id").as("key")).repartitionByRange(2, col("key")))
+    val dd = s"$t/data/v1-manual"
+    spark.range(100, 300).select(col("id").as("key"))
+      .repartitionByRange(2, col("key")).write.parquet(dd)
+    val files = Files.list(Paths.get(dd)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    SnapshotLog.publish(t, 1L, files)
+    val (kept1, total1) = SnapshotLog.pruneFiles(t, "key", Some(0L), Some(10L))
+    assert(kept1.size == total1, "a stat-less manifest must keep every file")
+    assert(result(t, "key", Some(0L), Some(10L)) ==
+      oracle(t, "key", Some(0L), Some(10L)))
+    // time travel to v0 resolves THAT version's stats and prunes again
+    val (kept0, total0) =
+      SnapshotLog.pruneFiles(t, "key", Some(0L), Some(10L), asOf = Some(0L))
+    assert(total0 == 2 && kept0.size == 1)
+    assert(result(t, "key", Some(0L), Some(10L), asOf = Some(0L)) ==
+      oracle(t, "key", Some(0L), Some(10L), asOf = Some(0L)))
+  }
+}
