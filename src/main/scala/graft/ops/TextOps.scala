@@ -665,6 +665,31 @@ object TextOps {
       s.table(s"${prefix}_uni"), s.table(s"${prefix}_bi"),
       s.table(s"${prefix}_tri"), s.table(s"${prefix}_tot"))
 
+  /** The stale-model serving semantics as a driver-gated entry: a NEW
+    * batch — the eval-split documents, each carrying one injected
+    * out-of-vocabulary token (`zzq<doc_id>`, deterministic on both
+    * engines) — scored IN FULL against the train-split model. Unlike
+    * [[textTrigramBackoff]] the batch is not re-split (every document
+    * scores, the [[trigramScoreNewBatch]] contract) and every document
+    * is guaranteed to exercise the wholly-unseen-word floor: its final
+    * trigram ends in a token no model table contains, so the unigram
+    * level fires with c1(w3) = NULL and the add-1 COALESCE is what the
+    * DuckDB hash-match certifies. Model source here is the inline
+    * aggregation; equivalence to the persisted bucketed index is
+    * BucketingSpec's row-for-row model-table check, and the all-OOV
+    * totality bound is TrigramIndexSpec's. */
+  val textTrigramStaleBatch: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val d = trigramDocs(docs)
+    val (uni, bi, tri) = trigramModel(d.filter(!col("is_eval")))
+    val tot = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    val batch = d.filter(col("is_eval"))
+      .select(col("doc_id"),
+        concat(col("t"),
+          array(concat(lit("zzq"), col("doc_id").cast("string")))).as("t"))
+    trigramScore(trigramEvalGrams(batch), uni, bi, tri, tot)
+  }
+
   /** Score a NEW batch in full against a stale persisted model — the
     * serving path [[trigramAgainstIndex]]'s eval-split twin does not
     * cover: today's crawl scored by yesterday's LM, so EVERY document
@@ -1802,6 +1827,7 @@ object TextOps {
     "bpe_segment" -> bpeSegment,
     "bpe_token_count" -> bpeTokenCount,
     "text_trigram_backoff" -> textTrigramBackoff,
+    "text_trigram_stale_batch" -> textTrigramStaleBatch,
     "bpe_token_count_stream_twin" -> bpeTokenCountStreamTwin,
     "corpus_sample_weighted" -> corpusSampleWeighted,
     "corpus_curation_best" -> corpusCurationBest,
@@ -2096,6 +2122,50 @@ object TextOps {
            FROM documents),
          train AS (SELECT * FROM d WHERE NOT is_eval),
          ev AS (SELECT * FROM d WHERE is_eval),
+         uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+                 FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+         bi AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM train, unnest(generate_series(1, len(t) - 1)) u(i)
+                WHERE len(t) >= 2 GROUP BY 1, 2),
+         tri AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, CAST(COUNT(*) AS BIGINT) AS c3
+                 FROM train, unnest(generate_series(1, len(t) - 2)) u(i)
+                 WHERE len(t) >= 3 GROUP BY 1, 2, 3),
+         g AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+               FROM ev, unnest(generate_series(1, len(t) - 2)) u(i)
+               WHERE len(t) >= 3),
+         sc AS (SELECT doc_id,
+             CASE WHEN tr.c3 IS NOT NULL THEN 3
+                  WHEN b23.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+             CAST(round(ln(
+               CASE WHEN tr.c3 IS NOT NULL THEN tr.c3 / CAST(b12.c2 AS DOUBLE)
+                    WHEN b23.c2 IS NOT NULL THEN 0.4 * b23.c2 / CAST(u2.c1 AS DOUBLE)
+                    ELSE 0.16 * (COALESCE(u3.c1, 0) + 1) / CAST(tot.n + tot.v AS DOUBLE)
+               END) * 1000000, 0) AS BIGINT) AS micro
+           FROM g
+           LEFT JOIN tri tr ON g.w1 = tr.w1 AND g.w2 = tr.w2 AND g.w3 = tr.w3
+           LEFT JOIN bi b12 ON g.w1 = b12.w1 AND g.w2 = b12.w2
+           LEFT JOIN bi b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+           LEFT JOIN uni u2 ON g.w2 = u2.w
+           LEFT JOIN uni u3 ON g.w3 = u3.w
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(COUNT(CASE WHEN lvl = 3 THEN 1 END) AS BIGINT) AS hits3,
+           CAST(COUNT(CASE WHEN lvl = 2 THEN 1 END) AS BIGINT) AS hits2,
+           CAST(COUNT(CASE WHEN lvl = 1 THEN 1 END) AS BIGINT) AS hits1,
+           round(CAST(SUM(micro) AS DOUBLE) / (1000000.0 * COUNT(*)), 6) AS avg_sb6
+         FROM sc GROUP BY doc_id""",
+    // same model CTEs as text_trigram_backoff; the batch is the eval
+    // split in FULL (no re-split) with one appended OOV token per doc,
+    // so the unigram add-1 floor (COALESCE over a NULL c1) fires for
+    // every document — the stale-model serving semantics, hash-gated
+    "text_trigram_stale_batch" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 5 = 0 AS is_eval
+           FROM documents),
+         train AS (SELECT * FROM d WHERE NOT is_eval),
+         ev AS (SELECT doc_id, t || ['zzq' || CAST(doc_id AS VARCHAR)] AS t
+                FROM d WHERE is_eval),
          uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
                  FROM (SELECT unnest(t) AS w FROM train) GROUP BY w),
          tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
