@@ -44,10 +44,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sees a path — the Delta/Iceberg data-skipping idea at the same
   * minimum, and the read-side half of what [[graft.ops.LayoutOps]]'s
   * Z-order write layout exists to enable (ZOrderSpec measures the
-  * parquet-level half of the same skip). No manifest compaction and
-  * no schema evolution — those are the parts a real table format
-  * adds; SnapshotLogSpec / SnapshotStatsSpec pin the reader and
-  * writer guarantees this minimum already provides.
+  * parquet-level half of the same skip). [[commitAppend]] grows a
+  * table by listing old files + new files in the next manifest — the
+  * only ingestion model that exists at 100 TB — with stats carried
+  * forward (O(appended files) footer reads per commit) and the
+  * manifest-recorded schema ENFORCED on every append (no silent
+  * widening; no schema evolution either — that is a part a real table
+  * format adds, as is manifest compaction). SnapshotLogSpec /
+  * SnapshotStatsSpec pin the reader and writer guarantees this
+  * minimum already provides.
   */
 object SnapshotLog {
 
@@ -235,15 +240,21 @@ object SnapshotLog {
     !(aboveRange || belowRange)
   }
 
-  /** The manifest's (files, stats-node) for the resolved version —
-    * stats is null for pre-stats manifests, which simply never prune. */
+  /** The manifest's (files, stats-node, schema) for the resolved
+    * version — stats is null for pre-stats manifests (which simply
+    * never prune), schema is None for pre-schema manifests (whose
+    * reads fall back to footer inference). */
   private def manifestFor(tableDir: String, asOf: Option[Long])
-      : (Seq[String], com.fasterxml.jackson.databind.JsonNode) = {
+      : (Seq[String], com.fasterxml.jackson.databind.JsonNode,
+        Option[org.apache.spark.sql.types.StructType]) = {
     val v = resolveVersion(tableDir, asOf)
     val node = mapper.readTree(
       Files.readString(logDir(tableDir).resolve(s"$v.json")))
+    val schema = Option(node.get("schema")).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     (node.get("files").elements().asScala.map(_.asText()).toSeq,
-      node.get("stats"))
+      node.get("stats"), schema)
   }
 
   /** Which files a [[readWhere]] with these bounds would scan:
@@ -251,7 +262,7 @@ object SnapshotLog {
     * observe skipping without timing a scan. */
   def pruneFiles(tableDir: String, column: String, lower: Option[Any],
       upper: Option[Any], asOf: Option[Long] = None): (Seq[String], Int) = {
-    val (files, stats) = manifestFor(tableDir, asOf)
+    val (files, stats, _) = manifestFor(tableDir, asOf)
     (files.filter(f => keepFile(stats, f, column, lower, upper)), files.size)
   }
 
@@ -269,14 +280,15 @@ object SnapshotLog {
       lower: Option[Any] = None, upper: Option[Any] = None,
       asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (files, stats) = manifestFor(tableDir, asOf)
+    val (files, stats, schemaOpt) = manifestFor(tableDir, asOf)
     val kept = files.filter(f => keepFile(stats, f, column, lower, upper))
+    val reader = schemaOpt.fold(spark.read)(spark.read.schema)
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      if (kept.nonEmpty) reader.parquet(kept: _*)
       else {
-        // all files pruned: an empty frame with the table's schema
-        // (footer-only read of one manifest file)
-        val schema = spark.read.parquet(files.head).schema
+        // all files pruned: an empty frame with the table's schema —
+        // from the manifest when recorded, else one footer read
+        val schema = schemaOpt.getOrElse(spark.read.parquet(files.head).schema)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
@@ -375,7 +387,76 @@ object SnapshotLog {
       f -> (try footerColStats(f) catch { case _: Exception => Map.empty[
         String, com.fasterxml.jackson.databind.node.ObjectNode] })
     }.filter(_._2.nonEmpty).toMap
-    publish(tableDir, v, files, stats)
+    // record the schema AS WRITTEN (inferred once from the fresh files,
+    // so read-side behavior is byte-identical to inference): readers of
+    // a million-file table then plan from the manifest instead of
+    // merging a million footers
+    val schema = try Some(spark.read.parquet(dd.toString).schema.json)
+      catch { case _: Exception => None }
+    publish(tableDir, v, files, stats, schema)
+    v
+  }
+
+  /** Append `df` as version `latest+1` WITHOUT rewriting existing
+    * data: the new manifest lists the previous version's files plus
+    * only the freshly-written ones. This is the ingestion model that
+    * actually works at 100 TB — [[commit]]'s full-snapshot write is a
+    * table REPLACEMENT, and replacing a 100 TB table to add a day's
+    * partition is not a real operation. Composes with everything the
+    * log already guarantees: the publish is the same put-if-absent
+    * (concurrent appenders conflict and retry like any writer), time
+    * travel sees the pre-append table at the old version, [[vacuum]]
+    * never touches the shared files (every manifest references them),
+    * and stats CARRY FORWARD — only the new files' footers are read,
+    * the old files' manifest entries are copied verbatim, so the
+    * per-commit stats cost is O(appended files), never O(table).
+    *
+    * Schema is ENFORCED, not evolved: the appended batch must read
+    * back with exactly the table's recorded schema, else the append
+    * fails loudly and the orphaned directory waits for vacuum — a
+    * silent widening would poison every future reader (the manifest
+    * schema claims to describe all files). Pre-schema tables (round-10
+    * manifests and older) accept the first append's schema as the
+    * record going forward. */
+  def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
+    val baseV = latestVersion(tableDir)
+    if (baseV.isEmpty) return commit(spark, tableDir, df)
+    val v = baseV.get + 1
+    val dd = Paths.get(tableDir, "data",
+      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    df.write.mode("overwrite").parquet(dd.toString)
+    val newFiles = listDir(dd)
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => canon(p).toString).sorted
+    val written = spark.read.parquet(dd.toString).schema
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"${baseV.get}.json")))
+    Option(prevManifest.get("schema"))
+      .map(_.asText()).map(org.apache.spark.sql.types.DataType.fromJson)
+      .foreach { recorded =>
+        require(recorded == written,
+          s"append schema mismatch: table has $recorded, batch wrote $written" +
+            " — appends never evolve the schema")
+      }
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val newStats = newFiles.map { f =>
+      f -> (try footerColStats(f) catch { case _: Exception => Map.empty[
+        String, com.fasterxml.jackson.databind.node.ObjectNode] })
+    }.filter(_._2.nonEmpty).toMap
+    val carried = Option(prevManifest.get("stats")) match {
+      case None => Map.empty[String,
+        Map[String, com.fasterxml.jackson.databind.node.ObjectNode]]
+      case Some(sNode) => prevFiles.flatMap { f =>
+        Option(sNode.get(f)).map { cols =>
+          f -> cols.fields().asScala.map(e =>
+            e.getKey -> e.getValue.asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]).toMap
+        }
+      }.toMap
+    }
+    publish(tableDir, v, prevFiles ++ newFiles, carried ++ newStats,
+      Some(written.json))
     v
   }
 
@@ -418,10 +499,12 @@ object SnapshotLog {
     * version — the caller's optimistic-concurrency retry signal. */
   private[graft] def publish(tableDir: String, v: Long, files: Seq[String],
       stats: Map[String, Map[String,
-        com.fasterxml.jackson.databind.node.ObjectNode]] = Map.empty): Unit = {
+        com.fasterxml.jackson.databind.node.ObjectNode]] = Map.empty,
+      schemaJson: Option[String] = None): Unit = {
     Files.createDirectories(logDir(tableDir))
     val root = mapper.createObjectNode()
     root.put("version", v)
+    schemaJson.foreach(s => root.put("schema", s): Unit)
     val arr = root.putArray("files")
     files.foreach(arr.add)
     if (stats.nonEmpty) {
@@ -585,11 +668,12 @@ object SnapshotLog {
     }
 
   /** Read a committed snapshot: the latest, or the newest version
-    * ≤ `asOf` (time travel). Reads EXACTLY the manifest's files. */
+    * ≤ `asOf` (time travel). Reads EXACTLY the manifest's files, with
+    * the manifest's recorded schema when present (no footer merge at
+    * plan time; pre-schema manifests fall back to inference). */
   def read(spark: SparkSession, tableDir: String,
       asOf: Option[Long] = None): DataFrame = {
-    val v = resolveVersion(tableDir, asOf)
-    val files = manifestFiles(logDir(tableDir).resolve(s"$v.json"))
-    spark.read.parquet(files: _*)
+    val (files, _, schemaOpt) = manifestFor(tableDir, asOf)
+    schemaOpt.fold(spark.read)(spark.read.schema).parquet(files: _*)
   }
 }

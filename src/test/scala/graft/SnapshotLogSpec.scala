@@ -184,6 +184,46 @@ class SnapshotLogSpec extends SparkSpec {
     assert(Files.exists(ckpt) && SnapshotLog.latestVersion(t).contains(12L))
   }
 
+  test("commitAppend grows the table without rewriting: shared files, additive reads, intact history") {
+    import spark.implicits._
+    val t = s"$scratch/snap_append"
+    SnapshotLog.commit(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("key", "p"))
+    val v1 = SnapshotLog.commitAppend(spark, t, Seq((3L, 30L)).toDF("key", "p"))
+    assert(v1 == 1L)
+    // additive: v1 = v0 rows + batch rows; v0 untouched by time travel
+    assert(SnapshotLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    assert(SnapshotLog.read(spark, t, asOf = Some(0L)).count() == 2)
+    // structurally an append: v1's manifest is a strict superset of
+    // v0's file list (nothing rewritten, nothing dropped)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def files(v: Long): Set[String] = {
+      val it = m.readTree(Files.readString(Paths.get(t, "_log", s"$v.json")))
+        .get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSet
+    }
+    assert(files(0L).subsetOf(files(1L)) && files(1L).size > files(0L).size)
+    // vacuum must not reclaim the shared files after the append
+    assert(SnapshotLog.vacuum(t, minAgeMillis = 0L).isEmpty)
+    assert(SnapshotLog.read(spark, t).count() == 3)
+  }
+
+  test("commitAppend enforces the recorded schema: a drifted batch fails loudly, table unchanged") {
+    import spark.implicits._
+    val t = s"$scratch/snap_append_schema"
+    SnapshotLog.commit(spark, t, Seq((1L, 10L)).toDF("key", "p"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.commitAppend(spark, t,
+        Seq((2L, "not a long")).toDF("key", "p"))
+    }
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+    assert(SnapshotLog.latestVersion(t).contains(0L))
+    assert(SnapshotLog.read(spark, t).count() == 1)
+    // the failed batch's orphan is exactly what vacuum reclaims
+    assert(SnapshotLog.vacuum(t, minAgeMillis = 0L).size == 1)
+  }
+
   test("commitIdempotent rejects gap-creating versions, keeping the log dense") {
     import spark.implicits._
     val t = s"$scratch/snap_dense"

@@ -166,6 +166,52 @@ class SnapshotStatsSpec extends SparkSpec {
       oracle(t, "y", Some(0L), Some(31L)))
   }
 
+  test("appends carry the old generation's stats verbatim and harvest only the new files") {
+    val t = s"$scratch/stats_append"
+    SnapshotLog.commit(spark, t, spark.range(400)
+      .select(col("id").as("key")).repartitionByRange(4, col("key")))
+    val m0 = mapper.readTree(Files.readString(Paths.get(t, "_log", "0.json")))
+    val v1 = SnapshotLog.commitAppend(spark, t, spark.range(1000, 1200)
+      .select(col("id").as("key")).repartitionByRange(2, col("key")))
+    val m1 = mapper.readTree(Files.readString(Paths.get(t, "_log", s"$v1.json")))
+    // every v0 file's stats node is copied into v1 UNCHANGED (no
+    // re-harvest of committed data), and the new files bring their own
+    val it0 = m0.get("files").elements()
+    while (it0.hasNext) {
+      val f = it0.next().asText()
+      assert(m1.get("stats").get(f) == m0.get("stats").get(f),
+        s"carried stats must be verbatim for $f")
+    }
+    assert(m1.get("stats").size() == 6)
+    // pruning spans generations: an old-range ask keeps only old
+    // files, a new-range ask only new ones — both results exact
+    val (keptOld, total) = SnapshotLog.pruneFiles(t, "key", Some(0L), Some(50L))
+    val (keptNew, _) = SnapshotLog.pruneFiles(t, "key", Some(1000L), Some(1050L))
+    assert(total == 6 && keptOld.size == 1 && keptNew.size == 1,
+      s"old ${keptOld.size} new ${keptNew.size} of $total")
+    assert(result(t, "key", Some(0L), Some(50L)) ==
+      oracle(t, "key", Some(0L), Some(50L)))
+    assert(result(t, "key", Some(1000L), Some(1050L)) ==
+      oracle(t, "key", Some(1000L), Some(1050L)))
+  }
+
+  test("the manifest records the written schema and reads plan from it") {
+    val t = s"$scratch/stats_schema"
+    SnapshotLog.commit(spark, t, spark.range(10).select(
+      col("id").as("key"),
+      array(col("id"), col("id") * 2).as("arr"),
+      struct(col("id").as("a"), lit("x").as("b")).as("st")))
+    val node = mapper.readTree(Files.readString(Paths.get(t, "_log", "0.json")))
+    assert(node.get("schema") != null, "commit must record the schema")
+    val recorded = org.apache.spark.sql.types.DataType
+      .fromJson(node.get("schema").asText())
+    assert(recorded == SnapshotLog.read(spark, t).schema)
+    // nested/array columns carry no stats (unsupported by design) but
+    // never break the read or the residual filter
+    assert(result(t, "key", Some(3L), Some(5L)) ==
+      oracle(t, "key", Some(3L), Some(5L)))
+  }
+
   test("pre-stats manifests never prune and still read exactly; time travel prunes per-version") {
     val t = s"$scratch/stats_prestats"
     // v0 via the normal commit (has stats), then a hand-published v1
