@@ -421,7 +421,42 @@ object SnapshotLog {
   def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
     val baseV = latestVersion(tableDir)
     if (baseV.isEmpty) return commit(spark, tableDir, df)
-    val v = baseV.get + 1
+    appendAt(spark, tableDir, df, baseV.get)
+  }
+
+  /** [[commitAppend]]'s exactly-once twin — the streaming INGEST sink:
+    * a foreachBatch writer deriving `v = base + batchId` appends each
+    * micro-batch's files in O(batch) work (never a table rewrite, the
+    * difference from [[commitIdempotent]]) and a replayed batch
+    * re-publishes the same version, which the manifest pre-check or
+    * the put-if-absent turns into a no-op — at-least-once replay,
+    * exactly-once table state, with the replay's orphaned data dir
+    * left for [[vacuum]]. The same density guard as
+    * [[commitIdempotent]] keeps the log gap-free. Returns true iff
+    * THIS call published the version. */
+  def commitAppendIdempotent(spark: SparkSession, tableDir: String,
+      df: DataFrame, v: Long): Boolean = {
+    if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
+    val latest = latestVersion(tableDir).getOrElse(-1L)
+    require(v <= latest + 1,
+      s"version $v would leave a gap above latest=$latest — the log's " +
+        "versions are dense; derive v as base + batchId")
+    if (latest == -1L) {
+      // first-ever version: an append to nothing is a plain commit
+      try { commitAt(spark, tableDir, df, v); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { appendAt(spark, tableDir, df, latest); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** Write `df`'s files and publish `baseV`'s manifest + the new files
+    * as version `baseV + 1` (put-if-absent — a concurrent writer
+    * surfaces as the usual conflict). */
+  private def appendAt(spark: SparkSession, tableDir: String,
+      df: DataFrame, baseV: Long): Long = {
+    val v = baseV + 1
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(dd.toString)
@@ -430,7 +465,7 @@ object SnapshotLog {
       .map(p => canon(p).toString).sorted
     val written = spark.read.parquet(dd.toString).schema
     val prevManifest = mapper.readTree(
-      Files.readString(logDir(tableDir).resolve(s"${baseV.get}.json")))
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
     Option(prevManifest.get("schema"))
       .map(_.asText()).map(org.apache.spark.sql.types.DataType.fromJson)
       .foreach { recorded =>

@@ -163,6 +163,42 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.SnapshotLog.vacuum(table, minAgeMillis = 0L).isEmpty)
   }
 
+  test("exactly-once APPEND sink: micro-batches land as O(batch) appends, replays decline") {
+    // the INGEST twin of the merge topology above: each micro-batch
+    // appends its files (commitAppendIdempotent — no table rewrite per
+    // batch, the property that survives a growing table), the version
+    // is keyed on the batch id, and a replayed batch declines at the
+    // manifest pre-check. At-least-once delivery + idempotent
+    // versioned append = exactly-once table state, O(batch) per batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = s"$scratch/stream_xonce_append"
+    def ingest(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long): Boolean =
+      graft.sources.SnapshotLog.commitAppendIdempotent(spark, table, batch, id)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingest(batch, id): Unit
+    }.start()
+    val b0 = Seq((1L, "a"), (2L, "b"))
+    try {
+      input.addData(b0: _*)
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.sources.SnapshotLog.read(spark, table).count() == 3)
+    // history: v0 is the first batch alone
+    assert(graft.sources.SnapshotLog.read(spark, table, asOf = Some(0L)).count() == 2)
+    // REPLAY batch 0: declines before writing anything
+    assert(!ingest(b0.toDF("doc_id", "text"), 0L), "replay must decline")
+    assert(graft.sources.SnapshotLog.latestVersion(table).contains(1L))
+    assert(graft.sources.SnapshotLog.read(spark, table).count() == 3)
+    assert(graft.sources.SnapshotLog.vacuum(table, minAgeMillis = 0L).isEmpty)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
