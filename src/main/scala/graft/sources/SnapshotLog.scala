@@ -415,9 +415,9 @@ object SnapshotLog {
     * back with exactly the table's recorded schema, else the append
     * fails loudly and the orphaned directory waits for vacuum — a
     * silent widening would poison every future reader (the manifest
-    * schema claims to describe all files). Pre-schema tables (round-10
-    * manifests and older) accept the first append's schema as the
-    * record going forward. */
+    * schema claims to describe all files). Pre-schema manifests get a
+    * one-time inference over the old files as the enforcement source,
+    * and the append records it going forward. */
   def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
     val baseV = latestVersion(tableDir)
     if (baseV.isEmpty) return commit(spark, tableDir, df)
@@ -466,15 +466,18 @@ object SnapshotLog {
     val written = spark.read.parquet(dd.toString).schema
     val prevManifest = mapper.readTree(
       Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
-    Option(prevManifest.get("schema"))
-      .map(_.asText()).map(org.apache.spark.sql.types.DataType.fromJson)
-      .foreach { recorded =>
-        require(recorded == written,
-          s"append schema mismatch: table has $recorded, batch wrote $written" +
-            " — appends never evolve the schema")
-      }
     val prevFiles = prevManifest.get("files").elements().asScala
       .map(_.asText()).toSeq
+    // enforcement source: the recorded schema, or — first append to a
+    // pre-schema (legacy) manifest — a one-time inference over the old
+    // files; accepting the batch's schema unchecked there would let
+    // the new manifest claim a schema the old files don't have
+    val recorded = Option(prevManifest.get("schema"))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s.asText()))
+      .getOrElse(spark.read.parquet(prevFiles: _*).schema)
+    require(recorded == written,
+      s"append schema mismatch: table has $recorded, batch wrote $written" +
+        " — appends never evolve the schema")
     val newStats = newFiles.map { f =>
       f -> (try footerColStats(f) catch { case _: Exception => Map.empty[
         String, com.fasterxml.jackson.databind.node.ObjectNode] })
@@ -523,6 +526,41 @@ object SnapshotLog {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Table maintenance through the log — [[graft.sources.Compaction]]
+    * composed with the manifest machinery (Delta/Iceberg `OPTIMIZE`):
+    * rewrite the LATEST version's content into ⌈rows/target⌉
+    * right-sized files, published as the next version. Content is
+    * identical by construction (the input is the committed snapshot);
+    * what changes is everything an append-grown table loses over
+    * time: file count (a micro-batch writer emits a file per batch —
+    * the scan goes metadata-bound), and LAYOUT — `clusterBy`
+    * re-range-partitions + sorts within files so per-file min/max
+    * stats become disjoint again and [[readWhere]] resumes pruning
+    * (appends covering the whole key domain make every file overlap
+    * every ask; SnapshotLogSpec measures the repair through
+    * [[pruneFiles]]). History is untouched: older manifests still
+    * reference the small files (time travel reads them; [[vacuum]]
+    * protects them), and a concurrent writer surfaces as the usual
+    * version conflict. Fresh stats and schema are recorded by the
+    * same commit path as any write. */
+  def optimize(spark: SparkSession, tableDir: String,
+      targetRecordsPerFile: Long, clusterBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val df = read(spark, tableDir, asOf = Some(baseV))
+    val rows = df.count()
+    val nFiles = math.max(1L,
+      math.ceil(rows.toDouble / targetRecordsPerFile).toLong).toInt
+    val arranged =
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else df.repartition(nFiles)
+    commitAt(spark, tableDir, arranged, baseV + 1)
   }
 
   /** The commit point, isolated: an atomic PUT-IF-ABSENT. POSIX

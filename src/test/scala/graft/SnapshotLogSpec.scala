@@ -224,6 +224,39 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.vacuum(t, minAgeMillis = 0L).size == 1)
   }
 
+  test("optimize compacts an append-grown table and repairs pruning, history intact") {
+    val t = s"$scratch/snap_optimize"
+    import org.apache.spark.sql.functions._
+    // seed + 5 appends, EACH round-robin across 2 files so every file
+    // spans the whole key domain — the shape a micro-batch writer
+    // leaves behind: every file overlaps every range ask
+    SnapshotLog.commit(spark, t, spark.range(0, 1200, 6)
+      .select(col("id").as("key")).repartition(2))
+    (1 to 5).foreach { i =>
+      SnapshotLog.commitAppend(spark, t, spark.range(i.toLong, 1200, 6)
+        .select(col("id").as("key")).repartition(2))
+    }
+    val before = SnapshotLog.read(spark, t).collect().map(_.getLong(0)).sorted
+    assert(before.length == 1200)
+    // degraded skipping: a narrow ask keeps every one of the 12 files
+    val (keptBefore, totalBefore) = SnapshotLog.pruneFiles(t, "key", Some(0L), Some(99L))
+    assert(totalBefore == 12 && keptBefore.size == 12,
+      s"append-grown table should not prune: ${keptBefore.size}/$totalBefore")
+    val v = SnapshotLog.optimize(spark, t, targetRecordsPerFile = 300L,
+      clusterBy = Seq("key"))
+    assert(v == 6L)
+    // content identical, file count right-sized, pruning repaired
+    val after = SnapshotLog.read(spark, t).collect().map(_.getLong(0)).sorted
+    assert(after.sameElements(before))
+    val (keptAfter, totalAfter) = SnapshotLog.pruneFiles(t, "key", Some(0L), Some(99L))
+    assert(totalAfter == 4 && keptAfter.size == 1,
+      s"clustered compaction must restore skipping: ${keptAfter.size}/$totalAfter")
+    // history: the pre-optimize version still reads its 12 small files
+    assert(SnapshotLog.read(spark, t, asOf = Some(5L)).count() == 1200)
+    assert(SnapshotLog.vacuum(t, minAgeMillis = 0L).isEmpty,
+      "every pre-optimize file is still referenced by older manifests")
+  }
+
   test("commitIdempotent rejects gap-creating versions, keeping the log dense") {
     import spark.implicits._
     val t = s"$scratch/snap_dense"
