@@ -676,6 +676,40 @@ object SnapshotLog {
     graft.ops.MigrationOps.tableDiff(oldS, newS, cols)
   }
 
+  /** Retention: delete the manifests of all but the newest `keepLast`
+    * versions — Iceberg's `expire_snapshots` / Delta's log retention at
+    * this log's minimum, and the missing half of the space story:
+    * [[vacuum]] can only reclaim what NO manifest references, and on an
+    * appended/optimized table every byte ever committed stays pinned by
+    * some historical manifest forever. Expiring a version renounces
+    * time travel to it: an `asOf` older than the oldest surviving
+    * version finds nothing and fails loudly ([[read]]'s
+    * newest-at-or-before resolution), never silently answering from a
+    * different snapshot; the data files only expired manifests
+    * referenced become unreferenced and fall to the next [[vacuum]]
+    * (age-floored as always).
+    *
+    * Invariants preserved: manifests are deleted OLDEST-FIRST, so a
+    * crash mid-expiry leaves the surviving set a contiguous suffix —
+    * the same shape as a completed expiry; the checkpoint hint names
+    * the latest version, which always survives (`keepLast >= 1`), and
+    * density above any surviving version is untouched, so the hint's
+    * upward probe and the next commit's latest+1 arithmetic still
+    * hold. Returns the expired version numbers. */
+  def expireVersions(tableDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1 — the latest version is the table")
+    val latest = latestVersion(tableDir).getOrElse(return Nil)
+    val ld = logDir(tableDir)
+    val cut = latest - keepLast + 1 // smallest surviving version
+    val expired = listDir(ld)
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong)
+      .filter(_ < cut).sorted
+    expired.foreach(v => Files.deleteIfExists(ld.resolve(s"$v.json")))
+    expired
+  }
+
   /** Delete data directories no manifest references — the orphans that
     * crashed and race-losing writers leave behind by design. Returns
     * the deleted directory paths.

@@ -257,6 +257,31 @@ class SnapshotLogSpec extends SparkSpec {
       "every pre-optimize file is still referenced by older manifests")
   }
 
+  test("expireVersions renounces old history so vacuum can finally reclaim it") {
+    import spark.implicits._
+    val t = s"$scratch/snap_expire"
+    // five full-rewrite versions: each pins its own data directory
+    (0 until 5).foreach(i =>
+      SnapshotLog.commit(spark, t, Seq((1L, i.toLong)).toDF("key", "p")))
+    // nothing reclaimable while every manifest survives
+    assert(SnapshotLog.vacuum(t, minAgeMillis = 0L).isEmpty)
+    val expired = SnapshotLog.expireVersions(t, keepLast = 2)
+    assert(expired == Seq(0L, 1L, 2L))
+    // surviving history reads; expired asOf fails loudly, never
+    // silently from a different snapshot
+    assert(SnapshotLog.read(spark, t).collect().head.getLong(1) == 4L)
+    assert(SnapshotLog.read(spark, t, asOf = Some(3L)).collect().head.getLong(1) == 3L)
+    val e = intercept[RuntimeException] {
+      SnapshotLog.read(spark, t, asOf = Some(2L))
+    }
+    assert(e.getMessage.contains("no version"), e.getMessage)
+    // the expired versions' data is now unreferenced — vacuum takes it
+    assert(SnapshotLog.vacuum(t, minAgeMillis = 0L).size == 3)
+    // the log keeps working: next commit lands at latest+1
+    assert(SnapshotLog.commit(spark, t, Seq((1L, 9L)).toDF("key", "p")) == 5L)
+    assert(SnapshotLog.expireVersions(t, keepLast = 10).isEmpty)
+  }
+
   test("commitIdempotent rejects gap-creating versions, keeping the log dense") {
     import spark.implicits._
     val t = s"$scratch/snap_dense"
