@@ -257,6 +257,22 @@ object SnapshotLog {
       node.get("stats"), schema)
   }
 
+  /** EXACT-version manifest access for [[SnapshotCatalog]]'s
+    * `VERSION AS OF` (catalog addressing is precise — a missing
+    * version is a loud error, unlike [[read]]'s newest-at-or-before
+    * `asOf` convenience): (files, recorded schema). */
+  private[sources] def manifestAt(tableDir: String, v: Long)
+      : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+    val p = logDir(tableDir).resolve(s"$v.json")
+    require(Files.exists(p), s"no version $v in $tableDir" +
+      " (committed versions may have been expired)")
+    val node = mapper.readTree(Files.readString(p))
+    (node.get("files").elements().asScala.map(_.asText()).toSeq,
+      Option(node.get("schema")).map(s =>
+        org.apache.spark.sql.types.DataType.fromJson(s.asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+  }
+
   /** Which files a [[readWhere]] with these bounds would scan:
     * (kept files, total files). Public so callers (and the spec) can
     * observe skipping without timing a scan. */

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import sources.SnapshotLog
+
+/** SQL surface of the snapshot log ([[graft.sources.SnapshotCatalog]]):
+  * catalog-resolved scans read exactly the manifest's files with the
+  * manifest's schema, `VERSION AS OF` is exact-version time travel
+  * (missing/expired versions fail loudly), parquet pushdown survives
+  * the catalog path, and the write contract is read-only.
+  */
+class SnapshotCatalogSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_snapcat_").toString
+    Files.createDirectories(Paths.get(r, "lake"))
+    val t = s"$r/lake/events"
+    SnapshotLog.commit(spark, t, spark.range(100).select(
+      col("id").as("key"), (col("id") % 7).as("bucket")))
+    SnapshotLog.commitAppend(spark, t, spark.range(100, 150).select(
+      col("id").as("key"), (col("id") % 7).as("bucket")))
+    // a directory WITHOUT a _log must not be mistaken for a table
+    Files.createDirectories(Paths.get(r, "lake", "not_a_table"))
+    r
+  }
+
+  private def registered() = {
+    root: Unit // force the fixture before the catalog resolves
+    spark.conf.set("spark.sql.catalog.snap", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.snap.root", root)
+  }
+
+  test("namespaces and tables resolve; only _log-bearing directories are tables") {
+    registered()
+    val ns = spark.sql("SHOW NAMESPACES IN snap").collect().map(_.getString(0))
+    assert(ns.toSeq == Seq("lake"), ns.mkString(","))
+    val tables = spark.sql("SHOW TABLES IN snap.lake").collect().map(_.getString(1))
+    assert(tables.toSeq == Seq("events"), tables.mkString(","))
+  }
+
+  test("a catalog scan reads the latest manifest exactly; VERSION AS OF is exact time travel") {
+    registered()
+    assert(spark.sql("SELECT count(*) FROM snap.lake.events").head.getLong(0) == 150L)
+    assert(spark.sql("SELECT count(*) FROM snap.lake.events VERSION AS OF 0")
+      .head.getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM snap.lake.events VERSION AS OF 1")
+      .head.getLong(0) == 150L)
+    // the catalog scan equals the Scala read path row-for-row
+    val viaSql = spark.sql("SELECT key FROM snap.lake.events VERSION AS OF 0")
+      .collect().map(_.getLong(0)).sorted
+    val viaApi = SnapshotLog.read(spark, s"$root/lake/events", asOf = Some(0L))
+      .select("key").collect().map(_.getLong(0)).sorted
+    assert(viaSql.sameElements(viaApi))
+    // a version that never existed is a loud, precise error
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM snap.lake.events VERSION AS OF 9").collect()
+    }
+    assert(e.getMessage.contains("no version 9"), e.getMessage)
+    // TIMESTAMP AS OF declines with the rationale
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM snap.lake.events TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(e2.getMessage.contains("VERSION AS OF"), e2.getMessage)
+  }
+
+  test("pushdown and pruning survive the catalog path") {
+    registered()
+    val df = spark.sql("SELECT key FROM snap.lake.events WHERE key > 120")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(key.*"), plan)
+    assert(!plan.contains("bucket"), plan)
+    assert(df.count() == 29L)
+  }
+
+  test("an expired version fails loudly through SQL too") {
+    registered()
+    val t = s"$root/lake/events"
+    // give the table a third version, expire the first
+    SnapshotLog.commitAppend(spark, t, spark.range(150, 160).select(
+      col("id").as("key"), (col("id") % 7).as("bucket")))
+    assert(SnapshotLog.expireVersions(t, keepLast = 2) == Seq(0L))
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM snap.lake.events VERSION AS OF 0").collect()
+    }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM snap.lake.events VERSION AS OF 1")
+      .head.getLong(0) == 150L)
+  }
+
+  test("the catalog is read-only with an explanatory error") {
+    registered()
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE snap.lake.nope (k BIGINT) USING parquet")
+    }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+  }
+}
