@@ -544,6 +544,76 @@ object SnapshotLog {
     sys.error("unreachable")
   }
 
+  /** Copy-on-write DELETE through the log — Delta's COW delete at the
+    * same minimum, and the WRITE-side payoff of the manifest stats:
+    * only files whose recorded [min, max] for `column` can intersect
+    * [lower, upper] are read and rewritten (minus the matching rows);
+    * every provably-untouched file is CARRIED into the new manifest
+    * verbatim, stats and all — zero I/O for it. On a clustered 100 TB
+    * table a narrow delete (the GDPR erasure, the bad-crawl-day purge)
+    * rewrites a handful of files instead of the table; on a stat-less
+    * or unclustered table it degrades to rewriting everything the
+    * stats cannot exonerate, which is exactly [[keepFile]]'s
+    * conservative contract (wrong-side risk is always "rewrite more",
+    * never "miss a matching row"). Deletes rows where `column` is IN
+    * the closed interval; NULL never matches a range, so null-valued
+    * rows survive — the same semantics the residual filter gives
+    * [[readWhere]]. Publishes as the next version (put-if-absent;
+    * history intact; rewritten files' predecessors stay referenced by
+    * older manifests until [[expireVersions]] + [[vacuum]]).
+    * Returns the committed version. */
+  def deleteWhere(spark: SparkSession, tableDir: String, column: String,
+      lower: Option[Any], upper: Option[Any]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(lower.nonEmpty || upper.nonEmpty,
+      "deleteWhere wants at least one bound — an unbounded delete is truncation")
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val statsNode = prevManifest.get("stats")
+    val (affected, untouched) = prevFiles.partition(f =>
+      keepFile(statsNode, f, column, lower, upper))
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val preds = lower.map(l => col(column) >= lit(l)) ++
+      upper.map(u => col(column) <= lit(u))
+    val keepPred = !preds.reduce(_ && _) // survivors: NOT in the interval
+    val newFiles =
+      if (affected.isEmpty) Nil
+      else {
+        val dd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        val reader = schemaJson.map(s =>
+          org.apache.spark.sql.types.DataType.fromJson(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .fold(spark.read)(spark.read.schema)
+        reader.parquet(affected: _*).filter(keepPred)
+          .write.mode("overwrite").parquet(dd.toString)
+        listDir(dd).filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+      }
+    val carried = Option(statsNode) match {
+      case None => Map.empty[String,
+        Map[String, com.fasterxml.jackson.databind.node.ObjectNode]]
+      case Some(sNode) => untouched.flatMap { f =>
+        Option(sNode.get(f)).map { cols =>
+          f -> cols.fields().asScala.map(e =>
+            e.getKey -> e.getValue.asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]).toMap
+        }
+      }.toMap
+    }
+    val newStats = newFiles.map { f =>
+      f -> (try footerColStats(f) catch { case _: Exception => Map.empty[
+        String, com.fasterxml.jackson.databind.node.ObjectNode] })
+    }.filter(_._2.nonEmpty).toMap
+    publish(tableDir, v, untouched ++ newFiles, carried ++ newStats, schemaJson)
+    v
+  }
+
   /** Table maintenance through the log — [[graft.sources.Compaction]]
     * composed with the manifest machinery (Delta/Iceberg `OPTIMIZE`):
     * rewrite the LATEST version's content into ⌈rows/target⌉

@@ -212,6 +212,66 @@ class SnapshotStatsSpec extends SparkSpec {
       oracle(t, "key", Some(3L), Some(5L)))
   }
 
+  test("copy-on-write delete rewrites only the files the stats cannot exonerate") {
+    val t = s"$scratch/stats_delete"
+    SnapshotLog.commit(spark, t, spark.range(8000)
+      .select(col("id").as("key"), (col("id") % 13).as("v"))
+      .repartitionByRange(8, col("key")))
+    val m0 = mapper.readTree(Files.readString(Paths.get(t, "_log", "0.json")))
+    val files0 = {
+      val it = m0.get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq
+    }
+    // delete a range inside one clustered file (range-partition
+    // boundaries are sample-based, so leave jitter margin)
+    val v = SnapshotLog.deleteWhere(spark, t, "key", Some(1100L), Some(1899L))
+    assert(v == 1L)
+    val m1 = mapper.readTree(Files.readString(Paths.get(t, "_log", "1.json")))
+    val files1 = {
+      val it = m1.get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSeq
+    }
+    // 7 of 8 old files carried by NAME (zero I/O for them), with their
+    // stats nodes byte-identical; only the affected file was replaced
+    val carried = files0.toSet.intersect(files1.toSet)
+    assert(carried.size == 7, s"carried ${carried.size} of ${files0.size}")
+    carried.foreach(f =>
+      assert(m1.get("stats").get(f) == m0.get("stats").get(f)))
+    // content: exactly the interval is gone
+    val keys = SnapshotLog.read(spark, t).select("key")
+      .collect().map(_.getLong(0)).sorted
+    assert(keys.length == 7200 && !keys.exists(k => k >= 1100 && k <= 1899))
+    // history intact; a narrow ask still prunes on the new version
+    assert(SnapshotLog.read(spark, t, asOf = Some(0L)).count() == 8000)
+    val (kept, total) = SnapshotLog.pruneFiles(t, "key", Some(7300L), Some(7600L))
+    assert(total == files1.size && kept.size == 1, s"kept ${kept.size}/$total")
+  }
+
+  test("delete semantics: NULL never matches a range, and null-only files are exonerated by allNull stats") {
+    val t = s"$scratch/stats_delete_null"
+    // file 0 (key 0..99) carries only null v; the rest have values
+    SnapshotLog.commit(spark, t, spark.range(400).select(
+      col("id").as("key"),
+      when(col("id") >= 100, col("id")).as("v"))
+      .repartitionByRange(4, col("key")))
+    val m0 = mapper.readTree(Files.readString(Paths.get(t, "_log", "0.json")))
+    val files0 = {
+      val it = m0.get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSet
+    }
+    SnapshotLog.deleteWhere(spark, t, "v", Some(0L), Some(10000L))
+    val m1 = mapper.readTree(Files.readString(Paths.get(t, "_log", "1.json")))
+    val files1 = {
+      val it = m1.get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSet
+    }
+    // the all-null file survived WITHOUT a rewrite (carried by name)
+    assert(files0.intersect(files1).size == 1)
+    // and its null rows are the only survivors
+    val rows = SnapshotLog.read(spark, t).collect()
+    assert(rows.length == 100 && rows.forall(_.isNullAt(1)))
+  }
+
   test("pre-stats manifests never prune and still read exactly; time travel prunes per-version") {
     val t = s"$scratch/stats_prestats"
     // v0 via the normal commit (has stats), then a hand-published v1
