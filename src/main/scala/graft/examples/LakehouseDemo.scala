@@ -1,0 +1,106 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotLog
+
+/** The snapshot log as a complete table-format minimum, end-to-end —
+  * every lifecycle operation a long-lived 100 TB table needs, in the
+  * order a real deployment meets them, with exact accounting
+  * require()d at each step:
+  *
+  *   1. COMMIT a range-clustered seed (manifest records per-file
+  *      min/max stats + the written schema);
+  *   2. APPEND three daily batches (O(batch) work each; stats carried
+  *      forward verbatim, schema enforced);
+  *   3. stats-pruned READ (`readWhere`): a narrow ask touches a
+  *      fraction of the manifest's files and equals the exact filter;
+  *   4. SQL surface: mount the table in `SnapshotCatalog`, query it
+  *      with `VERSION AS OF` time travel;
+  *   5. OPTIMIZE: the append-fragmented table compacts clustered —
+  *      pruning measurably repaired;
+  *   6. copy-on-write DELETE (`deleteWhere`): a one-file-range erasure
+  *      carries every exonerated file by name;
+  *   7. CDC: `diff` between two versions is the churn-sized feed;
+  *   8. RETENTION: `expireVersions` + `vacuum` finally reclaim the
+  *      renounced history's bytes, with surviving history intact.
+  *
+  * Usage: runMain graft.examples.LakehouseDemo /tmp/graft_lakehouse
+  */
+object LakehouseDemo {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_lakehouse")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("LakehouseDemo")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t = s"$outDir/lake/events"
+    def day(from: Long, n: Long) = spark.range(from, from + n).select(
+      col("id").as("key"), (col("id") % 97).as("payload"))
+
+    // 1. seed commit: 8 range-clustered files
+    SnapshotLog.commit(spark, t, day(0L, 8000L).repartitionByRange(8, col("key")))
+
+    // 2. three appended "days", 2 files each
+    (1 to 3).foreach { d =>
+      SnapshotLog.commitAppend(spark, t,
+        day(8000L * d, 8000L).repartitionByRange(2, col("key")))
+    }
+    val vAfterAppends = SnapshotLog.latestVersion(t).get
+    require(vAfterAppends == 3L, s"expected v3 after appends, got $vAfterAppends")
+    require(SnapshotLog.read(spark, t).count() == 32000L)
+
+    // 3. stats-pruned read: a 500-key ask inside day 2
+    val (kept, total) = SnapshotLog.pruneFiles(t, "key", Some(17000L), Some(17499L))
+    require(total == 14 && kept.size <= 2,
+      s"pruning should touch <=2 of $total files, kept ${kept.size}")
+    val pruned = SnapshotLog.readWhere(spark, t, "key", Some(17000L), Some(17499L)).count()
+    require(pruned == 500L, s"pruned read must equal the exact filter, got $pruned")
+
+    // 4. SQL + time travel through the catalog
+    spark.conf.set("spark.sql.catalog.demo", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.demo.root", s"$outDir")
+    val sqlLatest = spark.sql("SELECT count(*) FROM demo.lake.events").head.getLong(0)
+    val sqlV0 = spark.sql(
+      "SELECT count(*) FROM demo.lake.events VERSION AS OF 0").head.getLong(0)
+    require(sqlLatest == 32000L && sqlV0 == 8000L, s"SQL saw $sqlLatest / $sqlV0")
+
+    // 5. optimize: clustered compaction repairs the fragmented layout
+    SnapshotLog.optimize(spark, t, targetRecordsPerFile = 4000L, clusterBy = Seq("key"))
+    val (keptOpt, totalOpt) = SnapshotLog.pruneFiles(t, "key", Some(17000L), Some(17499L))
+    require(totalOpt == 8 && keptOpt.size == 1,
+      s"optimize should leave 8 files with a 1-file ask, got ${keptOpt.size}/$totalOpt")
+
+    // 6. copy-on-write delete of one clustered range
+    val before = SnapshotLog.latestVersion(t).get
+    SnapshotLog.deleteWhere(spark, t, "key", Some(4100L), Some(7899L))
+    val afterDelete = SnapshotLog.read(spark, t).count()
+    require(afterDelete == 32000L - 3800L, s"delete accounting off: $afterDelete")
+
+    // 7. CDC feed across the delete: exactly the erased keys, as deletes
+    val feed = SnapshotLog.diff(spark, t, before, before + 1, payload = Seq("payload"))
+    val ops = feed.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(ops == Map("delete" -> 3800L), s"diff feed: $ops")
+
+    // 8. retention: renounce all but the last two versions, reclaim
+    val expired = SnapshotLog.expireVersions(t, keepLast = 2)
+    val reclaimed = SnapshotLog.vacuum(t, minAgeMillis = 0L)
+    require(expired.nonEmpty && reclaimed.nonEmpty,
+      s"expiry/vacuum should reclaim: $expired / ${reclaimed.size}")
+    require(SnapshotLog.read(spark, t).count() == afterDelete)
+    require(SnapshotLog.read(spark, t, asOf = Some(before)).count() == 32000L)
+
+    println(s"LAKEHOUSE: versions=0->${SnapshotLog.latestVersion(t).get} " +
+      s"files=$total->$totalOpt pruned_ask=${kept.size}->${keptOpt.size} " +
+      s"rows=32000->$afterDelete cdc_deletes=${ops("delete")} " +
+      s"expired=${expired.size} vacuumed=${reclaimed.size}")
+    spark.stop()
+  }
+}
