@@ -66,9 +66,9 @@ object LakehouseDemo {
     // 4. SQL + time travel through the catalog
     spark.conf.set("spark.sql.catalog.demo", "graft.sources.SnapshotCatalog")
     spark.conf.set("spark.sql.catalog.demo.root", s"$outDir")
-    val sqlLatest = spark.sql("SELECT count(*) FROM demo.lake.events").head.getLong(0)
+    val sqlLatest = spark.sql("SELECT count(*) FROM demo.lake.events").head().getLong(0)
     val sqlV0 = spark.sql(
-      "SELECT count(*) FROM demo.lake.events VERSION AS OF 0").head.getLong(0)
+      "SELECT count(*) FROM demo.lake.events VERSION AS OF 0").head().getLong(0)
     require(sqlLatest == 32000L && sqlV0 == 8000L, s"SQL saw $sqlLatest / $sqlV0")
 
     // 5. optimize: clustered compaction repairs the fragmented layout

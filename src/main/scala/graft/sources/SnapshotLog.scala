@@ -257,6 +257,39 @@ object SnapshotLog {
       node.get("stats"), schema)
   }
 
+  /** Footer harvest over a batch of freshly-written files, shared by
+    * every publishing path. Parallel on the driver (footer reads are
+    * independent ranged I/O; Jackson's ObjectMapper is thread-safe
+    * post-configuration) — a 10k-file append's harvest is then bounded
+    * by I/O concurrency, not a serial loop. Stats are an optimization,
+    * so a harvest failure degrades that file to stat-less
+    * (never-pruned) rather than failing the commit. */
+  private def harvestStats(files: Seq[String])
+      : Map[String, Map[String, com.fasterxml.jackson.databind.node.ObjectNode]] = {
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { f =>
+      f -> (try footerColStats(f) catch { case _: Exception => Map.empty[
+        String, com.fasterxml.jackson.databind.node.ObjectNode] })
+    }.seq.filter(_._2.nonEmpty).toMap
+  }
+
+  /** A prior manifest's stats entries for `files`, copied verbatim —
+    * the carry-forward shared by [[commitAppend]] and [[deleteWhere]]:
+    * committed files are never re-harvested. */
+  private def carriedStats(manifest: com.fasterxml.jackson.databind.JsonNode,
+      files: Seq[String])
+      : Map[String, Map[String, com.fasterxml.jackson.databind.node.ObjectNode]] =
+    Option(manifest.get("stats")) match {
+      case None => Map.empty
+      case Some(sNode) => files.flatMap { f =>
+        Option(sNode.get(f)).map { cols =>
+          f -> cols.properties().asScala.map(e =>
+            e.getKey -> e.getValue.asInstanceOf[
+              com.fasterxml.jackson.databind.node.ObjectNode]).toMap
+        }
+      }.toMap
+    }
+
   /** EXACT-version manifest access for [[SnapshotCatalog]]'s
     * `VERSION AS OF` (catalog addressing is precise — a missing
     * version is a loud error, unlike [[read]]'s newest-at-or-before
@@ -396,13 +429,7 @@ object SnapshotLog {
     val files = listDir(dd)
       .filter(_.toString.endsWith(".parquet"))
       .map(p => canon(p).toString).sorted
-    // footer-only harvest; stats are an optimization, so a harvest
-    // failure degrades to a stat-less (never-pruned) manifest rather
-    // than failing the commit
-    val stats = files.map { f =>
-      f -> (try footerColStats(f) catch { case _: Exception => Map.empty[
-        String, com.fasterxml.jackson.databind.node.ObjectNode] })
-    }.filter(_._2.nonEmpty).toMap
+    val stats = harvestStats(files)
     // record the schema AS WRITTEN (inferred once from the fresh files,
     // so read-side behavior is byte-identical to inference): readers of
     // a million-file table then plan from the manifest instead of
@@ -494,21 +521,8 @@ object SnapshotLog {
     require(recorded == written,
       s"append schema mismatch: table has $recorded, batch wrote $written" +
         " — appends never evolve the schema")
-    val newStats = newFiles.map { f =>
-      f -> (try footerColStats(f) catch { case _: Exception => Map.empty[
-        String, com.fasterxml.jackson.databind.node.ObjectNode] })
-    }.filter(_._2.nonEmpty).toMap
-    val carried = Option(prevManifest.get("stats")) match {
-      case None => Map.empty[String,
-        Map[String, com.fasterxml.jackson.databind.node.ObjectNode]]
-      case Some(sNode) => prevFiles.flatMap { f =>
-        Option(sNode.get(f)).map { cols =>
-          f -> cols.fields().asScala.map(e =>
-            e.getKey -> e.getValue.asInstanceOf[
-              com.fasterxml.jackson.databind.node.ObjectNode]).toMap
-        }
-      }.toMap
-    }
+    val newStats = harvestStats(newFiles)
+    val carried = carriedStats(prevManifest, prevFiles)
     publish(tableDir, v, prevFiles ++ newFiles, carried ++ newStats,
       Some(written.json))
     v
@@ -595,21 +609,8 @@ object SnapshotLog {
         listDir(dd).filter(_.toString.endsWith(".parquet"))
           .map(p => canon(p).toString).sorted
       }
-    val carried = Option(statsNode) match {
-      case None => Map.empty[String,
-        Map[String, com.fasterxml.jackson.databind.node.ObjectNode]]
-      case Some(sNode) => untouched.flatMap { f =>
-        Option(sNode.get(f)).map { cols =>
-          f -> cols.fields().asScala.map(e =>
-            e.getKey -> e.getValue.asInstanceOf[
-              com.fasterxml.jackson.databind.node.ObjectNode]).toMap
-        }
-      }.toMap
-    }
-    val newStats = newFiles.map { f =>
-      f -> (try footerColStats(f) catch { case _: Exception => Map.empty[
-        String, com.fasterxml.jackson.databind.node.ObjectNode] })
-    }.filter(_._2.nonEmpty).toMap
+    val carried = carriedStats(prevManifest, untouched)
+    val newStats = harvestStats(newFiles)
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats, schemaJson)
     v
   }
