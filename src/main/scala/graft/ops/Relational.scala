@@ -121,6 +121,24 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("running_c"))
   }
 
+  /** lead/lag navigation — the inter-row delta analytic the window
+    * family was missing: each order sees its customer's previous and
+    * next order price (exact cents) and the day gap since the
+    * previous order (exact integer — datediff of two DATEs). Fully
+    * deterministic ordering (date with key tiebreak); boundary rows
+    * carry NULLs, which the oracle hash certifies cross-engine. Same
+    * scale posture as every window here: one hash-exchange on the
+    * partition key, per-customer state is O(1) for lead/lag. */
+  val windowLeadLag: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(cents(col("o_totalprice")), 1).over(w).as("prev_price_c"),
+        lead(cents(col("o_totalprice")), 1).over(w).as("next_price_c"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("gap_days"))
+  }
+
   /** Distribution window functions — ntile/percent_rank/cume_dist over
     * a fully deterministic order (price with key tiebreak). All three
     * are rank arithmetic over exact integers: percent_rank =
@@ -960,6 +978,7 @@ object Relational {
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
     "window_rank" -> windowRank,
+    "window_lead_lag" -> windowLeadLag,
     "window_running_sum" -> windowRunningSum,
     "window_distribution" -> windowDistribution,
     "window_frame_stats" -> windowFrameStats,
@@ -1300,6 +1319,14 @@ object Relational {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS running_c
          FROM orders""",
+    "window_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS prev_price_c,
+         lead(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS next_price_c,
+         CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+           AS gap_days
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "window_distribution" ->
       """SELECT o_orderkey, o_orderstatus,
          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
