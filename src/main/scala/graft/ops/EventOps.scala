@@ -174,6 +174,24 @@ object EventOps {
     }
   }
 
+  /** Tolerance-bounded as-of — pandas `merge_asof(tolerance=...)`: a
+    * purchase only attributes to a signup within ONE HOUR before it.
+    * Composed over either as-of form (the custom exec when registered,
+    * the window idiom otherwise) as a pure null-out Project: the as-of
+    * already found the LATEST signup ≤ the purchase, so a too-stale
+    * match proves no in-tolerance match exists. Both the matched and
+    * the nulled-out shapes occur on the fixture, which the oracle hash
+    * certifies. */
+  val asofJoinTolerance: Q = (s, dir) => {
+    val TolUs = 3600000000L // 1 hour in microseconds
+    val base = asofJoinCustom(s, dir) // (event_id, user_id, last_signup_id, gap_us)
+    val stale = col("gap_us").isNull || col("gap_us") > lit(TolUs)
+    base.select(col("event_id"), col("user_id"),
+      when(stale, lit(null).cast("long")).otherwise(col("last_signup_id"))
+        .as("signup_id_1h"),
+      when(stale, lit(null).cast("long")).otherwise(col("gap_us")).as("gap_us_1h"))
+  }
+
   /** Ordered funnel (first view → first click → first purchase): one
     * row of stage counts. Per-user stage times are a single grouped
     * aggregation (map-side partial min per type — one shuffle on
@@ -582,7 +600,8 @@ object EventOps {
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "asof_join_signup" -> asofJoinSignup,
-    "asof_join_custom" -> asofJoinCustom)
+    "asof_join_custom" -> asofJoinCustom,
+    "asof_join_tolerance" -> asofJoinTolerance)
 
   /** Shared by `events_sessionize` and its stateful stream twin. */
   private val sessionizeOracleSql: String =
@@ -783,7 +802,28 @@ object EventOps {
          FROM d JOIN cohort c ON d.user_id = c.user_id
          GROUP BY 1, 2""",
     "asof_join_signup" -> asofOracleSql,
-    "asof_join_custom" -> asofOracleSql)
+    "asof_join_custom" -> asofOracleSql,
+    // same marked CTE; the CASE's NULL side mirrors the null-out
+    // Project (a NULL last_signup_us makes the subtraction NULL, and
+    // NULL <= tol is NULL → CASE yields NULL — exactly "stale")
+    "asof_join_tolerance" ->
+      """WITH sp AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                     FROM events WHERE event_type IN ('signup', 'purchase')),
+         marked AS (
+           SELECT event_id, user_id, event_type, us,
+             last(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id,
+             last(CASE WHEN event_type = 'signup' THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+           FROM sp)
+         SELECT event_id, user_id,
+           CASE WHEN us - last_signup_us <= 3600000000 THEN last_signup_id END
+             AS signup_id_1h,
+           CASE WHEN us - last_signup_us <= 3600000000 THEN us - last_signup_us END
+             AS gap_us_1h
+         FROM marked WHERE event_type = 'purchase'""")
 
   /** Shared oracle for both as-of formulations (identical semantics). */
   private lazy val asofOracleSql: String =

@@ -210,4 +210,40 @@ object AsOf {
       attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
       leftTieCols.map(attr(lPlan, _)), rightTieCols.map(attr(rPlan, _))))
   }
+
+  /** Backward as-of with a STALENESS BOUND — pandas `merge_asof`'s
+    * `tolerance` (kdb's window-join edge): a match only counts when
+    * `leftTime − rightTime <= toleranceMicros`. Tolerance needs no
+    * exec change, because the exec already picks the GREATEST right
+    * time ≤ the left time: if that match is too stale, every other
+    * eligible row is staler still, so "no match within tolerance" is
+    * exactly "null out the one match when it misses the bound" — a
+    * pure Project over the same one-shuffle-per-side linear merge.
+    * Right-side columns (everything not from `leftDf`) null out
+    * together, preserving the unmatched-row shape of the plain join. */
+  def joinWithTolerance(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      leftKeyCol: String,
+      rightKeyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      toleranceMicros: Long,
+      leftTieCols: Seq[String] = Nil,
+      rightTieCols: Seq[String] = Nil): DataFrame = {
+    require(toleranceMicros >= 0, "toleranceMicros must be non-negative")
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val joined = join(leftDf, rightDf, leftKeyCol, rightKeyCol,
+      leftTimeCol, rightTimeCol, leftTieCols, rightTieCols)
+    val stale = col(rightTimeCol).isNull ||
+      (col(leftTimeCol) - col(rightTimeCol)) > lit(toleranceMicros)
+    val rightCols = rightDf.columns.toSet
+    // ONE Project, so every stale test reads the ORIGINAL right time —
+    // a column-at-a-time fold would have later columns re-evaluate
+    // staleness against an already-nulled time column
+    joined.select(joined.columns.map { c =>
+      if (rightCols.contains(c)) when(stale, lit(null)).otherwise(col(c)).as(c)
+      else col(c)
+    }.toSeq: _*)
+  }
 }

@@ -212,4 +212,32 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> -1L,   // t=50 before rt=60
       4L -> -1L))  // key with no right rows
   }
+
+  test("joinWithTolerance nulls out the one match exactly when it misses the bound") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 500L), (3L, 10L, 1000L), (4L, 20L, 50L))
+      .toDF("lid", "k", "t")
+    val r = Seq((101L, 10L, 90L), (102L, 10L, 460L)).toDF("rid", "rk", "rt")
+    // tolerance 50: lid1 matches 101 (gap 10), lid2 matches 102 (gap
+    // 40), lid3's best match is 102 at gap 540 — too stale, and no
+    // fresher match can exist (the as-of already picked the latest);
+    // lid4 has no right rows at all. ALL right columns null together.
+    val out = AsOf.joinWithTolerance(l, r, "k", "rk", "t", "rt", toleranceMicros = 50L)
+      .select("lid", "rid", "rt")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1),
+          if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    assert(out == Map(
+      1L -> (101L, 90L),
+      2L -> (102L, 460L),
+      3L -> (-1L, -1L),
+      4L -> (-1L, -1L)))
+    // tolerance 0: only an exact-time match survives
+    val exact = AsOf.joinWithTolerance(
+      l, r.withColumn("rt", col("rt") + lit(10L)), // 101 now at t=100
+      "k", "rk", "t", "rt", toleranceMicros = 0L)
+      .select("lid", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(exact == Map(1L -> 101L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
+  }
 }
