@@ -174,6 +174,44 @@ object EventOps {
     }
   }
 
+  /** FORWARD as-of — for each signup, the time to the user's NEXT
+    * purchase at-or-after it (conversion latency), null if they never
+    * convert. Through [[graft.plans.AsOf.joinForward]] (the negated
+    * backward exec) when the strategy is registered; the scalable
+    * fallback is the value-RANGE window `min(purchase us) OVER
+    * (ORDER BY us RANGE CURRENT ROW .. UNBOUNDED FOLLOWING)` — a
+    * value frame, not ROWS, so a purchase at the signup's exact
+    * microsecond counts in both forms (the exec's eligibility is
+    * rt >= lt by time alone). Output carries the GAP, not the
+    * purchase id: under exact-time ties any eligible choice yields
+    * the same gap, keeping both engines and both forms
+    * deterministic. */
+  val asofJoinForward: Q = (s, dir) => {
+    val registered = s.sessionState.planner.strategies
+      .exists(_ eq graft.plans.AsOfJoinStrategy)
+    val ev = events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("us", unix_micros(col("ts")))
+    if (!registered) {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("next_p",
+        min(when(col("event_type") === "purchase", col("us"))).over(w))
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          (col("next_p") - col("us")).as("conv_gap_us"))
+    } else {
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("us").as("p_us"))
+      graft.plans.AsOf.joinForward(signups, purchases,
+        "user_id", "p_user_id", "us", "p_us")
+        .select(col("event_id"), col("user_id"),
+          (col("p_us") - col("us")).as("conv_gap_us"))
+    }
+  }
+
   /** Tolerance-bounded as-of — pandas `merge_asof(tolerance=...)`: a
     * purchase only attributes to a signup within ONE HOUR before it.
     * Composed over either as-of form (the custom exec when registered,
@@ -601,7 +639,8 @@ object EventOps {
     "events_retention" -> eventsRetention,
     "asof_join_signup" -> asofJoinSignup,
     "asof_join_custom" -> asofJoinCustom,
-    "asof_join_tolerance" -> asofJoinTolerance)
+    "asof_join_tolerance" -> asofJoinTolerance,
+    "asof_join_forward" -> asofJoinForward)
 
   /** Shared by `events_sessionize` and its stateful stream twin. */
   private val sessionizeOracleSql: String =
@@ -823,7 +862,20 @@ object EventOps {
              AS signup_id_1h,
            CASE WHEN us - last_signup_us <= 3600000000 THEN us - last_signup_us END
              AS gap_us_1h
-         FROM marked WHERE event_type = 'purchase'""")
+         FROM marked WHERE event_type = 'purchase'""",
+    // a VALUE frame (RANGE, not ROWS) so a purchase at the signup's
+    // exact microsecond is eligible — matching the exec's rt >= lt
+    "asof_join_forward" ->
+      """WITH sp AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                     FROM events WHERE event_type IN ('signup', 'purchase')),
+         marked AS (
+           SELECT event_id, user_id, event_type, us,
+             min(CASE WHEN event_type = 'purchase' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+           FROM sp)
+         SELECT event_id, user_id, next_p - us AS conv_gap_us
+         FROM marked WHERE event_type = 'signup'""")
 
   /** Shared oracle for both as-of formulations (identical semantics). */
   private lazy val asofOracleSql: String =

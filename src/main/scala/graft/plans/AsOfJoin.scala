@@ -211,6 +211,34 @@ object AsOf {
       leftTieCols.map(attr(lPlan, _)), rightTieCols.map(attr(rPlan, _))))
   }
 
+  /** FORWARD as-of — pandas `merge_asof(direction='forward')`: for
+    * every left row, the single right row with the same key and the
+    * SMALLEST time >= the left row's (the "next event" join —
+    * conversion latency, next maintenance window). Pure composition
+    * over the same backward exec: negate both time columns and
+    * backward's greatest(−rt) <= (−lt) is exactly smallest rt >= lt;
+    * the output projection negates back. Times must be > Long.MinValue
+    * (negation overflow — true of any epoch-micros column). Tiebreak
+    * columns are deliberately not offered: negation would invert their
+    * order, so forward picks by TIME alone — callers that read only
+    * the matched time (or values keyed on it) are deterministic under
+    * time ties, and that is the contract the gate entry uses. */
+  def joinForward(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      leftKeyCol: String,
+      rightKeyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val l2 = leftDf.withColumn(leftTimeCol, -col(leftTimeCol))
+    val r2 = rightDf.withColumn(rightTimeCol, -col(rightTimeCol))
+    join(l2, r2, leftKeyCol, rightKeyCol, leftTimeCol, rightTimeCol)
+      .withColumn(leftTimeCol, -col(leftTimeCol))
+      .withColumn(rightTimeCol,
+        when(col(rightTimeCol).isNotNull, -col(rightTimeCol)))
+  }
+
   /** Backward as-of with a STALENESS BOUND — pandas `merge_asof`'s
     * `tolerance` (kdb's window-join edge): a match only counts when
     * `leftTime − rightTime <= toleranceMicros`. Tolerance needs no

@@ -240,4 +240,23 @@ class AsOfJoinSpec extends SparkSpec {
       .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
     assert(exact == Map(1L -> 101L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
   }
+
+  test("joinForward picks the smallest right time at-or-after, nulls when none follows") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 150L), (3L, 10L, 500L), (4L, 20L, 50L))
+      .toDF("lid", "k", "t")
+    val r = Seq((101L, 10L, 150L), (102L, 10L, 400L)).toDF("rid", "rk", "rt")
+    val out = AsOf.joinForward(l, r, "k", "rk", "t", "rt")
+      .select("lid", "rt")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(out == Map(
+      1L -> 150L,  // next at-or-after 100
+      2L -> 150L,  // exact-time match is eligible (rt >= lt)
+      3L -> -1L,   // nothing after 500
+      4L -> -1L))  // key with no right rows
+    // the left time column comes back un-negated
+    val ts = AsOf.joinForward(l, r, "k", "rk", "t", "rt")
+      .select("lid", "t").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ts == Map(1L -> 100L, 2L -> 150L, 3L -> 500L, 4L -> 50L))
+  }
 }
