@@ -615,6 +615,68 @@ object SnapshotLog {
     v
   }
 
+  /** Copy-on-write UPDATE through the log — [[deleteWhere]]'s sibling,
+    * completing the DML triad (append / delete / update) on the same
+    * stats-pruned machinery: only files whose [min, max] for `column`
+    * can intersect [lower, upper] are rewritten, applying each `set`
+    * assignment to rows INSIDE the interval and leaving every other
+    * row byte-identical; exonerated files carry verbatim. The
+    * assignments may reference existing columns (`"price" ->
+    * col("price") * 2`) but must not CHANGE the schema — a type- or
+    * column-altering update would desynchronize the manifest schema
+    * from the carried files, so it fails loudly before publishing
+    * (the masked-overwrite discipline of the migrator's M2, on the
+    * log). NULL `column` values are never inside a range, so they are
+    * never updated — the same semantics as [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, tableDir: String, column: String,
+      lower: Option[Any], upper: Option[Any],
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(lower.nonEmpty || upper.nonEmpty,
+      "updateWhere wants at least one bound — an unbounded update is a rewrite")
+    require(set.nonEmpty, "updateWhere wants at least one assignment")
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val statsNode = prevManifest.get("stats")
+    val (affected, untouched) = prevFiles.partition(f =>
+      keepFile(statsNode, f, column, lower, upper))
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val newFiles =
+      if (affected.isEmpty) Nil
+      else {
+        val preds = lower.map(l => col(column) >= lit(l)) ++
+          upper.map(u => col(column) <= lit(u))
+        val inRange = preds.reduce(_ && _)
+        val reader = schemaJson.map(s =>
+          org.apache.spark.sql.types.DataType.fromJson(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .fold(spark.read)(spark.read.schema)
+        val base = reader.parquet(affected: _*)
+        set.keys.foreach(c => require(base.columns.contains(c),
+          s"updateWhere assigns unknown column $c — updates never add columns"))
+        val updated = base.select(base.columns.map { c =>
+          set.get(c).map(expr => when(inRange, expr).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }.toSeq: _*)
+        require(updated.schema == base.schema,
+          s"updateWhere must preserve the schema: ${base.schema} -> ${updated.schema}")
+        val dd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        updated.write.mode("overwrite").parquet(dd.toString)
+        listDir(dd).filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+      }
+    val carried = carriedStats(prevManifest, untouched)
+    val newStats = harvestStats(newFiles)
+    publish(tableDir, v, untouched ++ newFiles, carried ++ newStats, schemaJson)
+    v
+  }
+
   /** Table maintenance through the log — [[graft.sources.Compaction]]
     * composed with the manifest machinery (Delta/Iceberg `OPTIMIZE`):
     * rewrite the LATEST version's content into ⌈rows/target⌉

@@ -247,6 +247,53 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(total == files1.size && kept.size == 1, s"kept ${kept.size}/$total")
   }
 
+  test("copy-on-write update rewrites only intersecting files, in-range rows only, schema preserved") {
+    val t = s"$scratch/stats_update"
+    SnapshotLog.commit(spark, t, spark.range(8000)
+      .select(col("id").as("key"), (col("id") % 13).as("v"))
+      .repartitionByRange(8, col("key")))
+    val files0 = {
+      val it = mapper.readTree(Files.readString(Paths.get(t, "_log", "0.json")))
+        .get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSet
+    }
+    val ver = SnapshotLog.updateWhere(spark, t, "key", Some(1100L), Some(1899L),
+      Map("v" -> (col("v") + lit(1000L))))
+    assert(ver == 1L)
+    val files1 = {
+      val it = mapper.readTree(Files.readString(Paths.get(t, "_log", "1.json")))
+        .get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSet
+    }
+    assert(files0.intersect(files1).size == 7, "exonerated files carry by name")
+    // in-range rows updated, everything else byte-identical
+    val rows = SnapshotLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 8000)
+    rows.foreach { case (k, v) =>
+      val expect = if (k >= 1100 && k <= 1899) k % 13 + 1000 else k % 13
+      assert(v == expect, s"key $k: $v != $expect")
+    }
+    // history intact
+    assert(SnapshotLog.read(spark, t, asOf = Some(0L))
+      .filter(col("v") >= 1000).count() == 0)
+    // a schema-altering assignment fails loudly, table unmoved (a
+    // double literal widens the CaseWhen to double — a string cast
+    // would NOT alter anything, ANSI coercion casts it back to long)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.updateWhere(spark, t, "key", Some(0L), Some(10L),
+        Map("v" -> lit(0.5)))
+    }
+    assert(e.getMessage.contains("preserve the schema"), e.getMessage)
+    // an unknown-column assignment fails loudly too
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.updateWhere(spark, t, "key", Some(0L), Some(10L),
+        Map("nope" -> lit(1L)))
+    }
+    assert(e2.getMessage.contains("unknown column"), e2.getMessage)
+    assert(SnapshotLog.latestVersion(t).contains(1L))
+  }
+
   test("delete semantics: NULL never matches a range, and null-only files are exonerated by allNull stats") {
     val t = s"$scratch/stats_delete_null"
     // file 0 (key 0..99) carries only null v; the rest have values
