@@ -77,6 +77,16 @@ object LakehouseDemo {
     require(totalOpt == 8 && keptOpt.size == 1,
       s"optimize should leave 8 files with a 1-file ask, got ${keptOpt.size}/$totalOpt")
 
+    // 5b. copy-on-write update: one clustered range's payload bumped,
+    // everything outside it byte-identical, exonerated files carried
+    SnapshotLog.updateWhere(spark, t, "key", Some(100L), Some(199L),
+      Map("payload" -> (col("payload") + lit(1000L))))
+    val bumped = SnapshotLog.read(spark, t)
+      .filter(col("key").between(100L, 199L) && col("payload") >= 1000L).count()
+    val outside = SnapshotLog.read(spark, t)
+      .filter(!col("key").between(100L, 199L) && col("payload") >= 1000L).count()
+    require(bumped == 100L && outside == 0L, s"update accounting: $bumped/$outside")
+
     // 6. copy-on-write delete of one clustered range
     val before = SnapshotLog.latestVersion(t).get
     SnapshotLog.deleteWhere(spark, t, "key", Some(4100L), Some(7899L))
