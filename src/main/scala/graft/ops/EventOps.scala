@@ -212,6 +212,46 @@ object EventOps {
     }
   }
 
+  /** NEAREST as-of — `merge_asof(direction='nearest')`, the remaining
+    * direction, as ONE window pass over the user-partitioned stream:
+    * the backward carry (`last(..., ignoreNulls)` up to the current
+    * row) and the forward value-RANGE `min` ride the SAME partition —
+    * no second shuffle, no join of two as-of results. For each signup:
+    * the smaller of (gap to latest purchase at-or-before, gap to
+    * first purchase at-or-after); an exact |gap| tie prefers BACKWARD
+    * (stated contract — pandas leaves it unspecified), which the
+    * `<=` in both engines' CASE encodes identically. Null-safe via
+    * COALESCE against a sentinel larger than any real gap. */
+  val asofJoinNearest: Q = (s, dir) => {
+    val Inf = Long.MaxValue
+    val ev = events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("us", unix_micros(col("ts")))
+    val wBack = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("prev_p",
+        last(when(col("event_type") === "purchase", col("us")), ignoreNulls = true)
+          .over(wBack))
+      .withColumn("next_p",
+        min(when(col("event_type") === "purchase", col("us"))).over(wFwd))
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"),
+        when(coalesce(col("us") - col("prev_p"), lit(Inf)) <=
+          coalesce(col("next_p") - col("us"), lit(Inf)),
+          when(col("prev_p").isNotNull, lit("b")))
+          .otherwise(lit("f")).as("side"),
+        least(
+          coalesce(col("us") - col("prev_p"), lit(Inf)),
+          coalesce(col("next_p") - col("us"), lit(Inf))).cast("long")
+          .as("nearest_raw"))
+      .select(col("event_id"), col("user_id"),
+        when(col("nearest_raw") < Inf, col("side")).as("side"),
+        when(col("nearest_raw") < Inf, col("nearest_raw")).as("nearest_gap_us"))
+  }
+
   /** Tolerance-bounded as-of — pandas `merge_asof(tolerance=...)`: a
     * purchase only attributes to a signup within ONE HOUR before it.
     * Composed over either as-of form (the custom exec when registered,
@@ -640,7 +680,8 @@ object EventOps {
     "asof_join_signup" -> asofJoinSignup,
     "asof_join_custom" -> asofJoinCustom,
     "asof_join_tolerance" -> asofJoinTolerance,
-    "asof_join_forward" -> asofJoinForward)
+    "asof_join_forward" -> asofJoinForward,
+    "asof_join_nearest" -> asofJoinNearest)
 
   /** Shared by `events_sessionize` and its stateful stream twin. */
   private val sessionizeOracleSql: String =
@@ -875,7 +916,32 @@ object EventOps {
                      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
            FROM sp)
          SELECT event_id, user_id, next_p - us AS conv_gap_us
-         FROM marked WHERE event_type = 'signup'""")
+         FROM marked WHERE event_type = 'signup'""",
+    // both directions in ONE window pass; |gap| ties prefer backward
+    // (the <= in both engines); the Long.MaxValue sentinel only ever
+    // compares, never escapes (masked by the outer CASE)
+    "asof_join_nearest" ->
+      """WITH sp AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                     FROM events WHERE event_type IN ('signup', 'purchase')),
+         marked AS (
+           SELECT event_id, user_id, event_type, us,
+             last(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+             min(CASE WHEN event_type = 'purchase' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+           FROM sp),
+         g AS (SELECT event_id, user_id, prev_p,
+             COALESCE(us - prev_p, 9223372036854775807) AS bg,
+             COALESCE(next_p - us, 9223372036854775807) AS fg
+           FROM marked WHERE event_type = 'signup')
+         SELECT event_id, user_id,
+           CASE WHEN least(bg, fg) < 9223372036854775807 THEN
+             (CASE WHEN bg <= fg THEN 'b' ELSE 'f' END) END AS side,
+           CASE WHEN least(bg, fg) < 9223372036854775807 THEN least(bg, fg) END
+             AS nearest_gap_us
+         FROM g""")
 
   /** Shared oracle for both as-of formulations (identical semantics). */
   private lazy val asofOracleSql: String =
