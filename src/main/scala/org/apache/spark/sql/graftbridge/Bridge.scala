@@ -23,6 +23,50 @@ object Bridge {
     spark.asInstanceOf[ClassicSession].sessionState.planner.strategies
       .exists(s => strategyClass.isInstance(s))
 
+  /** A SERIALIZABLE path→rows function built on the driver from
+    * Spark's own parquet reader ([[org.apache.spark.sql.execution
+    * .datasources.parquet.ParquetFileFormat]].buildReaderWithPartitionValues
+    * — the exact machinery FileSourceScanExec ships to executors, which
+    * is why the returned closure is safe to put in a DSv2
+    * PartitionReaderFactory: it captures a broadcast Hadoop conf, not
+    * the session). Used by the snapshot-log streaming source, whose
+    * micro-batches are manifest file lists rather than a directory
+    * Spark can scan itself. The reader may hand back vectorized
+    * ColumnarBatches type-lied as InternalRow (the FileScanRDD
+    * contract); the wrapper flattens them to rows. File length is
+    * resolved on the executor from the local path — the same
+    * local-filesystem scope as the log itself. */
+  def parquetFileRows(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : String => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val readFunc = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        spark.asInstanceOf[ClassicSession],
+        dataSchema = schema,
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        requiredSchema = schema,
+        filters = Nil,
+        // row output, not vectorized batches: the consumer is a DSv2
+        // PartitionReader[InternalRow] (Spark 4 makes this explicit)
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.asInstanceOf[ClassicSession].sessionState
+          .newHadoopConf())
+    (path: String) => {
+      val len = new java.io.File(path).length()
+      val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(path),
+        0L, len)
+      readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+        case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
+        case r: org.apache.spark.sql.catalyst.InternalRow => Iterator.single(r)
+      }
+    }
+  }
+
   /** Block until the listener bus has delivered all posted events
     * (`private[spark]` in LiveListenerBus). Used by the migration
     * observability listener to make per-statement metric attribution

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import sources.SnapshotLog
+
+/** The snapshot-log streaming source ([[graft.sources
+  * .SnapshotStreamProvider]]): version-number offsets, each micro-batch
+  * = the files ADDED in its version range (exactly the appended batch
+  * for a commitAppend writer), loud failure at non-append versions
+  * unless ignoreChanges, and rows identical to a batch read of the same
+  * files (the source reuses Spark's own parquet reader).
+  */
+class SnapshotStreamSpec extends SparkSpec {
+
+  test("appends stream as exact micro-batches; a rewrite fails loudly; ignoreChanges restates") {
+    import spark.implicits._
+    val t = s"$scratch/snapstream"
+    SnapshotLog.commit(spark, t, spark.range(3).select(
+      col("id").as("key"), (col("id") * 10).as("v")).repartition(1))
+
+    val q = spark.readStream.format("graft-snaplog")
+      .option("tableDir", t).load()
+      .writeStream.format("memory").queryName("snapout").start()
+    try {
+      q.processAllAvailable()
+      // batch 1 = version 0's full content
+      assert(spark.table("snapout").count() == 3)
+      // an appended version arrives as exactly its own rows
+      SnapshotLog.commitAppend(spark, t, spark.range(3, 5).select(
+        col("id").as("key"), (col("id") * 10).as("v")).repartition(1))
+      q.processAllAvailable()
+      val rows = spark.table("snapout").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows == Map(0L -> 0L, 1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+      // exactly-once per version: nothing re-emitted
+      assert(spark.table("snapout").count() == 5)
+      // a COW rewrite breaks the new-files=new-rows equation → loud
+      SnapshotLog.deleteWhere(spark, t, "key", Some(0L), Some(0L))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("not an append") ||
+        Option(e.getCause).exists(_.getMessage.contains("not an append")),
+        e.getMessage)
+    } finally q.stop()
+
+    // ignoreChanges: a fresh stream from the rewrite version emits the
+    // restated rows (at-least-once, the documented Delta semantics)
+    val q2 = spark.readStream.format("graft-snaplog")
+      .option("tableDir", t).option("startVersion", 2L)
+      .option("ignoreChanges", true).load()
+      .writeStream.format("memory").queryName("snapout2").start()
+    try {
+      q2.processAllAvailable()
+      val restated = spark.table("snapout2").collect()
+        .map(r => r.getLong(0)).sorted
+      // version 2 rewrote the file that held keys 0..2 minus the
+      // deleted key 0 → the restated rows are exactly 1 and 2
+      assert(restated.toSeq == Seq(1L, 2L), restated.mkString(","))
+    } finally q2.stop()
+  }
+
+  test("streamed rows equal a batch read of the same versions (checkpointed restart resumes)") {
+    import spark.implicits._
+    val t = s"$scratch/snapstream_ckpt"
+    val ckpt = s"$scratch/snapstream_ckpt_loc"
+    val out = s"$scratch/snapstream_ckpt_out"
+    SnapshotLog.commit(spark, t, spark.range(100).select(
+      col("id").as("key"), md5(col("id").cast("string")).as("payload")))
+    def start() = spark.readStream.format("graft-snaplog")
+      .option("tableDir", t).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = SnapshotLog.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.size == 100 && streamed == batch)
+    } finally q.stop()
+    // restart against the same checkpoint: the committed version is
+    // not re-emitted (manifests are immutable = replayable offsets),
+    // a new append is picked up from where the checkpoint left off
+    SnapshotLog.commitAppend(spark, t, spark.range(100, 120).select(
+      col("id").as("key"), md5(col("id").cast("string")).as("payload")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val keys = spark.read.parquet(out).select("key")
+        .collect().map(_.getLong(0)).sorted
+      assert(keys.length == 120 && keys.toSeq == (0L until 120L))
+    } finally q2.stop()
+  }
+}
