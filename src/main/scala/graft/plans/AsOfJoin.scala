@@ -187,6 +187,15 @@ object AsOf {
       rightTimeCol: String,
       leftTieCols: Seq[String] = Nil,
       rightTieCols: Seq[String] = Nil): DataFrame = {
+    // the documented contract, enforced: with a shared name the output
+    // would carry ambiguous attributes, and [[joinWithTolerance]]'s
+    // right-side identification BY NAME would null out left columns —
+    // fail here, at every entry point, instead of misbehaving there
+    val shared = leftDf.columns.toSet.intersect(rightDf.columns.toSet)
+    require(shared.isEmpty,
+      s"as-of join requires disjoint column names between the two sides; " +
+        s"shared: ${shared.toSeq.sorted.mkString(", ")} — rename the " +
+        "right side's columns before joining")
     val spark: SparkSession = leftDf.sparkSession
     // fail loudly and early when the planner strategy is absent — the
     // alternative is an opaque assertion deep in query planning. The

@@ -231,6 +231,11 @@ object SnapshotLog {
     def cmp(node: com.fasterxml.jackson.databind.JsonNode, bound: Any): Option[Int] =
       bound match {
         case s: String if node.isTextual => Some(node.asText.compareTo(s))
+        // non-finite bound: BigDecimal can't represent NaN/Infinity —
+        // keep the file (the residual filter decides), per the
+        // odd-bounds contract above
+        case d: Double if !java.lang.Double.isFinite(d) => None
+        case f: Float if !java.lang.Float.isFinite(f) => None
         case (_: Long | _: Int | _: Double | _: Float) if node.isNumber =>
           Some(node.decimalValue.compareTo(new java.math.BigDecimal(bound.toString)))
         case _ => None
@@ -336,8 +341,16 @@ object SnapshotLog {
       if (kept.nonEmpty) reader.parquet(kept: _*)
       else {
         // all files pruned: an empty frame with the table's schema —
-        // from the manifest when recorded, else one footer read
-        val schema = schemaOpt.getOrElse(spark.read.parquet(files.head).schema)
+        // from the manifest when recorded, else one footer read; a
+        // pre-schema manifest of an EMPTY commit has no schema source
+        // at all, so fail loudly rather than NoSuchElement on head
+        val schema = schemaOpt.getOrElse {
+          require(files.nonEmpty,
+            s"cannot determine the schema of $tableDir: the manifest " +
+              "lists no files and records no schema (a pre-round-10 " +
+              "empty commit) — re-commit to record the schema")
+          spark.read.parquet(files.head).schema
+        }
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
@@ -480,6 +493,7 @@ object SnapshotLog {
   def commitAppendIdempotent(spark: SparkSession, tableDir: String,
       df: DataFrame, v: Long): Boolean = {
     if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
+    requireAboveRetention(tableDir, v)
     val latest = latestVersion(tableDir).getOrElse(-1L)
     require(v <= latest + 1,
       s"version $v would leave a gap above latest=$latest — the log's " +
@@ -783,6 +797,36 @@ object SnapshotLog {
     }
   }
 
+  /** Smallest surviving manifest version — the retention horizon after
+    * [[expireVersions]] (equal to 0 on a never-expired log). The
+    * idempotent sinks consult it: their "already committed" pre-check
+    * is `Files.exists(v.json)`, which an EXPIRED version fails, so
+    * without this horizon a replay from below retention would sail
+    * past the pre-check and republish an expired slot
+    * ([[commitIdempotent]]) or re-append stale rows as a new version
+    * ([[commitAppendIdempotent]]) — both silent exactly-once breaks. */
+  private[graft] def oldestVersion(tableDir: String): Option[Long] = {
+    val ld = logDir(tableDir)
+    if (!Files.isDirectory(ld)) return None
+    val vs = listDir(ld)
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong)
+    if (vs.isEmpty) None else Some(vs.min)
+  }
+
+  /** Loud failure for a replayed version below the retention horizon —
+    * mirrors the streaming source's expired-version behavior: a
+    * consumer lagging past retention must not silently re-apply. */
+  private def requireAboveRetention(tableDir: String, v: Long): Unit =
+    oldestVersion(tableDir).foreach { oldest =>
+      require(v >= oldest,
+        s"version $v is below the retention horizon (oldest surviving " +
+          s"manifest is $oldest; expireVersions removed the rest) — a " +
+          "replay this old must not republish an expired version; " +
+          "reset the stream's checkpoint / version base instead")
+    }
+
   /** Idempotent commit at an EXPLICIT version — the exactly-once sink
     * primitive: a foreachBatch writer that derives the version
     * deterministically from the micro-batch id (v = batchId + base)
@@ -796,6 +840,7 @@ object SnapshotLog {
   def commitIdempotent(spark: SparkSession, tableDir: String,
       df: DataFrame, v: Long): Boolean = {
     if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
+    requireAboveRetention(tableDir, v)
     // density guard: versions are dense by construction ([[commit]]
     // publishes latest+1), and both the checkpoint's upward probe and
     // time travel's dense scan rely on it — a caller-chosen version

@@ -114,12 +114,16 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
       val prev: Set[String] =
         if (v == 0) Set.empty
         else SnapshotLog.manifestAt(tableDir, v - 1)._1.toSet
+      // the advice must be actionable: a fresh stream AT version v
+      // hits this same check (v compares against v−1's manifest), so
+      // the skip path is startVersion = v+1, not v
       if (!ignoreChanges && !prev.subsetOf(files.toSet))
         throw new IllegalStateException(
           s"graft-snaplog: version $v of $tableDir is not an append " +
             "(files were rewritten by a commit/optimize/delete/update); " +
             "restart with ignoreChanges=true to stream the restated rows " +
-            "(at-least-once), or start a fresh stream from this version")
+            s"(at-least-once), or skip them with startVersion=${v + 1} " +
+            "(risks missing the restatement)")
       files.filterNot(prev.contains).map(f => SnapshotFilePartition(f): InputPartition)
     }.toArray
   }

@@ -259,4 +259,25 @@ class AsOfJoinSpec extends SparkSpec {
       .select("lid", "t").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(ts == Map(1L -> 100L, 2L -> 150L, 3L -> 500L, 4L -> 50L))
   }
+
+  test("shared column names fail loudly at every entry point") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "v")
+    val r = Seq((1L, 5L, "b")).toDF("rk", "rt", "v") // "v" collides
+    // before this guard, joinWithTolerance identified right columns BY
+    // NAME and a shared name made the stale null-out hit LEFT columns
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("disjoint column names") &&
+      e.getMessage.contains("v"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.joinWithTolerance(l, r, "k", "rk", "t", "rt", 100L)
+    }
+    assert(e2.getMessage.contains("disjoint"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      AsOf.joinForward(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e3.getMessage.contains("disjoint"), e3.getMessage)
+  }
 }

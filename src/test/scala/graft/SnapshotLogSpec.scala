@@ -298,4 +298,30 @@ class SnapshotLogSpec extends SparkSpec {
     assert(e.getMessage.contains("gap"), e.getMessage)
     assert(SnapshotLog.latestVersion(t).contains(1L))
   }
+
+  test("idempotent sinks refuse a replay below the retention horizon") {
+    import spark.implicits._
+    val t = s"$scratch/snap_retention_replay"
+    (0 until 5).foreach(i =>
+      SnapshotLog.commit(spark, t, Seq((1L, i.toLong)).toDF("key", "p")))
+    assert(SnapshotLog.expireVersions(t, keepLast = 2) == Seq(0L, 1L, 2L))
+    // an expired version fails the Files.exists pre-check, so without
+    // the horizon guard a replayed batch would REPUBLISH the expired
+    // slot (commitIdempotent — time travel then answers wrong data)
+    // or re-append its stale rows as a new version
+    // (commitAppendIdempotent — duplicate rows, exactly-once broken)
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotLog.commitIdempotent(spark, t, Seq((1L, 99L)).toDF("key", "p"), 1L)
+    }
+    assert(e1.getMessage.contains("retention horizon"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.commitAppendIdempotent(spark, t, Seq((2L, 99L)).toDF("key", "p"), 2L)
+    }
+    assert(e2.getMessage.contains("retention horizon"), e2.getMessage)
+    // surviving slots keep their idempotent semantics: an existing
+    // version is a declined no-op, the next dense one still publishes
+    assert(!SnapshotLog.commitIdempotent(spark, t, Seq((1L, 0L)).toDF("key", "p"), 4L))
+    assert(SnapshotLog.commitAppendIdempotent(spark, t, Seq((2L, 5L)).toDF("key", "p"), 5L))
+    assert(SnapshotLog.read(spark, t).count() == 2)
+  }
 }

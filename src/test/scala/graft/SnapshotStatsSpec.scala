@@ -342,4 +342,40 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(result(t, "key", Some(0L), Some(10L), asOf = Some(0L)) ==
       oracle(t, "key", Some(0L), Some(10L), asOf = Some(0L)))
   }
+
+  test("non-finite bounds never crash pruning: every file kept, residual filter decides") {
+    val t = s"$scratch/stats_nonfinite"
+    SnapshotLog.commit(spark, t,
+      spark.range(1000).select(col("id").as("key"),
+        (col("id").cast("double") / 10.0).as("x"))
+        .repartitionByRange(4, col("x")))
+    // NaN / Infinity can't enter a BigDecimal compare — the documented
+    // odd-bounds contract (keep the file) must hold, not a
+    // NumberFormatException out of readWhere/pruneFiles
+    for (b <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val (kept, total) = SnapshotLog.pruneFiles(t, "x", Some(b), None)
+      assert(kept.size == total, s"bound $b must keep every file")
+      assert(result(t, "x", Some(b), None) == oracle(t, "x", Some(b), None))
+      assert(result(t, "x", None, Some(b)) == oracle(t, "x", None, Some(b)))
+    }
+    // the float path hits the same guard
+    assert(result(t, "x", Some(Float.NaN), None) ==
+      oracle(t, "x", Some(Float.NaN), None))
+  }
+
+  test("an empty pre-schema manifest fails loudly; with a recorded schema it is a well-formed empty table") {
+    val t = s"$scratch/stats_empty_legacy"
+    SnapshotLog.publish(t, 0L, Nil)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.readWhere(spark, t, "key", Some(0L), None)
+    }
+    assert(e.getMessage.contains("lists no files"), e.getMessage)
+    val t2 = s"$scratch/stats_empty_schema"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType)))
+    SnapshotLog.publish(t2, 0L, Nil, schemaJson = Some(schema.json))
+    val out = SnapshotLog.readWhere(spark, t2, "key", Some(0L), None)
+    assert(out.schema == schema && out.count() == 0)
+  }
 }

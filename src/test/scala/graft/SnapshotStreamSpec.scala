@@ -39,9 +39,13 @@ class SnapshotStreamSpec extends SparkSpec {
       // a COW rewrite breaks the new-files=new-rows equation → loud
       SnapshotLog.deleteWhere(spark, t, "key", Some(0L), Some(0L))
       val e = intercept[StreamingQueryException] { q.processAllAvailable() }
-      assert(e.getMessage.contains("not an append") ||
-        Option(e.getCause).exists(_.getMessage.contains("not an append")),
-        e.getMessage)
+      def advised(s: String) = e.getMessage.contains(s) ||
+        Option(e.getCause).exists(_.getMessage.contains(s))
+      assert(advised("not an append"), e.getMessage)
+      // the advice must name a startVersion that actually works: a
+      // fresh stream AT the rewrite version v hits the same subset
+      // check (v vs v−1), so the message advises v+1
+      assert(advised("startVersion=3"), e.getMessage)
     } finally q.stop()
 
     // ignoreChanges: a fresh stream from the rewrite version emits the
@@ -58,6 +62,22 @@ class SnapshotStreamSpec extends SparkSpec {
       // deleted key 0 → the restated rows are exactly 1 and 2
       assert(restated.toSeq == Seq(1L, 2L), restated.mkString(","))
     } finally q2.stop()
+
+    // the advised skip path: startVersion = v+1 streams past the
+    // rewrite without ignoreChanges — nothing restated, and the next
+    // append is picked up normally
+    val q3 = spark.readStream.format("graft-snaplog")
+      .option("tableDir", t).option("startVersion", 3L).load()
+      .writeStream.format("memory").queryName("snapout3").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("snapout3").count() == 0)
+      SnapshotLog.commitAppend(spark, t, spark.range(5, 7).select(
+        col("id").as("key"), (col("id") * 10).as("v")).repartition(1))
+      q3.processAllAvailable()
+      assert(spark.table("snapout3").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(5L, 6L))
+    } finally q3.stop()
   }
 
   test("the full loop: log → stream → idempotent-append sink → log replicates a table") {
