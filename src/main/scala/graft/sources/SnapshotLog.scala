@@ -493,8 +493,11 @@ object SnapshotLog {
   def commitAppendIdempotent(spark: SparkSession, tableDir: String,
       df: DataFrame, v: Long): Boolean = {
     if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
-    requireAboveRetention(tableDir, v)
     val latest = latestVersion(tableDir).getOrElse(-1L)
+    // retention listing only on the cold expired-replay path — see
+    // [[requireAboveRetention]]; the hot v == latest + 1 append never
+    // lists the log directory
+    if (v <= latest) requireAboveRetention(tableDir, v)
     require(v <= latest + 1,
       s"version $v would leave a gap above latest=$latest — the log's " +
         "versions are dense; derive v as base + batchId")
@@ -817,7 +820,13 @@ object SnapshotLog {
 
   /** Loud failure for a replayed version below the retention horizon —
     * mirrors the streaming source's expired-version behavior: a
-    * consumer lagging past retention must not silently re-apply. */
+    * consumer lagging past retention must not silently re-apply.
+    *
+    * Cold path ONLY: [[oldestVersion]] is a full `_log` listing
+    * (O(versions) on an object store), so the idempotent sinks call
+    * this only when `v <= latest` with `v.json` missing — by density
+    * (the surviving manifests are a contiguous suffix) that version can
+    * only be expired. The hot `v == latest + 1` commit never lists. */
   private def requireAboveRetention(tableDir: String, v: Long): Unit =
     oldestVersion(tableDir).foreach { oldest =>
       require(v >= oldest,
@@ -840,13 +849,16 @@ object SnapshotLog {
   def commitIdempotent(spark: SparkSession, tableDir: String,
       df: DataFrame, v: Long): Boolean = {
     if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
-    requireAboveRetention(tableDir, v)
     // density guard: versions are dense by construction ([[commit]]
     // publishes latest+1), and both the checkpoint's upward probe and
     // time travel's dense scan rely on it — a caller-chosen version
     // that would leave a hole (a skipped batchId base arithmetic bug)
     // must fail loudly, not create an unreachable future version
     val latest = latestVersion(tableDir).getOrElse(-1L)
+    // v at-or-below latest with its manifest missing can only be an
+    // expired-version replay — the one (cold) path that needs the
+    // retention listing
+    if (v <= latest) requireAboveRetention(tableDir, v)
     require(v <= latest + 1,
       s"version $v would leave a gap above latest=$latest — the log's " +
         "versions are dense; derive v as base + batchId")
