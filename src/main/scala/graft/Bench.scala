@@ -186,6 +186,14 @@ object Bench {
           // text_trigram_backoff headliner pays the model training in
           // every sample; this pair is the measured train-vs-serve gap)
           graft.ops.TextOps.writeNgramIndex(docs, "graft_bench_retr.ngram")
+          // the ANN serving index, same amortized posture: models +
+          // bucketed codes + bucketed vector store built once outside
+          // the passes, each sample is one 50-query probe (bucket-
+          // pruned code scan + shortlist rerank) — the measured
+          // train-vs-serve gap against the inline ann_ivfpq_topk
+          // headliner, which pays the full training in every sample
+          graft.ops.SimilarityOps.writeAnnIndex(spark, sfDir,
+            "graft_bench_retr.ann")
           nDocs = docs.count()
           true
         } catch { case e: Throwable =>
@@ -194,7 +202,9 @@ object Bench {
 
       val names = headline.filter(SparkEntry.queries.contains) ++
         Seq("migrate_seq_100k") ++
-        (if (retrievalReady) Seq("retrieval_index_probe", "trigram_index_probe") else Nil)
+        (if (retrievalReady)
+          Seq("retrieval_index_probe", "trigram_index_probe",
+            "ann_index_probe_srv") else Nil)
 
       def runOnce(name: String): Unit = name match {
         case "migrate_seq_100k" => timeMigrateSeq(spark): Unit
@@ -206,6 +216,17 @@ object Bench {
         case "trigram_index_probe" =>
           graft.ops.TextOps.trigramAgainstIndex(spark, docs,
             "graft_bench_retr.ngram")
+            .write.mode("overwrite").format("noop").save()
+        // NOT the gate entry `ann_index_probe` (which builds its index
+        // inside the query — the correctness shape); this times the
+        // SERVE half alone against the setup-built index
+        case "ann_index_probe_srv" =>
+          graft.ops.SimilarityOps.annAgainstIndex(spark,
+            spark.table("graft_bench_retr.ann_vectors")
+              .filter(org.apache.spark.sql.functions.col("vec_id") <
+                graft.ops.SimilarityOps.PqQueryCount)
+              .select("vec_id", "v"),
+            "graft_bench_retr.ann")
             .write.mode("overwrite").format("noop").save()
         // FULL materialization via the noop sink. Through round 7 the
         // action was count(), under which Catalyst prunes terminal

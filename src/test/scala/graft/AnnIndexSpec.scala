@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+
+/** The persisted IVF-PQ serving index (`writeAnnIndex` /
+  * `annAgainstIndex`) — the train-vs-serve split for the ANN family:
+  *
+  *  - probe == inline capstone row-for-row (both run the SAME
+  *    `ivfPqProbe` plan; equivalence reduces to the persisted tables
+  *    and the bit-exactness of the reloaded models);
+  *  - the reloaded model IS the trained model (parquet doubles
+  *    round-trip exactly — the literal folds the probe renders are
+  *    character-identical to the inline build's);
+  *  - the bucketed codes table PRUNES: a probe that touches a subset
+  *    of cells reads only those cells' buckets
+  *    (`SelectedBucketsCount` below total in the scan);
+  *  - an EXTERNAL query batch (ids the corpus never saw) serves
+  *    through the same path — the real usage, where queries are not
+  *    corpus rows.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val prefix = "annidx.ann"
+
+  private lazy val index: Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS annidx")
+    SimilarityOps.writeAnnIndex(spark, dir, prefix)
+  }
+
+  test("probe against the persisted index equals the inline capstone") {
+    index
+    val inline = SimilarityOps.annIvfPqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    val queries = spark.table(s"${prefix}_vectors")
+      .filter(col("vec_id") < SimilarityOps.PqQueryCount)
+      .select("vec_id", "v")
+    val probed = SimilarityOps.annAgainstIndex(spark, queries, prefix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(probed == inline,
+      s"persisted-index probe diverged from the inline build: " +
+        s"${(probed -- inline).take(3)} vs ${(inline -- probed).take(3)}")
+    assert(probed.nonEmpty)
+  }
+
+  test("reloaded model is bit-identical to the trained model") {
+    index
+    val mu = SimilarityOps.pqMean(spark, dir)
+    val cb = SimilarityOps.pqTrain(spark, dir, mu)
+    val cents = SimilarityOps.kmeansTrain(spark, dir)
+    val (mu2, cb2, cents2) = SimilarityOps.readAnnModel(spark, prefix)
+    assert(mu2 == mu)
+    assert(cb2 == cb)
+    assert(cents2 == cents)
+  }
+
+  test("probe reads only the probed cells' buckets") {
+    index
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // a 2-query batch touches at most 2 of the 8 cells — the codes
+      // scan must select strictly fewer buckets than the table has
+      val queries = spark.table(s"${prefix}_vectors")
+        .filter(col("vec_id") < 2).select("vec_id", "v")
+      val probe = SimilarityOps.annAgainstIndex(spark, queries, prefix)
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val codesLine = plan.linesIterator
+        .filter(_.contains("ann_codes")).mkString("\n")
+      val hits = sel.findAllMatchIn(codesLine)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(hits.nonEmpty, s"no bucket pruning in the codes scan:\n$plan")
+      val (selected, total) = hits.head
+      assert(selected < total && selected <= 2,
+        s"expected <=2 of $total buckets selected, got $selected")
+      // and no BroadcastNestedLoopJoin anywhere — the cell equi-join is
+      // the whole point of the IVF half
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("an external query batch (non-corpus ids) serves end-to-end") {
+    index
+    // perturb two corpus vectors, give them ids the corpus never saw:
+    // the probe must serve them through the same path — top-k per
+    // query, ranks dense, scores non-increasing, neighbors from the
+    // query's own cell (dot-product ORDER among candidates is the
+    // ranking contract; which candidate wins is corpus geometry, not
+    // plumbing, so it is not asserted)
+    val ext = spark.table(s"${prefix}_vectors")
+      .filter(col("vec_id").isin(7L, 11L))
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        expr("transform(v, x -> x + 0.001D)").as("v"))
+    val out = SimilarityOps.annAgainstIndex(spark, ext, prefix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(1007L, 1011L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (1L to SimilarityOps.PqTopK),
+        s"ranks not dense for $qid: ${rows.toSeq}")
+      val byRk = rows.sortBy(_._5).map(_._4)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b },
+        s"dp6 not non-increasing for $qid: ${byRk.toSeq}")
+    }
+  }
+}
