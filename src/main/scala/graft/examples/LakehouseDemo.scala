@@ -24,7 +24,10 @@ import graft.sources.SnapshotLog
   *      carries every exonerated file by name;
   *   7. CDC: `diff` between two versions is the churn-sized feed;
   *   8. RETENTION: `expireVersions` + `vacuum` finally reclaim the
-  *      renounced history's bytes, with surviving history intact.
+  *      renounced history's bytes, with surviving history intact;
+  *   9. additive schema EVOLUTION (`mergeSchema = true`): a late batch
+  *      brings a new nullable column — zero rewrites, old rows
+  *      null-fill, pre-evolution versions keep their own schema.
   *
   * Usage: runMain graft.examples.LakehouseDemo /tmp/graft_lakehouse
   */
@@ -107,10 +110,30 @@ object LakehouseDemo {
     require(SnapshotLog.read(spark, t).count() == afterDelete)
     require(SnapshotLog.read(spark, t, asOf = Some(before)).count() == 32000L)
 
+    // 9. additive schema EVOLUTION late in the table's life: day 4
+    // arrives carrying a new nullable `src` column — zero rewrites,
+    // every existing row null-fills, and time travel before the
+    // evolution still answers with the 2-column schema
+    val preEvolveV = SnapshotLog.latestVersion(t).get
+    SnapshotLog.commitAppend(spark, t,
+      day(32000L, 8000L).withColumn("src", lit("day4")),
+      mergeSchema = true)
+    val evolved = SnapshotLog.read(spark, t)
+    require(evolved.columns.toSeq == Seq("key", "payload", "src"),
+      s"evolved schema: ${evolved.columns.toSeq}")
+    val nullSrc = evolved.filter(col("src").isNull).count()
+    val day4 = evolved.filter(col("src") === "day4").count()
+    require(nullSrc == afterDelete && day4 == 8000L,
+      s"evolution accounting: $nullSrc null / $day4 day4")
+    require(SnapshotLog.read(spark, t, asOf = Some(preEvolveV))
+      .columns.toSeq == Seq("key", "payload"),
+      "pre-evolution version must keep its own schema")
+
     println(s"LAKEHOUSE: versions=0->${SnapshotLog.latestVersion(t).get} " +
       s"files=$total->$totalOpt pruned_ask=${kept.size}->${keptOpt.size} " +
       s"rows=32000->$afterDelete cdc_deletes=${ops("delete")} " +
-      s"expired=${expired.size} vacuumed=${reclaimed.size}")
+      s"expired=${expired.size} vacuumed=${reclaimed.size} " +
+      s"evolved_cols=2->${evolved.columns.length}")
     spark.stop()
   }
 }

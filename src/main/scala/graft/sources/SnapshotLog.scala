@@ -49,10 +49,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * only ingestion model that exists at 100 TB — with stats carried
   * forward (O(appended files) footer reads per commit) and the
   * manifest-recorded schema ENFORCED on every append (no silent
-  * widening; no schema evolution either — that is a part a real table
-  * format adds, as is manifest compaction). SnapshotLogSpec /
-  * SnapshotStatsSpec pin the reader and writer guarantees this
-  * minimum already provides.
+  * widening; `mergeSchema = true` opts into ADDITIVE evolution — new
+  * nullable columns with zero rewrites, see [[mergeSchemas]]; manifest
+  * compaction stays a non-goal because manifests here are
+  * self-contained, so reading any version is one JSON read, never a
+  * log replay). SnapshotLogSpec / SnapshotStatsSpec /
+  * SnapshotEvolveSpec pin the reader and writer guarantees.
   */
 object SnapshotLog {
 
@@ -467,17 +469,24 @@ object SnapshotLog {
     * the old files' manifest entries are copied verbatim, so the
     * per-commit stats cost is O(appended files), never O(table).
     *
-    * Schema is ENFORCED, not evolved: the appended batch must read
+    * Schema is ENFORCED by default: the appended batch must read
     * back with exactly the table's recorded schema, else the append
     * fails loudly and the orphaned directory waits for vacuum — a
     * silent widening would poison every future reader (the manifest
     * schema claims to describe all files). Pre-schema manifests get a
     * one-time inference over the old files as the enforcement source,
-    * and the append records it going forward. */
-  def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
+    * and the append records it going forward. `mergeSchema = true`
+    * opts into ADDITIVE evolution — new nullable columns appended to
+    * the schema, nullable columns omissible — with zero rewrites of
+    * existing data; [[mergeSchemas]] documents the rules and why
+    * reads, stats pruning, and time travel stay exact through it
+    * (SnapshotEvolveSpec pins each). Time travel is schema travel
+    * too: each version reads with ITS manifest's schema. */
+  def commitAppend(spark: SparkSession, tableDir: String, df: DataFrame,
+      mergeSchema: Boolean = false): Long = {
     val baseV = latestVersion(tableDir)
     if (baseV.isEmpty) return commit(spark, tableDir, df)
-    appendAt(spark, tableDir, df, baseV.get)
+    appendAt(spark, tableDir, df, baseV.get, mergeSchema)
   }
 
   /** [[commitAppend]]'s exactly-once twin — the streaming INGEST sink:
@@ -491,7 +500,7 @@ object SnapshotLog {
     * [[commitIdempotent]] keeps the log gap-free. Returns true iff
     * THIS call published the version. */
   def commitAppendIdempotent(spark: SparkSession, tableDir: String,
-      df: DataFrame, v: Long): Boolean = {
+      df: DataFrame, v: Long, mergeSchema: Boolean = false): Boolean = {
     if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
     val latest = latestVersion(tableDir).getOrElse(-1L)
     // retention listing only on the cold expired-replay path — see
@@ -506,16 +515,65 @@ object SnapshotLog {
       try { commitAt(spark, tableDir, df, v); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
-      try { appendAt(spark, tableDir, df, latest); true }
+      try { appendAt(spark, tableDir, df, latest, mergeSchema); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     }
+  }
+
+  /** Additive schema merge — the ONLY evolution this log supports
+    * (Delta's `mergeSchema` at the same minimum). Validates and merges
+    * the table's recorded schema with an appended batch's:
+    *
+    *  - a column present in BOTH must have the identical DataType —
+    *    type changes/widening never evolve (a reader planning from the
+    *    manifest schema would misread every old file);
+    *  - a column the batch OMITS must be nullable in the table — the
+    *    batch's files physically lack it, and the manifest schema
+    *    claims to describe all files, so its value in those rows is
+    *    null by parquet's missing-column contract;
+    *  - a column the batch ADDS is appended at the END of the schema,
+    *    recorded nullable — every pre-evolution file lacks it and
+    *    reads as null.
+    *
+    * Both directions ride the SAME mechanism that makes this safe with
+    * zero data rewrites: `spark.read.schema(merged).parquet(...)`
+    * matches parquet columns BY NAME and null-fills the missing ones,
+    * so old files never need touching. Stats compose conservatively by
+    * construction — a file with no stats entry for a column is always
+    * kept by [[keepFile]], so pruning on a post-evolution column can
+    * never drop a pre-evolution file. */
+  private[graft] def mergeSchemas(
+      recorded: org.apache.spark.sql.types.StructType,
+      written: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val recByName = recorded.fields.map(f => f.name -> f).toMap
+    written.fields.foreach { bf =>
+      recByName.get(bf.name).foreach { rf =>
+        require(rf.dataType == bf.dataType,
+          s"schema evolution is ADDITIVE only: column '${bf.name}' is " +
+            s"${rf.dataType} in the table but ${bf.dataType} in the " +
+            "batch — type changes never evolve")
+        require(rf.nullable || !bf.nullable,
+          s"column '${bf.name}' is non-nullable in the table but " +
+            "nullable in the batch")
+      }
+    }
+    val batchNames = written.fieldNames.toSet
+    recorded.fields.filterNot(f => batchNames.contains(f.name)).foreach { f =>
+      require(f.nullable,
+        s"batch omits non-nullable column '${f.name}' — its value in " +
+          "the appended rows would be null")
+    }
+    val newFields = written.fields
+      .filterNot(f => recByName.contains(f.name)).map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(recorded.fields ++ newFields)
   }
 
   /** Write `df`'s files and publish `baseV`'s manifest + the new files
     * as version `baseV + 1` (put-if-absent — a concurrent writer
     * surfaces as the usual conflict). */
   private def appendAt(spark: SparkSession, tableDir: String,
-      df: DataFrame, baseV: Long): Long = {
+      df: DataFrame, baseV: Long, mergeSchema: Boolean = false): Long = {
     val v = baseV + 1
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -533,15 +591,24 @@ object SnapshotLog {
     // files; accepting the batch's schema unchecked there would let
     // the new manifest claim a schema the old files don't have
     val recorded = Option(prevManifest.get("schema"))
-      .map(s => org.apache.spark.sql.types.DataType.fromJson(s.asText()))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
       .getOrElse(spark.read.parquet(prevFiles: _*).schema)
-    require(recorded == written,
-      s"append schema mismatch: table has $recorded, batch wrote $written" +
-        " — appends never evolve the schema")
+    val published =
+      if (recorded == written) written
+      else if (mergeSchema) mergeSchemas(recorded, written)
+      else {
+        require(recorded == written,
+          s"append schema mismatch: table has $recorded, batch wrote " +
+            s"$written — pass mergeSchema=true for an ADDITIVE " +
+            "evolution (new nullable columns / omitted nullable " +
+            "columns); anything else never evolves")
+        written // unreachable
+      }
     val newStats = harvestStats(newFiles)
     val carried = carriedStats(prevManifest, prevFiles)
     publish(tableDir, v, prevFiles ++ newFiles, carried ++ newStats,
-      Some(written.json))
+      Some(published.json))
     v
   }
 

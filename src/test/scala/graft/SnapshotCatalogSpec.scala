@@ -67,6 +67,25 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("VERSION AS OF"), e2.getMessage)
   }
 
+  test("an evolved schema is visible through SQL; VERSION AS OF travels the schema too") {
+    registered()
+    val t = s"$root/lake/evolved"
+    import spark.implicits._
+    SnapshotLog.commit(spark, t, Seq((1L, "a")).toDF("key", "payload"))
+    SnapshotLog.commitAppend(spark, t,
+      Seq((2L, "b", 0.5)).toDF("key", "payload", "score"),
+      mergeSchema = true)
+    assert(spark.sql("SELECT * FROM snap.lake.evolved").columns.toSeq ==
+      Seq("key", "payload", "score"))
+    val rows = spark.sql(
+      "SELECT key, score FROM snap.lake.evolved ORDER BY key").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(rows.toSeq == Seq((1L, None), (2L, Some(0.5))))
+    // time travel to v0 is SCHEMA travel: score does not exist there
+    assert(spark.sql("SELECT * FROM snap.lake.evolved VERSION AS OF 0")
+      .columns.toSeq == Seq("key", "payload"))
+  }
+
   test("pushdown and pruning survive the catalog path") {
     registered()
     val df = spark.sql("SELECT key FROM snap.lake.events WHERE key > 120")
