@@ -186,25 +186,33 @@ object Bench {
           // text_trigram_backoff headliner pays the model training in
           // every sample; this pair is the measured train-vs-serve gap)
           graft.ops.TextOps.writeNgramIndex(docs, "graft_bench_retr.ngram")
-          // the ANN serving index, same amortized posture: models +
-          // bucketed codes + bucketed vector store built once outside
-          // the passes, each sample is one 50-query probe (bucket-
-          // pruned code scan + shortlist rerank) — the measured
-          // train-vs-serve gap against the inline ann_ivfpq_topk
-          // headliner, which pays the full training in every sample
-          graft.ops.SimilarityOps.writeAnnIndex(spark, sfDir,
-            "graft_bench_retr.ann")
           nDocs = docs.count()
           true
         } catch { case e: Throwable =>
           System.err.println(s"[bench] retrieval index build: $e"); false
         }
+      // the ANN serving index, same amortized posture: models +
+      // bucketed codes + bucketed vector store built once outside the
+      // passes, each sample is one 50-query probe (bucket-pruned code
+      // scan + shortlist rerank) — the measured train-vs-serve gap
+      // against the inline ann_ivfpq_topk headliner, which pays the
+      // full training in every sample. Own flag: its failure must not
+      // retire the retrieval pair (and vice versa).
+      val annReady =
+        try {
+          spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench_retr")
+          graft.ops.SimilarityOps.writeAnnIndex(spark, sfDir,
+            "graft_bench_retr.ann")
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ann index build: $e"); false
+        }
 
       val names = headline.filter(SparkEntry.queries.contains) ++
         Seq("migrate_seq_100k") ++
         (if (retrievalReady)
-          Seq("retrieval_index_probe", "trigram_index_probe",
-            "ann_index_probe_srv") else Nil)
+          Seq("retrieval_index_probe", "trigram_index_probe") else Nil) ++
+        (if (annReady) Seq("ann_index_probe_srv") else Nil)
 
       def runOnce(name: String): Unit = name match {
         case "migrate_seq_100k" => timeMigrateSeq(spark): Unit

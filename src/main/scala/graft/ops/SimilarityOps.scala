@@ -829,10 +829,16 @@ object SimilarityOps {
     * encoding are one batch job, every subsequent query batch pays
     * only probed-bucket code scans + shortlist-sized vector lookups. */
   def writeAnnIndex(s: SparkSession, dir: String, prefix: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8,
+      m: Int = PqM, subDim: Int = PqSubDim, dims: Int = 64): Unit = {
     import s.implicits._
-    val mu = pqMean(s, dir)
-    val cb = pqTrain(s, dir, mu)
+    // the MRL parameterization (MrlPqM, MrlPqSubDim, MrlDim) persists
+    // the triple composition through the same tables: coarse cells
+    // stay FULL-width (geometry pays no truncation tax), codes cover
+    // the truncated prefix; the probe derives every width from the
+    // model itself, so it needs no flag
+    val mu = pqMean(s, dir).take(dims)
+    val cb = pqTrain(s, dir, mu, m, subDim)
     val cents = kmeansTrain(s, dir)
     val modelRows: Seq[(String, Int, Long, Seq[Double])] =
       Seq(("mean", 0, 0L, mu)) ++
@@ -843,9 +849,15 @@ object SimilarityOps {
       .coalesce(1).write.mode("overwrite").saveAsTable(s"${prefix}_model")
     val raw = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    raw
+    // centering zips against the (possibly truncated) mean — the
+    // source must be sliced to its width first (zip_with null-pads
+    // mismatched lengths, the silent poison pqTrain documents)
+    val centered =
+      if (dims == 64) raw.withColumn("vc", expr(centerExpr(mu)))
+      else raw.withColumn("tv", expr(s"slice(v, 1, $dims)"))
+        .withColumn("vc", expr(centerExpr(mu, "tv")))
+    centered
       .withColumn("cell", expr(kmeansAssignExpr(s, cents) + ".k"))
-      .withColumn("vc", expr(centerExpr(mu)))
       .withColumn("codes", expr(pqEncodeExpr(s, cb, "vc")))
       .select(col("vec_id"), col("cell"), col("codes"))
       .write.mode("overwrite")

@@ -47,6 +47,25 @@ class AnnIndexSpec extends SparkSpec {
     assert(probed.nonEmpty)
   }
 
+  test("the MRL parameterization persists the triple composition through the same tables") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS annidx")
+    SimilarityOps.writeAnnIndex(spark, dir, "annidx.mrl",
+      m = SimilarityOps.MrlPqM, subDim = SimilarityOps.MrlPqSubDim,
+      dims = SimilarityOps.MrlDim)
+    val inline = SimilarityOps.annMrlIvfPqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    val queries = spark.table("annidx.mrl_vectors")
+      .filter(col("vec_id") < SimilarityOps.PqQueryCount)
+      .select("vec_id", "v")
+    val probed = SimilarityOps.annAgainstIndex(spark, queries, "annidx.mrl")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(probed == inline)
+    assert(probed.nonEmpty)
+  }
+
   test("reloaded model is bit-identical to the trained model") {
     index
     val mu = SimilarityOps.pqMean(spark, dir)

@@ -124,6 +124,19 @@ class SnapshotEvolveSpec extends SparkSpec {
     assert(rows == Set((1L, "a")))
   }
 
+  test("optimize after evolution rewrites to the merged schema, nulls preserved") {
+    val t = freshDir("evolve_opt")
+    SnapshotLog.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("key", "payload"))
+    SnapshotLog.commitAppend(spark, t,
+      Seq((3L, "c", 0.5)).toDF("key", "payload", "score"), mergeSchema = true)
+    SnapshotLog.optimize(spark, t, targetRecordsPerFile = 10L,
+      clusterBy = Seq("key"))
+    val rows = SnapshotLog.read(spark, t).collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+  }
+
   test("streaming source keeps its pinned schema through a mid-stream evolution") {
     val t = freshDir("evolve_stream")
     SnapshotLog.commit(spark, t, Seq((1L, "a")).toDF("key", "payload"))
