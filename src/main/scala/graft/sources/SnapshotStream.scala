@@ -42,16 +42,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * by [[SnapshotLog.expireVersions]] fail loudly too — a consumer
   * lagging past retention must not silently skip history.
   *
-  * Reading the manifest's parquet as rows goes through Spark's OWN
-  * parquet reader machinery ([[Bridge.parquetFileRows]] — the
-  * function FileSourceScanExec itself ships to executors), so the
-  * vectorized reader, nested types, and every encoding quirk behave
-  * exactly as a batch scan of the same files; this source adds offset
-  * bookkeeping, not a second parquet reader. Options: `tableDir`
-  * (required), `startVersion` (default 0), `ignoreChanges` (default
-  * false). Schema is the manifest-recorded one at stream start
-  * (appends cannot change it — [[SnapshotLog.commitAppend]] enforces
-  * that).
+  * Reading the manifest's parquet goes through Spark's OWN parquet
+  * reader machinery — COLUMNAR when Spark's `supportBatch` admits the
+  * schema ([[Bridge.parquetFileBatches]]; the plan carries
+  * `ColumnarToRow ← MicroBatchScan`, and the round-12 A/B measured
+  * the vectorized path at 2.1× the row path's stream throughput —
+  * SCALING.md), rows otherwise ([[Bridge.parquetFileRows]] — the
+  * function FileSourceScanExec itself ships to executors). Either
+  * way nested types and every encoding quirk behave exactly as a
+  * batch scan of the same files; this source adds offset bookkeeping,
+  * not a second parquet reader. Options: `tableDir` (required),
+  * `startVersion` (default 0), `ignoreChanges` (default false),
+  * `columnar` (default true — `false` is the measurement escape
+  * hatch, not a tuning knob). Schema is the manifest-recorded one at
+  * stream start (appends cannot change it without `mergeSchema`, and
+  * an evolved version streams through the PINNED schema — new
+  * columns need a stream restart, the Delta decision).
   */
 class SnapshotStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-snaplog"
@@ -87,7 +93,8 @@ private class SnapshotStreamTable(schema: StructType,
         new SnapshotLogMicroBatchStream(
           options.get("tableDir"), schema,
           options.getLong("startVersion", 0L),
-          options.getBoolean("ignoreChanges", false))
+          options.getBoolean("ignoreChanges", false),
+          options.getBoolean("columnar", true))
       override def description(): String = name()
     }
 }
@@ -98,7 +105,8 @@ private class VersionOffset(val v: Long) extends Offset {
 }
 
 private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
-    startVersion: Long, ignoreChanges: Boolean) extends MicroBatchStream {
+    startVersion: Long, ignoreChanges: Boolean,
+    columnar: Boolean = true) extends MicroBatchStream {
 
   override def initialOffset(): Offset = new VersionOffset(startVersion - 1)
 
@@ -129,7 +137,12 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotFileReaderFactory(Bridge.parquetFileRows(SparkSession.active, schema))
+    SnapshotFileReaderFactory(
+      Bridge.parquetFileRows(SparkSession.active, schema),
+      // `columnar=false` is the measurement escape hatch (the
+      // SnapStreamBench row-vs-columnar A/B), not a tuning knob
+      if (columnar) Bridge.parquetFileBatches(SparkSession.active, schema)
+      else None)
 
   override def deserializeOffset(json: String): Offset =
     new VersionOffset(json.toLong)
@@ -140,8 +153,21 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
 
 private case class SnapshotFilePartition(path: String) extends InputPartition
 
+/** Serves each manifest file vectorized when Spark's own
+  * `supportBatch` predicate admits the schema (`readBatches` is Some —
+  * the same decision a batch scan of these files would make), else row
+  * by row. The round-10 SnapStreamBench measured the row path at
+  * 1.98× a batch scan; the columnar path closes exactly that gap
+  * (re-measured in SCALING.md round 12). */
 private case class SnapshotFileReaderFactory(
-    readFile: String => Iterator[InternalRow]) extends PartitionReaderFactory {
+    readFile: String => Iterator[InternalRow],
+    readBatches: Option[String => Iterator[
+      org.apache.spark.sql.vectorized.ColumnarBatch]])
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    readBatches.isDefined
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val it = readFile(p.asInstanceOf[SnapshotFilePartition].path)
     new PartitionReader[InternalRow] {
@@ -149,6 +175,18 @@ private case class SnapshotFileReaderFactory(
       override def next(): Boolean =
         if (it.hasNext) { row = it.next(); true } else false
       override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val it = readBatches.get(p.asInstanceOf[SnapshotFilePartition].path)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { batch = it.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
       override def close(): Unit = ()
     }
   }

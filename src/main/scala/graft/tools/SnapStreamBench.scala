@@ -16,13 +16,16 @@ import graft.sources.SnapshotLog
   * counting rows in foreachBatch, and (b) batch-reads the same table
   * once — the floor. The honest number is the ratio.
   *
-  * Usage: SnapStreamBench [batchRows] [batches] (defaults 2000000 4)
+  * Usage: SnapStreamBench [batchRows] [batches] [columnar]
+  *   (defaults 2000000 4 true — `false` forces the row-path reader,
+  *    the round-12 A/B that re-attributed the stream-vs-batch gap)
   */
 object SnapStreamBench {
 
   def main(args: Array[String]): Unit = {
     val batchRows = args.headOption.map(_.toLong).getOrElse(2000000L)
     val batches = args.lift(1).map(_.toInt).getOrElse(4)
+    val columnar = args.lift(2).map(_.toBoolean).getOrElse(true)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,7 +57,7 @@ object SnapStreamBench {
       val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
       val t1 = System.nanoTime()
       val q = spark.readStream.format("graft-snaplog")
-        .option("tableDir", t).load()
+        .option("tableDir", t).option("columnar", columnar.toString).load()
         .writeStream.foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val r = b.agg(count(lit(1)), sum(length(col("payload")))).head()
@@ -78,7 +81,7 @@ object SnapStreamBench {
       bs += bSec; ss += sSec
     }
     def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"study":"snapstream","rows":$total,"batches":$batches,""" +
+    println(s"""{"study":"snapstream","rows":$total,"batches":$batches,"columnar":$columnar,""" +
       s""""batch_scan_secs":[${bs.map(fm).mkString(",")}],""" +
       s""""stream_secs":[${ss.map(fm).mkString(",")}],""" +
       s""""ratio_of_mins":${fm(ss.min / bs.min)},""" +

@@ -142,4 +142,23 @@ class SnapshotStreamSpec extends SparkSpec {
       assert(keys.length == 120 && keys.toSeq == (0L until 120L))
     } finally q2.stop()
   }
+
+  test("the columnar path ENGAGES for a flat schema (not a silent row fallback)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val t = s"$scratch/snapstream_columnar"
+    SnapshotLog.commit(spark, t, spark.range(1000).select(
+      col("id").as("key"), md5(col("id").cast("string")).as("payload")))
+    val table = SnapshotLog.read(spark, t)
+    val files = table.inputFiles.toSeq
+      .map(f => new java.net.URI(f).getPath)
+    val schema = table.schema
+    // the eligibility predicate is Spark's own supportBatch — a flat
+    // long/string schema MUST vectorize, else every stream of this
+    // table silently pays the measured 1.98x row-path tax
+    val fn = Bridge.parquetFileBatches(spark, schema)
+    assert(fn.isDefined, "flat schema must take the columnar path")
+    // and the returned batches carry exactly the committed rows
+    val total = files.map(f => fn.get(f).map(_.numRows()).sum).sum
+    assert(total == 1000L, s"columnar batches carried $total rows")
+  }
 }
