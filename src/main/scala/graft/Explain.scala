@@ -19,7 +19,19 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (n <- args) {
       println(s"########## $n")
-      val df = SparkEntry.queries(n)(spark, dir)
+      // the SERVE half of the persisted ANN index: the gate entry
+      // localizes its result (its plan is a LocalRelation), so the
+      // audit dump builds the index and explains the probe itself
+      val df = if (n == "ann_index_probe_srv") {
+        spark.sql("CREATE DATABASE IF NOT EXISTS graft_explain")
+        graft.ops.SimilarityOps.writeAnnIndex(spark, dir, "graft_explain.ann")
+        graft.ops.SimilarityOps.annAgainstIndex(spark,
+          spark.table("graft_explain.ann_vectors")
+            .filter(org.apache.spark.sql.functions.col("vec_id") <
+              graft.ops.SimilarityOps.PqQueryCount)
+            .select("vec_id", "v"),
+          "graft_explain.ann")
+      } else SparkEntry.queries(n)(spark, dir)
       df.collect() // finalize AQE so the real joins/exchanges are shown
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

@@ -50,6 +50,9 @@ class CodegenGateSpec extends SparkSpec {
       // null-safe comparison chain, the quantile screen)
       "dedup_ngram_jaccard", "ann_bruteforce_topk", "ann_mrl_topk",
       "ann_mrl_ivfpq_topk", "cdc_table_diff",
+      // round 12: the persisted-index serve path (model reload +
+      // rendered literal folds + bucket-pruned ADC) under CODEGEN_ONLY
+      "ann_index_probe",
       "quantile_select_exact", "quantile_select_plateau",
       "quantile_select_by_lang",
       "corpus_mix_temperature", "bpe_merges", "bpe_segment")).distinct
