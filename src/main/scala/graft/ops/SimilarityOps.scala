@@ -908,6 +908,48 @@ object SimilarityOps {
     ivfPqProbe(s, probed, q, qv, s.table(s"${prefix}_vectors"), cb.length)
   }
 
+  /** Day-2 index maintenance: append a batch of NEW vectors to a
+    * persisted [[writeAnnIndex]] index WITHOUT retraining — encode
+    * with the reloaded (frozen) models exactly as the ingest stream
+    * twin does ([[embeddingPqCodesStreamTwin]]'s stale-model class:
+    * the mean, codebooks, and coarse cells are yesterday's; new
+    * vectors quantize against them, which is the documented serving
+    * practice — periodic re-train = a fresh [[writeAnnIndex]]). The
+    * appended rows land through `mode("append")` writes that Spark
+    * validates against the EXISTING bucket spec, so the cell-bucketed
+    * codes table and the id-bucketed vector store keep their layout
+    * and every existing probe plan (bucket pruning included) serves
+    * the grown index unchanged — O(batch) work, the only maintenance
+    * model at 100 TB. NOT idempotent: a streaming foreachBatch writer
+    * must screen replays itself (anti-join arriving ids against the
+    * vector store) — exactly-once table state is the snapshot log's
+    * domain, not a catalog table's. AnnIndexSpec pins: appended
+    * vectors are retrievable (a probe serves them from their
+    * model-assigned cell), the models are untouched, and the appended
+    * codes equal what the frozen model assigns (an exact duplicate
+    * carries its source's (cell, codes) verbatim). */
+  def appendToAnnIndex(s: SparkSession, newVectors: DataFrame,
+      prefix: String, buckets: Int = 8): Unit = {
+    // a mismatched bucket count fails loudly at write time (Spark
+    // validates appends against the existing table's bucket spec)
+    val (mu, cb, cents) = readAnnModel(s, prefix)
+    val dims = mu.length
+    val centered =
+      if (dims == 64) newVectors.withColumn("vc", expr(centerExpr(mu)))
+      else newVectors.withColumn("tv", expr(s"slice(v, 1, $dims)"))
+        .withColumn("vc", expr(centerExpr(mu, "tv")))
+    centered
+      .withColumn("cell", expr(kmeansAssignExpr(s, cents) + ".k"))
+      .withColumn("codes", expr(pqEncodeExpr(s, cb, "vc")))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .write.mode("append")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(s"${prefix}_codes")
+    newVectors.select("vec_id", "v").write.mode("append")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(s"${prefix}_vectors")
+  }
+
   /** The persisted-index ANN serving topology surfaced into the
     * CORRECTNESS gate — build the index tables in a scratch database,
     * probe them through [[annAgainstIndex]] with the standard 50-query

@@ -102,6 +102,49 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("day-2 append: new vectors join the index without retraining and are retrievable") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS annidx")
+    SimilarityOps.writeAnnIndex(spark, dir, "annidx.grow")
+    val before = spark.table("annidx.grow_codes").count()
+    // the frozen models BEFORE the append — the append must not touch them
+    val modelBefore = SimilarityOps.readAnnModel(spark, "annidx.grow")
+    // new arrivals: near-twins of two corpus vectors, ids the corpus
+    // never saw — their model-assigned cell equals their source's
+    val newV = spark.table("annidx.grow_vectors")
+      .filter(col("vec_id").isin(3L, 5L))
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(v, x -> x)").as("v"))
+    SimilarityOps.appendToAnnIndex(spark, newV, "annidx.grow")
+    assert(spark.table("annidx.grow_codes").count() == before + 2)
+    assert(SimilarityOps.readAnnModel(spark, "annidx.grow") == modelBefore)
+    // the appended codes equal what the frozen model assigns: an exact
+    // duplicate must carry its source's (cell, codes) row verbatim
+    val codes = spark.table("annidx.grow_codes")
+      .filter(col("vec_id").isin(3L, 5L, 100003L, 100005L))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(codes(100003L) == codes(3L) && codes(100005L) == codes(5L))
+    // and a probe SERVES the grown index through the same plan: the
+    // query batch is the two appended ids themselves — each must come
+    // back with a full dense top-k drawn from its model-assigned cell
+    // (rows that could only be reached if the appended codes landed in
+    // the right bucket)
+    val res = SimilarityOps.annAgainstIndex(spark,
+      spark.table("annidx.grow_vectors")
+        .filter(col("vec_id").isin(100003L, 100005L)).select("vec_id", "v"),
+      "annidx.grow").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val byQ = res.groupBy(_._1)
+    assert(byQ.keySet == Set(100003L, 100005L))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to SimilarityOps.PqTopK))
+      // the duplicate's nearest neighbor IS its source vector's cell:
+      // every returned bucket equals the source's recorded cell
+      val srcCell = codes(qid - 100000L)._1
+      assert(rows.forall(_._3 == srcCell), s"$qid served outside $srcCell: ${rows.toSeq}")
+    }
+  }
+
   test("an external query batch (non-corpus ids) serves end-to-end") {
     index
     // perturb two corpus vectors, give them ids the corpus never saw:
