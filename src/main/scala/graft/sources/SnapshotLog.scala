@@ -566,6 +566,17 @@ object SnapshotLog {
     }
     val newFields = written.fields
       .filterNot(f => recByName.contains(f.name)).map(_.copy(nullable = true))
+    // a case-variant of an existing column ("Score" beside "score")
+    // would pass the by-name checks as "new", and the poisoned
+    // manifest schema only fails much later at read time under
+    // Spark's case-insensitive resolution — refuse it here, loudly
+    val recLower = recorded.fieldNames.map(_.toLowerCase).toSet
+    newFields.filter(f => recLower.contains(f.name.toLowerCase)).foreach { f =>
+      throw new IllegalArgumentException(
+        s"column '${f.name}' differs only by case from an existing " +
+          "column — rename the batch column; case-variant duplicates " +
+          "are unreadable under case-insensitive resolution")
+    }
     org.apache.spark.sql.types.StructType(recorded.fields ++ newFields)
   }
 

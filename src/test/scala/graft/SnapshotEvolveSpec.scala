@@ -86,6 +86,13 @@ class SnapshotEvolveSpec extends SparkSpec {
       SnapshotLog.commitAppend(spark, t, retyped, mergeSchema = true)
     }
     assert(e2.getMessage.contains("ADDITIVE"))
+    // a case-variant of an existing column must refuse at evolve time,
+    // not poison the manifest for a later read
+    val cased = Seq((3L, "x")).toDF("key", "Payload")
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotLog.commitAppend(spark, t, cased, mergeSchema = true)
+    }
+    assert(e3.getMessage.contains("case"), e3.getMessage)
   }
 
   test("stats pruning on a post-evolution column keeps every pre-evolution file") {
