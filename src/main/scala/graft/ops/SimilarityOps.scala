@@ -973,6 +973,41 @@ object SimilarityOps {
     } finally s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  private[graft] val GrowDupCount = 10L
+  private[graft] val GrowIdShift = 10000L
+
+  /** [[annIndexProbe]] grown through [[appendToAnnIndex]] — the day-2
+    * maintenance path surfaced into the CORRECTNESS gate: build the
+    * index, append duplicates of the [[GrowDupCount]] lowest vectors
+    * under shifted ids (new arrivals whose content the corpus has seen
+    * — the one append whose frozen-model encoding the ORACLE can state
+    * exactly: a duplicate provably carries its source's (cell, codes)
+    * row, so DuckDB grows its index CTEs by selecting the originals'
+    * rows with shifted ids), probe with the standard 50 queries, and
+    * hash-match the grown top-k. For a query whose own duplicate now
+    * exists, the duplicate enters the candidate set (it is not the
+    * query's id — the self-exclusion passes) with the full self-dot
+    * score — both engines rank it identically. */
+  val annIndexGrowProbe: Q = (s, dir) => {
+    val db = "graft_anng_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    s.sql(s"CREATE DATABASE $db")
+    try {
+      writeAnnIndex(s, dir, s"$db.ann")
+      val dups = s.table(s"$db.ann_vectors")
+        .filter(col("vec_id") < GrowDupCount)
+        .select((col("vec_id") + GrowIdShift).as("vec_id"), col("v"))
+      appendToAnnIndex(s, dups, s"$db.ann")
+      val queries = s.table(s"$db.ann_vectors")
+        .filter(col("vec_id") < PqQueryCount).select("vec_id", "v")
+      val rows = annAgainstIndex(s, queries, s"$db.ann").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4)))
+      import s.implicits._
+      rows.toDF("qid", "nid", "bucket", "dp6", "rk")
+    } finally s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "embedding_kmeans" -> embeddingKmeans,
     "embedding_kmeans_stream_twin" -> embeddingKmeansStreamTwin,
@@ -991,6 +1026,7 @@ object SimilarityOps {
     "ann_pq_rerank" -> annPqRerank,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_index_probe" -> annIndexProbe,
+    "ann_index_grow_probe" -> annIndexGrowProbe,
     "ann_mrl_pq_topk" -> annMrlPqTopk,
     "ann_mrl_ivfpq_topk" -> annMrlIvfPqTopk,
     "embedding_stats" -> embeddingStats,
@@ -1192,6 +1228,59 @@ object SimilarityOps {
           FROM rer) WHERE rk <= $PqTopK"""
   }
 
+  /** [[ivfPqOracle]] grown by the [[annIndexGrowProbe]] append: the
+    * duplicate of vector i carries EXACTLY i's (cell, codes, v) — the
+    * frozen-model encoding of identical content is identical (the gate
+    * theorem AnnIndexSpec pins row-for-row) — so DuckDB's index CTEs
+    * grow by re-selecting the originals' rows under shifted ids; the
+    * query side stays the original 50. Everything downstream (ADC,
+    * shortlist, rerank, final window) is the base oracle verbatim. */
+  private def ivfPqGrownOracle(m: Int = PqM): String = {
+    val adcChain = (1 to m)
+      .map(mm => s"l.lut[$mm][CAST(g.codes[$mm] AS INT) + 1]").mkString(" + ")
+    s"""$kmeansAssignedCteSql,
+        ${pqCteChain("p")},
+        psubq AS (SELECT vec_id, m,
+            list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
+          FROM pe0, unnest(generate_series(0, ${m - 1})) u(m)
+          WHERE vec_id < $PqQueryCount),
+        plutm AS (SELECT q.vec_id AS qid, q.m,
+            list(round(list_dot_product(q.sv, c.c), 6) ORDER BY c.k) AS dpk
+          FROM psubq q JOIN pcb2 c ON q.m = c.m
+          GROUP BY q.vec_id, q.m),
+        plut AS (SELECT qid, list(dpk ORDER BY m) AS lut FROM plutm GROUP BY qid),
+        qcell AS (SELECT vec_id AS qid, cluster AS qc FROM a3
+                  WHERE vec_id < $PqQueryCount),
+        gidx AS (SELECT a.vec_id, a.cluster, c.codes
+            FROM a3 a JOIN pcodes c ON c.vec_id = a.vec_id
+          UNION ALL
+          SELECT a.vec_id + $GrowIdShift, a.cluster, c.codes
+            FROM a3 a JOIN pcodes c ON c.vec_id = a.vec_id
+            WHERE a.vec_id < $GrowDupCount),
+        gpe0 AS (SELECT vec_id, v FROM pe0
+          UNION ALL
+          SELECT vec_id + $GrowIdShift, v FROM pe0
+            WHERE vec_id < $GrowDupCount),
+        adc AS (SELECT l.qid, g.vec_id AS nid, g.cluster AS bucket,
+            round($adcChain, 6) AS adc6
+          FROM plut l
+          JOIN qcell q ON q.qid = l.qid
+          JOIN gidx g ON g.cluster = q.qc AND g.vec_id <> l.qid),
+        shortlist AS (SELECT qid, nid, bucket FROM (
+            SELECT qid, nid, bucket,
+              row_number() OVER (PARTITION BY qid ORDER BY adc6 DESC, nid) AS srk
+            FROM adc) WHERE srk <= $PqShortlist),
+        rer AS (SELECT s.qid, s.nid, s.bucket,
+            round(list_dot_product(q.v, c.v), 6) AS dp6
+          FROM shortlist s
+          JOIN pe0 q ON q.vec_id = s.qid
+          JOIN gpe0 c ON c.vec_id = s.nid)
+        SELECT qid, nid, bucket, dp6, rk FROM (
+          SELECT qid, nid, bucket, dp6,
+            row_number() OVER (PARTITION BY qid ORDER BY dp6 DESC, nid) AS rk
+          FROM rer) WHERE rk <= $PqTopK"""
+  }
+
   val oracles: Seq[(String, String)] = Seq(
     "embedding_kmeans" -> kmeansOracleSql,
     // the stream twin shares the batch oracle verbatim — the scoring
@@ -1379,6 +1468,7 @@ object SimilarityOps {
     // verbatim — the probe is the same ivfPqProbe plan over reloaded
     // (bit-identical) models, so train == serve is a gate theorem
     "ann_index_probe" -> ivfPqOracle(),
+    "ann_index_grow_probe" -> ivfPqGrownOracle(),
     "ann_mrl_pq_topk" -> pqRerankOracle(MrlPqM, MrlPqSubDim, MrlDim),
     "ann_mrl_ivfpq_topk" -> ivfPqOracle(MrlPqM, MrlPqSubDim, MrlDim),
     "embedding_stats" ->
