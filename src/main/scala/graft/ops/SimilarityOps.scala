@@ -724,10 +724,16 @@ object SimilarityOps {
     * `qv`: (qid, qv raw vector); `vecs`: (vec_id, v raw vector);
     * `m`: subspace count (the codes/lut width). */
   private[graft] def ivfPqProbe(s: SparkSession, index: DataFrame,
-      q: DataFrame, qv: DataFrame, vecs: DataFrame, m: Int): DataFrame = {
+      q: DataFrame, qv: DataFrame, vecs: DataFrame, m: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val adcChain = (0 until m)
       .map(mm => s"lut[$mm][CAST(codes[$mm] AS INT)]").mkString(" + ")
-    val adc = index.as("c").join(broadcast(q),
+    // broadcastQueries=false is the LARGE-batch serving shape: the
+    // cell join becomes a shuffle join where only the query side
+    // exchanges — the codes table, bucketed on cell, is read in place
+    // (AnnIndexSpec pins zero index-side Exchange)
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val adc = index.as("c").join(qSide,
         col("qcell") === col("c.cell") && col("qid") =!= col("c.vec_id"))
       .select(col("qid"), col("c.vec_id").as("nid"), col("c.cell").as("bucket"),
         expr(s"round($adcChain, 6)").as("adc6"))
@@ -736,7 +742,7 @@ object SimilarityOps {
       .filter(col("srk") <= PqShortlist).select("qid", "nid", "bucket")
     val reranked = shortlist
       .join(vecs.select(col("vec_id").as("nid"), col("v").as("cv")), "nid")
-      .join(broadcast(qv), "qid")
+      .join(if (broadcastQueries) broadcast(qv) else qv, "qid")
       .select(col("qid"), col("nid"), col("bucket"),
         round(expr(dotSql(s, "qv", "cv")), 6).as("dp6"))
     val w = Window.partitionBy("qid").orderBy(col("dp6").desc, col("nid"))
@@ -893,9 +899,19 @@ object SimilarityOps {
     * over the query batch, the centroid-collect class), and the
     * explicit `cell IN (...)` restriction lets the bucketed codes scan
     * skip every unprobed bucket — at 100 TB the probe reads the probed
-    * cells' code buckets, nothing else. */
+    * cells' code buckets, nothing else.
+    *
+    * `broadcastQueries` picks the serving shape for the BATCH SIZE:
+    * true (default) broadcasts the query side — right for the
+    * interactive tens-to-thousands regime; false is the OFFLINE
+    * million-query regime (kNN-graph builds, corpus-vs-corpus
+    * retrieval), where the cell join runs as a shuffle join in which
+    * only the QUERY side exchanges — the codes table, bucketed on
+    * cell, and the vector store, bucketed on vec_id, are both read in
+    * place with zero index-side Exchange (AnnIndexSpec pins the plan
+    * and row-identical results across both shapes). */
   def annAgainstIndex(s: SparkSession, queries: DataFrame,
-      prefix: String): DataFrame = {
+      prefix: String, broadcastQueries: Boolean = true): DataFrame = {
     val (mu, cb, cents) = readAnnModel(s, prefix)
     val q = queries
       .withColumn("qcell", expr(kmeansAssignExpr(s, cents) + ".k"))
@@ -905,7 +921,8 @@ object SimilarityOps {
     val probed = s.table(s"${prefix}_codes")
       .filter(col("cell").isin(qcells: _*))
     val qv = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
-    ivfPqProbe(s, probed, q, qv, s.table(s"${prefix}_vectors"), cb.length)
+    ivfPqProbe(s, probed, q, qv, s.table(s"${prefix}_vectors"), cb.length,
+      broadcastQueries)
   }
 
   /** Day-2 index maintenance: append a batch of NEW vectors to a

@@ -102,6 +102,57 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("large-batch serving shape: identical results, zero index-side exchange") {
+    index
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the query batch as a LOCAL frame (new arrivals, not an index
+      // scan) — also keeps the index-scan plan assertions unambiguous
+      val qRows = spark.table(s"${prefix}_vectors")
+        .filter(col("vec_id") < SimilarityOps.PqQueryCount)
+        .select("vec_id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      import spark.implicits._
+      val queries = qRows.toSeq.toDF("vec_id", "v")
+      val shuffled = SimilarityOps.annAgainstIndex(spark, queries, prefix,
+        broadcastQueries = false)
+      val viaShuffle = shuffled.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+      val viaBroadcast = SimilarityOps.annAgainstIndex(spark, queries, prefix)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+      assert(viaShuffle == viaBroadcast)
+      // every Exchange in the plan moves QUERY-derived or output-sized
+      // data; the bucketed codes table and vector store are read IN
+      // PLACE — no Exchange sits between an index scan and the join
+      // that consumes it (an exchange above a join moves the join's
+      // shortlist-sized output, which is fine)
+      val plan = shuffled.queryExecution.executedPlan
+      val offending = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter { e =>
+          val hasJoinBelow = e.child.collectFirst {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }.isDefined
+          val sub = e.child.toString
+          !hasJoinBelow && (sub.contains("ann_codes") || sub.contains("ann_vectors"))
+        }
+      assert(offending.isEmpty,
+        s"index-side exchange found:\n${offending.map(_.treeString).mkString}")
+      // and both index scans DO appear below some join with no
+      // exchange in between (the claim is exchange-free scans, not
+      // absent scans)
+      val scans = plan.toString
+      assert(scans.contains("ann_codes") && scans.contains("ann_vectors"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("day-2 append: new vectors join the index without retraining and are retrievable") {
     spark.sql("CREATE DATABASE IF NOT EXISTS annidx")
     SimilarityOps.writeAnnIndex(spark, dir, "annidx.grow")
