@@ -73,6 +73,20 @@ object AnnIndexBench {
       val build = time(graft.ops.SimilarityOps.writeAnnIndex(spark, dir, prefix))
       def queries(k: Long) = spark.table(s"${prefix}_vectors")
         .filter(col("vec_id") < k).select("vec_id", "v")
+      // the offline regime: a 1k-query batch (new arrivals under
+      // shifted ids) probed in BOTH serving shapes — broadcast (the
+      // interactive default, ships every LUT to every codes task) vs
+      // shuffle (only the query side exchanges; the bucketed index
+      // reads in place) — the measured A/B behind the
+      // broadcastQueries knob. Skipped above 1M corpus rows: with
+      // this fixture's K=8 cells the ADC term is
+      // |corpus|·|batch|/K pairs (~1.25B at 10M×1k), a cost a
+      // production cell count (thousands) keeps bounded — the
+      // fixture would measure K-starvation, not the join shape.
+      val bigQOk = n <= 1000000L
+      val bigQ = spark.table(s"${prefix}_vectors")
+        .filter(col("vec_id") < 1000L)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("v"))
       val samples = mutable.Map[String, mutable.ArrayBuffer[Double]]()
       for (_ <- 1 to reps) { // pass-interleaved: one contention window
         // costs at most one sample per flavor
@@ -80,6 +94,13 @@ object AnnIndexBench {
           time(noop(graft.ops.SimilarityOps.annAgainstIndex(spark, queries(50L), prefix)))
         samples.getOrElseUpdate("probe2", mutable.ArrayBuffer.empty) +=
           time(noop(graft.ops.SimilarityOps.annAgainstIndex(spark, queries(2L), prefix)))
+        if (bigQOk) {
+          samples.getOrElseUpdate("probe1k_bc", mutable.ArrayBuffer.empty) +=
+            time(noop(graft.ops.SimilarityOps.annAgainstIndex(spark, bigQ, prefix)))
+          samples.getOrElseUpdate("probe1k_sh", mutable.ArrayBuffer.empty) +=
+            time(noop(graft.ops.SimilarityOps.annAgainstIndex(spark, bigQ, prefix,
+              broadcastQueries = false)))
+        }
         samples.getOrElseUpdate("inline", mutable.ArrayBuffer.empty) +=
           time(noop(graft.ops.SimilarityOps.annIvfPqTopk(spark, dir)))
         spark.catalog.clearCache()
@@ -90,10 +111,18 @@ object AnnIndexBench {
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
       }
       def all(k: String): String = samples(k).map(fm).mkString("[", ",", "]")
+      val big = if (bigQOk)
+        s"probe1k_bc=${fm(med("probe1k_bc"))} probe1k_sh=${fm(med("probe1k_sh"))} "
+      else ""
+      val bigS = if (bigQOk)
+        s"probe1k_bc=${all("probe1k_bc")} probe1k_sh=${all("probe1k_sh")} "
+      else ""
       println(s"ANNIDX: n=$n build=${fm(build)} " +
         s"probe50=${fm(med("probe50"))} probe2=${fm(med("probe2"))} " +
+        big +
         s"inline=${fm(med("inline"))} " +
         s"samples probe50=${all("probe50")} probe2=${all("probe2")} " +
+        bigS +
         s"inline=${all("inline")}")
     }
     spark.stop()
