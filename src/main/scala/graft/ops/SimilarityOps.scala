@@ -938,9 +938,10 @@ object SimilarityOps {
     * and every existing probe plan (bucket pruning included) serves
     * the grown index unchanged — O(batch) work, the only maintenance
     * model at 100 TB. NOT idempotent: a streaming foreachBatch writer
-    * must screen replays itself (anti-join arriving ids against the
-    * vector store) — exactly-once table state is the snapshot log's
-    * domain, not a catalog table's. AnnIndexSpec pins: appended
+    * wants [[appendToAnnIndexScreened]], which ships the replay
+    * screen (anti-join arriving ids against the vector store) —
+    * transactional exactly-once is the snapshot log's domain, not a
+    * catalog table's. AnnIndexSpec pins: appended
     * vectors are retrievable (a probe serves them from their
     * model-assigned cell), the models are untouched, and the appended
     * codes equal what the frozen model assigns (an exact duplicate
@@ -965,6 +966,30 @@ object SimilarityOps {
     newVectors.select("vec_id", "v").write.mode("append")
       .bucketBy(buckets, "vec_id").sortBy("vec_id")
       .saveAsTable(s"${prefix}_vectors")
+  }
+
+  /** [[appendToAnnIndex]] made replay-safe for a streaming
+    * `foreachBatch` ingest: arriving ids are screened against the
+    * vector store (one left-anti join — the screen
+    * [[appendToAnnIndex]]'s contract tells callers to write, shipped
+    * so they cannot get it wrong) and only genuinely-new vectors
+    * append. An at-least-once replayed micro-batch re-appends
+    * NOTHING — exactly-once table state by id-idempotence, under the
+    * same single-writer assumption every foreachBatch sink already
+    * makes (two concurrent writers could both pass the screen; a
+    * transactional append is the snapshot log's domain). Returns the
+    * number of vectors actually appended. */
+  def appendToAnnIndexScreened(s: SparkSession, newVectors: DataFrame,
+      prefix: String, buckets: Int = 8): Long = {
+    val fresh = newVectors.join(
+      s.table(s"${prefix}_vectors").select("vec_id"),
+      Seq("vec_id"), "left_anti")
+      .persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) appendToAnnIndex(s, fresh, prefix, buckets)
+      n
+    } finally { fresh.unpersist(); () }
   }
 
   /** The persisted-index ANN serving topology surfaced into the

@@ -196,6 +196,28 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("screened ingest: a replayed micro-batch re-appends nothing") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS annidx")
+    SimilarityOps.writeAnnIndex(spark, dir, "annidx.ingest")
+    val batch = spark.table("annidx.ingest_vectors")
+      .filter(col("vec_id") < 4L)
+      .select((col("vec_id") + 70000L).as("vec_id"), col("v"))
+    // first delivery appends all 4; the at-least-once replay (same
+    // batch again — the foreachBatch contract) appends ZERO
+    assert(SimilarityOps.appendToAnnIndexScreened(spark, batch, "annidx.ingest") == 4L)
+    val afterFirst = spark.table("annidx.ingest_codes").count()
+    assert(SimilarityOps.appendToAnnIndexScreened(spark, batch, "annidx.ingest") == 0L)
+    assert(spark.table("annidx.ingest_codes").count() == afterFirst)
+    // a mixed batch (2 replayed + 2 new) appends exactly the new ids
+    val mixed = spark.table("annidx.ingest_vectors")
+      .filter(col("vec_id").isin(0L, 1L, 10L, 11L))
+      .select((col("vec_id") + 70000L).as("vec_id"), col("v"))
+    assert(SimilarityOps.appendToAnnIndexScreened(spark, mixed, "annidx.ingest") == 2L)
+    val ids = spark.table("annidx.ingest_vectors")
+      .filter(col("vec_id") >= 70000L).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(70000L, 70001L, 70002L, 70003L, 70010L, 70011L))
+  }
+
   test("an external query batch (non-corpus ids) serves end-to-end") {
     index
     // perturb two corpus vectors, give them ids the corpus never saw:
