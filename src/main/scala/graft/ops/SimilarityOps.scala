@@ -978,7 +978,11 @@ object SimilarityOps {
     * same single-writer assumption every foreachBatch sink already
     * makes (two concurrent writers could both pass the screen; a
     * transactional append is the snapshot log's domain). Returns the
-    * number of vectors actually appended. */
+    * number of vectors actually appended. A READER session other than
+    * the writing one (foreachBatch runs under a micro-batch session
+    * clone) sees the appended files after `refreshTable` — the
+    * standard per-session file-index cache of any catalog table;
+    * AnnIndexSpec's end-to-end stream case executes the pattern. */
   def appendToAnnIndexScreened(s: SparkSession, newVectors: DataFrame,
       prefix: String, buckets: Int = 8): Long = {
     val fresh = newVectors.join(

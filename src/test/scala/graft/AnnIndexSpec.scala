@@ -218,6 +218,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(ids == Set(70000L, 70001L, 70002L, 70003L, 70010L, 70011L))
   }
 
+  test("streaming ingest end-to-end: file-source stream -> screened sink -> grown index") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS annidx")
+    SimilarityOps.writeAnnIndex(spark, dir, "annidx.stream")
+    val before = spark.table("annidx.stream_codes").count()
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .select((col("vec_id") + 80000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        SimilarityOps.appendToAnnIndexScreened(spark, b, "annidx.stream"): Unit
+    }.option("checkpointLocation", s"$scratch/annidx_stream_ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    // the append ran under the micro-batch's session clone; this
+    // session's cached relation must be refreshed to see the new
+    // files (per-session file-index cache — standard catalog-table
+    // behavior, same as any cross-session append)
+    spark.catalog.refreshTable("annidx.stream_codes")
+    spark.catalog.refreshTable("annidx.stream_vectors")
+    // every arriving vector appended exactly once; the grown index
+    // serves a streamed id through the unchanged probe plan
+    assert(spark.table("annidx.stream_codes").count() == before * 2)
+    val res = SimilarityOps.annAgainstIndex(spark,
+      spark.table("annidx.stream_vectors").filter(col("vec_id") === 80007L)
+        .select("vec_id", "v"),
+      "annidx.stream").collect()
+    assert(res.length == SimilarityOps.PqTopK)
+  }
+
   test("an external query batch (non-corpus ids) serves end-to-end") {
     index
     // perturb two corpus vectors, give them ids the corpus never saw:
