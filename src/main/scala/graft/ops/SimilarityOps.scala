@@ -1237,9 +1237,25 @@ object SimilarityOps {
     * truncated-prefix codes from the parameterized PQ chain, full-width
     * rerank from pe0). */
   private def ivfPqOracle(m: Int = PqM, subDim: Int = PqSubDim,
-      dims: Int = 64): String = {
+      dims: Int = 64, grown: Boolean = false): String = {
     val adcChain = (1 to m)
-      .map(mm => s"l.lut[$mm][CAST(co.codes[$mm] AS INT) + 1]").mkString(" + ")
+      .map(mm => s"l.lut[$mm][CAST(g.codes[$mm] AS INT) + 1]").mkString(" + ")
+    // the searchable index as CTEs — (id, cell, codes) and the raw
+    // rerank store. `grown = true` renders ann_index_grow_probe's
+    // day-2 state: the appended duplicates' rows are the ORIGINALS'
+    // rows under shifted ids (frozen-model encoding of identical
+    // content is identical — the AnnIndexSpec-pinned theorem), so the
+    // oracle grows by re-selecting them; everything downstream is ONE
+    // shared text that cannot drift between the entries.
+    val growIdx = if (!grown) "" else s"""
+          UNION ALL
+          SELECT a.vec_id + $GrowIdShift, a.cluster, c.codes
+            FROM a3 a JOIN pcodes c ON c.vec_id = a.vec_id
+            WHERE a.vec_id < $GrowDupCount"""
+    val growVecs = if (!grown) "" else s"""
+          UNION ALL
+          SELECT vec_id + $GrowIdShift, v FROM pe0
+            WHERE vec_id < $GrowDupCount"""
     s"""$kmeansAssignedCteSql,
         ${pqCteChain("p", m, subDim, dims)},
         psubq AS (SELECT vec_id, m,
@@ -1253,60 +1269,9 @@ object SimilarityOps {
         plut AS (SELECT qid, list(dpk ORDER BY m) AS lut FROM plutm GROUP BY qid),
         qcell AS (SELECT vec_id AS qid, cluster AS qc FROM a3
                   WHERE vec_id < $PqQueryCount),
-        adc AS (SELECT l.qid, co.vec_id AS nid, ca.cluster AS bucket,
-            round($adcChain, 6) AS adc6
-          FROM plut l
-          JOIN qcell q ON q.qid = l.qid
-          JOIN a3 ca ON ca.cluster = q.qc
-          JOIN pcodes co ON co.vec_id = ca.vec_id AND co.vec_id <> l.qid),
-        shortlist AS (SELECT qid, nid, bucket FROM (
-            SELECT qid, nid, bucket,
-              row_number() OVER (PARTITION BY qid ORDER BY adc6 DESC, nid) AS srk
-            FROM adc) WHERE srk <= $PqShortlist),
-        rer AS (SELECT s.qid, s.nid, s.bucket,
-            round(list_dot_product(q.v, c.v), 6) AS dp6
-          FROM shortlist s
-          JOIN pe0 q ON q.vec_id = s.qid
-          JOIN pe0 c ON c.vec_id = s.nid)
-        SELECT qid, nid, bucket, dp6, rk FROM (
-          SELECT qid, nid, bucket, dp6,
-            row_number() OVER (PARTITION BY qid ORDER BY dp6 DESC, nid) AS rk
-          FROM rer) WHERE rk <= $PqTopK"""
-  }
-
-  /** [[ivfPqOracle]] grown by the [[annIndexGrowProbe]] append: the
-    * duplicate of vector i carries EXACTLY i's (cell, codes, v) — the
-    * frozen-model encoding of identical content is identical (the gate
-    * theorem AnnIndexSpec pins row-for-row) — so DuckDB's index CTEs
-    * grow by re-selecting the originals' rows under shifted ids; the
-    * query side stays the original 50. Everything downstream (ADC,
-    * shortlist, rerank, final window) is the base oracle verbatim. */
-  private def ivfPqGrownOracle(m: Int = PqM): String = {
-    val adcChain = (1 to m)
-      .map(mm => s"l.lut[$mm][CAST(g.codes[$mm] AS INT) + 1]").mkString(" + ")
-    s"""$kmeansAssignedCteSql,
-        ${pqCteChain("p")},
-        psubq AS (SELECT vec_id, m,
-            list_slice(v, $PqSubDim * m + 1, $PqSubDim * m + $PqSubDim) AS sv
-          FROM pe0, unnest(generate_series(0, ${m - 1})) u(m)
-          WHERE vec_id < $PqQueryCount),
-        plutm AS (SELECT q.vec_id AS qid, q.m,
-            list(round(list_dot_product(q.sv, c.c), 6) ORDER BY c.k) AS dpk
-          FROM psubq q JOIN pcb2 c ON q.m = c.m
-          GROUP BY q.vec_id, q.m),
-        plut AS (SELECT qid, list(dpk ORDER BY m) AS lut FROM plutm GROUP BY qid),
-        qcell AS (SELECT vec_id AS qid, cluster AS qc FROM a3
-                  WHERE vec_id < $PqQueryCount),
         gidx AS (SELECT a.vec_id, a.cluster, c.codes
-            FROM a3 a JOIN pcodes c ON c.vec_id = a.vec_id
-          UNION ALL
-          SELECT a.vec_id + $GrowIdShift, a.cluster, c.codes
-            FROM a3 a JOIN pcodes c ON c.vec_id = a.vec_id
-            WHERE a.vec_id < $GrowDupCount),
-        gpe0 AS (SELECT vec_id, v FROM pe0
-          UNION ALL
-          SELECT vec_id + $GrowIdShift, v FROM pe0
-            WHERE vec_id < $GrowDupCount),
+            FROM a3 a JOIN pcodes c ON c.vec_id = a.vec_id$growIdx),
+        gvec AS (SELECT vec_id, v FROM pe0$growVecs),
         adc AS (SELECT l.qid, g.vec_id AS nid, g.cluster AS bucket,
             round($adcChain, 6) AS adc6
           FROM plut l
@@ -1320,7 +1285,7 @@ object SimilarityOps {
             round(list_dot_product(q.v, c.v), 6) AS dp6
           FROM shortlist s
           JOIN pe0 q ON q.vec_id = s.qid
-          JOIN gpe0 c ON c.vec_id = s.nid)
+          JOIN gvec c ON c.vec_id = s.nid)
         SELECT qid, nid, bucket, dp6, rk FROM (
           SELECT qid, nid, bucket, dp6,
             row_number() OVER (PARTITION BY qid ORDER BY dp6 DESC, nid) AS rk
@@ -1514,7 +1479,7 @@ object SimilarityOps {
     // verbatim — the probe is the same ivfPqProbe plan over reloaded
     // (bit-identical) models, so train == serve is a gate theorem
     "ann_index_probe" -> ivfPqOracle(),
-    "ann_index_grow_probe" -> ivfPqGrownOracle(),
+    "ann_index_grow_probe" -> ivfPqOracle(grown = true),
     "ann_mrl_pq_topk" -> pqRerankOracle(MrlPqM, MrlPqSubDim, MrlDim),
     "ann_mrl_ivfpq_topk" -> ivfPqOracle(MrlPqM, MrlPqSubDim, MrlDim),
     "embedding_stats" ->
