@@ -919,7 +919,7 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("qcell"), col("lut"))
     val qcells = q.select("qcell").distinct().collect().map(_.getLong(0)).sorted
     val probed = s.table(s"${prefix}_codes")
-      .filter(col("cell").isin(qcells: _*))
+      .filter(col("cell").isin(qcells.toIndexedSeq: _*))
     val qv = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
     ivfPqProbe(s, probed, q, qv, s.table(s"${prefix}_vectors"), cb.length,
       broadcastQueries)
@@ -1054,6 +1054,112 @@ object SimilarityOps {
     } finally s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  /** Metadata-FILTERED ANN search — top-k among only the candidates
+    * satisfying a document predicate (here `lang = 'en'`, the standard
+    * production ask: "nearest English documents"). The filter is applied
+    * to the INDEX side before the cell probe — a semi-join on
+    * vec_id = doc_id — so the search never scores a vector the predicate
+    * excludes (post-filtering a plain top-k instead would return < k or
+    * force an over-fetch whose needed depth is unbounded; pre-filtering
+    * is exact by construction). Query vectors stay unrestricted: the
+    * predicate constrains what may be RETURNED, not who may ask.
+    *
+    * 100 TB posture: both the index table and the document metadata are
+    * corpus-sized, so the semi-join must NOT broadcast — written
+    * bucketed on the shared id (the layout [[writeAnnIndex]]'s rerank
+    * store already uses), it is exchange-free; better still, serving
+    * indexes should carry hot predicate columns (lang, source) IN the
+    * index rows so the filter pushes to the bucketed parquet scan and
+    * the join disappears entirely — the scaladoc'd reason
+    * [[writeAnnIndex]]'s schema is extensible. The cell probe then runs
+    * over the pre-shrunk candidate set: filtered search is CHEAPER than
+    * unfiltered, never an over-fetch multiple. */
+  private[graft] val FilteredLang = "en"
+  private[graft] val FilteredQueryCount = 50
+  private[graft] val FilteredTopK = 3
+  val annFilteredTopk: Q = (s, dir) => {
+    val e = vecs(s, dir)
+    val allowed = t(s, dir, "documents")
+      .filter(col("lang") === FilteredLang).select(col("doc_id"))
+    val cand = e.join(allowed, col("vec_id") === col("doc_id"), "left_semi")
+    val q = e.filter(col("vec_id") < FilteredQueryCount)
+    val scored = q.as("q").join(cand.as("c"),
+        col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        col("q.label").as("bucket"),
+        round(expr(dotSql(s, "q.v", "c.v")) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
+    val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= FilteredTopK)
+  }
+
+  /** HYBRID retrieval with Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09): fuse a DENSE ranking (label-bucketed cosine — the IVF
+    * probe shape) and a LEXICAL ranking (distinct-token Jaccard via the
+    * inverted-index join) by rrf(d) = Σ_arms 1/(K + rank_arm(d)) over
+    * the union of the two per-query top-[[HybridArmK]] lists. RRF is
+    * the standard score-free fusion: it needs only the RANKS, so the
+    * arms' incomparable score scales (cosine vs Jaccard) never meet.
+    *
+    * 100 TB posture: each arm is its family's proven serving shape —
+    * the dense arm is the bucketed cell probe ([[annAgainstIndex]] at
+    * scale), the lexical arm the inverted-index join (the persisted
+    * vocab index; a production corpus adds the max-df cap exactly as
+    * `dedup_ngram_jaccard_capped` does — hot tokens carry no ranking
+    * signal and emit |queries|·df candidates). The fusion itself is
+    * OUTPUT-sized (queries × 2k rows): one full-outer equi-join on
+    * (qid, nid) plus an arithmetic map — free at any corpus size.
+    *
+    * Numeric parity: ranks are exact integers (arm windows order by
+    * round-6 scores, ties on nid); each RRF term is ONE correctly-
+    * rounded IEEE division 1/(K+rank); the two-term sum is evaluated
+    * dense-then-lexical on both engines and rounded to 6 once. */
+  private[graft] val RrfK = 60
+  private[graft] val HybridQueryCount = 10
+  private[graft] val HybridArmK = 10
+  private[graft] val HybridTopK = 10
+  val retrievalHybridRrf: Q = (s, dir) => {
+    // dense arm: same-bucket cosine, top-10 per query
+    val e = vecs(s, dir)
+    val dq = e.filter(col("vec_id") < HybridQueryCount)
+    val dScored = dq.as("q").join(e.as("c"),
+        col("q.label") === col("c.label") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        round(expr(dotSql(s, "q.v", "c.v")) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
+    val wd = Window.partitionBy("qid").orderBy(col("cos6").desc, col("nid"))
+    val dense = dScored.withColumn("dense_rk", row_number().over(wd).cast("long"))
+      .filter(col("dense_rk") <= HybridArmK).select("qid", "nid", "dense_rk")
+    // lexical arm: distinct-token Jaccard, query side bounded so the
+    // inverted-index join emits at most |queries|·df candidates per token
+    val docsT = t(s, dir, "documents")
+    val toks = docsT.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tk"))
+    val cnt = docsT.select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n"))
+    val common = toks.filter(col("doc_id") < HybridQueryCount).as("a")
+      .join(toks.as("b"),
+        col("a.tk") === col("b.tk") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("qid"), col("b.doc_id").as("nid"))
+      .agg(count(lit(1)).as("common"))
+    val lScored = common
+      .join(cnt.as("ca"), col("qid") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("nid") === col("cb.doc_id"))
+      .select(col("qid"), col("nid"),
+        round(col("common") / (col("ca.n") + col("cb.n") - col("common")), 6).as("jacc6"))
+    val wl = Window.partitionBy("qid").orderBy(col("jacc6").desc, col("nid"))
+    val lex = lScored.withColumn("lex_rk", row_number().over(wl).cast("long"))
+      .filter(col("lex_rk") <= HybridArmK).select("qid", "nid", "lex_rk")
+    // output-sized RRF fusion over the union of the arm lists
+    val fused = dense.join(lex, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"), col("dense_rk"), col("lex_rk"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("dense_rk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("lex_rk")), lit(0.0)), 6).as("rrf6"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf6").desc, col("nid"))
+    fused.withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= HybridTopK)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "embedding_kmeans" -> embeddingKmeans,
     "embedding_kmeans_stream_twin" -> embeddingKmeansStreamTwin,
@@ -1075,6 +1181,8 @@ object SimilarityOps {
     "ann_index_grow_probe" -> annIndexGrowProbe,
     "ann_mrl_pq_topk" -> annMrlPqTopk,
     "ann_mrl_ivfpq_topk" -> annMrlIvfPqTopk,
+    "ann_filtered_topk" -> annFilteredTopk,
+    "retrieval_hybrid_rrf" -> retrievalHybridRrf,
     "embedding_stats" -> embeddingStats,
     "embedding_centroids" -> ((s, dir) => graft.ext.Centroids.centroidsByLabel(s, dir)))
 
@@ -1330,6 +1438,60 @@ object SimilarityOps {
             SELECT qid, nid, bucket, cos6,
               row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
             FROM scored) WHERE rk <= 3""",
+    // filtered search: the lang predicate pre-shrinks the CANDIDATE set
+    // (semi-join on the shared id); queries stay unrestricted
+    "ann_filtered_topk" ->
+      s"""WITH e AS ($vecsSql),
+          cand AS (SELECT e.* FROM e
+                   JOIN documents d ON e.vec_id = d.doc_id
+                   WHERE d.lang = '$FilteredLang'),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid, q.label AS bucket,
+              round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6
+            FROM e q JOIN cand c ON q.label = c.label AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < $FilteredQueryCount)
+          SELECT qid, nid, bucket, cos6, rk FROM (
+            SELECT qid, nid, bucket, cos6,
+              row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
+            FROM scored) WHERE rk <= $FilteredTopK""",
+    // RRF fusion: per-arm round-6-scored rank lists, full-outer union,
+    // rrf = 1/(K+rd) + 1/(K+rl) with each term a single IEEE division
+    "retrieval_hybrid_rrf" ->
+      s"""WITH e AS ($vecsSql),
+          dsc AS (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+              round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6
+            FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < $HybridQueryCount),
+          dense AS (SELECT qid, nid, rd FROM (
+              SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rd
+              FROM dsc) WHERE rd <= $HybridArmK),
+          tok AS (SELECT DISTINCT doc_id, tk FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)),
+          cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+          pairs AS (SELECT a.doc_id AS qid, b.doc_id AS nid, COUNT(*) AS common
+              FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id <> b.doc_id
+              WHERE a.doc_id < $HybridQueryCount GROUP BY 1, 2),
+          lsc AS (SELECT p.qid, p.nid,
+              round(p.common / (ca.n + cb.n - p.common), 6) AS jacc6
+            FROM pairs p
+            JOIN cnt ca ON p.qid = ca.doc_id
+            JOIN cnt cb ON p.nid = cb.doc_id),
+          lex AS (SELECT qid, nid, rl FROM (
+              SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid ORDER BY jacc6 DESC, nid) AS rl
+              FROM lsc) WHERE rl <= $HybridArmK),
+          fused AS (SELECT coalesce(d.qid, l.qid) AS qid,
+              coalesce(d.nid, l.nid) AS nid,
+              d.rd AS dense_rk, l.rl AS lex_rk,
+              round(coalesce(1.0::DOUBLE / ($RrfK + d.rd), 0)
+                  + coalesce(1.0::DOUBLE / ($RrfK + l.rl), 0), 6) AS rrf6
+            FROM dense d FULL JOIN lex l ON d.qid = l.qid AND d.nid = l.nid)
+          SELECT qid, nid, dense_rk, lex_rk, rrf6, rk FROM (
+            SELECT qid, nid, dense_rk, lex_rk, rrf6,
+              row_number() OVER (PARTITION BY qid ORDER BY rrf6 DESC, nid) AS rk
+            FROM fused) WHERE rk <= $HybridTopK""",
     "ann_ivf_centroid" -> {
       val centList = (1 to 64).map(i => s"round(AVG(v[$i]), 6)").mkString("[", ", ", "]")
       s"""WITH e AS ($vecsSql),
