@@ -27,7 +27,11 @@ import graft.sources.SnapshotLog
   *      renounced history's bytes, with surviving history intact;
   *   9. additive schema EVOLUTION (`mergeSchema = true`): a late batch
   *      brings a new nullable column — zero rewrites, old rows
-  *      null-fill, pre-evolution versions keep their own schema.
+  *      null-fill, pre-evolution versions keep their own schema;
+  *  10. column RENAME + DROP through the column map (logical names
+  *      over immutable physical names): metadata-only commits — same
+  *      files byte-for-byte — with appends speaking the current
+  *      logical names afterwards.
   *
   * Usage: runMain graft.examples.LakehouseDemo /tmp/graft_lakehouse
   */
@@ -129,11 +133,34 @@ object LakehouseDemo {
       .columns.toSeq == Seq("key", "payload"),
       "pre-evolution version must keep its own schema")
 
+    // 10. column RENAME + DROP late in life — metadata-only commits
+    // through the column map: `src` renames to `source` with the same
+    // files byte-for-byte; `payload` drops; appends keep speaking the
+    // current logical names; time travel still answers pre-rename
+    val preRenameFiles = SnapshotLog.read(spark, t).inputFiles.toSet
+    SnapshotLog.renameColumn(t, "src", "source")
+    val renamed = SnapshotLog.read(spark, t)
+    require(renamed.columns.toSeq == Seq("key", "payload", "source") &&
+      renamed.inputFiles.toSet == preRenameFiles,
+      "rename must be metadata-only (same files, new name)")
+    require(renamed.filter(col("source") === "day4").count() == 8000L,
+      "renamed column must answer with the old bytes")
+    SnapshotLog.dropColumn(t, "payload")
+    SnapshotLog.commitAppend(spark, t,
+      spark.range(40000L, 40100L).select(col("id").as("key"),
+        lit("day5").as("source")))
+    val mapped = SnapshotLog.read(spark, t)
+    require(mapped.columns.toSeq == Seq("key", "source"),
+      s"post-drop schema: ${mapped.columns.toSeq}")
+    require(mapped.filter(col("source") === "day5").count() == 100L,
+      "append after rename+drop must land under the logical names")
+
     println(s"LAKEHOUSE: versions=0->${SnapshotLog.latestVersion(t).get} " +
       s"files=$total->$totalOpt pruned_ask=${kept.size}->${keptOpt.size} " +
       s"rows=32000->$afterDelete cdc_deletes=${ops("delete")} " +
       s"expired=${expired.size} vacuumed=${reclaimed.size} " +
-      s"evolved_cols=2->${evolved.columns.length}")
+      s"evolved_cols=2->${evolved.columns.length} " +
+      s"renamed=src->source dropped=payload")
     spark.stop()
   }
 }

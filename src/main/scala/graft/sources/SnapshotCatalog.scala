@@ -111,13 +111,23 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   private def parquetTable(ident: Identifier, v: Long): Table = {
     val t = tableDir(ident).getAbsolutePath
     val (files, schema) = SnapshotLog.manifestAt(t, v)
-    ParquetTable(
+    val colmap = SnapshotLog.colmapAt(t, v)
+    // a renamed/dropped table ([[SnapshotLog.renameColumn]]) reads its
+    // files under immutable PHYSICAL names: hand the parquet stack the
+    // physical schema and wrap the table so SQL sees logical names —
+    // rows are positional, so only the two schema boundaries translate
+    val physical = schema.map(s =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(name = colmap.getOrElse(f.name, f.name)))))
+    val inner = ParquetTable(
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$v",
       SparkSession.active,
       CaseInsensitiveStringMap.empty(),
       files,
-      userSpecifiedSchema = schema,
+      userSpecifiedSchema = if (colmap.isEmpty) schema else physical,
       fallbackFileFormat = classOf[ParquetFileFormat])
+    if (colmap.isEmpty) inner
+    else new MappedTable(inner, schema.get, colmap)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -167,4 +177,56 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       s"$op: snapshot catalog '$catalogName' is read-only — writes go through " +
         "SnapshotLog.commit/commitAppend/commitIdempotent, which own atomicity, " +
         "stats, and schema enforcement; a catalog write would bypass all three")
+}
+
+/** SQL surface of a column-mapped table: the inner [[ParquetTable]]
+  * scans under PHYSICAL names (the names in the files); this wrapper
+  * exposes the LOGICAL schema and translates at the two boundaries —
+  * column pruning (logical → physical, pushed through so a mapped scan
+  * still reads only the asked-for columns) and the scan's reported
+  * read schema (physical → logical, a pure rename: InternalRows are
+  * positional, so the data path is untouched — vectorized reader and
+  * all). Filter pushdown is NOT advertised: Spark then keeps every
+  * predicate in the plan above the scan, which is correct by
+  * construction; mapped tables trade scan-level filter pushdown via
+  * SQL for zero-rewrite renames (the Scala [[SnapshotLog.readWhere]]
+  * path keeps manifest-stats pruning either way, and a full rewrite —
+  * optimize — rematerializes logical names and sheds the wrapper). */
+private class MappedTable(inner: Table, logical: StructType,
+    colmap: Map[String, String])
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  private val phys2log: Map[String, String] =
+    colmap.map(_.swap)
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = logical
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val ib = inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
+    new org.apache.spark.sql.connector.read.ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      override def pruneColumns(required: StructType): Unit = ib match {
+        case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+          p.pruneColumns(StructType(required.fields.map(f =>
+            f.copy(name = colmap.getOrElse(f.name, f.name)))))
+        case _ => ()
+      }
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val is = ib.build()
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType =
+            StructType(is.readSchema().fields.map(f =>
+              f.copy(name = phys2log.getOrElse(f.name, f.name))))
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            is.toBatch
+          override def description(): String = is.description()
+        }
+      }
+    }
+  }
 }

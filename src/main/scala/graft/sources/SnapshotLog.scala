@@ -247,13 +247,83 @@ object SnapshotLog {
     !(aboveRange || belowRange)
   }
 
-  /** The manifest's (files, stats-node, schema) for the resolved
-    * version — stats is null for pre-stats manifests (which simply
-    * never prune), schema is None for pre-schema manifests (whose
-    * reads fall back to footer inference). */
+  // ---------------------------------------------------------------------
+  // Column mapping: logical names over immutable physical names
+  // ---------------------------------------------------------------------
+
+  /** The manifest's logical→physical column map — EMPTY means identity
+    * (the common case: a table that has never been renamed/dropped
+    * carries no map and pays zero indirection). When present it maps
+    * EVERY column of the recorded schema (activation materializes the
+    * identity entries), so a mapped table's resolution never guesses. */
+  private[sources] def colmapOf(
+      node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Option(node.get("colmap")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+
+  /** Physical names no longer mapped by any LIVE column but present in
+    * committed files ([[dropColumn]] retires them). A later re-ADD of
+    * the same logical name must take a FRESH physical name, else
+    * parquet's by-name matching would resurrect the dropped column's
+    * data out of the old files into the new column. */
+  private def retiredOf(
+      node: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    Option(node.get("retired")).map(_.elements().asScala
+      .map(_.asText()).toSeq).getOrElse(Nil)
+
+  private def physName(colmap: Map[String, String], c: String): String =
+    colmap.getOrElse(c, c)
+
+  /** The schema to hand the parquet reader: the logical schema with
+    * each top-level field renamed to its immutable physical name
+    * (types, nullability, order, metadata untouched — mapping is
+    * top-level-only, like stats and evolution). */
+  private def physSchema(logical: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => f.copy(name = physName(colmap, f.name))))
+
+  /** Read `files` under the mapping: plan from the PHYSICAL schema
+    * (what the parquet actually contains), then alias every column back
+    * to its logical name — one positional projection, free at plan
+    * time. Identity tables keep the exact pre-mapping plan. */
+  private def readFiles(spark: SparkSession, files: Seq[String],
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty)
+      schemaOpt.fold(spark.read)(spark.read.schema).parquet(files: _*)
+    else {
+      val logical = schemaOpt.getOrElse(sys.error(
+        "mapped table without a recorded schema — unreachable: the map " +
+          "is only ever activated on schema-recording manifests"))
+      spark.read.schema(physSchema(logical, colmap)).parquet(files: _*)
+        .toDF(logical.fieldNames.toIndexedSeq: _*)
+    }
+
+  /** The latest manifest's mapping applied to a pinned logical schema —
+    * the streaming source captures this ONCE at stream construction:
+    * physical names are immutable, so the capture stays correct through
+    * any later rename (metadata-only, physicals unchanged) and through
+    * a mid-stream drop (the pinned physical still resolves against old
+    * files and null-fills from post-drop appends, the same PINNED-schema
+    * contract evolution already established). */
+  private[sources] def physicalizeLatest(tableDir: String,
+      logical: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    latestVersion(tableDir).map { v =>
+      val node = mapper.readTree(
+        Files.readString(logDir(tableDir).resolve(s"$v.json")))
+      physSchema(logical, colmapOf(node))
+    }.getOrElse(logical)
+
+  /** The manifest's (files, stats-node, schema, colmap) for the
+    * resolved version — stats is null for pre-stats manifests (which
+    * simply never prune), schema is None for pre-schema manifests
+    * (whose reads fall back to footer inference), colmap is empty for
+    * identity tables. */
   private def manifestFor(tableDir: String, asOf: Option[Long])
       : (Seq[String], com.fasterxml.jackson.databind.JsonNode,
-        Option[org.apache.spark.sql.types.StructType]) = {
+        Option[org.apache.spark.sql.types.StructType], Map[String, String]) = {
     val v = resolveVersion(tableDir, asOf)
     val node = mapper.readTree(
       Files.readString(logDir(tableDir).resolve(s"$v.json")))
@@ -261,7 +331,7 @@ object SnapshotLog {
       org.apache.spark.sql.types.DataType.fromJson(s.asText())
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     (node.get("files").elements().asScala.map(_.asText()).toSeq,
-      node.get("stats"), schema)
+      node.get("stats"), schema, colmapOf(node))
   }
 
   /** Footer harvest over a batch of freshly-written files, shared by
@@ -313,13 +383,26 @@ object SnapshotLog {
           .asInstanceOf[org.apache.spark.sql.types.StructType]))
   }
 
+  /** [[manifestAt]]'s colmap — exact-version addressing for the
+    * catalog (empty = identity). */
+  private[sources] def colmapAt(tableDir: String, v: Long): Map[String, String] = {
+    val p = logDir(tableDir).resolve(s"$v.json")
+    require(Files.exists(p), s"no version $v in $tableDir" +
+      " (committed versions may have been expired)")
+    colmapOf(mapper.readTree(Files.readString(p)))
+  }
+
   /** Which files a [[readWhere]] with these bounds would scan:
     * (kept files, total files). Public so callers (and the spec) can
     * observe skipping without timing a scan. */
   def pruneFiles(tableDir: String, column: String, lower: Option[Any],
       upper: Option[Any], asOf: Option[Long] = None): (Seq[String], Int) = {
-    val (files, stats, _) = manifestFor(tableDir, asOf)
-    (files.filter(f => keepFile(stats, f, column, lower, upper)), files.size)
+    val (files, stats, _, colmap) = manifestFor(tableDir, asOf)
+    // stats are harvested from footers, so they key on PHYSICAL names —
+    // a renamed column's history of stats keeps pruning under its
+    // logical name through the map
+    val pcol = physName(colmap, column)
+    (files.filter(f => keepFile(stats, f, pcol, lower, upper)), files.size)
   }
 
   /** [[read]] with manifest-stats file pruning: scan only the files
@@ -336,16 +419,19 @@ object SnapshotLog {
       lower: Option[Any] = None, upper: Option[Any] = None,
       asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (files, stats, schemaOpt) = manifestFor(tableDir, asOf)
-    val kept = files.filter(f => keepFile(stats, f, column, lower, upper))
-    val reader = schemaOpt.fold(spark.read)(spark.read.schema)
+    val (files, stats, schemaOpt, colmap) = manifestFor(tableDir, asOf)
+    val pcol = physName(colmap, column)
+    val kept = files.filter(f => keepFile(stats, f, pcol, lower, upper))
     val base =
-      if (kept.nonEmpty) reader.parquet(kept: _*)
+      if (kept.nonEmpty) readFiles(spark, kept, schemaOpt, colmap)
       else {
         // all files pruned: an empty frame with the table's schema —
         // from the manifest when recorded, else one footer read; a
         // pre-schema manifest of an EMPTY commit has no schema source
         // at all, so fail loudly rather than NoSuchElement on head
+        // the LOGICAL schema: an empty frame has no files to match, so
+        // the mapping is irrelevant here — only the names the caller
+        // sees matter
         val schema = schemaOpt.getOrElse {
           require(files.nonEmpty,
             s"cannot determine the schema of $tableDir: the manifest " +
@@ -580,23 +666,148 @@ object SnapshotLog {
     org.apache.spark.sql.types.StructType(recorded.fields ++ newFields)
   }
 
+  /** Rename a column — a METADATA-ONLY commit (zero data rewrites, at
+    * any table size), via the indirection Delta calls column mapping
+    * (name mode) and Iceberg gets from field ids: every column has an
+    * immutable PHYSICAL name — the name in the parquet files, fixed at
+    * the column's first write forever — and the manifest maps logical
+    * names onto physicals (`colmap`). Rename changes only the logical
+    * side; readers plan from the physical schema and alias back, so
+    * old and new files read uniformly and stats (physical-keyed) keep
+    * pruning under the new name. This is exactly why additive-only
+    * evolution previously declined rename/drop: under plain by-name
+    * matching a renamed column silently null-fills out of every old
+    * file — the map is the missing indirection, done honestly.
+    *
+    * Time travel is rename travel: pre-rename versions read with their
+    * own manifest's names. The publish is the standard put-if-absent
+    * at `latest + 1` (concurrent writers conflict and retry).
+    * Mapping is top-level-only, like stats and evolution. A table
+    * REWRITE (commit / optimize) rematerializes logical names into the
+    * fresh files and retires the map — scaladoc'd at [[optimize]]. */
+  def renameColumn(tableDir: String, from: String, to: String): Long = {
+    require(from != to, s"rename to the same name '$from' is a no-op")
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val node = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val schema = Option(node.get("schema")).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(sys.error(
+        s"$tableDir: rename needs a schema-recording manifest (this is " +
+          "a pre-round-10 table) — re-commit once to record the schema"))
+    require(schema.fieldNames.contains(from),
+      s"no column '$from' in ${schema.fieldNames.mkString("(", ", ", ")")}")
+    // the evolve discipline: a case-variant duplicate is unreadable
+    // under case-insensitive resolution, so 'to' must be free of ALL
+    // case variants (except 'from' itself — a case-only rename is fine)
+    schema.fieldNames.filter(_ != from).find(_.equalsIgnoreCase(to)).foreach {
+      clash => sys.error(s"column '$to' collides with existing '$clash'" +
+        (if (clash == to) "" else " (differs only by case)"))
+    }
+    // activation: a first rename materializes the identity map so the
+    // invariant "a present colmap covers every column" holds from here
+    val colmap0 = colmapOf(node) match {
+      case m if m.isEmpty => schema.fieldNames.map(n => n -> n).toMap
+      case m              => m
+    }
+    val newColmap = (colmap0 - from) + (to -> colmap0(from))
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val files = node.get("files").elements().asScala.map(_.asText()).toSeq
+    publish(tableDir, baseV + 1, files, carriedStats(node, files),
+      Some(newSchema.json), orderedColmap(Some(newSchema), newColmap),
+      retiredOf(node))
+    baseV + 1
+  }
+
+  /** Drop a column — [[renameColumn]]'s sibling metadata-only commit:
+    * the column leaves the logical schema and the map; its physical
+    * name is RETIRED, never reused, because a later re-ADD of the same
+    * logical name under the old physical would let parquet's by-name
+    * matching resurrect the dropped bytes out of every old file into
+    * the new column ([[mergeSchemas]]-era appends assign the newcomer
+    * a fresh suffixed physical instead). Old files keep the dropped
+    * column's bytes — time travel to pre-drop versions still reads
+    * them; a rewrite (optimize) is how the bytes actually leave. */
+  def dropColumn(tableDir: String, name: String): Long = {
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val node = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val schema = Option(node.get("schema")).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(sys.error(
+        s"$tableDir: drop needs a schema-recording manifest (this is " +
+          "a pre-round-10 table) — re-commit once to record the schema"))
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' in ${schema.fieldNames.mkString("(", ", ", ")")}")
+    require(schema.fields.length > 1,
+      s"cannot drop '$name' — it is the table's only column")
+    val colmap0 = colmapOf(node) match {
+      case m if m.isEmpty => schema.fieldNames.map(n => n -> n).toMap
+      case m              => m
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    val files = node.get("files").elements().asScala.map(_.asText()).toSeq
+    publish(tableDir, baseV + 1, files, carriedStats(node, files),
+      Some(newSchema.json),
+      orderedColmap(Some(newSchema), colmap0 - name),
+      retiredOf(node) :+ colmap0(name))
+    baseV + 1
+  }
+
   /** Write `df`'s files and publish `baseV`'s manifest + the new files
     * as version `baseV + 1` (put-if-absent — a concurrent writer
     * surfaces as the usual conflict). */
   private def appendAt(spark: SparkSession, tableDir: String,
       df: DataFrame, baseV: Long, mergeSchema: Boolean = false): Long = {
     val v = baseV + 1
-    val dd = Paths.get(tableDir, "data",
-      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.write.mode("overwrite").parquet(dd.toString)
-    val newFiles = listDir(dd)
-      .filter(_.toString.endsWith(".parquet"))
-      .map(p => canon(p).toString).sorted
-    val written = spark.read.parquet(dd.toString).schema
     val prevManifest = mapper.readTree(
       Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
     val prevFiles = prevManifest.get("files").elements().asScala
       .map(_.asText()).toSeq
+    val colmap = colmapOf(prevManifest)
+    val retired = retiredOf(prevManifest)
+    // under a column map the batch arrives with LOGICAL names and the
+    // files must carry PHYSICAL ones: existing columns take their
+    // mapped physical; a genuinely-new column (mergeSchema) takes its
+    // own name unless that name is a live or RETIRED physical — then a
+    // fresh suffixed one, so parquet's by-name matching can never
+    // resurrect a dropped column's bytes into the newcomer
+    val batchPhys: Seq[String] =
+      if (colmap.isEmpty) df.columns.toSeq
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        used ++= colmap.values
+        used ++= retired
+        df.columns.toSeq.map { c =>
+          val p = colmap.getOrElse(c, {
+            var cand = c
+            var i = 2
+            while (used(cand)) { cand = s"${c}_$i"; i += 1 }
+            cand
+          })
+          used += p
+          p
+        }
+      }
+    val dd = Paths.get(tableDir, "data",
+      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    df.toDF(batchPhys: _*).write.mode("overwrite").parquet(dd.toString)
+    val newFiles = listDir(dd)
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => canon(p).toString).sorted
+    // read-back (authoritative for what was written), restated under
+    // LOGICAL names for enforcement: read-back preserves write order,
+    // so the rename is positional
+    val writtenPhys = spark.read.parquet(dd.toString).schema
+    val written = org.apache.spark.sql.types.StructType(
+      writtenPhys.fields.zip(df.columns).map { case (f, logical) =>
+        f.copy(name = logical) })
     // enforcement source: the recorded schema, or — first append to a
     // pre-schema (legacy) manifest — a one-time inference over the old
     // files; accepting the batch's schema unchecked there would let
@@ -616,10 +827,18 @@ object SnapshotLog {
             "columns); anything else never evolves")
         written // unreachable
       }
+    // the published map covers every column of the published schema:
+    // carried entries for survivors, the batch's assignments for
+    // columns evolution just added
+    val batchMap = df.columns.zip(batchPhys).toMap
+    val newColmap: Seq[(String, String)] =
+      if (colmap.isEmpty) Nil
+      else published.fieldNames.toSeq.map(c =>
+        c -> colmap.getOrElse(c, batchMap(c)))
     val newStats = harvestStats(newFiles)
     val carried = carriedStats(prevManifest, prevFiles)
     publish(tableDir, v, prevFiles ++ newFiles, carried ++ newStats,
-      Some(published.json))
+      Some(published.json), newColmap, retired)
     v
   }
 
@@ -684,20 +903,26 @@ object SnapshotLog {
     val prevFiles = prevManifest.get("files").elements().asScala
       .map(_.asText()).toSeq
     val statsNode = prevManifest.get("stats")
+    val colmap = colmapOf(prevManifest)
+    // stats and file bytes both speak PHYSICAL; the caller speaks
+    // logical — translate once, then the whole rewrite runs physical
+    // (rewritten files must keep physical names for the map to hold)
+    val pcol = physName(colmap, column)
     val (affected, untouched) = prevFiles.partition(f =>
-      keepFile(statsNode, f, column, lower, upper))
+      keepFile(statsNode, f, pcol, lower, upper))
     val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
-    val preds = lower.map(l => col(column) >= lit(l)) ++
-      upper.map(u => col(column) <= lit(u))
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val preds = lower.map(l => col(pcol) >= lit(l)) ++
+      upper.map(u => col(pcol) <= lit(u))
     val keepPred = !preds.reduce(_ && _) // survivors: NOT in the interval
     val newFiles =
       if (affected.isEmpty) Nil
       else {
         val dd = Paths.get(tableDir, "data",
           s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-        val reader = schemaJson.map(s =>
-          org.apache.spark.sql.types.DataType.fromJson(s)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        val reader = logicalSchema.map(physSchema(_, colmap))
           .fold(spark.read)(spark.read.schema)
         reader.parquet(affected: _*).filter(keepPred)
           .write.mode("overwrite").parquet(dd.toString)
@@ -706,9 +931,20 @@ object SnapshotLog {
       }
     val carried = carriedStats(prevManifest, untouched)
     val newStats = harvestStats(newFiles)
-    publish(tableDir, v, untouched ++ newFiles, carried ++ newStats, schemaJson)
+    publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest))
     v
   }
+
+  /** A full colmap in logical-schema field order (deterministic
+    * manifests) — empty stays empty (identity tables publish no map). */
+  private def orderedColmap(
+      logical: Option[org.apache.spark.sql.types.StructType],
+      colmap: Map[String, String]): Seq[(String, String)] =
+    if (colmap.isEmpty) Nil
+    else logical.fold(colmap.toSeq.sortBy(_._1))(
+      _.fieldNames.toSeq.map(c => c -> physName(colmap, c)))
 
   /** Copy-on-write UPDATE through the log — [[deleteWhere]]'s sibling,
     * completing the DML triad (append / delete / update) on the same
@@ -738,20 +974,30 @@ object SnapshotLog {
     val prevFiles = prevManifest.get("files").elements().asScala
       .map(_.asText()).toSeq
     val statsNode = prevManifest.get("stats")
+    val colmap = colmapOf(prevManifest)
+    val pcol = physName(colmap, column)
     val (affected, untouched) = prevFiles.partition(f =>
-      keepFile(statsNode, f, column, lower, upper))
+      keepFile(statsNode, f, pcol, lower, upper))
     val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val newFiles =
       if (affected.isEmpty) Nil
       else {
         val preds = lower.map(l => col(column) >= lit(l)) ++
           upper.map(u => col(column) <= lit(u))
         val inRange = preds.reduce(_ && _)
-        val reader = schemaJson.map(s =>
-          org.apache.spark.sql.types.DataType.fromJson(s)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        val reader = logicalSchema.map(physSchema(_, colmap))
           .fold(spark.read)(spark.read.schema)
-        val base = reader.parquet(affected: _*)
+        // the caller's `set` expressions speak LOGICAL names: alias the
+        // physical read to logical, update, and alias back before the
+        // write (rewritten files keep physical names — the map's
+        // immutability is what makes every other path cheap)
+        val physBase = reader.parquet(affected: _*)
+        val base =
+          if (colmap.isEmpty) physBase
+          else physBase.toDF(logicalSchema.get.fieldNames.toIndexedSeq: _*)
         set.keys.foreach(c => require(base.columns.contains(c),
           s"updateWhere assigns unknown column $c — updates never add columns"))
         val updated = base.select(base.columns.map { c =>
@@ -760,15 +1006,20 @@ object SnapshotLog {
         }.toSeq: _*)
         require(updated.schema == base.schema,
           s"updateWhere must preserve the schema: ${base.schema} -> ${updated.schema}")
+        val out =
+          if (colmap.isEmpty) updated
+          else updated.toDF(base.columns.map(physName(colmap, _)).toIndexedSeq: _*)
         val dd = Paths.get(tableDir, "data",
           s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-        updated.write.mode("overwrite").parquet(dd.toString)
+        out.write.mode("overwrite").parquet(dd.toString)
         listDir(dd).filter(_.toString.endsWith(".parquet"))
           .map(p => canon(p).toString).sorted
       }
     val carried = carriedStats(prevManifest, untouched)
     val newStats = harvestStats(newFiles)
-    publish(tableDir, v, untouched ++ newFiles, carried ++ newStats, schemaJson)
+    publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest))
     v
   }
 
@@ -817,11 +1068,23 @@ object SnapshotLog {
   private[graft] def publish(tableDir: String, v: Long, files: Seq[String],
       stats: Map[String, Map[String,
         com.fasterxml.jackson.databind.node.ObjectNode]] = Map.empty,
-      schemaJson: Option[String] = None): Unit = {
+      schemaJson: Option[String] = None,
+      colmap: Seq[(String, String)] = Nil,
+      retired: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir(tableDir))
     val root = mapper.createObjectNode()
     root.put("version", v)
     schemaJson.foreach(s => root.put("schema", s): Unit)
+    if (colmap.nonEmpty) {
+      // ordered by the caller (logical-schema field order) for a
+      // deterministic manifest, like the stats iteration below
+      val cNode = root.putObject("colmap")
+      colmap.foreach { case (l, p) => cNode.put(l, p): Unit }
+    }
+    if (retired.nonEmpty) {
+      val rArr = root.putArray("retired")
+      retired.foreach(rArr.add)
+    }
     val arr = root.putArray("files")
     files.foreach(arr.add)
     if (stats.nonEmpty) {
@@ -955,6 +1218,18 @@ object SnapshotLog {
       payload: Seq[String] = Nil): DataFrame = {
     val oldS = read(spark, tableDir, asOf = Some(fromV))
     val newS = read(spark, tableDir, asOf = Some(toV))
+    // a rename/drop between the versions changes the LOGICAL names a
+    // diff would compare under — fail with the actionable story, not a
+    // downstream unresolved-column error (the data is diffable: re-ask
+    // with an explicit shared payload, or diff up to the rename)
+    val missing = (if (payload.nonEmpty) payload
+      else oldS.columns.filterNot(_ == "key").toSeq)
+      .filterNot(newS.columns.contains)
+    require(missing.isEmpty,
+      s"diff($fromV, $toV): column(s) ${missing.mkString(", ")} exist at " +
+        s"v$fromV but not v$toV — a renameColumn/dropColumn between the " +
+        "versions changed the logical schema; pass an explicit `payload` " +
+        "of columns present in BOTH versions")
     val cols = if (payload.nonEmpty) payload
       else oldS.columns.filterNot(_ == "key").toSeq
     graft.ops.MigrationOps.tableDiff(oldS, newS, cols)
@@ -1064,7 +1339,7 @@ object SnapshotLog {
     * plan time; pre-schema manifests fall back to inference). */
   def read(spark: SparkSession, tableDir: String,
       asOf: Option[Long] = None): DataFrame = {
-    val (files, _, schemaOpt) = manifestFor(tableDir, asOf)
-    schemaOpt.fold(spark.read)(spark.read.schema).parquet(files: _*)
+    val (files, _, schemaOpt, colmap) = manifestFor(tableDir, asOf)
+    readFiles(spark, files, schemaOpt, colmap)
   }
 }

@@ -108,6 +108,17 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
     startVersion: Long, ignoreChanges: Boolean,
     columnar: Boolean = true) extends MicroBatchStream {
 
+  /** The pinned schema with each column's immutable PHYSICAL name (the
+    * name in the parquet files — [[SnapshotLog.renameColumn]]'s column
+    * map), captured ONCE here: physicals never change, so the capture
+    * stays correct through any later rename (metadata-only) or drop
+    * (old files keep the bytes; post-drop appends null-fill — the same
+    * pinned-schema contract evolution established). InternalRows are
+    * positional, so readers can consume physical names while the
+    * stream's exposed schema stays logical. */
+  private val physSchema: StructType =
+    SnapshotLog.physicalizeLatest(tableDir, schema)
+
   override def initialOffset(): Offset = new VersionOffset(startVersion - 1)
 
   override def latestOffset(): Offset =
@@ -138,10 +149,10 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotFileReaderFactory(
-      Bridge.parquetFileRows(SparkSession.active, schema),
+      Bridge.parquetFileRows(SparkSession.active, physSchema),
       // `columnar=false` is the measurement escape hatch (the
       // SnapStreamBench row-vs-columnar A/B), not a tuning knob
-      if (columnar) Bridge.parquetFileBatches(SparkSession.active, schema)
+      if (columnar) Bridge.parquetFileBatches(SparkSession.active, physSchema)
       else None)
 
   override def deserializeOffset(json: String): Offset =
