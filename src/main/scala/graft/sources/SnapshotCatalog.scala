@@ -44,7 +44,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Read-only by the same rationale as [[GraftCatalog]]: writes go
   * through the log's own commit paths (commit / commitAppend /
   * commitIdempotent), which own atomicity, stats, and schema
-  * enforcement — a catalog write would bypass all three.
+  * enforcement — a catalog write would bypass all three. The single
+  * exception is COLUMN DDL (`ALTER TABLE … ADD/RENAME/DROP COLUMN`),
+  * which [[alterTable]] delegates to the log's own metadata-only
+  * commits — nothing is bypassed, the SQL verb just reaches the
+  * owned path.
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -164,8 +168,58 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     readOnly("CREATE TABLE")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** The one write surface the catalog exposes: COLUMN DDL — and only
+    * because it delegates to the log's OWN metadata-only commit paths
+    * ([[SnapshotLog.addColumn]]/[[SnapshotLog.renameColumn]]/
+    * [[SnapshotLog.dropColumn]]), so nothing the read-only rationale
+    * protects (atomicity, stats, schema enforcement) is bypassed —
+    * these ARE the owned paths, reached from SQL:
+    *
+    * {{{
+    *   ALTER TABLE snap.ns.t ADD COLUMN note STRING
+    *   ALTER TABLE snap.ns.t RENAME COLUMN src TO source
+    *   ALTER TABLE snap.ns.t DROP COLUMN payload
+    * }}}
+    *
+    * Each change publishes its own version (put-if-absent — concurrent
+    * writers conflict as usual), so a multi-change statement that
+    * crashes mid-way leaves a valid PREFIX, never a torn manifest.
+    * Top-level columns only (the log's mapping is top-level-only, like
+    * stats and evolution); ADD takes no FIRST/AFTER position (columns
+    * append at the end, where every old file null-fills) and must be
+    * nullable (existing rows have no value to give a NOT NULL column).
+    * Everything else ALTER TABLE can say stays read-only-rejected. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!dir.isDirectory || !isTable(dir)) throw new NoSuchTableException(ident)
+    val t = dir.getAbsolutePath
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$what: nested field '${fieldNames.mkString(".")}' — the " +
+          "snapshot log's column DDL is top-level-only, like its " +
+          "stats and evolution")
+      fieldNames.head
+    }
+    changes.foreach {
+      case ac: TableChange.AddColumn =>
+        val name = topLevel(ac.fieldNames(), "ADD COLUMN")
+        require(ac.isNullable,
+          s"ADD COLUMN $name: must be nullable — existing rows have " +
+            "no value to give a NOT NULL column")
+        require(ac.position() == null,
+          s"ADD COLUMN $name: FIRST/AFTER positions are unsupported — " +
+            "columns append at the end, where every old file null-fills")
+        SnapshotLog.addColumn(t, name, ac.dataType())
+      case rc: TableChange.RenameColumn =>
+        SnapshotLog.renameColumn(t,
+          topLevel(rc.fieldNames(), "RENAME COLUMN"), rc.newName())
+      case dc: TableChange.DeleteColumn =>
+        SnapshotLog.dropColumn(t, topLevel(dc.fieldNames(), "DROP COLUMN"))
+      case other =>
+        readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
 

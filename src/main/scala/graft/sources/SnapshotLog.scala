@@ -722,6 +722,56 @@ object SnapshotLog {
     baseV + 1
   }
 
+  /** Add a nullable column — the metadata-only half of additive
+    * evolution ([[mergeSchemas]] is the append-time half, where a
+    * BATCH brings the newcomer's first data): the field joins the END
+    * of the logical schema with ZERO data written — every existing
+    * file lacks it and reads as null by parquet's missing-column
+    * contract, exactly like a pre-evolution file after a mergeSchema
+    * append. Always nullable (existing rows have no value to give a
+    * NOT NULL column). On a MAPPED table the newcomer takes a fresh
+    * physical name colliding with no live or RETIRED physical — the
+    * same no-resurrection rule as [[appendAt]]'s mergeSchema path, so
+    * re-adding a dropped name can never read the dropped bytes back;
+    * an identity table has no hidden bytes, so the name itself
+    * serves and the table stays map-free. */
+  def addColumn(tableDir: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val node = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val schema = Option(node.get("schema")).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(sys.error(
+        s"$tableDir: add needs a schema-recording manifest (this is " +
+          "a pre-round-10 table) — re-commit once to record the schema"))
+    // the evolve discipline: no duplicate, no case-variant duplicate
+    schema.fieldNames.find(_.equalsIgnoreCase(name)).foreach { clash =>
+      sys.error(s"column '$name' collides with existing '$clash'" +
+        (if (clash == name) "" else " (differs only by case)"))
+    }
+    val colmap0 = colmapOf(node)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    val newColmap =
+      if (colmap0.isEmpty) colmap0 // identity stays identity (map-free)
+      else {
+        val used = colmap0.values.toSet ++ retiredOf(node)
+        var cand = name
+        var i = 2
+        while (used(cand)) { cand = s"${name}_$i"; i += 1 }
+        colmap0 + (name -> cand)
+      }
+    val files = node.get("files").elements().asScala.map(_.asText()).toSeq
+    publish(tableDir, baseV + 1, files, carriedStats(node, files),
+      Some(newSchema.json), orderedColmap(Some(newSchema), newColmap),
+      retiredOf(node))
+    baseV + 1
+  }
+
   /** Drop a column — [[renameColumn]]'s sibling metadata-only commit:
     * the column leaves the logical schema and the map; its physical
     * name is RETIRED, never reused, because a later re-ADD of the same

@@ -117,4 +117,67 @@ class SnapshotCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
+
+  test("column DDL through SQL reaches the log's metadata-only commits") {
+    registered()
+    val t = s"$root/lake/ddl"
+    import spark.implicits._
+    SnapshotLog.commit(spark, t,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("key", "src", "payload"))
+    val files0 = SnapshotLog.read(spark, t).inputFiles.toSet
+
+    spark.sql("ALTER TABLE snap.lake.ddl RENAME COLUMN src TO source")
+    assert(spark.table("snap.lake.ddl").columns.toSeq ==
+      Seq("key", "source", "payload"))
+    // (file identity via the Scala read: a DSv2-wrapped table exposes
+    // no inputFiles through DataFrame plan introspection)
+    assert(SnapshotLog.read(spark, t).inputFiles.toSet == files0,
+      "rename through SQL must be metadata-only")
+    assert(spark.sql(
+      "SELECT source FROM snap.lake.ddl WHERE key = 1").head.getString(0) == "a")
+
+    spark.sql("ALTER TABLE snap.lake.ddl ADD COLUMN note STRING")
+    assert(spark.table("snap.lake.ddl").columns.toSeq ==
+      Seq("key", "source", "payload", "note"))
+    assert(SnapshotLog.read(spark, t).inputFiles.toSet == files0,
+      "metadata-only add writes no data")
+    assert(spark.sql(
+      "SELECT count(*) FROM snap.lake.ddl WHERE note IS NULL")
+      .head.getLong(0) == 2L, "every existing row null-fills the added column")
+
+    spark.sql("ALTER TABLE snap.lake.ddl DROP COLUMN payload")
+    assert(spark.table("snap.lake.ddl").columns.toSeq ==
+      Seq("key", "source", "note"))
+    // three DDL statements = three versions; the original still travels
+    assert(SnapshotLog.latestVersion(t).get == 3L)
+    assert(spark.sql("SELECT * FROM snap.lake.ddl VERSION AS OF 0")
+      .columns.toSeq == Seq("key", "src", "payload"))
+    // appends keep composing after SQL DDL (logical names)
+    SnapshotLog.commitAppend(spark, t,
+      Seq((3L, "c", "n")).toDF("key", "source", "note"))
+    assert(spark.sql(
+      "SELECT source FROM snap.lake.ddl WHERE key = 3").head.getString(0) == "c")
+  }
+
+  test("column DDL guardrails: NOT NULL, positions, and non-DDL changes reject loudly") {
+    registered()
+    val t = s"$root/lake/ddlguard"
+    import spark.implicits._
+    SnapshotLog.commit(spark, t, Seq((1L, "a")).toDF("key", "payload"))
+
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE snap.lake.ddlguard ADD COLUMN x INT NOT NULL")
+    }
+    assert(e1.getMessage.contains("nullable"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE snap.lake.ddlguard ADD COLUMN x INT FIRST")
+    }
+    assert(e2.getMessage.contains("append at the end"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE snap.lake.ddlguard SET TBLPROPERTIES ('a'='b')")
+    }
+    assert(e3.getMessage.contains("read-only"), e3.getMessage)
+    // nothing above published a version
+    assert(SnapshotLog.latestVersion(t).get == 0L)
+  }
 }

@@ -145,6 +145,53 @@ class SnapshotRenameSpec extends SparkSpec {
     intercept[Exception](SnapshotLog.dropColumn(t, "key"))
   }
 
+  test("addColumn is metadata-only: zero data written, every existing row null-fills") {
+    val t = freshDir("add_basic")
+    SnapshotLog.commit(spark, t, Seq((1L, 10), (2L, 20)).toDF("key", "score"))
+    val v0files = SnapshotLog.read(spark, t).inputFiles.toSet
+    val v = SnapshotLog.addColumn(t, "note",
+      org.apache.spark.sql.types.StringType)
+    assert(v == 1L)
+    val cur = SnapshotLog.read(spark, t)
+    assert(cur.columns.toSeq == Seq("key", "score", "note"))
+    assert(cur.inputFiles.toSet == v0files, "metadata-only: no data written")
+    assert(cur.filter(col("note").isNull).count() == 2L)
+    // time travel: v0 keeps its own (narrower) schema
+    assert(SnapshotLog.read(spark, t, asOf = Some(0L)).columns.toSeq ==
+      Seq("key", "score"))
+    // the next append may carry the column, or omit it (nullable)
+    SnapshotLog.commitAppend(spark, t,
+      Seq((3L, 30, "x")).toDF("key", "score", "note"))
+    SnapshotLog.commitAppend(spark, t, Seq((4L, 40)).toDF("key", "score"),
+      mergeSchema = true)
+    assert(SnapshotLog.read(spark, t).select("key", "note").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet == Set((1L, null), (2L, null), (3L, "x"), (4L, null)))
+    // validation: duplicates and case-variants refuse
+    intercept[Exception](SnapshotLog.addColumn(t, "score",
+      org.apache.spark.sql.types.IntegerType))
+    intercept[Exception](SnapshotLog.addColumn(t, "SCORE",
+      org.apache.spark.sql.types.IntegerType))
+  }
+
+  test("addColumn re-adding a dropped name on a mapped table never resurrects the bytes") {
+    val t = freshDir("add_readd")
+    SnapshotLog.commit(spark, t,
+      Seq((1L, "secret", 10)).toDF("key", "note", "score"))
+    SnapshotLog.renameColumn(t, "score", "points") // activates the map
+    SnapshotLog.dropColumn(t, "note")              // retires physical `note`
+    SnapshotLog.addColumn(t, "note", org.apache.spark.sql.types.StringType)
+    val cur = SnapshotLog.read(spark, t)
+    assert(cur.columns.toSeq == Seq("key", "points", "note"))
+    assert(cur.filter(col("note").isNull).count() == 1L,
+      "the re-added column must NOT read the dropped bytes")
+    // and it is fully usable: an append lands values under it
+    SnapshotLog.commitAppend(spark, t,
+      Seq((2L, 20, "fresh")).toDF("key", "points", "note"))
+    assert(SnapshotLog.read(spark, t).filter(col("note") === "fresh")
+      .count() == 1L)
+  }
+
   test("SQL catalog exposes logical names over a renamed table, with column pruning intact") {
     val t = freshDir("ren_sql")
     new java.io.File(s"$scratch/renns").mkdirs()
