@@ -280,6 +280,41 @@ object MigrationOps {
           when(col("op") === "insert", lit("I")).otherwise(lit(null).cast("string"))),
       Seq("custkey", "status", "price_c"))
 
+  /** [[graft.sources.SnapshotLog.mergeInto]] driver-gated: commit the
+    * CDC v0 snapshot to a scratch snapshot-log table (range-clustered
+    * so the merge's pruning stages run against real disjoint-stats
+    * files), merge the [[cdcTableDiff]] feed through the log, and read
+    * the committed result. By the applyDiff theorem —
+    * applyDiff(v0, tableDiff(v0, v1)) == v1, CdcPropertySpec — the
+    * merged TABLE must equal [[cdcMergeUpsert]]'s query result, so the
+    * oracle is that entry's proven SQL verbatim: the transactional verb
+    * is checked against the relational semantics it promises. The
+    * orders-sized result is LOCALIZED before the scratch dir is
+    * deleted (the returned frame must not reference torn-down files —
+    * the migrate_seq_counts discipline). */
+  val snapMergeInto: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_merge_gate_")
+    try {
+      val tdir = scratchP.resolve("t").toString
+      val v0 = cdcSnapshot(s, dir).select(col("key"),
+        col("s_custkey").as("custkey"), col("s_status").as("status"),
+        col("s_price_c").as("price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        v0.repartitionByRange(8, col("key")).sortWithinPartitions("key"))
+      graft.sources.SnapshotLog.mergeInto(s, tdir, cdcTableDiff(s, dir), "key")
+      val merged = graft.sources.SnapshotLog.read(s, tdir)
+      val local = java.util.Arrays.asList(merged.collect(): _*)
+      s.createDataFrame(local, merged.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Bulk CSV ingest (reference: tests/test_clickhouse_migration.py:101 —
     * gzip CSV with header; Spark reads gzip transparently). Oracle:
     * DuckDB reads the same gzip file natively via read_csv_auto, so the
@@ -367,8 +402,34 @@ object MigrationOps {
     "masked_update" -> maskedUpdate,
     "cdc_merge_upsert" -> cdcMergeUpsert,
     "cdc_table_diff" -> cdcTableDiff,
+    "snap_merge_into" -> snapMergeInto,
     "csv_ingest" -> csvIngest,
     "migrate_seq_counts" -> migrateSeqCounts)
+
+  private val cdcMergeUpsertSql =
+    """WITH snap AS (
+         SELECT o_orderkey AS key, o_custkey AS s_custkey,
+           o_orderstatus AS s_status,
+           CAST(round(o_totalprice*100) AS BIGINT) AS s_price_c
+         FROM orders),
+       chg AS (
+         SELECT CASE WHEN m = 4 THEN o_orderkey + 10000000 ELSE o_orderkey END AS key,
+           CASE WHEN m = 0 THEN 'delete' WHEN m = 4 THEN 'insert'
+                ELSE 'update' END AS op,
+           o_custkey AS c_custkey,
+           CAST(round(o_totalprice*100) AS BIGINT)
+             + CASE WHEN m = 4 THEN 0 ELSE 500 END AS c_price_c
+         FROM (SELECT *,
+                 CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                   AS BIGINT) % 10 AS m
+               FROM orders)
+         WHERE m <= 4)
+       SELECT key,
+         COALESCE(c.c_custkey, s.s_custkey) AS custkey,
+         CASE WHEN c.op = 'insert' THEN 'I' ELSE s.s_status END AS status,
+         COALESCE(c.c_price_c, s.s_price_c) AS price_c
+       FROM snap s FULL OUTER JOIN chg c USING (key)
+       WHERE c.op IS NULL OR c.op <> 'delete'"""
 
   val oracles: Seq[(String, String)] = Seq(
     "reconcile_pending" ->
@@ -436,30 +497,11 @@ object MigrationOps {
              CASE WHEN l_quantity > 30 THEN 0 ELSE 1 END AS guard
            FROM lineitem)
          GROUP BY enabled, guard""",
-    "cdc_merge_upsert" ->
-      """WITH snap AS (
-           SELECT o_orderkey AS key, o_custkey AS s_custkey,
-             o_orderstatus AS s_status,
-             CAST(round(o_totalprice*100) AS BIGINT) AS s_price_c
-           FROM orders),
-         chg AS (
-           SELECT CASE WHEN m = 4 THEN o_orderkey + 10000000 ELSE o_orderkey END AS key,
-             CASE WHEN m = 0 THEN 'delete' WHEN m = 4 THEN 'insert'
-                  ELSE 'update' END AS op,
-             o_custkey AS c_custkey,
-             CAST(round(o_totalprice*100) AS BIGINT)
-               + CASE WHEN m = 4 THEN 0 ELSE 500 END AS c_price_c
-           FROM (SELECT *,
-                   CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
-                     AS BIGINT) % 10 AS m
-                 FROM orders)
-           WHERE m <= 4)
-         SELECT key,
-           COALESCE(c.c_custkey, s.s_custkey) AS custkey,
-           CASE WHEN c.op = 'insert' THEN 'I' ELSE s.s_status END AS status,
-           COALESCE(c.c_price_c, s.s_price_c) AS price_c
-         FROM snap s FULL OUTER JOIN chg c USING (key)
-         WHERE c.op IS NULL OR c.op <> 'delete'""",
+    "cdc_merge_upsert" -> cdcMergeUpsertSql,
+    // the transactional verb promises exactly the relational merge's
+    // result (the applyDiff theorem), so it shares the SAME oracle text
+    // — one source of truth for the whole merge family's semantics
+    "snap_merge_into" -> cdcMergeUpsertSql,
     // diff-of-a-merge: v0/v1 rebuilt from the same snap/chg CTEs, then
     // the null-safe (IS NOT DISTINCT FROM) full-outer comparison — the
     // mirror of tableDiff stage for stage

@@ -1073,6 +1073,162 @@ object SnapshotLog {
     v
   }
 
+  /** Copy-on-write MERGE through the log — Delta's `MERGE INTO` verb
+    * on [[graft.ops.MigrationOps.tableDiff]]'s POST-IMAGE change-feed
+    * convention, completing the DML family (append / delete / update /
+    * merge). `changes` carries the table's full logical column set
+    * plus `op` ∈ {insert, update, delete}, ONE row per key (compact
+    * multi-version batches with
+    * [[graft.ops.EventOps.cdcChangelogCompact]] first — checked loudly
+    * here because a double-keyed feed would write two rows where the
+    * table had one), payloads being the complete post-image for
+    * non-deletes. Feeding a diff back through merge therefore replays
+    * it transactionally: after `mergeInto(t, tableDiff(v0, v1), k)`
+    * the table's content IS v1 — [[graft.ops.MigrationOps.applyDiff]]'s
+    * theorem, landed as one atomic version. An insert whose key
+    * already exists is an upsert (the post-image replaces the row), a
+    * delete of an absent key is a no-op — both inherited from the
+    * apply semantics, so the verb is idempotent per feed.
+    *
+    * The 100 TB shape is TWO delta-proportional pruning stages before
+    * any data rewrites — the snapshot side never fully shuffles, and
+    * in the common churn-clustered case barely reads:
+    *
+    *   1. STATS INTERVAL — one tiny agg over the feed yields
+    *      [min, max] of its keys (plus the row/distinct/op sanity
+    *      counts, same job); files whose recorded key range cannot
+    *      meet that interval carry verbatim, zero I/O.
+    *   2. FIND-TOUCHED — a key-column-ONLY scan of the stage-1
+    *      survivors (explicit one-field read schema, so parquet reads
+    *      one column chunk per file) joined against the feed's
+    *      distinct keys, with `input_file_name()` as the provenance
+    *      column, discovers the EXACT file set containing any feed key
+    *      — the Delta find-touched-files job. A file inside the
+    *      interval that contains none of the keys is exonerated and
+    *      carries verbatim (stats say "maybe", the data says no).
+    *      Matching is by part-file BASENAME (globally unique — Spark
+    *      embeds the write job's UUID) because `input_file_name`
+    *      speaks URI while the manifest speaks canonical paths.
+    *
+    * Only touched files rewrite: survivors are the anti-join of their
+    * rows against the feed's keys, and every non-delete feed row lands
+    * verbatim alongside them as the new-file side. Both jobs join the
+    * churn-sized feed against churn-located data, so AQE's
+    * broadcast-threshold planning keeps the table side exchange-free
+    * for interactive batches and degrades to a shuffle join only when
+    * the feed itself is huge. Untouched files and their stats carry
+    * verbatim (O(touched) footer harvests); history, time travel,
+    * column mapping ([[renameColumn]]/[[dropColumn]] — the feed speaks
+    * logical, files stay physical), and the put-if-absent conflict
+    * discipline all compose unchanged. Payload types must match the
+    * recorded schema exactly (nullability is not enforced — parquet
+    * inference is all-nullable anyway); an empty feed returns the
+    * current version untouched, no commit. SnapshotMergeSpec pins the
+    * apply theorem, both pruning stages, the upsert/no-op edges, and
+    * the colmap composition. */
+  def mergeInto(spark: SparkSession, tableDir: String, changes: DataFrame,
+      key: String): Long = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      input_file_name, lit, max, min, when}
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val statsNode = prevManifest.get("stats")
+    val colmap = colmapOf(prevManifest)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    // pre-schema manifests (never mapped) fall back to one-time
+    // inference, like the append path's enforcement source
+    val logical = logicalSchema.getOrElse(
+      spark.read.parquet(prevFiles: _*).schema)
+    require(changes.columns.contains("op"),
+      "mergeInto wants a change feed with an op column — the tableDiff shape")
+    val feedCols = changes.columns.filterNot(_ == "op").toSet
+    require(feedCols == logical.fieldNames.toSet,
+      s"mergeInto feed must carry exactly the table's columns + op: " +
+        s"feed has ${feedCols.toSeq.sorted.mkString(",")}, table has " +
+        s"${logical.fieldNames.sorted.mkString(",")}")
+    require(logical.fieldNames.contains(key), s"unknown merge key $key")
+    logical.fields.foreach { f =>
+      val ft = changes.schema(f.name).dataType
+      require(ft == f.dataType,
+        s"mergeInto feed column ${f.name} is $ft, table records ${f.dataType} " +
+          "— post-images are written verbatim, so types must match exactly")
+    }
+    val kcol = col(key)
+    // one churn-sized job: key interval for stage-1 pruning + every
+    // precondition count (the countDistinct shuffle is delta-sized —
+    // never table-sized — and buys the one-row-per-key guarantee)
+    val pre = changes.agg(
+      count(lit(1)).as("n"), countDistinct(kcol).as("nk"),
+      min(kcol).as("lo"), max(kcol).as("hi"),
+      count(when(!col("op").isin("insert", "update", "delete"), 1)).as("badop"),
+      count(when(kcol.isNull, 1)).as("nullkey"),
+      count(when(col("op") =!= "delete", 1)).as("nins")).head()
+    if (pre.getLong(0) == 0L) return baseV // empty feed: nothing to merge
+    require(pre.getLong(5) == 0L, "mergeInto feed has NULL keys")
+    require(pre.getLong(4) == 0L,
+      "mergeInto feed has op values outside {insert, update, delete}")
+    require(pre.getLong(0) == pre.getLong(1),
+      s"mergeInto feed has ${pre.getLong(0)} rows over ${pre.getLong(1)} " +
+        "distinct keys — one row per key; compact multi-version batches " +
+        "with cdcChangelogCompact first")
+    val nIns = pre.getLong(6)
+    val pkey = physName(colmap, key)
+    val (candidates, clear) = prevFiles.partition(f =>
+      keepFile(statsNode, f, pkey, Some(pre.get(2)), Some(pre.get(3))))
+    val touchedBase: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else {
+        val pf = physSchema(logical, colmap)(logical.fieldIndex(key))
+        val probe = spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(pf)))
+          .parquet(candidates: _*)
+          .select(col(pf.name).as("_graft_k"),
+            input_file_name().as("_graft_file"))
+        probe.join(changes.select(kcol.as("_graft_k")).distinct(), "_graft_k")
+          .select("_graft_file").distinct()
+          .collect().map(r => baseName(r.getString(0))).toSet
+      }
+    val (affected, exonerated) =
+      candidates.partition(f => touchedBase.contains(baseName(f)))
+    val untouched = clear ++ exonerated
+    val newFiles =
+      if (affected.isEmpty && nIns == 0L) Nil // pure absent-key deletes
+      else {
+        val inserts = changes.filter(col("op") =!= "delete")
+          .select(logical.fieldNames.toIndexedSeq.map(col): _*)
+        val merged =
+          if (affected.isEmpty) inserts
+          else readFiles(spark, affected, Some(logical), colmap)
+            .join(changes.select(kcol), Seq(key), "left_anti")
+            .unionByName(inserts)
+        val out =
+          if (colmap.isEmpty) merged
+          else merged.toDF(
+            logical.fieldNames.map(physName(colmap, _)).toIndexedSeq: _*)
+        val dd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        out.write.mode("overwrite").parquet(dd.toString)
+        listDir(dd).filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+      }
+    val carried = carriedStats(prevManifest, untouched)
+    val newStats = harvestStats(newFiles)
+    publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest))
+    v
+  }
+
+  private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
   /** Table maintenance through the log — [[graft.sources.Compaction]]
     * composed with the manifest machinery (Delta/Iceberg `OPTIMIZE`):
     * rewrite the LATEST version's content into ⌈rows/target⌉
