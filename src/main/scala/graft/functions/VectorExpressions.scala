@@ -668,6 +668,105 @@ case class CmsEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bloom_hit(bloom, hashes)` — does a serialized bloom filter
+  * (Spark's public `org.apache.spark.util.sketch.BloomFilter`, the
+  * binary `graft_bloom_agg` emits) possibly contain ANY of a constant
+  * list of xxhash64-keyed items?
+  *
+  * The constancy contract is the MIRROR of [[CmsEstimate]]'s /
+  * `graft_might_contain`'s: there the SKETCH is the query-scoped
+  * constant and the item varies per row; here the HASH LIST is the
+  * constant (a point-lookup's probe values, evaluated once into a
+  * `long[]`) and the bloom varies per row — the shape of a FILE-INDEX
+  * prune, where each row carries one file's bloom and the query asks
+  * "could any probe key live in this file?". Spark's own
+  * `BloomFilterMightContain` rejects a non-constant bloom side at
+  * analysis, which is exactly why this expression exists.
+  *
+  * Per-row cost is one `BloomFilter.readFrom` over the row's bytes
+  * plus k probes per hash with early-true exit — acceptable because
+  * the rows ARE files (an index scan is #files rows, not #records),
+  * and deserialization is a wrap of the bitset, not a copy-and-rehash.
+  * Blooms have no false negatives, so `false` proves no probe key is
+  * in the file — the only direction a prune may rely on.
+  *
+  * Used by [[graft.sources.SnapshotLog.readWhereIn]]'s distributed
+  * prune job through the programmatic bridge, so the snapshot log's
+  * bloom index works without the session extension installed. */
+case class BloomHit(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_hit"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_bloom_hit requires the hash list to be a constant " +
+            "(the probe keys of one lookup) — it is evaluated once, " +
+            "not per row")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_bloom_hit requires (binary bloom, array<bigint> hashes), " +
+            s"got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  // Evaluated once on the driver and shipped as a plain long[] (null
+  // hash entries are dropped: a NULL probe key matches nothing, the
+  // same no-row answer the residual filter gives it).
+  @transient private lazy val hashes: Array[Long] = {
+    val arr = right.eval(null)
+    if (arr == null) Array.emptyLongArray
+    else {
+      val a = arr.asInstanceOf[ArrayData]
+      (0 until a.numElements()).collect {
+        case i if !a.isNullAt(i) => a.getLong(i)
+      }.toArray
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bytes = left.eval(input)
+    if (bytes == null) null
+    else BloomHit.hit(bytes.asInstanceOf[Array[Byte]], hashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hs = ctx.addReferenceObj("bloomHitHashes", hashes, "long[]")
+    nullSafeCodeGen(ctx, ev, (bloom, _) => {
+      s"${ev.value} = graft.functions.BloomHit.hit($bloom, $hs);"
+    })
+  }
+
+  // right is constant, so only the bloom's nullability matters — and
+  // nullSafeCodeGen above only evaluates the left child
+  override def nullable: Boolean = left.nullable
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomHit =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomHit {
+  /** The per-row kernel, also the codegen target (a static call keeps
+    * the generated code one line and Janino-trivial). */
+  def hit(bytes: Array[Byte], hashes: Array[Long]): Boolean = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    var i = 0
+    while (i < hashes.length) {
+      if (bf.mightContainLong(hashes(i))) return true
+      i += 1
+    }
+    false
+  }
+}
+
 /** Session extension registering the engine's native functions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -757,6 +856,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> children.length.toString, "docroot" -> ""))
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))
+      }))
+    // the per-row-bloom mirror of graft_might_contain (file-index
+    // prune shape); the snapshot log reaches it through the bridge,
+    // this registration is for SQL users
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_hit"),
+      new ExpressionInfo(classOf[BloomHit].getName, "graft_bloom_hit"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`graft_bloom_hit`", "expectedNum" -> "2",
+              "actualNum" -> children.length.toString, "docroot" -> ""))
+        BloomHit(children(0), children(1))
       }))
     // CMS point-estimate (the sketch AGGREGATE is Spark's built-in
     // `count_min_sketch`; only the query side needs a native function).

@@ -315,6 +315,50 @@ object MigrationOps {
     }
   }
 
+  /** [[graft.sources.SnapshotLog.writeBloomIndex]] /
+    * [[graft.sources.SnapshotLog.readWhereIn]] driver-gated, full
+    * lifecycle: commit half the orders snapshot CUSTKEY-clustered (so
+    * o_orderkey is unclustered and min/max stats keep ~every file for a
+    * point lookup — exactly the shape the bloom index exists for),
+    * build the index, append the other half, refresh the index over
+    * exactly the uncovered files, then point-look-up the 24 smallest
+    * orderkeys across both generations. The oracle is the same IN
+    * lookup over the raw table — two pruning stages and a day-2
+    * refresh must be invisible in the result. Orders-sized scratch is
+    * LOCALIZED before deletion (the migrate_seq_counts discipline). */
+  val snapBloomLookup: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_bloom_gate_")
+    try {
+      val tdir = scratchP.resolve("t").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(8, col("o_custkey")))
+      graft.sources.SnapshotLog.writeBloomIndex(s, tdir, "o_orderkey",
+        expectedItemsPerFile = 64 * 1024, fpp = 0.01)
+      graft.sources.SnapshotLog.commitAppend(s, tdir,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(8, col("o_custkey")))
+      require(graft.sources.SnapshotLog.refreshBloomIndex(s, tdir, "o_orderkey") > 0,
+        "the append must leave uncovered files for the refresh to bloom")
+      val keys: Seq[Any] = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+      val res = graft.sources.SnapshotLog.readWhereIn(
+        s, tdir, "o_orderkey", keys)
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Bulk CSV ingest (reference: tests/test_clickhouse_migration.py:101 —
     * gzip CSV with header; Spark reads gzip transparently). Oracle:
     * DuckDB reads the same gzip file natively via read_csv_auto, so the
@@ -403,6 +447,7 @@ object MigrationOps {
     "cdc_merge_upsert" -> cdcMergeUpsert,
     "cdc_table_diff" -> cdcTableDiff,
     "snap_merge_into" -> snapMergeInto,
+    "snap_bloom_lookup" -> snapBloomLookup,
     "csv_ingest" -> csvIngest,
     "migrate_seq_counts" -> migrateSeqCounts)
 
@@ -502,6 +547,14 @@ object MigrationOps {
     // result (the applyDiff theorem), so it shares the SAME oracle text
     // — one source of truth for the whole merge family's semantics
     "snap_merge_into" -> cdcMergeUpsertSql,
+    // the bloom-pruned point lookup must equal the raw IN lookup —
+    // pruning (stats stage, bloom stage, day-2 refresh) is invisible
+    "snap_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
+         FROM orders
+         WHERE o_orderkey IN
+           (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
     // diff-of-a-merge: v0/v1 rebuilt from the same snap/chg CTEs, then
     // the null-safe (IS NOT DISTINCT FROM) full-outer comparison — the
     // mirror of tableDiff stage for stage

@@ -422,29 +422,278 @@ object SnapshotLog {
     val (files, stats, schemaOpt, colmap) = manifestFor(tableDir, asOf)
     val pcol = physName(colmap, column)
     val kept = files.filter(f => keepFile(stats, f, pcol, lower, upper))
-    val base =
-      if (kept.nonEmpty) readFiles(spark, kept, schemaOpt, colmap)
-      else {
-        // all files pruned: an empty frame with the table's schema —
-        // from the manifest when recorded, else one footer read; a
-        // pre-schema manifest of an EMPTY commit has no schema source
-        // at all, so fail loudly rather than NoSuchElement on head
-        // the LOGICAL schema: an empty frame has no files to match, so
-        // the mapping is irrelevant here — only the names the caller
-        // sees matter
-        val schema = schemaOpt.getOrElse {
-          require(files.nonEmpty,
-            s"cannot determine the schema of $tableDir: the manifest " +
-              "lists no files and records no schema (a pre-round-10 " +
-              "empty commit) — re-commit to record the schema")
-          spark.read.parquet(files.head).schema
-        }
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      }
+    val base = scanOrEmpty(spark, tableDir, kept, files, schemaOpt, colmap)
     val preds = lower.map(l => col(column) >= lit(l)) ++
       upper.map(u => col(column) <= lit(u))
     preds.reduceOption(_ && _).map(base.filter).getOrElse(base)
+  }
+
+  /** Scan `kept`, or — when pruning removed every file — an empty
+    * frame with the table's schema: from the manifest when recorded,
+    * else one footer read; a pre-schema manifest of an EMPTY commit has
+    * no schema source at all, so fail loudly rather than NoSuchElement
+    * on head. The empty frame carries the LOGICAL schema: with no files
+    * to match, the mapping is irrelevant — only the names the caller
+    * sees matter. */
+  private def scanOrEmpty(spark: SparkSession, tableDir: String,
+      kept: Seq[String], files: Seq[String],
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      colmap: Map[String, String]): DataFrame =
+    if (kept.nonEmpty) readFiles(spark, kept, schemaOpt, colmap)
+    else {
+      val schema = schemaOpt.getOrElse {
+        require(files.nonEmpty,
+          s"cannot determine the schema of $tableDir: the manifest " +
+            "lists no files and records no schema (a pre-round-10 " +
+            "empty commit) — re-commit to record the schema")
+        spark.read.parquet(files.head).schema
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  // ---------------------------------------------------------------------
+  // Per-file bloom index: point-lookup pruning where min/max stats can't
+  // ---------------------------------------------------------------------
+
+  /** Index layout: parquet rows of (file basename, serialized bloom)
+    * under `<tableDir>/_index/bloom/<physCol>/data`, plus a `meta.json`
+    * recording the sizing. Keyed on the PHYSICAL column name, like the
+    * manifest's stats, so a later rename keeps the index valid (the
+    * physical name is immutable); basenames rather than full paths
+    * because part-file names are UUID-unique (the [[mergeInto]]
+    * precedent) and survive a tableDir move. */
+  private def bloomIndexDir(tableDir: String, pcol: String): Path =
+    Paths.get(tableDir, "_index", "bloom", pcol)
+
+  /** Types the bloom index accepts: exactly the shapes whose write-side
+    * `xxhash64(column)` this module can REPLAY over a lookup value on
+    * the driver (integral widths hash by their own physical width, so
+    * the replay casts the value to the column's recorded type first).
+    * Floating point is excluded deliberately — equality lookups on
+    * floats are a correctness smell, and ±0.0/NaN have multiple
+    * representations per value. */
+  private def bloomHashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType
+        | DateType => true
+      case _ => false
+    }
+  }
+
+  /** xxhash64 of `value` exactly as the index build hashed the column:
+    * cast to the column's recorded type (an Int lookup against a BIGINT
+    * column must hash 8 bytes, not 4), then Spark's own XxHash64 — the
+    * same expression the build's aggregate child used, evaluated once
+    * on the driver. */
+  private def bloomHash(value: Any, dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    new XxHash64(Seq(Cast(Literal(value), dt, Some("UTC"))))
+      .eval(null).asInstanceOf[Long]
+  }
+
+  /** The standard bloom sizing: bits = -n·ln(p)/ln(2)², k derived by
+    * Spark's BloomFilter itself. */
+  private def bloomNumBits(expectedItems: Long, fpp: Double): Long =
+    math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+
+  /** One distributed pass building (file, bloom) rows for `files` —
+    * shared by [[writeBloomIndex]] (all current files, overwrite) and
+    * [[refreshBloomIndex]] (missing files only, append). The aggregate
+    * is Spark's own BloomFilterAggregate over `xxhash64(column)`
+    * (reached through the programmatic bridge — no session extension
+    * required), grouped by file: ONE scan of one column, map-side
+    * partial blooms merged per file. NULL rows hash to the seed
+    * constant — one harmless possible false positive, never a false
+    * negative, and lookups reject null keys anyway. */
+  private def buildBloomRows(spark: SparkSession, files: Seq[String],
+      physField: org.apache.spark.sql.types.StructField,
+      expectedItems: Long, numBits: Long, dataDir: Path,
+      mode: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.functions.{input_file_name, substring_index}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val agg = Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new XxHash64(Seq(UnresolvedAttribute(Seq(physField.name)))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(physField)))
+      .parquet(files: _*)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .agg(agg.as("bloom"))
+      .write.mode(mode).parquet(dataDir.toString)
+  }
+
+  /** Build a per-file bloom index on `column` over the LATEST version's
+    * files — the Delta bloom-filter-index / Iceberg-puffin idea at this
+    * log's minimum. Min/max stats prune RANGES and only bite when the
+    * layout clusters the column; a point lookup on a high-cardinality
+    * column that the layout does NOT cluster (the id-lookup shape:
+    * every file's [min, max] spans the whole domain) keeps every file.
+    * A bloom per file answers "could this key be in this file?" with
+    * no false negatives, so [[readWhereIn]] can prune to the files that
+    * actually hold the keys — at 100 TB, a handful of scan tasks
+    * instead of a full-table scan, for one extra `_index` scan of
+    * #files rows.
+    *
+    * Sizing: `expectedItemsPerFile` should be ≥ the largest file's row
+    * count (oversizing only wastes `bits` bytes; UNDERsizing inflates
+    * the false-positive rate, never correctness). The default pairs
+    * with [[optimize]]-sized files. Cost: one scan of ONE column of the
+    * table, one ~`numBits/8`-byte blob per file.
+    *
+    * The index covers the files it was built over: files appended later
+    * are simply UNCOVERED (lookups keep them — conservative), until
+    * [[refreshBloomIndex]] blooms exactly the missing ones. Files
+    * rewritten away by DML/optimize leave stale index rows that lookups
+    * ignore (the manifest is always the source of file truth). Not
+    * transactional with the log by design — the index is a pruning
+    * accelerator, never a correctness input, the same standing as the
+    * manifest stats. */
+  def writeBloomIndex(spark: SparkSession, tableDir: String, column: String,
+      expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.03): Int = {
+    require(expectedItemsPerFile > 0, "expectedItemsPerFile must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val (files, _, schemaOpt, colmap) = manifestFor(tableDir, None)
+    val logical = schemaOpt.getOrElse(sys.error(
+      s"bloom index needs the manifest-recorded schema of $tableDir " +
+        "(a pre-round-10 manifest) — re-commit to record it"))
+    require(logical.fieldNames.contains(column),
+      s"unknown column $column — table has ${logical.fieldNames.mkString(", ")}")
+    val field = logical(logical.fieldIndex(column))
+    require(bloomHashable(field.dataType),
+      s"bloom index supports integral, string and date columns; " +
+        s"$column is ${field.dataType.simpleString}")
+    require(files.nonEmpty, s"no data files in $tableDir to index")
+    val pcol = physName(colmap, column)
+    val dir = bloomIndexDir(tableDir, pcol)
+    val numBits = bloomNumBits(expectedItemsPerFile, fpp)
+    buildBloomRows(spark, files,
+      org.apache.spark.sql.types.StructField(pcol, field.dataType, field.nullable),
+      expectedItemsPerFile, numBits, dir.resolve("data"), "overwrite")
+    val meta = mapper.createObjectNode()
+    meta.put("column", pcol)
+    meta.put("dataType", field.dataType.json)
+    meta.put("expectedItemsPerFile", expectedItemsPerFile)
+    meta.put("numBits", numBits)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"), mapper.writeValueAsString(meta))
+    files.size
+  }
+
+  /** Day-2 maintenance: bloom exactly the manifest files the index does
+    * not cover yet (appends since the build) and APPEND their rows —
+    * O(new files), with the sizing the build recorded so the index
+    * stays uniform. Idempotent against the manifest: a second refresh
+    * finds nothing missing. Returns how many files were indexed. */
+  def refreshBloomIndex(spark: SparkSession, tableDir: String,
+      column: String): Int = {
+    import org.apache.spark.sql.functions.col
+    val (files, _, schemaOpt, colmap) = manifestFor(tableDir, None)
+    val pcol = physName(colmap, column)
+    val dir = bloomIndexDir(tableDir, pcol)
+    require(Files.exists(dir.resolve("meta.json")),
+      s"no bloom index on $column in $tableDir — writeBloomIndex first")
+    val meta = mapper.readTree(Files.readString(dir.resolve("meta.json")))
+    val indexed = spark.read.parquet(dir.resolve("data").toString)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val missing = files.filterNot(f => indexed.contains(baseName(f)))
+    if (missing.isEmpty) return 0
+    val logical = schemaOpt.getOrElse(sys.error(
+      s"bloom index refresh needs the manifest-recorded schema of $tableDir"))
+    val field = logical(logical.fieldIndex(column))
+    buildBloomRows(spark, missing,
+      org.apache.spark.sql.types.StructField(pcol, field.dataType, field.nullable),
+      meta.get("expectedItemsPerFile").asLong(), meta.get("numBits").asLong(),
+      dir.resolve("data"), "append")
+    missing.size
+  }
+
+  /** The file set a [[readWhereIn]] with these keys would scan:
+    * (kept files, total files) — [[pruneFiles]]'s observability twin
+    * for point lookups. Two pruning stages compose, each conservative:
+    *
+    *   1. manifest min/max stats — a file is kept if ANY key fits its
+    *      [min, max] (the equality special case of [[keepFile]], free,
+    *      no I/O);
+    *   2. the bloom index, when one exists for the column — ONE
+    *      distributed scan of the #files-row index evaluating
+    *      [[graft.functions.BloomHit]] per file against the keys'
+    *      xxhash64 list, collecting only (basename, verdict) pairs.
+    *      Files the index does not cover are kept; `false` is a bloom
+    *      NO-false-negatives proof the file holds none of the keys.
+    *
+    * No index and pre-schema manifests degrade to stage 1 alone —
+    * pruning is only ever an optimization; [[readWhereIn]]'s exact
+    * residual IN filter carries the semantics. */
+  def bloomPruneFiles(spark: SparkSession, tableDir: String, column: String,
+      values: Seq[Any], asOf: Option[Long] = None): (Seq[String], Int) = {
+    val (kept, files, _, _) = pruneForLookup(spark, tableDir, column, values, asOf)
+    (kept, files.size)
+  }
+
+  private def pruneForLookup(spark: SparkSession, tableDir: String,
+      column: String, values: Seq[Any], asOf: Option[Long])
+      : (Seq[String], Seq[String],
+        Option[org.apache.spark.sql.types.StructType], Map[String, String]) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(values.nonEmpty, "readWhereIn/bloomPruneFiles want ≥1 key")
+    require(values.forall(_ != null),
+      "bloom lookups take non-null keys — an IS NULL ask is a range " +
+        "question (readWhere + the residual filter), not a membership one")
+    val (files, stats, schemaOpt, colmap) = manifestFor(tableDir, asOf)
+    val pcol = physName(colmap, column)
+    val statsKept = files.filter(f =>
+      values.exists(v => keepFile(stats, f, pcol, Some(v), Some(v))))
+    val dataDir = bloomIndexDir(tableDir, pcol).resolve("data")
+    val dt = schemaOpt.collect {
+      case sch if sch.fieldNames.contains(column) =>
+        sch(sch.fieldIndex(column)).dataType
+    }
+    if (statsKept.isEmpty || !Files.isDirectory(dataDir) || dt.isEmpty
+        || !bloomHashable(dt.get))
+      return (statsKept, files, schemaOpt, colmap)
+    val hashes = values.map(v => bloomHash(v, dt.get))
+    val hit = Bridge.column(graft.functions.BloomHit(
+      UnresolvedAttribute(Seq("bloom")),
+      Literal.create(hashes, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))))
+    // verdicts for every indexed file (stale rows for rewritten-away
+    // files are simply never looked up; duplicate rows from a racing
+    // refresh OR together — blooms only ever widen)
+    val verdicts = scala.collection.mutable.HashMap.empty[String, Boolean]
+    spark.read.parquet(dataDir.toString)
+      .select(col("file"), hit.as("hit"))
+      .collect().foreach { r =>
+        val f = r.getString(0)
+        verdicts(f) = verdicts.getOrElse(f, false) || r.getBoolean(1)
+      }
+    val kept = statsKept.filter(f => verdicts.getOrElse(baseName(f), true))
+    (kept, files, schemaOpt, colmap)
+  }
+
+  /** Point-lookup read: [[read]] restricted to rows whose `column` is
+    * one of `values`, scanning only the files [[bloomPruneFiles]]'s two
+    * conservative stages keep, then applying the EXACT `IN` residual on
+    * the scan — pruning can only ever remove provably-dead I/O, never
+    * change the result (SnapshotBloomSpec pins result equality against
+    * the unpruned read on every shape). This is the id-lookup /
+    * needle-query shape at 100 TB: stats alone keep every file of an
+    * unclustered high-cardinality column; the bloom index turns the
+    * same ask into a handful of scan tasks. */
+  def readWhereIn(spark: SparkSession, tableDir: String, column: String,
+      values: Seq[Any], asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, files, schemaOpt, colmap) =
+      pruneForLookup(spark, tableDir, column, values, asOf)
+    scanOrEmpty(spark, tableDir, kept, files, schemaOpt, colmap)
+      .filter(col(column).isin(values: _*))
   }
 
   private def checkpointPath(tableDir: String): Path =

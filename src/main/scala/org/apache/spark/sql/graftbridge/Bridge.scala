@@ -110,6 +110,15 @@ object Bridge {
     })
   }
 
+  /** Wrap a raw Catalyst expression as a user-facing Column — the
+    * programmatic twin of registering it as a SQL function and calling
+    * `expr(...)`. Lets library code (e.g. the snapshot log's bloom
+    * indexer) use internal expressions without requiring the session
+    * extension to be installed. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** Block until the listener bus has delivered all posted events
     * (`private[spark]` in LiveListenerBus). Used by the migration
     * observability listener to make per-statement metric attribution

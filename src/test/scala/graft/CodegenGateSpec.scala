@@ -52,8 +52,9 @@ class CodegenGateSpec extends SparkSpec {
       "ann_mrl_ivfpq_topk", "cdc_table_diff",
       // round 12: the persisted-index serve path (model reload +
       // rendered literal folds + bucket-pruned ADC) and its day-2
-      // grown twin under CODEGEN_ONLY
-      "ann_index_probe", "ann_index_grow_probe",
+      // grown twin under CODEGEN_ONLY; the snapshot log's bloom-index
+      // lifecycle (BloomFilterAggregate build + native BloomHit prune)
+      "ann_index_probe", "ann_index_grow_probe", "snap_bloom_lookup",
       "quantile_select_exact", "quantile_select_plateau",
       "quantile_select_by_lang",
       "corpus_mix_temperature", "bpe_merges", "bpe_segment")).distinct

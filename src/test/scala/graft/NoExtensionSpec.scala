@@ -83,6 +83,24 @@ class NoExtensionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.nonEmpty && bloom == exact)
   }
 
+  test("the snapshot log's bloom index works without the extension (bridge-reached expressions)") {
+    assert(!spark.catalog.functionExists("graft_bloom_hit"))
+    assert(!spark.catalog.functionExists("graft_bloom_agg"))
+    import org.apache.spark.sql.functions.col
+    val t = s"$scratch/bloom_noext"
+    graft.sources.SnapshotLog.commit(spark, t,
+      spark.range(4000).repartitionByRange(4, col("id"))
+        .select(((col("id") * 7919) % 4000).as("key")))
+    graft.sources.SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 2048, fpp = 0.01)
+    val (kept, total) =
+      graft.sources.SnapshotLog.bloomPruneFiles(spark, t, "key", Seq(17L))
+    assert(total == 4 && kept.size <= 2, s"kept ${kept.size}/$total")
+    val rows = graft.sources.SnapshotLog
+      .readWhereIn(spark, t, "key", Seq(17L)).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(17L))
+  }
+
   test("window as-of idiom stays a window (no rewrite) and still computes") {
     val df = SparkEntry.queries("asof_join_signup")(spark, sfDir)
     df.collect()

@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import sources.SnapshotLog
+
+/** Per-file bloom index ([[graft.sources.SnapshotLog.writeBloomIndex]] /
+  * [[graft.sources.SnapshotLog.readWhereIn]]): point-lookup file
+  * pruning where min/max stats can't bite — a high-cardinality column
+  * the layout does NOT cluster. The load-bearing property is the same
+  * as the stats suite's: pruning NEVER changes a result (blooms have no
+  * false negatives), asserted against the unpruned read + exact IN
+  * filter on every shape — covered files, uncovered appends, rewritten
+  * files, renamed columns, absent keys, and the int-width hash replay.
+  */
+class SnapshotBloomSpec extends SparkSpec {
+
+  /** Ground truth: the unpruned read with the same exact IN predicate. */
+  private def oracle(t: String, c: String, vs: Seq[Any],
+      asOf: Option[Long] = None): Set[String] =
+    SnapshotLog.read(spark, t, asOf).filter(col(c).isin(vs: _*))
+      .collect().map(_.toString).toSet
+
+  private def result(t: String, c: String, vs: Seq[Any],
+      asOf: Option[Long] = None): Set[String] =
+    SnapshotLog.readWhereIn(spark, t, c, vs, asOf)
+      .collect().map(_.toString).toSet
+
+  /** A table whose `key` is high-cardinality and deliberately
+    * UNCLUSTERED (layout clusters on `grp`), so key min/max spans the
+    * whole domain in every file and stats alone keep everything. */
+  private def unclustered(t: String): Long = {
+    // range-partition on the CONTIGUOUS id (8 exact files), while the
+    // multiplicative scramble decorrelates key order from id order —
+    // every file's key [min, max] spans ~the whole domain
+    val df = spark.range(20000).repartitionByRange(8, col("id")).select(
+      ((col("id") * 7919) % 20000).as("key"),
+      (col("id") % 8).as("grp"),
+      concat(lit("doc_"), col("id").cast("string")).as("payload"))
+    SnapshotLog.commit(spark, t, df)
+  }
+
+  test("bloom index prunes a point lookup stats cannot; result is exact") {
+    val t = s"$scratch/bloom_core"
+    unclustered(t)
+    val keys = Seq(17L, 4242L, 19993L)
+    // stage-1 alone (no index yet): stats keep every file
+    val (preKept, total) = SnapshotLog.bloomPruneFiles(spark, t, "key", keys)
+    assert(total == 8 && preKept.size == 8,
+      s"unclustered key should defeat min/max stats, kept ${preKept.size}")
+    assert(SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01) == 8)
+    val (kept, _) = SnapshotLog.bloomPruneFiles(spark, t, "key", keys)
+    // 3 keys live in ≤3 files; fpp=0.01 over 8 files adds ~0 extras
+    assert(kept.size <= 4, s"bloom should prune to ≤4 of 8, kept ${kept.size}")
+    assert(result(t, "key", keys) == oracle(t, "key", keys))
+    assert(oracle(t, "key", keys).nonEmpty)
+  }
+
+  test("string-keyed index: present and absent keys, exact result") {
+    val t = s"$scratch/bloom_str"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "payload",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    val vs = Seq("doc_7", "doc_19999", "doc_never_existed")
+    assert(result(t, "payload", vs) == oracle(t, "payload", vs))
+    assert(result(t, "payload", vs).size == 2)
+    // a fully-absent key set: every file bloom-pruned, empty frame
+    // with the table's schema
+    val none = SnapshotLog.readWhereIn(spark, t, "payload", Seq("nope"))
+    assert(none.columns.toSeq == Seq("key", "grp", "payload"))
+    assert(none.count() == 0)
+    val (kept, _) = SnapshotLog.bloomPruneFiles(spark, t, "payload", Seq("nope"))
+    assert(kept.size <= 1, s"absent key should prune ~all files, kept ${kept.size}")
+  }
+
+  test("appended files are uncovered-but-kept until refresh; refresh blooms exactly the missing ones") {
+    val t = s"$scratch/bloom_grow"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    // day-2 append under a DISJOINT key range, same unclustered layout
+    val extra = spark.range(20000, 24000).repartitionByRange(4, col("id"))
+      .select(
+        (lit(20000) + (col("id") - 20000) * 7919 % 4000).as("key"),
+        (col("id") % 8).as("grp"),
+        concat(lit("doc_"), col("id").cast("string")).as("payload"))
+    SnapshotLog.commitAppend(spark, t, extra)
+    val newKeys = Seq(21000L, 23999L)
+    // the 4 appended files are uncovered → conservatively kept; the 8
+    // indexed files bloom out (stats can't help: disjoint range DOES
+    // prune here via min/max... so use keys that defeat stats too)
+    assert(result(t, "key", newKeys) == oracle(t, "key", newKeys))
+    assert(oracle(t, "key", newKeys).size == 2)
+    // refresh covers exactly the 4 missing files, idempotently
+    assert(SnapshotLog.refreshBloomIndex(spark, t, "key") == 4)
+    assert(SnapshotLog.refreshBloomIndex(spark, t, "key") == 0)
+    val mixed = Seq(17L, 21000L) // one old-generation key, one new
+    val (kept, total) = SnapshotLog.bloomPruneFiles(spark, t, "key", mixed)
+    assert(total == 12 && kept.size <= 4,
+      s"post-refresh lookup should prune both generations, kept ${kept.size}/$total")
+    assert(result(t, "key", mixed) == oracle(t, "key", mixed))
+  }
+
+  test("a COW delete's rewritten files are uncovered-but-kept; stale index rows are ignored") {
+    val t = s"$scratch/bloom_cow"
+    val committed = unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    SnapshotLog.deleteWhere(spark, t, "key", Some(100L), Some(200L))
+    val vs = Seq(150L, 5000L) // one deleted, one surviving
+    assert(result(t, "key", vs) == oracle(t, "key", vs))
+    assert(!oracle(t, "key", vs).exists(_.contains("150,")),
+      "deleted key must not resurface")
+    // time travel to the pre-delete version still finds the deleted key
+    val v0 = Some(committed)
+    assert(result(t, "key", vs, v0) == oracle(t, "key", vs, v0))
+    assert(oracle(t, "key", vs, v0).size == 2)
+  }
+
+  test("the index is keyed on the physical name: a rename keeps it pruning") {
+    val t = s"$scratch/bloom_rename"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    SnapshotLog.renameColumn(t, "key", "doc_key")
+    val (kept, total) = SnapshotLog.bloomPruneFiles(spark, t, "doc_key", Seq(17L))
+    assert(total == 8 && kept.size <= 2,
+      s"renamed column should keep pruning through the colmap, kept ${kept.size}")
+    assert(result(t, "doc_key", Seq(17L)) == oracle(t, "doc_key", Seq(17L)))
+  }
+
+  test("int-width hash replay: an INT column probed with Long keys casts before hashing") {
+    val t = s"$scratch/bloom_int"
+    val df = spark.range(5000).repartitionByRange(4, col("id")).select(
+      ((col("id") * 7919) % 5000).cast("int").as("key"),
+      (col("id") % 4).as("grp"))
+    SnapshotLog.commit(spark, t, df)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    // Long-typed lookup values against the INT column: the replay must
+    // hash 4 bytes (post-cast), or every lookup would bloom out
+    val vs = Seq(17L, 4242L)
+    assert(result(t, "key", vs) == oracle(t, "key", vs))
+    assert(oracle(t, "key", vs).size == 2)
+    val (kept, _) = SnapshotLog.bloomPruneFiles(spark, t, "key", vs)
+    assert(kept.size <= 3)
+  }
+
+  test("guardrails: null keys, empty key list, unsupported column types, missing index refresh") {
+    val t = s"$scratch/bloom_guard"
+    val df = spark.range(100).select(col("id").as("key"),
+      (col("id") * 1.5).as("score"))
+    SnapshotLog.commit(spark, t, df)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.readWhereIn(spark, t, "key", Seq(1L, null))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.readWhereIn(spark, t, "key", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.writeBloomIndex(spark, t, "score") // double: rejected
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.refreshBloomIndex(spark, t, "key") // never built
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.writeBloomIndex(spark, t, "key", fpp = 1.5)
+    }
+  }
+
+  test("no index and no-stats shapes degrade to exact unpruned lookups") {
+    val t = s"$scratch/bloom_degrade"
+    unclustered(t)
+    // no bloom index at all: readWhereIn is still exact
+    val vs = Seq(17L, 4242L)
+    assert(result(t, "key", vs) == oracle(t, "key", vs))
+    // index present but the meta/data written for ANOTHER column
+    SnapshotLog.writeBloomIndex(spark, t, "payload",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    assert(result(t, "key", vs) == oracle(t, "key", vs))
+  }
+
+  test("the index sidecar layout is inspectable: meta records sizing, data is one row per file") {
+    val t = s"$scratch/bloom_layout"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    val dir = Paths.get(t, "_index", "bloom", "key")
+    assert(Files.exists(dir.resolve("meta.json")))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(dir.resolve("meta.json")))
+    assert(meta.get("column").asText() == "key")
+    assert(meta.get("expectedItemsPerFile").asLong() == 4096)
+    assert(meta.get("numBits").asLong() > 0)
+    val rows = spark.read.parquet(dir.resolve("data").toString)
+    assert(rows.count() == 8)
+    assert(rows.columns.toSeq == Seq("file", "bloom"))
+  }
+}
