@@ -207,12 +207,36 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ann index build: $e"); false
         }
+      // the snapshot log's bloom index, same amortized posture: table +
+      // per-file blooms built once outside the passes, each sample is
+      // one 24-key point lookup (index scan + pruned file read) — the
+      // id-lookup serving shape. Own flag, like the other index builds.
+      var bloomTable: String = null
+      var bloomKeys: Seq[Any] = null
+      val bloomReady =
+        try {
+          import org.apache.spark.sql.functions.col
+          bloomTable = java.nio.file.Files
+            .createTempDirectory("graft_bench_bloom_").resolve("t").toString
+          val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          graft.sources.SnapshotLog.commit(spark, bloomTable,
+            orders.repartitionByRange(16, col("o_custkey")))
+          graft.sources.SnapshotLog.writeBloomIndex(spark, bloomTable,
+            "o_orderkey", expectedItemsPerFile = 256 * 1024, fpp = 0.01)
+          bloomKeys = orders.select(col("o_orderkey"))
+            .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] bloom index build: $e"); false
+        }
 
       val names = headline.filter(SparkEntry.queries.contains) ++
         Seq("migrate_seq_100k") ++
         (if (retrievalReady)
           Seq("retrieval_index_probe", "trigram_index_probe") else Nil) ++
-        (if (annReady) Seq("ann_index_probe_srv") else Nil)
+        (if (annReady) Seq("ann_index_probe_srv") else Nil) ++
+        (if (bloomReady) Seq("snap_bloom_probe_srv") else Nil)
 
       def runOnce(name: String): Unit = name match {
         case "migrate_seq_100k" => timeMigrateSeq(spark): Unit
@@ -235,6 +259,13 @@ object Bench {
                 graft.ops.SimilarityOps.PqQueryCount)
               .select("vec_id", "v"),
             "graft_bench_retr.ann")
+            .write.mode("overwrite").format("noop").save()
+        // NOT the gate entry `snap_bloom_lookup` (which builds table +
+        // index inside the query); this times the point-lookup SERVE
+        // half alone against the setup-built index
+        case "snap_bloom_probe_srv" =>
+          graft.sources.SnapshotLog.readWhereIn(spark, bloomTable,
+            "o_orderkey", bloomKeys)
             .write.mode("overwrite").format("noop").save()
         // FULL materialization via the noop sink. Through round 7 the
         // action was count(), under which Catalyst prunes terminal

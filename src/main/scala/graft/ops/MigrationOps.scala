@@ -359,6 +359,40 @@ object MigrationOps {
     }
   }
 
+  /** [[graft.sources.SnapshotLog.deleteWhereIn]] driver-gated — the
+    * write-side twin of [[snapBloomLookup]] (the GDPR id-erasure
+    * shape): same custkey-clustered commit + o_orderkey bloom index,
+    * then the 24 smallest orderkeys are POINT-DELETED through the
+    * bloom-pruned COW path and the surviving table is read back. The
+    * oracle is the raw NOT-IN complement — a rewrite that touched only
+    * bloom-kept files must be invisible in the survivors. */
+  val snapDeleteIn: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_delin_gate_")
+    try {
+      val tdir = scratchP.resolve("t").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.repartitionByRange(8, col("o_custkey")))
+      graft.sources.SnapshotLog.writeBloomIndex(s, tdir, "o_orderkey",
+        expectedItemsPerFile = 64 * 1024, fpp = 0.01)
+      val keys: Seq[Any] = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+      graft.sources.SnapshotLog.deleteWhereIn(s, tdir, "o_orderkey", keys)
+      val res = graft.sources.SnapshotLog.read(s, tdir)
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Bulk CSV ingest (reference: tests/test_clickhouse_migration.py:101 —
     * gzip CSV with header; Spark reads gzip transparently). Oracle:
     * DuckDB reads the same gzip file natively via read_csv_auto, so the
@@ -448,6 +482,7 @@ object MigrationOps {
     "cdc_table_diff" -> cdcTableDiff,
     "snap_merge_into" -> snapMergeInto,
     "snap_bloom_lookup" -> snapBloomLookup,
+    "snap_delete_in" -> snapDeleteIn,
     "csv_ingest" -> csvIngest,
     "migrate_seq_counts" -> migrateSeqCounts)
 
@@ -554,6 +589,14 @@ object MigrationOps {
            CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
          FROM orders
          WHERE o_orderkey IN
+           (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
+    // the bloom-pruned point DELETE's survivors must be the raw NOT-IN
+    // complement — same lifecycle, write side
+    "snap_delete_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
+         FROM orders
+         WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
     // diff-of-a-merge: v0/v1 rebuilt from the same snap/chg CTEs, then
     // the null-safe (IS NOT DISTINCT FROM) full-outer comparison — the

@@ -639,15 +639,29 @@ object SnapshotLog {
       column: String, values: Seq[Any], asOf: Option[Long])
       : (Seq[String], Seq[String],
         Option[org.apache.spark.sql.types.StructType], Map[String, String]) = {
+    val (files, stats, schemaOpt, colmap) = manifestFor(tableDir, asOf)
+    val kept = pruneCore(spark, tableDir, files, stats, schemaOpt, colmap,
+      column, values)
+    (kept, files, schemaOpt, colmap)
+  }
+
+  /** The two lookup-prune stages over an ALREADY-RESOLVED manifest —
+    * shared by the read side ([[pruneForLookup]]) and the write side
+    * ([[deleteWhereIn]]), which has its own manifest in hand and must
+    * prune against exactly the version it will publish over. */
+  private def pruneCore(spark: SparkSession, tableDir: String,
+      files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      colmap: Map[String, String], column: String, values: Seq[Any])
+      : Seq[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftbridge.Bridge
-    require(values.nonEmpty, "readWhereIn/bloomPruneFiles want ≥1 key")
+    require(values.nonEmpty, "membership asks want ≥1 key")
     require(values.forall(_ != null),
       "bloom lookups take non-null keys — an IS NULL ask is a range " +
         "question (readWhere + the residual filter), not a membership one")
-    val (files, stats, schemaOpt, colmap) = manifestFor(tableDir, asOf)
     val pcol = physName(colmap, column)
     val statsKept = files.filter(f =>
       values.exists(v => keepFile(stats, f, pcol, Some(v), Some(v))))
@@ -658,7 +672,7 @@ object SnapshotLog {
     }
     if (statsKept.isEmpty || !Files.isDirectory(dataDir) || dt.isEmpty
         || !bloomHashable(dt.get))
-      return (statsKept, files, schemaOpt, colmap)
+      return statsKept
     val hashes = values.map(v => bloomHash(v, dt.get))
     val hit = Bridge.column(graft.functions.BloomHit(
       UnresolvedAttribute(Seq("bloom")),
@@ -674,8 +688,7 @@ object SnapshotLog {
         val f = r.getString(0)
         verdicts(f) = verdicts.getOrElse(f, false) || r.getBoolean(1)
       }
-    val kept = statsKept.filter(f => verdicts.getOrElse(baseName(f), true))
-    (kept, files, schemaOpt, colmap)
+    statsKept.filter(f => verdicts.getOrElse(baseName(f), true))
   }
 
   /** Point-lookup read: [[read]] restricted to rows whose `column` is
@@ -1191,7 +1204,7 @@ object SnapshotLog {
     * Returns the committed version. */
   def deleteWhere(spark: SparkSession, tableDir: String, column: String,
       lower: Option[Any], upper: Option[Any]): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(lower.nonEmpty || upper.nonEmpty,
       "deleteWhere wants at least one bound — an unbounded delete is truncation")
     val baseV = latestVersion(tableDir).getOrElse(
@@ -1215,10 +1228,77 @@ object SnapshotLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val preds = lower.map(l => col(pcol) >= lit(l)) ++
       upper.map(u => col(pcol) <= lit(u))
-    val keepPred = !preds.reduce(_ && _) // survivors: NOT in the interval
+    // survivors: NOT in the interval. The coalesce is load-bearing for
+    // MIXED files (nulls alongside in-range values): a NULL `column`
+    // makes the range predicate NULL, and a bare !NULL is NULL — which
+    // Filter DROPS, silently deleting rows the delete never named.
+    // coalesce(NULL, false) pins "not in the interval" to keep, the
+    // semantics the scaladoc promises (all-null FILES never even get
+    // here — allNull stats exonerate them wholesale).
+    val keepPred = !coalesce(preds.reduce(_ && _), lit(false))
     val newFiles =
       if (affected.isEmpty) Nil
       else {
+        val dd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        val reader = logicalSchema.map(physSchema(_, colmap))
+          .fold(spark.read)(spark.read.schema)
+        reader.parquet(affected: _*).filter(keepPred)
+          .write.mode("overwrite").parquet(dd.toString)
+        listDir(dd).filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+      }
+    val carried = carriedStats(prevManifest, untouched)
+    val newStats = harvestStats(newFiles)
+    publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest))
+    v
+  }
+
+  /** Point DELETE through the log — [[deleteWhere]]'s MEMBERSHIP twin
+    * and the write-side payoff of the bloom index: delete the rows
+    * whose `column` IS one of `values`, rewriting only the files the
+    * two lookup-prune stages ([[bloomPruneFiles]]: min/max equality,
+    * then the per-file blooms when an index exists) cannot exonerate.
+    * This is the id-keyed GDPR erasure at 100 TB: on an UNCLUSTERED
+    * high-cardinality key — where [[deleteWhere]]'s range stats keep
+    * every file — a K-key delete rewrites ~K + fpp·files files instead
+    * of the table. Exonerated files carry verbatim, stats and all; the
+    * conservative direction is always "rewrite more", never "miss a
+    * matching row" (blooms have no false negatives). NULL `column`
+    * values never match a membership list (values are required
+    * non-null), so null-valued rows survive the rewrite — the
+    * coalesce below, [[deleteWhere]]'s mixed-file rule. The index
+    * itself is NOT updated (rewritten files are simply uncovered until
+    * [[refreshBloomIndex]] — the read side stays exact either way).
+    * Publishes as the next version; returns it. */
+  def deleteWhereIn(spark: SparkSession, tableDir: String, column: String,
+      values: Seq[Any]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val statsNode = prevManifest.get("stats")
+    val colmap = colmapOf(prevManifest)
+    val pcol = physName(colmap, column)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    // prune against exactly the manifest being published over (not a
+    // re-resolved latest — the version read above is the one rewritten)
+    val keptSet = pruneCore(spark, tableDir, prevFiles, statsNode,
+      logicalSchema, colmap, column, values).toSet
+    val (affected, untouched) = prevFiles.partition(keptSet)
+    val newFiles =
+      if (affected.isEmpty) Nil
+      else {
+        val keepPred = !coalesce(col(pcol).isin(values: _*), lit(false))
         val dd = Paths.get(tableDir, "data",
           s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
         val reader = logicalSchema.map(physSchema(_, colmap))

@@ -183,6 +183,56 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(result(t, "key", vs) == oracle(t, "key", vs))
   }
 
+  test("deleteWhereIn rewrites only the bloom-kept files; keys gone, everything else intact") {
+    val t = s"$scratch/bloom_delete"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    val before = SnapshotLog.read(spark, t).collect().map(_.toString).toSet
+    val keys = Seq(17L, 4242L)
+    val (kept, total) = SnapshotLog.bloomPruneFiles(spark, t, "key", keys)
+    assert(total == 8 && kept.size <= 3)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def files(v: Long): Set[String] = {
+      val node = mapper.readTree(Files.readString(
+        Paths.get(t, "_log", s"$v.json")))
+      val it = node.get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSet
+    }
+    val v1 = SnapshotLog.deleteWhereIn(spark, t, "key", keys)
+    // exonerated files carried BY NAME — only the bloom-kept rewritten
+    assert(files(v1 - 1).intersect(files(v1)).size == 8 - kept.size)
+    val after = SnapshotLog.read(spark, t).collect().map(_.toString).toSet
+    assert(after == before.filterNot(r =>
+      r.startsWith("[17,") || r.startsWith("[4242,")))
+    assert(after.size == before.size - 2)
+    // absent keys: nothing to rewrite, every file carried verbatim
+    val v2 = SnapshotLog.deleteWhereIn(spark, t, "key", Seq(-5L))
+    assert(files(v2) == files(v1))
+    assert(SnapshotLog.read(spark, t).count() == after.size)
+  }
+
+  test("point and range deletes never drop NULL rows from a mixed rewritten file") {
+    val t = s"$scratch/bloom_delete_null"
+    // every file mixes null v with live values — the shape where a bare
+    // three-valued NOT would silently delete the nulls
+    SnapshotLog.commit(spark, t, spark.range(400)
+      .repartitionByRange(4, col("id"))
+      .select(col("id").as("key"),
+        when(col("id") % 5 =!= 0, col("id")).as("v")))
+    val nulls = SnapshotLog.read(spark, t).filter(col("v").isNull).count()
+    assert(nulls == 80)
+    SnapshotLog.deleteWhereIn(spark, t, "v", Seq(7L, 13L, 201L))
+    assert(SnapshotLog.read(spark, t).filter(col("v").isNull).count() == nulls)
+    assert(SnapshotLog.read(spark, t).count() == 400 - 3)
+    SnapshotLog.deleteWhere(spark, t, "v", Some(100L), Some(150L))
+    assert(SnapshotLog.read(spark, t).filter(col("v").isNull).count() == nulls,
+      "deleteWhere must not delete NULL rows when rewriting a mixed file")
+    // in [100,150]: multiples of 5 are null → survive; 41 ids minus 11
+    // nulls = 40 non-null... (100..150 has 51 ids, 11 of them %5==0)
+    assert(SnapshotLog.read(spark, t).count() == 400 - 3 - (51 - 11))
+  }
+
   test("the index sidecar layout is inspectable: meta records sizing, data is one row per file") {
     val t = s"$scratch/bloom_layout"
     unclustered(t)
