@@ -114,8 +114,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   private def parquetTable(ident: Identifier, v: Long): Table = {
     val t = tableDir(ident).getAbsolutePath
-    val (files, schema) = SnapshotLog.manifestAt(t, v)
-    val colmap = SnapshotLog.colmapAt(t, v)
+    val (files, stats, schema, colmap) = SnapshotLog.manifestDetailsAt(t, v)
+    val tName =
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$v"
     // a renamed/dropped table ([[SnapshotLog.renameColumn]]) reads its
     // files under immutable PHYSICAL names: hand the parquet stack the
     // physical schema and wrap the table so SQL sees logical names —
@@ -123,15 +124,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     val physical = schema.map(s =>
       org.apache.spark.sql.types.StructType(s.fields.map(f =>
         f.copy(name = colmap.getOrElse(f.name, f.name)))))
-    val inner = ParquetTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$v",
+    def inner = ParquetTable(
+      tName,
       SparkSession.active,
       CaseInsensitiveStringMap.empty(),
       files,
       userSpecifiedSchema = if (colmap.isEmpty) schema else physical,
       fallbackFileFormat = classOf[ParquetFileFormat])
-    if (colmap.isEmpty) inner
-    else new MappedTable(inner, schema.get, colmap)
+    (schema, colmap.isEmpty) match {
+      // the common case — identity names + recorded schema: SQL scans
+      // file-prune at planning (manifest stats + bloom indexes) through
+      // the bridge ScanBuilder, then run the ordinary parquet stack
+      // over the kept files
+      case (Some(sch), true) =>
+        new PrunedSnapshotTable(tName, t, files, stats, sch)
+      // pre-schema manifests (no stats either): the plain scan
+      case (None, true) => inner
+      // mapped tables: logical/physical translation, no SQL-side
+      // pushdown (predicates stay in the plan — see MappedTable)
+      case (_, false) => new MappedTable(inner, schema.get, colmap)
+    }
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -282,5 +294,141 @@ private class MappedTable(inner: Table, logical: StructType,
         }
       }
     }
+  }
+}
+
+/** SQL surface of an identity-named, schema-recorded snapshot table:
+  * every scan plans through
+  * [[org.apache.spark.sql.graftbridge.PruningParquetScanBuilder]], so
+  * the predicates SQL pushes down FILE-PRUNE against the manifest
+  * stats (and the bloom index, for equality/IN on an indexed column)
+  * before Spark lists a single path — [[SnapshotLog.readWhere]] /
+  * [[SnapshotLog.readWhereIn]]'s skipping, now free on `SELECT … WHERE`
+  * through the catalog. Pruning is planning-time only and provably
+  * conservative (the builder keeps every predicate as residual), so a
+  * SQL result can never differ from the unpruned scan. */
+private class PrunedSnapshotTable(tName: String, tableDir: String,
+    files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
+    recorded: StructType)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = tName
+  override def schema(): StructType = recorded
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val spark = SparkSession.active
+    new org.apache.spark.sql.graftbridge.PruningParquetScanBuilder(
+      spark, tName, recorded,
+      filters => ScanPrune.kept(spark, tableDir, tName, files, stats,
+        Some(recorded), filters))
+  }
+}
+
+/** Catalyst-predicate → file-prune translation for the catalog's
+  * scan-time skipping. Handles exactly the shapes the manifest can
+  * answer — equality / IN (stats equality + bloom membership),
+  * range comparisons (stats intervals), IS [NOT] NULL (recorded null
+  * counts / allNull), and AND-composition — and keeps every file for
+  * anything else (OR, functions, UDF-wrapped columns, non-literal
+  * comparands): the prune may only drop files a recorded fact proves
+  * dead. Literal comparands arrive ALREADY CAST to the column's type
+  * (binary comparison requires it at analysis), so the bloom replay
+  * hashes the exact width the index build hashed. Dates, timestamps
+  * and decimals are skipped in v1 (their internal literal forms do not
+  * round-trip through the external-value hash replay); the Scala API
+  * prunes them through [[SnapshotLog.readWhere]]'s typed path as
+  * before. */
+private[graft] object ScanPrune {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+
+  /** Last prune decision (table@version, kept, total) — observability
+    * for specs and operators; scan planning is driver-side, so a
+    * volatile slot is race-free per query in practice and only ever
+    * advisory. */
+  @volatile var last: Option[(String, Int, Int)] = None
+
+  def kept(spark: SparkSession, tableDir: String, tName: String,
+      files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
+      schemaOpt: Option[StructType],
+      filters: Seq[Expression]): Seq[String] = {
+    // identity tables only (mapped tables never reach here), so the
+    // colmap every SnapshotLog prune helper takes is empty
+    val colmap = Map.empty[String, String]
+    def membership(cur: Seq[String], name: String, values: Seq[Option[Any]])
+        : Seq[String] =
+      if (values.isEmpty || values.exists(_.isEmpty)) cur
+      else SnapshotLog.pruneMembership(spark, tableDir, cur, stats,
+        schemaOpt, colmap, name, values.map(_.get))
+    def one(cur: Seq[String], e: Expression): Seq[String] = e match {
+      case And(l, r) => one(one(cur, l), r)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        membership(cur, a.name, Seq(scalaValue(l.value, l.dataType)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        membership(cur, a.name, Seq(scalaValue(l.value, l.dataType)))
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        if (l.value == null) SnapshotLog.pruneIsNull(cur, stats, colmap, a.name)
+        else membership(cur, a.name, Seq(scalaValue(l.value, l.dataType)))
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        if (l.value == null) SnapshotLog.pruneIsNull(cur, stats, colmap, a.name)
+        else membership(cur, a.name, Seq(scalaValue(l.value, l.dataType)))
+      case In(a: AttributeReference, elems)
+          if elems.forall(_.isInstanceOf[Literal]) =>
+        membership(cur, a.name, elems.map { case l: Literal =>
+          if (l.value == null) None else scalaValue(l.value, l.dataType) })
+      case InSet(a: AttributeReference, hset) =>
+        membership(cur, a.name, hset.toSeq.map(v =>
+          if (v == null) None else scalaValue(v, a.dataType)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        range(cur, a.name, lo = scalaValue(l.value, l.dataType), hi = None)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        range(cur, a.name, lo = scalaValue(l.value, l.dataType), hi = None)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        range(cur, a.name, lo = None, hi = scalaValue(l.value, l.dataType))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        range(cur, a.name, lo = None, hi = scalaValue(l.value, l.dataType))
+      // flipped comparisons: lit OP attr mirrors to attr OP' lit
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        range(cur, a.name, lo = None, hi = scalaValue(l.value, l.dataType))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        range(cur, a.name, lo = None, hi = scalaValue(l.value, l.dataType))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        range(cur, a.name, lo = scalaValue(l.value, l.dataType), hi = None)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        range(cur, a.name, lo = scalaValue(l.value, l.dataType), hi = None)
+      case IsNull(a: AttributeReference) =>
+        SnapshotLog.pruneIsNull(cur, stats, colmap, a.name)
+      case IsNotNull(a: AttributeReference) =>
+        SnapshotLog.pruneNotNull(cur, stats, colmap, a.name)
+      case _ => cur
+    }
+    def range(cur: Seq[String], name: String,
+        lo: Option[Any], hi: Option[Any]): Seq[String] =
+      if (lo.isEmpty && hi.isEmpty) cur
+      else SnapshotLog.pruneRange(cur, stats, colmap, name, lo, hi)
+    val out = filters.foldLeft(files)(one)
+    last = Some((tName, out.size, files.size))
+    out
+  }
+
+  /** Internal literal → the external value the prune helpers expect.
+    * None = this type does not participate in SQL-side pruning (the
+    * file is kept). Byte/Short widen to Int: the stats comparator
+    * speaks Int/Long, and the bloom replay casts back to the column's
+    * exact type before hashing. */
+  private def scalaValue(v: Any, dt: DataType): Option[Any] = dt match {
+    case StringType => v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    case LongType | IntegerType | DoubleType | FloatType => Some(v)
+    case ShortType => Some(v.asInstanceOf[Short].toInt)
+    case ByteType => Some(v.asInstanceOf[Byte].toInt)
+    case _ => None
   }
 }

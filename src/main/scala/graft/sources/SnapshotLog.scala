@@ -383,6 +383,84 @@ object SnapshotLog {
           .asInstanceOf[org.apache.spark.sql.types.StructType]))
   }
 
+  /** [[manifestAt]] plus the stats node and colmap in ONE manifest
+    * read — what [[SnapshotCatalog]]'s scan-time pruning needs. */
+  private[sources] def manifestDetailsAt(tableDir: String, v: Long)
+      : (Seq[String], com.fasterxml.jackson.databind.JsonNode,
+        Option[org.apache.spark.sql.types.StructType], Map[String, String]) = {
+    val p = logDir(tableDir).resolve(s"$v.json")
+    require(Files.exists(p), s"no version $v in $tableDir" +
+      " (committed versions may have been expired)")
+    val node = mapper.readTree(Files.readString(p))
+    (node.get("files").elements().asScala.map(_.asText()).toSeq,
+      node.get("stats"),
+      Option(node.get("schema")).map(s =>
+        org.apache.spark.sql.types.DataType.fromJson(s.asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType]),
+      colmapOf(node))
+  }
+
+  /** The membership prune stages over a caller-held manifest — the
+    * catalog's scan-time entry into [[pruneCore]] (equality/IN asks:
+    * stats + blooms). */
+  private[sources] def pruneMembership(spark: SparkSession, tableDir: String,
+      files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      colmap: Map[String, String], column: String, values: Seq[Any])
+      : Seq[String] =
+    pruneCore(spark, tableDir, files, stats, schemaOpt, colmap, column, values)
+
+  /** The range prune stage over a caller-held manifest (catalog
+    * scan-time twin of [[pruneFiles]]). */
+  private[sources] def pruneRange(files: Seq[String],
+      stats: com.fasterxml.jackson.databind.JsonNode,
+      colmap: Map[String, String], column: String,
+      lower: Option[Any], upper: Option[Any]): Seq[String] = {
+    val pcol = physName(colmap, column)
+    files.filter(f => keepFile(stats, f, pcol, lower, upper))
+  }
+
+  /** IS NULL file pruning: a file whose stats record ZERO nulls for the
+    * column provably holds no NULL row. Missing stats keep the file —
+    * the standing conservative contract. */
+  private[sources] def pruneIsNull(files: Seq[String],
+      stats: com.fasterxml.jackson.databind.JsonNode,
+      colmap: Map[String, String], column: String): Seq[String] = {
+    val pcol = physName(colmap, column)
+    files.filter { f =>
+      if (stats == null) true
+      else {
+        val cols = stats.get(f)
+        if (cols == null) true
+        else {
+          val st = cols.get(pcol)
+          // nulls is recorded on every stats entry (0 when none seen)
+          st == null || !st.has("nulls") || st.get("nulls").asLong() > 0
+        }
+      }
+    }
+  }
+
+  /** IS NOT NULL file pruning: an allNull file provably holds no
+    * non-NULL row. Catalyst plants IsNotNull beside nearly every
+    * comparison, so this cheap check rides along on most scans. */
+  private[sources] def pruneNotNull(files: Seq[String],
+      stats: com.fasterxml.jackson.databind.JsonNode,
+      colmap: Map[String, String], column: String): Seq[String] = {
+    val pcol = physName(colmap, column)
+    files.filter { f =>
+      if (stats == null) true
+      else {
+        val cols = stats.get(f)
+        if (cols == null) true
+        else {
+          val st = cols.get(pcol)
+          st == null || !st.path("allNull").asBoolean(false)
+        }
+      }
+    }
+  }
+
   /** [[manifestAt]]'s colmap — exact-version addressing for the
     * catalog (empty = identity). */
   private[sources] def colmapAt(tableDir: String, v: Long): Map[String, String] = {

@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import sources.{ScanPrune, SnapshotLog}
+
+/** Scan-planning file pruning through the SQL catalog
+  * ([[graft.sources.SnapshotCatalog]] → the bridge
+  * PruningParquetScanBuilder): predicates SQL pushes down prune the
+  * manifest's file list against recorded stats (ranges, null counts)
+  * and the bloom index (equality / IN) BEFORE Spark lists a path. The
+  * load-bearing property is inherited from the read-side suites: a
+  * pruned SQL result always equals the unpruned scan + plan-level
+  * filter, because every predicate stays residual. [[ScanPrune.last]]
+  * is the observability hook — (table@version, kept, total) of the
+  * most recent planning decision. */
+class SnapshotCatalogPruneSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_snapprune_").toString
+    Files.createDirectories(Paths.get(r, "lake"))
+    // clustered: key range-partitioned — stats prune ranges
+    SnapshotLog.commit(spark, s"$r/lake/clustered",
+      spark.range(8000).repartitionByRange(8, col("id")).select(
+        col("id").as("key"),
+        when(col("id") % 3 =!= 0, col("id") * 2).as("v")))
+    // unclustered: key scrambled (stats blind), bloom-indexed
+    SnapshotLog.commit(spark, s"$r/lake/needle",
+      spark.range(8000).repartitionByRange(8, col("id")).select(
+        ((col("id") * 7919) % 8000).as("key"),
+        concat(lit("d"), col("id").cast("string")).as("tag")))
+    SnapshotLog.writeBloomIndex(spark, s"$r/lake/needle", "key",
+      expectedItemsPerFile = 2048, fpp = 0.01)
+    r
+  }
+
+  private def registered() = {
+    root: Unit
+    spark.conf.set("spark.sql.catalog.snap", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.snap.root", root)
+  }
+
+  private def lastPrune: (Int, Int) = {
+    val (_, kept, total) = ScanPrune.last.get
+    (kept, total)
+  }
+
+  test("a range predicate prunes files at SQL planning; result equals the Scala path") {
+    registered()
+    val rows = spark.sql(
+      "SELECT key, v FROM snap.lake.clustered WHERE key >= 1000 AND key < 2000")
+      .collect().map(_.toString).toSet
+    val (kept, total) = lastPrune
+    assert(total == 8 && kept <= 2, s"kept $kept/$total")
+    val expected = SnapshotLog.read(spark, s"$root/lake/clustered")
+      .filter(col("key") >= 1000 && col("key") < 2000)
+      .collect().map(_.toString).toSet
+    assert(rows == expected && rows.size == 1000)
+  }
+
+  test("equality and IN on a bloom-indexed column prune to ~the probed keys' files") {
+    registered()
+    val one = spark.sql("SELECT tag FROM snap.lake.needle WHERE key = 17")
+      .collect().map(_.getString(0))
+    val (kept1, total1) = lastPrune
+    assert(total1 == 8 && kept1 <= 2, s"kept $kept1/$total1")
+    assert(one.length == 1)
+    val in = spark.sql(
+      "SELECT key, tag FROM snap.lake.needle WHERE key IN (17, 4242, 7993)")
+      .collect()
+    val (kept2, total2) = lastPrune
+    assert(total2 == 8 && kept2 <= 4, s"kept $kept2/$total2")
+    assert(in.length == 3)
+  }
+
+  test("an unsupported shape (OR) keeps every file and stays correct") {
+    registered()
+    val rows = spark.sql(
+      "SELECT key FROM snap.lake.clustered WHERE key = 17 OR key = 7999")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(17L, 7999L))
+    val (kept, total) = lastPrune
+    // IsNotNull(key) still rides along but prunes nothing here
+    assert(kept == total, s"OR must not prune, kept $kept/$total")
+  }
+
+  test("IS NULL prunes null-free files; IS NOT NULL keeps correctness on mixed files") {
+    registered()
+    // v is null on id%3==0 — every file mixes; IS NULL prunes nothing,
+    // but on the needle table tag is never null: a null ask prunes ALL
+    val nulls = spark.sql(
+      "SELECT key FROM snap.lake.clustered WHERE v IS NULL").count()
+    assert(nulls == 8000 / 3 + 1)
+    val none = spark.sql(
+      "SELECT key FROM snap.lake.needle WHERE tag IS NULL").count()
+    val (kept, total) = lastPrune
+    assert(none == 0 && kept == 0 && total == 8,
+      s"null ask on a null-free column should prune everything, kept $kept")
+    val notNull = spark.sql(
+      "SELECT count(*) AS n FROM snap.lake.clustered WHERE v IS NOT NULL")
+      .head().getLong(0)
+    assert(notNull == 8000 - (8000 / 3 + 1))
+  }
+
+  test("a fully-pruned ask returns an empty result through an empty scan") {
+    registered()
+    val rows = spark.sql(
+      "SELECT * FROM snap.lake.clustered WHERE key > 100000").collect()
+    val (kept, _) = lastPrune
+    assert(rows.isEmpty && kept == 0)
+  }
+
+  test("VERSION AS OF prunes against that version's own stats") {
+    registered()
+    val t = s"$root/lake/traveled"
+    SnapshotLog.commit(spark, t,
+      spark.range(1000).repartitionByRange(4, col("id"))
+        .select(col("id").as("key")))
+    SnapshotLog.commitAppend(spark, t,
+      spark.range(1000, 2000).repartitionByRange(4, col("id"))
+        .select(col("id").as("key")))
+    val v0 = spark.sql(
+      "SELECT * FROM snap.lake.traveled VERSION AS OF 0 WHERE key >= 900")
+      .count()
+    val (kept0, total0) = lastPrune
+    assert(v0 == 100 && total0 == 4 && kept0 == 1, s"kept $kept0/$total0")
+    val v1 = spark.sql(
+      "SELECT * FROM snap.lake.traveled WHERE key >= 900").count()
+    val (kept1, total1) = lastPrune
+    assert(v1 == 1100 && total1 == 8 && kept1 == 5, s"kept $kept1/$total1")
+  }
+
+  test("aggregates and column pruning ride the pruned scan") {
+    registered()
+    val df = spark.sql(
+      "SELECT sum(key) AS s FROM snap.lake.clustered WHERE key < 1000")
+    val s = df.head().getLong(0)
+    assert(s == (0L until 1000L).sum)
+    val (kept, total) = lastPrune
+    assert(kept < total)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("struct<key:bigint,v:bigint>"),
+      s"scan must read only the asked-for column:\n$plan")
+  }
+}
