@@ -337,11 +337,11 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
   * comparands): the prune may only drop files a recorded fact proves
   * dead. Literal comparands arrive ALREADY CAST to the column's type
   * (binary comparison requires it at analysis), so the bloom replay
-  * hashes the exact width the index build hashed. Dates, timestamps
-  * and decimals are skipped in v1 (their internal literal forms do not
-  * round-trip through the external-value hash replay); the Scala API
-  * prunes them through [[SnapshotLog.readWhere]]'s typed path as
-  * before. */
+  * hashes the exact width the index build hashed. Temporal internals
+  * (epoch days / micros) round-trip through their java.time external
+  * forms so dates and micros-timestamps prune like any clustered
+  * column; decimals and nanos-encoded longs' TEMPORAL asks are
+  * skipped (kept) — the Scala API's typed path behaves the same. */
 private[graft] object ScanPrune {
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.types._
@@ -429,6 +429,19 @@ private[graft] object ScanPrune {
     case LongType | IntegerType | DoubleType | FloatType => Some(v)
     case ShortType => Some(v.asInstanceOf[Short].toInt)
     case ByteType => Some(v.asInstanceOf[Byte].toInt)
+    // temporal internals → the external java.time forms the prune
+    // helpers normalize back to the same numbers (days / micros):
+    // round-tripping through the external type keeps ONE comparison
+    // convention and lets the bloom replay build a typed literal
+    case DateType => Some(java.time.LocalDate.ofEpochDay(
+      v.asInstanceOf[Int].toLong))
+    case TimestampType => Some(microsToInstant(v.asInstanceOf[Long]))
+    case TimestampNTZType => Some(java.time.LocalDateTime.ofInstant(
+      microsToInstant(v.asInstanceOf[Long]), java.time.ZoneOffset.UTC))
     case _ => None
   }
+
+  private def microsToInstant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
 }

@@ -103,6 +103,17 @@ object SnapshotLog {
     * PRUNES COMMITTED DATA: only top-level columns whose parquet
     * primitive type has an unambiguous cross-layer ordering.
     *   - INT32/INT64 (plain or signed-int annotated) → recorded as long;
+    *   - INT32 + Date annotation → recorded as long EPOCH DAYS (the
+    *     value Spark's DateType carries internally — one fixed unit,
+    *     no reader ambiguity);
+    *   - INT64 + Timestamp annotation in MICROS → recorded as long
+    *     micros verbatim (Spark reads any MICROS file — adjusted or
+    *     not — as Timestamp/TimestampNTZ with internal micros); MILLIS
+    *     → ×1000 at harvest (exact; overflow-guarded). NANOS is
+    *     SKIPPED deliberately: its Spark-side value depends on the
+    *     reader session (`nanosAsLong` → raw nanos as LongType, else
+    *     floor-divided micros), and a manifest is read by any session
+    *     — a recorded unit could mis-prune the other kind of reader;
     *   - FLOAT/DOUBLE (plain) → recorded as double (float widens
     *     exactly);
     *   - BINARY + String annotation → recorded as text, but ONLY when
@@ -112,7 +123,7 @@ object SnapshotLog {
     *     range — inside ASCII they provably coincide, so beyond it the
     *     column's stats are DROPPED for that file rather than risk a
     *     wrong prune.
-    * Everything else (dates, timestamps, decimals, nested paths, INT96,
+    * Everything else (nanos timestamps, decimals, nested paths, INT96,
     * booleans) is skipped: no stats ⇒ never pruned ⇒ always correct.
     * A row group whose statistics are missing/empty invalidates the
     * column for the whole file for the same reason. */
@@ -143,10 +154,22 @@ object SnapshotLog {
         if (!acc.get(name).contains(Left(()))) {
           val pt = cc.getPrimitiveType
           val ann = pt.getLogicalTypeAnnotation
+          // scale = the exact factor that maps the stored integer to
+          // the unit Spark's internal value uses (1 except MILLIS
+          // timestamps, which Spark reads as micros = stored × 1000)
+          var scale = 1L
           val supported = pt.getPrimitiveTypeName match {
             case INT32 | INT64 => ann == null ||
               (ann match {
                 case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+                case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => true
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                      scale = 1000L; true
+                    case _ => false // NANOS: reader-dependent unit
+                  }
                 case _ => false
               })
             case FLOAT | DOUBLE => ann == null
@@ -169,8 +192,12 @@ object SnapshotLog {
             } else acc(name) = Left(())
           } else {
             def norm(v: Any): Option[Any] = v match {
-              case i: java.lang.Integer => Some(i.longValue)
-              case l: java.lang.Long    => Some(l.longValue)
+              case i: java.lang.Integer => Some(i.longValue * scale)
+              case l: java.lang.Long =>
+                // scale exactly or not at all (a saturated bound could
+                // mis-order against in-range values)
+                if (scale != 1L && math.abs(l.longValue) > Long.MaxValue / scale) None
+                else Some(l.longValue * scale)
               case f: java.lang.Float   => Some(f.doubleValue)
               case d: java.lang.Double  => Some(d.doubleValue)
               case b: org.apache.parquet.io.api.Binary =>
@@ -218,8 +245,35 @@ object SnapshotLog {
     * (a long→double cast above 2^53 could otherwise prune wrongly);
     * kind-mismatched bounds (a string bound against numeric stats)
     * keep the file. */
+  /** Temporal bounds → the long unit the harvest records (epoch days
+    * for dates, epoch micros for timestamps; LocalDateTime is NTZ and
+    * pairs with not-adjusted micros files, whose internal value is the
+    * same micros under the engine's pinned UTC sessions). Non-temporal
+    * bounds pass through untouched. */
+  private def normBound(b: Any): Any = {
+    def micros(i: java.time.Instant): Long =
+      math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong)
+    // an overflowing extreme (Instant.MAX-ish) keeps its original form,
+    // which the comparator treats as kind-mismatched → file kept
+    def safe(f: => Long): Any =
+      try f catch { case _: ArithmeticException => b }
+    b match {
+      case d: java.sql.Date           => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate     => d.toEpochDay
+      case t: java.sql.Timestamp      => safe(micros(t.toInstant))
+      case i: java.time.Instant       => safe(micros(i))
+      case l: java.time.LocalDateTime =>
+        safe(micros(l.toInstant(java.time.ZoneOffset.UTC)))
+      case other => other
+    }
+  }
+
   private def keepFile(stats: com.fasterxml.jackson.databind.JsonNode,
-      file: String, column: String, lower: Option[Any], upper: Option[Any]): Boolean = {
+      file: String, column: String, rawLower: Option[Any],
+      rawUpper: Option[Any]): Boolean = {
+    val lower = rawLower.map(normBound)
+    val upper = rawUpper.map(normBound)
     if (lower.isEmpty && upper.isEmpty) return true
     if (stats == null) return true
     val cols = stats.get(file)
@@ -555,7 +609,7 @@ object SnapshotLog {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType | StringType
-        | DateType => true
+        | DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
   }
@@ -643,8 +697,8 @@ object SnapshotLog {
       s"unknown column $column — table has ${logical.fieldNames.mkString(", ")}")
     val field = logical(logical.fieldIndex(column))
     require(bloomHashable(field.dataType),
-      s"bloom index supports integral, string and date columns; " +
-        s"$column is ${field.dataType.simpleString}")
+      s"bloom index supports integral, string, date and timestamp " +
+        s"columns; $column is ${field.dataType.simpleString}")
     require(files.nonEmpty, s"no data files in $tableDir to index")
     val pcol = physName(colmap, column)
     val dir = bloomIndexDir(tableDir, pcol)
