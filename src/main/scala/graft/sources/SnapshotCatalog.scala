@@ -132,17 +132,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       userSpecifiedSchema = if (colmap.isEmpty) schema else physical,
       fallbackFileFormat = classOf[ParquetFileFormat])
     (schema, colmap.isEmpty) match {
-      // the common case — identity names + recorded schema: SQL scans
+      // schema-recorded tables — identity or column-mapped: SQL scans
       // file-prune at planning (manifest stats + bloom indexes) through
       // the bridge ScanBuilder, then run the ordinary parquet stack
-      // over the kept files
-      case (Some(sch), true) =>
-        new PrunedSnapshotTable(tName, t, files, stats, sch)
-      // pre-schema manifests (no stats either): the plain scan
-      case (None, true) => inner
-      // mapped tables: logical/physical translation, no SQL-side
-      // pushdown (predicates stay in the plan — see MappedTable)
-      case (_, false) => new MappedTable(inner, schema.get, colmap)
+      // over the kept files (mapped tables additionally translate at
+      // the two name boundaries — see PrunedSnapshotTable)
+      case (Some(sch), _) =>
+        new PrunedSnapshotTable(tName, t, files, stats, sch, colmap)
+      // pre-schema manifests (no stats either, never mapped): the
+      // plain scan
+      case (None, _) => inner
     }
   }
 
@@ -245,72 +244,35 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
         "stats, and schema enforcement; a catalog write would bypass all three")
 }
 
-/** SQL surface of a column-mapped table: the inner [[ParquetTable]]
-  * scans under PHYSICAL names (the names in the files); this wrapper
-  * exposes the LOGICAL schema and translates at the two boundaries —
-  * column pruning (logical → physical, pushed through so a mapped scan
-  * still reads only the asked-for columns) and the scan's reported
-  * read schema (physical → logical, a pure rename: InternalRows are
-  * positional, so the data path is untouched — vectorized reader and
-  * all). Filter pushdown is NOT advertised: Spark then keeps every
-  * predicate in the plan above the scan, which is correct by
-  * construction; mapped tables trade scan-level filter pushdown via
-  * SQL for zero-rewrite renames (the Scala [[SnapshotLog.readWhere]]
-  * path keeps manifest-stats pruning either way, and a full rewrite —
-  * optimize — rematerializes logical names and sheds the wrapper). */
-private class MappedTable(inner: Table, logical: StructType,
-    colmap: Map[String, String])
-    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
-
-  private val phys2log: Map[String, String] =
-    colmap.map(_.swap)
-
-  override def name(): String = inner.name()
-  override def schema(): StructType = logical
-  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-    inner.capabilities()
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : org.apache.spark.sql.connector.read.ScanBuilder = {
-    val ib = inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
-      .newScanBuilder(options)
-    new org.apache.spark.sql.connector.read.ScanBuilder
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-      override def pruneColumns(required: StructType): Unit = ib match {
-        case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-          p.pruneColumns(StructType(required.fields.map(f =>
-            f.copy(name = colmap.getOrElse(f.name, f.name)))))
-        case _ => ()
-      }
-      override def build(): org.apache.spark.sql.connector.read.Scan = {
-        val is = ib.build()
-        new org.apache.spark.sql.connector.read.Scan {
-          override def readSchema(): StructType =
-            StructType(is.readSchema().fields.map(f =>
-              f.copy(name = phys2log.getOrElse(f.name, f.name))))
-          override def toBatch: org.apache.spark.sql.connector.read.Batch =
-            is.toBatch
-          override def description(): String = is.description()
-        }
-      }
-    }
-  }
-}
-
-/** SQL surface of an identity-named, schema-recorded snapshot table:
-  * every scan plans through
-  * [[org.apache.spark.sql.graftbridge.PruningParquetScanBuilder]], so
-  * the predicates SQL pushes down FILE-PRUNE against the manifest
+/** SQL surface of a schema-recorded snapshot table — identity-named
+  * or column-mapped ([[SnapshotLog.renameColumn]]): every scan plans
+  * through [[org.apache.spark.sql.graftbridge.PruningParquetScanBuilder]],
+  * so the predicates SQL pushes down FILE-PRUNE against the manifest
   * stats (and the bloom index, for equality/IN on an indexed column)
   * before Spark lists a single path — [[SnapshotLog.readWhere]] /
   * [[SnapshotLog.readWhereIn]]'s skipping, now free on `SELECT … WHERE`
   * through the catalog. Pruning is planning-time only and provably
   * conservative (the builder keeps every predicate as residual), so a
-  * SQL result can never differ from the unpruned scan. */
+  * SQL result can never differ from the unpruned scan.
+  *
+  * Mapped tables expose the LOGICAL schema and translate at the two
+  * name boundaries (rows are positional — the data path, vectorized
+  * reader included, never notices): column pruning and the re-pushed
+  * predicates rename logical→physical on the way into the parquet
+  * stack, the scan's reported read schema renames back. The rename of
+  * the predicates is what RESTORES scan-level filter pushdown on
+  * mapped tables — the pre-pruning wrapper had to give it up, trading
+  * it for zero-rewrite renames; now both hold. */
 private class PrunedSnapshotTable(tName: String, tableDir: String,
     files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
-    recorded: StructType)
+    recorded: StructType, colmap: Map[String, String])
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  private val phys2log: Map[String, String] = colmap.map(_.swap)
+  private val physical: StructType =
+    if (colmap.isEmpty) recorded
+    else StructType(recorded.fields.map(f =>
+      f.copy(name = colmap.getOrElse(f.name, f.name))))
 
   override def name(): String = tName
   override def schema(): StructType = recorded
@@ -322,9 +284,11 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     val spark = SparkSession.active
     new org.apache.spark.sql.graftbridge.PruningParquetScanBuilder(
-      spark, tName, recorded,
+      spark, tName, physical,
       filters => ScanPrune.kept(spark, tableDir, tName, files, stats,
-        Some(recorded), filters))
+        Some(recorded), colmap, filters),
+      mapName = c => colmap.getOrElse(c, c),
+      unmapName = c => phys2log.getOrElse(c, c))
   }
 }
 
@@ -354,11 +318,8 @@ private[graft] object ScanPrune {
 
   def kept(spark: SparkSession, tableDir: String, tName: String,
       files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
-      schemaOpt: Option[StructType],
+      schemaOpt: Option[StructType], colmap: Map[String, String],
       filters: Seq[Expression]): Seq[String] = {
-    // identity tables only (mapped tables never reach here), so the
-    // colmap every SnapshotLog prune helper takes is empty
-    val colmap = Map.empty[String, String]
     def membership(cur: Seq[String], name: String, values: Seq[Option[Any]])
         : Seq[String] =
       if (values.isEmpty || values.exists(_.isEmpty)) cur

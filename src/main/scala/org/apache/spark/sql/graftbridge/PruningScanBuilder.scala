@@ -39,7 +39,9 @@ class PruningParquetScanBuilder(
     spark: SparkSession,
     tableName: String,
     readSchema: StructType,
-    prune: Seq[Expression] => Seq[String])
+    prune: Seq[Expression] => Seq[String],
+    mapName: String => String = identity,
+    unmapName: String => String = identity)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -61,6 +63,16 @@ class PruningParquetScanBuilder(
     required = Some(requiredSchema)
 
   override def build(): Scan = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    // the prune callback speaks the CALLER's (logical) names; the inner
+    // parquet stack speaks the file's (physical) names — on a
+    // column-mapped table `mapName` translates column pruning and the
+    // re-pushed predicates (attribute renames only: the inner builder's
+    // own source-filter translation is name-based, so a renamed
+    // attribute restores row-group pushdown that the pre-pruning
+    // MappedTable wrapper had to give up), and `unmapName` renames the
+    // scan's reported read schema back (rows are positional — the data
+    // path is untouched, vectorized reader and all)
     val kept = prune(filterExprs)
     val inner = ParquetTable(
       tableName,
@@ -70,8 +82,29 @@ class PruningParquetScanBuilder(
       userSpecifiedSchema = Some(readSchema),
       fallbackFileFormat = classOf[ParquetFileFormat])
       .newScanBuilder(CaseInsensitiveStringMap.empty())
-    inner.pushFilters(filterExprs)
-    required.foreach(inner.pruneColumns)
-    inner.build()
+    val physFilters = filterExprs.map(_.transform {
+      case a: AttributeReference => a.withName(mapName(a.name))
+    })
+    inner.pushFilters(physFilters)
+    required.foreach(r => inner.pruneColumns(
+      StructType(r.fields.map(f => f.copy(name = mapName(f.name))))))
+    val built = inner.build()
+    val renamed = built.readSchema().fields.map(f =>
+      f.copy(name = unmapName(f.name)))
+    // identity tables return the parquet scan UNWRAPPED: the scan's
+    // extra faces (SupportsReportStatistics feeding AQE/broadcast
+    // sizing, runtime filtering) must stay visible to Spark. Only a
+    // genuinely renamed schema pays for a forwarding wrapper — which
+    // forwards estimateStatistics for the same reason.
+    if (renamed.map(_.name).sameElements(built.readSchema().fieldNames)) built
+    else new Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      override def readSchema(): StructType = StructType(renamed)
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        built.toBatch
+      override def description(): String = built.description()
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics =
+        built.estimateStatistics()
+    }
   }
 }

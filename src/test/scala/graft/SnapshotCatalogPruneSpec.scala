@@ -132,6 +132,27 @@ class SnapshotCatalogPruneSpec extends SparkSpec {
     assert(v1 == 1100 && total1 == 8 && kept1 == 5, s"kept $kept1/$total1")
   }
 
+  test("a renamed (column-mapped) table file-prunes AND regains scan-level pushdown") {
+    registered()
+    val t = s"$root/lake/mapped"
+    SnapshotLog.commit(spark, t,
+      spark.range(4000).repartitionByRange(4, col("id")).select(
+        col("id").as("k"), (col("id") * 3).as("v")))
+    SnapshotLog.renameColumn(t, "k", "doc_key")
+    val df = spark.sql(
+      "SELECT doc_key, v FROM snap.lake.mapped WHERE doc_key BETWEEN 1000 AND 1999")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.size == 1000 && rows.forall { case (k, v) => v == k * 3 })
+    val (kept, total) = lastPrune
+    assert(total == 4 && kept == 1, s"kept $kept/$total")
+    // the re-pushed predicates carry the PHYSICAL name into the
+    // parquet scan — row-group pushdown, which the pre-pruning mapped
+    // wrapper had to give up
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PushedFilters: \\[.*GreaterThanOrEqual\\(k,.*"),
+      s"physical-name pushdown missing:\n$plan")
+  }
+
   test("aggregates and column pruning ride the pruned scan") {
     registered()
     val df = spark.sql(
