@@ -155,12 +155,37 @@ object LakehouseDemo {
     require(mapped.filter(col("source") === "day5").count() == 100L,
       "append after rename+drop must land under the logical names")
 
+    // 11. the bloom index — point lookups and point DML on the
+    // UNCLUSTERED key (the layout clusters nothing here after the
+    // appends, so min/max alone keeps most files): index once, look up
+    // a handful of ids, redact one, erase another; refresh covers the
+    // rewrites
+    val nIndexed = SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 16 * 1024, fpp = 0.01)
+    val probe: Seq[Any] = Seq(40000L, 40050L, 40099L)
+    val (bkept, btotal) = SnapshotLog.bloomPruneFiles(spark, t, "key", probe)
+    require(bkept.size < btotal,
+      s"bloom lookup must skip files: kept ${bkept.size}/$btotal")
+    require(SnapshotLog.readWhereIn(spark, t, "key", probe).count() == 3L,
+      "point lookup must find exactly the probed ids")
+    SnapshotLog.updateWhereIn(spark, t, "key", Seq(40050L),
+      Map("source" -> lit("REDACTED")))
+    SnapshotLog.deleteWhereIn(spark, t, "key", Seq(40099L))
+    val served = SnapshotLog.readWhereIn(spark, t, "key", probe)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    require(served == Map(40000L -> "day5", 40050L -> "REDACTED"),
+      s"point DML accounting: $served")
+    val refreshed = SnapshotLog.refreshBloomIndex(spark, t, "key")
+    require(refreshed > 0, "the DML rewrites must leave files to refresh")
+
     println(s"LAKEHOUSE: versions=0->${SnapshotLog.latestVersion(t).get} " +
       s"files=$total->$totalOpt pruned_ask=${kept.size}->${keptOpt.size} " +
       s"rows=32000->$afterDelete cdc_deletes=${ops("delete")} " +
       s"expired=${expired.size} vacuumed=${reclaimed.size} " +
       s"evolved_cols=2->${evolved.columns.length} " +
-      s"renamed=src->source dropped=payload")
+      s"renamed=src->source dropped=payload " +
+      s"bloom_indexed=$nIndexed bloom_ask=${bkept.size}/$btotal " +
+      s"point_dml=redact+erase refreshed=$refreshed")
     spark.stop()
   }
 }

@@ -1534,6 +1534,72 @@ object SnapshotLog {
     v
   }
 
+  /** Point UPDATE through the log — [[updateWhere]]'s MEMBERSHIP twin,
+    * completing the point-DML family beside [[readWhereIn]] and
+    * [[deleteWhereIn]]: apply each `set` assignment to the rows whose
+    * `column` IS one of `values`, rewriting only the files the
+    * stats+bloom lookup-prune stages cannot exonerate (the id-keyed
+    * correction shape: redact these document ids, re-score these
+    * keys). Same guardrails as [[updateWhere]] — assignments may read
+    * existing columns but never change the schema; NULL `column`
+    * values never match a membership list, so the `when` mask leaves
+    * them byte-identical. Returns the committed version. */
+  def updateWhereIn(spark: SparkSession, tableDir: String, column: String,
+      values: Seq[Any],
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(set.nonEmpty, "updateWhereIn wants at least one assignment")
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val statsNode = prevManifest.get("stats")
+    val colmap = colmapOf(prevManifest)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val keptSet = pruneCore(spark, tableDir, prevFiles, statsNode,
+      logicalSchema, colmap, column, values).toSet
+    val (affected, untouched) = prevFiles.partition(keptSet)
+    val newFiles =
+      if (affected.isEmpty) Nil
+      else {
+        val inKeys = col(column).isin(values: _*)
+        val reader = logicalSchema.map(physSchema(_, colmap))
+          .fold(spark.read)(spark.read.schema)
+        val physBase = reader.parquet(affected: _*)
+        val base =
+          if (colmap.isEmpty) physBase
+          else physBase.toDF(logicalSchema.get.fieldNames.toIndexedSeq: _*)
+        set.keys.foreach(c => require(base.columns.contains(c),
+          s"updateWhereIn assigns unknown column $c — updates never add columns"))
+        val updated = base.select(base.columns.map { c =>
+          set.get(c).map(expr => when(inKeys, expr).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }.toSeq: _*)
+        require(updated.schema == base.schema,
+          s"updateWhereIn must preserve the schema: ${base.schema} -> ${updated.schema}")
+        val out =
+          if (colmap.isEmpty) updated
+          else updated.toDF(base.columns.map(physName(colmap, _)).toIndexedSeq: _*)
+        val dd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        out.write.mode("overwrite").parquet(dd.toString)
+        listDir(dd).filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+      }
+    val carried = carriedStats(prevManifest, untouched)
+    val newStats = harvestStats(newFiles)
+    publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest))
+    v
+  }
+
   /** Copy-on-write MERGE through the log — Delta's `MERGE INTO` verb
     * on [[graft.ops.MigrationOps.tableDiff]]'s POST-IMAGE change-feed
     * convention, completing the DML family (append / delete / update /

@@ -212,6 +212,45 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, t).count() == after.size)
   }
 
+  test("updateWhereIn masks exactly the named keys in the bloom-kept files") {
+    val t = s"$scratch/bloom_update"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    val before = SnapshotLog.read(spark, t).collect().map(_.toString).toSet
+    val keys = Seq(17L, 4242L)
+    val (kept, total) = SnapshotLog.bloomPruneFiles(spark, t, "key", keys)
+    assert(total == 8 && kept.size <= 3)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def files(v: Long): Set[String] = {
+      val node = mapper.readTree(Files.readString(
+        Paths.get(t, "_log", s"$v.json")))
+      val it = node.get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSet
+    }
+    val v1 = SnapshotLog.updateWhereIn(spark, t, "key", keys,
+      Map("payload" -> lit("REDACTED")))
+    assert(files(v1 - 1).intersect(files(v1)).size == 8 - kept.size,
+      "only the bloom-kept files may be rewritten")
+    val after = SnapshotLog.read(spark, t).collect()
+    assert(after.length == before.size, "update must not change row count")
+    val masked = after.filter(r => keys.contains(r.getLong(0)))
+    assert(masked.length == 2 && masked.forall(_.getString(2) == "REDACTED"))
+    val untouchedRows = after.filterNot(r => keys.contains(r.getLong(0)))
+      .map(_.toString).toSet
+    assert(untouchedRows == before.filterNot(r =>
+      r.startsWith("[17,") || r.startsWith("[4242,")))
+    // schema-altering or unknown assignments reject loudly
+    intercept[IllegalArgumentException] {
+      SnapshotLog.updateWhereIn(spark, t, "key", keys,
+        Map("nope" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.updateWhereIn(spark, t, "key", keys,
+        Map("payload" -> lit(42))) // string column, int assignment
+    }
+  }
+
   test("point and range deletes never drop NULL rows from a mixed rewritten file") {
     val t = s"$scratch/bloom_delete_null"
     // every file mixes null v with live values — the shape where a bare
