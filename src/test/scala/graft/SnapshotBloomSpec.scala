@@ -272,6 +272,55 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, t).count() == 400 - 3 - (51 - 11))
   }
 
+  test("streaming ingest maintains the index: idempotent append + refresh per micro-batch") {
+    // the day-2 STREAMING recipe: foreachBatch { commitAppendIdempotent;
+    // refreshBloomIndex }. The refresh is manifest-driven, so the
+    // composition is naturally exactly-once-safe: a replayed batch's
+    // append is a no-op (same manifest) → refresh finds nothing
+    // missing; a crash BETWEEN append and refresh self-heals on replay
+    // (the no-op append leaves the new files uncovered, the refresh
+    // blooms exactly them) — and an uncovered window is never wrong,
+    // only unpruned.
+    val src = s"$scratch/bloom_stream_src"
+    val dst = s"$scratch/bloom_stream_dst"
+    def gen(from: Long, until: Long) =
+      spark.range(from, until).repartitionByRange(2, col("id")).select(
+        ((col("id") * 7919) % 100000).as("key"), col("id").as("n"))
+    SnapshotLog.commit(spark, src, gen(0, 1000))
+    // seed the replica from a DISJOINT id range (keys never collide:
+    // the scramble is a bijection mod 100000 and the id ranges differ)
+    SnapshotLog.commit(spark, dst, gen(50000, 51000))
+    SnapshotLog.writeBloomIndex(spark, dst, "key",
+      expectedItemsPerFile = 2048, fpp = 0.01)
+    // the sink's version key: base + batchId (the documented derivation
+    // — the replica already holds its seed version, so batch 0 must
+    // land ABOVE it, not collide with it and no-op as a "replay")
+    val base = SnapshotLog.latestVersion(dst).get + 1
+    val q = spark.readStream.format("graft-snaplog")
+      .option("tableDir", src).load()
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          SnapshotLog.commitAppendIdempotent(spark, dst, batch, base + id)
+          SnapshotLog.refreshBloomIndex(spark, dst, "key"): Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      SnapshotLog.commitAppend(spark, src, gen(1000, 2000))
+      SnapshotLog.commitAppend(spark, src, gen(2000, 3000))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotLog.read(spark, dst).count() == 4000)
+    // every generation is covered: nothing left to refresh, and a
+    // cross-generation lookup prunes through the blooms
+    assert(SnapshotLog.refreshBloomIndex(spark, dst, "key") == 0)
+    val keys = Seq(0L, 1000L, 2000L).map(id =>
+      java.lang.Math.floorMod(id * 7919, 100000)): Seq[Any]
+    val (kept, total) = SnapshotLog.bloomPruneFiles(spark, dst, "key", keys)
+    assert(total >= 6 && kept.size <= keys.size + 2,
+      s"cross-generation lookup should prune, kept ${kept.size}/$total")
+    assert(SnapshotLog.readWhereIn(spark, dst, "key", keys).count() == 3)
+  }
+
   test("the index sidecar layout is inspectable: meta records sizing, data is one row per file") {
     val t = s"$scratch/bloom_layout"
     unclustered(t)
