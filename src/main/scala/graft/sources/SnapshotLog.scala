@@ -589,14 +589,53 @@ object SnapshotLog {
   // ---------------------------------------------------------------------
 
   /** Index layout: parquet rows of (file basename, serialized bloom)
-    * under `<tableDir>/_index/bloom/<physCol>/data`, plus a `meta.json`
-    * recording the sizing. Keyed on the PHYSICAL column name, like the
-    * manifest's stats, so a later rename keeps the index valid (the
-    * physical name is immutable); basenames rather than full paths
-    * because part-file names are UUID-unique (the [[mergeInto]]
+    * under `<tableDir>/_index/bloom/<physCol>/<dataDir>`, plus a
+    * `meta.json` recording the sizing AND which data directory is
+    * current — the indirection that makes [[compactBloomIndex]]'s swap
+    * one atomic meta replace. Keyed on the PHYSICAL column name, like
+    * the manifest's stats, so a later rename keeps the index valid
+    * (the physical name is immutable); basenames rather than full
+    * paths because part-file names are UUID-unique (the [[mergeInto]]
     * precedent) and survive a tableDir move. */
   private def bloomIndexDir(tableDir: String, pcol: String): Path =
     Paths.get(tableDir, "_index", "bloom", pcol)
+
+  /** The index's CURRENT data directory per its meta — None when no
+    * usable index exists. Pre-indirection indexes recorded no `data`
+    * field and resolve to the literal `data` dir. */
+  private def bloomDataDir(dir: Path): Option[Path] = {
+    val metaP = dir.resolve("meta.json")
+    if (!Files.exists(metaP)) return None
+    val meta = mapper.readTree(Files.readString(metaP))
+    val d = Option(meta.get("data")).map(_.asText()).getOrElse("data")
+    Some(dir.resolve(d)).filter(Files.isDirectory(_))
+  }
+
+  /** Replace meta.json atomically (same-directory move). Unlike the
+    * LOG's manifests — where replace semantics would be a correctness
+    * hole — last-writer-wins is exactly right for an advisory index
+    * pointer: both candidate states are valid indexes. */
+  private def writeBloomMeta(dir: Path, pcol: String,
+      dataDirName: String, expectedItems: Long, numBits: Long): Unit = {
+    val meta = mapper.createObjectNode()
+    meta.put("column", pcol)
+    meta.put("data", dataDirName)
+    meta.put("expectedItemsPerFile", expectedItems)
+    meta.put("numBits", numBits)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".meta-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(meta))
+    Files.move(tmp, dir.resolve("meta.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Drop every data directory under `dir` except `keep` — the
+    * previous generations a rebuild/compaction supersedes. */
+  private def dropOtherBloomData(dir: Path, keep: String): Unit =
+    listDir(dir).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith("data") &&
+      p.getFileName.toString != keep).foreach(deleteRecursively)
 
   /** Types the bloom index accepts: exactly the shapes whose write-side
     * `xxhash64(column)` this module can REPLAY over a lookup value on
@@ -703,16 +742,12 @@ object SnapshotLog {
     val pcol = physName(colmap, column)
     val dir = bloomIndexDir(tableDir, pcol)
     val numBits = bloomNumBits(expectedItemsPerFile, fpp)
+    val dataName = s"data-${java.util.UUID.randomUUID.toString.take(8)}"
     buildBloomRows(spark, files,
       org.apache.spark.sql.types.StructField(pcol, field.dataType, field.nullable),
-      expectedItemsPerFile, numBits, dir.resolve("data"), "overwrite")
-    val meta = mapper.createObjectNode()
-    meta.put("column", pcol)
-    meta.put("dataType", field.dataType.json)
-    meta.put("expectedItemsPerFile", expectedItemsPerFile)
-    meta.put("numBits", numBits)
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve("meta.json"), mapper.writeValueAsString(meta))
+      expectedItemsPerFile, numBits, dir.resolve(dataName), "overwrite")
+    writeBloomMeta(dir, pcol, dataName, expectedItemsPerFile, numBits)
+    dropOtherBloomData(dir, dataName)
     files.size
   }
 
@@ -730,7 +765,9 @@ object SnapshotLog {
     require(Files.exists(dir.resolve("meta.json")),
       s"no bloom index on $column in $tableDir — writeBloomIndex first")
     val meta = mapper.readTree(Files.readString(dir.resolve("meta.json")))
-    val indexed = spark.read.parquet(dir.resolve("data").toString)
+    val dataDir = bloomDataDir(dir).getOrElse(sys.error(
+      s"bloom index on $column in $tableDir has meta but no data directory"))
+    val indexed = spark.read.parquet(dataDir.toString)
       .select(col("file")).collect().map(_.getString(0)).toSet
     val missing = files.filterNot(f => indexed.contains(baseName(f)))
     if (missing.isEmpty) return 0
@@ -740,8 +777,44 @@ object SnapshotLog {
     buildBloomRows(spark, missing,
       org.apache.spark.sql.types.StructField(pcol, field.dataType, field.nullable),
       meta.get("expectedItemsPerFile").asLong(), meta.get("numBits").asLong(),
-      dir.resolve("data"), "append")
+      dataDir, "append")
     missing.size
+  }
+
+  /** Index GC: rewrite the index keeping only rows whose file is in
+    * the CURRENT manifest. Every lookup scans the whole index, so
+    * stale rows from DML/optimize rewrites are not just dead weight —
+    * they are per-query cost growing without bound under continuous
+    * maintenance. The swap is one atomic meta replace (both states are
+    * valid indexes — an in-flight lookup reads one or the other), the
+    * superseded data directory is dropped after it, and a refresh
+    * racing the swap loses only COVERAGE of its freshly-appended rows
+    * (uncovered files are kept conservatively; the next refresh
+    * re-blooms them — self-healing, like the foreachBatch recipe).
+    * No data files are re-read: compaction filters the index itself.
+    * Returns how many stale rows were dropped. */
+  def compactBloomIndex(spark: SparkSession, tableDir: String,
+      column: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val (files, _, _, colmap) = manifestFor(tableDir, None)
+    val pcol = physName(colmap, column)
+    val dir = bloomIndexDir(tableDir, pcol)
+    require(Files.exists(dir.resolve("meta.json")),
+      s"no bloom index on $column in $tableDir — writeBloomIndex first")
+    val meta = mapper.readTree(Files.readString(dir.resolve("meta.json")))
+    val dataDir = bloomDataDir(dir).getOrElse(sys.error(
+      s"bloom index on $column in $tableDir has meta but no data directory"))
+    val live = files.map(baseName).toSet
+    val idx = spark.read.parquet(dataDir.toString)
+    val stale = idx.filter(!col("file").isin(live.toSeq: _*)).count()
+    if (stale == 0L) return 0L
+    val dataName = s"data-${java.util.UUID.randomUUID.toString.take(8)}"
+    idx.filter(col("file").isin(live.toSeq: _*))
+      .write.parquet(dir.resolve(dataName).toString)
+    writeBloomMeta(dir, pcol, dataName,
+      meta.get("expectedItemsPerFile").asLong(), meta.get("numBits").asLong())
+    dropOtherBloomData(dir, dataName)
+    stale
   }
 
   /** The file set a [[readWhereIn]] with these keys would scan:
@@ -797,14 +870,15 @@ object SnapshotLog {
     val pcol = physName(colmap, column)
     val statsKept = files.filter(f =>
       values.exists(v => keepFile(stats, f, pcol, Some(v), Some(v))))
-    val dataDir = bloomIndexDir(tableDir, pcol).resolve("data")
+    val dataDirOpt = bloomDataDir(bloomIndexDir(tableDir, pcol))
     val dt = schemaOpt.collect {
       case sch if sch.fieldNames.contains(column) =>
         sch(sch.fieldIndex(column)).dataType
     }
-    if (statsKept.isEmpty || !Files.isDirectory(dataDir) || dt.isEmpty
+    if (statsKept.isEmpty || dataDirOpt.isEmpty || dt.isEmpty
         || !bloomHashable(dt.get))
       return statsKept
+    val dataDir = dataDirOpt.get
     val hashes = values.map(v => bloomHash(v, dt.get))
     val hit = Bridge.column(graft.functions.BloomHit(
       UnresolvedAttribute(Seq("bloom")),

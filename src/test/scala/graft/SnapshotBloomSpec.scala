@@ -321,7 +321,7 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(SnapshotLog.readWhereIn(spark, dst, "key", keys).count() == 3)
   }
 
-  test("the index sidecar layout is inspectable: meta records sizing, data is one row per file") {
+  test("the index sidecar layout is inspectable: meta records sizing + the current data dir") {
     val t = s"$scratch/bloom_layout"
     unclustered(t)
     SnapshotLog.writeBloomIndex(spark, t, "key",
@@ -333,8 +333,46 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(meta.get("column").asText() == "key")
     assert(meta.get("expectedItemsPerFile").asLong() == 4096)
     assert(meta.get("numBits").asLong() > 0)
-    val rows = spark.read.parquet(dir.resolve("data").toString)
+    val dataName = meta.get("data").asText()
+    assert(dataName.startsWith("data-"))
+    val rows = spark.read.parquet(dir.resolve(dataName).toString)
     assert(rows.count() == 8)
     assert(rows.columns.toSeq == Seq("file", "bloom"))
+  }
+
+  test("compactBloomIndex drops exactly the stale rows; lookups stay exact; idempotent") {
+    val t = s"$scratch/bloom_compact"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    // churn: a point delete rewrites some files, refresh covers the
+    // rewrites — leaving the rewritten-away originals as stale rows
+    SnapshotLog.deleteWhereIn(spark, t, "key", Seq(17L, 4242L))
+    val refreshed = SnapshotLog.refreshBloomIndex(spark, t, "key")
+    assert(refreshed > 0)
+    val dir = Paths.get(t, "_index", "bloom", "key")
+    def indexRows(): Long = {
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(dir.resolve("meta.json")))
+      spark.read.parquet(dir.resolve(meta.get("data").asText()).toString).count()
+    }
+    val beforeRows = indexRows()
+    val dropped = SnapshotLog.compactBloomIndex(spark, t, "key")
+    assert(dropped > 0 && indexRows() == beforeRows - dropped)
+    // post-compaction the index covers exactly the manifest: nothing
+    // stale, nothing missing, and only ONE data generation on disk
+    assert(SnapshotLog.compactBloomIndex(spark, t, "key") == 0L)
+    assert(SnapshotLog.refreshBloomIndex(spark, t, "key") == 0)
+    import scala.jdk.CollectionConverters._
+    val dataDirs = scala.util.Using.resource(Files.list(dir)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("data")).toList
+    }
+    assert(dataDirs.size == 1, s"superseded data dirs must be dropped: $dataDirs")
+    val keys = Seq(19993L, 5000L)
+    val (kept, total) = SnapshotLog.bloomPruneFiles(spark, t, "key", keys)
+    assert(kept.size <= 3 && total >= 8)
+    assert(result(t, "key", keys) == oracle(t, "key", keys))
+    assert(oracle(t, "key", keys).size == 2)
   }
 }
