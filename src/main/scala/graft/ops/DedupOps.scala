@@ -1054,6 +1054,49 @@ object DedupOps {
         (coalesce(col("max_earlier_cos6"), lit(-2.0)) >= SemdedupTau).as("dropped"))
   }
 
+  /** Semantic decontamination — the EMBEDDING member of the
+    * decontamination family ([[graft.ops.TextOps]]'s exact n-gram
+    * screen, its bloom-screened scale twin, and now the PARAPHRASE
+    * direction n-grams cannot see): flag every TRAIN vector whose
+    * cosine to ANY heldout vector reaches τ. Heldout = vec_id % 10 == 0
+    * — the planted-input pattern, both engines re-derive the split.
+    *
+    * Scale shape: cosine is only ever evaluated inside sign-bit LSH
+    * buckets, with Hamming-1 MULTIPROBE on the train side
+    * ([[dedupEmbeddingLshMultiprobe]]'s constant bits+1 fan-out pointed
+    * ACROSS two relations) — an equi-join on the bucket key, never a
+    * train×heldout product; each qualifying pair matches exactly one
+    * probe, so the max() evidence needs no distinct. The verdict is
+    * SOUND by construction (every flag carries a real cos6 ≥ τ — the
+    * spec checks it against the brute-force pairs) and complete within
+    * Hamming ≤ 1 of the bucket key, the same recall posture as the
+    * multiprobe dedup entry. Emits every train vector with its
+    * max-heldout-cosine evidence and the verdict (null evidence = no
+    * heldout shares a probed bucket). τ reuses [[SemdedupTau]] — the
+    * synthetic embeddings' rationale is documented there. */
+  val dedupDecontaminateSemantic: Q = (s, dir) => {
+    val bits = EmbeddingLshBits
+    val e = embeddingBucketed(s, dir, bits)
+    val train = e.filter(col("vec_id") % 10 =!= 0)
+    val held = e.filter(col("vec_id") % 10 === 0)
+    val flips: Seq[Column] = col("bucket") +: (1 to bits).map { i =>
+      concat(substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), i + 1, bits - i))
+    }
+    val probes = train.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+      col("norm").as("a_norm"), explode(array(flips: _*)).as("pb"))
+    val evidence = probes.join(held.as("h"), col("pb") === col("h.bucket"))
+      .select(col("a_id").as("vec_id"),
+        round(expr(dotSql(s, "a_v", "h.v"))
+          / (col("a_norm") * col("h.norm")), 6).as("cos6"))
+      .groupBy("vec_id").agg(max(col("cos6")).as("max_heldout_cos6"))
+    train.select("vec_id").join(evidence, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("max_heldout_cos6"),
+        (coalesce(col("max_heldout_cos6"), lit(-2.0)) >= SemdedupTau)
+          .as("contaminated"))
+  }
+
   /** Segment width for corpus-level paragraph dedup. The documents
     * table is whitespace-token text with no paragraph delimiters, so a
     * "paragraph" is a fixed non-overlapping 16-token segment — the
@@ -1326,6 +1369,7 @@ object DedupOps {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_kmeans" -> dedupSemanticKmeans,
+    "dedup_decontaminate_semantic" -> dedupDecontaminateSemantic,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_paragraph_rebuild" -> dedupParagraphRebuild,
     "dedup_substring" -> dedupSubstring,
@@ -1758,6 +1802,30 @@ object DedupOps {
               AS cos6
           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           ORDER BY cos6 DESC, a, b LIMIT 20""",
+    "dedup_decontaminate_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          bk AS (SELECT vec_id, v,
+                   sqrt(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[]))) AS nrm,
+                   $embBucketSql AS bucket FROM e),
+          train AS (SELECT * FROM bk WHERE vec_id % 10 <> 0),
+          held AS (SELECT * FROM bk WHERE vec_id % 10 = 0),
+          probes AS (
+            SELECT vec_id, v, nrm, bucket AS pb FROM train
+            UNION ALL
+            SELECT vec_id, v, nrm,
+              substr(bucket, 1, i - 1)
+                || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+                || substr(bucket, i + 1) AS pb
+            FROM train, unnest(generate_series(1, $EmbeddingLshBits)) u(i)),
+          ev AS (
+            SELECT p.vec_id,
+              max(round(list_dot_product(p.v, h.v) / (p.nrm * h.nrm), 6))
+                AS max_heldout_cos6
+            FROM probes p JOIN held h ON p.pb = h.bucket
+            GROUP BY p.vec_id)
+          SELECT t.vec_id, ev.max_heldout_cos6,
+            (COALESCE(ev.max_heldout_cos6, -2.0) >= $SemdedupTau) AS contaminated
+          FROM train t LEFT JOIN ev USING (vec_id)""",
     "dedup_embedding_lsh_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           bk AS (SELECT vec_id, v,

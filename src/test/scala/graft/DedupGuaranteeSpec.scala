@@ -142,4 +142,52 @@ class DedupGuaranteeSpec extends SparkSpec {
       assert(jacc < 0.3, s"fixture broken: jacc $jacc not a subset shape")
     }
   }
+
+  test("semantic decontamination: evidence == max cos over Hamming<=1 heldout pairs (sound + probe-complete)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = DedupOps.dedupDecontaminateSemantic(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))), r.getBoolean(2)))
+      .toMap
+
+    // ground truth rebuilt driver-side, independent of the operator:
+    // every train x held pair's cos6 (same fold order + HALF_UP round
+    // as the dataflow) and the sign-bit bucket Hamming distance
+    val bits = 8
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val bucket = (0 until bits).map(i => if (v(i) >= 0) '1' else '0').mkString
+        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum), bucket)
+      }
+    val (held, train) = all.partition(_._1 % 10 == 0)
+    assert(train.nonEmpty && held.nonEmpty)
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected: Map[Long, Option[Double]] = train.map { case (tid, tv, tn, tb) =>
+      val near = held.flatMap { case (_, hv, hn, hb) =>
+        val hd = tb.zip(hb).count { case (a, b) => a != b }
+        if (hd > 1) None
+        else {
+          var dot = 0.0
+          var i = 0
+          while (i < tv.length) { dot += tv(i) * hv(i); i += 1 }
+          Some(round6(dot / (tn * hn)))
+        }
+      }
+      tid -> (if (near.isEmpty) None else Some(near.max))
+    }.toMap
+
+    assert(out.keySet == expected.keySet, "one verdict per train vector")
+    for ((tid, (evidence, contaminated)) <- out) {
+      assert(evidence == expected(tid),
+        s"vec $tid: evidence $evidence != Hamming<=1 max ${expected(tid)}")
+      assert(contaminated == evidence.exists(_ >= DedupOps.SemdedupTau),
+        s"vec $tid: verdict/evidence mismatch")
+    }
+    // the data must exercise BOTH verdicts or the theorem is vacuous
+    assert(out.values.exists(_._2) && out.values.exists(!_._2),
+      s"fixture exercises one verdict only: ${out.values.count(_._2)} flagged")
+  }
 }
