@@ -1848,7 +1848,8 @@ object SnapshotLog {
     * version conflict. Fresh stats and schema are recorded by the
     * same commit path as any write. */
   def optimize(spark: SparkSession, tableDir: String,
-      targetRecordsPerFile: Long, clusterBy: Seq[String] = Nil): Long = {
+      targetRecordsPerFile: Long, clusterBy: Seq[String] = Nil,
+      maintainIndexes: Boolean = true): Long = {
     import org.apache.spark.sql.functions.col
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
     val baseV = latestVersion(tableDir).getOrElse(
@@ -1862,7 +1863,41 @@ object SnapshotLog {
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df.repartition(nFiles)
-    commitAt(spark, tableDir, arranged, baseV + 1)
+    val v = commitAt(spark, tableDir, arranged, baseV + 1)
+    // a clustered rewrite replaces EVERY file — without maintenance the
+    // whole bloom index goes stale at once (lookups keep everything
+    // until a refresh). Maintenance is post-commit and advisory: a
+    // failure here cannot un-publish the version.
+    if (maintainIndexes) maintainBloomIndexes(spark, tableDir): Unit
+    v
+  }
+
+  /** Refresh + compact EVERY bloom index of the table against the
+    * CURRENT manifest — the one-call day-2 index maintenance: appends
+    * leave uncovered files (refresh blooms exactly them), DML/OPTIMIZE
+    * rewrites leave stale rows (compact drops them). Index columns are
+    * discovered from the sidecar layout (physical names) and
+    * translated back through the column map; an index whose column was
+    * DROPPED is garbage by definition and is deleted. Returns
+    * logical column -> (files newly bloomed, stale rows dropped). */
+  def maintainBloomIndexes(spark: SparkSession, tableDir: String)
+      : Map[String, (Int, Long)] = {
+    val idxRoot = Paths.get(tableDir, "_index", "bloom")
+    if (!Files.isDirectory(idxRoot)) return Map.empty
+    val (_, _, schemaOpt, colmap) = manifestFor(tableDir, None)
+    val inverse = colmap.map(_.swap)
+    listDir(idxRoot).filter(Files.isDirectory(_)).flatMap { dir =>
+      val pcol = dir.getFileName.toString
+      val logical = inverse.getOrElse(pcol, pcol)
+      if (schemaOpt.exists(_.fieldNames.contains(logical))) {
+        val bloomed = refreshBloomIndex(spark, tableDir, logical)
+        val dropped = compactBloomIndex(spark, tableDir, logical)
+        Some(logical -> (bloomed, dropped))
+      } else {
+        deleteRecursively(dir) // dropped column: nothing can probe it
+        None
+      }
+    }.toMap
   }
 
   /** The commit point, isolated: an atomic PUT-IF-ABSENT. POSIX

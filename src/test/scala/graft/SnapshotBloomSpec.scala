@@ -375,4 +375,38 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(result(t, "key", keys) == oracle(t, "key", keys))
     assert(oracle(t, "key", keys).size == 2)
   }
+
+  test("optimize auto-maintains indexes: a full rewrite stays pruned with zero manual calls") {
+    val t = s"$scratch/bloom_optimize"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 8192, fpp = 0.01)
+    // the clustered rewrite replaces EVERY file; default maintenance
+    // refreshes + compacts, so the next lookup prunes with no manual
+    // refresh — and the index holds exactly the new generation
+    SnapshotLog.optimize(spark, t, targetRecordsPerFile = 2500,
+      clusterBy = Seq("grp"))
+    assert(SnapshotLog.refreshBloomIndex(spark, t, "key") == 0,
+      "maintenance must have covered the rewritten files")
+    assert(SnapshotLog.compactBloomIndex(spark, t, "key") == 0L,
+      "maintenance must have dropped the stale generation")
+    val keys = Seq(17L, 4242L)
+    val (kept, total) = SnapshotLog.bloomPruneFiles(spark, t, "key", keys)
+    assert(kept.size < total, s"post-optimize lookup must prune, kept ${kept.size}/$total")
+    assert(result(t, "key", keys) == oracle(t, "key", keys))
+    assert(oracle(t, "key", keys).size == 2)
+  }
+
+  test("maintenance deletes an index orphaned by a column drop") {
+    val t = s"$scratch/bloom_orphan"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "payload",
+      expectedItemsPerFile = 8192, fpp = 0.01)
+    SnapshotLog.dropColumn(t, "payload")
+    val report = SnapshotLog.maintainBloomIndexes(spark, t)
+    assert(!report.contains("payload"))
+    assert(!Files.isDirectory(
+      Paths.get(t, "_index", "bloom", "payload")),
+      "an index on a dropped column is garbage and must be removed")
+  }
 }

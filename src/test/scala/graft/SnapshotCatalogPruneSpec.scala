@@ -165,4 +165,37 @@ class SnapshotCatalogPruneSpec extends SparkSpec {
     assert(!plan.contains("struct<key:bigint,v:bigint>"),
       s"scan must read only the asked-for column:\n$plan")
   }
+
+  test("two bloom-indexed columns AND-compose: the intersection of both prunes") {
+    registered()
+    val t = s"$root/lake/twokeys"
+    SnapshotLog.commit(spark, t,
+      spark.range(8000).repartitionByRange(8, col("id")).select(
+        ((col("id") * 7919) % 8000).as("a"),
+        ((col("id") * 104729) % 8000).as("b")))
+    SnapshotLog.writeBloomIndex(spark, t, "a",
+      expectedItemsPerFile = 2048, fpp = 0.01)
+    SnapshotLog.writeBloomIndex(spark, t, "b",
+      expectedItemsPerFile = 2048, fpp = 0.01)
+    // a = x names ONE row (one file); b = that row's own b-value
+    // intersects to the same file; b = some OTHER row's value
+    // intersects to (usually) nothing
+    val row = SnapshotLog.read(spark, t)
+      .filter(col("a") === 17).head()
+    val hit = spark.sql(
+      s"SELECT a, b FROM snap.lake.twokeys WHERE a = 17 AND b = ${row.getLong(1)}")
+      .collect()
+    val (kept1, total1) = lastPrune
+    assert(hit.length == 1 && total1 == 8 && kept1 <= 2, s"kept $kept1/$total1")
+    val other = SnapshotLog.read(spark, t)
+      .filter(col("a") === 4242).head().getLong(1)
+    if (other != row.getLong(1)) {
+      val miss = spark.sql(
+        s"SELECT a, b FROM snap.lake.twokeys WHERE a = 17 AND b = $other")
+        .collect()
+      val (kept2, _) = lastPrune
+      assert(miss.isEmpty && kept2 <= kept1,
+        s"AND of two memberships must intersect, kept $kept2")
+    }
+  }
 }
