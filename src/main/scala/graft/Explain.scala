@@ -31,10 +31,33 @@ object Explain {
               graft.ops.SimilarityOps.PqQueryCount)
             .select("vec_id", "v"),
           "graft_explain.ann")
+      } else if (n == "snap_sql_prune") {
+        // the SQL planning-time file prune: a scratch snapshot table
+        // whose key is UNCLUSTERED (min/max blind) + a bloom index,
+        // queried through the catalog — the plan shows an ordinary
+        // parquet BatchScan, the point being what it scans: the
+        // ScanPrune line printed below records how many of the
+        // manifest's files ever reached the scan
+        import org.apache.spark.sql.functions._
+        val t = java.nio.file.Files.createTempDirectory("graft_explain_snap_")
+        val tbl = s"$t/lake/needle"
+        graft.sources.SnapshotLog.commit(spark, tbl,
+          spark.range(100000).repartitionByRange(16, col("id")).select(
+            ((col("id") * 7919) % 100000).as("key"),
+            md5(col("id").cast("string")).as("payload")))
+        graft.sources.SnapshotLog.writeBloomIndex(spark, tbl, "key",
+          expectedItemsPerFile = 8192, fpp = 0.01)
+        spark.conf.set("spark.sql.catalog.snapx", "graft.sources.SnapshotCatalog")
+        spark.conf.set("spark.sql.catalog.snapx.root", t.toString)
+        spark.sql("SELECT key, payload FROM snapx.lake.needle " +
+          "WHERE key IN (17, 42424, 99999)")
       } else SparkEntry.queries(n)(spark, dir)
       df.collect() // finalize AQE so the real joins/exchanges are shown
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      if (n == "snap_sql_prune") graft.sources.ScanPrune.last.foreach {
+        case (tn, kept, total) => println(s"ScanPrune: $tn kept $kept/$total")
+      }
     }
     spark.stop()
   }
