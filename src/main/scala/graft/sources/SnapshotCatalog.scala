@@ -138,7 +138,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       // over the kept files (mapped tables additionally translate at
       // the two name boundaries — see PrunedSnapshotTable)
       case (Some(sch), _) =>
-        new PrunedSnapshotTable(tName, t, files, stats, sch, colmap)
+        new PrunedSnapshotTable(tName, t, v, files, stats, sch, colmap)
       // pre-schema manifests (no stats either, never mapped): the
       // plain scan
       case (None, _) => inner
@@ -264,11 +264,20 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   * mapped tables — the pre-pruning wrapper had to give it up, trading
   * it for zero-rewrite renames; now both hold. */
 private class PrunedSnapshotTable(tName: String, tableDir: String,
-    files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
+    version: Long, files: Seq[String],
+    stats: com.fasterxml.jackson.databind.JsonNode,
     recorded: StructType, colmap: Map[String, String])
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   private val phys2log: Map[String, String] = colmap.map(_.swap)
+
+  /** DESCRIBE TABLE EXTENDED surface: where this table sits in its
+    * lifecycle, from metadata already in hand (no extra I/O). */
+  override def properties(): util.Map[String, String] = Map(
+    "snapshot.version" -> version.toString,
+    "snapshot.files" -> files.size.toString,
+    "snapshot.stats" -> (stats != null).toString,
+    "snapshot.columnMapped" -> colmap.nonEmpty.toString).asJava
   private val physical: StructType =
     if (colmap.isEmpty) recorded
     else StructType(recorded.fields.map(f =>

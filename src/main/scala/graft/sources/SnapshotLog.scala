@@ -868,7 +868,33 @@ object SnapshotLog {
       "bloom lookups take non-null keys — an IS NULL ask is a range " +
         "question (readWhere + the residual filter), not a membership one")
     val pcol = physName(colmap, column)
-    val statsKept = files.filter(f =>
+    // two-step stats stage so the driver work is O(files + kept·K),
+    // not O(files·K): the HULL interval [min(values), max(values)]
+    // prunes in one keepFile pass per file (anything outside the hull
+    // can hold no key), then the exact per-value check runs only on
+    // the hull's survivors — same result, the exists() is monotone
+    // inside the hull
+    def hullKey(v: Any): Option[Either[Long, String]] = normBound(v) match {
+      case l: Long   => Some(Left(l))
+      case i: Int    => Some(Left(i.toLong))
+      case s: Short  => Some(Left(s.toLong))
+      case b: Byte   => Some(Left(b.toLong))
+      case s: String => Some(Right(s))
+      case _         => None // floats/mixed: no hull, exact stage only
+    }
+    val keys = values.map(hullKey)
+    val hullKept =
+      if (values.size <= 4 || keys.exists(_.isEmpty)
+          || keys.flatten.map(_.isLeft).distinct.size != 1) files
+      else keys.flatten match {
+        case ks if ks.head.isLeft =>
+          val ls = ks.map(_.swap.getOrElse(0L))
+          files.filter(f => keepFile(stats, f, pcol, Some(ls.min), Some(ls.max)))
+        case ks =>
+          val ss = ks.map(_.getOrElse(""))
+          files.filter(f => keepFile(stats, f, pcol, Some(ss.min), Some(ss.max)))
+      }
+    val statsKept = hullKept.filter(f =>
       values.exists(v => keepFile(stats, f, pcol, Some(v), Some(v))))
     val dataDirOpt = bloomDataDir(bloomIndexDir(tableDir, pcol))
     val dt = schemaOpt.collect {

@@ -198,4 +198,29 @@ class SnapshotCatalogPruneSpec extends SparkSpec {
         s"AND of two memberships must intersect, kept $kept2")
     }
   }
+
+  test("DESCRIBE TABLE EXTENDED surfaces the snapshot lifecycle properties") {
+    registered()
+    val props = spark.sql("DESCRIBE TABLE EXTENDED snap.lake.clustered")
+      .filter(col("col_name") === "Table Properties")
+      .head().getString(1)
+    assert(props.contains("snapshot.version=0"), props)
+    assert(props.contains("snapshot.files=8"), props)
+    assert(props.contains("snapshot.stats=true"), props)
+    assert(props.contains("snapshot.columnMapped=false"), props)
+  }
+
+  test("a large IN list still prunes exactly (the hull + exact two-step stats stage)") {
+    registered()
+    // 200 keys spread over [0, 2000): the hull prunes to 2 of 8 files
+    // in one pass, the exact stage confirms — and the result is exact
+    val ks = (0 until 200).map(i => (i * 10).toLong)
+    val inList = ks.mkString(", ")
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM snap.lake.clustered WHERE key IN ($inList)")
+      .head().getLong(0)
+    assert(n == 200)
+    val (kept, total) = lastPrune
+    assert(total == 8 && kept <= 2, s"kept $kept/$total")
+  }
 }
