@@ -911,15 +911,28 @@ object SimilarityOps {
     * place with zero index-side Exchange (AnnIndexSpec pins the plan
     * and row-identical results across both shapes). */
   def annAgainstIndex(s: SparkSession, queries: DataFrame,
-      prefix: String, broadcastQueries: Boolean = true): DataFrame = {
+      prefix: String, broadcastQueries: Boolean = true,
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     val (mu, cb, cents) = readAnnModel(s, prefix)
     val q = queries
       .withColumn("qcell", expr(kmeansAssignExpr(s, cents) + ".k"))
       .withColumn("lut", expr(pqLutExpr(s, cb)))
       .select(col("vec_id").as("qid"), col("qcell"), col("lut"))
     val qcells = q.select("qcell").distinct().collect().map(_.getLong(0)).sorted
-    val probed = s.table(s"${prefix}_codes")
+    val probed0 = s.table(s"${prefix}_codes")
       .filter(col("cell").isin(qcells.toIndexedSeq: _*))
+    // metadata-FILTERED serving ([[annFilteredTopk]]'s pre-filter rule
+    // on the PERSISTED path): the allowed-id set semi-joins the codes
+    // BEFORE the ADC probe, so the search never scores an excluded
+    // vector and top-k is exact by construction — post-filtering would
+    // need an unbounded over-fetch. At 100 TB the allowed set is
+    // corpus-sized metadata: bucket it on the shared id like the
+    // vector store (or carry hot predicate columns IN the index rows —
+    // writeAnnIndex's schema is extensible) so the semi-join reads in
+    // place.
+    val probed = allowedIds.fold(probed0)(ids =>
+      probed0.join(ids.select(col(ids.columns.head).as("vec_id")),
+        Seq("vec_id"), "left_semi"))
     val qv = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
     ivfPqProbe(s, probed, q, qv, s.table(s"${prefix}_vectors"), cb.length,
       broadcastQueries)
@@ -1012,6 +1025,32 @@ object SimilarityOps {
       val queries = s.table(s"$db.ann_vectors")
         .filter(col("vec_id") < PqQueryCount).select("vec_id", "v")
       val rows = annAgainstIndex(s, queries, s"$db.ann").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4)))
+      import s.implicits._
+      rows.toDF("qid", "nid", "bucket", "dp6", "rk")
+    } finally s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  /** [[annIndexProbe]] with [[annFilteredTopk]]'s metadata predicate
+    * on the PERSISTED serving path: the `lang = 'en'` allowed-id set
+    * semi-joins the codes table before the ADC probe, so the served
+    * top-k ranks only candidates the predicate admits — the standard
+    * "nearest English documents" production ask against a prebuilt
+    * index, oracle-checked end-to-end (the DuckDB twin restricts its
+    * index CTE by the same subquery; one shared ivfPqOracle text). */
+  val annIndexFilteredProbe: Q = (s, dir) => {
+    val db = "graft_annf_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    s.sql(s"CREATE DATABASE $db")
+    try {
+      writeAnnIndex(s, dir, s"$db.ann")
+      val queries = s.table(s"$db.ann_vectors")
+        .filter(col("vec_id") < PqQueryCount).select("vec_id", "v")
+      val allowed = t(s, dir, "documents")
+        .filter(col("lang") === FilteredLang).select(col("doc_id"))
+      val rows = annAgainstIndex(s, queries, s"$db.ann",
+        allowedIds = Some(allowed)).collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getDouble(3), r.getLong(4)))
       import s.implicits._
@@ -1178,6 +1217,7 @@ object SimilarityOps {
     "ann_pq_rerank" -> annPqRerank,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_index_probe" -> annIndexProbe,
+    "ann_index_filtered_probe" -> annIndexFilteredProbe,
     "ann_index_grow_probe" -> annIndexGrowProbe,
     "ann_mrl_pq_topk" -> annMrlPqTopk,
     "ann_mrl_ivfpq_topk" -> annMrlIvfPqTopk,
@@ -1345,7 +1385,8 @@ object SimilarityOps {
     * truncated-prefix codes from the parameterized PQ chain, full-width
     * rerank from pe0). */
   private def ivfPqOracle(m: Int = PqM, subDim: Int = PqSubDim,
-      dims: Int = 64, grown: Boolean = false): String = {
+      dims: Int = 64, grown: Boolean = false,
+      filteredLang: Option[String] = None): String = {
     val adcChain = (1 to m)
       .map(mm => s"l.lut[$mm][CAST(g.codes[$mm] AS INT) + 1]").mkString(" + ")
     // the searchable index as CTEs — (id, cell, codes) and the raw
@@ -1377,8 +1418,11 @@ object SimilarityOps {
         plut AS (SELECT qid, list(dpk ORDER BY m) AS lut FROM plutm GROUP BY qid),
         qcell AS (SELECT vec_id AS qid, cluster AS qc FROM a3
                   WHERE vec_id < $PqQueryCount),
-        gidx AS (SELECT a.vec_id, a.cluster, c.codes
+        gidx0 AS (SELECT a.vec_id, a.cluster, c.codes
             FROM a3 a JOIN pcodes c ON c.vec_id = a.vec_id$growIdx),
+        gidx AS (SELECT * FROM gidx0${filteredLang.map(l =>
+          s" WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = '$l')")
+            .getOrElse("")}),
         gvec AS (SELECT vec_id, v FROM pe0$growVecs),
         adc AS (SELECT l.qid, g.vec_id AS nid, g.cluster AS bucket,
             round($adcChain, 6) AS adc6
@@ -1641,6 +1685,7 @@ object SimilarityOps {
     // verbatim — the probe is the same ivfPqProbe plan over reloaded
     // (bit-identical) models, so train == serve is a gate theorem
     "ann_index_probe" -> ivfPqOracle(),
+    "ann_index_filtered_probe" -> ivfPqOracle(filteredLang = Some(FilteredLang)),
     "ann_index_grow_probe" -> ivfPqOracle(grown = true),
     "ann_mrl_pq_topk" -> pqRerankOracle(MrlPqM, MrlPqSubDim, MrlDim),
     "ann_mrl_ivfpq_topk" -> ivfPqOracle(MrlPqM, MrlPqSubDim, MrlDim),

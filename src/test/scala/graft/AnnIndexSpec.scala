@@ -47,6 +47,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(probed.nonEmpty)
   }
 
+  test("filtered probe serves only allowed ids, a subset of the unfiltered universe") {
+    index
+    val queries = spark.table(s"${prefix}_vectors")
+      .filter(col("vec_id") < SimilarityOps.PqQueryCount)
+      .select("vec_id", "v")
+    val allowed = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === SimilarityOps.FilteredLang).select("doc_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val filtered = SimilarityOps.annAgainstIndex(spark, queries, prefix,
+      allowedIds = Some(allowed)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(filtered.nonEmpty)
+    assert(filtered.forall { case (_, nid, _) => allowedIds.contains(nid) },
+      "a served neighbor escaped the predicate")
+    // pre-filtering can only SHRINK each query's candidate pool, so a
+    // (qid, nid) the filtered probe ranks must appear in the
+    // unfiltered probe's ADC universe — spot-check via the unfiltered
+    // top-k: every unfiltered hit that IS allowed must also be served
+    // at least as high by the filtered probe's ranking
+    val unfiltered = SimilarityOps.annAgainstIndex(spark, queries, prefix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val fRank = filtered.map { case (q, n, _) => (q, n) }.toSet
+    val missed = unfiltered.filter { case (q, n, rk) =>
+      allowedIds.contains(n) && rk <= 1 && !fRank.contains((q, n)) }
+    assert(missed.isEmpty,
+      s"an allowed unfiltered rank-1 hit vanished under the filter: ${missed.take(3).toSeq}")
+  }
+
   test("the MRL parameterization persists the triple composition through the same tables") {
     spark.sql("CREATE DATABASE IF NOT EXISTS annidx")
     SimilarityOps.writeAnnIndex(spark, dir, "annidx.mrl",

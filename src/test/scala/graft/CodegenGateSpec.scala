@@ -54,7 +54,8 @@ class CodegenGateSpec extends SparkSpec {
       // rendered literal folds + bucket-pruned ADC) and its day-2
       // grown twin under CODEGEN_ONLY; the snapshot log's bloom-index
       // lifecycle (BloomFilterAggregate build + native BloomHit prune)
-      "ann_index_probe", "ann_index_grow_probe", "snap_bloom_lookup",
+      "ann_index_probe", "ann_index_filtered_probe", "ann_index_grow_probe",
+      "snap_bloom_lookup",
       "snap_delete_in", "dedup_decontaminate_semantic",
       "quantile_select_exact", "quantile_select_plateau",
       "quantile_select_by_lang",
