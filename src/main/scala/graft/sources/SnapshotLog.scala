@@ -2137,19 +2137,33 @@ object SnapshotLog {
     expired
   }
 
-  /** Delete data directories no manifest references — the orphans that
-    * crashed and race-losing writers leave behind by design. Returns
-    * the deleted directory paths.
+  /** Delete data no manifest references, at TWO granularities:
+    * whole directories (the orphans crashed and race-losing writers
+    * leave behind by design), and — inside directories that survive
+    * because a sibling is still live — individual parquet FILES whose
+    * every referencing manifest has been expired. The file pass is
+    * what makes ERASURE real: a COW [[deleteWhereIn]] rewrites one
+    * file of a generation and carries its seven siblings, so the
+    * directory stays referenced forever and a directory-only vacuum
+    * would never physically remove the erased subject's bytes
+    * (SnapshotBloomSpec's erasure theorem pins the full chain:
+    * point delete + expireVersions + vacuum ⇒ the payload is in no
+    * surviving byte on disk). Returns the deleted paths.
     *
-    * Safety argument: a directory is deletable only when (a) no
-    * committed manifest lists any file under it — committed data is
-    * never touched — and (b) it is older than `minAgeMillis`, which
-    * protects an IN-FLIGHT writer that has finished its parquet write
-    * but not yet published (between those two steps the directory is
-    * unreferenced yet about to become live). On a real deployment the
-    * age floor is hours; the default keeps the same shape. This is
-    * exactly Delta's VACUUM retention reasoning reduced to the
-    * minimum. */
+    * Safety argument: a path is deletable only when (a) no committed
+    * manifest lists it (for a directory: lists any file under it) —
+    * committed data is never touched — and (b) it is older than
+    * `minAgeMillis`, which protects an IN-FLIGHT writer that has
+    * finished its parquet write but not yet published (between those
+    * two steps the data is unreferenced yet about to become live).
+    * The file pass inherits the same argument: every write path lands
+    * in a writer-unique `data/v<N>-<token>` directory, so a file
+    * inside an EXISTING generation can only have been written by that
+    * generation's own (long-finished) writer — unreferenced means its
+    * manifests expired, never that a writer is mid-flight. On a real
+    * deployment the age floor is hours; the default keeps the same
+    * shape. This is Delta's VACUUM retention reasoning (which is also
+    * file-granular) reduced to the minimum. */
   def vacuum(tableDir: String, minAgeMillis: Long = 3600000L): Seq[String] = {
     val dataDir = Paths.get(tableDir, "data")
     val ld = logDir(tableDir)
@@ -2161,14 +2175,14 @@ object SnapshotLog {
     // not normalize, and "./t" vs "t" vs a symlinked absolute form
     // must not let a committed directory look unreferenced (that would
     // delete live data)
-    val referenced: Set[Path] =
+    val referencedFiles: Set[Path] =
       if (!Files.isDirectory(ld)) Set.empty
       else listDir(ld)
         .filter(p => p.getFileName.toString.endsWith(".json") &&
           !p.getFileName.toString.startsWith("."))
-        .flatMap(m => manifestFiles(m)
-          .map(f => canon(Paths.get(f).getParent)))
+        .flatMap(m => manifestFiles(m).map(f => canon(Paths.get(f))))
         .toSet
+    val referenced: Set[Path] = referencedFiles.map(_.getParent)
     val cutoff = System.currentTimeMillis() - minAgeMillis
     // <= so minAgeMillis = 0 means "no age protection" exactly — with
     // strict < an orphan written in the same clock millisecond would
@@ -2178,7 +2192,21 @@ object SnapshotLog {
         Files.getLastModifiedTime(d).toMillis <= cutoff
     }
     dead.foreach(deleteRecursively)
-    dead.map(_.toString)
+    // file pass over the SURVIVING (still-referenced) generations
+    val deadFiles = listDir(dataDir)
+      .filter(d => Files.isDirectory(d) && referenced.contains(canon(d)))
+      .flatMap(listDir)
+      .filter { f =>
+        f.toString.endsWith(".parquet") && Files.isRegularFile(f) &&
+          !referencedFiles.contains(canon(f)) &&
+          Files.getLastModifiedTime(f).toMillis <= cutoff
+      }
+    deadFiles.foreach { f =>
+      Files.deleteIfExists(f)
+      // the Hadoop local FS writes a checksum sibling; tidy it along
+      Files.deleteIfExists(f.getParent.resolve(s".${f.getFileName}.crc")): Unit
+    }
+    dead.map(_.toString) ++ deadFiles.map(_.toString)
   }
 
   /** Depth-first delete — a crashed writer can leave a nested

@@ -409,4 +409,55 @@ class SnapshotBloomSpec extends SparkSpec {
       Paths.get(t, "_index", "bloom", "payload")),
       "an index on a dropped column is garbage and must be removed")
   }
+
+  test("the erasure theorem: point delete forgets only after expire + vacuum, then the bytes are gone") {
+    // GDPR right-to-be-forgotten is NOT deleteWhereIn alone: the COW
+    // rewrite removes the row from the LATEST version while every
+    // older manifest still references the original file — time travel
+    // keeps serving the subject until the history is renounced. True
+    // erasure = point delete + expireVersions + vacuum, and this pins
+    // the full chain INCLUDING that the erased payload's bytes are
+    // physically unreadable from every surviving data file.
+    val t = s"$scratch/bloom_erasure"
+    val v0 = unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    val subject = 4242L
+    val payload = SnapshotLog.readWhereIn(spark, t, "key", Seq(subject))
+      .head().getString(2)
+    SnapshotLog.deleteWhereIn(spark, t, "key", Seq(subject))
+    // deleted from latest — but HISTORY still serves the subject
+    assert(SnapshotLog.readWhereIn(spark, t, "key", Seq(subject)).count() == 0)
+    assert(SnapshotLog.readWhereIn(spark, t, "key", Seq(subject),
+      asOf = Some(v0)).count() == 1,
+      "time travel must still serve the subject before history expiry")
+    // renounce history, reclaim, and re-point the index at the survivors
+    val expired = SnapshotLog.expireVersions(t, keepLast = 1)
+    assert(expired.nonEmpty)
+    val reclaimed = SnapshotLog.vacuum(t, minAgeMillis = 0L)
+    assert(reclaimed.nonEmpty, "the rewritten-away original must be reclaimed")
+    SnapshotLog.maintainBloomIndexes(spark, t)
+    intercept[Exception] { // expired version: loud, not silently empty
+      SnapshotLog.read(spark, t, asOf = Some(v0)).count()
+    }
+    // the payload string is in no surviving data file — scan the BYTES
+    // of everything left under the table dir, not just the manifest
+    import scala.jdk.CollectionConverters._
+    val survivors = scala.util.Using.resource(
+      Files.walk(Paths.get(t))) { st =>
+      st.iterator().asScala.filter(p =>
+        p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toList
+    }
+    assert(survivors.nonEmpty)
+    val needle = payload.getBytes("UTF-8")
+    def contains(hay: Array[Byte]): Boolean =
+      hay.indices.exists(i => i + needle.length <= hay.length &&
+        needle.indices.forall(j => hay(i + j) == needle(j)))
+    survivors.foreach { f =>
+      assert(!contains(Files.readAllBytes(f)),
+        s"erased payload bytes survive in $f")
+    }
+    // and the table is otherwise intact
+    assert(SnapshotLog.read(spark, t).count() == 19999)
+  }
 }
