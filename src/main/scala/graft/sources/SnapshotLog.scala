@@ -894,8 +894,15 @@ object SnapshotLog {
           val ss = ks.map(_.getOrElse(""))
           files.filter(f => keepFile(stats, f, pcol, Some(ss.min), Some(ss.max)))
       }
-    val statsKept = hullKept.filter(f =>
-      values.exists(v => keepFile(stats, f, pcol, Some(v), Some(v))))
+    // the exact per-value stage is O(survivors·K) driver CPU; when the
+    // hull kept ~everything (the unclustered shape, where the BLOOM
+    // stage below is the real prune anyway) a huge product buys
+    // nothing — cap it and let the hull's answer stand (conservative:
+    // capping only ever KEEPS more files)
+    val statsKept =
+      if (hullKept.size.toLong * values.size > 4000000L) hullKept
+      else hullKept.filter(f =>
+        values.exists(v => keepFile(stats, f, pcol, Some(v), Some(v))))
     val dataDirOpt = bloomDataDir(bloomIndexDir(tableDir, pcol))
     val dt = schemaOpt.collect {
       case sch if sch.fieldNames.contains(column) =>
