@@ -1815,8 +1815,33 @@ object SnapshotLog {
         "with cdcChangelogCompact first")
     val nIns = pre.getLong(6)
     val pkey = physName(colmap, key)
-    val (candidates, clear) = prevFiles.partition(f =>
+    val (statsCandidates, clear) = prevFiles.partition(f =>
       keepFile(statsNode, f, pkey, Some(pre.get(2)), Some(pre.get(3))))
+    // stage 1.5 — the BLOOM screen, for the point-merge shape (a small
+    // keyed batch against a table whose merge key the layout does not
+    // cluster, where the stats interval keeps ~every file): when the
+    // feed is small enough to collect and a bloom index exists on the
+    // key, exonerate candidates BEFORE the probe scan ever opens them.
+    // Conservative like every prune here: blooms have no false
+    // negatives, the stage can only shrink the probe's I/O, and the
+    // probe (stage 2) remains the exact arbiter of what rewrites.
+    val candidates =
+      if (pre.getLong(1) > 10000L
+          || !Files.exists(bloomIndexDir(tableDir, pkey).resolve("meta.json")))
+        statsCandidates
+      else {
+        val feedKeys = changes.select(kcol).distinct()
+          .collect().map(_.get(0)).toSeq
+        pruneCore(spark, tableDir, statsCandidates, statsNode,
+          logicalSchema, colmap, key, feedKeys)
+      }
+    // a file the bloom screen exonerated is UNTOUCHED — it must flow
+    // into the carried set exactly like a stats-clear file, or the
+    // publish below would silently drop it from the table
+    val bloomClear = {
+      val kept = candidates.toSet
+      statsCandidates.filterNot(kept)
+    }
     val touchedBase: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
@@ -1832,7 +1857,7 @@ object SnapshotLog {
       }
     val (affected, exonerated) =
       candidates.partition(f => touchedBase.contains(baseName(f)))
-    val untouched = clear ++ exonerated
+    val untouched = clear ++ bloomClear ++ exonerated
     val newFiles =
       if (affected.isEmpty && nIns == 0L) Nil // pure absent-key deletes
       else {

@@ -460,4 +460,43 @@ class SnapshotBloomSpec extends SparkSpec {
     // and the table is otherwise intact
     assert(SnapshotLog.read(spark, t).count() == 19999)
   }
+
+  test("a small merge feed rides the bloom screen: exact result, minimal rewrite") {
+    // the point-merge shape: 3 keyed changes against the unclustered
+    // table. The bloom screen (stage 1.5) exonerates candidates before
+    // the probe scan OPENS them — an I/O saving the result cannot show,
+    // so this pins what it must preserve: the probe stays exact (only
+    // the keys' files rewrite; everything else carries by name) and
+    // the merged content is right through the screened path.
+    val t = s"$scratch/bloom_merge"
+    unclustered(t)
+    SnapshotLog.writeBloomIndex(spark, t, "key",
+      expectedItemsPerFile = 4096, fpp = 0.01)
+    val before = SnapshotLog.read(spark, t).collect().map(_.toString).toSet
+    import spark.implicits._
+    val feed = Seq(
+      (17L, 9L, "patched", "update"),
+      (4242L, 0L, null.asInstanceOf[String], "delete"),
+      (90000L, 1L, "fresh", "insert"))
+      .toDF("key", "grp", "payload", "op")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def files(v: Long): Set[String] = {
+      val node = mapper.readTree(Files.readString(
+        Paths.get(t, "_log", s"$v.json")))
+      val it = node.get("files").elements()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText()).toSet
+    }
+    val v1 = SnapshotLog.mergeInto(spark, t, feed, "key")
+    // 17 and 4242 live in <= 2 files; only those leave the manifest
+    assert(files(v1 - 1).intersect(files(v1)).size >= 6,
+      "the probe must carry every file the feed does not touch")
+    val after = SnapshotLog.read(spark, t).collect().map(_.toString).toSet
+    assert(after.contains("[17,9,patched]"), "update must land")
+    assert(after.exists(_.startsWith("[90000,")), "insert must land")
+    assert(!after.exists(_.startsWith("[4242,")), "delete must land")
+    assert((before -- after).count(r =>
+      !r.startsWith("[17,") && !r.startsWith("[4242,")) == 0,
+      "untouched rows must survive the screened merge verbatim")
+    assert(after.size == before.size) // -1 delete +1 insert
+  }
 }
