@@ -712,8 +712,8 @@ object SnapshotLog {
     *
     * Sizing: `expectedItemsPerFile` should be ≥ the largest file's row
     * count (oversizing only wastes `bits` bytes; UNDERsizing inflates
-    * the false-positive rate, never correctness). The default pairs
-    * with [[optimize]]-sized files. Cost: one scan of ONE column of the
+    * the false-positive rate, never correctness). The default (0) AUTO-
+    * SIZES from the files' own footer row counts. Cost: one scan of ONE column of the
     * table, one ~`numBits/8`-byte blob per file.
     *
     * The index covers the files it was built over: files appended later
@@ -725,8 +725,9 @@ object SnapshotLog {
     * accelerator, never a correctness input, the same standing as the
     * manifest stats. */
   def writeBloomIndex(spark: SparkSession, tableDir: String, column: String,
-      expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.03): Int = {
-    require(expectedItemsPerFile > 0, "expectedItemsPerFile must be positive")
+      expectedItemsPerFile: Long = 0L, fpp: Double = 0.03): Int = {
+    require(expectedItemsPerFile >= 0,
+      "expectedItemsPerFile must be positive, or 0 for footer auto-sizing")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val (files, _, schemaOpt, colmap) = manifestFor(tableDir, None)
     val logical = schemaOpt.getOrElse(sys.error(
@@ -741,12 +742,34 @@ object SnapshotLog {
     require(files.nonEmpty, s"no data files in $tableDir to index")
     val pcol = physName(colmap, column)
     val dir = bloomIndexDir(tableDir, pcol)
-    val numBits = bloomNumBits(expectedItemsPerFile, fpp)
+    // default sizing comes from the DATA, not a guess: the largest
+    // file's footer row count (one parallel ranged-footer pass, the
+    // harvestStats cost class) with ~20% headroom for day-2 appends.
+    // UNDERsizing a bloom inflates its false-positive rate silently —
+    // never correctness, but the prune quietly stops biting — so auto
+    // is the safer default than any fixed constant.
+    val items =
+      if (expectedItemsPerFile > 0) expectedItemsPerFile
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        val maxRows = files.par.map { f =>
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f),
+              new org.apache.hadoop.conf.Configuration())
+            Using.resource(
+              org.apache.parquet.hadoop.ParquetFileReader.open(in))(
+              _.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+          } catch { case _: Exception => 0L }
+        }.max
+        math.max(1024L, maxRows + maxRows / 5)
+      }
+    val numBits = bloomNumBits(items, fpp)
     val dataName = s"data-${java.util.UUID.randomUUID.toString.take(8)}"
     buildBloomRows(spark, files,
       org.apache.spark.sql.types.StructField(pcol, field.dataType, field.nullable),
-      expectedItemsPerFile, numBits, dir.resolve(dataName), "overwrite")
-    writeBloomMeta(dir, pcol, dataName, expectedItemsPerFile, numBits)
+      items, numBits, dir.resolve(dataName), "overwrite")
+    writeBloomMeta(dir, pcol, dataName, items, numBits)
     dropOtherBloomData(dir, dataName)
     files.size
   }

@@ -321,6 +321,19 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(SnapshotLog.readWhereIn(spark, dst, "key", keys).count() == 3)
   }
 
+  test("default sizing is footer-derived: meta records ~the largest file's row count") {
+    val t = s"$scratch/bloom_autosize"
+    unclustered(t) // 20000 rows over 8 even files -> ~2500 rows each
+    SnapshotLog.writeBloomIndex(spark, t, "key") // no explicit sizing
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(
+        Paths.get(t, "_index", "bloom", "key", "meta.json")))
+    val items = meta.get("expectedItemsPerFile").asLong()
+    assert(items >= 2500 && items <= 2500 * 2,
+      s"auto-sizing should track the largest file's rows, got $items")
+    assert(result(t, "key", Seq(17L)) == oracle(t, "key", Seq(17L)))
+  }
+
   test("the index sidecar layout is inspectable: meta records sizing + the current data dir") {
     val t = s"$scratch/bloom_layout"
     unclustered(t)
