@@ -148,6 +148,9 @@ object Bench {
     val passWindows = mutable.ArrayBuffer.empty[(Double, Double)]
     var fatal: Option[String] = None
     var spark: SparkSession = null
+    // bloom-bench scratch snapshot table (sf-sized) — deleted in finally
+    // so repeated bench invocations don't accumulate copies in /tmp
+    var bloomScratch: java.nio.file.Path = null
 
     def epoch(): Double = System.currentTimeMillis() / 1000.0
 
@@ -216,8 +219,9 @@ object Bench {
       val bloomReady =
         try {
           import org.apache.spark.sql.functions.col
-          bloomTable = java.nio.file.Files
-            .createTempDirectory("graft_bench_bloom_").resolve("t").toString
+          bloomScratch = java.nio.file.Files
+            .createTempDirectory("graft_bench_bloom_")
+          bloomTable = bloomScratch.resolve("t").toString
           val orders = spark.read.parquet(s"$sfDir/orders.parquet")
             .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
           graft.sources.SnapshotLog.commit(spark, bloomTable,
@@ -342,6 +346,11 @@ object Bench {
       System.err.println(s"[bench] detail: $detail")
       println(s"""{"metric":"total","value":${fm2(total)},"unit":"sec","queries":$qs2,"sf":"${esc(sfDir)}","detail":"${esc(detailPath)}"$err}""")
       Console.out.flush()
+      if (bloomScratch != null) try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(bloomScratch).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
       if (spark != null) try spark.stop() catch { case _: Throwable => () }
     }
   }

@@ -225,7 +225,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
         SnapshotLog.renameColumn(t,
           topLevel(rc.fieldNames(), "RENAME COLUMN"), rc.newName())
       case dc: TableChange.DeleteColumn =>
-        SnapshotLog.dropColumn(t, topLevel(dc.fieldNames(), "DROP COLUMN"))
+        val name = topLevel(dc.fieldNames(), "DROP COLUMN")
+        // DROP COLUMN IF EXISTS on an absent column is a no-op, not an
+        // error — check the CURRENT logical schema (each prior change in
+        // this statement already published its own version)
+        val absent = dc.ifExists() && {
+          val latest = SnapshotLog.latestVersion(t).getOrElse(
+            throw new NoSuchTableException(ident))
+          val (_, _, schemaOpt, _) = SnapshotLog.manifestDetailsAt(t, latest)
+          !schemaOpt.exists(_.fieldNames.contains(name))
+        }
+        if (!absent) SnapshotLog.dropColumn(t, name): Unit
       case other =>
         readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
@@ -390,7 +400,12 @@ private[graft] object ScanPrune {
     * file is kept). Byte/Short widen to Int: the stats comparator
     * speaks Int/Long, and the bloom replay casts back to the column's
     * exact type before hashing. */
-  private def scalaValue(v: Any, dt: DataType): Option[Any] = dt match {
+  private def scalaValue(v: Any, dt: DataType): Option[Any] = if (v == null) {
+    // a null literal reaching the prune un-folded (NullPropagation
+    // normally folds `a = NULL` away) must degrade to keep-all, not
+    // feed Some(null) into pruneCore's non-null contract
+    None
+  } else dt match {
     case StringType => v match {
       case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
       case s: String => Some(s)

@@ -188,7 +188,7 @@ object SnapshotLog {
             if (st.isNumNullsSet && st.getNumNulls == block.getRowCount) {
               val prev = acc.getOrElse(name, Right((null, null, 0L, false)))
               acc(name) = prev.map { case (lo, hi, n, saw) =>
-                (lo, hi, n + st.getNumNulls, saw) }
+                (lo, hi, if (n < 0) -1L else n + st.getNumNulls, saw) }
             } else acc(name) = Left(())
           } else {
             def norm(v: Any): Option[Any] = v match {
@@ -209,9 +209,16 @@ object SnapshotLog {
               case (Some(mn), Some(mx)) =>
                 val prev = acc.getOrElse(name, Right((null, null, 0L, false)))
                 acc(name) = prev.map { case (lo, hi, n, _) =>
+                  // an UNSET num_nulls (-1) must never read as "0 nulls":
+                  // pruneIsNull treats nulls==0 as proof the file has no
+                  // NULL rows. Poison the running count instead (the
+                  // `nulls` field is then omitted and IS NULL keeps the
+                  // file), mirroring the all-null branch's isNumNullsSet
+                  // guard — min/max pruning is unaffected.
                   (if (lo == null || lt(mn, lo)) mn else lo,
                     if (hi == null || lt(hi, mx)) mx else hi,
-                    n + math.max(0L, st.getNumNulls), true)
+                    if (n < 0 || !st.isNumNullsSet) -1L else n + st.getNumNulls,
+                    true)
                 }
               case _ => acc(name) = Left(())
             }
@@ -232,7 +239,9 @@ object SnapshotLog {
           put("min", lo)
           put("max", hi)
         }
-        node.put("nulls", nulls)
+        // nulls == -1 means some row group left num_nulls unset; omitting
+        // the field keeps the file under pruneIsNull's conservative rule
+        if (nulls >= 0) node.put("nulls", nulls): Unit
         name -> node
     }.toMap
   }

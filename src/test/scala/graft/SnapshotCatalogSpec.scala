@@ -179,5 +179,18 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("read-only"), e3.getMessage)
     // nothing above published a version
     assert(SnapshotLog.latestVersion(t).get == 0L)
+
+    // DROP COLUMN IF EXISTS on an absent column is a no-op (no version
+    // published); without IF EXISTS it still fails loudly
+    spark.sql("ALTER TABLE snap.lake.ddlguard DROP COLUMN IF EXISTS nope")
+    assert(SnapshotLog.latestVersion(t).get == 0L)
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE snap.lake.ddlguard DROP COLUMN nope")
+    }
+    assert(e4.getMessage.toLowerCase.contains("nope"), e4.getMessage)
+    // and IF EXISTS on a PRESENT column still drops it
+    spark.sql("ALTER TABLE snap.lake.ddlguard DROP COLUMN IF EXISTS payload")
+    assert(spark.table("snap.lake.ddlguard").columns.toSeq == Seq("key"))
+    assert(SnapshotLog.latestVersion(t).get == 1L)
   }
 }
