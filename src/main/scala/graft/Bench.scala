@@ -348,8 +348,10 @@ object Bench {
       Console.out.flush()
       if (bloomScratch != null) try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(bloomScratch).iterator().asScala.toSeq
-          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(bloomScratch)) { w =>
+          w.iterator().asScala.toSeq
+            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       } catch { case _: Throwable => () }
       if (spark != null) try spark.stop() catch { case _: Throwable => () }
     }

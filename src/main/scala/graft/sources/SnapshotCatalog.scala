@@ -228,12 +228,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
         val name = topLevel(dc.fieldNames(), "DROP COLUMN")
         // DROP COLUMN IF EXISTS on an absent column is a no-op, not an
         // error — check the CURRENT logical schema (each prior change in
-        // this statement already published its own version)
+        // this statement already published its own version). The
+        // short-circuit requires a RECORDED schema that provably lacks
+        // the column: a pre-schema manifest can't prove absence, so it
+        // falls through to dropColumn's loud re-commit-to-record error
+        // (same as the plain DROP path)
         val absent = dc.ifExists() && {
           val latest = SnapshotLog.latestVersion(t).getOrElse(
             throw new NoSuchTableException(ident))
           val (_, _, schemaOpt, _) = SnapshotLog.manifestDetailsAt(t, latest)
-          !schemaOpt.exists(_.fieldNames.contains(name))
+          schemaOpt.exists(s => !s.fieldNames.contains(name))
         }
         if (!absent) SnapshotLog.dropColumn(t, name): Unit
       case other =>

@@ -497,7 +497,9 @@ object SnapshotLog {
         if (cols == null) true
         else {
           val st = cols.get(pcol)
-          // nulls is recorded on every stats entry (0 when none seen)
+          // nulls is OMITTED when the count was unverifiable (any row
+          // group left num_nulls unset at harvest) — omission keeps
+          // the file, so only a verified 0 may prune
           st == null || !st.has("nulls") || st.get("nulls").asLong() > 0
         }
       }

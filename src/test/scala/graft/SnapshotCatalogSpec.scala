@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import sources.SnapshotLog
@@ -192,5 +194,30 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("ALTER TABLE snap.lake.ddlguard DROP COLUMN IF EXISTS payload")
     assert(spark.table("snap.lake.ddlguard").columns.toSeq == Seq("key"))
     assert(SnapshotLog.latestVersion(t).get == 1L)
+  }
+
+  test("DROP COLUMN IF EXISTS on a pre-schema table fails loudly, not a silent no-op") {
+    // a manifest with NO recorded schema cannot PROVE the column absent,
+    // so IF EXISTS must not short-circuit — it falls through to
+    // dropColumn's actionable re-commit-to-record error, same as plain
+    // DROP (isolated root: the main fixture pins SHOW TABLES/NAMESPACES)
+    val r = Files.createTempDirectory("graft_snapcat_legacy_").toString
+    Files.createDirectories(Paths.get(r, "lake"))
+    // real data file, but a manifest that never recorded the schema
+    spark.range(10).toDF("key").coalesce(1)
+      .write.parquet(s"$r/lake/preschema/data")
+    val part = Files.list(Paths.get(s"$r/lake/preschema/data")).iterator()
+      .asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    SnapshotLog.publish(s"$r/lake/preschema", 0L, part)
+    spark.conf.set("spark.sql.catalog.snaplegacy", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.snaplegacy.root", r)
+    // `key` EXISTS (inferred parquet schema resolves it — a truly
+    // absent name never reaches the catalog: the analyzer no-ops it),
+    // but the manifest recorded no schema, so "absent" is unprovable
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE snaplegacy.lake.preschema DROP COLUMN IF EXISTS key")
+    }
+    assert(e.getMessage.contains("re-commit"), e.getMessage)
+    assert(SnapshotLog.latestVersion(s"$r/lake/preschema").get == 0L)
   }
 }
