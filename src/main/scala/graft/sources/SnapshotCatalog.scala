@@ -319,10 +319,10 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
   * scan-time skipping. Handles exactly the shapes the manifest can
   * answer — equality / IN (stats equality + bloom membership),
   * range comparisons (stats intervals), IS [NOT] NULL (recorded null
-  * counts / allNull), and AND-composition — and keeps every file for
-  * anything else (OR, functions, UDF-wrapped columns, non-literal
-  * comparands): the prune may only drop files a recorded fact proves
-  * dead. Literal comparands arrive ALREADY CAST to the column's type
+  * counts / allNull), AND-composition, and OR as the union of branch
+  * keeps — and keeps every file for anything else (functions,
+  * UDF-wrapped columns, non-literal comparands): the prune may only
+  * drop files a recorded fact proves dead. Literal comparands arrive ALREADY CAST to the column's type
   * (binary comparison requires it at analysis), so the bloom replay
   * hashes the exact width the index build hashed. Temporal internals
   * (epoch days / micros) round-trip through their java.time external
@@ -350,6 +350,17 @@ private[graft] object ScanPrune {
         schemaOpt, colmap, name, values.map(_.get))
     def one(cur: Seq[String], e: Expression): Seq[String] = e match {
       case And(l, r) => one(one(cur, l), r)
+      // OR prunes as the UNION of branch keeps: a file dropped by BOTH
+      // branches provably satisfies neither disjunct. Conservative for
+      // free — an unsupported branch keeps everything (its keep = cur),
+      // so the union degrades to keep-all exactly when it must. Catalyst
+      // usually normalizes same-attribute equality ORs to IN, but an
+      // un-normalized `k = a OR k = b` (or a cross-attribute OR) now
+      // prunes instead of falling through
+      case Or(l, r) =>
+        val keepL = one(cur, l).toSet
+        val keepR = one(cur, r).toSet
+        cur.filter(f => keepL.contains(f) || keepR.contains(f))
       case EqualTo(a: AttributeReference, l: Literal) =>
         membership(cur, a.name, Seq(scalaValue(l.value, l.dataType)))
       case EqualTo(l: Literal, a: AttributeReference) =>

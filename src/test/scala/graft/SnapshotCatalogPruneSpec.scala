@@ -75,15 +75,34 @@ class SnapshotCatalogPruneSpec extends SparkSpec {
     assert(in.length == 3)
   }
 
-  test("an unsupported shape (OR) keeps every file and stays correct") {
+  test("an un-normalized OR of equalities prunes to the union of branch keeps — same kept set as the IN form") {
     registered()
-    val rows = spark.sql(
+    // Catalyst does NOT normalize `k=a OR k=b` to IN, so this exercises
+    // the translator's own OR handling
+    val or = spark.sql(
       "SELECT key FROM snap.lake.clustered WHERE key = 17 OR key = 7999")
       .collect().map(_.getLong(0)).sorted
-    assert(rows.toSeq == Seq(17L, 7999L))
+    assert(or.toSeq == Seq(17L, 7999L))
+    val (keptOr, totalOr) = lastPrune
+    val in = spark.sql(
+      "SELECT key FROM snap.lake.clustered WHERE key IN (17, 7999)")
+      .collect().map(_.getLong(0)).sorted
+    val (keptIn, totalIn) = lastPrune
+    assert(in.toSeq == Seq(17L, 7999L))
+    assert(totalOr == 8 && keptOr == keptIn && keptOr <= 2,
+      s"OR kept $keptOr/$totalOr, IN kept $keptIn/$totalIn")
+    // cross-attribute OR: union of each branch's keep, still exact
+    val cross = spark.sql(
+      "SELECT key, v FROM snap.lake.clustered WHERE key < 500 OR v IS NULL")
+      .count()
+    assert(cross == 500 + (8000 / 3 + 1) - 167) // overlap: id<500 ∧ id%3==0
+    // an OR with an unsupported branch degrades to keep-all, not a wrong prune
+    val rows = spark.sql(
+      "SELECT key FROM snap.lake.clustered WHERE key = 17 OR key % 2 = 0")
+      .count()
+    assert(rows == 4001)
     val (kept, total) = lastPrune
-    // IsNotNull(key) still rides along but prunes nothing here
-    assert(kept == total, s"OR must not prune, kept $kept/$total")
+    assert(kept == total, s"unsupported branch must keep all, kept $kept/$total")
   }
 
   test("IS NULL prunes null-free files; IS NOT NULL keeps correctness on mixed files") {
@@ -125,11 +144,14 @@ class SnapshotCatalogPruneSpec extends SparkSpec {
       "SELECT * FROM snap.lake.traveled VERSION AS OF 0 WHERE key >= 900")
       .count()
     val (kept0, total0) = lastPrune
-    assert(v0 == 100 && total0 == 4 && kept0 == 1, s"kept $kept0/$total0")
+    // sampled range boundaries (see the mapped-table test): 1 file, 2
+    // when a boundary lands inside the asked range
+    assert(v0 == 100 && total0 == 4 && kept0 <= 2, s"kept $kept0/$total0")
     val v1 = spark.sql(
       "SELECT * FROM snap.lake.traveled WHERE key >= 900").count()
     val (kept1, total1) = lastPrune
-    assert(v1 == 1100 && total1 == 8 && kept1 == 5, s"kept $kept1/$total1")
+    assert(v1 == 1100 && total1 == 8 && kept1 >= 5 && kept1 <= 6,
+      s"kept $kept1/$total1")
   }
 
   test("a renamed (column-mapped) table file-prunes AND regains scan-level pushdown") {
@@ -144,7 +166,10 @@ class SnapshotCatalogPruneSpec extends SparkSpec {
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.size == 1000 && rows.forall { case (k, v) => v == k * 3 })
     val (kept, total) = lastPrune
-    assert(total == 4 && kept == 1, s"kept $kept/$total")
+    // repartitionByRange boundaries are SAMPLED (seeded by rdd id, so
+    // session history moves them): the asked range spans 1 file, or 2
+    // when a boundary lands inside it — never more
+    assert(total == 4 && kept <= 2, s"kept $kept/$total")
     // the re-pushed predicates carry the PHYSICAL name into the
     // parquet scan — row-group pushdown, which the pre-pruning mapped
     // wrapper had to give up
