@@ -393,6 +393,57 @@ object MigrationOps {
     }
   }
 
+  /** Runtime (DPP-style) file pruning through the snapshot catalog,
+    * driver-gated: commit orders CUSTKEY-clustered as a catalog table,
+    * join it to a selectively-filtered customer dim on the clustered
+    * key, and aggregate. Spark's own V2 parquet scan has no
+    * runtime-filtering face, so the bridge scan's
+    * `SupportsRuntimeV2Filtering` is what lets the dim's ACTUAL keys
+    * (planted as a `dynamicpruning` IN subquery) re-prune the
+    * manifest's file list at execution — the dim's 30 lowest custkeys
+    * live in 1–2 of the 8 range-clustered files. The require() makes
+    * this a GATE: if the runtime prune ever stops firing, the entry
+    * fails loudly instead of silently scanning everything. The oracle
+    * is the plain relational join — pruning must be invisible in the
+    * result. Scratch is catalog-registered under a unique name because
+    * Spark caches catalog instances by name (a reused name would pin
+    * the first run's root). */
+  val snapRuntimePruneJoin: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_dpp_gate_")
+    try {
+      val tdir = scratchP.resolve("lake").resolve("fact").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.repartitionByRange(8, col("o_custkey")))
+      val cat = s"snapgate_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val fact = s.table(s"$cat.lake.fact")
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey") <= 30).select(col("c_custkey"))
+      val res = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_price_c")).as("sum_price_c"))
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      graft.sources.ScanPrune.last match {
+        case Some((tn, kept, total)) if tn.contains("fact") =>
+          require(kept < total,
+            s"runtime prune did not fire on the fact scan: kept $kept/$total")
+        case other => sys.error(s"no fact prune decision recorded: $other")
+      }
+      s.createDataFrame(local, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Bulk CSV ingest (reference: tests/test_clickhouse_migration.py:101 —
     * gzip CSV with header; Spark reads gzip transparently). Oracle:
     * DuckDB reads the same gzip file natively via read_csv_auto, so the
@@ -483,6 +534,7 @@ object MigrationOps {
     "snap_merge_into" -> snapMergeInto,
     "snap_bloom_lookup" -> snapBloomLookup,
     "snap_delete_in" -> snapDeleteIn,
+    "snap_runtime_prune_join" -> snapRuntimePruneJoin,
     "csv_ingest" -> csvIngest,
     "migrate_seq_counts" -> migrateSeqCounts)
 
@@ -598,6 +650,15 @@ object MigrationOps {
          FROM orders
          WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
+    // the runtime-pruned (DPP) dim join must equal the plain relational
+    // join — file pruning, dynamic or static, is invisible in results
+    "snap_runtime_prune_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_custkey <= 30
+         GROUP BY o_orderstatus""",
     // diff-of-a-merge: v0/v1 rebuilt from the same snap/chg CTEs, then
     // the null-safe (IS NOT DISTINCT FROM) full-outer comparison — the
     // mirror of tableDiff stage for stage

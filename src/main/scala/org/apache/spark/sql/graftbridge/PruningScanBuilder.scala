@@ -1,12 +1,14 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, In, Literal}
+import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.internal.connector.{SupportsMetadata, SupportsPushDownCatalystFilters}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -34,6 +36,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * it, so parquet's own row-group skipping and the vectorized reader
   * operate inside the kept files exactly as they would have unpruned.
   * Column pruning is forwarded verbatim.
+  *
+  * build() wraps the parquet scan in [[PrunedSnapshotScan]], which adds
+  * the face Spark's own file source LACKS in this release:
+  * [[SupportsRuntimeV2Filtering]]. `FileScan`/`ParquetScan` implement
+  * no runtime-filtering interface, so dynamic partition pruning
+  * (`PartitionPruning` → `DynamicPruningSubquery` → BatchScanExec's
+  * `RuntimeFilters:`) silently skips every V2 parquet relation — the
+  * wrapper is what lets a selective dim join RE-PRUNE the snapshot's
+  * file list at execution time with the dim's actual keys, against the
+  * same manifest stats + bloom indexes the planning-time prune uses.
+  * Runtime pruning is conservative for the same reason planning-time
+  * pruning is: the join itself re-checks every surviving row, and the
+  * prune may only drop files a recorded fact proves dead.
   */
 class PruningParquetScanBuilder(
     spark: SparkSession,
@@ -62,49 +77,134 @@ class PruningParquetScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = {
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    // the prune callback speaks the CALLER's (logical) names; the inner
-    // parquet stack speaks the file's (physical) names — on a
-    // column-mapped table `mapName` translates column pruning and the
-    // re-pushed predicates (attribute renames only: the inner builder's
-    // own source-filter translation is name-based, so a renamed
-    // attribute restores row-group pushdown that the pre-pruning
-    // MappedTable wrapper had to give up), and `unmapName` renames the
-    // scan's reported read schema back (rows are positional — the data
-    // path is untouched, vectorized reader and all)
-    val kept = prune(filterExprs)
-    val inner = ParquetTable(
+  override def build(): Scan =
+    new PrunedSnapshotScan(spark, tableName, readSchema, prune,
+      mapName, unmapName, filterExprs, required)
+}
+
+/** The scan [[PruningParquetScanBuilder.build]] returns — an ordinary
+  * parquet scan over the planning-time-kept files, plus the two faces
+  * the raw ParquetScan can't give a snapshot table:
+  *
+  *  - name translation for column-mapped tables (rows are positional —
+  *    the prune callback and SQL speak LOGICAL names, the file stack
+  *    speaks the immutable PHYSICAL names; predicates and column
+  *    pruning rename on the way in, the reported read schema renames
+  *    back, and the re-pushed physical-name predicates are what
+  *    restore row-group pushdown on renamed tables);
+  *  - [[SupportsRuntimeV2Filtering]]: dynamic pruning hands back the
+  *    dim side's actual join keys as an IN predicate at execution
+  *    time; the scan re-prunes the manifest's file list with them
+  *    (stats + bloom, union-composed with the planning-time
+  *    predicates) and REBUILDS the inner parquet scan over the
+  *    surviving files, with the runtime IN also re-pushed for
+  *    row-group skipping inside them. An empty or untranslatable
+  *    runtime predicate leaves the scan untouched.
+  *
+  * Identity tables take the same wrapper (mapName = identity): before
+  * this class they returned the parquet scan unwrapped, which kept
+  * statistics visible but left no runtime-filtering face at all.
+  * Statistics ([[SupportsReportStatistics]] — AQE/broadcast sizing)
+  * and explain metadata ([[SupportsMetadata]] — `PushedFilters:` in
+  * the plan dump) forward to the inner scan either way. */
+private[graftbridge] class PrunedSnapshotScan(
+    spark: SparkSession,
+    tableName: String,
+    physSchema: StructType,
+    prune: Seq[Expression] => Seq[String],
+    mapName: String => String,
+    unmapName: String => String,
+    plannedFilters: Seq[Expression],
+    required: Option[StructType])
+  extends Scan
+  with SupportsReportStatistics
+  with SupportsMetadata
+  with SupportsRuntimeV2Filtering {
+
+  private var runtimeExprs: Seq[Expression] = Nil
+  private var inner: Scan = buildInner()
+
+  private def buildInner(): Scan = {
+    val kept = prune(plannedFilters ++ runtimeExprs)
+    val b = ParquetTable(
       tableName,
       spark,
       CaseInsensitiveStringMap.empty(),
       kept,
-      userSpecifiedSchema = Some(readSchema),
+      userSpecifiedSchema = Some(physSchema),
       fallbackFileFormat = classOf[ParquetFileFormat])
       .newScanBuilder(CaseInsensitiveStringMap.empty())
-    val physFilters = filterExprs.map(_.transform {
+    val physFilters = (plannedFilters ++ runtimeExprs).map(_.transform {
       case a: AttributeReference => a.withName(mapName(a.name))
     })
-    inner.pushFilters(physFilters)
-    required.foreach(r => inner.pruneColumns(
-      StructType(r.fields.map(f => f.copy(name = mapName(f.name))))))
-    val built = inner.build()
-    val renamed = built.readSchema().fields.map(f =>
-      f.copy(name = unmapName(f.name)))
-    // identity tables return the parquet scan UNWRAPPED: the scan's
-    // extra faces (SupportsReportStatistics feeding AQE/broadcast
-    // sizing, runtime filtering) must stay visible to Spark. Only a
-    // genuinely renamed schema pays for a forwarding wrapper — which
-    // forwards estimateStatistics for the same reason.
-    if (renamed.map(_.name).sameElements(built.readSchema().fieldNames)) built
-    else new Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-      override def readSchema(): StructType = StructType(renamed)
-      override def toBatch: org.apache.spark.sql.connector.read.Batch =
-        built.toBatch
-      override def description(): String = built.description()
-      override def estimateStatistics()
-          : org.apache.spark.sql.connector.read.Statistics =
-        built.estimateStatistics()
+    b match {
+      case c: SupportsPushDownCatalystFilters => c.pushFilters(physFilters): Unit
+      case _ => ()
+    }
+    b match {
+      case c: SupportsPushDownRequiredColumns => required.foreach(r =>
+        c.pruneColumns(StructType(r.fields.map(f =>
+          f.copy(name = mapName(f.name))))))
+      case _ => ()
+    }
+    b.build()
+  }
+
+  override def readSchema(): StructType = StructType(
+    inner.readSchema().fields.map(f => f.copy(name = unmapName(f.name))))
+
+  override def toBatch: Batch = inner.toBatch
+
+  override def description(): String = inner.description()
+
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
     }
   }
+
+  override def getMetaData(): Map[String, String] = inner match {
+    case m: SupportsMetadata => m.getMetaData()
+    case _ => Map.empty
+  }
+
+  /** Every LOGICAL read column is a candidate runtime-filter key: the
+    * manifest prune degrades to keep-all on a column it has no facts
+    * for, and the runtime IN still re-pushes into the rebuilt parquet
+    * scan for row-group skipping, so over-advertising costs only a
+    * driver-side re-plan. `FieldReference.column` (not `apply`) — the
+    * name is one column, never a dotted path to parse. */
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema().fieldNames.map(FieldReference.column)
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(toCatalyst)
+    if (exprs.nonEmpty) {
+      runtimeExprs = exprs
+      inner = buildInner()
+    }
+  }
+
+  /** Runtime predicates arrive in exactly one shape
+    * (DataSourceV2Strategy.translateRuntimeFilterV2): `IN(col,
+    * lit...)` with the dim side's materialized keys as catalyst-
+    * internal LiteralValues. Translate that back to the catalyst
+    * `In` the prune translator already speaks; anything else (or a
+    * values-less IN) is ignored — runtime pruning is advisory. */
+  private def toCatalyst(p: Predicate): Option[Expression] =
+    if (p.name() != "IN" || p.children().length < 2) None
+    else p.children().head match {
+      case ref: NamedReference if ref.fieldNames().length == 1 =>
+        val lits = p.children().tail.flatMap {
+          case l: LiteralValue[_] => Some(Literal(l.value, l.dataType))
+          case _ => None
+        }
+        if (lits.length != p.children().length - 1) None
+        else Some(In(
+          AttributeReference(ref.fieldNames().head, lits.head.dataType)(),
+          lits.toSeq))
+      case _ => None
+    }
 }
