@@ -329,6 +329,57 @@ object SimilarityOps {
       .filter(col("rk") <= 3)
   }
 
+  /** IVF assignment in the LARGE-K regime — the production fallback
+    * [[annIvfCentroid]]'s contrast note names, now implemented and
+    * gate-checked: [[annIvfKmeans]]'s in-row literal fold renders the
+    * model as CODE, and every planning phase that walks the tree pays
+    * for it — measured in [[graft.tools.AssignRegimeBench]], the
+    * literal plan costs ~57 s of pure pre-first-row overhead at
+    * K=16384 (27 MB of rendered SQL), 30× this regime's ~1.9 s and
+    * linear in K. Here the trained model
+    * travels as DATA: one broadcast ROW holding the k-ascending
+    * `array<struct<k, c, n2>>`, appended to every corpus partition via
+    * the repo's scalar-broadcast pattern (crossJoin of a 1-row
+    * aggregate — the nested-loop join degenerates to a model append;
+    * there is still no N×K row expansion and no window argmin), and
+    * the assignment is the SAME aggregate-min fold, over the model
+    * column instead of a literal. Zero corpus shuffles for the
+    * assignment — the literal fold's cost shape with plan size O(1)
+    * in K and the model bounded only by broadcast limits (K=65536 ×
+    * 64 doubles = 32 MB a row). Math is bit-identical to [[annIvfKmeans]]
+    * (exact doubles into the model row — no string round-trip; n2 by
+    * the same sequential fold; round-6 `|c|²−2·v·c`; smaller-k
+    * tie-break via strict `<` over the k-ascending array), so the
+    * entry shares that oracle VERBATIM: the assignment regime must be
+    * invisible in results. */
+  val annIvfBroadcastAssign: Q = (s, dir) => {
+    import s.implicits._
+    val cents = kmeansTrain(s, dir)
+    val centDf = cents.map { case (k, c) =>
+      (k, c, c.foldLeft(0.0)((acc, x) => acc + x * x)) // sequential, = dot(c,c)
+    }.toDF("k", "c", "n2")
+    val model = centDf.agg(sort_array(
+      collect_list(struct(col("k"), col("c"), col("n2")))).as("model"))
+    val bestExpr =
+      s"""aggregate(
+            transform(model,
+              ct -> struct(ct.k AS k, round(ct.n2 - 2.0D * ${dotSql(s, "v", "ct.c")}, 6) AS d)),
+            struct(CAST(-1 AS BIGINT) AS k, CAST('Infinity' AS DOUBLE) AS d),
+            (acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END).k"""
+    val e = vecs(s, dir).crossJoin(broadcast(model))
+      .withColumn("cluster", expr(bestExpr))
+      .select(col("vec_id"), col("cluster"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 50)
+    val scored = q.as("q").join(e.as("c"),
+        col("q.cluster") === col("c.cluster") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("nid"),
+        col("q.cluster").as("bucket"),
+        round(expr(dotSql(s, "q.v", "c.v")) / (col("q.norm") * col("c.norm")), 6).as("cos6"))
+    val w = Window.partitionBy("qid").orderBy(col("cos6").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
   /** Measured recall contract for the IVF family — the audit every
     * approximate index owes before it replaces the exact search. Per
     * query (vec_id < 50): recall@3 of (a) the label-bucket IVF
@@ -1203,6 +1254,7 @@ object SimilarityOps {
     "embedding_kmeans" -> embeddingKmeans,
     "embedding_kmeans_stream_twin" -> embeddingKmeansStreamTwin,
     "ann_ivf_kmeans" -> annIvfKmeans,
+    "ann_ivf_broadcast_assign" -> annIvfBroadcastAssign,
     "ann_bruteforce_topk" -> annBruteforceTopk,
     "ann_ivf_label" -> annIvfLabel,
     "ann_ivf_centroid" -> annIvfCentroid,
@@ -1260,6 +1312,22 @@ object SimilarityOps {
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY round(list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c), 6), c.k) AS rk
           FROM e CROSS JOIN c2 c) WHERE rk = 1)"""
+
+  /** Trained-cell IVF probe over `a3` — one oracle text shared by the
+    * literal-fold (`ann_ivf_kmeans`) and broadcast-model
+    * (`ann_ivf_broadcast_assign`) assignment regimes: the regime is a
+    * plan choice, never a semantics one. */
+  private val ivfKmeansOracleSql: String =
+    s"""$kmeansAssignedCteSql,
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster AS bucket,
+            round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6
+          FROM a3 q JOIN a3 c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 50)
+        SELECT qid, nid, bucket, cos6, rk FROM (
+          SELECT qid, nid, bucket, cos6,
+            row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
+          FROM scored) WHERE rk <= 3"""
 
   private val kmeansOracleSql: String =
     s"""$kmeansCtePrefix
@@ -1449,17 +1517,10 @@ object SimilarityOps {
     // the stream twin shares the batch oracle verbatim — the scoring
     // stream over the full table must equal the batch assignment
     "embedding_kmeans_stream_twin" -> kmeansOracleSql,
-    "ann_ivf_kmeans" ->
-      s"""$kmeansAssignedCteSql,
-          scored AS (
-            SELECT q.vec_id AS qid, c.vec_id AS nid, q.cluster AS bucket,
-              round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6
-            FROM a3 q JOIN a3 c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
-            WHERE q.vec_id < 50)
-          SELECT qid, nid, bucket, cos6, rk FROM (
-            SELECT qid, nid, bucket, cos6,
-              row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rk
-            FROM scored) WHERE rk <= 3""",
+    "ann_ivf_kmeans" -> ivfKmeansOracleSql,
+    // the large-K broadcast-model assignment promises THE SAME result
+    // as the literal fold — one oracle text for both regimes
+    "ann_ivf_broadcast_assign" -> ivfKmeansOracleSql,
     "ann_bruteforce_topk" ->
       s"""WITH e AS ($vecsSql),
           scored AS (

@@ -59,7 +59,10 @@ class CodegenGateSpec extends SparkSpec {
       "snap_delete_in", "dedup_decontaminate_semantic",
       "quantile_select_exact", "quantile_select_plateau",
       "quantile_select_by_lang",
-      "corpus_mix_temperature", "bpe_merges", "bpe_segment")).distinct
+      "corpus_mix_temperature", "bpe_merges", "bpe_segment",
+      // round 14: the large-K broadcast-model assignment (the fold over
+      // a model COLUMN must codegen like the literal fold it replaces)
+      "ann_ivf_broadcast_assign")).distinct
       .filter(SparkEntry.queries.contains)
 
   test("every gated query executes with codegen fallback disabled") {

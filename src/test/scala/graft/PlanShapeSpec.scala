@@ -59,6 +59,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_broadcast_assign folds over the broadcast model row — no window argmin") {
+    val plan = executedPlan("ann_ivf_broadcast_assign")
+    // the model arrives as ONE broadcast row (the scalar-broadcast
+    // pattern): the nested-loop join is a model append, never an N×K
+    // row expansion, so the assignment needs no argmin window — the
+    // ONLY window in the plan is the probe's per-query top-k (qid).
+    // Compare ann_ivf_centroid above, which pays BNLJ expansion + a
+    // vec_id window; this entry is its large-K replacement.
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    val windows = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(plan.toLowerCase).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_ == "qid"),
+      s"argmin window leaked into the assignment: $windows\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup_minhash_lsh keeps the hot-bucket anti-join broadcast") {
     val plan = executedPlan("dedup_minhash_lsh")
     // the MinhashMaxBucket cap is applied via broadcast anti-join —
