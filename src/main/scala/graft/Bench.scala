@@ -104,12 +104,17 @@ object Bench {
     // round 7 (sixth session): the Misra-Gries two-pass heavy hitters —
     // the only ObjectHashAggregate sketch topology in the catalog
     "text_heavy_hitters_mg",
-    // round 8: the complete PQ serving probe (train + encode + ADC
-    // shortlist + exact rerank — the heaviest member of the new PQ
-    // family) and the bloom decontamination screen (bloom_filter_agg
+    // round 8: the bloom decontamination screen (bloom_filter_agg
     // scalar subquery + confirm join — the scale twin of
-    // dedup_decontaminate, benched beside it)
-    "ann_pq_rerank", "dedup_decontaminate_bloom",
+    // dedup_decontaminate, benched beside it). Its round-8 sibling
+    // `ann_pq_rerank` (flat PQ probe) was RETIRED from the headline in
+    // round 14 per the round-9 precedent: its coverage is dominated by
+    // `ann_ivfpq_topk` (the composed serving plan, below) +
+    // `ann_index_probe_srv` (the persisted serve path), it keeps
+    // CodegenGateSpec coverage and its anchors.json entry, and BASELINE
+    // records the retirement — frees ~4 s of bench wall and contract-
+    // line budget.
+    "dedup_decontaminate_bloom",
     // round 8 (late): the composed two-level IVF-PQ probe — coarse-cell
     // equi-join + within-cell ADC + shortlist rerank; the end-to-end
     // serving plan, and the only PQ entry whose scan is BNLJ-free

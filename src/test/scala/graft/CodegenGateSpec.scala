@@ -61,8 +61,10 @@ class CodegenGateSpec extends SparkSpec {
       "quantile_select_by_lang",
       "corpus_mix_temperature", "bpe_merges", "bpe_segment",
       // round 14: the large-K broadcast-model assignment (the fold over
-      // a model COLUMN must codegen like the literal fold it replaces)
-      "ann_ivf_broadcast_assign")).distinct
+      // a model COLUMN must codegen like the literal fold it replaces),
+      // and the flat-PQ probe retired from the bench headline (round-9
+      // precedent: retired queries keep their codegen coverage here)
+      "ann_ivf_broadcast_assign", "ann_pq_rerank")).distinct
       .filter(SparkEntry.queries.contains)
 
   test("every gated query executes with codegen fallback disabled") {
