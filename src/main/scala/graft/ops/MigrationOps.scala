@@ -411,6 +411,7 @@ object MigrationOps {
   val snapRuntimePruneJoin: Q = (s, dir) => {
     import java.nio.file.{Files, Path}
     val scratchP = Files.createTempDirectory("graft_dpp_gate_")
+    val cat = s"snapgate_${java.lang.Long.toHexString(System.nanoTime())}"
     try {
       val tdir = scratchP.resolve("lake").resolve("fact").toString
       val orders = t(s, dir, "orders").select(
@@ -418,7 +419,6 @@ object MigrationOps {
         cents(col("o_totalprice")).as("o_price_c"))
       graft.sources.SnapshotLog.commit(s, tdir,
         orders.repartitionByRange(8, col("o_custkey")))
-      val cat = s"snapgate_${java.lang.Long.toHexString(System.nanoTime())}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
       val fact = s.table(s"$cat.lake.fact")
@@ -428,14 +428,29 @@ object MigrationOps {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(col("o_price_c")).as("sum_price_c"))
       val local = java.util.Arrays.asList(res.collect(): _*)
-      graft.sources.ScanPrune.last match {
-        case Some((tn, kept, total)) if tn.contains("fact") =>
+      // read the KEYED decision slot, not ScanPrune.last: another
+      // snapshot scan planning concurrently in this session (e.g. a
+      // parallel Verify) would overwrite the single last slot between
+      // the fact scan's runtime prune and this read — the per-table
+      // map cannot be overwritten by anyone else because the catalog
+      // name is unique to this invocation
+      graft.sources.ScanPrune.decisions.collectFirst {
+        case (tn, d) if tn.startsWith(s"$cat.") && tn.contains(".fact@") =>
+          (tn, d)
+      } match {
+        case Some((tn, (kept, total))) =>
           require(kept < total,
-            s"runtime prune did not fire on the fact scan: kept $kept/$total")
-        case other => sys.error(s"no fact prune decision recorded: $other")
+            s"runtime prune did not fire on the fact scan $tn: kept $kept/$total")
+        case None => sys.error(s"no fact prune decision recorded for $cat")
       }
       s.createDataFrame(local, res.schema)
     } finally {
+      // the catalog registration must not outlive the scratch it points
+      // at: Spark caches catalog INSTANCES by name, so the conf keys are
+      // harmless to unset (this run's instance is already cached) but a
+      // long session accumulating one pair per invocation is a leak
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(Files.walk(scratchP)) { st =>
         st.sorted(java.util.Comparator.reverseOrder[Path]())

@@ -339,6 +339,16 @@ private[graft] object ScanPrune {
     * advisory. */
   @volatile var last: Option[(String, Int, Int)] = None
 
+  /** Prune decisions keyed by the scan's table name (`cat.ns.t@vN`) —
+    * the concurrency-safe twin of [[last]]: a gate that runs while
+    * OTHER snapshot scans plan in the same session (e.g. two Verify
+    * invocations sharing a SparkSession) reads its own table's entry
+    * instead of a slot any scan can overwrite. Same advisory-only
+    * contract; bounded in practice by distinct (table, version) pairs
+    * a session plans, and gate entries use session-unique catalog
+    * names, so entries cannot collide across runs. */
+  val decisions = scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
   def kept(spark: SparkSession, tableDir: String, tName: String,
       files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
       schemaOpt: Option[StructType], colmap: Map[String, String],
@@ -349,6 +359,14 @@ private[graft] object ScanPrune {
       else SnapshotLog.pruneMembership(spark, tableDir, cur, stats,
         schemaOpt, colmap, name, values.map(_.get))
     def one(cur: Seq[String], e: Expression): Seq[String] = e match {
+      // a FALSE (or NULL — filter semantics drop non-true) conjunct
+      // proves no row can survive: zero files are needed. The shape
+      // reaches the prune from the runtime-filter path — an EMPTY dim
+      // side's IN arrives values-less and translates to false (see
+      // PrunedSnapshotScan.toCatalyst); planning-time Catalyst folds
+      // `WHERE false` to an empty relation before pushdown, so this
+      // case is effectively runtime-only
+      case Literal(v, BooleanType) if v == null || v == false => Nil
       case And(l, r) => one(one(cur, l), r)
       // OR prunes as the UNION of branch keeps: a file dropped by BOTH
       // branches provably satisfies neither disjunct. Conservative for
@@ -407,6 +425,7 @@ private[graft] object ScanPrune {
       else SnapshotLog.pruneRange(cur, stats, colmap, name, lo, hi)
     val out = filters.foldLeft(files)(one)
     last = Some((tName, out.size, files.size))
+    decisions.put(tName, (out.size, files.size)): Unit
     out
   }
 

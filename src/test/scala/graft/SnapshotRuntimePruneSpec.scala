@@ -130,6 +130,89 @@ class SnapshotRuntimePruneSpec extends SparkSpec {
     assert(n == exp)
   }
 
+  test("an EMPTY dim side prunes to ZERO files — the values-less runtime IN is false") {
+    // the dim's filter matches nothing, so the materialized runtime IN
+    // arrives with a ref and no values: `x IN ()` is false, the join
+    // provably returns no rows, and the best possible prune keeps
+    // nothing. Under default AQE the case is unreachable —
+    // AQEPropagateEmptyRelation collapses the whole join when the
+    // build side materializes empty, so the fact scan never executes;
+    // exclude that rule to force the runtime filter to actually fire
+    // (the translation still matters for plan shapes empty-propagation
+    // cannot collapse). Read the decision from the KEYED map (the
+    // gate's concurrency-safe slot) to pin both the new translation
+    // and the new observability surface at once.
+    registered()
+    val exclKey = "spark.sql.adaptive.optimizer.excludedRules"
+    val prev = spark.conf.getOption(exclKey)
+    spark.conf.set(exclKey,
+      "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
+    try {
+      ScanPrune.decisions.clear()
+      val fact = spark.table("snapdpp.lake.fact")
+      val dimEmpty = spark.read.parquet(s"$root/dim")
+        .filter(col("d_tag") === "nosuch")
+      val j = fact.join(dimEmpty, fact("key") === dimEmpty("d_key"))
+        .agg(count(lit(1)).as("n"))
+      val n = j.collect()(0).getLong(0)
+      assert(n == 0L)
+      val d = ScanPrune.decisions.collectFirst {
+        case (tn, dd) if tn.contains(".fact@") => dd }
+      assert(d.contains((0, 8)), s"empty dim did not prune to zero files: $d")
+    } finally prev match {
+      case Some(v) => spark.conf.set(exclKey, v)
+      case None => spark.conf.unset(exclKey)
+    }
+  }
+
+  test("the runtime IN reaches parquet ROW-GROUP skipping inside kept files") {
+    // the file-level prune is pinned above; this pins the layer below:
+    // BatchScanExec derives its reader factory lazily from a batch it
+    // may cache during planning, and only the delegating-batch +
+    // columnarSupportMode arrangement (PrunedSnapshotScan) defers the
+    // factory past filter() so the runtime IN lands in the reader's
+    // pushed filters. Measured by graft.tools.RowGroupProbe (262144 →
+    // 5040 rows without/with); pinned here at spec scale: one file,
+    // many tight row groups, so file pruning CANNOT explain a low
+    // scan-output metric — only row-group skipping can.
+    registered()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      SnapshotLog.commit(spark, s"$root/lake/rg",
+        spark.range(64000).repartition(1).sortWithinPartitions("id")
+          .select(col("id").as("key"),
+            md5(col("id").cast("string")).as("pay"),
+            (col("id") * 3).as("v")))
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    val fact = spark.table("snapdpp.lake.rg")
+    // dimPick's keys 1200..1209 sit inside one row group of the single
+    // 64k-row file
+    val j = fact.join(dimPick, fact("key") === dimPick("d_key"))
+      .agg(count(lit(1)).as("n"))
+    assert(j.collect()(0).getLong(0) == 10L)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scansIn(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+      case q: QueryStageExec => scansIn(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => (other.children ++ other.subqueries).flatMap(scansIn)
+    }
+    val scan = scansIn(j.queryExecution.executedPlan)
+      .find(_.scan.description().contains("lake/rg"))
+      .getOrElse(fail("no rg fact scan in executed plan"))
+    val out = scan.metrics("numOutputRows").value
+    // one kept row group of a ~16-group file: far under half the table
+    assert(out > 0 && out < 32000,
+      s"runtime IN did not row-group-skip: scan emitted $out of 64000")
+  }
+
   test("a runtime filter on a stats-blind column degrades to keep-all, never a wrong result") {
     // join on v — also clustered here, so prune COULD fire; the
     // degradation case is the mapped table's untouched-stats guarantee:
