@@ -393,6 +393,52 @@ object MigrationOps {
     }
   }
 
+  /** [[graft.sources.SnapshotLog.deleteWhereInMOR]] driver-gated —
+    * [[snapDeleteIn]]'s MERGE-ON-READ twin, same lifecycle and the
+    * SAME NOT-IN oracle: the 24 smallest orderkeys are deleted by
+    * writing position sidecars instead of rewriting the bloom-kept
+    * files, and the read-back must be indistinguishable from the COW
+    * delete's. The require()s pin the cost model that is the point:
+    * the data file list is BYTE-IDENTICAL across the delete (no
+    * rewrite happened) and the manifest carries dv entries (the mask
+    * exists — if either ever fails, the entry died as a gate, not as
+    * a silently-degraded COW). */
+  val snapDeleteMor: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_mor_gate_")
+    try {
+      val tdir = scratchP.resolve("t").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.repartitionByRange(8, col("o_custkey")))
+      graft.sources.SnapshotLog.writeBloomIndex(s, tdir, "o_orderkey",
+        expectedItemsPerFile = 64 * 1024, fpp = 0.01)
+      val keys: Seq[Any] = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+      val before = graft.sources.SnapshotLog
+        .pruneFiles(tdir, "o_orderkey", None, None)._1
+      val v = graft.sources.SnapshotLog.deleteWhereInMOR(
+        s, tdir, "o_orderkey", keys)
+      val after = graft.sources.SnapshotLog
+        .pruneFiles(tdir, "o_orderkey", None, None)._1
+      require(after == before,
+        s"MOR delete rewrote data files: ${before.size} -> ${after.size}")
+      require(graft.sources.SnapshotLog.dvAt(tdir, v).nonEmpty,
+        "MOR delete published no deletion-vector entries")
+      val res = graft.sources.SnapshotLog.read(s, tdir)
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Runtime (DPP-style) file pruning through the snapshot catalog,
     * driver-gated: commit orders CUSTKEY-clustered as a catalog table,
     * join it to a selectively-filtered customer dim on the clustered
@@ -549,6 +595,7 @@ object MigrationOps {
     "snap_merge_into" -> snapMergeInto,
     "snap_bloom_lookup" -> snapBloomLookup,
     "snap_delete_in" -> snapDeleteIn,
+    "snap_delete_mor" -> snapDeleteMor,
     "snap_runtime_prune_join" -> snapRuntimePruneJoin,
     "csv_ingest" -> csvIngest,
     "migrate_seq_counts" -> migrateSeqCounts)
@@ -660,6 +707,15 @@ object MigrationOps {
     // the bloom-pruned point DELETE's survivors must be the raw NOT-IN
     // complement — same lifecycle, write side
     "snap_delete_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
+         FROM orders
+         WHERE o_orderkey NOT IN
+           (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
+    // the MERGE-ON-READ delete's survivors must be the SAME NOT-IN
+    // complement — sidecar masking and file rewriting are two cost
+    // models for one semantics
+    "snap_delete_mor" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
            CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
          FROM orders

@@ -115,6 +115,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   private def parquetTable(ident: Identifier, v: Long): Table = {
     val t = tableDir(ident).getAbsolutePath
     val (files, stats, schema, colmap) = SnapshotLog.manifestDetailsAt(t, v)
+    // PROTOCOL GATING, the Delta reader-version decision: this catalog
+    // surfaces files through Spark's parquet stack and has no way to
+    // apply a merge-on-read deletion mask inside a DSv2 Table — a scan
+    // that ignored the mask would resurrect deleted rows into SQL
+    // results, so a dv-bearing version must refuse loudly, with the
+    // action that restores readability
+    if (SnapshotLog.dvAt(t, v).nonEmpty) sys.error(
+      s"table ${ident.namespace().mkString(".")}.${ident.name()} at " +
+        s"version $v carries merge-on-read deletion vectors, which SQL " +
+        "catalog scans cannot apply — materialize them first with " +
+        "SnapshotLog.compactDeletes(tableDir), or read via " +
+        "SnapshotLog.read")
     val tName =
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$v"
     // a renamed/dropped table ([[SnapshotLog.renameColumn]]) reads its

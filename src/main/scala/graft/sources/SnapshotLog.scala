@@ -81,10 +81,14 @@ object SnapshotLog {
     try p.toRealPath()
     catch { case _: java.io.IOException => p.toAbsolutePath.normalize }
 
-  /** Parse a manifest's file list (shared by [[read]] and [[vacuum]]). */
+  /** Every file a manifest pins against [[vacuum]]: the data files PLUS
+    * any deletion-vector sidecars ([[dvOf]]) — a dv parquet is as
+    * load-bearing as the data it masks (deleting one would resurrect
+    * deleted rows in every version that references it). */
   private def manifestFiles(manifestPath: Path): Seq[String] = {
     val node = mapper.readTree(Files.readString(manifestPath))
-    node.get("files").elements().asScala.map(_.asText()).toSeq
+    node.get("files").elements().asScala.map(_.asText()).toSeq ++
+      dvOf(node).values.flatten.toSeq.distinct
   }
 
   // ---------------------------------------------------------------------
@@ -334,6 +338,32 @@ object SnapshotLog {
     Option(node.get("retired")).map(_.elements().asScala
       .map(_.asText()).toSeq).getOrElse(Nil)
 
+  /** A manifest's DELETION-VECTOR map: data file → the sidecar parquet
+    * files holding its deleted row positions (`file` = the data file's
+    * Spark-reported `_metadata.file_path` spelling, `pos` = absolute
+    * `_metadata.row_index`), written by [[deleteWhereInMOR]]. A file
+    * absent from the map has no deleted rows; a file may accumulate
+    * several sidecars across successive MOR deletes (deleted = the
+    * UNION of their positions — re-marking an already-deleted position
+    * is a harmless duplicate under the anti-join). Empty on tables
+    * that have never MOR-deleted. */
+  private[sources] def dvOf(
+      node: com.fasterxml.jackson.databind.JsonNode): Map[String, Seq[String]] =
+    Option(node.get("dv")).map(_.properties().asScala.map(e =>
+      e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
+      .toMap).getOrElse(Map.empty)
+
+  /** [[dvOf]] at an exact committed version — which data files carry a
+    * merge-on-read deletion mask, and through which sidecars. Public
+    * observability (the streaming source's change detection, specs,
+    * and "do I need [[compactDeletes]]?" asks) — empty means every row
+    * in the version's files is live. */
+  def dvAt(tableDir: String, v: Long): Map[String, Seq[String]] = {
+    val p = logDir(tableDir).resolve(s"$v.json")
+    require(Files.exists(p), s"no version $v in $tableDir")
+    dvOf(mapper.readTree(Files.readString(p)))
+  }
+
   private def physName(colmap: Map[String, String], c: String): String =
     colmap.getOrElse(c, c)
 
@@ -346,20 +376,59 @@ object SnapshotLog {
     org.apache.spark.sql.types.StructType(
       logical.fields.map(f => f.copy(name = physName(colmap, f.name))))
 
+  /** Read `files` under their PHYSICAL schema with merge-on-read
+    * DELETION VECTORS applied — the one funnel every data-file read
+    * shares (plain reads via [[readFiles]], the DML rewrites directly),
+    * so a dv-masked row cannot leak through any path. Files without a
+    * dv entry read exactly as before (zero overhead for the common
+    * case); dv'd files materialize their `_metadata` (file_path,
+    * row_index) as ordinary columns and LEFT-ANTI join the union of
+    * their sidecars on (file, pos) — Delta's deletion-vector read at
+    * this log's minimum, expressed as a plan instead of a custom
+    * reader. The dv side is sidecar-sized (deleted positions only), so
+    * AQE broadcasts it in practice; row_index is absolute within the
+    * file by Spark's metadata contract, so the mask is stable under
+    * row-group skipping and any pushed filters. */
+  private def readPhysical(spark: SparkSession, files: Seq[String],
+      physSchemaOpt: Option[org.apache.spark.sql.types.StructType],
+      dv: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def plain(fs: Seq[String]): DataFrame =
+      physSchemaOpt.fold(spark.read)(spark.read.schema).parquet(fs: _*)
+    val dvd = files.filter(dv.contains)
+    if (dvd.isEmpty) plain(files)
+    else {
+      val clean = files.filterNot(dv.contains)
+      val sidecars = dvd.flatMap(dv).distinct
+      val marks = spark.read.schema("file STRING, pos LONG")
+        .parquet(sidecars: _*)
+      val fp = "_graft_dv_fp"
+      val ri = "_graft_dv_ri"
+      val masked = plain(dvd)
+        .select(col("*"), col("_metadata.file_path").as(fp),
+          col("_metadata.row_index").as(ri))
+        .join(marks, col(fp) === marks("file") && col(ri) === marks("pos"),
+          "left_anti")
+        .drop(fp, ri)
+      if (clean.isEmpty) masked else masked.unionByName(plain(clean))
+    }
+  }
+
   /** Read `files` under the mapping: plan from the PHYSICAL schema
     * (what the parquet actually contains), then alias every column back
     * to its logical name — one positional projection, free at plan
-    * time. Identity tables keep the exact pre-mapping plan. */
+    * time. Identity tables keep the exact pre-mapping plan. Deletion
+    * vectors, when present, mask through [[readPhysical]]. */
   private def readFiles(spark: SparkSession, files: Seq[String],
       schemaOpt: Option[org.apache.spark.sql.types.StructType],
-      colmap: Map[String, String]): DataFrame =
-    if (colmap.isEmpty)
-      schemaOpt.fold(spark.read)(spark.read.schema).parquet(files: _*)
+      colmap: Map[String, String],
+      dv: Map[String, Seq[String]] = Map.empty): DataFrame =
+    if (colmap.isEmpty) readPhysical(spark, files, schemaOpt, dv)
     else {
       val logical = schemaOpt.getOrElse(sys.error(
         "mapped table without a recorded schema — unreachable: the map " +
           "is only ever activated on schema-recording manifests"))
-      spark.read.schema(physSchema(logical, colmap)).parquet(files: _*)
+      readPhysical(spark, files, Some(physSchema(logical, colmap)), dv)
         .toDF(logical.fieldNames.toIndexedSeq: _*)
     }
 
@@ -379,14 +448,16 @@ object SnapshotLog {
       physSchema(logical, colmapOf(node))
     }.getOrElse(logical)
 
-  /** The manifest's (files, stats-node, schema, colmap) for the
+  /** The manifest's (files, stats-node, schema, colmap, dv) for the
     * resolved version — stats is null for pre-stats manifests (which
     * simply never prune), schema is None for pre-schema manifests
     * (whose reads fall back to footer inference), colmap is empty for
-    * identity tables. */
+    * identity tables, dv is empty for tables without merge-on-read
+    * deletes. */
   private def manifestFor(tableDir: String, asOf: Option[Long])
       : (Seq[String], com.fasterxml.jackson.databind.JsonNode,
-        Option[org.apache.spark.sql.types.StructType], Map[String, String]) = {
+        Option[org.apache.spark.sql.types.StructType], Map[String, String],
+        Map[String, Seq[String]]) = {
     val v = resolveVersion(tableDir, asOf)
     val node = mapper.readTree(
       Files.readString(logDir(tableDir).resolve(s"$v.json")))
@@ -394,7 +465,7 @@ object SnapshotLog {
       org.apache.spark.sql.types.DataType.fromJson(s.asText())
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     (node.get("files").elements().asScala.map(_.asText()).toSeq,
-      node.get("stats"), schema, colmapOf(node))
+      node.get("stats"), schema, colmapOf(node), dvOf(node))
   }
 
   /** Footer harvest over a batch of freshly-written files, shared by
@@ -540,7 +611,7 @@ object SnapshotLog {
     * observe skipping without timing a scan. */
   def pruneFiles(tableDir: String, column: String, lower: Option[Any],
       upper: Option[Any], asOf: Option[Long] = None): (Seq[String], Int) = {
-    val (files, stats, _, colmap) = manifestFor(tableDir, asOf)
+    val (files, stats, _, colmap, _) = manifestFor(tableDir, asOf)
     // stats are harvested from footers, so they key on PHYSICAL names —
     // a renamed column's history of stats keeps pruning under its
     // logical name through the map
@@ -562,10 +633,10 @@ object SnapshotLog {
       lower: Option[Any] = None, upper: Option[Any] = None,
       asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (files, stats, schemaOpt, colmap) = manifestFor(tableDir, asOf)
+    val (files, stats, schemaOpt, colmap, dv) = manifestFor(tableDir, asOf)
     val pcol = physName(colmap, column)
     val kept = files.filter(f => keepFile(stats, f, pcol, lower, upper))
-    val base = scanOrEmpty(spark, tableDir, kept, files, schemaOpt, colmap)
+    val base = scanOrEmpty(spark, tableDir, kept, files, schemaOpt, colmap, dv)
     val preds = lower.map(l => col(column) >= lit(l)) ++
       upper.map(u => col(column) <= lit(u))
     preds.reduceOption(_ && _).map(base.filter).getOrElse(base)
@@ -581,8 +652,9 @@ object SnapshotLog {
   private def scanOrEmpty(spark: SparkSession, tableDir: String,
       kept: Seq[String], files: Seq[String],
       schemaOpt: Option[org.apache.spark.sql.types.StructType],
-      colmap: Map[String, String]): DataFrame =
-    if (kept.nonEmpty) readFiles(spark, kept, schemaOpt, colmap)
+      colmap: Map[String, String],
+      dv: Map[String, Seq[String]] = Map.empty): DataFrame =
+    if (kept.nonEmpty) readFiles(spark, kept, schemaOpt, colmap, dv)
     else {
       val schema = schemaOpt.getOrElse {
         require(files.nonEmpty,
@@ -740,7 +812,7 @@ object SnapshotLog {
     require(expectedItemsPerFile >= 0,
       "expectedItemsPerFile must be positive, or 0 for footer auto-sizing")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    val (files, _, schemaOpt, colmap) = manifestFor(tableDir, None)
+    val (files, _, schemaOpt, colmap, _) = manifestFor(tableDir, None)
     val logical = schemaOpt.getOrElse(sys.error(
       s"bloom index needs the manifest-recorded schema of $tableDir " +
         "(a pre-round-10 manifest) — re-commit to record it"))
@@ -793,7 +865,7 @@ object SnapshotLog {
   def refreshBloomIndex(spark: SparkSession, tableDir: String,
       column: String): Int = {
     import org.apache.spark.sql.functions.col
-    val (files, _, schemaOpt, colmap) = manifestFor(tableDir, None)
+    val (files, _, schemaOpt, colmap, _) = manifestFor(tableDir, None)
     val pcol = physName(colmap, column)
     val dir = bloomIndexDir(tableDir, pcol)
     require(Files.exists(dir.resolve("meta.json")),
@@ -830,7 +902,7 @@ object SnapshotLog {
   def compactBloomIndex(spark: SparkSession, tableDir: String,
       column: String): Long = {
     import org.apache.spark.sql.functions.col
-    val (files, _, _, colmap) = manifestFor(tableDir, None)
+    val (files, _, _, colmap, _) = manifestFor(tableDir, None)
     val pcol = physName(colmap, column)
     val dir = bloomIndexDir(tableDir, pcol)
     require(Files.exists(dir.resolve("meta.json")),
@@ -870,18 +942,19 @@ object SnapshotLog {
     * residual IN filter carries the semantics. */
   def bloomPruneFiles(spark: SparkSession, tableDir: String, column: String,
       values: Seq[Any], asOf: Option[Long] = None): (Seq[String], Int) = {
-    val (kept, files, _, _) = pruneForLookup(spark, tableDir, column, values, asOf)
+    val (kept, files, _, _, _) = pruneForLookup(spark, tableDir, column, values, asOf)
     (kept, files.size)
   }
 
   private def pruneForLookup(spark: SparkSession, tableDir: String,
       column: String, values: Seq[Any], asOf: Option[Long])
       : (Seq[String], Seq[String],
-        Option[org.apache.spark.sql.types.StructType], Map[String, String]) = {
-    val (files, stats, schemaOpt, colmap) = manifestFor(tableDir, asOf)
+        Option[org.apache.spark.sql.types.StructType], Map[String, String],
+        Map[String, Seq[String]]) = {
+    val (files, stats, schemaOpt, colmap, dv) = manifestFor(tableDir, asOf)
     val kept = pruneCore(spark, tableDir, files, stats, schemaOpt, colmap,
       column, values)
-    (kept, files, schemaOpt, colmap)
+    (kept, files, schemaOpt, colmap, dv)
   }
 
   /** The two lookup-prune stages over an ALREADY-RESOLVED manifest —
@@ -976,9 +1049,9 @@ object SnapshotLog {
   def readWhereIn(spark: SparkSession, tableDir: String, column: String,
       values: Seq[Any], asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (kept, files, schemaOpt, colmap) =
+    val (kept, files, schemaOpt, colmap, dv) =
       pruneForLookup(spark, tableDir, column, values, asOf)
-    scanOrEmpty(spark, tableDir, kept, files, schemaOpt, colmap)
+    scanOrEmpty(spark, tableDir, kept, files, schemaOpt, colmap, dv)
       .filter(col(column).isin(values: _*))
   }
 
@@ -1253,7 +1326,7 @@ object SnapshotLog {
     val files = node.get("files").elements().asScala.map(_.asText()).toSeq
     publish(tableDir, baseV + 1, files, carriedStats(node, files),
       Some(newSchema.json), orderedColmap(Some(newSchema), newColmap),
-      retiredOf(node))
+      retiredOf(node), dv = dvOf(node))
     baseV + 1
   }
 
@@ -1303,7 +1376,7 @@ object SnapshotLog {
     val files = node.get("files").elements().asScala.map(_.asText()).toSeq
     publish(tableDir, baseV + 1, files, carriedStats(node, files),
       Some(newSchema.json), orderedColmap(Some(newSchema), newColmap),
-      retiredOf(node))
+      retiredOf(node), dv = dvOf(node))
     baseV + 1
   }
 
@@ -1341,7 +1414,7 @@ object SnapshotLog {
     publish(tableDir, baseV + 1, files, carriedStats(node, files),
       Some(newSchema.json),
       orderedColmap(Some(newSchema), colmap0 - name),
-      retiredOf(node) :+ colmap0(name))
+      retiredOf(node) :+ colmap0(name), dv = dvOf(node))
     baseV + 1
   }
 
@@ -1423,7 +1496,7 @@ object SnapshotLog {
     val newStats = harvestStats(newFiles)
     val carried = carriedStats(prevManifest, prevFiles)
     publish(tableDir, v, prevFiles ++ newFiles, carried ++ newStats,
-      Some(published.json), newColmap, retired)
+      Some(published.json), newColmap, retired, dv = dvOf(prevManifest))
     v
   }
 
@@ -1493,6 +1566,7 @@ object SnapshotLog {
     // logical — translate once, then the whole rewrite runs physical
     // (rewritten files must keep physical names for the map to hold)
     val pcol = physName(colmap, column)
+    val prevDv = dvOf(prevManifest)
     val (affected, untouched) = prevFiles.partition(f =>
       keepFile(statsNode, f, pcol, lower, upper))
     val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
@@ -1514,9 +1588,11 @@ object SnapshotLog {
       else {
         val dd = Paths.get(tableDir, "data",
           s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-        val reader = logicalSchema.map(physSchema(_, colmap))
-          .fold(spark.read)(spark.read.schema)
-        reader.parquet(affected: _*).filter(keepPred)
+        // the rewrite reads through the dv mask — a COW delete on a
+        // MOR-deleted file must not resurrect its masked rows
+        readPhysical(spark, affected,
+          logicalSchema.map(physSchema(_, colmap)), prevDv)
+          .filter(keepPred)
           .write.mode("overwrite").parquet(dd.toString)
         listDir(dd).filter(_.toString.endsWith(".parquet"))
           .map(p => canon(p).toString).sorted
@@ -1525,7 +1601,8 @@ object SnapshotLog {
     val newStats = harvestStats(newFiles)
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
-      retiredOf(prevManifest))
+      retiredOf(prevManifest),
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
     v
   }
 
@@ -1565,6 +1642,7 @@ object SnapshotLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     // prune against exactly the manifest being published over (not a
     // re-resolved latest — the version read above is the one rewritten)
+    val prevDv = dvOf(prevManifest)
     val keptSet = pruneCore(spark, tableDir, prevFiles, statsNode,
       logicalSchema, colmap, column, values).toSet
     val (affected, untouched) = prevFiles.partition(keptSet)
@@ -1574,9 +1652,9 @@ object SnapshotLog {
         val keepPred = !coalesce(col(pcol).isin(values: _*), lit(false))
         val dd = Paths.get(tableDir, "data",
           s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-        val reader = logicalSchema.map(physSchema(_, colmap))
-          .fold(spark.read)(spark.read.schema)
-        reader.parquet(affected: _*).filter(keepPred)
+        readPhysical(spark, affected,
+          logicalSchema.map(physSchema(_, colmap)), prevDv)
+          .filter(keepPred)
           .write.mode("overwrite").parquet(dd.toString)
         listDir(dd).filter(_.toString.endsWith(".parquet"))
           .map(p => canon(p).toString).sorted
@@ -1584,6 +1662,142 @@ object SnapshotLog {
     val carried = carriedStats(prevManifest, untouched)
     val newStats = harvestStats(newFiles)
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest),
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
+    v
+  }
+
+  /** MERGE-ON-READ point DELETE — [[deleteWhereIn]]'s cost-model twin
+    * (Delta's deletion vectors / Iceberg v2 position deletes at this
+    * log's minimum): instead of REWRITING every file the stats+bloom
+    * stages cannot exonerate, mark the matching rows' positions in a
+    * parquet SIDECAR (`file` = the data file's Spark-reported
+    * `_metadata.file_path`, `pos` = its absolute `_metadata.row_index`)
+    * and publish a manifest whose `dv` node maps each touched data
+    * file to its sidecars. Data files are carried BYTE-IDENTICAL, so
+    * the write cost is O(matching rows) + one manifest — not
+    * O(affected files rewritten) — which is the only point-delete cost
+    * model that holds when the affected files are large or many (the
+    * high-churn GDPR queue at 100 TB). Readers apply the mask in
+    * [[readPhysical]]'s anti-join; every Scala read path (read /
+    * readWhere / readWhereIn / DML rewrites / merge / optimize)
+    * composes, and a COW rewrite or [[compactDeletes]] MATERIALIZES
+    * the mask and sheds the entries.
+    *
+    * The trade, stated plainly: reads of a dv'd file pay the anti-join
+    * until compaction, the SQL catalog REFUSES dv-bearing tables
+    * (the protocol-gating decision — a reader that cannot apply the
+    * mask must fail, never over-answer), and the deleted rows' BYTES
+    * remain in the data files — the erasure theorem for MOR is
+    * [[compactDeletes]] + [[expireVersions]] + [[vacuum]]. Marked
+    * positions come from the CURRENT visible rows; re-marking an
+    * already-masked position is a harmless duplicate under the
+    * anti-join. NULL `column` values never match a membership list —
+    * the [[deleteWhereIn]] rule. Publishes as the next version;
+    * returns it. */
+  def deleteWhereInMOR(spark: SparkSession, tableDir: String,
+      column: String, values: Seq[Any]): Long = {
+    import org.apache.spark.sql.functions.col
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val statsNode = prevManifest.get("stats")
+    val colmap = colmapOf(prevManifest)
+    val pcol = physName(colmap, column)
+    val prevDv = dvOf(prevManifest)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val keptSet = pruneCore(spark, tableDir, prevFiles, statsNode,
+      logicalSchema, colmap, column, values).toSet
+    val affected = prevFiles.filter(keptSet)
+    val newDv: Map[String, Seq[String]] =
+      if (affected.isEmpty) prevDv
+      else {
+        val dd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        val physOpt = logicalSchema.map(physSchema(_, colmap))
+        // positions of matching rows; write parallelism follows the
+        // candidate scan (the sidecar is delete-sized either way)
+        physOpt.fold(spark.read)(spark.read.schema).parquet(affected: _*)
+          .select(col("_metadata.file_path").as("file"),
+            col("_metadata.row_index").as("pos"),
+            col(pcol).as("_graft_dv_k"))
+          .filter(col("_graft_dv_k").isin(values: _*))
+          .select("file", "pos")
+          .write.mode("overwrite").parquet(dd.toString)
+        val sidecars = listDir(dd)
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+        // which data files actually hold marked rows: sidecar-sized
+        val touchedMeta = spark.read.schema("file STRING, pos LONG")
+          .parquet(sidecars: _*)
+          .select("file").distinct().collect().map(_.getString(0)).toSeq
+        if (touchedMeta.isEmpty) {
+          deleteRecursively(dd) // nothing matched: no sidecar, no entry
+          prevDv
+        } else {
+          // metadata spelling (a file: URI) → the manifest's canonical
+          // spelling, loudly — a mapping miss must never publish an
+          // entry the readers' contains() would not find
+          val byCanon = affected.map(f =>
+            canon(Paths.get(f)).toString -> f).toMap
+          val touched = touchedMeta.map { fp =>
+            val p = try Paths.get(java.net.URI.create(fp))
+              catch { case _: Exception => Paths.get(fp) }
+            byCanon.getOrElse(canon(p).toString, sys.error(
+              s"dv file_path $fp resolves outside the affected set"))
+          }
+          prevDv ++ touched.map(f =>
+            f -> (prevDv.getOrElse(f, Nil) ++ sidecars))
+        }
+      }
+    publish(tableDir, v, prevFiles, carriedStats(prevManifest, prevFiles),
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest), dv = newDv)
+    v
+  }
+
+  /** Materialize every deletion vector: rewrite ONLY the dv-bearing
+    * files through the mask and publish them dv-free — the targeted
+    * compaction that restores SQL-catalog readability and pre-MOR read
+    * plans without [[optimize]]'s whole-table rewrite. Un-dv'd files
+    * carry verbatim, stats and all; rewritten files harvest fresh
+    * stats; orphaned sidecars stay pinned by OLDER manifests until
+    * [[expireVersions]] + [[vacuum]] (which is also the tail of the
+    * MOR erasure theorem — only after compact + expire + vacuum are a
+    * deleted row's bytes in no surviving file). No dv entries → no-op
+    * (returns the current version unchanged). */
+  def compactDeletes(spark: SparkSession, tableDir: String): Long = {
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevDv = dvOf(prevManifest)
+    if (prevDv.isEmpty) return baseV
+    val v = baseV + 1
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val colmap = colmapOf(prevManifest)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val (affected, untouched) = prevFiles.partition(prevDv.contains)
+    val dd = Paths.get(tableDir, "data",
+      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    readPhysical(spark, affected, logicalSchema.map(physSchema(_, colmap)),
+      prevDv).write.mode("overwrite").parquet(dd.toString)
+    val newFiles = listDir(dd).filter(_.toString.endsWith(".parquet"))
+      .map(p => canon(p).toString).sorted
+    publish(tableDir, v, untouched ++ newFiles,
+      carriedStats(prevManifest, untouched) ++ harvestStats(newFiles),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest))
     v
@@ -1628,6 +1842,7 @@ object SnapshotLog {
     val statsNode = prevManifest.get("stats")
     val colmap = colmapOf(prevManifest)
     val pcol = physName(colmap, column)
+    val prevDv = dvOf(prevManifest)
     val (affected, untouched) = prevFiles.partition(f =>
       keepFile(statsNode, f, pcol, lower, upper))
     val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
@@ -1640,13 +1855,12 @@ object SnapshotLog {
         val preds = lower.map(l => col(column) >= lit(l)) ++
           upper.map(u => col(column) <= lit(u))
         val inRange = preds.reduce(_ && _)
-        val reader = logicalSchema.map(physSchema(_, colmap))
-          .fold(spark.read)(spark.read.schema)
         // the caller's `set` expressions speak LOGICAL names: alias the
         // physical read to logical, update, and alias back before the
         // write (rewritten files keep physical names — the map's
         // immutability is what makes every other path cheap)
-        val physBase = reader.parquet(affected: _*)
+        val physBase = readPhysical(spark, affected,
+          logicalSchema.map(physSchema(_, colmap)), prevDv)
         val base =
           if (colmap.isEmpty) physBase
           else physBase.toDF(logicalSchema.get.fieldNames.toIndexedSeq: _*)
@@ -1671,7 +1885,8 @@ object SnapshotLog {
     val newStats = harvestStats(newFiles)
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
-      retiredOf(prevManifest))
+      retiredOf(prevManifest),
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
     v
   }
 
@@ -1703,6 +1918,7 @@ object SnapshotLog {
     val logicalSchema = schemaJson.map(s =>
       org.apache.spark.sql.types.DataType.fromJson(s)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val prevDv = dvOf(prevManifest)
     val keptSet = pruneCore(spark, tableDir, prevFiles, statsNode,
       logicalSchema, colmap, column, values).toSet
     val (affected, untouched) = prevFiles.partition(keptSet)
@@ -1710,9 +1926,8 @@ object SnapshotLog {
       if (affected.isEmpty) Nil
       else {
         val inKeys = col(column).isin(values: _*)
-        val reader = logicalSchema.map(physSchema(_, colmap))
-          .fold(spark.read)(spark.read.schema)
-        val physBase = reader.parquet(affected: _*)
+        val physBase = readPhysical(spark, affected,
+          logicalSchema.map(physSchema(_, colmap)), prevDv)
         val base =
           if (colmap.isEmpty) physBase
           else physBase.toDF(logicalSchema.get.fieldNames.toIndexedSeq: _*)
@@ -1737,7 +1952,8 @@ object SnapshotLog {
     val newStats = harvestStats(newFiles)
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
-      retiredOf(prevManifest))
+      retiredOf(prevManifest),
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
     v
   }
 
@@ -1815,6 +2031,7 @@ object SnapshotLog {
     // inference, like the append path's enforcement source
     val logical = logicalSchema.getOrElse(
       spark.read.parquet(prevFiles: _*).schema)
+    val prevDv = dvOf(prevManifest)
     require(changes.columns.contains("op"),
       "mergeInto wants a change feed with an op column — the tableDiff shape")
     val feedCols = changes.columns.filterNot(_ == "op").toSet
@@ -1899,7 +2116,7 @@ object SnapshotLog {
           .select(logical.fieldNames.toIndexedSeq.map(col): _*)
         val merged =
           if (affected.isEmpty) inserts
-          else readFiles(spark, affected, Some(logical), colmap)
+          else readFiles(spark, affected, Some(logical), colmap, prevDv)
             .join(changes.select(kcol), Seq(key), "left_anti")
             .unionByName(inserts)
         val out =
@@ -1916,7 +2133,8 @@ object SnapshotLog {
     val newStats = harvestStats(newFiles)
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
-      retiredOf(prevManifest))
+      retiredOf(prevManifest),
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
     v
   }
 
@@ -1976,7 +2194,7 @@ object SnapshotLog {
       : Map[String, (Int, Long)] = {
     val idxRoot = Paths.get(tableDir, "_index", "bloom")
     if (!Files.isDirectory(idxRoot)) return Map.empty
-    val (_, _, schemaOpt, colmap) = manifestFor(tableDir, None)
+    val (_, _, schemaOpt, colmap, _) = manifestFor(tableDir, None)
     val inverse = colmap.map(_.swap)
     listDir(idxRoot).filter(Files.isDirectory(_)).flatMap { dir =>
       val pcol = dir.getFileName.toString
@@ -2004,11 +2222,29 @@ object SnapshotLog {
         com.fasterxml.jackson.databind.node.ObjectNode]] = Map.empty,
       schemaJson: Option[String] = None,
       colmap: Seq[(String, String)] = Nil,
-      retired: Seq[String] = Nil): Unit = {
+      retired: Seq[String] = Nil,
+      dv: Map[String, Seq[String]] = Map.empty): Unit = {
     Files.createDirectories(logDir(tableDir))
     val root = mapper.createObjectNode()
     root.put("version", v)
     schemaJson.foreach(s => root.put("schema", s): Unit)
+    if (dv.nonEmpty) {
+      // every dv key must be a published data file — a stale entry for
+      // a rewritten-away file would mask rows of an unrelated future
+      // file if paths ever collided, and signals a caller that forgot
+      // to drop entries for files it rewrote
+      val fileSet = files.toSet
+      val orphans = dv.keys.filterNot(fileSet)
+      require(orphans.isEmpty,
+        s"deletion-vector entries for non-published files: " +
+          orphans.mkString(", "))
+      val dNode = root.putObject("dv")
+      // iterate `files` order for a deterministic manifest
+      files.foreach(f => dv.get(f).foreach { sidecars =>
+        val a = dNode.putArray(f)
+        sidecars.foreach(a.add)
+      })
+    }
     if (colmap.nonEmpty) {
       // ordered by the caller (logical-schema field order) for a
       // deterministic manifest, like the stats iteration below
@@ -2301,7 +2537,7 @@ object SnapshotLog {
     * plan time; pre-schema manifests fall back to inference). */
   def read(spark: SparkSession, tableDir: String,
       asOf: Option[Long] = None): DataFrame = {
-    val (files, _, schemaOpt, colmap) = manifestFor(tableDir, asOf)
-    readFiles(spark, files, schemaOpt, colmap)
+    val (files, _, schemaOpt, colmap, dv) = manifestFor(tableDir, asOf)
+    readFiles(spark, files, schemaOpt, colmap, dv)
   }
 }

@@ -143,6 +143,22 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
             "restart with ignoreChanges=true to stream the restated rows " +
             s"(at-least-once), or skip them with startVersion=${v + 1} " +
             "(risks missing the restatement)")
+      // a merge-on-read delete keeps the file list IDENTICAL but
+      // logically removes already-emitted rows — the subset check above
+      // cannot see it, so compare the dv nodes: new deletion-vector
+      // entries are a change, not an append, and must not be silently
+      // skipped (the Delta decision, same resolution; under
+      // ignoreChanges the deletion simply never reaches the stream —
+      // emitted rows stand, at-least-once semantics)
+      val dvNow = SnapshotLog.dvAt(tableDir, v)
+      val dvPrev: Map[String, Seq[String]] =
+        if (v == 0) Map.empty else SnapshotLog.dvAt(tableDir, v - 1)
+      if (!ignoreChanges && dvNow != dvPrev)
+        throw new IllegalStateException(
+          s"graft-snaplog: version $v of $tableDir adds merge-on-read " +
+            "deletion vectors (rows already emitted were logically " +
+            "deleted); restart with ignoreChanges=true to continue past " +
+            s"the deletion, or skip it with startVersion=${v + 1}")
       files.filterNot(prev.contains).map(f => SnapshotFilePartition(f): InputPartition)
     }.toArray
   }

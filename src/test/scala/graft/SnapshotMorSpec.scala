@@ -1,0 +1,232 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import sources.SnapshotLog
+
+/** MERGE-ON-READ deletion vectors ([[SnapshotLog.deleteWhereInMOR]] /
+  * [[SnapshotLog.compactDeletes]]) — the point-delete cost model where
+  * a delete writes O(matching rows) of sidecar instead of rewriting
+  * every file stats+bloom cannot exonerate. The contracts pinned here:
+  *
+  *  - a MOR delete removes exactly the matching rows from every Scala
+  *    read path while the DATA FILES stay byte-identical;
+  *  - successive deletes UNION; time travel applies each version's own
+  *    mask; COW DML and appends on a dv'd table neither resurrect
+  *    masked rows nor drop the mask for files they carry;
+  *  - [[SnapshotLog.compactDeletes]] materializes the mask (rewriting
+  *    ONLY dv'd files) and restores SQL-catalog readability — which a
+  *    dv-bearing version REFUSES loudly (protocol gating: a reader
+  *    that cannot apply the mask must fail, never over-answer);
+  *  - the streaming source treats new dv entries as a CHANGE version;
+  *  - vacuum protects referenced sidecars, and the MOR erasure theorem
+  *    holds: only compact + expire + vacuum removes the subject's
+  *    bytes from disk. */
+class SnapshotMorSpec extends SparkSpec {
+
+  private def freshTable(prefix: String, n: Int = 4000,
+      files: Int = 4, at: Option[String] = None): String = {
+    val t = at.getOrElse(
+      Files.createTempDirectory(s"graft_mor_$prefix").toString + "/t")
+    SnapshotLog.commit(spark, t,
+      spark.range(n).repartitionByRange(files, col("id")).select(
+        col("id").as("k"),
+        (col("id") * 7).as("v"),
+        md5(col("id").cast("string")).as("pay")))
+    t
+  }
+
+  private def files(t: String): Seq[String] =
+    // an unbounded range ask keeps every file: the public file-list view
+    SnapshotLog.pruneFiles(t, "v", None, None)._1
+
+  test("a MOR delete masks exactly the matching rows; data files are untouched") {
+    val t = freshTable("basic")
+    val before = files(t)
+    val keys = Seq(5L, 6L, 1200L, 3999L)
+    val v = SnapshotLog.deleteWhereInMOR(spark, t, "k", keys)
+    assert(v == 1L)
+    assert(files(t) == before, "MOR delete must not touch the data file list")
+    val got = SnapshotLog.read(spark, t).select("k").as[Long](
+      spark.implicits.newLongEncoder).collect().sorted
+    assert(got.length == 4000 - 4)
+    assert(keys.forall(k => !got.contains(k)))
+    // readWhere and readWhereIn apply the same mask
+    assert(SnapshotLog.readWhere(spark, t, "k",
+      Some(0L), Some(10L)).count() == 9) // 0..10 minus {5, 6}
+    assert(SnapshotLog.readWhereIn(spark, t, "k", Seq(5L, 7L)).count() == 1)
+    // time travel: v0 still shows everything
+    assert(SnapshotLog.read(spark, t, asOf = Some(0L)).count() == 4000)
+  }
+
+  test("successive MOR deletes union; each version applies its own mask") {
+    val t = freshTable("union")
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(10L, 11L))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(11L, 12L)) // 11 re-marked
+    assert(SnapshotLog.read(spark, t).count() == 3997)
+    assert(SnapshotLog.read(spark, t, asOf = Some(1L)).count() == 3998)
+    assert(SnapshotLog.read(spark, t, asOf = Some(0L)).count() == 4000)
+  }
+
+  test("COW delete on a dv'd table neither resurrects masked rows nor drops carried masks") {
+    val t = freshTable("cow")
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(100L, 3500L))
+    // range delete rewrites only the low file(s); 3500's mask must carry
+    SnapshotLog.deleteWhere(spark, t, "k", Some(0L), Some(50L))
+    val got = SnapshotLog.read(spark, t).select("k").as[Long](
+      spark.implicits.newLongEncoder).collect().toSet
+    assert(!got.contains(100L), "COW rewrite resurrected a masked row")
+    assert(!got.contains(3500L), "carried file lost its deletion vector")
+    assert(!got.contains(25L) && got.contains(51L))
+    assert(got.size == 4000 - 51 - 2)
+  }
+
+  test("update and merge on a dv'd table flow through the mask") {
+    val t = freshTable("dml")
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(7L))
+    SnapshotLog.updateWhereIn(spark, t, "k", Seq(7L, 8L),
+      Map("v" -> lit(-1L)))
+    val rows = SnapshotLog.read(spark, t)
+      .filter(col("v") === -1L).select("k").as[Long](
+        spark.implicits.newLongEncoder).collect().toSeq
+    assert(rows == Seq(8L), s"masked row 7 must not resurface/update: $rows")
+    // merge: delete one key, insert one — over the masked table
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val feed = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(9L, 9000L, "x", "delete"), Row(9000L, 1L, "y", "insert")),
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType),
+        StructField("pay", StringType), StructField("op", StringType))))
+    SnapshotLog.mergeInto(spark, t, feed, "k")
+    val ks = SnapshotLog.read(spark, t).select("k").as[Long](
+      spark.implicits.newLongEncoder).collect().toSet
+    assert(!ks.contains(7L) && !ks.contains(9L) && ks.contains(9000L))
+  }
+
+  test("appends carry the mask; compactDeletes materializes and sheds it") {
+    val t = freshTable("compact")
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(42L))
+    SnapshotLog.commitAppend(spark, t, spark.range(1).select(
+      lit(50000L).as("k"), lit(1L).as("v"), lit("zz").as("pay")))
+    assert(SnapshotLog.read(spark, t).count() == 4000) // -42 +50000
+    val before = files(t)
+    val dvd = SnapshotLog.dvAt(t,
+      SnapshotLog.latestVersion(t).get).keySet
+    assert(dvd.nonEmpty, "append dropped the carried dv entries")
+    val v = SnapshotLog.compactDeletes(spark, t)
+    assert(SnapshotLog.dvAt(t, v).isEmpty)
+    // only the dv'd files were rewritten; every other file carried
+    val after = files(t).toSet
+    assert(before.filterNot(dvd.contains).forall(after.contains),
+      "compactDeletes rewrote an un-dv'd file")
+    assert(dvd.forall(f => !after.contains(f)),
+      "compactDeletes carried a dv'd file unmaterialized")
+    assert(SnapshotLog.read(spark, t).count() == 4000)
+    assert(SnapshotLog.readWhereIn(spark, t, "k", Seq(42L)).count() == 0)
+    // idempotent: no dvs -> no-op, version unmoved
+    assert(SnapshotLog.compactDeletes(spark, t) == v)
+  }
+
+  test("the SQL catalog refuses a dv-bearing version loudly, and recovers after compaction") {
+    // committed IN PLACE under the catalog root — manifests record
+    // absolute canonical paths, so a post-commit move orphans the data
+    val root = Files.createTempDirectory("graft_mor_sqlroot_").toString
+    freshTable("sql", at = Some(s"$root/lake/tbl"))
+    val lake = Paths.get(root, "lake")
+    val cat = s"morcat_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      val td = lake.resolve("tbl").toString
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl")
+        .head().getLong(0) == 4000)
+      SnapshotLog.deleteWhereInMOR(spark, td, "k", Seq(1L))
+      val e = intercept[RuntimeException] {
+        spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl").collect()
+      }
+      assert(e.getMessage.contains("deletion vectors") &&
+        e.getMessage.contains("compactDeletes"), e.getMessage)
+      // VERSION AS OF the pre-delete version still reads
+      assert(spark.sql(
+        s"SELECT count(*) c FROM $cat.lake.tbl VERSION AS OF 0")
+        .head().getLong(0) == 4000)
+      SnapshotLog.compactDeletes(spark, td)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl")
+        .head().getLong(0) == 3999)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  test("a MOR delete under a RENAMED column translates through the map") {
+    val t = freshTable("mapped")
+    SnapshotLog.renameColumn(t, "k", "doc_id")
+    SnapshotLog.deleteWhereInMOR(spark, t, "doc_id", Seq(3L))
+    val got = SnapshotLog.read(spark, t)
+    assert(got.columns.head == "doc_id")
+    assert(got.filter(col("doc_id") === 3L).count() == 0)
+    assert(got.count() == 3999)
+  }
+
+  test("the streaming source treats new dv entries as a change version") {
+    val t = freshTable("stream", n = 100, files = 1)
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(1L))
+    def run(ignore: Boolean): Long = {
+      val out = Files.createTempDirectory("graft_mor_sink_").toString
+      val q = spark.readStream.format("graft-snaplog")
+        .option("tableDir", t)
+        .option("ignoreChanges", ignore.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      spark.read.schema("k LONG, v LONG, pay STRING")
+        .parquet(s"$out/data").count()
+    }
+    val e = intercept[Exception] { run(ignore = false) }
+    def rootMsg(x: Throwable): String =
+      if (x == null) "" else x.getMessage + rootMsg(x.getCause)
+    assert(rootMsg(e).contains("deletion vectors"), rootMsg(e).take(500))
+    // ignoreChanges: the stream continues past the deletion; rows
+    // emitted are v0's files (the deletion never reaches the sink)
+    assert(run(ignore = true) == 100L)
+  }
+
+  test("vacuum protects referenced sidecars; compact + expire + vacuum erases") {
+    val t = freshTable("erase", n = 400, files = 2)
+    val subject = 137L
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(subject))
+    // vacuum now: sidecar is referenced, mask must survive
+    SnapshotLog.vacuum(t, minAgeMillis = 0L)
+    assert(SnapshotLog.read(spark, t).count() == 399)
+    // does ANY surviving data file still physically hold the subject's
+    // row? (read each file raw, mask-free — compression hides the
+    // payload from a byte scan, but a raw read cannot hide a row)
+    def onDisk: Boolean = {
+      import scala.jdk.CollectionConverters._
+      val fs = scala.util.Using.resource(Files.walk(Paths.get(t, "data"))) {
+        st => st.iterator().asScala.filter(p =>
+          Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+            // dv sidecars are (file, pos) — only data files carry `k`
+            !p.getParent.getFileName.toString.startsWith("v1-"))
+          .map(_.toString).toList
+      }
+      fs.nonEmpty && spark.read.schema("k LONG, v LONG, pay STRING")
+        .parquet(fs: _*).filter(col("k") === subject).count() > 0
+    }
+    // MOR alone does NOT forget: the row is still in the data files
+    assert(onDisk, "fixture: the subject's row should still be on disk")
+    SnapshotLog.compactDeletes(spark, t)
+    SnapshotLog.expireVersions(t, keepLast = 1)
+    SnapshotLog.vacuum(t, minAgeMillis = 0L)
+    assert(!onDisk, "erasure chain left the subject's row on disk")
+    assert(SnapshotLog.read(spark, t).count() == 399)
+  }
+}
