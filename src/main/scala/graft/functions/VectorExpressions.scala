@@ -767,6 +767,105 @@ object BloomHit {
   }
 }
 
+/** Per-row deletion-vector membership against a DRIVER-COLLECTED mask
+  * — the small-mask fast path of the snapshot log's merge-on-read
+  * reads ([[graft.sources.SnapshotLog.deleteWhereInMOR]]). `left` is
+  * the row's `_metadata.file_path`, `right` its `_metadata.row_index`;
+  * the mask (file → SORTED deleted positions) rides in the expression
+  * itself, so the masked read stays ONE codegen'd scan-filter pipeline
+  * instead of a scan → broadcast-anti-join break — measured 3× on a
+  * fully-masked 8M-row table (MorPlanProbe; the join's per-row
+  * (string, long) key hashing was the cost, a binary search against a
+  * cached per-file array is not). Delta evaluates its DV bitmaps
+  * inside the reader for exactly this reason; this expression is that
+  * idea at the plan level. Large masks keep the anti-join
+  * ([[graft.sources.SnapshotLog]] picks by sidecar size): a mask too
+  * big to ship with the plan is precisely the shape where the
+  * broadcast join machinery earns its cost.
+  *
+  * True = the row IS deleted (callers filter on the negation). The
+  * per-row kernel caches the last file's array — metadata file_path
+  * is constant within a partition, so the map lookup happens once per
+  * file in practice, and each row pays one equality check plus one
+  * binary search. */
+case class DvMaskHit(left: Expression, right: Expression,
+    mask: Map[String, Array[Long]]) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_dv_mask_hit"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_dv_mask_hit requires (string file_path, bigint row_index), " +
+          s"got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  // UTF8String-keyed so the per-row lookup never converts the incoming
+  // file_path; arrays are required sorted by the caller (binarySearch)
+  @transient private lazy val utf8Mask: java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    mask.foreach { case (f, ps) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(f), ps): Unit
+    }
+    m
+  }
+
+  @transient private lazy val kernel = new DvMaskHit.Kernel(utf8Mask)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val f = left.eval(input)
+    if (f == null) null
+    else {
+      val p = right.eval(input)
+      if (p == null) null
+      else kernel.hit(
+        f.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        p.asInstanceOf[Long])
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("dvMaskKernel", kernel,
+      "graft.functions.DvMaskHit.Kernel")
+    nullSafeCodeGen(ctx, ev, (f, p) => {
+      s"${ev.value} = $k.hit($f, $p);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvMaskHit =
+    copy(left = newLeft, right = newRight)
+}
+
+object DvMaskHit {
+  /** The per-row kernel, also the codegen target. Stateful on purpose:
+    * `lastFile`/`lastArr` cache the previous row's map resolution —
+    * one kernel instance lives per task-thread (addReferenceObj gives
+    * each generated class its own reference array), so the cache is
+    * single-threaded by construction. */
+  final class Kernel(map: java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]])
+      extends Serializable {
+    private var lastFile: org.apache.spark.unsafe.types.UTF8String = _
+    private var lastArr: Array[Long] = _
+    def hit(f: org.apache.spark.unsafe.types.UTF8String, p: Long): Boolean = {
+      if (lastFile == null || !lastFile.equals(f)) {
+        lastFile = f.clone()
+        lastArr = map.get(f)
+      }
+      lastArr != null && java.util.Arrays.binarySearch(lastArr, p) >= 0
+    }
+  }
+}
+
 /** Session extension registering the engine's native functions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

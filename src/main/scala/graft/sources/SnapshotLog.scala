@@ -389,10 +389,19 @@ object SnapshotLog {
     * AQE broadcasts it in practice; row_index is absolute within the
     * file by Spark's metadata contract, so the mask is stable under
     * row-group skipping and any pushed filters. */
+  /** Masks whose sidecars total at most this many bytes ride INSIDE
+    * the plan as a [[graft.functions.DvMaskHit]] filter (one
+    * codegen'd scan pipeline, ~3× the anti-join's masked-read
+    * throughput — MorPlanProbe); bigger masks keep the broadcast
+    * anti-join, which is exactly the machinery built for a build side
+    * too big to ship with the plan. Sized on FILE bytes (driver-side,
+    * no job): 16 MB of (string, long) parquet is ≥ ~1M positions. */
+  private val DvInlineMaskMaxBytes = 16L * 1024 * 1024
+
   private def readPhysical(spark: SparkSession, files: Seq[String],
       physSchemaOpt: Option[org.apache.spark.sql.types.StructType],
       dv: Map[String, Seq[String]]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, collect_list, not}
     def plain(fs: Seq[String]): DataFrame =
       physSchemaOpt.fold(spark.read)(spark.read.schema).parquet(fs: _*)
     val dvd = files.filter(dv.contains)
@@ -400,16 +409,35 @@ object SnapshotLog {
     else {
       val clean = files.filterNot(dv.contains)
       val sidecars = dvd.flatMap(dv).distinct
-      val marks = spark.read.schema("file STRING, pos LONG")
-        .parquet(sidecars: _*)
       val fp = "_graft_dv_fp"
       val ri = "_graft_dv_ri"
-      val masked = plain(dvd)
+      val withMeta = plain(dvd)
         .select(col("*"), col("_metadata.file_path").as(fp),
           col("_metadata.row_index").as(ri))
-        .join(marks, col(fp) === marks("file") && col(ri) === marks("pos"),
-          "left_anti")
-        .drop(fp, ri)
+      val sidecarBytes = sidecars.map(p =>
+        try Files.size(Paths.get(p))
+        catch { case _: Exception => DvInlineMaskMaxBytes + 1 }).sum
+      val masked =
+        (if (sidecarBytes <= DvInlineMaskMaxBytes) {
+          // small mask: collect per-file sorted positions (one
+          // sidecar-sized job) and evaluate in-plan — no join
+          val mask: Map[String, Array[Long]] =
+            spark.read.schema("file STRING, pos LONG").parquet(sidecars: _*)
+              .groupBy("file").agg(collect_list("pos").as("ps"))
+              .collect().map { r =>
+                r.getString(0) -> r.getSeq[Long](1).toArray.sorted
+              }.toMap
+          import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          withMeta.filter(not(org.apache.spark.sql.graftbridge.Bridge.column(
+            graft.functions.DvMaskHit(UnresolvedAttribute(Seq(fp)),
+              UnresolvedAttribute(Seq(ri)), mask))))
+        } else {
+          val marks = spark.read.schema("file STRING, pos LONG")
+            .parquet(sidecars: _*)
+          withMeta.join(marks,
+            col(fp) === marks("file") && col(ri) === marks("pos"),
+            "left_anti")
+        }).drop(fp, ri)
       if (clean.isEmpty) masked else masked.unionByName(plain(clean))
     }
   }

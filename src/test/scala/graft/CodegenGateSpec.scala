@@ -64,7 +64,13 @@ class CodegenGateSpec extends SparkSpec {
       // a model COLUMN must codegen like the literal fold it replaces),
       // and the flat-PQ probe retired from the bench headline (round-9
       // precedent: retired queries keep their codegen coverage here)
-      "ann_ivf_broadcast_assign", "ann_pq_rerank")).distinct
+      "ann_ivf_broadcast_assign", "ann_pq_rerank",
+      // round 15: the merge-on-read delete gate — its read-back takes
+      // the small-mask fast path, so the native DvMaskHit filter must
+      // compile under CODEGEN_ONLY (the masked scan exists to stay one
+      // codegen'd pipeline; a Janino failure here would silently hand
+      // the 3× win back)
+      "snap_delete_mor")).distinct
       .filter(SparkEntry.queries.contains)
 
   test("every gated query executes with codegen fallback disabled") {
