@@ -439,6 +439,50 @@ object MigrationOps {
     }
   }
 
+  /** [[graft.sources.SnapshotLog.updateWhereInMOR]] driver-gated — the
+    * MOR point UPDATE (mask old rows + append post-images in ONE
+    * commit): the 24 smallest orderkeys get +500 cents through the
+    * sidecar path, and the read-back must equal the CASE-expression
+    * oracle. The require()s pin the cost model: every pre-update file
+    * is CARRIED (none rewritten), the file list GREW (the post-image
+    * files), and dv entries exist. */
+  val snapUpdateMor: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_morupd_gate_")
+    try {
+      val tdir = scratchP.resolve("t").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.repartitionByRange(8, col("o_custkey")))
+      val keys: Seq[Any] = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+      val before = graft.sources.SnapshotLog
+        .pruneFiles(tdir, "o_orderkey", None, None)._1
+      val v = graft.sources.SnapshotLog.updateWhereInMOR(
+        s, tdir, "o_orderkey", keys,
+        Map("o_price_c" -> (col("o_price_c") + lit(500L))))
+      val after = graft.sources.SnapshotLog
+        .pruneFiles(tdir, "o_orderkey", None, None)._1
+      require(before.forall(after.contains),
+        "MOR update rewrote a pre-update data file")
+      require(after.size > before.size,
+        "MOR update appended no post-image files")
+      require(graft.sources.SnapshotLog.dvAt(tdir, v).nonEmpty,
+        "MOR update published no deletion-vector entries")
+      val res = graft.sources.SnapshotLog.read(s, tdir)
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Runtime (DPP-style) file pruning through the snapshot catalog,
     * driver-gated: commit orders CUSTKEY-clustered as a catalog table,
     * join it to a selectively-filtered customer dim on the clustered
@@ -596,6 +640,7 @@ object MigrationOps {
     "snap_bloom_lookup" -> snapBloomLookup,
     "snap_delete_in" -> snapDeleteIn,
     "snap_delete_mor" -> snapDeleteMor,
+    "snap_update_mor" -> snapUpdateMor,
     "snap_runtime_prune_join" -> snapRuntimePruneJoin,
     "csv_ingest" -> csvIngest,
     "migrate_seq_counts" -> migrateSeqCounts)
@@ -721,6 +766,15 @@ object MigrationOps {
          FROM orders
          WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
+    // the MOR update (mask + post-image append, one commit) must equal
+    // the CASE-expression rewrite of the whole table
+    "snap_update_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) +
+             CASE WHEN o_orderkey IN
+               (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)
+             THEN 500 ELSE 0 END AS o_price_c
+         FROM orders""",
     // the runtime-pruned (DPP) dim join must equal the plain relational
     // join — file pruning, dynamic or static, is invisible in results
     "snap_runtime_prune_join" ->

@@ -1745,48 +1745,148 @@ object SnapshotLog {
     val keptSet = pruneCore(spark, tableDir, prevFiles, statsNode,
       logicalSchema, colmap, column, values).toSet
     val affected = prevFiles.filter(keptSet)
-    val newDv: Map[String, Seq[String]] =
-      if (affected.isEmpty) prevDv
-      else {
-        val dd = Paths.get(tableDir, "data",
-          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-        val physOpt = logicalSchema.map(physSchema(_, colmap))
-        // positions of matching rows; write parallelism follows the
-        // candidate scan (the sidecar is delete-sized either way)
-        physOpt.fold(spark.read)(spark.read.schema).parquet(affected: _*)
-          .select(col("_metadata.file_path").as("file"),
-            col("_metadata.row_index").as("pos"),
-            col(pcol).as("_graft_dv_k"))
-          .filter(col("_graft_dv_k").isin(values: _*))
-          .select("file", "pos")
-          .write.mode("overwrite").parquet(dd.toString)
-        val sidecars = listDir(dd)
-          .filter(_.toString.endsWith(".parquet"))
-          .map(p => canon(p).toString).sorted
-        // which data files actually hold marked rows: sidecar-sized
-        val touchedMeta = spark.read.schema("file STRING, pos LONG")
-          .parquet(sidecars: _*)
-          .select("file").distinct().collect().map(_.getString(0)).toSeq
-        if (touchedMeta.isEmpty) {
-          deleteRecursively(dd) // nothing matched: no sidecar, no entry
-          prevDv
-        } else {
-          // metadata spelling (a file: URI) → the manifest's canonical
-          // spelling, loudly — a mapping miss must never publish an
-          // entry the readers' contains() would not find
-          val byCanon = affected.map(f =>
-            canon(Paths.get(f)).toString -> f).toMap
-          val touched = touchedMeta.map { fp =>
-            val p = try Paths.get(java.net.URI.create(fp))
-              catch { case _: Exception => Paths.get(fp) }
-            byCanon.getOrElse(canon(p).toString, sys.error(
-              s"dv file_path $fp resolves outside the affected set"))
-          }
-          prevDv ++ touched.map(f =>
-            f -> (prevDv.getOrElse(f, Nil) ++ sidecars))
-        }
-      }
+    val physOpt = logicalSchema.map(physSchema(_, colmap))
+    val newDv = morMarks(spark, tableDir, v, affected, physOpt,
+      pcol, values, prevDv)
     publish(tableDir, v, prevFiles, carriedStats(prevManifest, prevFiles),
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest), dv = newDv)
+    v
+  }
+
+  /** The shared mark-building half of the MOR verbs: write a sidecar
+    * of the matching rows' (file_path, row_index) under version `v`'s
+    * data dir and fold the entries into `prevDv`. Positions come from
+    * a RAW (mask-free) read — re-marking an already-masked position is
+    * a harmless duplicate under the mask application, and the raw read
+    * keeps this a plain vectorized scan. Returns `prevDv` untouched
+    * (and removes the scratch dir) when nothing matched. */
+  private def morMarks(spark: SparkSession, tableDir: String, v: Long,
+      affected: Seq[String],
+      physOpt: Option[org.apache.spark.sql.types.StructType],
+      pcol: String, values: Seq[Any],
+      prevDv: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions.col
+    if (affected.isEmpty) return prevDv
+    val dd = Paths.get(tableDir, "data",
+      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    // positions of matching rows; write parallelism follows the
+    // candidate scan (the sidecar is delete-sized either way)
+    physOpt.fold(spark.read)(spark.read.schema).parquet(affected: _*)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"),
+        col(pcol).as("_graft_dv_k"))
+      .filter(col("_graft_dv_k").isin(values: _*))
+      .select("file", "pos")
+      .write.mode("overwrite").parquet(dd.toString)
+    val sidecars = listDir(dd)
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => canon(p).toString).sorted
+    // which data files actually hold marked rows: sidecar-sized
+    val touchedMeta = spark.read.schema("file STRING, pos LONG")
+      .parquet(sidecars: _*)
+      .select("file").distinct().collect().map(_.getString(0)).toSeq
+    if (touchedMeta.isEmpty) {
+      deleteRecursively(dd) // nothing matched: no sidecar, no entry
+      prevDv
+    } else {
+      // metadata spelling (a file: URI) → the manifest's canonical
+      // spelling, loudly — a mapping miss must never publish an
+      // entry the readers' contains() would not find
+      val byCanon = affected.map(f =>
+        canon(Paths.get(f)).toString -> f).toMap
+      val touched = touchedMeta.map { fp =>
+        val p = try Paths.get(java.net.URI.create(fp))
+          catch { case _: Exception => Paths.get(fp) }
+        byCanon.getOrElse(canon(p).toString, sys.error(
+          s"dv file_path $fp resolves outside the affected set"))
+      }
+      prevDv ++ touched.map(f =>
+        f -> (prevDv.getOrElse(f, Nil) ++ sidecars))
+    }
+  }
+
+  /** MERGE-ON-READ point UPDATE — [[updateWhereIn]]'s cost-model twin,
+    * the Delta-DV update shape: ONE commit that (a) MASKS the matching
+    * rows' positions via a sidecar (exactly [[deleteWhereInMOR]]'s
+    * marks) and (b) APPENDS the post-image rows — the matching rows
+    * read THROUGH the existing mask (an already-deleted row must not
+    * resurrect as an updated one) with each `set` assignment applied —
+    * as new data files. Affected files carry byte-identical, so the
+    * write cost is O(matching rows), not O(affected files rewritten).
+    * Readers see masked-old + appended-new atomically at the published
+    * version; a second MOR update of the same key hits the post-image
+    * row (it lives in an unmasked new file). Same guardrails as
+    * [[updateWhereIn]]: assignments never change the schema (loud
+    * require before publish), NULL `column` values never match.
+    * Publishes as the next version; returns it. */
+  def updateWhereInMOR(spark: SparkSession, tableDir: String,
+      column: String, values: Seq[Any],
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "updateWhereInMOR wants at least one assignment")
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val statsNode = prevManifest.get("stats")
+    val colmap = colmapOf(prevManifest)
+    val pcol = physName(colmap, column)
+    val prevDv = dvOf(prevManifest)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val keptSet = pruneCore(spark, tableDir, prevFiles, statsNode,
+      logicalSchema, colmap, column, values).toSet
+    val affected = prevFiles.filter(keptSet)
+    val physOpt = logicalSchema.map(physSchema(_, colmap))
+    val (newFiles, newDv) =
+      if (affected.isEmpty) (Nil, prevDv)
+      else {
+        // post-images FIRST (through the current mask), then the marks:
+        // both scans are candidate-sized, and the order keeps the
+        // post-image read free of this commit's own sidecar
+        val base = readFiles(spark, affected, logicalSchema, colmap,
+          prevDv.view.filterKeys(affected.toSet).toMap)
+          .filter(col(column).isin(values: _*))
+        set.keys.foreach(c => require(base.columns.contains(c),
+          s"updateWhereInMOR assigns unknown column $c — updates never " +
+            "add columns"))
+        val updated = base.select(base.columns.map { c =>
+          set.get(c).map(_.as(c)).getOrElse(col(c))
+        }.toSeq: _*)
+        // names and types must hold exactly; nullability may only
+        // NARROW (an unconditional `lit(x)` assignment is naturally
+        // non-nullable, and a required parquet column reads fine under
+        // the recorded optional schema — the reverse would let nulls
+        // into a claimed-non-null column and fails)
+        val schemaOk =
+          updated.schema.fields.length == base.schema.fields.length &&
+            updated.schema.fields.zip(base.schema.fields).forall {
+              case (w, r) => w.name == r.name && w.dataType == r.dataType &&
+                (r.nullable || !w.nullable)
+            }
+        require(schemaOk,
+          s"updateWhereInMOR must preserve the schema: " +
+            s"${base.schema} -> ${updated.schema}")
+        val out =
+          if (colmap.isEmpty) updated
+          else updated.toDF(
+            base.columns.map(physName(colmap, _)).toIndexedSeq: _*)
+        val pd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        out.write.mode("overwrite").parquet(pd.toString)
+        val nf = listDir(pd).filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+        (nf, morMarks(spark, tableDir, v, affected, physOpt,
+          pcol, values, prevDv))
+      }
+    publish(tableDir, v, prevFiles ++ newFiles,
+      carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv)
     v

@@ -199,6 +199,46 @@ class SnapshotMorSpec extends SparkSpec {
     assert(run(ignore = true) == 100L)
   }
 
+  test("a MOR update masks the old rows and appends post-images in one commit") {
+    val t = freshTable("upd")
+    val before = files(t)
+    SnapshotLog.updateWhereInMOR(spark, t, "k", Seq(17L, 2100L),
+      Map("v" -> lit(-5L)))
+    // count unchanged; exactly the two post-image rows carry the value
+    val df = SnapshotLog.read(spark, t)
+    assert(df.count() == 4000)
+    assert(df.filter(col("v") === -5L).select("k").as[Long](
+      spark.implicits.newLongEncoder).collect().toSet == Set(17L, 2100L))
+    // affected files carried byte-identical; post-images are NEW files
+    val after = files(t)
+    assert(before.forall(after.contains), "MOR update rewrote a data file")
+    assert(after.size > before.size, "MOR update appended no post-image file")
+    // time travel shows the pre-update values
+    assert(SnapshotLog.read(spark, t, asOf = Some(0L))
+      .filter(col("v") === -5L).count() == 0)
+    // a SECOND update of the same key hits the post-image row
+    SnapshotLog.updateWhereInMOR(spark, t, "k", Seq(17L),
+      Map("v" -> lit(-6L)))
+    val df2 = SnapshotLog.read(spark, t)
+    assert(df2.count() == 4000)
+    assert(df2.filter(col("k") === 17L).select("v").head().getLong(0) == -6L)
+    assert(df2.filter(col("v") === -5L).count() == 1) // 2100 unchanged
+    // an update of a MOR-DELETED key must not resurrect it
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(2100L))
+    SnapshotLog.updateWhereInMOR(spark, t, "k", Seq(2100L),
+      Map("v" -> lit(-7L)))
+    val df3 = SnapshotLog.read(spark, t)
+    assert(df3.filter(col("k") === 2100L).count() == 0,
+      "updating a deleted key resurrected it")
+    assert(df3.count() == 3999)
+    // compaction materializes the whole history: values persist, dv gone
+    val cv = SnapshotLog.compactDeletes(spark, t)
+    assert(SnapshotLog.dvAt(t, cv).isEmpty)
+    val df4 = SnapshotLog.read(spark, t)
+    assert(df4.count() == 3999)
+    assert(df4.filter(col("k") === 17L).select("v").head().getLong(0) == -6L)
+  }
+
   test("vacuum protects referenced sidecars; compact + expire + vacuum erases") {
     val t = freshTable("erase", n = 400, files = 2)
     val subject = 137L
