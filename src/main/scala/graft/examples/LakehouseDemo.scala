@@ -31,7 +31,12 @@ import graft.sources.SnapshotLog
   *  10. column RENAME + DROP through the column map (logical names
   *      over immutable physical names): metadata-only commits — same
   *      files byte-for-byte — with appends speaking the current
-  *      logical names afterwards.
+  *      logical names afterwards;
+  *  11. the bloom index: point lookups + point DML on the unclustered
+  *      key, refresh covering the rewrites;
+  *  12. MERGE-ON-READ point DML: delete + update via position
+  *      sidecars (no files rewritten), SQL protocol-gated until
+  *      `compactDeletes` materializes the masks.
   *
   * Usage: runMain graft.examples.LakehouseDemo /tmp/graft_lakehouse
   */
@@ -178,6 +183,36 @@ object LakehouseDemo {
     val refreshed = SnapshotLog.refreshBloomIndex(spark, t, "key")
     require(refreshed > 0, "the DML rewrites must leave files to refresh")
 
+    // 12. MERGE-ON-READ point DML — the high-churn cost model: the
+    // delete/update write position SIDECARS instead of rewriting files
+    // (files carried byte-identical; masked reads apply the dv), the
+    // SQL catalog REFUSES the dv-bearing version loudly (protocol
+    // gating), and compactDeletes materializes the masks and restores
+    // SQL readability
+    val preMorFiles = SnapshotLog.pruneFiles(t, "key", None, None)._1
+    val preMorCount = SnapshotLog.read(spark, t).count()
+    SnapshotLog.deleteWhereInMOR(spark, t, "key", Seq(40000L))
+    SnapshotLog.updateWhereInMOR(spark, t, "key", Seq(40050L),
+      Map("source" -> lit("MOR-REDACTED")))
+    val morFiles = SnapshotLog.pruneFiles(t, "key", None, None)._1
+    require(preMorFiles.forall(morFiles.contains),
+      "MOR DML must not rewrite any pre-existing data file")
+    val morServed = SnapshotLog.readWhereIn(spark, t, "key", probe)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    require(morServed == Map(40050L -> "MOR-REDACTED"),
+      s"MOR DML accounting: $morServed")
+    require(SnapshotLog.read(spark, t).count() == preMorCount - 1)
+    val sqlRefused =
+      try { spark.sql("SELECT count(*) FROM demo.lake.events").collect(); false }
+      catch { case e: Exception =>
+        e.getMessage.contains("deletion vectors") }
+    require(sqlRefused, "SQL must refuse a dv-bearing version loudly")
+    val compactV = SnapshotLog.compactDeletes(spark, t)
+    require(SnapshotLog.dvAt(t, compactV).isEmpty)
+    require(spark.sql("SELECT count(*) FROM demo.lake.events")
+      .head().getLong(0) == preMorCount - 1,
+      "SQL must read again after compaction")
+
     println(s"LAKEHOUSE: versions=0->${SnapshotLog.latestVersion(t).get} " +
       s"files=$total->$totalOpt pruned_ask=${kept.size}->${keptOpt.size} " +
       s"rows=32000->$afterDelete cdc_deletes=${ops("delete")} " +
@@ -185,7 +220,8 @@ object LakehouseDemo {
       s"evolved_cols=2->${evolved.columns.length} " +
       s"renamed=src->source dropped=payload " +
       s"bloom_indexed=$nIndexed bloom_ask=${bkept.size}/$btotal " +
-      s"point_dml=redact+erase refreshed=$refreshed")
+      s"point_dml=redact+erase refreshed=$refreshed " +
+      s"mor=delete+update+compact@v$compactV")
     spark.stop()
   }
 }
