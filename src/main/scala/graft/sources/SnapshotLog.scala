@@ -395,8 +395,13 @@ object SnapshotLog {
     * throughput — MorPlanProbe); bigger masks keep the broadcast
     * anti-join, which is exactly the machinery built for a build side
     * too big to ship with the plan. Sized on FILE bytes (driver-side,
-    * no job): 16 MB of (string, long) parquet is ≥ ~1M positions. */
-  private val DvInlineMaskMaxBytes = 16L * 1024 * 1024
+    * no job): 16 MB of (string, long) parquet is ≥ ~1M positions.
+    * Overridable per session via `spark.graft.dv.inlineMaskMaxBytes`
+    * (0 forces the join path — the spec's lever; production reasons
+    * to touch it are rare). */
+  private def dvInlineMaskMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.inlineMaskMaxBytes")
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
 
   private def readPhysical(spark: SparkSession, files: Seq[String],
       physSchemaOpt: Option[org.apache.spark.sql.types.StructType],
@@ -414,11 +419,12 @@ object SnapshotLog {
       val withMeta = plain(dvd)
         .select(col("*"), col("_metadata.file_path").as(fp),
           col("_metadata.row_index").as(ri))
+      val inlineMax = dvInlineMaskMaxBytes(spark)
       val sidecarBytes = sidecars.map(p =>
         try Files.size(Paths.get(p))
-        catch { case _: Exception => DvInlineMaskMaxBytes + 1 }).sum
+        catch { case _: Exception => inlineMax + 1 }).sum
       val masked =
-        (if (sidecarBytes <= DvInlineMaskMaxBytes) {
+        (if (sidecarBytes <= inlineMax && inlineMax > 0) {
           // small mask: collect per-file sorted positions (one
           // sidecar-sized job) and evaluate in-plan — no join
           val mask: Map[String, Array[Long]] =

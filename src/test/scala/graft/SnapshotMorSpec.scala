@@ -239,6 +239,32 @@ class SnapshotMorSpec extends SparkSpec {
     assert(df4.filter(col("k") === 17L).select("v").head().getLong(0) == -6L)
   }
 
+  test("small masks filter in-plan (DvMaskHit, no join); the conf lever forces the anti-join — same rows") {
+    val t = freshTable("planshape")
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(8L, 2500L))
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // materialize so AQE's final shape exists
+      df.queryExecution.executedPlan.toString
+    }
+    // default: sidecars are tiny — the mask rides the plan as the
+    // native filter, no anti-join anywhere
+    val fast = SnapshotLog.read(spark, t)
+    val fastPlan = planOf(fast)
+    assert(fastPlan.contains("graft_dv_mask_hit"), fastPlan.take(800))
+    assert(!fastPlan.contains("LeftAnti"), fastPlan.take(800))
+    // threshold 0: the join path — LeftAnti present, mask filter absent
+    spark.conf.set("spark.graft.dv.inlineMaskMaxBytes", "0")
+    try {
+      val joined = SnapshotLog.read(spark, t)
+      val joinedPlan = planOf(joined)
+      assert(joinedPlan.contains("LeftAnti"), joinedPlan.take(800))
+      assert(!joinedPlan.contains("graft_dv_mask_hit"), joinedPlan.take(800))
+      // the two regimes agree row-for-row
+      assert(joined.count() == 3998 && fast.count() == 3998)
+      assert(joined.select("k").except(fast.select("k")).count() == 0)
+    } finally spark.conf.unset("spark.graft.dv.inlineMaskMaxBytes")
+  }
+
   test("vacuum protects referenced sidecars; compact + expire + vacuum erases") {
     val t = freshTable("erase", n = 400, files = 2)
     val subject = 137L
