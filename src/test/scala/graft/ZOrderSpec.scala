@@ -95,4 +95,36 @@ class ZOrderSpec extends SparkSpec {
     assert(on2d <= 4, s"z layout 2-d box needed $on2d of $NFiles")
     assert(on2d <= onX && on2d <= onY)
   }
+
+  test("OPTIMIZE ZORDER BY through the snapshot log: manifest stats prune on either dimension") {
+    // the verb, not just the layout: commit the same rows round-robin
+    // (pruning-hostile), optimize(zOrderBy), and ask the MANIFEST's own
+    // stats (pruneFiles — what catalog scans and readWhere consult) a
+    // box question per dimension; rows must survive the rewrite exactly
+    import sources.SnapshotLog
+    val t = s"$scratch/lake_zorder/t"
+    val rows = keyed.select("l_orderkey", "l_linenumber", "x", "y")
+    SnapshotLog.commit(spark, t, rows.repartition(NFiles))
+    val (k0x, tot0) = SnapshotLog.pruneFiles(t, "x", Some(32L), Some(63L))
+    assert(k0x.size == tot0, "round-robin layout should prune nothing")
+    SnapshotLog.optimize(spark, t,
+      targetRecordsPerFile = math.max(1L, rows.count() / NFiles),
+      zOrderBy = Seq("x", "y"))
+    val (kx, tx) = SnapshotLog.pruneFiles(t, "x", Some(32L), Some(63L))
+    val (ky, ty) = SnapshotLog.pruneFiles(t, "y", Some(96L), Some(127L))
+    assert(kx.size <= tx / 2, s"x-box kept ${kx.size}/$tx after ZORDER")
+    assert(ky.size <= ty / 2, s"y-box kept ${ky.size}/$ty after ZORDER")
+    // semantics invisible: the rewrite is the same multiset of rows
+    assert(SnapshotLog.read(spark, t).count() == rows.count())
+    assert(SnapshotLog.readWhere(spark, t, "x", Some(32L), Some(63L)).count()
+      == rows.filter(col("x").between(32, 63)).count())
+    // guardrails: both layouts at once, wrong arity, non-numeric
+    intercept[IllegalArgumentException] {
+      SnapshotLog.optimize(spark, t, 1000L,
+        clusterBy = Seq("x"), zOrderBy = Seq("x", "y"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.optimize(spark, t, 1000L, zOrderBy = Seq("x"))
+    }
+  }
 }
