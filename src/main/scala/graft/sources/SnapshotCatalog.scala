@@ -301,6 +301,7 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     * lifecycle, from metadata already in hand (no extra I/O). */
   override def properties(): util.Map[String, String] = Map(
     "snapshot.version" -> version.toString,
+    "snapshot.op" -> SnapshotLog.opAt(tableDir, version),
     "snapshot.files" -> files.size.toString,
     "snapshot.stats" -> (stats != null).toString,
     "snapshot.columnMapped" -> colmap.nonEmpty.toString).asJava

@@ -353,6 +353,46 @@ object SnapshotLog {
       e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
       .toMap).getOrElse(Map.empty)
 
+  /** One row of [[history]]: which verb published the version, when
+    * (epoch millis; 0 on pre-provenance manifests, whose `op` reads
+    * "unknown"), and the manifest's file / dv-sidecar counts. */
+  final case class VersionEntry(version: Long, op: String, tsMillis: Long,
+      files: Int, dvFiles: Int)
+
+  /** DESCRIBE HISTORY at this log's minimum: the surviving manifests'
+    * operation provenance, newest first. Reads only the `_log`
+    * directory (one small JSON per version — no data I/O); versions
+    * removed by [[expireVersions]] are simply absent, the same
+    * contiguous-suffix shape every other reader sees. Advisory
+    * metadata: nothing in the read path depends on it, which is what
+    * lets pre-provenance manifests coexist as "unknown". */
+  def history(tableDir: String): Seq[VersionEntry] = {
+    val ld = logDir(tableDir)
+    if (!Files.isDirectory(ld)) return Nil
+    listDir(ld)
+      .filter(p => p.getFileName.toString.endsWith(".json") &&
+        !p.getFileName.toString.startsWith("."))
+      .map { p =>
+        val node = mapper.readTree(Files.readString(p))
+        VersionEntry(
+          p.getFileName.toString.stripSuffix(".json").toLong,
+          Option(node.get("op")).map(_.asText()).getOrElse("unknown"),
+          Option(node.get("ts")).map(_.asLong()).getOrElse(0L),
+          node.get("files").size(),
+          dvOf(node).values.flatten.toSeq.distinct.size)
+      }
+      .sortBy(-_.version)
+  }
+
+  /** The verb that published version `v` ("unknown" pre-provenance) —
+    * [[history]]'s single-version point read, for DESCRIBE TABLE. */
+  private[sources] def opAt(tableDir: String, v: Long): String = {
+    val p = logDir(tableDir).resolve(s"$v.json")
+    if (!Files.exists(p)) return "unknown"
+    Option(mapper.readTree(Files.readString(p)).get("op"))
+      .map(_.asText()).getOrElse("unknown")
+  }
+
   /** [[dvOf]] at an exact committed version — which data files carry a
     * merge-on-read deletion mask, and through which sidecars. Public
     * observability (the streaming source's change detection, specs,
@@ -1165,7 +1205,7 @@ object SnapshotLog {
     * against version N silently land at N+2 after an interleaved
     * commit: a lost update that never surfaces as a conflict. */
   private def commitAt(spark: SparkSession, tableDir: String,
-      df: DataFrame, v: Long): Long = {
+      df: DataFrame, v: Long, op: String = "commit"): Long = {
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(dd.toString)
@@ -1179,7 +1219,7 @@ object SnapshotLog {
     // merging a million footers
     val schema = try Some(spark.read.parquet(dd.toString).schema.json)
       catch { case _: Exception => None }
-    publish(tableDir, v, files, stats, schema)
+    publish(tableDir, v, files, stats, schema, op = op)
     v
   }
 
@@ -1360,7 +1400,7 @@ object SnapshotLog {
     val files = node.get("files").elements().asScala.map(_.asText()).toSeq
     publish(tableDir, baseV + 1, files, carriedStats(node, files),
       Some(newSchema.json), orderedColmap(Some(newSchema), newColmap),
-      retiredOf(node), dv = dvOf(node))
+      retiredOf(node), dv = dvOf(node), op = "rename-column")
     baseV + 1
   }
 
@@ -1410,7 +1450,7 @@ object SnapshotLog {
     val files = node.get("files").elements().asScala.map(_.asText()).toSeq
     publish(tableDir, baseV + 1, files, carriedStats(node, files),
       Some(newSchema.json), orderedColmap(Some(newSchema), newColmap),
-      retiredOf(node), dv = dvOf(node))
+      retiredOf(node), dv = dvOf(node), op = "add-column")
     baseV + 1
   }
 
@@ -1448,7 +1488,8 @@ object SnapshotLog {
     publish(tableDir, baseV + 1, files, carriedStats(node, files),
       Some(newSchema.json),
       orderedColmap(Some(newSchema), colmap0 - name),
-      retiredOf(node) :+ colmap0(name), dv = dvOf(node))
+      retiredOf(node) :+ colmap0(name), dv = dvOf(node),
+      op = "drop-column")
     baseV + 1
   }
 
@@ -1530,7 +1571,8 @@ object SnapshotLog {
     val newStats = harvestStats(newFiles)
     val carried = carriedStats(prevManifest, prevFiles)
     publish(tableDir, v, prevFiles ++ newFiles, carried ++ newStats,
-      Some(published.json), newColmap, retired, dv = dvOf(prevManifest))
+      Some(published.json), newColmap, retired, dv = dvOf(prevManifest),
+      op = "append")
     v
   }
 
@@ -1636,7 +1678,8 @@ object SnapshotLog {
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest),
-      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap,
+      op = "delete-where")
     v
   }
 
@@ -1698,7 +1741,8 @@ object SnapshotLog {
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest),
-      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap,
+      op = "delete-where-in")
     v
   }
 
@@ -1756,7 +1800,7 @@ object SnapshotLog {
       pcol, values, prevDv)
     publish(tableDir, v, prevFiles, carriedStats(prevManifest, prevFiles),
       schemaJson, orderedColmap(logicalSchema, colmap),
-      retiredOf(prevManifest), dv = newDv)
+      retiredOf(prevManifest), dv = newDv, op = "delete-where-in-mor")
     v
   }
 
@@ -1894,7 +1938,7 @@ object SnapshotLog {
     publish(tableDir, v, prevFiles ++ newFiles,
       carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
       schemaJson, orderedColmap(logicalSchema, colmap),
-      retiredOf(prevManifest), dv = newDv)
+      retiredOf(prevManifest), dv = newDv, op = "update-where-in-mor")
     v
   }
 
@@ -1933,7 +1977,7 @@ object SnapshotLog {
     publish(tableDir, v, untouched ++ newFiles,
       carriedStats(prevManifest, untouched) ++ harvestStats(newFiles),
       schemaJson, orderedColmap(logicalSchema, colmap),
-      retiredOf(prevManifest))
+      retiredOf(prevManifest), op = "compact-deletes")
     v
   }
 
@@ -2020,7 +2064,8 @@ object SnapshotLog {
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest),
-      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap,
+      op = "update-where")
     v
   }
 
@@ -2087,7 +2132,8 @@ object SnapshotLog {
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest),
-      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap,
+      op = "update-where-in")
     v
   }
 
@@ -2268,7 +2314,8 @@ object SnapshotLog {
     publish(tableDir, v, untouched ++ newFiles, carried ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest),
-      dv = prevDv.view.filterKeys(untouched.toSet).toMap)
+      dv = prevDv.view.filterKeys(untouched.toSet).toMap,
+      op = "merge")
     v
   }
 
@@ -2352,7 +2399,8 @@ object SnapshotLog {
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df.repartition(nFiles)
-    val v = commitAt(spark, tableDir, arranged, baseV + 1)
+    val v = commitAt(spark, tableDir, arranged, baseV + 1,
+      op = if (zOrderBy.nonEmpty) "optimize-zorder" else "optimize")
     // a clustered rewrite replaces EVERY file — without maintenance the
     // whole bloom index goes stale at once (lookups keep everything
     // until a refresh). Maintenance is post-commit and advisory: a
@@ -2402,10 +2450,17 @@ object SnapshotLog {
       schemaJson: Option[String] = None,
       colmap: Seq[(String, String)] = Nil,
       retired: Seq[String] = Nil,
-      dv: Map[String, Seq[String]] = Map.empty): Unit = {
+      dv: Map[String, Seq[String]] = Map.empty,
+      op: String = "commit"): Unit = {
     Files.createDirectories(logDir(tableDir))
     val root = mapper.createObjectNode()
     root.put("version", v)
+    // operation provenance (DESCRIBE HISTORY's raw material): which
+    // verb published this version, and when. Advisory metadata only —
+    // no reader semantics hang on it, and pre-round-15 manifests
+    // simply lack the fields ([[history]] reads them as "unknown"/0)
+    root.put("op", op)
+    root.put("ts", System.currentTimeMillis())
     schemaJson.foreach(s => root.put("schema", s): Unit)
     if (dv.nonEmpty) {
       // every dv key must be a published data file — a stale entry for

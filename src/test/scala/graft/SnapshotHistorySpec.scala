@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import sources.SnapshotLog
+
+/** Operation provenance ([[SnapshotLog.history]] — DESCRIBE HISTORY at
+  * the log's minimum): every publishing verb stamps its name and a
+  * timestamp in the manifest; history reads them newest-first from the
+  * `_log` listing alone (no data I/O). Advisory metadata — the read
+  * path never consults it — so pre-provenance manifests coexist as
+  * "unknown" and nothing else changes shape. */
+class SnapshotHistorySpec extends SparkSpec {
+
+  test("a lifecycle's history names every verb, newest first") {
+    val t = Files.createTempDirectory("graft_hist_").toString + "/t"
+    def rows(from: Long, n: Long) = spark.range(from, from + n).select(
+      col("id").as("k"), (col("id") % 7).as("v"))
+    SnapshotLog.commit(spark, t, rows(0, 1000).repartitionByRange(2, col("k")))
+    SnapshotLog.commitAppend(spark, t, rows(1000, 500))
+    SnapshotLog.deleteWhere(spark, t, "k", Some(0L), Some(9L))
+    SnapshotLog.updateWhereIn(spark, t, "k", Seq(100L), Map("v" -> lit(-1L)))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(200L))
+    SnapshotLog.compactDeletes(spark, t)
+    SnapshotLog.optimize(spark, t, targetRecordsPerFile = 1000L,
+      clusterBy = Seq("k"))
+    SnapshotLog.renameColumn(t, "v", "val")
+    val h = SnapshotLog.history(t)
+    assert(h.map(_.version) == (7L to 0L by -1L),
+      s"versions: ${h.map(_.version)}")
+    assert(h.map(_.op) == Seq("rename-column", "optimize",
+      "compact-deletes", "delete-where-in-mor", "update-where-in",
+      "delete-where", "append", "commit"), s"ops: ${h.map(_.op)}")
+    // timestamps are set and non-decreasing oldest->newest
+    val ts = h.reverse.map(_.tsMillis)
+    assert(ts.forall(_ > 0) && ts.zip(ts.tail).forall { case (a, b) => a <= b },
+      s"ts: $ts")
+    // the MOR version is the only one carrying dv sidecars
+    assert(h.find(_.op == "delete-where-in-mor").get.dvFiles > 0)
+    assert(h.filterNot(_.op == "delete-where-in-mor").forall(_.dvFiles == 0))
+    // expiry drops rows from history like every other reader
+    SnapshotLog.expireVersions(t, keepLast = 2)
+    assert(SnapshotLog.history(t).map(_.version) == Seq(7L, 6L))
+  }
+
+  test("DESCRIBE TABLE surfaces the publishing op through the catalog") {
+    val root = Files.createTempDirectory("graft_hist_cat_").toString
+    val t = s"$root/lake/tbl"
+    SnapshotLog.commit(spark, t, spark.range(100).select(
+      col("id").as("k"), (col("id") % 7).as("v")))
+    SnapshotLog.commitAppend(spark, t, spark.range(100, 150).select(
+      col("id").as("k"), (col("id") % 7).as("v")))
+    val cat = s"histcat_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.lake.tbl")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val tblProps = props.getOrElse("Table Properties", "")
+      assert(tblProps.contains("snapshot.op=append"), tblProps)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+}
