@@ -315,6 +315,45 @@ object MigrationOps {
     }
   }
 
+  /** [[graft.sources.SnapshotLog.mergeIntoMOR]] driver-gated —
+    * [[snapMergeInto]]'s merge-on-read twin, SAME oracle: the feed's
+    * churn lands as position masks + post-image appends instead of
+    * survivor rewrites, and the committed table must still equal the
+    * relational apply semantics. The require()s pin the cost model:
+    * every pre-merge data file is carried byte-identical and the
+    * manifest carries dv entries. */
+  val snapMergeMor: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_mergemor_gate_")
+    try {
+      val tdir = scratchP.resolve("t").toString
+      val v0 = cdcSnapshot(s, dir).select(col("key"),
+        col("s_custkey").as("custkey"), col("s_status").as("status"),
+        col("s_price_c").as("price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        v0.repartitionByRange(8, col("key")).sortWithinPartitions("key"))
+      val before = graft.sources.SnapshotLog
+        .pruneFiles(tdir, "key", None, None)._1
+      val v = graft.sources.SnapshotLog.mergeIntoMOR(
+        s, tdir, cdcTableDiff(s, dir), "key")
+      val after = graft.sources.SnapshotLog
+        .pruneFiles(tdir, "key", None, None)._1
+      require(before.forall(after.contains),
+        "MOR merge rewrote a pre-merge data file")
+      require(graft.sources.SnapshotLog.dvAt(tdir, v).nonEmpty,
+        "MOR merge published no deletion-vector entries")
+      val merged = graft.sources.SnapshotLog.read(s, tdir)
+      val local = java.util.Arrays.asList(merged.collect(): _*)
+      s.createDataFrame(local, merged.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.writeBloomIndex]] /
     * [[graft.sources.SnapshotLog.readWhereIn]] driver-gated, full
     * lifecycle: commit half the orders snapshot CUSTKEY-clustered (so
@@ -637,6 +676,7 @@ object MigrationOps {
     "cdc_merge_upsert" -> cdcMergeUpsert,
     "cdc_table_diff" -> cdcTableDiff,
     "snap_merge_into" -> snapMergeInto,
+    "snap_merge_mor" -> snapMergeMor,
     "snap_bloom_lookup" -> snapBloomLookup,
     "snap_delete_in" -> snapDeleteIn,
     "snap_delete_mor" -> snapDeleteMor,
@@ -741,6 +781,10 @@ object MigrationOps {
     // result (the applyDiff theorem), so it shares the SAME oracle text
     // — one source of truth for the whole merge family's semantics
     "snap_merge_into" -> cdcMergeUpsertSql,
+    // the MOR merge shares the COW merge's oracle verbatim — masks +
+    // post-image appends and survivor rewrites are two cost models for
+    // the one apply semantics
+    "snap_merge_mor" -> cdcMergeUpsertSql,
     // the bloom-pruned point lookup must equal the raw IN lookup —
     // pruning (stats stage, bloom stage, day-2 refresh) is invisible
     "snap_bloom_lookup" ->

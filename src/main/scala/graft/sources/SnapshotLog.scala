@@ -2319,6 +2319,149 @@ object SnapshotLog {
     v
   }
 
+  /** MERGE-ON-READ MERGE — [[mergeInto]]'s cost-model twin and the MOR
+    * family's capstone (Delta's DV-backed MERGE): the SAME apply
+    * semantics (post-image convention, upsert inserts, no-op absent
+    * deletes, one row per key), but NO survivor rewrite at all — one
+    * commit MASKS every row whose key is in the feed (a position
+    * sidecar over the stats+bloom candidates; the marks scan doubles
+    * as the find-touched probe) and APPENDS the feed's non-delete
+    * post-images as new files. The write bill is O(feed) + one
+    * candidate scan, independent of how many rows the touched files
+    * hold around the churn — the merge shape that stays an operation
+    * when every file is touched by one key (the worst COW case).
+    * Same trade as the other MOR verbs: masked reads until
+    * [[compactDeletes]], SQL protocol-gated meanwhile. Publishes as
+    * the next version; an empty feed returns the current version. */
+  def mergeIntoMOR(spark: SparkSession, tableDir: String,
+      changes: DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      lit, max, min, when}
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val statsNode = prevManifest.get("stats")
+    val colmap = colmapOf(prevManifest)
+    val prevDv = dvOf(prevManifest)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val logical = logicalSchema.getOrElse(
+      spark.read.parquet(prevFiles: _*).schema)
+    // the feed contract, verbatim from [[mergeInto]]
+    require(changes.columns.contains("op"),
+      "mergeIntoMOR wants a change feed with an op column — the tableDiff shape")
+    val feedCols = changes.columns.filterNot(_ == "op").toSet
+    require(feedCols == logical.fieldNames.toSet,
+      s"mergeIntoMOR feed must carry exactly the table's columns + op: " +
+        s"feed has ${feedCols.toSeq.sorted.mkString(",")}, table has " +
+        s"${logical.fieldNames.sorted.mkString(",")}")
+    require(logical.fieldNames.contains(key), s"unknown merge key $key")
+    logical.fields.foreach { f =>
+      val ft = changes.schema(f.name).dataType
+      require(ft == f.dataType,
+        s"mergeIntoMOR feed column ${f.name} is $ft, table records " +
+          s"${f.dataType} — post-images are written verbatim, so types " +
+          "must match exactly")
+    }
+    val kcol = col(key)
+    val pre = changes.agg(
+      count(lit(1)).as("n"), countDistinct(kcol).as("nk"),
+      min(kcol).as("lo"), max(kcol).as("hi"),
+      count(when(!col("op").isin("insert", "update", "delete"), 1)).as("badop"),
+      count(when(kcol.isNull, 1)).as("nullkey"),
+      count(when(col("op") =!= "delete", 1)).as("nins")).head()
+    if (pre.getLong(0) == 0L) return baseV
+    require(pre.getLong(5) == 0L, "mergeIntoMOR feed has NULL keys")
+    require(pre.getLong(4) == 0L,
+      "mergeIntoMOR feed has op values outside {insert, update, delete}")
+    require(pre.getLong(0) == pre.getLong(1),
+      s"mergeIntoMOR feed has ${pre.getLong(0)} rows over " +
+        s"${pre.getLong(1)} distinct keys — one row per key; compact " +
+        "multi-version batches with cdcChangelogCompact first")
+    val nIns = pre.getLong(6)
+    val pkey = physName(colmap, key)
+    // stage 1 + 1.5, exactly [[mergeInto]]'s: stats interval, then the
+    // bloom screen for small keyed feeds
+    val (statsCandidates, _) = prevFiles.partition(f =>
+      keepFile(statsNode, f, pkey, Some(pre.get(2)), Some(pre.get(3))))
+    val candidates =
+      if (pre.getLong(1) > 10000L
+          || !Files.exists(bloomIndexDir(tableDir, pkey).resolve("meta.json")))
+        statsCandidates
+      else {
+        val feedKeys = changes.select(kcol).distinct()
+          .collect().map(_.get(0)).toSeq
+        pruneCore(spark, tableDir, statsCandidates, statsNode,
+          logicalSchema, colmap, key, feedKeys)
+      }
+    val physOpt = Some(physSchema(logical, colmap))
+    // marks: the candidates' rows whose key is in the feed — ANY op
+    // (an insert on an existing key is an upsert, so the old row masks
+    // like an update's); doubles as the find-touched probe
+    val newDv: Map[String, Seq[String]] =
+      if (candidates.isEmpty) prevDv
+      else {
+        val dd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        physOpt.fold(spark.read)(spark.read.schema).parquet(candidates: _*)
+          .select(col("_metadata.file_path").as("file"),
+            col("_metadata.row_index").as("pos"),
+            col(pkey).as("_graft_k"))
+          .join(changes.select(kcol.as("_graft_k")).distinct(),
+            Seq("_graft_k"), "left_semi")
+          .select("file", "pos")
+          .write.mode("overwrite").parquet(dd.toString)
+        val sidecars = listDir(dd)
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+        val touchedMeta = spark.read.schema("file STRING, pos LONG")
+          .parquet(sidecars: _*)
+          .select("file").distinct().collect().map(_.getString(0)).toSeq
+        if (touchedMeta.isEmpty) {
+          deleteRecursively(dd)
+          prevDv
+        } else {
+          val byCanon = candidates.map(f =>
+            canon(Paths.get(f)).toString -> f).toMap
+          val touched = touchedMeta.map { fp =>
+            val p = try Paths.get(java.net.URI.create(fp))
+              catch { case _: Exception => Paths.get(fp) }
+            byCanon.getOrElse(canon(p).toString, sys.error(
+              s"dv file_path $fp resolves outside the candidate set"))
+          }
+          prevDv ++ touched.map(f =>
+            f -> (prevDv.getOrElse(f, Nil) ++ sidecars))
+        }
+      }
+    // post-images: every non-delete feed row, verbatim, as new files
+    val newFiles =
+      if (nIns == 0L) Nil
+      else {
+        val inserts = changes.filter(col("op") =!= "delete")
+          .select(logical.fieldNames.toIndexedSeq.map(col): _*)
+        val out =
+          if (colmap.isEmpty) inserts
+          else inserts.toDF(
+            logical.fieldNames.map(physName(colmap, _)).toIndexedSeq: _*)
+        val pd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        out.write.mode("overwrite").parquet(pd.toString)
+        listDir(pd).filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+      }
+    publish(tableDir, v, prevFiles ++ newFiles,
+      carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest), dv = newDv, op = "merge-mor")
+    v
+  }
+
   private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
   /** Table maintenance through the log — [[graft.sources.Compaction]]

@@ -86,10 +86,31 @@ object MorBench {
       val (_, compactSec) = timed(SnapshotLog.compactDeletes(spark, morT))
       val cleanAfter = med(timed(readAll(morT))._2)
 
+      // MERGE: the same K keys as a churn feed (half updates, half
+      // deletes, a few inserts) — COW rewrites every touched file's
+      // survivors, MOR masks + appends the post-images
+      import org.apache.spark.sql.DataFrame
+      def mergeFeed: DataFrame = {
+        val ks = keys.map(_.asInstanceOf[Long])
+        val del = ks.take(k / 2).map(x => (x, "delete", null: String, 0L))
+        val upd = ks.drop(k / 2).map(x => (x, "update", "post", -1L))
+        val ins = (0 until 8).map(i => (n * 2 + i, "insert", "new", -2L))
+        import spark.implicits._
+        (del ++ upd ++ ins).toDF("key", "op", "pay", "v")
+          .select(col("key"), col("op"), col("pay"), col("v"))
+      }
+      val cowM = mkTable("cowm")
+      val (_, cowMergeSec) = timed(SnapshotLog.mergeInto(spark, cowM, mergeFeed, "key"))
+      val morM = mkTable("morm")
+      val (_, morMergeSec) = timed(SnapshotLog.mergeIntoMOR(spark, morM, mergeFeed, "key"))
+      require(readAll(cowM) == readAll(morM),
+        "COW and MOR merge must agree on the surviving rows")
+
       println(f"MORBENCH: n=$n files=$nFiles k=$k pay=$pay " +
         f"cow_delete=$cowSec%.2fs mor_delete=$morSec%.2fs " +
         f"read_clean=$cleanSec%.2fs read_masked=$maskedSec%.2fs " +
-        f"compact=$compactSec%.2fs read_after_compact=$cleanAfter%.2fs")
+        f"compact=$compactSec%.2fs read_after_compact=$cleanAfter%.2fs " +
+        f"cow_merge=$cowMergeSec%.2fs mor_merge=$morMergeSec%.2fs")
     } finally {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(Files.walk(Paths.get(root))) { st =>

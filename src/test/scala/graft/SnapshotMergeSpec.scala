@@ -194,4 +194,48 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(r1.inputFiles.length <= 2)
     assert(r1.count() == 100)
   }
+
+  test("mergeIntoMOR lands the SAME content as the COW merge with ZERO files rewritten") {
+    // the apply theorem's MOR twin: one churn feed, both verbs, one
+    // expected content — plus the cost-model require()s the COW verb
+    // cannot make (every pre-merge file carried; masks, not rewrites)
+    val t = freshDir("merge_mor")
+    val v0 = (0L until 500L).map(k => (k, s"p$k", (k % 7).toInt))
+      .toDF("key", "payload", "range")
+    SnapshotLog.commit(spark, t, v0.repartition(4))
+    val changes = feed(
+      (0L until 500L by 10L).map(k => (k, "delete", null: String, null: Integer)) ++
+      (1L until 500L by 10L).map(k => (k, "update", s"u$k", Integer.valueOf(9))) ++
+      (1000L until 1020L).map(k => (k, "insert", s"n$k", Integer.valueOf(8))))
+    val expected = graft.ops.MigrationOps.applyDiff(v0, changes)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSet
+    val preFiles = SnapshotLog.pruneFiles(t, "key", None, None)._1
+    val v = SnapshotLog.mergeIntoMOR(spark, t, changes, "key")
+    assert(v == 1L)
+    val got = SnapshotLog.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSet
+    assert(got == expected)
+    // cost model: every v0 file carried; the only new files are the
+    // post-images; masks exist
+    val postFiles = SnapshotLog.pruneFiles(t, "key", None, None)._1
+    assert(preFiles.forall(postFiles.contains),
+      "MOR merge rewrote a pre-merge data file")
+    assert(postFiles.size > preFiles.size, "no post-image files appended")
+    assert(SnapshotLog.dvAt(t, v).nonEmpty)
+    // upsert on an existing key + absent-key delete no-op, through MOR
+    SnapshotLog.mergeIntoMOR(spark, t, feed(Seq(
+      (3L, "insert", "up3", 0), (99999L, "delete", null, null))), "key")
+    val after = SnapshotLog.read(spark, t)
+    assert(after.filter(col("key") === 3L).count() == 1)
+    assert(after.filter(col("key") === 3L)
+      .select("payload").head().getString(0) == "up3")
+    assert(after.count() == got.size)
+    // compaction materializes: same content, no masks
+    val cv = SnapshotLog.compactDeletes(spark, t)
+    assert(SnapshotLog.dvAt(t, cv).isEmpty)
+    assert(SnapshotLog.read(spark, t).count() == got.size)
+    // empty feed: no commit
+    assert(SnapshotLog.mergeIntoMOR(spark, t,
+      feed(Nil), "key") == cv)
+  }
 }
