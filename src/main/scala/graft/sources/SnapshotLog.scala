@@ -2335,10 +2335,44 @@ object SnapshotLog {
     * the next version; an empty feed returns the current version. */
   def mergeIntoMOR(spark: SparkSession, tableDir: String,
       changes: DataFrame, key: String): Long = {
-    import org.apache.spark.sql.functions.{col, count, countDistinct,
-      lit, max, min, when}
     val baseV = latestVersion(tableDir).getOrElse(
       sys.error(s"no committed version in $tableDir"))
+    mergeIntoMORAt(spark, tableDir, changes, key, baseV,
+      publishEmpty = false)
+  }
+
+  /** [[mergeIntoMOR]]'s exactly-once STREAMING twin — the CDC-apply
+    * sink on the MOR cost model: a foreachBatch writer derives
+    * `v = base + batchId`, each micro-batch lands as masks +
+    * post-image appends in O(batch) work, and a replayed batch
+    * declines at the manifest pre-check or loses the put-if-absent —
+    * at-least-once delivery + idempotent versioned merge = exactly-once
+    * table state ([[commitAppendIdempotent]]'s discipline on the merge
+    * verb). An EMPTY batch publishes a carried no-op version rather
+    * than skipping — the log's versions are dense, and a foreachBatch
+    * stream must be able to map every batchId to a version. Returns
+    * true iff THIS call published. */
+  def mergeIntoMORIdempotent(spark: SparkSession, tableDir: String,
+      changes: DataFrame, key: String, v: Long): Boolean = {
+    if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
+    val latest = latestVersion(tableDir).getOrElse(-1L)
+    require(latest >= 0,
+      s"no committed version in $tableDir — merge needs a base; commit first")
+    if (v <= latest) requireAboveRetention(tableDir, v)
+    require(v <= latest + 1,
+      s"version $v would leave a gap above latest=$latest — the log's " +
+        "versions are dense; derive v as base + batchId")
+    try {
+      mergeIntoMORAt(spark, tableDir, changes, key, latest,
+        publishEmpty = true); true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  private def mergeIntoMORAt(spark: SparkSession, tableDir: String,
+      changes: DataFrame, key: String, baseV: Long,
+      publishEmpty: Boolean): Long = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      lit, max, min, when}
     val v = baseV + 1
     val prevManifest = mapper.readTree(
       Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
@@ -2376,7 +2410,16 @@ object SnapshotLog {
       count(when(!col("op").isin("insert", "update", "delete"), 1)).as("badop"),
       count(when(kcol.isNull, 1)).as("nullkey"),
       count(when(col("op") =!= "delete", 1)).as("nins")).head()
-    if (pre.getLong(0) == 0L) return baseV
+    if (pre.getLong(0) == 0L) {
+      // empty feed: convenience callers get "no commit"; the
+      // exactly-once sink publishes a carried NO-OP version instead —
+      // versions are dense and every batchId must map to one
+      if (!publishEmpty) return baseV
+      publish(tableDir, v, prevFiles, carriedStats(prevManifest, prevFiles),
+        schemaJson, orderedColmap(logicalSchema, colmap),
+        retiredOf(prevManifest), dv = prevDv, op = "merge-mor")
+      return v
+    }
     require(pre.getLong(5) == 0L, "mergeIntoMOR feed has NULL keys")
     require(pre.getLong(4) == 0L,
       "mergeIntoMOR feed has op values outside {insert, update, delete}")
