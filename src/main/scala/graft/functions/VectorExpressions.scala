@@ -779,7 +779,8 @@ object BloomHit {
   * cached per-file array is not). Delta evaluates its DV bitmaps
   * inside the reader for exactly this reason; this expression is that
   * idea at the plan level. Large masks keep the anti-join
-  * ([[graft.sources.SnapshotLog]] picks by sidecar size): a mask too
+  * ([[graft.sources.SnapshotLog]] picks by the sidecars' footer row
+  * counts — deleted-position count, not file bytes): a mask too
   * big to ship with the plan is precisely the shape where the
   * broadcast join machinery earns its cost.
   *
@@ -819,6 +820,32 @@ case class DvMaskHit(left: Expression, right: Expression,
   }
 
   @transient private lazy val kernel = new DvMaskHit.Kernel(utf8Mask)
+
+  // STRUCTURAL equality over the mask: the case-class default compares
+  // Array[Long] by reference, so two semantically identical masked
+  // scans would never canonicalize equal — correctness-safe (inequality
+  // is the safe direction) but it defeats exchange/subquery reuse for
+  // self-joined masked reads. Compare per-file position arrays by
+  // content; hash via a content digest so equals/hashCode stay
+  // consistent (TreeNode's product hash would mix in the arrays'
+  // identity hashes).
+  override def equals(other: Any): Boolean = other match {
+    case d: DvMaskHit =>
+      left == d.left && right == d.right &&
+        mask.keySet == d.mask.keySet &&
+        mask.forall { case (f, ps) =>
+          java.util.Arrays.equals(ps, d.mask(f)) }
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = left.hashCode() * 31 + right.hashCode()
+    // order-independent fold over entries (Map iteration order varies)
+    mask.foreach { case (f, ps) =>
+      h ^= f.hashCode * 31 + java.util.Arrays.hashCode(ps)
+    }
+    h
+  }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val f = left.eval(input)

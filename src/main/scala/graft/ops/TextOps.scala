@@ -1631,8 +1631,13 @@ object TextOps {
     val totals = bi.agg(sum(col("n_ab")).as("t_bi"))
       .crossJoin(uni.agg(sum(col("n_w")).as("t_uni")))
     bi.filter(col("n_ab") >= PmiMinCount)
-      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_a"), "w1")
-      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_b"), "w2")
+      // the unigram table is vocabulary-sized (distinct tokens, not
+      // token occurrences) — broadcast it like every other vocab join
+      // here, so the count-filtered bigram stream never shuffles
+      .join(broadcast(
+        uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_a")), "w1")
+      .join(broadcast(
+        uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_b")), "w2")
       .crossJoin(broadcast(totals))
       .withColumn("pmi6", round(log(
         (col("n_ab").cast("double") / col("t_bi")) /

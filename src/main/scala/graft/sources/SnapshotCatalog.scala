@@ -357,10 +357,16 @@ private[graft] object ScanPrune {
     * OTHER snapshot scans plan in the same session (e.g. two Verify
     * invocations sharing a SparkSession) reads its own table's entry
     * instead of a slot any scan can overwrite. Same advisory-only
-    * contract; bounded in practice by distinct (table, version) pairs
-    * a session plans, and gate entries use session-unique catalog
-    * names, so entries cannot collide across runs. */
+    * contract; gate entries use session-unique catalog names, so
+    * entries cannot collide across runs. BOUNDED: a long-lived session
+    * planning many (table, version) scans — streaming, repeated time
+    * travel, per-invocation unique catalog names — must not accumulate
+    * entries forever, so a put that finds the map at capacity clears
+    * it first (the data is advisory-only; dropping other tables'
+    * decisions is harmless, and a reader that needs its own entry
+    * reads it promptly after its scan plans). */
   val decisions = scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+  private val DecisionsCap = 512
 
   def kept(spark: SparkSession, tableDir: String, tName: String,
       files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
@@ -438,6 +444,7 @@ private[graft] object ScanPrune {
       else SnapshotLog.pruneRange(cur, stats, colmap, name, lo, hi)
     val out = filters.foldLeft(files)(one)
     last = Some((tName, out.size, files.size))
+    if (decisions.size >= DecisionsCap) decisions.clear()
     decisions.put(tName, (out.size, files.size)): Unit
     out
   }

@@ -429,19 +429,40 @@ object SnapshotLog {
     * AQE broadcasts it in practice; row_index is absolute within the
     * file by Spark's metadata contract, so the mask is stable under
     * row-group skipping and any pushed filters. */
-  /** Masks whose sidecars total at most this many bytes ride INSIDE
-    * the plan as a [[graft.functions.DvMaskHit]] filter (one
-    * codegen'd scan pipeline, ~3× the anti-join's masked-read
-    * throughput — MorPlanProbe); bigger masks keep the broadcast
-    * anti-join, which is exactly the machinery built for a build side
-    * too big to ship with the plan. Sized on FILE bytes (driver-side,
-    * no job): 16 MB of (string, long) parquet is ≥ ~1M positions.
-    * Overridable per session via `spark.graft.dv.inlineMaskMaxBytes`
-    * (0 forces the join path — the spec's lever; production reasons
-    * to touch it are rare). */
-  private def dvInlineMaskMaxBytes(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.dv.inlineMaskMaxBytes")
-      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+  /** Masks holding at most this many POSITIONS ride INSIDE the plan
+    * as a [[graft.functions.DvMaskHit]] filter (one codegen'd
+    * scan-filter pipeline, ~3× the anti-join's masked-read throughput
+    * — MorPlanProbe); bigger masks keep the broadcast anti-join,
+    * which is exactly the machinery built for a build side too big to
+    * ship with the plan. Gated on the sidecars' footer ROW COUNTS
+    * (cheap driver-side footer reads, no job), NOT file bytes: parquet
+    * delta/dictionary encoding packs sorted (file, pos) rows 10-100×
+    * denser than their in-memory form, so a byte gate would admit
+    * masks whose driver-side collect ran the driver out of memory.
+    * 4M positions ≈ 32 MB of unboxed longs in the plan (the transient
+    * boxed collect stays low hundreds of MB). Overridable per session
+    * via `spark.graft.dv.inlineMaskMaxPositions` (0 forces the join
+    * path — the spec's lever; production reasons to touch it are
+    * rare). */
+  private def dvInlineMaskMaxPositions(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.inlineMaskMaxPositions")
+      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+
+  /** Total deleted positions across `sidecars`, from parquet footer
+    * row counts — one ranged footer read per sidecar, no Spark job.
+    * An unreadable sidecar counts as "too big": the caller then takes
+    * the join path (or refuses, on the SQL surface), and the actual
+    * read fails loudly there if the file is genuinely corrupt. */
+  private[sources] def sidecarPositionCount(sidecars: Seq[String]): Long =
+    sidecars.map { f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration())
+        Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in))(
+          _.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      } catch { case _: Exception => Long.MaxValue / 1024 }
+    }.sum
 
   private def readPhysical(spark: SparkSession, files: Seq[String],
       physSchemaOpt: Option[org.apache.spark.sql.types.StructType],
@@ -459,12 +480,10 @@ object SnapshotLog {
       val withMeta = plain(dvd)
         .select(col("*"), col("_metadata.file_path").as(fp),
           col("_metadata.row_index").as(ri))
-      val inlineMax = dvInlineMaskMaxBytes(spark)
-      val sidecarBytes = sidecars.map(p =>
-        try Files.size(Paths.get(p))
-        catch { case _: Exception => inlineMax + 1 }).sum
+      val inlineMax = dvInlineMaskMaxPositions(spark)
+      val positions = sidecarPositionCount(sidecars)
       val masked =
-        (if (sidecarBytes <= inlineMax && inlineMax > 0) {
+        (if (positions <= inlineMax && inlineMax > 0) {
           // small mask: collect per-file sorted positions (one
           // sidecar-sized job) and evaluate in-plan — no join
           val mask: Map[String, Array[Long]] =
@@ -589,6 +608,21 @@ object SnapshotLog {
       Option(node.get("schema")).map(s =>
         org.apache.spark.sql.types.DataType.fromJson(s.asText())
           .asInstanceOf[org.apache.spark.sql.types.StructType]))
+  }
+
+  /** EXACT-version (files, dv) in ONE manifest read — what the
+    * streaming source's micro-batch planner needs per version: it
+    * compares consecutive versions' file lists AND dv nodes, and
+    * reading them together (then carrying version v's result as
+    * v+1's "previous") keeps planning at one manifest read per
+    * version instead of four. */
+  private[sources] def manifestFilesDvAt(tableDir: String, v: Long)
+      : (Seq[String], Map[String, Seq[String]]) = {
+    val p = logDir(tableDir).resolve(s"$v.json")
+    require(Files.exists(p), s"no version $v in $tableDir" +
+      " (committed versions may have been expired)")
+    val node = mapper.readTree(Files.readString(p))
+    (node.get("files").elements().asScala.map(_.asText()).toSeq, dvOf(node))
   }
 
   /** [[manifestAt]] plus the stats node and colmap in ONE manifest
@@ -1772,8 +1806,10 @@ object SnapshotLog {
     * positions come from the CURRENT visible rows; re-marking an
     * already-masked position is a harmless duplicate under the
     * anti-join. NULL `column` values never match a membership list —
-    * the [[deleteWhereIn]] rule. Publishes as the next version;
-    * returns it. */
+    * the [[deleteWhereIn]] rule. A LOST put-if-absent race leaves the
+    * just-written sidecars unreferenced until [[vacuum]] — the same
+    * orphan story as a lost COW rewrite, just sidecar-sized. Publishes
+    * as the next version; returns it. */
   def deleteWhereInMOR(spark: SparkSession, tableDir: String,
       column: String, values: Seq[Any]): Long = {
     import org.apache.spark.sql.functions.col
@@ -1869,7 +1905,10 @@ object SnapshotLog {
     * row (it lives in an unmasked new file). Same guardrails as
     * [[updateWhereIn]]: assignments never change the schema (loud
     * require before publish), NULL `column` values never match.
-    * Publishes as the next version; returns it. */
+    * A LOST put-if-absent race leaves this commit's sidecars AND
+    * post-image files unreferenced until [[vacuum]] — the COW orphan
+    * story, stated for the MOR pair too. Publishes as the next
+    * version; returns it. */
   def updateWhereInMOR(spark: SparkSession, tableDir: String,
       column: String, values: Seq[Any],
       set: Map[String, org.apache.spark.sql.Column]): Long = {
@@ -2331,7 +2370,9 @@ object SnapshotLog {
     * hold around the churn — the merge shape that stays an operation
     * when every file is touched by one key (the worst COW case).
     * Same trade as the other MOR verbs: masked reads until
-    * [[compactDeletes]], SQL protocol-gated meanwhile. Publishes as
+    * [[compactDeletes]], and a LOST put-if-absent race leaves the
+    * batch's sidecars and post-image files unreferenced until
+    * [[vacuum]] (the COW orphan story, sidecar-sized). Publishes as
     * the next version; an empty feed returns the current version. */
   def mergeIntoMOR(spark: SparkSession, tableDir: String,
       changes: DataFrame, key: String): Long = {

@@ -128,15 +128,25 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].v
     val hi = end.asInstanceOf[VersionOffset].v
+    if (hi <= lo) return Array.empty
+    // one manifest read per version: version v's (files, dv) carries
+    // forward as v+1's "previous" instead of re-reading v's manifest
+    // (and its dv node) on the next loop step — the hot micro-batch
+    // planning path reads (hi − lo) + 1 manifests, not 4 × (hi − lo)
+    var prev: (Set[String], Map[String, Seq[String]]) =
+      if (lo < 0) (Set.empty, Map.empty)
+      else {
+        val (fs, dv) = SnapshotLog.manifestFilesDvAt(tableDir, lo)
+        (fs.toSet, dv)
+      }
     ((lo + 1) to hi).flatMap { v =>
-      val (files, _) = SnapshotLog.manifestAt(tableDir, v)
-      val prev: Set[String] =
-        if (v == 0) Set.empty
-        else SnapshotLog.manifestAt(tableDir, v - 1)._1.toSet
+      val (files, dvNow) = SnapshotLog.manifestFilesDvAt(tableDir, v)
+      val (prevFiles, dvPrev) = prev
+      prev = (files.toSet, dvNow)
       // the advice must be actionable: a fresh stream AT version v
       // hits this same check (v compares against v−1's manifest), so
       // the skip path is startVersion = v+1, not v
-      if (!ignoreChanges && !prev.subsetOf(files.toSet))
+      if (!ignoreChanges && !prevFiles.subsetOf(files.toSet))
         throw new IllegalStateException(
           s"graft-snaplog: version $v of $tableDir is not an append " +
             "(files were rewritten by a commit/optimize/delete/update); " +
@@ -150,16 +160,14 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
       // skipped (the Delta decision, same resolution; under
       // ignoreChanges the deletion simply never reaches the stream —
       // emitted rows stand, at-least-once semantics)
-      val dvNow = SnapshotLog.dvAt(tableDir, v)
-      val dvPrev: Map[String, Seq[String]] =
-        if (v == 0) Map.empty else SnapshotLog.dvAt(tableDir, v - 1)
       if (!ignoreChanges && dvNow != dvPrev)
         throw new IllegalStateException(
           s"graft-snaplog: version $v of $tableDir adds merge-on-read " +
             "deletion vectors (rows already emitted were logically " +
             "deleted); restart with ignoreChanges=true to continue past " +
             s"the deletion, or skip it with startVersion=${v + 1}")
-      files.filterNot(prev.contains).map(f => SnapshotFilePartition(f): InputPartition)
+      files.filterNot(prevFiles.contains)
+        .map(f => SnapshotFilePartition(f): InputPartition)
     }.toArray
   }
 

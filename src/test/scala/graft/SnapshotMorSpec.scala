@@ -253,7 +253,7 @@ class SnapshotMorSpec extends SparkSpec {
     assert(fastPlan.contains("graft_dv_mask_hit"), fastPlan.take(800))
     assert(!fastPlan.contains("LeftAnti"), fastPlan.take(800))
     // threshold 0: the join path — LeftAnti present, mask filter absent
-    spark.conf.set("spark.graft.dv.inlineMaskMaxBytes", "0")
+    spark.conf.set("spark.graft.dv.inlineMaskMaxPositions", "0")
     try {
       val joined = SnapshotLog.read(spark, t)
       val joinedPlan = planOf(joined)
@@ -262,7 +262,7 @@ class SnapshotMorSpec extends SparkSpec {
       // the two regimes agree row-for-row
       assert(joined.count() == 3998 && fast.count() == 3998)
       assert(joined.select("k").except(fast.select("k")).count() == 0)
-    } finally spark.conf.unset("spark.graft.dv.inlineMaskMaxBytes")
+    } finally spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
   }
 
   test("vacuum protects referenced sidecars; compact + expire + vacuum erases") {
