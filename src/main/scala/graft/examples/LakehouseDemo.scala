@@ -35,8 +35,10 @@ import graft.sources.SnapshotLog
   *  11. the bloom index: point lookups + point DML on the unclustered
   *      key, refresh covering the rewrites;
   *  12. MERGE-ON-READ point DML: delete + update via position
-  *      sidecars (no files rewritten), SQL protocol-gated until
-  *      `compactDeletes` materializes the masks.
+  *      sidecars (no files rewritten), SQL reading the dv-bearing
+  *      version through the mask (protocol-gated only above the
+  *      driver-mask cap) until `compactDeletes` materializes the
+  *      masks and restores the fully-vectorized scan.
   *
   * Usage: runMain graft.examples.LakehouseDemo /tmp/graft_lakehouse
   */
@@ -185,10 +187,11 @@ object LakehouseDemo {
 
     // 12. MERGE-ON-READ point DML — the high-churn cost model: the
     // delete/update write position SIDECARS instead of rewriting files
-    // (files carried byte-identical; masked reads apply the dv), the
-    // SQL catalog REFUSES the dv-bearing version loudly (protocol
-    // gating), and compactDeletes materializes the masks and restores
-    // SQL readability
+    // (files carried byte-identical; masked reads apply the dv), SQL
+    // reads the dv-bearing version THROUGH the mask (round 16 — the
+    // masked half position-filters, protocol gating remains for masks
+    // over the driver cap), and compactDeletes materializes the masks
+    // and restores the fully-vectorized SQL scan
     val preMorFiles = SnapshotLog.pruneFiles(t, "key", None, None)._1
     val preMorCount = SnapshotLog.read(spark, t).count()
     SnapshotLog.deleteWhereInMOR(spark, t, "key", Seq(40000L))
@@ -202,11 +205,22 @@ object LakehouseDemo {
     require(morServed == Map(40050L -> "MOR-REDACTED"),
       s"MOR DML accounting: $morServed")
     require(SnapshotLog.read(spark, t).count() == preMorCount - 1)
+    require(spark.sql("SELECT count(*) FROM demo.lake.events")
+      .head().getLong(0) == preMorCount - 1,
+      "SQL must read the dv-bearing version through the mask")
+    require(spark.sql(
+      "SELECT source FROM demo.lake.events WHERE key = 40050")
+      .head().getString(0) == "MOR-REDACTED",
+      "SQL must see the MOR post-image, not the masked pre-image")
+    // protocol gating survives where the driver mask cannot: cap 0
+    spark.conf.set("spark.graft.dv.inlineMaskMaxPositions", "0")
     val sqlRefused =
       try { spark.sql("SELECT count(*) FROM demo.lake.events").collect(); false }
       catch { case e: Exception =>
         e.getMessage.contains("deletion vectors") }
-    require(sqlRefused, "SQL must refuse a dv-bearing version loudly")
+    spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
+    require(sqlRefused,
+      "SQL must refuse a mask over the driver cap loudly")
     val compactV = SnapshotLog.compactDeletes(spark, t)
     require(SnapshotLog.dvAt(t, compactV).isEmpty)
     require(spark.sql("SELECT count(*) FROM demo.lake.events")
@@ -221,7 +235,7 @@ object LakehouseDemo {
       s"renamed=src->source dropped=payload " +
       s"bloom_indexed=$nIndexed bloom_ask=${bkept.size}/$btotal " +
       s"point_dml=redact+erase refreshed=$refreshed " +
-      s"mor=delete+update+compact@v$compactV")
+      s"mor=delete+update+sqlread+compact@v$compactV")
     spark.stop()
   }
 }

@@ -445,8 +445,9 @@ object MigrationOps {
   val snapDeleteMor: Q = (s, dir) => {
     import java.nio.file.{Files, Path}
     val scratchP = Files.createTempDirectory("graft_mor_gate_")
+    val cat = s"morsql_${java.lang.Long.toHexString(System.nanoTime())}"
     try {
-      val tdir = scratchP.resolve("t").toString
+      val tdir = scratchP.resolve("lake").resolve("t").toString
       val orders = t(s, dir, "orders").select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         cents(col("o_totalprice")).as("o_price_c"))
@@ -468,8 +469,23 @@ object MigrationOps {
         "MOR delete published no deletion-vector entries")
       val res = graft.sources.SnapshotLog.read(s, tdir)
       val local = java.util.Arrays.asList(res.collect(): _*)
+      // the round-16 composition: the SAME dv-bearing version reads
+      // through spark.sql (clean half vectorized-scanned, masked half
+      // position-filtered) and must match the Scala read row-for-row
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val sqlRows = s.sql(
+        s"SELECT o_orderkey, o_custkey, o_orderstatus, o_price_c " +
+          s"FROM $cat.lake.t").collect()
+          .map(_.toString).sorted
+      val scalaRows = local.toArray.map(_.toString).sorted
+      require(sqlRows.sameElements(scalaRows),
+        s"SQL read of the dv-bearing version diverged from the Scala " +
+          s"read: ${sqlRows.length} vs ${scalaRows.length} rows")
       s.createDataFrame(local, res.schema)
     } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(Files.walk(scratchP)) { st =>
         st.sorted(java.util.Comparator.reverseOrder[Path]())

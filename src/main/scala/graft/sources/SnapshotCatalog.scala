@@ -114,46 +114,57 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   private def parquetTable(ident: Identifier, v: Long): Table = {
     val t = tableDir(ident).getAbsolutePath
-    val (files, stats, schema, colmap) = SnapshotLog.manifestDetailsAt(t, v)
-    // PROTOCOL GATING, the Delta reader-version decision: this catalog
-    // surfaces files through Spark's parquet stack and has no way to
-    // apply a merge-on-read deletion mask inside a DSv2 Table — a scan
-    // that ignored the mask would resurrect deleted rows into SQL
-    // results, so a dv-bearing version must refuse loudly, with the
-    // action that restores readability
-    if (SnapshotLog.dvAt(t, v).nonEmpty) sys.error(
+    val (files, stats, schema, colmap, dv) = SnapshotLog.manifestDetailsAt(t, v)
+    def refuse(why: String): Nothing = sys.error(
       s"table ${ident.namespace().mkString(".")}.${ident.name()} at " +
-        s"version $v carries merge-on-read deletion vectors, which SQL " +
-        "catalog scans cannot apply — materialize them first with " +
-        "SnapshotLog.compactDeletes(tableDir), or read via " +
-        "SnapshotLog.read")
+        s"version $v carries merge-on-read deletion vectors $why — " +
+        "materialize them first with SnapshotLog.compactDeletes(tableDir), " +
+        "or read via SnapshotLog.read")
+    if (dv.nonEmpty) {
+      // a dv-bearing version READS through SQL since round 16: the
+      // pruning scan splits the file list into a clean half (the
+      // ordinary parquet stack) and a masked half (per-file partitions
+      // that filter deleted row positions — see PrunedSnapshotScan),
+      // with the mask collected to a driver map. PROTOCOL GATING
+      // remains for the shapes that map cannot carry: a mask bigger
+      // than the driver cap (the same positions conf that bounds the
+      // Scala inline path; the Scala read falls back to an anti-join,
+      // which a DSv2 reader factory has no plan-side twin for), and a
+      // pre-schema manifest (the pruning wrapper needs the recorded
+      // schema). Over-answering — resurrecting deleted rows — stays
+      // the one unacceptable outcome, so both refuse loudly
+      if (schema.isEmpty) refuse("on a pre-schema manifest, which the " +
+        "masked SQL scan cannot serve")
+      val cap = SnapshotLog.dvInlineMaskMaxPositions(SparkSession.active)
+      val positions = SnapshotLog.sidecarPositionCount(
+        dv.values.flatten.toSeq.distinct)
+      if (cap <= 0 || positions > cap) refuse(
+        s"whose $positions deleted positions exceed the driver-mask cap " +
+          s"($cap — spark.graft.dv.inlineMaskMaxPositions)")
+    }
     val tName =
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$v"
     // a renamed/dropped table ([[SnapshotLog.renameColumn]]) reads its
     // files under immutable PHYSICAL names: hand the parquet stack the
     // physical schema and wrap the table so SQL sees logical names —
     // rows are positional, so only the two schema boundaries translate
-    val physical = schema.map(s =>
-      org.apache.spark.sql.types.StructType(s.fields.map(f =>
-        f.copy(name = colmap.getOrElse(f.name, f.name)))))
-    def inner = ParquetTable(
-      tName,
-      SparkSession.active,
-      CaseInsensitiveStringMap.empty(),
-      files,
-      userSpecifiedSchema = if (colmap.isEmpty) schema else physical,
-      fallbackFileFormat = classOf[ParquetFileFormat])
-    (schema, colmap.isEmpty) match {
+    schema match {
       // schema-recorded tables — identity or column-mapped: SQL scans
       // file-prune at planning (manifest stats + bloom indexes) through
       // the bridge ScanBuilder, then run the ordinary parquet stack
       // over the kept files (mapped tables additionally translate at
       // the two name boundaries — see PrunedSnapshotTable)
-      case (Some(sch), _) =>
-        new PrunedSnapshotTable(tName, t, v, files, stats, sch, colmap)
-      // pre-schema manifests (no stats either, never mapped): the
-      // plain scan
-      case (None, _) => inner
+      case Some(sch) =>
+        new PrunedSnapshotTable(tName, t, v, files, stats, sch, colmap, dv)
+      // pre-schema manifests (no stats either, never mapped, dv
+      // refused above): the plain scan
+      case None => ParquetTable(
+        tName,
+        SparkSession.active,
+        CaseInsensitiveStringMap.empty(),
+        files,
+        userSpecifiedSchema = None,
+        fallbackFileFormat = classOf[ParquetFileFormat])
     }
   }
 
@@ -248,7 +259,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
         val absent = dc.ifExists() && {
           val latest = SnapshotLog.latestVersion(t).getOrElse(
             throw new NoSuchTableException(ident))
-          val (_, _, schemaOpt, _) = SnapshotLog.manifestDetailsAt(t, latest)
+          val (_, _, schemaOpt, _, _) = SnapshotLog.manifestDetailsAt(t, latest)
           schemaOpt.exists(s => !s.fieldNames.contains(name))
         }
         if (!absent) SnapshotLog.dropColumn(t, name): Unit
@@ -292,10 +303,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 private class PrunedSnapshotTable(tName: String, tableDir: String,
     version: Long, files: Seq[String],
     stats: com.fasterxml.jackson.databind.JsonNode,
-    recorded: StructType, colmap: Map[String, String])
+    recorded: StructType, colmap: Map[String, String],
+    dv: Map[String, Seq[String]] = Map.empty)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   private val phys2log: Map[String, String] = colmap.map(_.swap)
+
+  /** The deletion mask, materialized ONCE per loaded Table (driver
+    * map, size pre-gated by the catalog) and shared by every scan the
+    * table plans — including runtime-filter rebuilds. Lazy: a query
+    * whose planning-time prune drops every dv'd file never reads a
+    * sidecar. */
+  private lazy val dvMask: Map[String, Array[Long]] =
+    SnapshotLog.dvMaskByFile(SparkSession.active, dv)
 
   /** DESCRIBE TABLE EXTENDED surface: where this table sits in its
     * lifecycle, from metadata already in hand (no extra I/O). */
@@ -304,7 +324,8 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     "snapshot.op" -> SnapshotLog.opAt(tableDir, version),
     "snapshot.files" -> files.size.toString,
     "snapshot.stats" -> (stats != null).toString,
-    "snapshot.columnMapped" -> colmap.nonEmpty.toString).asJava
+    "snapshot.columnMapped" -> colmap.nonEmpty.toString,
+    "snapshot.dvFiles" -> dv.size.toString).asJava
   private val physical: StructType =
     if (colmap.isEmpty) recorded
     else StructType(recorded.fields.map(f =>
@@ -324,7 +345,9 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       filters => ScanPrune.kept(spark, tableDir, tName, files, stats,
         Some(recorded), colmap, filters),
       mapName = c => colmap.getOrElse(c, c),
-      unmapName = c => phys2log.getOrElse(c, c))
+      unmapName = c => phys2log.getOrElse(c, c),
+      dvFiles = dv.keySet,
+      dvMaskOf = () => dvMask)
   }
 }
 

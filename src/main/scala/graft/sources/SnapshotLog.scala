@@ -444,9 +444,47 @@ object SnapshotLog {
     * via `spark.graft.dv.inlineMaskMaxPositions` (0 forces the join
     * path — the spec's lever; production reasons to touch it are
     * rare). */
-  private def dvInlineMaskMaxPositions(spark: SparkSession): Long =
+  private[sources] def dvInlineMaskMaxPositions(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.dv.inlineMaskMaxPositions")
       .map(_.toLong).getOrElse(4L * 1024 * 1024)
+
+  /** The deletion mask MATERIALIZED to a driver map keyed by the
+    * MANIFEST file spelling: data file → its deleted row positions,
+    * sorted and de-duplicated (re-marking across successive MOR
+    * commits is a harmless duplicate in the sidecars; it must not stay
+    * one here, where per-partition readers binary-search the array).
+    * Sidecar rows record Spark's `_metadata.file_path` spelling (a
+    * `file:` URI), so each row's file canonicalizes before matching —
+    * the same mapping discipline as the write side ([[morMarks]]).
+    * Reads the sidecars ON THE DRIVER through Spark's own parquet
+    * reader machinery ([[org.apache.spark.sql.graftbridge.Bridge
+    * .parquetFileRows]]) — no job, which keeps this callable from scan
+    * PLANNING; callers gate the size first ([[sidecarPositionCount]]
+    * vs [[dvInlineMaskMaxPositions]]). */
+  private[sources] def dvMaskByFile(spark: SparkSession,
+      dv: Map[String, Seq[String]]): Map[String, Array[Long]] = {
+    if (dv.isEmpty) return Map.empty
+    val sidecars = dv.values.flatten.toSeq.distinct.sorted
+    val reader = org.apache.spark.sql.graftbridge.Bridge.parquetFileRows(
+      spark, org.apache.spark.sql.types.StructType.fromDDL(
+        "file STRING, pos BIGINT"))
+    val byCanon = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    sidecars.foreach { sc =>
+      reader(sc).foreach { r =>
+        val fp = r.getUTF8String(0).toString
+        val p = try Paths.get(java.net.URI.create(fp))
+          catch { case _: Exception => Paths.get(fp) }
+        byCanon.getOrElseUpdate(canon(p).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+      }
+    }
+    dv.keys.map { f =>
+      f -> byCanon.getOrElse(canon(Paths.get(f)).toString,
+        scala.collection.mutable.ArrayBuffer.empty[Long])
+        .distinct.sorted.toArray
+    }.toMap
+  }
 
   /** Total deleted positions across `sidecars`, from parquet footer
     * row counts — one ranged footer read per sidecar, no Spark job.
@@ -625,11 +663,13 @@ object SnapshotLog {
     (node.get("files").elements().asScala.map(_.asText()).toSeq, dvOf(node))
   }
 
-  /** [[manifestAt]] plus the stats node and colmap in ONE manifest
-    * read — what [[SnapshotCatalog]]'s scan-time pruning needs. */
+  /** [[manifestAt]] plus the stats node, colmap, and dv node in ONE
+    * manifest read — what [[SnapshotCatalog]]'s scan-time pruning and
+    * mask application need. */
   private[sources] def manifestDetailsAt(tableDir: String, v: Long)
       : (Seq[String], com.fasterxml.jackson.databind.JsonNode,
-        Option[org.apache.spark.sql.types.StructType], Map[String, String]) = {
+        Option[org.apache.spark.sql.types.StructType], Map[String, String],
+        Map[String, Seq[String]]) = {
     val p = logDir(tableDir).resolve(s"$v.json")
     require(Files.exists(p), s"no version $v in $tableDir" +
       " (committed versions may have been expired)")
@@ -639,7 +679,8 @@ object SnapshotLog {
       Option(node.get("schema")).map(s =>
         org.apache.spark.sql.types.DataType.fromJson(s.asText())
           .asInstanceOf[org.apache.spark.sql.types.StructType]),
-      colmapOf(node))
+      colmapOf(node),
+      dvOf(node))
   }
 
   /** The membership prune stages over a caller-held manifest — the
@@ -1797,11 +1838,14 @@ object SnapshotLog {
     * composes, and a COW rewrite or [[compactDeletes]] MATERIALIZES
     * the mask and sheds the entries.
     *
-    * The trade, stated plainly: reads of a dv'd file pay the anti-join
-    * until compaction, the SQL catalog REFUSES dv-bearing tables
-    * (the protocol-gating decision — a reader that cannot apply the
-    * mask must fail, never over-answer), and the deleted rows' BYTES
-    * remain in the data files — the erasure theorem for MOR is
+    * The trade, stated plainly: reads of a dv'd file pay the mask
+    * (inline filter or anti-join) until compaction, the SQL catalog
+    * reads dv-bearing tables through per-file masked partitions —
+    * row-based on the masked scan, and REFUSING loudly when the mask
+    * exceeds the driver cap (the protocol-gating decision — a reader
+    * that cannot apply the mask must fail, never over-answer) — and
+    * the deleted rows' BYTES remain in the data files — the erasure
+    * theorem for MOR is
     * [[compactDeletes]] + [[expireVersions]] + [[vacuum]]. Marked
     * positions come from the CURRENT visible rows; re-marking an
     * already-masked position is a harmless duplicate under the
@@ -2369,8 +2413,9 @@ object SnapshotLog {
     * candidate scan, independent of how many rows the touched files
     * hold around the churn — the merge shape that stays an operation
     * when every file is touched by one key (the worst COW case).
-    * Same trade as the other MOR verbs: masked reads until
-    * [[compactDeletes]], and a LOST put-if-absent race leaves the
+    * Same trade as the other MOR verbs: masked reads (SQL included,
+    * row-based on the masked half) until [[compactDeletes]], and a
+    * LOST put-if-absent race leaves the
     * batch's sidecars and post-image files unreferenced until
     * [[vacuum]] (the COW orphan story, sidecar-sized). Publishes as
     * the next version; an empty feed returns the current version. */

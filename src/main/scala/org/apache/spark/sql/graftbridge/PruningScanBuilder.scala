@@ -57,7 +57,9 @@ class PruningParquetScanBuilder(
     readSchema: StructType,
     prune: Seq[Expression] => Seq[String],
     mapName: String => String = identity,
-    unmapName: String => String = identity)
+    unmapName: String => String = identity,
+    dvFiles: Set[String] = Set.empty,
+    dvMaskOf: () => Map[String, Array[Long]] = () => Map.empty)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -80,7 +82,7 @@ class PruningParquetScanBuilder(
 
   override def build(): Scan =
     new PrunedSnapshotScan(spark, tableName, readSchema, prune,
-      mapName, unmapName, filterExprs, required)
+      mapName, unmapName, filterExprs, required, dvFiles, dvMaskOf)
 }
 
 /** The scan [[PruningParquetScanBuilder.build]] returns — an ordinary
@@ -114,7 +116,17 @@ class PruningParquetScanBuilder(
   * statistics visible but left no runtime-filtering face at all.
   * Statistics ([[SupportsReportStatistics]] — AQE/broadcast sizing)
   * and explain metadata ([[SupportsMetadata]] — `PushedFilters:` in
-  * the plan dump) forward to the inner scan either way. */
+  * the plan dump) forward to the inner scan either way (statistics
+  * cover the clean half only on a dv'd version — conservative for
+  * broadcast decisions in the direction that merely under-broadcasts).
+  *
+  * MERGE-ON-READ composition (`dvFiles`/`dvMaskOf`): prune-surviving
+  * files that carry a deletion mask leave the inner parquet scan for
+  * one [[DvMaskedFilePartition]] each — the whole scan then runs
+  * row-based (see [[columnarSupportMode]]) and the masked readers drop
+  * deleted positions ([[DvMaskingReaderFactory]]). File pruning,
+  * runtime re-pruning, and residual predicates compose unchanged —
+  * the prune runs BEFORE the clean/masked split. */
 private[graftbridge] class PrunedSnapshotScan(
     spark: SparkSession,
     tableName: String,
@@ -123,23 +135,36 @@ private[graftbridge] class PrunedSnapshotScan(
     mapName: String => String,
     unmapName: String => String,
     plannedFilters: Seq[Expression],
-    required: Option[StructType])
+    required: Option[StructType],
+    dvFiles: Set[String] = Set.empty,
+    dvMaskOf: () => Map[String, Array[Long]] = () => Map.empty)
   extends Scan
   with SupportsReportStatistics
   with SupportsMetadata
   with SupportsRuntimeV2Filtering {
 
   private var runtimeExprs: Seq[Expression] = Nil
+  /** The prune-surviving files that carry a deletion mask — served by
+    * per-file MASKED partitions instead of the inner parquet scan.
+    * Updated alongside `inner` on every (re)build. */
+  private var maskedKept: Seq[String] = Nil
   private var inner: Scan = buildInner()
   private[graftbridge] def currentBatch: Batch = inner.toBatch
 
   private def buildInner(): Scan = {
     val kept = prune(plannedFilters ++ runtimeExprs)
+    // merge-on-read split: dv'd files leave the parquet-stack scan
+    // (which cannot apply a deletion mask) for the masked per-file
+    // partitions below. The prune ran over BOTH halves first, so
+    // stats/bloom/runtime skipping applies to masked files exactly as
+    // to clean ones — a dv'd file a predicate exonerates is never read
+    maskedKept = kept.filter(dvFiles.contains)
+    val clean = if (dvFiles.isEmpty) kept else kept.filterNot(dvFiles.contains)
     val b = ParquetTable(
       tableName,
       spark,
       CaseInsensitiveStringMap.empty(),
-      kept,
+      clean,
       userSpecifiedSchema = Some(physSchema),
       fallbackFileFormat = classOf[ParquetFileFormat])
       .newScanBuilder(CaseInsensitiveStringMap.empty())
@@ -159,6 +184,29 @@ private[graftbridge] class PrunedSnapshotScan(
     b.build()
   }
 
+  /** Serializable per-file row reader for the MASKED half: the inner
+    * scan's physical read schema plus Spark's own row-index generator
+    * column ([[ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME]] —
+    * the exact mechanism `_metadata.row_index` rides; the generated
+    * index is absolute within the file and stable under row-group
+    * skipping). Built once per scan on the driver; reused across
+    * runtime-filter rebuilds (column pruning never changes after
+    * build()). */
+  private lazy val maskedReadFunc: String => Iterator[
+      org.apache.spark.sql.catalyst.InternalRow] =
+    Bridge.parquetFileRows(spark, StructType(
+      inner.readSchema().fields :+ org.apache.spark.sql.types.StructField(
+        // the TEMPORARY name is what the reader's row-index generator
+        // matches on (ROW_INDEX_FIELD carries the final `_metadata`
+        // member name `row_index`, which a raw read treats as an
+        // ordinary — and missing — data column)
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        // nullable: the file provably lacks the column, and the
+        // vectorized reader's checkColumn rejects a missing REQUIRED
+        // column before the row-index generator gets to fill it —
+        // generated values are never actually null
+        org.apache.spark.sql.types.LongType, nullable = true)))
+
   override def readSchema(): StructType = StructType(
     inner.readSchema().fields.map(f => f.copy(name = unmapName(f.name))))
 
@@ -176,10 +224,31 @@ private[graftbridge] class PrunedSnapshotScan(
     * IN. See [[columnarSupportMode]] for the other half of the
     * ordering. */
   private val delegatingBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      currentBatch.planInputPartitions()
-    override def createReaderFactory(): PartitionReaderFactory =
-      currentBatch.createReaderFactory()
+    override def planInputPartitions(): Array[InputPartition] = {
+      val clean = currentBatch.planInputPartitions()
+      if (maskedKept.isEmpty) clean
+      else {
+        // one partition per masked file, carrying ITS deleted
+        // positions (the per-file slice of the driver mask — executor
+        // memory pays only that file's share). Whole-file partitions:
+        // a masked file never splits, which under-parallelizes a huge
+        // dv'd file relative to the clean path — acceptable for the
+        // transitional dv'd state (compactDeletes restores the split
+        // scan), and stated here rather than discovered
+        val mask = dvMaskOf()
+        clean ++ maskedKept.map(f => DvMaskedFilePartition(
+          f, mask.getOrElse(f, Array.empty[Long])): InputPartition)
+      }
+    }
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val innerFactory = currentBatch.createReaderFactory()
+      if (dvFiles.isEmpty) innerFactory
+      else {
+        val fields = inner.readSchema().fields
+        new DvMaskingReaderFactory(innerFactory, maskedReadFunc,
+          fields.map(_.dataType), fields.map(_.nullable))
+      }
+    }
   }
 
   override def toBatch: Batch = delegatingBatch
@@ -194,7 +263,18 @@ private[graftbridge] class PrunedSnapshotScan(
     * filters are pushed), so the pre-filter answer is exact; with a
     * concrete SUPPORTED/UNSUPPORTED mode, Spark defers readerFactory
     * to execution, after filter() has rebuilt `inner`. */
-  override def columnarSupportMode(): Scan.ColumnarSupportMode = columnarMode
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    // a scan with masked partitions must read ROW-BASED throughout:
+    // BatchScanExec requires all partitions agree, and the masking
+    // reader filters rows (a ColumnarBatch cannot drop rows without a
+    // copy). The clean half still DECODES vectorized inside Spark's
+    // row reader; what's lost is the ColumnarToRow handoff — the
+    // transitional dv'd-version price, retired by compactDeletes.
+    // Decided on the PLANNING-time masked set: runtime filters only
+    // shrink it, so UNSUPPORTED stays safe (and a scan whose planning
+    // prune already exonerated every dv'd file keeps full columnar)
+    if (maskedKept.nonEmpty) Scan.ColumnarSupportMode.UNSUPPORTED
+    else columnarMode
 
   private lazy val columnarMode: Scan.ColumnarSupportMode = {
     val b = inner.toBatch
@@ -220,10 +300,11 @@ private[graftbridge] class PrunedSnapshotScan(
     }
   }
 
-  override def getMetaData(): Map[String, String] = inner match {
+  override def getMetaData(): Map[String, String] = (inner match {
     case m: SupportsMetadata => m.getMetaData()
-    case _ => Map.empty
-  }
+    case _ => Map.empty[String, String]
+  }) ++ (if (dvFiles.isEmpty) Map.empty[String, String]
+    else Map("DvMaskedFiles" -> maskedKept.size.toString))
 
   /** Every LOGICAL read column is a candidate runtime-filter key: the
     * manifest prune degrades to keep-all on a column it has no facts
@@ -272,4 +353,69 @@ private[graftbridge] class PrunedSnapshotScan(
           lits.toSeq))
       case _ => None
     }
+}
+
+/** A prune-surviving data file that carries a deletion mask, plus ITS
+  * deleted row positions (sorted — the reader binary-searches). The
+  * positions ship WITH the partition, so an executor task holds only
+  * its own file's share of the driver mask. */
+private case class DvMaskedFilePartition(path: String,
+    positions: Array[Long]) extends InputPartition
+
+/** The reader factory for a merge-on-read snapshot scan: clean
+  * partitions delegate to the inner parquet factory untouched; a
+  * [[DvMaskedFilePartition]] reads its file through Spark's own
+  * parquet reader with the row-index generator column appended, DROPS
+  * rows whose index is in the partition's deleted positions, and
+  * projects the index column back off — Delta's deletion-vector read
+  * inside the DSv2 surface, at this log's minimum. The whole scan runs
+  * row-based (see `columnarSupportMode`); the masked read itself still
+  * decodes vectorized inside `readFunc` (the row-flattened batches of
+  * [[Bridge.parquetFileRows]]). */
+private class DvMaskingReaderFactory(
+    inner: PartitionReaderFactory,
+    readFunc: String => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    dataTypes: Array[org.apache.spark.sql.types.DataType],
+    nullables: Array[Boolean]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: DvMaskedFilePartition => false
+    case other => inner.supportColumnarReads(other)
+  }
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = p match {
+    case DvMaskedFilePartition(path, positions) =>
+      new org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] {
+        private val it = readFunc(path)
+        // the row-index generator column rides LAST in the read schema
+        private val idxOrdinal = dataTypes.length
+        private val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(dataTypes.indices.map(i =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, dataTypes(i), nullables(i))))
+        private var row: org.apache.spark.sql.catalyst.InternalRow = _
+        override def next(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            if (java.util.Arrays.binarySearch(positions,
+                r.getLong(idxOrdinal)) < 0) {
+              row = proj(r)
+              return true
+            }
+          }
+          false
+        }
+        override def get(): org.apache.spark.sql.catalyst.InternalRow = row
+        override def close(): Unit = ()
+      }
+    case other => inner.createReader(other)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(p)
 }

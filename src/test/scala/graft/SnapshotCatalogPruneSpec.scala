@@ -235,6 +235,40 @@ class SnapshotCatalogPruneSpec extends SparkSpec {
     assert(props.contains("snapshot.columnMapped=false"), props)
   }
 
+  test("file pruning fires on a dv-bearing table's masked half; an all-pruned mask keeps the columnar scan") {
+    registered()
+    // fresh table (the shared ones must stay dv-free for the other
+    // cases): 8 EXACT contiguous slices of [0, 8000) — range with an
+    // explicit partition count, not repartitionByRange, whose sampled
+    // boundaries wobble run-to-run — then MOR-delete key 17, landing
+    // the mask on the FIRST file only
+    SnapshotLog.commit(spark, s"$root/lake/masked",
+      spark.range(0, 8000, 1, 8).select(
+        col("id").as("key"), (col("id") * 2).as("v")))
+    SnapshotLog.deleteWhereInMOR(spark, s"$root/lake/masked", "key", Seq(17L))
+    // (a) a range that EXCLUDES the masked file: stats prune drops it
+    // like any clean file, and with zero masked files surviving the
+    // scan keeps the full COLUMNAR path (the planning-time decision)
+    val df = spark.sql(
+      "SELECT key, v FROM snap.lake.masked WHERE key >= 1000 AND key < 2000")
+    assert(df.count() == 1000)
+    val (kept1, total1) = lastPrune
+    assert(total1 == 8 && kept1 <= 2, s"kept $kept1/$total1")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "an all-pruned mask should keep the vectorized handoff")
+    // (b) a range that INCLUDES the masked file: still prunes to ~1
+    // file, reads row-based, and the deleted key is absent
+    val hit = spark.sql(
+      "SELECT key FROM snap.lake.masked WHERE key < 100")
+    val got = hit.collect().map(_.getLong(0)).sorted
+    val (kept2, total2) = lastPrune
+    assert(total2 == 8 && kept2 <= 2, s"kept $kept2/$total2")
+    assert(got.length == 99 && !got.contains(17L),
+      s"expected 99 rows without key 17, got ${got.length}")
+    assert(!hit.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a surviving masked file must force the row-based scan")
+  }
+
   test("a large IN list still prunes exactly (the hull + exact two-step stats stage)") {
     registered()
     // 200 keys spread over [0, 2000): the hull prunes to 2 of 8 files

@@ -130,7 +130,7 @@ class SnapshotMorSpec extends SparkSpec {
     assert(SnapshotLog.compactDeletes(spark, t) == v)
   }
 
-  test("the SQL catalog refuses a dv-bearing version loudly, and recovers after compaction") {
+  test("the SQL catalog READS a dv-bearing version (masked, hash-equal to the Scala read); oversized masks refuse loudly") {
     // committed IN PLACE under the catalog root — manifests record
     // absolute canonical paths, so a post-commit move orphans the data
     val root = Files.createTempDirectory("graft_mor_sqlroot_").toString
@@ -143,19 +143,70 @@ class SnapshotMorSpec extends SparkSpec {
       val td = lake.resolve("tbl").toString
       assert(spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl")
         .head().getLong(0) == 4000)
-      SnapshotLog.deleteWhereInMOR(spark, td, "k", Seq(1L))
+      SnapshotLog.deleteWhereInMOR(spark, td, "k", Seq(1L, 2500L))
+      // the dv-bearing version reads THROUGH SQL: the masked half
+      // filters deleted positions per file, the clean half runs the
+      // ordinary parquet stack — and the result matches the Scala
+      // read row-for-row
+      val sqlRows = spark.sql(
+        s"SELECT k, v, pay FROM $cat.lake.tbl").collect()
+          .map(_.toString).sorted
+      val scalaRows = SnapshotLog.read(spark, td)
+        .select("k", "v", "pay").collect().map(_.toString).sorted
+      assert(sqlRows.length == 3998)
+      assert(sqlRows.sameElements(scalaRows),
+        "SQL read of the dv-bearing version diverged from the Scala read")
+      // a residual predicate composes with the mask (deleted key gone,
+      // live keys intact)
+      assert(spark.sql(
+        s"SELECT count(*) c FROM $cat.lake.tbl WHERE k IN (1, 2, 2500)")
+        .head().getLong(0) == 1)
+      // VERSION AS OF: the pre-delete version reads unmasked, the
+      // dv-bearing version applies its own mask
+      assert(spark.sql(
+        s"SELECT count(*) c FROM $cat.lake.tbl VERSION AS OF 0")
+        .head().getLong(0) == 4000)
+      assert(spark.sql(
+        s"SELECT count(*) c FROM $cat.lake.tbl VERSION AS OF 1")
+        .head().getLong(0) == 3998)
+      // PROTOCOL GATING survives where the driver map cannot: a mask
+      // over the positions cap refuses loudly, naming the fix
+      spark.conf.set("spark.graft.dv.inlineMaskMaxPositions", "1")
       val e = intercept[RuntimeException] {
         spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl").collect()
       }
       assert(e.getMessage.contains("deletion vectors") &&
         e.getMessage.contains("compactDeletes"), e.getMessage)
-      // VERSION AS OF the pre-delete version still reads
-      assert(spark.sql(
-        s"SELECT count(*) c FROM $cat.lake.tbl VERSION AS OF 0")
-        .head().getLong(0) == 4000)
+      spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
       SnapshotLog.compactDeletes(spark, td)
       assert(spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl")
-        .head().getLong(0) == 3999)
+        .head().getLong(0) == 3998)
+    } finally {
+      spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  test("a COLUMN-MAPPED dv-bearing version reads through SQL (masked half under physical names)") {
+    val root = Files.createTempDirectory("graft_mor_sqlmap_").toString
+    freshTable("mapped", at = Some(s"$root/lake/tbl"))
+    val td = Paths.get(root, "lake", "tbl").toString
+    SnapshotLog.renameColumn(td, "k", "doc_id")
+    SnapshotLog.deleteWhereInMOR(spark, td, "doc_id", Seq(3L, 2500L))
+    val cat = s"mormap_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      // the masked reader consumes the PHYSICAL read schema positionally;
+      // SQL sees logical names — rows must match the Scala read exactly
+      val sqlRows = spark.sql(
+        s"SELECT doc_id, v FROM $cat.lake.tbl WHERE doc_id < 10")
+        .collect().map(_.toString).sorted
+      val scalaRows = SnapshotLog.read(spark, td)
+        .filter(col("doc_id") < 10).select("doc_id", "v")
+        .collect().map(_.toString).sorted
+      assert(sqlRows.length == 9 && sqlRows.sameElements(scalaRows))
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat.root")
       spark.conf.unset(s"spark.sql.catalog.$cat")
