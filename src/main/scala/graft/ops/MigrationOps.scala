@@ -494,6 +494,43 @@ object MigrationOps {
     }
   }
 
+  /** [[graft.sources.SnapshotLog.readChangeFeed]] driver-gated — the
+    * dv-aware CHANGE DATA FEED: v0 commits the even orderkeys, v1
+    * appends the odd ones, v2 MOR-deletes the 24 smallest keys; the
+    * feed over (-1, v2] must equal the three labeled slices the oracle
+    * reconstructs from `orders` directly (inserts carry their commit
+    * version; the MOR delete emits the masked rows' PRE-IMAGES as
+    * `delete` rows). */
+  val snapChangeFeed: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_cf_gate_")
+    try {
+      val tdir = scratchP.resolve("t").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_custkey")))
+      graft.sources.SnapshotLog.commitAppend(s, tdir,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(4, col("o_custkey")))
+      val keys: Seq[Any] = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+      val v = graft.sources.SnapshotLog.deleteWhereInMOR(
+        s, tdir, "o_orderkey", keys)
+      val res = graft.sources.SnapshotLog.readChangeFeed(s, tdir, -1L, v)
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.updateWhereInMOR]] driver-gated — the
     * MOR point UPDATE (mask old rows + append post-images in ONE
     * commit): the 24 smallest orderkeys get +500 cents through the
@@ -693,6 +730,7 @@ object MigrationOps {
     "cdc_table_diff" -> cdcTableDiff,
     "snap_merge_into" -> snapMergeInto,
     "snap_merge_mor" -> snapMergeMor,
+    "snap_change_feed" -> snapChangeFeed,
     "snap_bloom_lookup" -> snapBloomLookup,
     "snap_delete_in" -> snapDeleteIn,
     "snap_delete_mor" -> snapDeleteMor,
@@ -801,6 +839,25 @@ object MigrationOps {
     // post-image appends and survivor rewrites are two cost models for
     // the one apply semantics
     "snap_merge_mor" -> cdcMergeUpsertSql,
+    // the change feed's three slices reconstruct from the source
+    // table directly: even keys inserted at v0, odd keys at v1, the
+    // 24 smallest keys' PRE-IMAGES re-emitted as v2 deletes
+    "snap_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey % 2 = 1
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey IN
+           (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
     // the bloom-pruned point lookup must equal the raw IN lookup —
     // pruning (stats stage, bloom stage, day-2 refresh) is invisible
     "snap_bloom_lookup" ->

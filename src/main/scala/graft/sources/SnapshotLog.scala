@@ -648,19 +648,20 @@ object SnapshotLog {
           .asInstanceOf[org.apache.spark.sql.types.StructType]))
   }
 
-  /** EXACT-version (files, dv) in ONE manifest read — what the
+  /** EXACT-version (files, dv, op) in ONE manifest read — what the
     * streaming source's micro-batch planner needs per version: it
-    * compares consecutive versions' file lists AND dv nodes, and
-    * reading them together (then carrying version v's result as
-    * v+1's "previous") keeps planning at one manifest read per
-    * version instead of four. */
+    * compares consecutive versions' file lists AND dv nodes (and in
+    * change-feed mode labels the version by its op), and reading them
+    * together (then carrying version v's result as v+1's "previous")
+    * keeps planning at one manifest read per version instead of four. */
   private[sources] def manifestFilesDvAt(tableDir: String, v: Long)
-      : (Seq[String], Map[String, Seq[String]]) = {
+      : (Seq[String], Map[String, Seq[String]], String) = {
     val p = logDir(tableDir).resolve(s"$v.json")
     require(Files.exists(p), s"no version $v in $tableDir" +
       " (committed versions may have been expired)")
     val node = mapper.readTree(Files.readString(p))
-    (node.get("files").elements().asScala.map(_.asText()).toSeq, dvOf(node))
+    (node.get("files").elements().asScala.map(_.asText()).toSeq, dvOf(node),
+      Option(node.get("op")).map(_.asText()).getOrElse("unknown"))
   }
 
   /** [[manifestAt]] plus the stats node, colmap, and dv node in ONE
@@ -2909,6 +2910,128 @@ object SnapshotLog {
     val cols = if (payload.nonEmpty) payload
       else oldS.columns.filterNot(_ == "key").toSeq
     graft.ops.MigrationOps.tableDiff(oldS, newS, cols)
+  }
+
+  /** PER-ROW change data feed over the half-open version range
+    * (`fromV`, `toV`] — Delta's `table_changes` semantics on the log's
+    * own commit provenance, and the dv-aware upgrade of [[diff]] (which
+    * answers post-image state, not per-commit changes, and needs a
+    * key):
+    *
+    *  - a version's NEW files emit their rows labeled by the verb that
+    *    published them (`insert` for appends, `update_postimage` /
+    *    `upsert` for the MOR update/merge post-images), masked by the
+    *    version's own dv entries on those files;
+    *  - a version's NEW deletion-vector positions emit the masked
+    *    rows' PRE-IMAGES labeled `delete` — new sidecar positions
+    *    MINUS positions already masked at v−1, because a re-mark
+    *    (MOR marks come from raw reads) is not a new delete;
+    *  - maintenance rewrites ([[ChangeFeed.ContentIdenticalOps]]:
+    *    optimize / zorder / compactDeletes) restate identical content
+    *    and emit NOTHING — the feed flows straight through them;
+    *  - any other rewrite (COW DML, merge, plain commit) restates rows
+    *    with no per-row change representation and fails LOUDLY, naming
+    *    [[diff]] as the post-image alternative.
+    *
+    * Appends two columns: `_change_type` STRING and `_commit_version`
+    * LONG. `fromV = -1` feeds from genesis. The logical column set
+    * must hold across the range (a rename/drop mid-range fails loudly
+    * — split the feed at the DDL version). Cost: new files + touched
+    * dv files are read once per emitting version; the delete half's
+    * semi-join build side is churn-sized (AQE broadcasts it). */
+  def readChangeFeed(spark: SparkSession, tableDir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromV >= -1 && fromV <= toV,
+      s"readChangeFeed wants -1 <= fromV <= toV, got ($fromV, $toV]")
+    def node(v: Long) = {
+      val p = logDir(tableDir).resolve(s"$v.json")
+      require(Files.exists(p), s"no version $v in $tableDir" +
+        " (committed versions may have been expired)")
+      mapper.readTree(Files.readString(p))
+    }
+    var prevFiles: Set[String] = Set.empty
+    var prevDv: Map[String, Seq[String]] = Map.empty
+    if (fromV >= 0) {
+      val n = node(fromV)
+      prevFiles = n.get("files").elements().asScala.map(_.asText()).toSet
+      prevDv = dvOf(n)
+    }
+    val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    ((fromV + 1) to toV).foreach { v =>
+      val n = node(v)
+      val files = n.get("files").elements().asScala.map(_.asText()).toSeq
+      val dvNow = dvOf(n)
+      val colmap = colmapOf(n)
+      val logical = Option(n.get("schema")).map(s =>
+        org.apache.spark.sql.types.DataType.fromJson(s.asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val op = Option(n.get("op")).map(_.asText()).getOrElse("unknown")
+      val skip = ChangeFeed.ContentIdenticalOps.contains(op)
+      if (!skip) {
+        require(prevFiles.subsetOf(files.toSet),
+          s"readChangeFeed($fromV, $toV): version $v rewrote data files " +
+            s"(op=$op) — a rewrite restates rows and has no per-row " +
+            s"change representation; use diff($fromV, $toV) for " +
+            s"post-image semantics, or feed up to ${v - 1}")
+        val newFiles = files.filterNot(prevFiles.contains)
+        if (newFiles.nonEmpty) outs +=
+          readFiles(spark, newFiles, logical, colmap,
+            dvNow.view.filterKeys(newFiles.toSet).toMap)
+            .withColumn(ChangeFeed.ChangeTypeCol, lit(ChangeFeed.label(op)))
+            .withColumn(ChangeFeed.CommitVersionCol, lit(v))
+        val newSc = dvNow.values.flatten.toSet -- prevDv.values.flatten.toSet
+        if (newSc.nonEmpty) {
+          val touched = dvNow.collect {
+            case (f, scs) if scs.exists(newSc.contains) => f }.toSeq.sorted
+          val marksNew = spark.read.schema("file STRING, pos BIGINT")
+            .parquet(newSc.toSeq.sorted: _*)
+          val oldSc = touched.flatMap(prevDv.getOrElse(_, Nil)).distinct.sorted
+          val delta = if (oldSc.isEmpty) marksNew.distinct()
+            else marksNew.except(spark.read
+              .schema("file STRING, pos BIGINT").parquet(oldSc: _*))
+          val fp = "_graft_cf_f"
+          val ri = "_graft_cf_p"
+          val withMeta = logical.map(physSchema(_, colmap))
+            .fold(spark.read)(spark.read.schema).parquet(touched: _*)
+            .select(col("*"), col("_metadata.file_path").as(fp),
+              col("_metadata.row_index").as(ri))
+          val pre = withMeta.join(delta,
+            withMeta(fp) === delta("file") && withMeta(ri) === delta("pos"),
+            "left_semi").drop(fp, ri)
+          val named = logical match {
+            case Some(sch) if colmap.nonEmpty =>
+              pre.toDF(sch.fieldNames.toIndexedSeq: _*)
+            case _ => pre
+          }
+          outs += named
+            .withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))
+            .withColumn(ChangeFeed.CommitVersionCol, lit(v))
+        }
+      }
+      prevFiles = files.toSet
+      prevDv = dvNow
+    }
+    if (outs.isEmpty) {
+      val (_, _, schemaOpt, _, _) = manifestDetailsAt(tableDir, toV)
+      val sch = schemaOpt.getOrElse(sys.error(
+        s"readChangeFeed($fromV, $toV): the range emits nothing and the " +
+          "manifest records no schema to shape the empty feed — commit " +
+          "once with a recorded schema first"))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(sch.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(ChangeFeed.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField(ChangeFeed.CommitVersionCol,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } else {
+      require(outs.map(_.columns.toSeq).distinct.size == 1,
+        s"readChangeFeed($fromV, $toV): the logical column set changed " +
+          "across the range (a rename/drop/add mid-range) — feed up to " +
+          "the DDL version, then from it")
+      outs.reduce(_.unionByName(_))
+    }
   }
 
   /** Retention: delete the manifests of all but the newest `keepLast`

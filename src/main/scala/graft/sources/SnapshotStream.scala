@@ -54,7 +54,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * not a second parquet reader. Options: `tableDir` (required),
   * `startVersion` (default 0), `ignoreChanges` (default false),
   * `columnar` (default true — `false` is the measurement escape
-  * hatch, not a tuning knob). Schema is the manifest-recorded one at
+  * hatch, not a tuning knob), and `changeFeed` (default false): the
+  * CHANGE DATA FEED mode, [[SnapshotLog.readChangeFeed]] as a stream
+  * — appends emit `insert` rows, MOR deletes emit the masked rows'
+  * pre-images as `delete` rows (new dv entries no longer force
+  * `ignoreChanges`), MOR update/merge post-images label
+  * `update_postimage`/`upsert`, maintenance rewrites pass silently,
+  * and two columns (`_change_type`, `_commit_version`) append to the
+  * schema. Schema is the manifest-recorded one at
   * stream start (appends cannot change it without `mergeSchema`, and
   * an evolved version streams through the PINNED schema — new
   * columns need a stream restart, the Delta decision).
@@ -72,7 +79,15 @@ class SnapshotStreamProvider extends TableProvider with DataSourceRegister {
       sys.error(s"graft-snaplog: no committed version in $t — " +
         "commit at least once before streaming"))
     val (files, schema) = SnapshotLog.manifestAt(t, v)
-    schema.getOrElse(SparkSession.active.read.parquet(files: _*).schema)
+    val base = schema.getOrElse(
+      SparkSession.active.read.parquet(files: _*).schema)
+    if (options.getBoolean("changeFeed", false))
+      StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(ChangeFeed.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(ChangeFeed.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -89,14 +104,25 @@ private class SnapshotStreamTable(schema: StructType,
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = schema
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+        val changeFeed = options.getBoolean("changeFeed", false)
+        val ignore = options.getBoolean("ignoreChanges", false)
+        require(!(changeFeed && ignoreChanges(options)),
+          "graft-snaplog: changeFeed and ignoreChanges are exclusive — " +
+            "the feed represents dv deletions exactly, and restated " +
+            "rewrite rows would double-count as inserts")
         new SnapshotLogMicroBatchStream(
           options.get("tableDir"), schema,
           options.getLong("startVersion", 0L),
-          options.getBoolean("ignoreChanges", false),
-          options.getBoolean("columnar", true))
+          ignore,
+          options.getBoolean("columnar", true),
+          changeFeed)
+      }
       override def description(): String = name()
     }
+
+  private def ignoreChanges(o: CaseInsensitiveStringMap): Boolean =
+    o.getBoolean("ignoreChanges", false)
 }
 
 /** Offset = the highest version whose rows are already emitted. */
@@ -104,9 +130,56 @@ private class VersionOffset(val v: Long) extends Offset {
   override def json: String = v.toString
 }
 
+/** Shared vocabulary of the CHANGE DATA FEED surfaces
+  * ([[SnapshotLog.readChangeFeed]] and the streaming source's
+  * `changeFeed` mode): the two appended columns, the op → change-type
+  * labeling, the maintenance ops a feed SKIPS (their rewrites restate
+  * identical content by construction — Delta's dataChange=false
+  * commits, decided here by the log's own op provenance), and the
+  * path canonicalization that matches a sidecar row's
+  * `_metadata.file_path` spelling (a `file:` URI) against a manifest
+  * path — usable on executors (pure function; [[canonKey]] falls back
+  * to syntactic normalization when the path does not resolve). */
+private[graft] object ChangeFeed {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** Ops whose published files restate IDENTICAL logical content —
+    * a change feed emits nothing for them and carries on. */
+  val ContentIdenticalOps: Set[String] =
+    Set("optimize", "optimize-zorder", "compact-deletes")
+
+  /** What a version's NEW files mean in change terms: MOR update /
+    * merge post-images are upserts (their masked pre-images ride the
+    * same version as delete rows); anything else appended is an
+    * insert. */
+  def label(op: String): String = op match {
+    case "update-where-in-mor" => "update_postimage"
+    case "merge-mor" => "upsert"
+    case _ => "insert"
+  }
+
+  def canonKey(s: String): String = {
+    val p = try java.nio.file.Paths.get(java.net.URI.create(s))
+      catch { case _: Exception => java.nio.file.Paths.get(s) }
+    try p.toRealPath().toString
+    catch { case _: java.io.IOException =>
+      p.toAbsolutePath.normalize.toString }
+  }
+}
+
 private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
     startVersion: Long, ignoreChanges: Boolean,
-    columnar: Boolean = true) extends MicroBatchStream {
+    columnar: Boolean = true,
+    changeFeed: Boolean = false) extends MicroBatchStream {
+
+  /** The exposed schema minus the change-feed bookkeeping columns —
+    * what the parquet files actually hold. */
+  private val tableSchema: StructType =
+    if (!changeFeed) schema
+    else StructType(schema.fields.filterNot(f =>
+      f.name == ChangeFeed.ChangeTypeCol ||
+        f.name == ChangeFeed.CommitVersionCol))
 
   /** The pinned schema with each column's immutable PHYSICAL name (the
     * name in the parquet files — [[SnapshotLog.renameColumn]]'s column
@@ -117,7 +190,7 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
     * positional, so readers can consume physical names while the
     * stream's exposed schema stays logical. */
   private val physSchema: StructType =
-    SnapshotLog.physicalizeLatest(tableDir, schema)
+    SnapshotLog.physicalizeLatest(tableDir, tableSchema)
 
   override def initialOffset(): Offset = new VersionOffset(startVersion - 1)
 
@@ -136,43 +209,103 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
     var prev: (Set[String], Map[String, Seq[String]]) =
       if (lo < 0) (Set.empty, Map.empty)
       else {
-        val (fs, dv) = SnapshotLog.manifestFilesDvAt(tableDir, lo)
+        val (fs, dv, _) = SnapshotLog.manifestFilesDvAt(tableDir, lo)
         (fs.toSet, dv)
       }
     ((lo + 1) to hi).flatMap { v =>
-      val (files, dvNow) = SnapshotLog.manifestFilesDvAt(tableDir, v)
+      val (files, dvNow, op) = SnapshotLog.manifestFilesDvAt(tableDir, v)
       val (prevFiles, dvPrev) = prev
       prev = (files.toSet, dvNow)
-      // the advice must be actionable: a fresh stream AT version v
-      // hits this same check (v compares against v−1's manifest), so
-      // the skip path is startVersion = v+1, not v
-      if (!ignoreChanges && !prevFiles.subsetOf(files.toSet))
-        throw new IllegalStateException(
-          s"graft-snaplog: version $v of $tableDir is not an append " +
-            "(files were rewritten by a commit/optimize/delete/update); " +
-            "restart with ignoreChanges=true to stream the restated rows " +
-            s"(at-least-once), or skip them with startVersion=${v + 1} " +
-            "(risks missing the restatement)")
-      // a merge-on-read delete keeps the file list IDENTICAL but
-      // logically removes already-emitted rows — the subset check above
-      // cannot see it, so compare the dv nodes: new deletion-vector
-      // entries are a change, not an append, and must not be silently
-      // skipped (the Delta decision, same resolution; under
-      // ignoreChanges the deletion simply never reaches the stream —
-      // emitted rows stand, at-least-once semantics)
-      if (!ignoreChanges && dvNow != dvPrev)
-        throw new IllegalStateException(
-          s"graft-snaplog: version $v of $tableDir adds merge-on-read " +
-            "deletion vectors (rows already emitted were logically " +
-            "deleted); restart with ignoreChanges=true to continue past " +
-            s"the deletion, or skip it with startVersion=${v + 1}")
-      files.filterNot(prevFiles.contains)
-        .map(f => SnapshotFilePartition(f): InputPartition)
+      if (changeFeed) changeParts(v, op, files, dvNow, prevFiles, dvPrev)
+      else {
+        // the advice must be actionable: a fresh stream AT version v
+        // hits this same check (v compares against v−1's manifest), so
+        // the skip path is startVersion = v+1, not v
+        if (!ignoreChanges && !prevFiles.subsetOf(files.toSet))
+          throw new IllegalStateException(
+            s"graft-snaplog: version $v of $tableDir is not an append " +
+              "(files were rewritten by a commit/optimize/delete/update); " +
+              "restart with ignoreChanges=true to stream the restated rows " +
+              s"(at-least-once), with changeFeed=true for exact per-row " +
+              "changes (MOR versions only), or skip them with " +
+              s"startVersion=${v + 1} (risks missing the restatement)")
+        // a merge-on-read delete keeps the file list IDENTICAL but
+        // logically removes already-emitted rows — the subset check above
+        // cannot see it, so compare the dv nodes: new deletion-vector
+        // entries are a change, not an append, and must not be silently
+        // skipped (the Delta decision, same resolution; under
+        // ignoreChanges the deletion simply never reaches the stream —
+        // emitted rows stand, at-least-once semantics)
+        if (!ignoreChanges && dvNow != dvPrev)
+          throw new IllegalStateException(
+            s"graft-snaplog: version $v of $tableDir adds merge-on-read " +
+              "deletion vectors (rows already emitted were logically " +
+              "deleted); restart with changeFeed=true to stream the " +
+              "deletions as delete records, with ignoreChanges=true to " +
+              s"continue past them, or skip with startVersion=${v + 1}")
+        files.filterNot(prevFiles.contains)
+          .map(f => SnapshotFilePartition(f): InputPartition)
+      }
     }.toArray
   }
 
+  /** CHANGE-FEED planning for one version — the streaming twin of
+    * [[SnapshotLog.readChangeFeed]]'s per-version step: new files emit
+    * op-labeled rows, new dv positions emit per-file DELETE partitions
+    * (each carries its data file's canonical key plus the new and
+    * prior sidecars — the position delta computes on the EXECUTOR, so
+    * nothing mask-sized ever collects to the driver), maintenance
+    * rewrites skip, and any other rewrite fails loudly. */
+  private def changeParts(v: Long, op: String, files: Seq[String],
+      dvNow: Map[String, Seq[String]], prevFiles: Set[String],
+      dvPrev: Map[String, Seq[String]]): Seq[InputPartition] = {
+    if (ChangeFeed.ContentIdenticalOps.contains(op)) return Nil
+    if (!prevFiles.subsetOf(files.toSet))
+      throw new IllegalStateException(
+        s"graft-snaplog: version $v of $tableDir rewrote data files " +
+          s"(op=$op), which a change feed cannot represent per-row — " +
+          "use SnapshotLog.diff for post-image semantics, or skip with " +
+          s"startVersion=${v + 1}")
+    val newFiles = files.filterNot(prevFiles.contains)
+    // not a shape the log's verbs produce (post-images append unmasked;
+    // masks land on PRE-existing files) — refuse rather than mislabel
+    newFiles.filter(dvNow.contains) match {
+      case Seq() => ()
+      case masked => throw new IllegalStateException(
+        s"graft-snaplog: version $v of $tableDir appends files born " +
+          s"masked (${masked.size}) — stream these with the batch " +
+          "SnapshotLog.readChangeFeed, which applies birth masks")
+    }
+    val inserts = newFiles.map(f =>
+      ChangeInsertPartition(f, v, ChangeFeed.label(op)): InputPartition)
+    val newSc = dvNow.values.flatten.toSet -- dvPrev.values.flatten.toSet
+    val deletes =
+      if (newSc.isEmpty) Nil
+      else dvNow.collect {
+        case (f, scs) if scs.exists(newSc.contains) =>
+          ChangeDeletePartition(f, ChangeFeed.canonKey(f),
+            scs.filter(newSc.contains),
+            dvPrev.getOrElse(f, Nil), v): InputPartition
+      }.toSeq
+    inserts ++ deletes
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotFileReaderFactory(
+    if (changeFeed) {
+      val spark = SparkSession.active
+      val idxSchema = StructType(physSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      ChangeFeedReaderFactory(
+        Bridge.parquetFileRows(spark, physSchema),
+        Bridge.parquetFileRows(spark, idxSchema),
+        Bridge.parquetFileRows(spark,
+          StructType.fromDDL("file STRING, pos BIGINT")),
+        physSchema.fields.map(_.dataType),
+        physSchema.fields.map(_.nullable))
+    } else SnapshotFileReaderFactory(
       Bridge.parquetFileRows(SparkSession.active, physSchema),
       // `columnar=false` is the measurement escape hatch (the
       // SnapStreamBench row-vs-columnar A/B), not a tuning knob
@@ -225,4 +358,95 @@ private case class SnapshotFileReaderFactory(
       override def close(): Unit = ()
     }
   }
+}
+
+/** One appended file of a change-feed micro-batch: its rows emit with
+  * `(label, version)` appended. */
+private case class ChangeInsertPartition(path: String, version: Long,
+    label: String) extends InputPartition
+
+/** One dv-touched data file of a change-feed micro-batch: the masked
+  * rows' pre-images emit as `delete` records. Carries the NEW sidecars
+  * (this version's marks) and the PRIOR sidecars (positions already
+  * masked — a re-mark is not a new delete); the position delta
+  * computes on the executor. `canonKey` pre-resolves the data file's
+  * canonical spelling so the executor matches sidecar rows (which
+  * record `_metadata.file_path` URIs) without touching the driver. */
+private case class ChangeDeletePartition(path: String, canonKey: String,
+    newSidecars: Seq[String], priorSidecars: Seq[String],
+    version: Long) extends InputPartition
+
+/** Readers of the change-feed mode — all row-based (each emitted row
+  * is the table row with two bookkeeping columns appended, which a
+  * ColumnarBatch cannot carry without a copy; change feeds are
+  * churn-sized, so the vectorized handoff matters less than on the
+  * full-table path, and the parquet DECODE underneath is still
+  * Spark's vectorized reader flattened to rows). */
+private case class ChangeFeedReaderFactory(
+    readRows: String => Iterator[InternalRow],
+    readRowsWithIdx: String => Iterator[InternalRow],
+    readSidecar: String => Iterator[InternalRow],
+    dataTypes: Array[org.apache.spark.sql.types.DataType],
+    nullables: Array[Boolean]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  private def reader(it: Iterator[InternalRow])
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+
+  private def extra(label: String, v: Long): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(label), v))
+
+  /** Positions recorded for `canonKey` across `sidecars` — executor-
+    * side, memoizing the per-row file-spelling canonicalization (rows
+    * of one file repeat; toRealPath is a syscall). */
+  private def positionsFor(canonKey: String, sidecars: Seq[String])
+      : java.util.HashSet[java.lang.Long] = {
+    val out = new java.util.HashSet[java.lang.Long]()
+    val memo = new java.util.HashMap[String, java.lang.Boolean]()
+    sidecars.foreach { sc =>
+      readSidecar(sc).foreach { r =>
+        val f = r.getUTF8String(0).toString
+        val hit = memo.computeIfAbsent(f,
+          k => java.lang.Boolean.valueOf(ChangeFeed.canonKey(k) == canonKey))
+        if (hit) out.add(r.getLong(1)): Unit
+      }
+    }
+    out
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case ChangeInsertPartition(path, v, label) =>
+        val tail = extra(label, v)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        reader(readRows(path).map(r => joined(r, tail): InternalRow))
+      case ChangeDeletePartition(path, canonKey, newSc, priorSc, v) =>
+        val newPos = positionsFor(canonKey, newSc)
+        if (!priorSc.isEmpty) newPos.removeAll(positionsFor(canonKey, priorSc))
+        val delta = new Array[Long](newPos.size())
+        val dit = newPos.iterator()
+        var i = 0
+        while (dit.hasNext) { delta(i) = dit.next(); i += 1 }
+        java.util.Arrays.sort(delta)
+        val idxOrdinal = dataTypes.length
+        val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(dataTypes.indices.map(j =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              j, dataTypes(j), nullables(j))))
+        val tail = extra("delete", v)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        reader(readRowsWithIdx(path)
+          .filter(r => java.util.Arrays.binarySearch(delta,
+            r.getLong(idxOrdinal)) >= 0)
+          .map(r => joined(proj(r), tail): InternalRow))
+    }
 }

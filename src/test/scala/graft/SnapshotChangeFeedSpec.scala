@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import sources.SnapshotLog
+
+/** The dv-aware CHANGE DATA FEED ([[SnapshotLog.readChangeFeed]] and
+  * the streaming source's `changeFeed=true` mode) — Delta's
+  * `table_changes` on the log's op provenance. Pinned contracts:
+  *
+  *  - appends emit `insert` rows; a MOR delete emits the masked rows'
+  *    PRE-IMAGES as `delete` rows; a MOR update emits delete +
+  *    `update_postimage` pairs in one version; MOR merge post-images
+  *    label `upsert`;
+  *  - a RE-MARK (deleting an already-deleted key re-marks its position
+  *    — MOR marks come from raw reads) emits NOTHING: the feed's
+  *    position delta subtracts the prior mask;
+  *  - maintenance rewrites (optimize / zorder / compactDeletes) are
+  *    content-identical by construction and emit nothing — the feed
+  *    flows straight through them; any OTHER rewrite fails loudly;
+  *  - replaying the feed reconstructs the table: inserts+postimages
+  *    minus deletes equals the final snapshot;
+  *  - the STREAM (changeFeed=true) emits the same multiset of change
+  *    rows as the batch feed over the same version range — a
+  *    mid-stream MOR delete produces delete records downstream instead
+  *    of the ignoreChanges ultimatum. */
+class SnapshotChangeFeedSpec extends SparkSpec {
+
+  import sources.{ChangeFeed => CF}
+
+  private def freshTable(prefix: String, n: Int = 400): String = {
+    val t = Files.createTempDirectory(s"graft_cf_$prefix").toString + "/t"
+    SnapshotLog.commit(spark, t,
+      spark.range(n).repartitionByRange(2, col("id")).select(
+        col("id").as("k"), (col("id") * 7).as("v")))
+    t
+  }
+
+  private def feed(t: String, from: Long, to: Long)
+      : Seq[(Long, Long, String, Long)] =
+    SnapshotLog.readChangeFeed(spark, t, from, to)
+      .select(col("k"), col("v"), col(CF.ChangeTypeCol),
+        col(CF.CommitVersionCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq.sorted
+
+  test("inserts, MOR deletes (pre-images), and MOR update pairs emit labeled per-version") {
+    val t = freshTable("basic")
+    SnapshotLog.commitAppend(spark, t,                        // v1: insert
+      spark.range(400, 410).select(col("id").as("k"), (col("id") * 7).as("v")))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(5L, 6L))  // v2: delete
+    SnapshotLog.updateWhereInMOR(spark, t, "k", Seq(7L),      // v3: update
+      Map("v" -> lit(-1L)))
+    val rows = feed(t, -1, 3)
+    val byVersion = rows.groupBy(_._4)
+    assert(byVersion(0L).forall(_._3 == "insert") &&
+      byVersion(0L).size == 400)
+    assert(byVersion(1L).forall(_._3 == "insert") &&
+      byVersion(1L).map(_._1).sorted == (400L to 409L))
+    // MOR delete: pre-images with the ORIGINAL payloads
+    assert(byVersion(2L).toSet ==
+      Set((5L, 35L, "delete", 2L), (6L, 42L, "delete", 2L)))
+    // MOR update: the masked pre-image + the post-image, one version
+    assert(byVersion(3L).toSet ==
+      Set((7L, 49L, "delete", 3L), (7L, -1L, "update_postimage", 3L)))
+    // a sub-range feeds exactly its versions
+    assert(feed(t, 1, 2) == byVersion(2L).sorted)
+  }
+
+  test("a re-mark emits nothing; maintenance versions pass through silently") {
+    val t = freshTable("remark")
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(10L, 11L)) // v1
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(11L, 12L)) // v2: 11 re-marked
+    val v2 = feed(t, 1, 2)
+    assert(v2.map(r => (r._1, r._3)) == Seq((12L, "delete")),
+      s"re-marked position 11 must not re-emit: $v2")
+    // compactDeletes (rewrite, content-identical) emits nothing and
+    // does NOT break the feed
+    val v3 = SnapshotLog.compactDeletes(spark, t)
+    assert(feed(t, 2, v3).isEmpty)
+    // optimize likewise
+    val v4 = SnapshotLog.optimize(spark, t, targetRecordsPerFile = 1000)
+    assert(feed(t, v3, v4).isEmpty)
+    // and the feed STILL works across the maintenance for later changes
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(20L))      // v5
+    assert(feed(t, 2, v4 + 1).map(r => (r._1, r._3)) ==
+      Seq((20L, "delete")))
+  }
+
+  test("a content-CHANGING rewrite fails loudly, naming diff as the alternative") {
+    val t = freshTable("rewrite")
+    SnapshotLog.deleteWhereIn(spark, t, "k", Seq(3L)) // COW: rewrites a file
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.readChangeFeed(spark, t, -1, 1).collect()
+    }
+    assert(e.getMessage.contains("rewrote data files") &&
+      e.getMessage.contains("diff"), e.getMessage)
+  }
+
+  test("replaying the feed reconstructs the snapshot (inserts + postimages − deletes)") {
+    val t = freshTable("replay")
+    SnapshotLog.commitAppend(spark, t,
+      spark.range(400, 450).select(col("id").as("k"), (col("id") * 7).as("v")))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(1L, 2L, 440L))
+    SnapshotLog.updateWhereInMOR(spark, t, "k", Seq(3L, 4L),
+      Map("v" -> (col("v") + 100000L)))
+    val latest = SnapshotLog.latestVersion(t).get
+    val cf = SnapshotLog.readChangeFeed(spark, t, -1, latest)
+    val adds = cf.filter(col(CF.ChangeTypeCol) =!= "delete")
+      .select("k", "v")
+    val dels = cf.filter(col(CF.ChangeTypeCol) === "delete")
+      .select("k", "v")
+    val replayed = adds.exceptAll(dels).collect().map(_.toString).sorted
+    val table = SnapshotLog.read(spark, t).select("k", "v")
+      .collect().map(_.toString).sorted
+    assert(replayed.sameElements(table),
+      s"replay diverged: ${replayed.length} vs ${table.length} rows")
+  }
+
+  test("the STREAM with changeFeed=true matches the batch feed; a mid-stream MOR delete streams as delete records") {
+    val t = freshTable("stream", n = 100)
+    SnapshotLog.commitAppend(spark, t,
+      spark.range(100, 120).select(col("id").as("k"), (col("id") * 7).as("v")))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(8L, 108L))
+    SnapshotLog.updateWhereInMOR(spark, t, "k", Seq(9L), Map("v" -> lit(0L)))
+    val out = Files.createTempDirectory("graft_cf_sink_").toString
+    val q = spark.readStream.format("graft-snaplog")
+      .option("tableDir", t)
+      .option("changeFeed", "true")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(_.toString).sorted
+    val latest = SnapshotLog.latestVersion(t).get
+    val batch = SnapshotLog.readChangeFeed(spark, t, -1, latest)
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream (${streamed.length}) != batch (${batch.length})")
+    // the delete records made it downstream
+    assert(spark.read.parquet(s"$out/data")
+      .filter(col(CF.ChangeTypeCol) === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(8L, 9L, 108L)))
+    // changeFeed + ignoreChanges refuse together
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snaplog")
+        .option("tableDir", t)
+        .option("changeFeed", "true")
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$out/cp2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    def rootMsg(x: Throwable): String =
+      if (x == null) "" else x.getMessage + rootMsg(x.getCause)
+    assert(rootMsg(e).contains("exclusive"), rootMsg(e).take(300))
+  }
+}

@@ -16,10 +16,13 @@ import sources.SnapshotLog
   *  - successive deletes UNION; time travel applies each version's own
   *    mask; COW DML and appends on a dv'd table neither resurrect
   *    masked rows nor drop the mask for files they carry;
-  *  - [[SnapshotLog.compactDeletes]] materializes the mask (rewriting
-  *    ONLY dv'd files) and restores SQL-catalog readability — which a
-  *    dv-bearing version REFUSES loudly (protocol gating: a reader
-  *    that cannot apply the mask must fail, never over-answer);
+  *  - the SQL catalog reads a dv-bearing version THROUGH the mask
+  *    (round 16; hash-equal to the Scala read, pruning intact) and
+  *    REFUSES loudly only above the driver-mask cap (protocol gating:
+  *    a reader that cannot apply the mask must fail, never
+  *    over-answer); [[SnapshotLog.compactDeletes]] materializes the
+  *    mask (rewriting ONLY dv'd files) and restores the vectorized
+  *    scan;
   *  - the streaming source treats new dv entries as a CHANGE version;
   *  - vacuum protects referenced sidecars, and the MOR erasure theorem
   *    holds: only compact + expire + vacuum removes the subject's
