@@ -2613,14 +2613,17 @@ object SnapshotLog {
     * same commit path as any write. */
   def optimize(spark: SparkSession, tableDir: String,
       targetRecordsPerFile: Long, clusterBy: Seq[String] = Nil,
-      maintainIndexes: Boolean = true, zOrderBy: Seq[String] = Nil): Long = {
+      maintainIndexes: Boolean = true, zOrderBy: Seq[String] = Nil,
+      zOrderQuantile: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr,
-      floor, greatest, least, lit, max, min}
+      filter, floor, greatest, least, lit, max, min, size}
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are exclusive layouts — pick one")
     require(zOrderBy.isEmpty || zOrderBy.size == 2,
       "zOrderBy wants exactly two columns (the 2-D Morton interleave)")
+    require(zOrderBy.nonEmpty || !zOrderQuantile,
+      "zOrderQuantile modifies zOrderBy — pass the two dimensions")
     val baseV = latestVersion(tableDir).getOrElse(
       sys.error(s"no committed version in $tableDir"))
     val df = read(spark, tableDir, asOf = Some(baseV))
@@ -2630,18 +2633,26 @@ object SnapshotLog {
     val arranged =
       if (zOrderBy.nonEmpty) {
         // ZORDER BY (Delta/Iceberg's verb at this log's minimum): each
-        // dimension linearly bucketed to 256 cells against its OWN
-        // [min, max] (one broadcast 1-row agg — no per-column sort),
-        // then Morton-interleaved ([[graft.ops.LayoutOps]]'s key) and
-        // range-written on the z key, so every file covers a small
-        // RECTANGLE of the 2-D domain and EITHER column's min/max
-        // stats prune (ZOrderSpec measures the asymmetry vs linear
-        // clustering; the snapshot spec pins both-dimension pruning
-        // through this verb). Linear bucketing is the documented
-        // minimum — heavy per-dimension skew degrades rectangle
-        // balance, and quantile (range-id) bucketing is the upgrade
-        // path. Null cells bucket to 0 (they cluster first, like a
-        // NULLS FIRST sort). Dimensions must be numeric.
+        // dimension bucketed to 256 cells, then Morton-interleaved
+        // ([[graft.ops.LayoutOps]]'s key) and range-written on the z
+        // key, so every file covers a small RECTANGLE of the 2-D
+        // domain and EITHER column's min/max stats prune (ZOrderSpec
+        // measures the asymmetry vs linear clustering; the snapshot
+        // spec pins both-dimension pruning through this verb). Two
+        // bucketing maps, both one broadcast 1-row agg (no per-column
+        // sort): the default LINEAR map divides each dimension's own
+        // [min, max] evenly — right for roughly uniform dimensions and
+        // the cheapest to compute; `zOrderQuantile` buckets by RANK
+        // instead (255 approx-percentile cuts per dimension, cell =
+        // cuts at or below the value), which keeps cells POPULATION-
+        // balanced under skew — a heavy-tailed dimension packs almost
+        // every row into the linear map's bucket 0 and its outliers
+        // stretch every file's min/max over the whole domain, so
+        // range asks on the skewed dimension stop pruning; the
+        // quantile map restores it (ZOrderSpec's zipf case measures
+        // the repair). Null cells bucket to 0 under both maps (they
+        // cluster first, like a NULLS FIRST sort). Dimensions must be
+        // numeric.
         val Seq(cx, cy) = zOrderBy
         zOrderBy.foreach { c =>
           require(df.schema.fieldNames.contains(c), s"unknown zOrderBy column $c")
@@ -2650,24 +2661,46 @@ object SnapshotLog {
             s"zOrderBy column $c is ${df.schema(c).dataType} — the Morton " +
               "grid wants numeric dimensions")
         }
-        val mm = df.agg(
-          min(col(cx)).cast("double").as("_gxlo"),
-          max(col(cx)).cast("double").as("_gxhi"),
-          min(col(cy)).cast("double").as("_gylo"),
-          max(col(cy)).cast("double").as("_gyhi"))
-        def cell(c: String, lo: org.apache.spark.sql.Column,
-            hi: org.apache.spark.sql.Column) =
-          coalesce(least(lit(255L), floor(
-            (col(c).cast("double") - lo) /
-              greatest(hi - lo, lit(1e-12)) * 256).cast("long")), lit(0L))
-        df.crossJoin(broadcast(mm))
-          .withColumn("_gx", cell(cx, col("_gxlo"), col("_gxhi")))
-          .withColumn("_gy", cell(cy, col("_gylo"), col("_gyhi")))
+        val withCells = if (zOrderQuantile) {
+          val probs = (1 until 256).map(i => i / 256.0).mkString(", ")
+          val cuts = df.agg(
+            expr(s"approx_percentile(CAST(`$cx` AS DOUBLE), array($probs))")
+              .as("_gqx"),
+            expr(s"approx_percentile(CAST(`$cy` AS DOUBLE), array($probs))")
+              .as("_gqy"))
+          // cell = #cuts at or below the value: 256 codegen'd
+          // comparisons per row against the broadcast cut arrays —
+          // scan-bound rewrites never notice, and no per-row join or
+          // window sort is involved (ntile would global-sort)
+          def qcell(c: String, cutsCol: org.apache.spark.sql.Column) =
+            coalesce(least(lit(255),
+              size(filter(cutsCol, x => x <= col(c).cast("double"))))
+              .cast("long"), lit(0L))
+          df.crossJoin(broadcast(cuts))
+            .withColumn("_gx", qcell(cx, col("_gqx")))
+            .withColumn("_gy", qcell(cy, col("_gqy")))
+        } else {
+          val mm = df.agg(
+            min(col(cx)).cast("double").as("_gxlo"),
+            max(col(cx)).cast("double").as("_gxhi"),
+            min(col(cy)).cast("double").as("_gylo"),
+            max(col(cy)).cast("double").as("_gyhi"))
+          def cell(c: String, lo: org.apache.spark.sql.Column,
+              hi: org.apache.spark.sql.Column) =
+            coalesce(least(lit(255L), floor(
+              (col(c).cast("double") - lo) /
+                greatest(hi - lo, lit(1e-12)) * 256).cast("long")), lit(0L))
+          df.crossJoin(broadcast(mm))
+            .withColumn("_gx", cell(cx, col("_gxlo"), col("_gxhi")))
+            .withColumn("_gy", cell(cy, col("_gylo"), col("_gyhi")))
+        }
+        withCells
           .withColumn("_gz",
             expr(graft.ops.LayoutOps.zOrderSparkSql("_gx", "_gy", 8)))
           .repartitionByRange(nFiles, col("_gz"))
           .sortWithinPartitions("_gz")
-          .drop("_gx", "_gy", "_gz", "_gxlo", "_gxhi", "_gylo", "_gyhi")
+          .drop("_gx", "_gy", "_gz", "_gxlo", "_gxhi", "_gylo", "_gyhi",
+            "_gqx", "_gqy")
       } else if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)

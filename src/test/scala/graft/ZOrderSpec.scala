@@ -127,4 +127,50 @@ class ZOrderSpec extends SparkSpec {
       SnapshotLog.optimize(spark, t, 1000L, zOrderBy = Seq("x"))
     }
   }
+
+  test("quantile bucketing repairs ZORDER pruning under a zipf-skewed dimension") {
+    // y is heavy-tailed (zipf-ish: y = 1e6 / (1 + rank), ranks cycling
+    // uniformly): the LINEAR 256-cell map packs ~80% of rows into cell
+    // 0 (the outliers stretch the domain), so after ZORDER every file
+    // holding cell-0 rows spans the whole low-y value range and a
+    // median-band ask keeps ~all files; the QUANTILE map buckets by
+    // rank, keeping cells population-balanced, and the same ask prunes
+    // to a y-row of the morton grid
+    import sources.SnapshotLog
+    val t = s"$scratch/lake_zorder_zipf/t"
+    val n = 32000L
+    val rows = spark.range(n).select(
+      ((col("id") * 7919) % 256).as("x"),
+      floor(lit(1000000.0) / ((col("id") % 1000) + 1)).cast("long").as("y"))
+    SnapshotLog.commit(spark, t, rows.repartition(NFiles))
+    // ~3% of rows around the median — centered INSIDE one quantile
+    // y-stripe (cells ~141-147): a band straddling the top-level
+    // morton split at cell 128 would legitimately touch two tile rows
+    val band = (1710L, 1810L)
+    val bandRows = rows.filter(col("y").between(band._1, band._2)).count()
+    assert(bandRows > 0)
+    SnapshotLog.optimize(spark, t, targetRecordsPerFile = n / NFiles,
+      zOrderBy = Seq("x", "y"))
+    val (kLin, tLin) = SnapshotLog.pruneFiles(
+      t, "y", Some(band._1), Some(band._2))
+    // linear map under skew: the band is inside cell 0 with ~80% of
+    // all rows — pruning has collapsed
+    assert(kLin.size >= tLin * 3 / 4,
+      s"expected the linear map to keep ~all files under skew, " +
+        s"kept ${kLin.size}/$tLin")
+    SnapshotLog.optimize(spark, t, targetRecordsPerFile = n / NFiles,
+      zOrderBy = Seq("x", "y"), zOrderQuantile = true)
+    val (kQ, tQ) = SnapshotLog.pruneFiles(t, "y", Some(band._1), Some(band._2))
+    assert(kQ.size <= kLin.size / 2,
+      s"quantile bucketing should keep <= half the linear map's files: " +
+        s"${kQ.size}/$tQ vs ${kLin.size}/$tLin")
+    // the layouts are semantics-invisible: same band count either way
+    assert(SnapshotLog.readWhere(spark, t, "y",
+      Some(band._1), Some(band._2)).count() == bandRows)
+    assert(SnapshotLog.read(spark, t).count() == n)
+    // guardrail: the quantile flag without dimensions is a loud no
+    intercept[IllegalArgumentException] {
+      SnapshotLog.optimize(spark, t, 1000L, zOrderQuantile = true)
+    }
+  }
 }
