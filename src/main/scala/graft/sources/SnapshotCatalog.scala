@@ -169,6 +169,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // the Iceberg-convention METADATA TABLE: `SELECT * FROM
+    // cat.ns.t.history` parses as Identifier(namespace = [ns, t],
+    // name = "history") — surface [[SnapshotLog.history]]'s full
+    // version provenance to SQL (DESCRIBE TABLE EXTENDED only shows
+    // the latest op). A REAL table named `history` is unaffected: its
+    // identifier has a single-level namespace.
+    if (ident.namespace().length == 2 &&
+        ident.name().equalsIgnoreCase("history")) {
+      val inner = Identifier.of(Array(ident.namespace()(0)),
+        ident.namespace()(1))
+      val dir = tableDir(inner)
+      if (dir.isDirectory && isTable(dir))
+        return new SnapshotHistoryTable(
+          s"$catalogName.${ident.namespace().mkString(".")}.history",
+          dir.getAbsolutePath)
+    }
     val dir = tableDir(ident)
     if (!dir.isDirectory || !isTable(dir)) throw new NoSuchTableException(ident)
     val latest = SnapshotLog.latestVersion(dir.getAbsolutePath)
@@ -279,6 +295,61 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       s"$op: snapshot catalog '$catalogName' is read-only — writes go through " +
         "SnapshotLog.commit/commitAppend/commitIdempotent, which own atomicity, " +
         "stats, and schema enforcement; a catalog write would bypass all three")
+}
+
+/** `DESCRIBE HISTORY` as a SQL-queryable metadata table (the
+  * Delta/Iceberg convention, Iceberg's spelling):
+  *
+  * {{{
+  *   SELECT version, operation FROM snap.ns.t.history ORDER BY version
+  * }}}
+  *
+  * One row per SURVIVING manifest ([[SnapshotLog.history]] — expired
+  * versions are absent, the same contiguous-suffix shape every reader
+  * sees), newest first before any ORDER BY: version, the publishing
+  * verb, its commit timestamp (null on pre-provenance manifests),
+  * and the manifest's file / dv-sidecar counts. Served as a
+  * [[org.apache.spark.sql.connector.read.LocalScan]]: history is
+  * driver-sized metadata (one small JSON per version, already read on
+  * the driver), so shipping it through input partitions would
+  * manufacture distribution for data that never leaves the driver —
+  * Spark plans it as a LocalTableScan. Rows re-read per query plan,
+  * so a feed sees commits as they land. */
+private class SnapshotHistoryTable(tName: String, tableDirPath: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val historySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("files", IntegerType, nullable = false),
+    StructField("dv_files", IntegerType, nullable = false)))
+
+  override def name(): String = tName
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = historySchema
+      override def description(): String = tName
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        SnapshotLog.history(tableDirPath).map { e =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](
+              e.version,
+              org.apache.spark.unsafe.types.UTF8String.fromString(e.op),
+              // provenance millis → catalyst micros; 0 = pre-provenance
+              if (e.tsMillis <= 0L) null else e.tsMillis * 1000L,
+              e.files,
+              e.dvFiles)): org.apache.spark.sql.catalyst.InternalRow
+        }.toArray
+    }
 }
 
 /** SQL surface of a schema-recorded snapshot table — identity-named

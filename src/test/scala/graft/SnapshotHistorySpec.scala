@@ -65,4 +65,50 @@ class SnapshotHistorySpec extends SparkSpec {
       spark.conf.unset(s"spark.sql.catalog.$cat")
     }
   }
+
+  test("the FULL history is a SQL metadata table: snap.ns.t.history") {
+    val root = Files.createTempDirectory("graft_hist_sql_").toString
+    val t = s"$root/lake/tbl"
+    SnapshotLog.commit(spark, t, spark.range(100).select(
+      col("id").as("k"), (col("id") % 7).as("v")))
+    SnapshotLog.commitAppend(spark, t, spark.range(100, 150).select(
+      col("id").as("k"), (col("id") % 7).as("v")))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(5L))
+    SnapshotLog.compactDeletes(spark, t)
+    val cat = s"histsql_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      val rows = spark.sql(
+        s"""SELECT version, operation, timestamp, files, dv_files
+            FROM $cat.lake.tbl.history ORDER BY version""").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+      assert(rows.map(_.getString(1)).toSeq ==
+        Seq("commit", "append", "delete-where-in-mor", "compact-deletes"))
+      assert(rows.forall(r => !r.isNullAt(2)),
+        "post-provenance commits must carry timestamps")
+      assert(rows(2).getInt(4) > 0 && rows(3).getInt(4) == 0,
+        "only the MOR version carries dv sidecars")
+      // plans as a driver-local scan — metadata never manufactures
+      // distribution
+      val plan = spark.sql(s"SELECT * FROM $cat.lake.tbl.history")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan"), plan.take(400))
+      // the history of a missing table is a loud miss, not empty
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $cat.lake.nosuch.history").collect()
+      }
+      // aggregation and filters compose like any table
+      assert(spark.sql(
+        s"""SELECT count(*) AS n FROM $cat.lake.tbl.history
+            WHERE operation LIKE '%mor%'""").head().getLong(0) == 1L)
+      // expiry drops rows from the SQL surface like every other reader
+      SnapshotLog.expireVersions(t, keepLast = 2)
+      assert(spark.sql(s"SELECT version FROM $cat.lake.tbl.history")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
 }
