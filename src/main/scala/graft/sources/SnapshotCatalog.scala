@@ -37,9 +37,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `loadTable(ident, version)` time-travel hook with EXACT-version
   * semantics (a missing or expired version is a loud error, matching
   * Delta — the `asOf` newest-at-or-before convenience stays a Scala
-  * API affordance). `TIMESTAMP AS OF` is declined loudly: manifests
-  * record no commit timestamps, and answering from file mtimes would
-  * silently rebind history after any copy or restore.
+  * API affordance). `TIMESTAMP AS OF` resolves newest-at-or-before
+  * against the MANIFEST-RECORDED commit timestamps (op/ts provenance
+  * — copy/restore-stable, unlike the file mtimes that made this a
+  * loud refusal pre-provenance); tables carrying any ts-less
+  * pre-provenance version refuse loudly rather than guess an order.
   *
   * Read-only by the same rationale as [[GraftCatalog]]: writes go
   * through the log's own commit paths (commit / commitAppend /
@@ -204,12 +206,35 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     parquetTable(ident, v)
   }
 
-  /** `TIMESTAMP AS OF` — declined loudly, see the class doc. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF: snapshot manifests record no commit timestamps; " +
-        "file mtimes would silently rebind history after a copy/restore — " +
-        "use VERSION AS OF <n>")
+  /** `TIMESTAMP AS OF <t>` — time travel by the MANIFEST-RECORDED
+    * commit timestamps (round 15's op/ts provenance; recorded inside
+    * the manifest, so a copy/restore preserves history — the reason
+    * this was refused pre-provenance, when only file mtimes existed,
+    * no longer holds). Resolves to the newest version committed at or
+    * before `t` (Delta's semantics). Two loud edges: a table with any
+    * PRE-PROVENANCE manifest (ts-less versions cannot be time-ordered
+    * — use VERSION AS OF), and a `t` before the first commit. The
+    * DSv2 contract hands `timestamp` in MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!dir.isDirectory || !isTable(dir)) throw new NoSuchTableException(ident)
+    val entries = SnapshotLog.history(dir.getAbsolutePath)
+    if (entries.isEmpty) throw new NoSuchTableException(ident)
+    val unstamped = entries.filter(_.tsMillis <= 0L)
+    if (unstamped.nonEmpty) sys.error(
+      s"TIMESTAMP AS OF: version(s) ${unstamped.map(_.version).sorted
+        .mkString(", ")} of ${ident.namespace().mkString(".")}." +
+        s"${ident.name()} predate commit-timestamp provenance and cannot " +
+        "be time-ordered — use VERSION AS OF <n>")
+    val askedMillis = timestamp / 1000L
+    val at = entries.filter(_.tsMillis <= askedMillis)
+    if (at.isEmpty) sys.error(
+      s"TIMESTAMP AS OF: no version of ${ident.namespace().mkString(".")}" +
+        s".${ident.name()} was committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(askedMillis)} (first commit: " +
+        s"${java.time.Instant.ofEpochMilli(entries.map(_.tsMillis).min)})")
+    parquetTable(ident, at.maxBy(_.version).version)
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().length == 1 && isTable(tableDir(ident))

@@ -61,12 +61,31 @@ class SnapshotCatalogSpec extends SparkSpec {
       spark.sql("SELECT count(*) FROM snap.lake.events VERSION AS OF 9").collect()
     }
     assert(e.getMessage.contains("no version 9"), e.getMessage)
-    // TIMESTAMP AS OF declines with the rationale
+    // TIMESTAMP AS OF resolves newest-at-or-before against the
+    // manifests' recorded commit timestamps (op/ts provenance)
+    val hist = SnapshotLog.history(s"$root/lake/events").sortBy(_.version)
+    val Seq(ts0, ts1) = hist.map(_.tsMillis)
+    assert(ts0 > 0 && ts1 >= ts0, s"provenance timestamps: $ts0, $ts1")
+    def fmt(ms: Long): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+    // exactly v0's commit instant: at-or-before lands on v0 (when the
+    // two commits share a millisecond, on v1 — both counts are legal
+    // answers to "the table as of ts0" in that degenerate case)
+    if (ts1 > ts0)
+      assert(spark.sql(s"SELECT count(*) FROM snap.lake.events " +
+        s"TIMESTAMP AS OF '${fmt(ts0)}'").head.getLong(0) == 100L)
+    // at v1's instant (and any later time): the full table
+    assert(spark.sql(s"SELECT count(*) FROM snap.lake.events " +
+      s"TIMESTAMP AS OF '${fmt(ts1)}'").head.getLong(0) == 150L)
+    // before the first commit: a loud, precise error
     val e2 = intercept[Exception] {
       spark.sql(
-        "SELECT * FROM snap.lake.events TIMESTAMP AS OF '2026-01-01'").collect()
+        "SELECT * FROM snap.lake.events TIMESTAMP AS OF '2020-01-01'").collect()
     }
-    assert(e2.getMessage.contains("VERSION AS OF"), e2.getMessage)
+    assert(e2.getMessage.contains("at or before"), e2.getMessage)
   }
 
   test("an evolved schema is visible through SQL; VERSION AS OF travels the schema too") {
@@ -219,5 +238,32 @@ class SnapshotCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("re-commit"), e.getMessage)
     assert(SnapshotLog.latestVersion(s"$r/lake/preschema").get == 0L)
+  }
+
+  test("TIMESTAMP AS OF refuses a table with pre-provenance (ts-less) versions") {
+    registered()
+    val t = s"$root/lake/unstamped"
+    SnapshotLog.commit(spark, t, spark.range(10).select(
+      col("id").as("key"), (col("id") % 3).as("bucket")))
+    SnapshotLog.commitAppend(spark, t, spark.range(10, 20).select(
+      col("id").as("key"), (col("id") % 3).as("bucket")))
+    // simulate a pre-round-15 manifest: strip the provenance fields
+    // (this is what tables committed before op/ts existed look like)
+    val mf = Paths.get(t, "_log", "0.json")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(mf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("ts"); node.remove("op")
+    Files.writeString(mf, node.toString)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM snap.lake.unstamped " +
+        "TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(e.getMessage.contains("predate commit-timestamp provenance") &&
+      e.getMessage.contains("VERSION AS OF"), e.getMessage)
+    // version addressing is unaffected — ts-less history still reads
+    assert(spark.sql(
+      "SELECT count(*) FROM snap.lake.unstamped VERSION AS OF 0")
+      .head.getLong(0) == 10L)
   }
 }
