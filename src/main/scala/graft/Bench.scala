@@ -109,16 +109,21 @@ object Bench {
     // dedup_decontaminate, benched beside it). Its round-8 sibling
     // `ann_pq_rerank` (flat PQ probe) was RETIRED from the headline in
     // round 14 per the round-9 precedent: its coverage is dominated by
-    // `ann_ivfpq_topk` (the composed serving plan, below) +
+    // `ann_ivfpq_topk` (the composed serving plan — itself retired in
+    // round 16, see below) +
     // `ann_index_probe_srv` (the persisted serve path), it keeps
     // CodegenGateSpec coverage and its anchors.json entry, and BASELINE
     // records the retirement — frees ~4 s of bench wall and contract-
     // line budget.
     "dedup_decontaminate_bloom",
-    // round 8 (late): the composed two-level IVF-PQ probe — coarse-cell
-    // equi-join + within-cell ADC + shortlist rerank; the end-to-end
-    // serving plan, and the only PQ entry whose scan is BNLJ-free
-    "ann_ivfpq_topk",
+    // round 8 (late)'s `ann_ivfpq_topk` (the composed two-level IVF-PQ
+    // probe) was RETIRED from the headline in round 16 per the same
+    // round-9/round-14 precedent as ann_pq_rerank: its ~4 s sample is
+    // training-dominated (k-means + codebooks rebuilt per sample),
+    // which the amortized `ann_index_probe_srv` serve-path headliner
+    // below measures more honestly; it keeps its gate entry, its
+    // CodegenGateSpec coverage, and its anchors.json entry, and
+    // BASELINE.md records the retirement — frees ~4 s of bench wall.
     // round 8 (continuation): the CDC merge kernel (the catalog's only
     // FULL-OUTER fact-sized join — a shuffle regime nothing else in the
     // gate exercises) and the CMS screen-then-confirm heavy hitters
@@ -127,8 +132,9 @@ object Bench {
     "cdc_merge_upsert", "text_heavy_hitters_cms",
     // round 9: the composed MRL serving probe — truncate-then-PQ with
     // full-width rerank, the third compression-triad member's serving
-    // shape (benched beside ann_pq_rerank / ann_ivfpq_topk, same
-    // training-dominated cost class)
+    // shape, and (post-r16) the ONE surviving training-inclusive ANN
+    // headliner: the train-in-query cost class stays measured by
+    // exactly one entry instead of three
     "ann_mrl_pq_topk",
     // round 9 (late): the change feed (the gate's second fact-sized
     // FullOuter — the merge's read-side inverse), the sketch-screened
@@ -203,8 +209,9 @@ object Bench {
       // bucketed codes + bucketed vector store built once outside the
       // passes, each sample is one 50-query probe (bucket-pruned code
       // scan + shortlist rerank) — the measured train-vs-serve gap
-      // against the inline ann_ivfpq_topk headliner, which pays the
-      // full training in every sample. Own flag: its failure must not
+      // against the inline ann_mrl_pq_topk headliner (and the retired
+      // ann_ivfpq_topk anchor), which pay the full training in every
+      // sample. Own flag: its failure must not
       // retire the retrieval pair (and vice versa).
       val annReady =
         try {

@@ -106,11 +106,59 @@ object MorBench {
       require(readAll(cowM) == readAll(morM),
         "COW and MOR merge must agree on the surviving rows")
 
+      // INDEXED rung: a stats-blind (scrambled-key) layout with a
+      // bloom index on the key, and a POINT-shaped delete (few keys):
+      // the MOR marks scan's candidate set is INDEX-pruned, so the
+      // delete bill rides the index's kept-file count, not the table's
+      // file count — the "MOR bill is flat in table size" claim
+      // extended to the indexed regime (SCALING.md §MOR). The
+      // unindexed twin scans every file (stats see a scrambled key
+      // column as full-range everywhere).
+      val kIdx = 4
+      def mkScrambled(sub: String): String = {
+        val t = s"$root/$sub"
+        SnapshotLog.commit(spark, t,
+          spark.range(n).repartitionByRange(nFiles, col("id")).select(
+            ((col("id") * 2654435761L) % n).as("key"),
+            repeat(md5(col("id").cast("string")), pay).as("pay"),
+            (col("id") % 97).as("v")))
+        t
+      }
+      val idxKeys: Seq[Any] =
+        (0 until kIdx).map(i => ((i * 1000L + 3L) * 2654435761L) % n)
+      val noIdxT = mkScrambled("mor_noidx")
+      val noIdxCand = SnapshotLog
+        .pruneFiles(noIdxT, "key", None, None)._1.size
+      val (_, morPointNoIdxSec) = timed(
+        SnapshotLog.deleteWhereInMOR(spark, noIdxT, "key", idxKeys))
+      val idxT = mkScrambled("mor_idx")
+      SnapshotLog.writeBloomIndex(spark, idxT, "key",
+        expectedItemsPerFile = n / nFiles, fpp = 0.01)
+      // the structural claim (BloomSkipBench's shape, on the DML path):
+      // the marks scan's candidate set is kIdx + fpp·files independent
+      // of table size, where stats alone keep ALL files. At local-SF
+      // the seconds barely move (the marks scan is column-pruned to
+      // one key column — tiny either way); the candidate COUNT is what
+      // scales: at 100 TB the unindexed marks scan reads every file's
+      // key column, the indexed one reads ~kIdx files'.
+      val (idxCandFiles, idxTotal) =
+        SnapshotLog.bloomPruneFiles(spark, idxT, "key", idxKeys)
+      val (_, morPointIdxSec) = timed(
+        SnapshotLog.deleteWhereInMOR(spark, idxT, "key", idxKeys))
+      require(readAll(noIdxT) == readAll(idxT),
+        "indexed and unindexed MOR point deletes must agree")
+      require(idxCandFiles.size < idxTotal,
+        s"the index must prune the point feed's candidates: " +
+          s"kept ${idxCandFiles.size}/$idxTotal")
+
       println(f"MORBENCH: n=$n files=$nFiles k=$k pay=$pay " +
         f"cow_delete=$cowSec%.2fs mor_delete=$morSec%.2fs " +
         f"read_clean=$cleanSec%.2fs read_masked=$maskedSec%.2fs " +
         f"compact=$compactSec%.2fs read_after_compact=$cleanAfter%.2fs " +
-        f"cow_merge=$cowMergeSec%.2fs mor_merge=$morMergeSec%.2fs")
+        f"cow_merge=$cowMergeSec%.2fs mor_merge=$morMergeSec%.2fs " +
+        f"mor_point_noidx=$morPointNoIdxSec%.2fs/$noIdxCand files " +
+        f"mor_point_idx=$morPointIdxSec%.2fs/${idxCandFiles.size} files " +
+        f"(kIdx=$kIdx)")
     } finally {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(Files.walk(Paths.get(root))) { st =>
