@@ -1010,6 +1010,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> children.length.toString, "docroot" -> ""))
         CmsEstimate(children(0), children(1))
       }))
+    // the CHANGE DATA FEED as a SQL table function — Delta's
+    // `table_changes` spelling adapted to path-addressed tables:
+    //   SELECT * FROM snap_table_changes('/data/tables/t', 0, 5)
+    // Arguments must be FOLDABLE (the feed's version range shapes the
+    // PLAN — per-version reads union under op-provenance labels — so
+    // it cannot depend on row values). Builds the same plan as
+    // [[graft.sources.SnapshotLog.readChangeFeed]]; every feed
+    // contract (labels, re-mark silence, maintenance pass-through,
+    // loud rewrite) holds verbatim.
+    ext.injectTableFunction((
+      new FunctionIdentifier("snap_table_changes"),
+      new ExpressionInfo("graft.sources.SnapshotLog", "snap_table_changes"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`snap_table_changes`", "expectedNum" -> "3",
+              "actualNum" -> children.length.toString, "docroot" -> ""))
+        def folded(i: Int, what: String): Any = {
+          val e = children(i)
+          if (!e.foldable) sys.error(
+            s"snap_table_changes: $what must be a literal, got ${e.sql}")
+          e.eval()
+        }
+        val dir = String.valueOf(folded(0, "tableDir"))
+        val from = folded(1, "fromVersion").asInstanceOf[Number].longValue()
+        val to = folded(2, "toVersion").asInstanceOf[Number].longValue()
+        graft.sources.SnapshotLog.readChangeFeed(
+          org.apache.spark.sql.SparkSession.active, dir, from, to)
+          .queryExecution.logical
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsOfWindowRewrite)

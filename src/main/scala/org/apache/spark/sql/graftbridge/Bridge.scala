@@ -37,7 +37,14 @@ object Bridge {
     * resolved on the executor from the local path — the same
     * local-filesystem scope as the log itself. */
   def parquetFileRows(spark: SparkSession,
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      // advisory v1 filters for parquet row-group/page skipping inside
+      // each file — the reader may still return non-matching rows
+      // (record-level filtering stays off), so callers keep their own
+      // residual semantics. Row-index generation stays ABSOLUTE under
+      // skipping (the generator reads the page store's row ranges —
+      // Spark's own `_metadata.row_index` contract).
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : String => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val readFunc = new org.apache.spark.sql.execution.datasources.parquet
       .ParquetFileFormat()
@@ -46,7 +53,7 @@ object Bridge {
         dataSchema = schema,
         partitionSchema = new org.apache.spark.sql.types.StructType(),
         requiredSchema = schema,
-        filters = Nil,
+        filters = filters,
         // row output, not vectorized batches: the consumer is a DSv2
         // PartitionReader[InternalRow] (Spark 4 makes this explicit)
         options = Map(org.apache.spark.sql.execution.datasources.FileFormat

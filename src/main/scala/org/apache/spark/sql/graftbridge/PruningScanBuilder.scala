@@ -148,6 +148,14 @@ private[graftbridge] class PrunedSnapshotScan(
     * per-file MASKED partitions instead of the inner parquet scan.
     * Updated alongside `inner` on every (re)build. */
   private var maskedKept: Seq[String] = Nil
+  /** The current physical-name predicates translated to v1 filters —
+    * pushed into the MASKED per-file readers for parquet row-group /
+    * page skipping inside dv'd files, exactly as the re-pushed
+    * catalyst filters reach the clean half's parquet scan. Advisory
+    * (Spark's residual Filter above re-checks every row); untranslatable
+    * shapes simply drop out. Updated alongside `inner`, so a runtime
+    * IN skips row groups inside masked files too. */
+  private var maskedV1Filters: Seq[org.apache.spark.sql.sources.Filter] = Nil
   private var inner: Scan = buildInner()
   private[graftbridge] def currentBatch: Batch = inner.toBatch
 
@@ -171,6 +179,9 @@ private[graftbridge] class PrunedSnapshotScan(
     val physFilters = (plannedFilters ++ runtimeExprs).map(_.transform {
       case a: AttributeReference => a.withName(mapName(a.name))
     })
+    if (dvFiles.nonEmpty) maskedV1Filters = physFilters.flatMap(e =>
+      org.apache.spark.sql.execution.datasources.DataSourceStrategy
+        .translateFilter(e, supportNestedPredicatePushdown = true))
     b match {
       case c: SupportsPushDownCatalystFilters => c.pushFilters(physFilters): Unit
       case _ => ()
@@ -188,11 +199,12 @@ private[graftbridge] class PrunedSnapshotScan(
     * scan's physical read schema plus Spark's own row-index generator
     * column ([[ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME]] —
     * the exact mechanism `_metadata.row_index` rides; the generated
-    * index is absolute within the file and stable under row-group
-    * skipping). Built once per scan on the driver; reused across
-    * runtime-filter rebuilds (column pruning never changes after
-    * build()). */
-  private lazy val maskedReadFunc: String => Iterator[
+    * index is absolute within the file and stable under row-group /
+    * page skipping: the generator reads the page store's row ranges).
+    * Built per reader-factory creation so the CURRENT v1 filters —
+    * runtime IN included — ride into the masked files' parquet
+    * readers for row-group skipping. */
+  private def maskedReadFunc: String => Iterator[
       org.apache.spark.sql.catalyst.InternalRow] =
     Bridge.parquetFileRows(spark, StructType(
       inner.readSchema().fields :+ org.apache.spark.sql.types.StructField(
@@ -205,7 +217,8 @@ private[graftbridge] class PrunedSnapshotScan(
         // vectorized reader's checkColumn rejects a missing REQUIRED
         // column before the row-index generator gets to fill it —
         // generated values are never actually null
-        org.apache.spark.sql.types.LongType, nullable = true)))
+        org.apache.spark.sql.types.LongType, nullable = true)),
+      maskedV1Filters)
 
   override def readSchema(): StructType = StructType(
     inner.readSchema().fields.map(f => f.copy(name = unmapName(f.name))))

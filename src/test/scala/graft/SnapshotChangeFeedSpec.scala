@@ -120,6 +120,32 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       s"replay diverged: ${replayed.length} vs ${table.length} rows")
   }
 
+  test("the feed is a SQL table function: snap_table_changes(dir, from, to)") {
+    val t = freshTable("sqltvf", n = 200)
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(7L, 8L))
+    SnapshotLog.updateWhereInMOR(spark, t, "k", Seq(9L), Map("v" -> lit(-5L)))
+    val sql = spark.sql(
+      s"SELECT * FROM snap_table_changes('$t', -1, 2)")
+    val viaSql = sql.collect().map(_.toString).sorted
+    val viaApi = SnapshotLog.readChangeFeed(spark, t, -1, 2)
+      .collect().map(_.toString).sorted
+    assert(viaSql.length == 200 + 2 + 2 && viaSql.sameElements(viaApi))
+    // composes like any relation: aggregate over the labels
+    val byType = spark.sql(
+      s"""SELECT ${CF.ChangeTypeCol} AS ct, count(*) AS n
+          FROM snap_table_changes('$t', 0, 2) GROUP BY 1 ORDER BY 1""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 3L, "update_postimage" -> 1L), byType)
+    // a non-literal version argument is a loud analysis-time no: the
+    // range shapes the PLAN and cannot depend on row values
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snap_table_changes('$t', -1, (SELECT 2))")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal") ||
+      e.getMessage.contains("snap_table_changes"), e.getMessage)
+  }
+
   test("the STREAM with changeFeed=true matches the batch feed; a mid-stream MOR delete streams as delete records") {
     val t = freshTable("stream", n = 100)
     SnapshotLog.commitAppend(spark, t,

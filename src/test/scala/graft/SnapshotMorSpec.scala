@@ -191,6 +191,61 @@ class SnapshotMorSpec extends SparkSpec {
     }
   }
 
+  test("pushed predicates ROW-GROUP-SKIP inside a masked file's SQL read") {
+    // one 64k-row file with ~16 tight row groups and a dv mask: file
+    // pruning cannot explain a low scan-output metric — only the v1
+    // filters pushed into the masked per-file reader can
+    val root = Files.createTempDirectory("graft_mor_rg_").toString
+    val t = s"$root/lake/rg"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      SnapshotLog.commit(spark, t,
+        spark.range(64000).repartition(1).sortWithinPartitions("id")
+          .select(col("id").as("k"),
+            md5(col("id").cast("string")).as("pay"),
+            (col("id") * 3).as("v")))
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(1205L))
+    val cat = s"morrg_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      val q = spark.sql(
+        s"SELECT count(*) c FROM $cat.lake.rg WHERE k BETWEEN 1200 AND 1209")
+      // collect(), not head(): head() spawns its own limited execution
+      // and the base plan's metrics would stay zero
+      assert(q.collect()(0).getLong(0) == 9L,
+        "the mask must compose with the pushed range")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scansIn(p: SparkPlan): Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+        case s: QueryStageExec => scansIn(s.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => (other.children ++ other.subqueries).flatMap(scansIn)
+      }
+      // the clean half is EMPTY here (the single file is masked), so
+      // the inner scan's description carries no path — this query has
+      // exactly one scan, take it
+      val scan = scansIn(q.queryExecution.executedPlan) match {
+        case Seq(one) => one
+        case other => fail(s"expected one scan, got ${other.size}")
+      }
+      val out = scan.metrics("numOutputRows").value
+      assert(out > 0 && out < 32000,
+        s"masked read did not row-group-skip: scan emitted $out of 64000")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   test("a COLUMN-MAPPED dv-bearing version reads through SQL (masked half under physical names)") {
     val root = Files.createTempDirectory("graft_mor_sqlmap_").toString
     freshTable("mapped", at = Some(s"$root/lake/tbl"))
@@ -317,6 +372,21 @@ class SnapshotMorSpec extends SparkSpec {
       assert(joined.count() == 3998 && fast.count() == 3998)
       assert(joined.select("k").except(fast.select("k")).count() == 0)
     } finally spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
+  }
+
+  test("structurally equal masks compare equal (plan dedup for self-joined masked reads)") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import graft.functions.DvMaskHit
+    def mk(ps: Array[Long]) = DvMaskHit(
+      UnresolvedAttribute(Seq("f")), UnresolvedAttribute(Seq("p")),
+      Map("file1" -> ps, "file2" -> Array(9L)))
+    val a = mk(Array(1L, 2L, 3L))
+    val b = mk(Array(1L, 2L, 3L)) // distinct array instances
+    assert(a == b && a.hashCode == b.hashCode,
+      "content-equal masks must compare/hash equal")
+    assert(a != mk(Array(1L, 2L, 4L)), "different positions must differ")
+    assert(a.canonicalized == b.canonicalized,
+      "canonicalization (exchange/subquery reuse) must see them equal")
   }
 
   test("vacuum protects referenced sidecars; compact + expire + vacuum erases") {
