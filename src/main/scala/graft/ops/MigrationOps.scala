@@ -531,6 +531,56 @@ object MigrationOps {
     }
   }
 
+  /** [[graft.sources.SnapshotLog.applyChangeFeed]] driver-gated — CDC
+    * REPLICATION closed end-to-end: the source commits the even
+    * orderkeys (v0), appends the odd ones (v1), MOR-deletes the 24
+    * smallest (v2); the REPLICA is built purely from the change feed
+    * in two version-keyed batches (bootstrap + merge) and its read
+    * must equal the NOT-IN complement the oracle computes from
+    * `orders` directly — the replica never reads the source's data
+    * files, only the feed. */
+  val snapReplicate: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_repl_gate_")
+    try {
+      val src = scratchP.resolve("src").toString
+      val dst = scratchP.resolve("dst").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, src,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_custkey")))
+      graft.sources.SnapshotLog.commitAppend(s, src,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(4, col("o_custkey")))
+      val keys: Seq[Any] = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+      val v2 = graft.sources.SnapshotLog.deleteWhereInMOR(
+        s, src, "o_orderkey", keys)
+      require(graft.sources.SnapshotLog.applyChangeFeed(s, dst,
+        graft.sources.SnapshotLog.readChangeFeed(s, src, -1L, 1L),
+        "o_orderkey", 0L), "bootstrap batch must publish")
+      require(graft.sources.SnapshotLog.applyChangeFeed(s, dst,
+        graft.sources.SnapshotLog.readChangeFeed(s, src, 1L, v2),
+        "o_orderkey", 1L), "churn batch must publish")
+      // exactly-once: a replayed batch declines
+      require(!graft.sources.SnapshotLog.applyChangeFeed(s, dst,
+        graft.sources.SnapshotLog.readChangeFeed(s, src, 1L, v2),
+        "o_orderkey", 1L), "replayed batch must decline")
+      val res = graft.sources.SnapshotLog.read(s, dst)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_price_c")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.updateWhereInMOR]] driver-gated — the
     * MOR point UPDATE (mask old rows + append post-images in ONE
     * commit): the 24 smallest orderkeys get +500 cents through the
@@ -731,6 +781,7 @@ object MigrationOps {
     "snap_merge_into" -> snapMergeInto,
     "snap_merge_mor" -> snapMergeMor,
     "snap_change_feed" -> snapChangeFeed,
+    "snap_replicate" -> snapReplicate,
     "snap_bloom_lookup" -> snapBloomLookup,
     "snap_delete_in" -> snapDeleteIn,
     "snap_delete_mor" -> snapDeleteMor,
@@ -857,6 +908,15 @@ object MigrationOps {
            CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
            'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
          FROM orders WHERE o_orderkey IN
+           (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
+    // a replica built purely from the change feed must equal the
+    // source's final state — the NOT-IN complement, computed by the
+    // oracle from the source table directly
+    "snap_replicate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
+         FROM orders
+         WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
     // the bloom-pruned point lookup must equal the raw IN lookup —
     // pruning (stats stage, bloom stage, day-2 refresh) is invisible

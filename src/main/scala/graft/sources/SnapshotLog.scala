@@ -3067,6 +3067,55 @@ object SnapshotLog {
     }
   }
 
+  /** Apply a change-feed batch to a REPLICA table, exactly-once — the
+    * missing half of CDC replication (source → [[readChangeFeed]] /
+    * the streaming `changeFeed` mode → THIS → replica), foreachBatch-
+    * ready: derive `v = base + batchId` and a replayed batch declines
+    * at the manifest pre-check or loses the put-if-absent
+    * ([[commitIdempotent]]/[[mergeIntoMORIdempotent]]'s discipline).
+    *
+    * A feed batch may span several source versions and may carry the
+    * same key several times (a MOR update emits its delete pre-image
+    * AND its post-image in ONE version; a later version may touch the
+    * key again), so the apply first compacts LAST-WINS per key: the
+    * highest `_commit_version` wins, and within a version a non-delete
+    * outranks its paired delete pre-image. The winners become a
+    * one-row-per-key merge feed (`delete` stays delete, everything
+    * else upserts) applied via [[mergeIntoMORIdempotent]] — O(batch)
+    * masks + post-image appends, never a survivor rewrite. A replica
+    * with NO committed version bootstraps: the first batch's
+    * non-delete winners commit as version `v` (deletes of never-seen
+    * keys are no-ops by definition). Returns true iff THIS call
+    * published. */
+  def applyChangeFeed(spark: SparkSession, replicaDir: String,
+      feed: DataFrame, key: String, v: Long): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit, max_by, struct, when}
+    val ct = ChangeFeed.ChangeTypeCol
+    val cv = ChangeFeed.CommitVersionCol
+    require(feed.columns.contains(ct) && feed.columns.contains(cv),
+      s"applyChangeFeed wants a change-feed frame (with $ct and $cv) — " +
+        "the readChangeFeed / changeFeed-stream shape")
+    val dataCols = feed.columns.filterNot(c => c == ct || c == cv).toSeq
+    require(dataCols.contains(key), s"unknown replication key $key")
+    val rank = struct(col(cv),
+      when(col(ct) === "delete", lit(0)).otherwise(lit(1)))
+    val winner = feed
+      .groupBy(col(key).as("_graft_cfk"))
+      .agg(max_by(struct(
+        (dataCols.map(col) :+ col(ct).as("_graft_cft")): _*), rank).as("w"))
+      .select((dataCols.map(c => col(s"w.`$c`").as(c)) :+
+        when(col("w._graft_cft") === "delete", "delete")
+          .otherwise("update").as("op")): _*)
+    if (latestVersion(replicaDir).isEmpty) {
+      require(v == 0L,
+        s"applyChangeFeed: replica $replicaDir has no committed version " +
+          s"— the bootstrap batch must be version 0, got $v (a stream " +
+          "should derive v = batchId against a fresh replica)")
+      commitIdempotent(spark, replicaDir,
+        winner.filter(col("op") =!= "delete").drop("op"), v)
+    } else mergeIntoMORIdempotent(spark, replicaDir, winner, key, v)
+  }
+
   /** Retention: delete the manifests of all but the newest `keepLast`
     * versions — Iceberg's `expire_snapshots` / Delta's log retention at
     * this log's minimum, and the missing half of the space story:
