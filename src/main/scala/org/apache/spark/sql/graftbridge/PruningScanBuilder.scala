@@ -305,11 +305,30 @@ private[graftbridge] class PrunedSnapshotScan(
 
   override def description(): String = inner.description()
 
-  override def estimateStatistics(): Statistics = inner match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new Statistics {
-      override def sizeInBytes() = java.util.OptionalLong.empty()
-      override def numRows() = java.util.OptionalLong.empty()
+  override def estimateStatistics(): Statistics = {
+    val base = inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+    if (maskedKept.isEmpty) base
+    else {
+      // the inner scan counts the CLEAN half only — add the masked
+      // files' on-disk bytes so AQE/broadcast sizing sees the whole
+      // scan (an over-estimate of the post-mask output, which is the
+      // safe direction: it under-broadcasts). Row counts stay absent:
+      // the mask drops an unknown share
+      val maskedBytes = maskedKept.map(f =>
+        try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+        catch { case _: Exception => 0L }).sum
+      new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.of(
+          (if (base.sizeInBytes().isPresent) base.sizeInBytes().getAsLong
+           else 0L) + maskedBytes)
+        override def numRows() = java.util.OptionalLong.empty()
+      }
     }
   }
 

@@ -90,6 +90,39 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       Seq((20L, "delete")))
   }
 
+  test("the feed composes with COLUMN MAPPING; a mid-range DDL fails loudly") {
+    val t = freshTable("mapped")
+    SnapshotLog.renameColumn(t, "k", "doc_id")               // v1: map edit
+    SnapshotLog.deleteWhereInMOR(spark, t, "doc_id", Seq(3L)) // v2
+    // post-rename range: logical names throughout, physical files read
+    // positionally underneath (batch AND stream share the machinery)
+    val got = SnapshotLog.readChangeFeed(spark, t, 1, 2)
+      .select(col("doc_id"), col(CF.ChangeTypeCol)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((3L, "delete")))
+    // a range CROSSING the rename: the v0 slice would emit under `k`,
+    // the v2 slice under `doc_id` — refuse with the actionable story
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.readChangeFeed(spark, t, -1, 2).collect()
+    }
+    assert(e.getMessage.contains("column set changed"), e.getMessage)
+    // same refusal shape for an ADD COLUMN mid-range (append after it
+    // widens the emitted columns)
+    val t2 = freshTable("added")
+    SnapshotLog.addColumn(t2, "note",
+      org.apache.spark.sql.types.StringType)                 // v1
+    SnapshotLog.commitAppend(spark, t2,                      // v2
+      spark.range(400, 410).select(col("id").as("k"),
+        (col("id") * 7).as("v"), lit("x").as("note")))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.readChangeFeed(spark, t2, -1, 2).collect()
+    }
+    assert(e2.getMessage.contains("column set changed"), e2.getMessage)
+    // split AT the DDL: both halves feed cleanly
+    assert(SnapshotLog.readChangeFeed(spark, t2, -1, 1).count() == 400)
+    assert(SnapshotLog.readChangeFeed(spark, t2, 1, 2).count() == 10)
+  }
+
   test("a content-CHANGING rewrite fails loudly, naming diff as the alternative") {
     val t = freshTable("rewrite")
     SnapshotLog.deleteWhereIn(spark, t, "k", Seq(3L)) // COW: rewrites a file
