@@ -246,7 +246,18 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
         files.filterNot(prevFiles.contains)
           .map(f => SnapshotFilePartition(f): InputPartition)
       }
-    }.toArray
+    }.toArray match {
+      // columnar uniformity is per MICRO-BATCH, and a batch spans
+      // versions: a delete partition anywhere in it flips every insert
+      // to rows (BatchScanExec demands uniform row/columnar)
+      case parts if changeFeed &&
+          parts.exists(_.isInstanceOf[ChangeDeletePartition]) =>
+        parts.map {
+          case c: ChangeInsertPartition => c.copy(columnarOk = false)
+          case p => p
+        }
+      case parts => parts
+    }
   }
 
   /** CHANGE-FEED planning for one version — the streaming twin of
@@ -276,8 +287,6 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
           s"masked (${masked.size}) — stream these with the batch " +
           "SnapshotLog.readChangeFeed, which applies birth masks")
     }
-    val inserts = newFiles.map(f =>
-      ChangeInsertPartition(f, v, ChangeFeed.label(op)): InputPartition)
     val newSc = dvNow.values.flatten.toSet -- dvPrev.values.flatten.toSet
     val deletes =
       if (newSc.isEmpty) Nil
@@ -287,6 +296,16 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
             scs.filter(newSc.contains),
             dvPrev.getOrElse(f, Nil), v): InputPartition
       }.toSeq
+    // columnar only when the WHOLE planned batch can be (BatchScanExec
+    // demands uniform row/columnar across partitions): delete
+    // partitions filter rows and stay row-based, so their presence
+    // anywhere in the batch flips every insert to rows too. The flag
+    // is per-PLANNING-call, which is exactly the micro-batch —
+    // append-only stretches of history (the common CDF shape) keep the
+    // vectorized handoff
+    val inserts = newFiles.map(f =>
+      ChangeInsertPartition(f, v, ChangeFeed.label(op),
+        columnarOk = deletes.isEmpty): InputPartition)
     inserts ++ deletes
   }
 
@@ -303,6 +322,7 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
         Bridge.parquetFileRows(spark, idxSchema),
         Bridge.parquetFileRows(spark,
           StructType.fromDDL("file STRING, pos BIGINT")),
+        if (columnar) Bridge.parquetFileBatches(spark, physSchema) else None,
         physSchema.fields.map(_.dataType),
         physSchema.fields.map(_.nullable))
     } else SnapshotFileReaderFactory(
@@ -361,9 +381,11 @@ private case class SnapshotFileReaderFactory(
 }
 
 /** One appended file of a change-feed micro-batch: its rows emit with
-  * `(label, version)` appended. */
+  * `(label, version)` appended. `columnarOk` = the WHOLE planned batch
+  * is insert-only, so this partition may serve vectorized batches
+  * (the two bookkeeping columns ride as constant column vectors). */
 private case class ChangeInsertPartition(path: String, version: Long,
-    label: String) extends InputPartition
+    label: String, columnarOk: Boolean = false) extends InputPartition
 
 /** One dv-touched data file of a change-feed micro-batch: the masked
   * rows' pre-images emit as `delete` records. Carries the NEW sidecars
@@ -376,20 +398,57 @@ private case class ChangeDeletePartition(path: String, canonKey: String,
     newSidecars: Seq[String], priorSidecars: Seq[String],
     version: Long) extends InputPartition
 
-/** Readers of the change-feed mode — all row-based (each emitted row
-  * is the table row with two bookkeeping columns appended, which a
-  * ColumnarBatch cannot carry without a copy; change feeds are
-  * churn-sized, so the vectorized handoff matters less than on the
-  * full-table path, and the parquet DECODE underneath is still
-  * Spark's vectorized reader flattened to rows). */
+/** Readers of the change-feed mode. INSERT partitions of an
+  * insert-only micro-batch serve COLUMNAR: the file's vectorized
+  * batches pass through with the two bookkeeping columns appended as
+  * CONSTANT column vectors (no per-row work at all — the same
+  * machinery Spark uses for file-constant `_metadata` fields), so an
+  * append-only stretch of history streams at the non-CDF path's
+  * vectorized throughput. Everything else is row-based: DELETE
+  * partitions filter rows (a ColumnarBatch cannot drop rows without a
+  * copy), and their presence anywhere in a batch flips that batch's
+  * inserts to rows too (BatchScanExec demands uniformity — the
+  * planner sets `columnarOk`). The parquet DECODE underneath is
+  * Spark's vectorized reader either way. */
 private case class ChangeFeedReaderFactory(
     readRows: String => Iterator[InternalRow],
     readRowsWithIdx: String => Iterator[InternalRow],
     readSidecar: String => Iterator[InternalRow],
+    readBatches: Option[String => Iterator[
+      org.apache.spark.sql.vectorized.ColumnarBatch]],
     dataTypes: Array[org.apache.spark.sql.types.DataType],
     nullables: Array[Boolean]) extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case c: ChangeInsertPartition => c.columnarOk && readBatches.isDefined
+    case _ => false
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[ChangeInsertPartition]
+    val it = readBatches.get(part.path).map { b =>
+      val label = new org.apache.spark.sql.execution.vectorized
+        .ConstantColumnVector(b.numRows(),
+          org.apache.spark.sql.types.StringType)
+      label.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+        .fromString(part.label))
+      val ver = new org.apache.spark.sql.execution.vectorized
+        .ConstantColumnVector(b.numRows(),
+          org.apache.spark.sql.types.LongType)
+      ver.setLong(part.version)
+      val cols = (0 until b.numCols()).map(b.column) :+ label :+ ver
+      new org.apache.spark.sql.vectorized.ColumnarBatch(
+        cols.toArray, b.numRows())
+    }
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { batch = it.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = ()
+    }
+  }
 
   private def reader(it: Iterator[InternalRow])
       : PartitionReader[InternalRow] =
@@ -425,7 +484,7 @@ private case class ChangeFeedReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case ChangeInsertPartition(path, v, label) =>
+      case ChangeInsertPartition(path, v, label, _) =>
         val tail = extra(label, v)
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
         reader(readRows(path).map(r => joined(r, tail): InternalRow))
