@@ -36,9 +36,9 @@ import graft.sources.SnapshotLog
   *      key, refresh covering the rewrites;
   *  12. MERGE-ON-READ point DML: delete + update via position
   *      sidecars (no files rewritten), SQL reading the dv-bearing
-  *      version through the mask (protocol-gated only above the
-  *      driver-mask cap) until `compactDeletes` materializes the
-  *      masks and restores the fully-vectorized scan.
+  *      version through the mask (cap-free: positions materialize on
+  *      executors) until `compactDeletes` materializes the masks and
+  *      restores the fully-vectorized scan.
   *
   * Usage: runMain graft.examples.LakehouseDemo /tmp/graft_lakehouse
   */
@@ -189,9 +189,9 @@ object LakehouseDemo {
     // delete/update write position SIDECARS instead of rewriting files
     // (files carried byte-identical; masked reads apply the dv), SQL
     // reads the dv-bearing version THROUGH the mask (round 16 — the
-    // masked half position-filters, protocol gating remains for masks
-    // over the driver cap), and compactDeletes materializes the masks
-    // and restores the fully-vectorized SQL scan
+    // masked half position-filters, with positions materializing on
+    // the EXECUTORS, so masks of any size read), and compactDeletes
+    // materializes the masks and restores the fully-vectorized scan
     val preMorFiles = SnapshotLog.pruneFiles(t, "key", None, None)._1
     val preMorCount = SnapshotLog.read(spark, t).count()
     SnapshotLog.deleteWhereInMOR(spark, t, "key", Seq(40000L))
@@ -212,15 +212,14 @@ object LakehouseDemo {
       "SELECT source FROM demo.lake.events WHERE key = 40050")
       .head().getString(0) == "MOR-REDACTED",
       "SQL must see the MOR post-image, not the masked pre-image")
-    // protocol gating survives where the driver mask cannot: cap 0
+    // the SQL mask is CAP-FREE: positions materialize on executors
+    // from the partitions' sidecar paths, so the Scala inline-mask
+    // conf (0 = force the anti-join there) must not affect SQL at all
     spark.conf.set("spark.graft.dv.inlineMaskMaxPositions", "0")
-    val sqlRefused =
-      try { spark.sql("SELECT count(*) FROM demo.lake.events").collect(); false }
-      catch { case e: Exception =>
-        e.getMessage.contains("deletion vectors") }
-    spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
-    require(sqlRefused,
-      "SQL must refuse a mask over the driver cap loudly")
+    try require(spark.sql("SELECT count(*) FROM demo.lake.events")
+      .head().getLong(0) == preMorCount - 1,
+      "SQL must read the mask regardless of the driver-map conf")
+    finally spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
     val compactV = SnapshotLog.compactDeletes(spark, t)
     require(SnapshotLog.dvAt(t, compactV).isEmpty)
     require(spark.sql("SELECT count(*) FROM demo.lake.events")

@@ -125,24 +125,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     if (dv.nonEmpty) {
       // a dv-bearing version READS through SQL since round 16: the
       // pruning scan splits the file list into a clean half (the
-      // ordinary parquet stack) and a masked half (per-file partitions
-      // that filter deleted row positions — see PrunedSnapshotScan),
-      // with the mask collected to a driver map. PROTOCOL GATING
-      // remains for the shapes that map cannot carry: a mask bigger
-      // than the driver cap (the same positions conf that bounds the
-      // Scala inline path; the Scala read falls back to an anti-join,
-      // which a DSv2 reader factory has no plan-side twin for), and a
-      // pre-schema manifest (the pruning wrapper needs the recorded
-      // schema). Over-answering — resurrecting deleted rows — stays
-      // the one unacceptable outcome, so both refuse loudly
+      // ordinary parquet stack) and a masked half — one partition per
+      // masked file, whose deleted positions materialize ON THE
+      // EXECUTOR from the sidecar paths the partition carries (see
+      // PrunedSnapshotScan / DvMaskingReaderFactory), so nothing
+      // mask-sized ever collects to the driver and masks of ANY size
+      // read. PROTOCOL GATING remains only for a pre-schema manifest
+      // (the pruning wrapper needs the recorded schema); over-answering
+      // — resurrecting deleted rows — stays the one unacceptable
+      // outcome, so that shape refuses loudly
       if (schema.isEmpty) refuse("on a pre-schema manifest, which the " +
         "masked SQL scan cannot serve")
-      val cap = SnapshotLog.dvInlineMaskMaxPositions(SparkSession.active)
-      val positions = SnapshotLog.sidecarPositionCount(
-        dv.values.flatten.toSeq.distinct)
-      if (cap <= 0 || positions > cap) refuse(
-        s"whose $positions deleted positions exceed the driver-mask cap " +
-          s"($cap — spark.graft.dv.inlineMaskMaxPositions)")
     }
     val tName =
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v$v"
@@ -405,14 +398,6 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
 
   private val phys2log: Map[String, String] = colmap.map(_.swap)
 
-  /** The deletion mask, materialized ONCE per loaded Table (driver
-    * map, size pre-gated by the catalog) and shared by every scan the
-    * table plans — including runtime-filter rebuilds. Lazy: a query
-    * whose planning-time prune drops every dv'd file never reads a
-    * sidecar. */
-  private lazy val dvMask: Map[String, Array[Long]] =
-    SnapshotLog.dvMaskByFile(SparkSession.active, dv)
-
   /** DESCRIBE TABLE EXTENDED surface: where this table sits in its
     * lifecycle, from metadata already in hand (no extra I/O). */
   override def properties(): util.Map[String, String] = Map(
@@ -442,8 +427,7 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
         Some(recorded), colmap, filters),
       mapName = c => colmap.getOrElse(c, c),
       unmapName = c => phys2log.getOrElse(c, c),
-      dvFiles = dv.keySet,
-      dvMaskOf = () => dvMask)
+      dv = dv)
   }
 }
 

@@ -448,43 +448,6 @@ object SnapshotLog {
     spark.conf.getOption("spark.graft.dv.inlineMaskMaxPositions")
       .map(_.toLong).getOrElse(4L * 1024 * 1024)
 
-  /** The deletion mask MATERIALIZED to a driver map keyed by the
-    * MANIFEST file spelling: data file → its deleted row positions,
-    * sorted and de-duplicated (re-marking across successive MOR
-    * commits is a harmless duplicate in the sidecars; it must not stay
-    * one here, where per-partition readers binary-search the array).
-    * Sidecar rows record Spark's `_metadata.file_path` spelling (a
-    * `file:` URI), so each row's file canonicalizes before matching —
-    * the same mapping discipline as the write side ([[morMarks]]).
-    * Reads the sidecars ON THE DRIVER through Spark's own parquet
-    * reader machinery ([[org.apache.spark.sql.graftbridge.Bridge
-    * .parquetFileRows]]) — no job, which keeps this callable from scan
-    * PLANNING; callers gate the size first ([[sidecarPositionCount]]
-    * vs [[dvInlineMaskMaxPositions]]). */
-  private[sources] def dvMaskByFile(spark: SparkSession,
-      dv: Map[String, Seq[String]]): Map[String, Array[Long]] = {
-    if (dv.isEmpty) return Map.empty
-    val sidecars = dv.values.flatten.toSeq.distinct.sorted
-    val reader = org.apache.spark.sql.graftbridge.Bridge.parquetFileRows(
-      spark, org.apache.spark.sql.types.StructType.fromDDL(
-        "file STRING, pos BIGINT"))
-    val byCanon = scala.collection.mutable.HashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-    sidecars.foreach { sc =>
-      reader(sc).foreach { r =>
-        val fp = r.getUTF8String(0).toString
-        val p = try Paths.get(java.net.URI.create(fp))
-          catch { case _: Exception => Paths.get(fp) }
-        byCanon.getOrElseUpdate(canon(p).toString,
-          scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
-      }
-    }
-    dv.keys.map { f =>
-      f -> byCanon.getOrElse(canon(Paths.get(f)).toString,
-        scala.collection.mutable.ArrayBuffer.empty[Long])
-        .distinct.sorted.toArray
-    }.toMap
-  }
 
   /** Total deleted positions across `sidecars`, from parquet footer
     * row counts — one ranged footer read per sidecar, no Spark job.

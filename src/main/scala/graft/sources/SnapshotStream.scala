@@ -159,13 +159,7 @@ private[graft] object ChangeFeed {
     case _ => "insert"
   }
 
-  def canonKey(s: String): String = {
-    val p = try java.nio.file.Paths.get(java.net.URI.create(s))
-      catch { case _: Exception => java.nio.file.Paths.get(s) }
-    try p.toRealPath().toString
-    catch { case _: java.io.IOException =>
-      p.toAbsolutePath.normalize.toString }
-  }
+  def canonKey(s: String): String = Bridge.canonKey(s)
 }
 
 private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,

@@ -117,6 +117,20 @@ object Bridge {
     })
   }
 
+  /** Canonical-path key for matching a parquet-recorded
+    * `_metadata.file_path` spelling (a `file:` URI) against a manifest
+    * path — pure function, usable on executors; falls back to
+    * syntactic normalization when the path does not resolve. Shared by
+    * the snapshot log's change feed and the masked SQL scan (both
+    * compare sidecar rows' file spellings to manifest paths). */
+  def canonKey(s: String): String = {
+    val p = try java.nio.file.Paths.get(java.net.URI.create(s))
+      catch { case _: Exception => java.nio.file.Paths.get(s) }
+    try p.toRealPath().toString
+    catch { case _: java.io.IOException =>
+      p.toAbsolutePath.normalize.toString }
+  }
+
   /** Wrap a raw Catalyst expression as a user-facing Column — the
     * programmatic twin of registering it as a SQL function and calling
     * `expr(...)`. Lets library code (e.g. the snapshot log's bloom

@@ -58,8 +58,7 @@ class PruningParquetScanBuilder(
     prune: Seq[Expression] => Seq[String],
     mapName: String => String = identity,
     unmapName: String => String = identity,
-    dvFiles: Set[String] = Set.empty,
-    dvMaskOf: () => Map[String, Array[Long]] = () => Map.empty)
+    dv: Map[String, Seq[String]] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -82,7 +81,7 @@ class PruningParquetScanBuilder(
 
   override def build(): Scan =
     new PrunedSnapshotScan(spark, tableName, readSchema, prune,
-      mapName, unmapName, filterExprs, required, dvFiles, dvMaskOf)
+      mapName, unmapName, filterExprs, required, dv)
 }
 
 /** The scan [[PruningParquetScanBuilder.build]] returns — an ordinary
@@ -120,7 +119,8 @@ class PruningParquetScanBuilder(
   * cover the clean half only on a dv'd version — conservative for
   * broadcast decisions in the direction that merely under-broadcasts).
   *
-  * MERGE-ON-READ composition (`dvFiles`/`dvMaskOf`): prune-surviving
+  * MERGE-ON-READ composition (`dv`: masked file → its sidecars):
+  * prune-surviving
   * files that carry a deletion mask leave the inner parquet scan for
   * one [[DvMaskedFilePartition]] each — the whole scan then runs
   * row-based (see [[columnarSupportMode]]) and the masked readers drop
@@ -136,13 +136,13 @@ private[graftbridge] class PrunedSnapshotScan(
     unmapName: String => String,
     plannedFilters: Seq[Expression],
     required: Option[StructType],
-    dvFiles: Set[String] = Set.empty,
-    dvMaskOf: () => Map[String, Array[Long]] = () => Map.empty)
+    dv: Map[String, Seq[String]] = Map.empty)
   extends Scan
   with SupportsReportStatistics
   with SupportsMetadata
   with SupportsRuntimeV2Filtering {
 
+  private val dvFiles: Set[String] = dv.keySet
   private var runtimeExprs: Seq[Expression] = Nil
   /** The prune-surviving files that carry a deletion mask — served by
     * per-file MASKED partitions instead of the inner parquet scan.
@@ -241,16 +241,19 @@ private[graftbridge] class PrunedSnapshotScan(
       val clean = currentBatch.planInputPartitions()
       if (maskedKept.isEmpty) clean
       else {
-        // one partition per masked file, carrying ITS deleted
-        // positions (the per-file slice of the driver mask — executor
-        // memory pays only that file's share). Whole-file partitions:
-        // a masked file never splits, which under-parallelizes a huge
-        // dv'd file relative to the clean path — acceptable for the
-        // transitional dv'd state (compactDeletes restores the split
-        // scan), and stated here rather than discovered
-        val mask = dvMaskOf()
+        // one partition per masked file, carrying its SIDECAR PATHS
+        // and canonical key: the deleted positions materialize ON THE
+        // EXECUTOR (each task reads its own file's share out of the
+        // sidecars), so NOTHING mask-sized ever collects to the driver
+        // and the SQL path carries masks of ANY size — the same
+        // distribution shape as the change-feed delete partitions.
+        // Whole-file partitions: a masked file never splits, which
+        // under-parallelizes a huge dv'd file relative to the clean
+        // path — acceptable for the transitional dv'd state
+        // (compactDeletes restores the split scan), and stated here
+        // rather than discovered
         clean ++ maskedKept.map(f => DvMaskedFilePartition(
-          f, mask.getOrElse(f, Array.empty[Long])): InputPartition)
+          f, Bridge.canonKey(f), dv(f)): InputPartition)
       }
     }
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -259,6 +262,8 @@ private[graftbridge] class PrunedSnapshotScan(
       else {
         val fields = inner.readSchema().fields
         new DvMaskingReaderFactory(innerFactory, maskedReadFunc,
+          Bridge.parquetFileRows(spark,
+            StructType.fromDDL("file STRING, pos BIGINT")),
           fields.map(_.dataType), fields.map(_.nullable))
       }
     }
@@ -388,25 +393,29 @@ private[graftbridge] class PrunedSnapshotScan(
 }
 
 /** A prune-surviving data file that carries a deletion mask, plus ITS
-  * deleted row positions (sorted — the reader binary-searches). The
-  * positions ship WITH the partition, so an executor task holds only
-  * its own file's share of the driver mask. */
-private case class DvMaskedFilePartition(path: String,
-    positions: Array[Long]) extends InputPartition
+  * sidecar paths and pre-resolved canonical key. The deleted positions
+  * are NOT shipped: the executor task reads its own file's share out
+  * of the sidecars (they record every masked file's positions —
+  * filter by canonical key), so the mask never materializes anywhere
+  * whole, and the SQL path carries masks of any size. */
+private case class DvMaskedFilePartition(path: String, canonKey: String,
+    sidecars: Seq[String]) extends InputPartition
 
 /** The reader factory for a merge-on-read snapshot scan: clean
   * partitions delegate to the inner parquet factory untouched; a
-  * [[DvMaskedFilePartition]] reads its file through Spark's own
-  * parquet reader with the row-index generator column appended, DROPS
-  * rows whose index is in the partition's deleted positions, and
-  * projects the index column back off — Delta's deletion-vector read
-  * inside the DSv2 surface, at this log's minimum. The whole scan runs
-  * row-based (see `columnarSupportMode`); the masked read itself still
-  * decodes vectorized inside `readFunc` (the row-flattened batches of
+  * [[DvMaskedFilePartition]] first loads ITS file's deleted positions
+  * from the sidecars (executor-side, churn-sized), then reads its file
+  * through Spark's own parquet reader with the row-index generator
+  * column appended, DROPS masked rows, and projects the index column
+  * back off — Delta's deletion-vector read inside the DSv2 surface, at
+  * this log's minimum. The whole scan runs row-based (see
+  * `columnarSupportMode`); the masked read itself still decodes
+  * vectorized inside `readFunc` (the row-flattened batches of
   * [[Bridge.parquetFileRows]]). */
 private class DvMaskingReaderFactory(
     inner: PartitionReaderFactory,
     readFunc: String => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    readSidecar: String => Iterator[org.apache.spark.sql.catalyst.InternalRow],
     dataTypes: Array[org.apache.spark.sql.types.DataType],
     nullables: Array[Boolean]) extends PartitionReaderFactory {
 
@@ -415,12 +424,37 @@ private class DvMaskingReaderFactory(
     case other => inner.supportColumnarReads(other)
   }
 
+  /** This file's deleted positions, from its sidecars — executor-side,
+    * memoizing the per-row file-spelling canonicalization (rows of one
+    * file repeat; toRealPath is a syscall). Sorted for binary search.
+    * Duplicates (re-marks across successive MOR commits) collapse. */
+  private def positionsFor(canonKey: String,
+      sidecars: Seq[String]): Array[Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val memo = new java.util.HashMap[String, java.lang.Boolean]()
+    sidecars.foreach { sc =>
+      readSidecar(sc).foreach { r =>
+        val f = r.getUTF8String(0).toString
+        val hit = memo.computeIfAbsent(f,
+          k => java.lang.Boolean.valueOf(Bridge.canonKey(k) == canonKey))
+        if (hit) set.add(r.getLong(1)): Unit
+      }
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   override def createReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = p match {
-    case DvMaskedFilePartition(path, positions) =>
+    case DvMaskedFilePartition(path, canonKey, sidecars) =>
       new org.apache.spark.sql.connector.read.PartitionReader[
           org.apache.spark.sql.catalyst.InternalRow] {
+        private val positions = positionsFor(canonKey, sidecars)
         private val it = readFunc(path)
         // the row-index generator column rides LAST in the read schema
         private val idxOrdinal = dataTypes.length

@@ -17,10 +17,11 @@ import sources.SnapshotLog
   *    mask; COW DML and appends on a dv'd table neither resurrect
   *    masked rows nor drop the mask for files they carry;
   *  - the SQL catalog reads a dv-bearing version THROUGH the mask
-  *    (round 16; hash-equal to the Scala read, pruning intact) and
-  *    REFUSES loudly only above the driver-mask cap (protocol gating:
-  *    a reader that cannot apply the mask must fail, never
-  *    over-answer); [[SnapshotLog.compactDeletes]] materializes the
+  *    (round 16; hash-equal to the Scala read, pruning intact,
+  *    CAP-FREE — positions materialize on executors from the
+  *    partitions' sidecar paths, so no mask is ever driver-sized;
+  *    protocol gating remains only for pre-schema manifests);
+  *    [[SnapshotLog.compactDeletes]] materializes the
   *    mask (rewriting ONLY dv'd files) and restores the vectorized
   *    scan;
   *  - the streaming source treats new dv entries as a CHANGE version;
@@ -133,7 +134,7 @@ class SnapshotMorSpec extends SparkSpec {
     assert(SnapshotLog.compactDeletes(spark, t) == v)
   }
 
-  test("the SQL catalog READS a dv-bearing version (masked, hash-equal to the Scala read); oversized masks refuse loudly") {
+  test("the SQL catalog READS a dv-bearing version (masked, hash-equal to the Scala read), cap-free") {
     // committed IN PLACE under the catalog root — manifests record
     // absolute canonical paths, so a post-commit move orphans the data
     val root = Files.createTempDirectory("graft_mor_sqlroot_").toString
@@ -172,15 +173,16 @@ class SnapshotMorSpec extends SparkSpec {
       assert(spark.sql(
         s"SELECT count(*) c FROM $cat.lake.tbl VERSION AS OF 1")
         .head().getLong(0) == 3998)
-      // PROTOCOL GATING survives where the driver map cannot: a mask
-      // over the positions cap refuses loudly, naming the fix
-      spark.conf.set("spark.graft.dv.inlineMaskMaxPositions", "1")
-      val e = intercept[RuntimeException] {
-        spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl").collect()
-      }
-      assert(e.getMessage.contains("deletion vectors") &&
-        e.getMessage.contains("compactDeletes"), e.getMessage)
-      spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
+      // the SQL path is CAP-FREE: deleted positions materialize on the
+      // EXECUTORS from the partition's sidecar paths, never as a
+      // driver map — the inline-mask positions conf (which gates the
+      // SCALA read's plan-embedded expression vs its anti-join) must
+      // not affect SQL at all
+      spark.conf.set("spark.graft.dv.inlineMaskMaxPositions", "0")
+      try assert(spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl")
+        .head().getLong(0) == 3998,
+        "SQL must read the mask regardless of the driver-map conf")
+      finally spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
       SnapshotLog.compactDeletes(spark, td)
       assert(spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl")
         .head().getLong(0) == 3998)
