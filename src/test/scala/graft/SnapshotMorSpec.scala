@@ -183,6 +183,15 @@ class SnapshotMorSpec extends SparkSpec {
         .head().getLong(0) == 3998,
         "SQL must read the mask regardless of the driver-map conf")
       finally spark.conf.unset("spark.graft.dv.inlineMaskMaxPositions")
+      // TIMESTAMP AS OF composes with the mask: resolving onto the
+      // dv-bearing version applies its mask like VERSION AS OF does
+      val dvTs = SnapshotLog.history(td).find(_.version == 1L).get.tsMillis
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(dvTs))
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl " +
+        s"TIMESTAMP AS OF '$fmt'").head().getLong(0) == 3998)
       SnapshotLog.compactDeletes(spark, td)
       assert(spark.sql(s"SELECT count(*) c FROM $cat.lake.tbl")
         .head().getLong(0) == 3998)
