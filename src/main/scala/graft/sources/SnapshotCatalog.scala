@@ -206,8 +206,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     * no longer holds). Resolves to the newest version committed at or
     * before `t` (Delta's semantics). Two loud edges: a table with any
     * PRE-PROVENANCE manifest (ts-less versions cannot be time-ordered
-    * — use VERSION AS OF), and a `t` before the first commit. The
-    * DSv2 contract hands `timestamp` in MICROseconds. */
+    * — use VERSION AS OF), and a `t` before the first commit.
+    * Commit timestamps are committer wall-clock: under clock skew
+    * (history momentarily non-monotonic) the resolution still picks
+    * the NEWEST version whose recorded ts is at or before `t` —
+    * version order, the log's real clock, breaks the tie. The DSv2
+    * contract hands `timestamp` in MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
     if (!dir.isDirectory || !isTable(dir)) throw new NoSuchTableException(ident)

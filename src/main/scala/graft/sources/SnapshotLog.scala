@@ -2934,7 +2934,11 @@ object SnapshotLog {
     * must hold across the range (a rename/drop mid-range fails loudly
     * — split the feed at the DDL version). Cost: new files + touched
     * dv files are read once per emitting version; the delete half's
-    * semi-join build side is churn-sized (AQE broadcasts it). */
+    * semi-join build side is churn-sized (AQE broadcasts it). The
+    * result plan UNIONS one subtree per emitting version, so a range
+    * spanning thousands of versions builds a wide plan — page through
+    * sub-ranges (or ride the streaming `changeFeed` mode, which is
+    * exactly that loop with offsets) when feeding deep history. */
   def readChangeFeed(spark: SparkSession, tableDir: String,
       fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}

@@ -115,9 +115,11 @@ class PruningParquetScanBuilder(
   * statistics visible but left no runtime-filtering face at all.
   * Statistics ([[SupportsReportStatistics]] — AQE/broadcast sizing)
   * and explain metadata ([[SupportsMetadata]] — `PushedFilters:` in
-  * the plan dump) forward to the inner scan either way (statistics
-  * cover the clean half only on a dv'd version — conservative for
-  * broadcast decisions in the direction that merely under-broadcasts).
+  * the plan dump) forward to the inner scan either way (on a dv'd
+  * version the size estimate adds the masked files' on-disk bytes to
+  * the inner scan's — an over-estimate of the post-mask output, the
+  * under-broadcasting safe direction; the formatted explain adds
+  * `DvMaskedFiles: n`).
   *
   * MERGE-ON-READ composition (`dv`: masked file → its sidecars):
   * prune-surviving
@@ -411,7 +413,12 @@ private case class DvMaskedFilePartition(path: String, canonKey: String,
   * this log's minimum. The whole scan runs row-based (see
   * `columnarSupportMode`); the masked read itself still decodes
   * vectorized inside `readFunc` (the row-flattened batches of
-  * [[Bridge.parquetFileRows]]). */
+  * [[Bridge.parquetFileRows]]). Cost shape, stated: each masked
+  * partition scans its file's FULL sidecar list (sidecars hold many
+  * files' positions), so k masked files sharing s sidecars pay k×s
+  * churn-sized sidecar reads — distributed across tasks, never on the
+  * driver, and bounded by compaction like the rest of the dv'd
+  * regime. */
 private class DvMaskingReaderFactory(
     inner: PartitionReaderFactory,
     readFunc: String => Iterator[org.apache.spark.sql.catalyst.InternalRow],
