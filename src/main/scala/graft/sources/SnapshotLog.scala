@@ -3034,6 +3034,46 @@ object SnapshotLog {
     }
   }
 
+  /** [[readChangeFeed]] with TIME bounds — Delta CDF's
+    * startingTimestamp/endingTimestamp convenience on the manifests'
+    * op/ts provenance: the feed covers every version whose recorded
+    * commit timestamp falls in [`from`, `to`] (inclusive both ends;
+    * an empty window is an empty feed, a `to` before the first commit
+    * is a loud error). Version order stays the real clock — under
+    * wall-clock skew the bounds resolve per version against its
+    * recorded ts, and the emitted range is contiguous in VERSIONS
+    * (from the first in-window version's predecessor to the last
+    * in-window version). Tables carrying ts-less pre-provenance
+    * versions refuse loudly — use the version-bounded
+    * [[readChangeFeed]]. */
+  def readChangeFeedByTime(spark: SparkSession, tableDir: String,
+      from: java.time.Instant, to: java.time.Instant): DataFrame = {
+    require(!from.isAfter(to), s"readChangeFeedByTime wants from <= to, " +
+      s"got [$from, $to]")
+    val entries = history(tableDir).sortBy(_.version)
+    require(entries.nonEmpty, s"no committed version in $tableDir")
+    val unstamped = entries.filter(_.tsMillis <= 0L)
+    require(unstamped.isEmpty,
+      s"readChangeFeedByTime: version(s) ${unstamped.map(_.version).sorted
+        .mkString(", ")} predate commit-timestamp provenance and cannot " +
+        "be time-bounded — use readChangeFeed with version bounds")
+    val fromMs = from.toEpochMilli
+    val toMs = to.toEpochMilli
+    val upTo = entries.filter(_.tsMillis <= toMs).map(_.version)
+    require(upTo.nonEmpty,
+      s"readChangeFeedByTime: no version of $tableDir was committed at " +
+        s"or before $to (first commit: " +
+        s"${java.time.Instant.ofEpochMilli(entries.map(_.tsMillis).min)})")
+    val inWindow = entries.filter(e =>
+      e.tsMillis >= fromMs && e.tsMillis <= toMs).map(_.version)
+    if (inWindow.isEmpty) {
+      // nothing committed in the window: an EMPTY feed shaped by the
+      // newest at-or-before version's schema
+      val v = upTo.max
+      readChangeFeed(spark, tableDir, v, v)
+    } else readChangeFeed(spark, tableDir, inWindow.min - 1, inWindow.max)
+  }
+
   /** Apply a change-feed batch to a REPLICA table, exactly-once — the
     * missing half of CDC replication (source → [[readChangeFeed]] /
     * the streaming `changeFeed` mode → THIS → replica), foreachBatch-

@@ -153,6 +153,40 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       s"replay diverged: ${replayed.length} vs ${table.length} rows")
   }
 
+  test("time-bounded feed: readChangeFeedByTime resolves version bounds from commit provenance") {
+    val t = freshTable("bytime")                               // v0
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(5L))       // v1
+    SnapshotLog.commitAppend(spark, t,                         // v2
+      spark.range(400, 410).select(col("id").as("k"), (col("id") * 7).as("v")))
+    val h = SnapshotLog.history(t).sortBy(_.version)
+    val ts = h.map(_.tsMillis)
+    def at(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+    // window [ts(v1), ts(v2)]: versions 1..2 — the delete + the insert
+    // (when two commits land in the SAME millisecond, v0 legitimately
+    // joins the window; only the distinct-ts case pins the exact slice)
+    if (ts(0) < ts(1)) {
+      val got = SnapshotLog.readChangeFeedByTime(spark, t, at(ts(1)), at(ts(2)))
+        .select(col(CF.ChangeTypeCol), col(CF.CommitVersionCol)).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(got.count(_ == ("delete", 1L)) == 1 &&
+        got.count(_ == ("insert", 2L)) == 10 && got.length == 11, got.toSeq)
+    }
+    // window strictly after the last commit: an EMPTY feed, same schema
+    val empty = SnapshotLog.readChangeFeedByTime(spark, t,
+      at(ts.max + 60000), at(ts.max + 120000))
+    assert(empty.count() == 0 &&
+      empty.columns.contains(CF.ChangeTypeCol))
+    // window covering everything: the whole history from genesis
+    assert(SnapshotLog.readChangeFeedByTime(spark, t,
+      at(ts.min), at(ts.max)).count() == 411)
+    // a `to` before the first commit is a loud, precise error
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.readChangeFeedByTime(spark, t,
+        at(ts.min - 120000), at(ts.min - 60000))
+    }
+    assert(e.getMessage.contains("at or before"), e.getMessage)
+  }
+
   test("the feed is a SQL table function: snap_table_changes(dir, from, to)") {
     val t = freshTable("sqltvf", n = 200)
     SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(7L, 8L))

@@ -257,6 +257,41 @@ class SnapshotMorSpec extends SparkSpec {
     }
   }
 
+  test("a dv-bearing PRE-SCHEMA manifest refuses SQL loudly (the one remaining protocol gate)") {
+    // a manifest that never recorded a schema cannot take the pruning
+    // wrapper the masked scan rides — and over-answering (resurrecting
+    // deleted rows through the plain scan) is the one unacceptable
+    // outcome, so the catalog must refuse, naming the fix
+    val root = Files.createTempDirectory("graft_mor_preschema_").toString
+    val t = s"$root/lake/legacy"
+    spark.range(100).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .coalesce(1).write.parquet(s"$t/data")
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(Paths.get(s"$t/data")).iterator()
+      .asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    SnapshotLog.publish(t, 0L, part) // schema-less, pre-round-10 shape
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(3L))
+    // the Scala path reads the mask fine (schema inference)
+    assert(SnapshotLog.read(spark, t).count() == 99)
+    val cat = s"morps_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      val e = intercept[RuntimeException] {
+        spark.sql(s"SELECT count(*) FROM $cat.lake.legacy").collect()
+      }
+      assert(e.getMessage.contains("pre-schema") &&
+        e.getMessage.contains("compactDeletes"), e.getMessage)
+      // compaction (which records a schema) restores SQL readability
+      SnapshotLog.compactDeletes(spark, t)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.lake.legacy")
+        .head().getLong(0) == 99)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   test("a COLUMN-MAPPED dv-bearing version reads through SQL (masked half under physical names)") {
     val root = Files.createTempDirectory("graft_mor_sqlmap_").toString
     freshTable("mapped", at = Some(s"$root/lake/tbl"))
