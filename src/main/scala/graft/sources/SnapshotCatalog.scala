@@ -468,12 +468,29 @@ private[graft] object ScanPrune {
     * entries cannot collide across runs. BOUNDED: a long-lived session
     * planning many (table, version) scans — streaming, repeated time
     * travel, per-invocation unique catalog names — must not accumulate
-    * entries forever, so a put that finds the map at capacity clears
-    * it first (the data is advisory-only; dropping other tables'
-    * decisions is harmless, and a reader that needs its own entry
-    * reads it promptly after its scan plans). */
+    * entries forever, so a put at capacity evicts only the OLDEST
+    * entries (insertion order) — never the whole map. Clearing
+    * everything was the first cut, but it could drop an entry a
+    * CONCURRENTLY-planning scan had just written and was about to
+    * read, surfacing as rare flakiness in suites sharing a long-lived
+    * session; oldest-first eviction preserves recently-written
+    * entries. */
   val decisions = scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+  private val decisionOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val DecisionsCap = 512
+
+  private def recordDecision(tName: String, v: (Int, Int)): Unit = {
+    if (decisions.put(tName, v).isEmpty) decisionOrder.add(tName): Unit
+    // evict oldest beyond cap; skip the key just written (a re-put of
+    // an old key re-enqueues it at the tail, keeping it fresh)
+    while (decisions.size > DecisionsCap) {
+      val oldest = decisionOrder.poll()
+      if (oldest == null) return // queue drained by a racing evictor
+      if (oldest == tName) decisionOrder.add(oldest): Unit
+      else decisions.remove(oldest): Unit
+    }
+  }
 
   def kept(spark: SparkSession, tableDir: String, tName: String,
       files: Seq[String], stats: com.fasterxml.jackson.databind.JsonNode,
@@ -551,8 +568,7 @@ private[graft] object ScanPrune {
       else SnapshotLog.pruneRange(cur, stats, colmap, name, lo, hi)
     val out = filters.foldLeft(files)(one)
     last = Some((tName, out.size, files.size))
-    if (decisions.size >= DecisionsCap) decisions.clear()
-    decisions.put(tName, (out.size, files.size)): Unit
+    recordDecision(tName, (out.size, files.size))
     out
   }
 

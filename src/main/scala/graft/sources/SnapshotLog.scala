@@ -453,17 +453,28 @@ object SnapshotLog {
     * row counts — one ranged footer read per sidecar, no Spark job.
     * An unreadable sidecar counts as "too big": the caller then takes
     * the join path (or refuses, on the SQL surface), and the actual
-    * read fails loudly there if the file is genuinely corrupt. */
-  private[sources] def sidecarPositionCount(sidecars: Seq[String]): Long =
-    sidecars.map { f =>
-      try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f),
-          new org.apache.hadoop.conf.Configuration())
-        Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in))(
-          _.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
-      } catch { case _: Exception => Long.MaxValue / 1024 }
-    }.sum
+    * read fails loudly there if the file is genuinely corrupt. The
+    * first unreadable footer short-circuits to Long.MaxValue — summing
+    * per-file sentinels could overflow negative past ~1024 corrupt
+    * sidecars and spuriously pass the `<= inlineMax` gate. */
+  private[graft] def sidecarPositionCount(sidecars: Seq[String]): Long = {
+    var total = 0L
+    val it = sidecars.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      val n =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f),
+            new org.apache.hadoop.conf.Configuration())
+          Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in))(
+            _.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        } catch { case _: Exception => return Long.MaxValue }
+      total = try math.addExact(total, n)
+              catch { case _: ArithmeticException => return Long.MaxValue }
+    }
+    total
+  }
 
   private def readPhysical(spark: SparkSession, files: Seq[String],
       physSchemaOpt: Option[org.apache.spark.sql.types.StructType],
@@ -2921,7 +2932,10 @@ object SnapshotLog {
     *  - a version's NEW deletion-vector positions emit the masked
     *    rows' PRE-IMAGES labeled `delete` — new sidecar positions
     *    MINUS positions already masked at v−1, because a re-mark
-    *    (MOR marks come from raw reads) is not a new delete;
+    *    (MOR marks come from raw reads) is not a new delete; positions
+    *    on files BORN this version (appended and dv'd in one commit)
+    *    emit on NEITHER half — never visible, so no insert and no
+    *    delete (a feed-applied replica must not delete a live row);
     *  - maintenance rewrites ([[ChangeFeed.ContentIdenticalOps]]:
     *    optimize / zorder / compactDeletes) restate identical content
     *    and emit NOTHING — the feed flows straight through them;
@@ -2982,8 +2996,18 @@ object SnapshotLog {
             .withColumn(ChangeFeed.CommitVersionCol, lit(v))
         val newSc = dvNow.values.flatten.toSet -- prevDv.values.flatten.toSet
         if (newSc.nonEmpty) {
+          // BIRTH MASKS stay out of the delete half: a version that both
+          // appends a file and dv's it in the same commit never made the
+          // masked rows visible — the insert half already withheld them
+          // (dvNow.filterKeys(newFiles) above), so emitting their
+          // pre-images as `delete` would let a replica delete a live row
+          // sharing the key. Only files that existed at v−1 can carry
+          // genuine new deletes.
+          val bornNow = newFiles.toSet
           val touched = dvNow.collect {
-            case (f, scs) if scs.exists(newSc.contains) => f }.toSeq.sorted
+            case (f, scs) if scs.exists(newSc.contains) &&
+              !bornNow.contains(f) => f }.toSeq.sorted
+          if (touched.nonEmpty) {
           val marksNew = spark.read.schema("file STRING, pos BIGINT")
             .parquet(newSc.toSeq.sorted: _*)
           val oldSc = touched.flatMap(prevDv.getOrElse(_, Nil)).distinct.sorted
@@ -3007,6 +3031,7 @@ object SnapshotLog {
           outs += named
             .withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))
             .withColumn(ChangeFeed.CommitVersionCol, lit(v))
+          }
         }
       }
       prevFiles = files.toSet
@@ -3039,13 +3064,17 @@ object SnapshotLog {
     * op/ts provenance: the feed covers every version whose recorded
     * commit timestamp falls in [`from`, `to`] (inclusive both ends;
     * an empty window is an empty feed, a `to` before the first commit
-    * is a loud error). Version order stays the real clock — under
-    * wall-clock skew the bounds resolve per version against its
-    * recorded ts, and the emitted range is contiguous in VERSIONS
-    * (from the first in-window version's predecessor to the last
-    * in-window version). Tables carrying ts-less pre-provenance
-    * versions refuse loudly — use the version-bounded
-    * [[readChangeFeed]]. */
+    * is a loud error). Version order stays the real clock — the bounds
+    * resolve per version against its recorded ts, and the emitted
+    * range is contiguous in VERSIONS (from the first in-window
+    * version's predecessor to the last in-window version). Under
+    * wall-clock skew at commit time the in-window version set can be
+    * NON-contiguous (a mid-range version stamped outside the window);
+    * that refuses loudly rather than silently feeding the skewed
+    * versions — the error names the version-bounded [[readChangeFeed]]
+    * span that covers the same stretch. Tables carrying ts-less
+    * pre-provenance versions refuse loudly too — use the
+    * version-bounded [[readChangeFeed]]. */
   def readChangeFeedByTime(spark: SparkSession, tableDir: String,
       from: java.time.Instant, to: java.time.Instant): DataFrame = {
     require(!from.isAfter(to), s"readChangeFeedByTime wants from <= to, " +
@@ -3071,7 +3100,26 @@ object SnapshotLog {
       // newest at-or-before version's schema
       val v = upTo.max
       readChangeFeed(spark, tableDir, v, v)
-    } else readChangeFeed(spark, tableDir, inWindow.min - 1, inWindow.max)
+    } else {
+      // versions commit in order but their RECORDED timestamps come
+      // from possibly-skewed wall clocks: a mid-range version stamped
+      // outside [from, to] makes the in-window version set
+      // non-contiguous. Feeding the contiguous hull would silently
+      // include the skewed versions' changes — refuse loudly instead
+      // (the project's convention) and name the version-bounded feed,
+      // which states its range in the unit the log actually orders by.
+      val inSet = inWindow.toSet
+      val skewed = (inWindow.min to inWindow.max).filterNot(inSet.contains)
+      require(skewed.isEmpty,
+        s"readChangeFeedByTime: version(s) ${skewed.mkString(", ")} sit " +
+          s"between in-window versions ${inWindow.min} and ${inWindow.max} " +
+          s"but carry commit timestamps OUTSIDE [$from, $to] (clock skew " +
+          "at commit time) — a time window cannot represent this range " +
+          "faithfully; use readChangeFeed(" +
+          s"${inWindow.min - 1}, ${inWindow.max}) to feed the full span, " +
+          "or narrow the window to a contiguous stretch")
+      readChangeFeed(spark, tableDir, inWindow.min - 1, inWindow.max)
+    }
   }
 
   /** Apply a change-feed batch to a REPLICA table, exactly-once — the

@@ -258,4 +258,88 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       if (x == null) "" else x.getMessage + rootMsg(x.getCause)
     assert(rootMsg(e).contains("exclusive"), rootMsg(e).take(300))
   }
+
+  test("birth-masked files emit on NEITHER half: no insert for masked rows, no delete pre-images") {
+    // A version that both appends a file and dv's it in the same commit
+    // is unreachable via the log's own verbs — craft it by folding a
+    // MOR delete's dv entry back into the append's manifest. The feed
+    // must withhold the masked rows from the insert half (they were
+    // never visible) AND from the delete half (a replica applying a
+    // delete pre-image for a never-inserted row could kill a live row
+    // sharing the key).
+    val t = freshTable("birth", n = 100)                       // v0
+    SnapshotLog.commitAppend(spark, t,                         // v1: file F
+      spark.range(100, 120).select(col("id").as("k"), (col("id") * 7).as("v")))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(105L))     // v2: dv on F
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val log = java.nio.file.Paths.get(t, "_log")
+    val v2 = mapper.readTree(Files.readString(log.resolve("2.json")))
+    val v1 = mapper.readTree(Files.readString(log.resolve("1.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    v1.replace("dv", v2.get("dv")): Unit                       // F born masked
+    Files.writeString(log.resolve("1.json"), v1.toString)
+    val rows = feed(t, 0, 1)
+    val inserts = rows.filter(_._3 == "insert")
+    val deletes = rows.filter(_._3 == "delete")
+    assert(inserts.size == 19 && !inserts.exists(_._1 == 105L),
+      s"insert half must withhold the birth-masked row: $inserts")
+    assert(deletes.isEmpty,
+      s"delete half must not emit pre-images of never-visible rows: $deletes")
+    // v2 restates the same sidecars (newSc is empty) — nothing new, and
+    // full-feed replay still reconstructs the latest snapshot
+    assert(feed(t, 1, 2).isEmpty)
+    val cf = SnapshotLog.readChangeFeed(spark, t, -1, 2)
+    val replayed = cf.filter(col(CF.ChangeTypeCol) =!= "delete")
+      .select("k", "v")
+      .exceptAll(cf.filter(col(CF.ChangeTypeCol) === "delete")
+        .select("k", "v"))
+      .collect().map(_.toString).sorted
+    val table = SnapshotLog.read(spark, t).select("k", "v")
+      .collect().map(_.toString).sorted
+    assert(replayed.sameElements(table),
+      s"replay diverged: ${replayed.length} vs ${table.length} rows")
+  }
+
+  test("clock skew: a non-contiguous in-window version set refuses loudly, naming the version-bounded feed") {
+    val t = freshTable("skew", n = 50)                          // v0
+    SnapshotLog.commitAppend(spark, t,                          // v1
+      spark.range(50, 60).select(col("id").as("k"), (col("id") * 7).as("v")))
+    SnapshotLog.commitAppend(spark, t,                          // v2
+      spark.range(60, 70).select(col("id").as("k"), (col("id") * 7).as("v")))
+    // stamp controlled commit timestamps: v1's clock ran far AHEAD, so
+    // the window [ts(v0), ts(v2)] holds versions {0, 2} but not 1
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val log = java.nio.file.Paths.get(t, "_log")
+    def stamp(v: Long, ms: Long): Unit = {
+      val n = mapper.readTree(Files.readString(log.resolve(s"$v.json")))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      n.put("ts", ms): Unit
+      Files.writeString(log.resolve(s"$v.json"), n.toString): Unit
+    }
+    stamp(0, 1000000L); stamp(1, 9000000L); stamp(2, 2000000L)
+    def at(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.readChangeFeedByTime(spark, t, at(1000000L), at(2000000L))
+    }
+    assert(e.getMessage.contains("clock skew") &&
+      e.getMessage.contains("readChangeFeed(-1, 2)"), e.getMessage)
+    // a window covering the skewed version too feeds normally
+    assert(SnapshotLog.readChangeFeedByTime(spark, t,
+      at(1000000L), at(9000000L)).count() == 70)
+    // and a contiguous sub-window is untouched by the refusal
+    assert(SnapshotLog.readChangeFeedByTime(spark, t,
+      at(2000000L), at(2000000L))
+      .select(col(CF.CommitVersionCol)).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("sidecarPositionCount saturates instead of overflowing on unreadable sidecars") {
+    // >=1024 unreadable sidecars used to sum per-file sentinels past
+    // Long.MaxValue into NEGATIVE territory, spuriously passing the
+    // `<= inlineMax` gate; the count now short-circuits to MaxValue
+    val bogus = (0 until 1500).map(i => s"/nonexistent/graft_dv_$i.parquet")
+    assert(SnapshotLog.sidecarPositionCount(bogus) == Long.MaxValue)
+    assert(SnapshotLog.sidecarPositionCount(bogus.take(1)) == Long.MaxValue)
+    assert(SnapshotLog.sidecarPositionCount(Nil) == 0L)
+  }
 }
