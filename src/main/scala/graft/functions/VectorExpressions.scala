@@ -1017,8 +1017,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PLAN — per-version reads union under op-provenance labels — so
     // it cannot depend on row values). Builds the same plan as
     // [[graft.sources.SnapshotLog.readChangeFeed]]; every feed
-    // contract (labels, re-mark silence, maintenance pass-through,
-    // loud rewrite) holds verbatim.
+    // contract holds verbatim. Two worth restating at THIS surface
+    // because they surprise SQL users:
+    //  - MAINTENANCE REWRITES (optimize / zorder / compactDeletes)
+    //    EMIT NOTHING: they restate identical content (Delta's
+    //    dataChange=false, decided by op provenance), so a version in
+    //    the asked range can legitimately contribute zero rows; any
+    //    OTHER rewrite fails loudly naming diff().
+    //  - TIME-bounded feeds are a separate surface
+    //    (readChangeFeedByTime): bounds resolve against RECORDED
+    //    commit timestamps, and clock skew that makes the in-window
+    //    version set non-contiguous refuses loudly naming the
+    //    version-bounded span — this TVF (version-bounded) is the
+    //    refusal's suggested escape hatch.
     ext.injectTableFunction((
       new FunctionIdentifier("snap_table_changes"),
       new ExpressionInfo("graft.sources.SnapshotLog", "snap_table_changes"),
@@ -1044,5 +1055,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsOfWindowRewrite)
+    // SQL DML on snapshot-catalog tables: DELETE/UPDATE/MERGE route to
+    // the log's MOR verbs (INSERT needs no rule — the table's own V1
+    // write bridge carries it). Post-hoc: the DML nodes survive
+    // resolution untouched for non-row-level-operation tables, so one
+    // pass over the fully-resolved plan sees their final shape.
+    ext.injectPostHocResolutionRule(_ => graft.sources.SnapshotSqlDml)
   }
 }

@@ -494,6 +494,116 @@ object MigrationOps {
     }
   }
 
+  /** SQL DML driver-gated ([[graft.sources.SnapshotSqlDml]] + the
+    * catalog's V1 write bridge) — the round-17 flagship, the WRITE
+    * twin of [[snapDeleteMor]]'s SQL-read composition: one table takes
+    * the full DML ladder as SQL text (`INSERT INTO` two synthetic
+    * rows, `DELETE FROM … WHERE IN` the 24 smallest orderkeys,
+    * `UPDATE … SET price + 1e6 WHERE IN` the next 8, `MERGE` zeroing
+    * the 8 largest + inserting one more synthetic key), a TWIN table
+    * takes the same ladder through the Scala verbs, and the require()s
+    * pin (a) twin equivalence row-for-row, (b) the op provenance
+    * showing each SQL verb landed on its MOR verb (no silent COW
+    * fallback — `delete-where-in-mor`, `update-where-in-mor`,
+    * `merge-mor`), and (c) dv entries present (masks, not rewrites).
+    * The RESULT is the SQL read of the final dv-bearing version; the
+    * oracle reconstructs the same ladder from `orders` directly. */
+  val snapDmlSql: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_sqldml_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"dmlsql_$tok"
+    val view = s"dmlsrc_$tok"
+    try {
+      val tdir = scratchP.resolve("lake").resolve("t").toString
+      val twin = scratchP.resolve("lake").resolve("twin").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.repartitionByRange(8, col("o_custkey")))
+      graft.sources.SnapshotLog.commit(s, twin,
+        orders.repartitionByRange(8, col("o_custkey")))
+      val asc = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(32).collect()
+        .map(_.getLong(0)).toSeq
+      val delKeys = asc.take(24)
+      val updKeys = asc.drop(24)
+      val bigKeys = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey").desc).limit(8).collect()
+        .map(_.getLong(0)).toSeq
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val sqlT = s"$cat.lake.t"
+      // 1. INSERT INTO (→ commitAppend)
+      s.sql(s"INSERT INTO $sqlT VALUES " +
+        "(CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(111 AS BIGINT)), " +
+        "(CAST(-2 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(222 AS BIGINT))")
+      graft.sources.SnapshotLog.commitAppend(s, twin,
+        s.sql("SELECT CAST(-1 AS BIGINT) AS o_orderkey, " +
+          "CAST(0 AS BIGINT) AS o_custkey, 'Z' AS o_orderstatus, " +
+          "CAST(111 AS BIGINT) AS o_price_c " +
+          "UNION ALL SELECT -2, 0, 'Z', 222"))
+      // 2. DELETE (→ deleteWhereInMOR)
+      s.sql(s"DELETE FROM $sqlT WHERE o_orderkey IN " +
+        delKeys.mkString("(", ", ", ")"))
+      graft.sources.SnapshotLog.deleteWhereInMOR(s, twin, "o_orderkey", delKeys)
+      // 3. UPDATE (→ updateWhereInMOR; the pre-image is visible to SET)
+      s.sql(s"UPDATE $sqlT SET o_price_c = o_price_c + 1000000 " +
+        s"WHERE o_orderkey IN ${updKeys.mkString("(", ", ", ")")}")
+      graft.sources.SnapshotLog.updateWhereInMOR(s, twin, "o_orderkey",
+        updKeys, Map("o_price_c" -> (col("o_price_c") + 1000000L)))
+      // 4. MERGE upsert (→ mergeIntoMOR): zero the 8 largest keys'
+      // price, insert one more synthetic key
+      val src = orders.filter(col("o_orderkey").isin(bigKeys: _*))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          lit(0L).as("o_price_c"))
+        .unionByName(s.sql("SELECT CAST(-3 AS BIGINT) AS o_orderkey, " +
+          "CAST(0 AS BIGINT) AS o_custkey, 'Z' AS o_orderstatus, " +
+          "CAST(333 AS BIGINT) AS o_price_c"))
+      src.createOrReplaceTempView(view)
+      s.sql(s"""MERGE INTO $sqlT tt USING $view ss
+        ON tt.o_orderkey = ss.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_orderkey = ss.o_orderkey,
+          o_custkey = ss.o_custkey, o_orderstatus = ss.o_orderstatus,
+          o_price_c = ss.o_price_c
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+          o_orderstatus, o_price_c) VALUES (ss.o_orderkey, ss.o_custkey,
+          ss.o_orderstatus, ss.o_price_c)""")
+      graft.sources.SnapshotLog.mergeIntoMOR(s, twin,
+        src.withColumn("op", lit("update")), "o_orderkey")
+      // the ops prove each SQL verb landed on its MOR verb
+      val ops = graft.sources.SnapshotLog.history(tdir)
+        .sortBy(_.version).map(_.op)
+      require(ops == Seq("commit", "append", "delete-where-in-mor",
+        "update-where-in-mor", "merge-mor"),
+        s"SQL DML op provenance diverged: $ops")
+      val latest = graft.sources.SnapshotLog.latestVersion(tdir).get
+      require(graft.sources.SnapshotLog.dvAt(tdir, latest).nonEmpty,
+        "SQL DML published no deletion-vector entries — a silent COW?")
+      // twin equivalence: SQL ladder == Scala ladder, row for row
+      val sqlRows = s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        s"o_price_c FROM $sqlT").collect()
+      val twinRows = graft.sources.SnapshotLog.read(s, twin)
+        .collect().map(_.toString).sorted
+      require(sqlRows.map(_.toString).sorted.sameElements(twinRows),
+        s"SQL DML diverged from the Scala twin: ${sqlRows.length} vs " +
+          s"${twinRows.length} rows")
+      val local = java.util.Arrays.asList(sqlRows: _*)
+      s.createDataFrame(local,
+        graft.sources.SnapshotLog.read(s, twin).schema)
+    } finally {
+      s.catalog.dropTempView(view): Unit
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.readChangeFeed]] driver-gated — the
     * dv-aware CHANGE DATA FEED: v0 commits the even orderkeys, v1
     * appends the odd ones, v2 MOR-deletes the 24 smallest keys; the
@@ -785,6 +895,7 @@ object MigrationOps {
     "snap_bloom_lookup" -> snapBloomLookup,
     "snap_delete_in" -> snapDeleteIn,
     "snap_delete_mor" -> snapDeleteMor,
+    "snap_dml_sql" -> snapDmlSql,
     "snap_update_mor" -> snapUpdateMor,
     "snap_runtime_prune_join" -> snapRuntimePruneJoin,
     "csv_ingest" -> csvIngest,
@@ -943,6 +1054,35 @@ object MigrationOps {
          FROM orders
          WHERE o_orderkey NOT IN
            (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
+    // the full SQL DML ladder (INSERT INTO / DELETE / UPDATE / MERGE
+    // through spark.sql, each routed to its MOR verb) must equal the
+    // same ladder reconstructed relationally: delete the 24 smallest
+    // keys, bump the next 8 by 1e6, zero the 8 largest (MERGE matched),
+    // and append the three synthetic keys (-1, -2 inserted; -3 merged)
+    "snap_dml_sql" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
+           FROM orders),
+         del AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24),
+         upd AS (SELECT o_orderkey FROM orders
+                 ORDER BY o_orderkey LIMIT 8 OFFSET 24),
+         big AS (SELECT o_orderkey FROM orders
+                 ORDER BY o_orderkey DESC LIMIT 8)
+         SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+           CASE WHEN b.o_orderkey IN (SELECT o_orderkey FROM big)
+                  THEN CAST(0 AS BIGINT)
+                WHEN b.o_orderkey IN (SELECT o_orderkey FROM upd)
+                  THEN b.o_price_c + 1000000
+                ELSE b.o_price_c END AS o_price_c
+         FROM base b
+         WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(111 AS BIGINT)
+         UNION ALL
+         SELECT CAST(-2 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(222 AS BIGINT)
+         UNION ALL
+         SELECT CAST(-3 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(333 AS BIGINT)""",
     // the MOR update (mask + post-image append, one commit) must equal
     // the CASE-expression rewrite of the whole table
     "snap_update_mor" ->

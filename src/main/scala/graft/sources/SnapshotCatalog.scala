@@ -43,14 +43,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * loud refusal pre-provenance); tables carrying any ts-less
   * pre-provenance version refuse loudly rather than guess an order.
   *
-  * Read-only by the same rationale as [[GraftCatalog]]: writes go
-  * through the log's own commit paths (commit / commitAppend /
-  * commitIdempotent), which own atomicity, stats, and schema
-  * enforcement — a catalog write would bypass all three. The single
-  * exception is COLUMN DDL (`ALTER TABLE … ADD/RENAME/DROP COLUMN`),
-  * which [[alterTable]] delegates to the log's own metadata-only
-  * commits — nothing is bypassed, the SQL verb just reaches the
-  * owned path.
+  * Writes reach ONLY the log's own commit paths — never a raw file
+  * write: `INSERT INTO` routes to [[SnapshotLog.commitAppend]] and
+  * `INSERT OVERWRITE` to [[SnapshotLog.commit]] through the table's
+  * V1 write bridge ([[PrunedSnapshotTable.newWriteBuilder]]);
+  * `DELETE`/`UPDATE`/`MERGE` route to the MOR verbs through the
+  * [[SnapshotSqlDml]] extension rule; COLUMN DDL (`ALTER TABLE …
+  * ADD/RENAME/DROP COLUMN`) delegates to the log's metadata-only
+  * commits via [[alterTable]]. Everything the commit paths own —
+  * put-if-absent OCC, stats, schema enforcement — holds for the SQL
+  * verbs because they ARE the same paths. Table-lifecycle DDL
+  * (CREATE/DROP/RENAME TABLE, namespaces) stays rejected: the log's
+  * tables are directories its writers create, not catalog state.
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -114,7 +118,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       .sortBy(_.name)
   }
 
-  private def parquetTable(ident: Identifier, v: Long): Table = {
+  private def parquetTable(ident: Identifier, v: Long,
+      writable: Boolean = false): Table = {
     val t = tableDir(ident).getAbsolutePath
     val (files, stats, schema, colmap, dv) = SnapshotLog.manifestDetailsAt(t, v)
     def refuse(why: String): Nothing = sys.error(
@@ -150,16 +155,20 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       // over the kept files (mapped tables additionally translate at
       // the two name boundaries — see PrunedSnapshotTable)
       case Some(sch) =>
-        new PrunedSnapshotTable(tName, t, v, files, stats, sch, colmap, dv)
+        new PrunedSnapshotTable(tName, t, v, files, stats, sch, colmap, dv,
+          writable)
       // pre-schema manifests (no stats either, never mapped, dv
-      // refused above): the plain scan
-      case None => ParquetTable(
+      // refused above): the plain scan — READ-ONLY-wrapped, because
+      // ParquetTable itself advertises BATCH_WRITE and an INSERT would
+      // drop files straight into the data directory, invisible to
+      // every manifest-driven reader (a write the log never saw)
+      case None => new ReadOnlySnapshotTable(ParquetTable(
         tName,
         SparkSession.active,
         CaseInsensitiveStringMap.empty(),
         files,
         userSpecifiedSchema = None,
-        fallbackFileFormat = classOf[ParquetFileFormat])
+        fallbackFileFormat = classOf[ParquetFileFormat]))
     }
   }
 
@@ -184,7 +193,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     if (!dir.isDirectory || !isTable(dir)) throw new NoSuchTableException(ident)
     val latest = SnapshotLog.latestVersion(dir.getAbsolutePath)
       .getOrElse(throw new NoSuchTableException(ident))
-    parquetTable(ident, latest)
+    // only the latest-version load is a DML target: the verbs commit
+    // on top of latest, so a time-travel pin must stay read-only
+    parquetTable(ident, latest, writable = true)
   }
 
   /** `VERSION AS OF <v>` — exact-version time travel. */
@@ -314,9 +325,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$op: snapshot catalog '$catalogName' is read-only — writes go through " +
-        "SnapshotLog.commit/commitAppend/commitIdempotent, which own atomicity, " +
-        "stats, and schema enforcement; a catalog write would bypass all three")
+      s"$op: snapshot catalog '$catalogName' is read-only for table " +
+        "LIFECYCLE — its tables are directories the log's writers create, " +
+        "not catalog state (DML — INSERT/DELETE/UPDATE/MERGE — and column " +
+        "DDL are supported: they route to the log's own commit paths; " +
+        "create tables with SnapshotLog.commit)")
 }
 
 /** `DESCRIBE HISTORY` as a SQL-queryable metadata table (the
@@ -397,8 +410,14 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     version: Long, files: Seq[String],
     stats: com.fasterxml.jackson.databind.JsonNode,
     recorded: StructType, colmap: Map[String, String],
-    dv: Map[String, Seq[String]] = Map.empty)
-    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+    dv: Map[String, Seq[String]] = Map.empty,
+    writable: Boolean = false)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with SnapshotSqlTable {
+
+  override def snapshotTableDir: String = tableDir
+  override def snapshotWritable: Boolean = writable
 
   private val phys2log: Map[String, String] = colmap.map(_.swap)
 
@@ -418,9 +437,13 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
 
   override def name(): String = tName
   override def schema(): StructType = recorded
-  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-    java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCapability._
+    // writes only on a latest-version load: a time-travel pin
+    // advertising write capabilities would let INSERT retarget history
+    if (writable) java.util.EnumSet.of(BATCH_READ, V1_BATCH_WRITE, TRUNCATE)
+    else java.util.EnumSet.of(BATCH_READ)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
@@ -433,6 +456,64 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       unmapName = c => phys2log.getOrElse(c, c),
       dv = dv)
   }
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` as the log's own commits — a
+    * V1 write bridge (the DataFrame hand-off [[SnapshotLog.commitAppend]]
+    * / [[SnapshotLog.commit]] already speak; the data write inside the
+    * verbs is Spark's distributed parquet writer either way, so
+    * nothing is serialized through the driver):
+    *
+    *  - append → `commitAppend`: O(batch) files + carried stats, exact
+    *    schema enforcement (the batch must read back with the recorded
+    *    schema), dv entries carried, logical→physical renames under a
+    *    column map — everything the Scala append does, verbatim;
+    *  - INSERT OVERWRITE → `commit`: the full-replacement semantics
+    *    the SQL verb asks for (a fresh generation; history keeps the
+    *    old versions for time travel).
+    *
+    * Both publish with the verbs' put-if-absent OCC — a concurrent
+    * writer conflicts exactly as it would against the Scala API. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(writable, s"$tName: INSERT into a time-travel pinned " +
+      "relation — DML targets the latest version only")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              val spark = data.sparkSession
+              if (replace) SnapshotLog.commit(spark, tableDir, data): Unit
+              else SnapshotLog.commitAppend(spark, tableDir, data): Unit
+            }
+        }
+    }
+  }
+}
+
+/** Pre-schema snapshot tables read through Spark's plain
+  * [[ParquetTable]], which itself advertises write capabilities that
+  * would drop files into the data directory BEHIND the manifest — a
+  * write no reader would ever see. This wrapper forwards reads and
+  * strips everything else. */
+private class ReadOnlySnapshotTable(inner: Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.newScanBuilder(options)
 }
 
 /** Catalyst-predicate → file-prune translation for the catalog's

@@ -1,0 +1,235 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import sources.SnapshotLog
+
+/** SQL DML on snapshot-catalog tables ([[graft.sources.SnapshotSqlDml]]
+  * + [[graft.sources.SnapshotCatalog]]'s V1 write bridge). The
+  * contract under test: every SQL verb routes to the log's OWN Scala
+  * verb, so a SQL statement and its Scala twin leave byte-identical
+  * table states — same rows, same op provenance, same MOR shape (no
+  * data-file rewrites on DELETE/UPDATE/MERGE) — including dv-bearing
+  * starting versions and column-mapped tables; and shapes the point-
+  * DML verbs cannot express refuse LOUDLY at analysis, naming the
+  * Scala alternative. */
+class SnapshotSqlDmlSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_sqldml_").toString
+    Files.createDirectories(Paths.get(r, "lake"))
+    spark.conf.set("spark.sql.catalog.sdml", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.sdml.root", r)
+    r
+  }
+
+  /** Twin tables with identical content: SQL runs on `.a`, the Scala
+    * verb on `.b`; the test compares final states. */
+  private def twins(prefix: String, n: Int = 64): (String, String, String, String) = {
+    val a = s"$root/lake/${prefix}_a"
+    val b = s"$root/lake/${prefix}_b"
+    def seed(t: String): Unit = SnapshotLog.commit(spark, t,
+      spark.range(n).repartitionByRange(4, col("id"))
+        .select(col("id").as("k"), (col("id") * 7).as("v"))): Unit
+    seed(a); seed(b)
+    (a, b, s"sdml.lake.${prefix}_a", s"sdml.lake.${prefix}_b")
+  }
+
+  private def state(t: String): (Seq[String], String, Int, Int) = {
+    val rows = SnapshotLog.read(spark, t).collect().map(_.toString).sorted.toSeq
+    val v = SnapshotLog.latestVersion(t).get
+    val h = SnapshotLog.history(t).maxBy(_.version)
+    (rows, h.op, h.files, h.dvFiles)
+  }
+
+  test("INSERT INTO routes to commitAppend; INSERT OVERWRITE to commit") {
+    val (a, b, sqlA, _) = twins("ins")
+    spark.sql(s"INSERT INTO $sqlA VALUES (1000, 7000), (1001, 7007)")
+    SnapshotLog.commitAppend(spark, b, pairsDf(Seq((1000L, 7000L), (1001L, 7007L)), "k", "v"))
+    val (ra, opA, _, _) = state(a)
+    val (rb, opB, _, _) = state(b)
+    assert(opA == "append" && opB == "append")
+    assert(ra == rb && ra.size == 66, s"${ra.size}")
+    // history is intact: the pre-insert version still reads
+    assert(SnapshotLog.read(spark, a, asOf = Some(0L)).count() == 64L)
+    // OVERWRITE is the full-replacement commit
+    spark.sql(s"INSERT OVERWRITE $sqlA SELECT id AS k, id * 2 AS v FROM range(5)")
+    SnapshotLog.commit(spark, b,
+      spark.range(5).select(col("id").as("k"), (col("id") * 2).as("v")))
+    val (ra2, opA2, _, _) = state(a)
+    val (rb2, opB2, _, _) = state(b)
+    assert(ra2 == rb2 && ra2.size == 5 && opA2 == "commit" && opB2 == "commit")
+    // the appended generation is still one VERSION AS OF away
+    assert(spark.sql(s"SELECT count(*) FROM $sqlA VERSION AS OF 1")
+      .head.getLong(0) == 66L)
+  }
+
+  test("INSERT INTO enforces the recorded schema through commitAppend") {
+    val (a, _, sqlA, _) = twins("insbad")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $sqlA SELECT id AS k, CAST(id AS STRING) AS v " +
+        "FROM range(3)")
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    // either Spark's own type check or the verb's read-back enforcement
+    assert(msgs(e).contains("schema") || msgs(e).toLowerCase.contains("cast"),
+      msgs(e).take(400))
+    assert(SnapshotLog.latestVersion(a).get == 0L) // nothing published
+  }
+
+  test("DELETE FROM ... WHERE k IN (...) hash-matches deleteWhereInMOR, MOR shape included") {
+    val (a, b, sqlA, _) = twins("del")
+    spark.sql(s"DELETE FROM $sqlA WHERE k IN (3, 5, 8)")
+    SnapshotLog.deleteWhereInMOR(spark, b, "k", Seq(3L, 5L, 8L))
+    val (ra, opA, filesA, dvA) = state(a)
+    val (rb, opB, filesB, dvB) = state(b)
+    assert(ra == rb && ra.size == 61)
+    assert(opA == "delete-where-in-mor" && opB == opA)
+    assert(filesA == filesB && dvA == dvB && dvA > 0,
+      s"files=$filesA/$filesB dv=$dvA/$dvB — DELETE must be MOR (no rewrite)")
+    // equality and OR-of-equality translate too
+    spark.sql(s"DELETE FROM $sqlA WHERE k = 10 OR k = 11")
+    SnapshotLog.deleteWhereInMOR(spark, b, "k", Seq(10L, 11L))
+    assert(state(a)._1 == state(b)._1)
+    // SQL reads compose through the new mask
+    assert(spark.sql(s"SELECT count(*) FROM $sqlA").head.getLong(0) == 59L)
+  }
+
+  test("UPDATE ... SET v = v + 1 WHERE k = 7 hash-matches updateWhereInMOR (pre-image visible)") {
+    val (a, b, sqlA, _) = twins("upd")
+    spark.sql(s"UPDATE $sqlA SET v = v + 1000000 WHERE k = 7")
+    SnapshotLog.updateWhereInMOR(spark, b, "k", Seq(7L),
+      Map("v" -> (col("v") + 1000000L)))
+    val (ra, opA, _, dvA) = state(a)
+    val (rb, opB, _, dvB) = state(b)
+    assert(ra == rb && opA == "update-where-in-mor" && opB == opA &&
+      dvA == dvB && dvA > 0)
+    assert(spark.sql(s"SELECT v FROM $sqlA WHERE k = 7").head.getLong(0) ==
+      7L * 7 + 1000000L)
+    // a second UPDATE sees the post-image (it lives in an unmasked file)
+    spark.sql(s"UPDATE $sqlA SET v = v + 1 WHERE k = 7")
+    assert(spark.sql(s"SELECT v FROM $sqlA WHERE k = 7").head.getLong(0) ==
+      7L * 7 + 1000001L)
+  }
+
+  test("MERGE upsert hash-matches mergeIntoMOR; MERGE delete shape feeds deletes") {
+    val (a, b, sqlA, _) = twins("mrg")
+    val src = spark.range(60, 70)
+      .select(col("id").as("k"), (col("id") * 100).as("v"))
+    src.createOrReplaceTempView("mrg_src")
+    spark.sql(s"""MERGE INTO $sqlA t USING mrg_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    SnapshotLog.mergeIntoMOR(spark, b,
+      src.withColumn("op", lit("update")), "k")
+    val (ra, opA, _, _) = state(a)
+    val (rb, opB, _, _) = state(b)
+    assert(ra == rb && ra.size == 70 && opA == "merge-mor" && opB == opA)
+    assert(spark.sql(s"SELECT v FROM $sqlA WHERE k = 63").head.getLong(0) == 6300L)
+    // delete shape: sole WHEN MATCHED THEN DELETE; absent keys (70..74
+    // never existed) no-op — the verb's contract
+    spark.range(68, 75).select(col("id").as("k"))
+      .createOrReplaceTempView("mrg_del")
+    spark.sql(s"""MERGE INTO $sqlA t USING mrg_del s ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    SnapshotLog.mergeIntoMOR(spark, b, spark.range(68, 75).select(
+      col("id").as("k"), lit(null).cast("bigint").as("v"),
+      lit("delete").as("op")), "k")
+    assert(state(a)._1 == state(b)._1)
+    assert(spark.sql(s"SELECT count(*) FROM $sqlA").head.getLong(0) == 68L)
+    assert(spark.sql(s"SELECT max(k) FROM $sqlA").head.getLong(0) == 67L)
+  }
+
+  test("SQL DML composes onto a dv-BEARING starting version and a COLUMN-MAPPED table") {
+    val (a, b, sqlA, _) = twins("dvmap")
+    // dv-bearing base: a MOR delete first
+    SnapshotLog.deleteWhereInMOR(spark, a, "k", Seq(2L))
+    SnapshotLog.deleteWhereInMOR(spark, b, "k", Seq(2L))
+    // column map: logical v -> renamed logical "val" (physical stays v)
+    SnapshotLog.renameColumn(a, "v", "val")
+    SnapshotLog.renameColumn(b, "v", "val")
+    spark.sql(s"UPDATE $sqlA SET val = val - 1 WHERE k IN (4, 6)")
+    SnapshotLog.updateWhereInMOR(spark, b, "k", Seq(4L, 6L),
+      Map("val" -> (col("val") - 1)))
+    val (ra, opA, _, dvA) = state(a)
+    val (rb, _, _, dvB) = state(b)
+    assert(ra == rb && opA == "update-where-in-mor" && dvA == dvB)
+    spark.sql(s"DELETE FROM $sqlA WHERE k = 9")
+    SnapshotLog.deleteWhereInMOR(spark, b, "k", Seq(9L))
+    assert(state(a)._1 == state(b)._1)
+    assert(spark.sql(s"SELECT val FROM $sqlA WHERE k = 4").head.getLong(0) ==
+      4L * 7 - 1)
+    // INSERT under the map speaks logical names and carries the mask
+    spark.sql(s"INSERT INTO $sqlA VALUES (500, 500)")
+    SnapshotLog.commitAppend(spark, b,
+      pairsDf(Seq((500L, 500L)), "k", "val"))
+    assert(state(a)._1 == state(b)._1)
+    assert(spark.sql(s"SELECT count(*) FROM $sqlA WHERE k = 2")
+      .head.getLong(0) == 0L) // still masked
+  }
+
+  test("untranslatable shapes refuse loudly, naming the Scala API") {
+    val (_, _, sqlA, _) = twins("refuse")
+    def rootMsg(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + rootMsg(x.getCause)
+    // range predicate: no membership list to mask by
+    val e1 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $sqlA WHERE k < 5") }
+    assert(rootMsg(e1).contains("deleteWhereIn"), rootMsg(e1).take(300))
+    // UPDATE without WHERE: whole-table rewrite
+    val e2 = intercept[Exception] {
+      spark.sql(s"UPDATE $sqlA SET v = 0") }
+    assert(rootMsg(e2).contains("updateWhereIn"), rootMsg(e2).take(300))
+    // cross-column OR
+    val e3 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $sqlA WHERE k = 1 OR v = 14") }
+    assert(rootMsg(e3).contains("deleteWhereIn"), rootMsg(e3).take(300))
+    // MERGE with a partial (non-whole-row) update
+    spark.range(3).select(col("id").as("k"), col("id").as("v"))
+      .createOrReplaceTempView("refuse_src")
+    val e4 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $sqlA t USING refuse_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v""") }
+    assert(rootMsg(e4).contains("mergeIntoMOR"), rootMsg(e4).take(400))
+    // MERGE with target-referencing assignment
+    val e5 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $sqlA t USING refuse_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET k = s.k, v = t.v + s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""") }
+    assert(rootMsg(e5).contains("mergeIntoMOR"), rootMsg(e5).take(400))
+    // nothing published by any refusal
+    assert(spark.sql(s"SELECT count(*) FROM $sqlA").head.getLong(0) == 64L)
+  }
+
+  test("a pre-schema table read-only-wraps: INSERT cannot bypass the manifest") {
+    val t = s"$root/lake/preschema"
+    SnapshotLog.commit(spark, t, spark.range(10).select(
+      col("id").as("k"), (col("id") * 7).as("v")))
+    // simulate a legacy manifest: strip the recorded schema
+    val mf = Paths.get(t, "_log", "0.json")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(mf))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("schema"); node.remove("stats")
+    Files.writeString(mf, node.toString)
+    assert(spark.sql("SELECT count(*) FROM sdml.lake.preschema")
+      .head.getLong(0) == 10L)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO sdml.lake.preschema VALUES (99, 99)") }
+    // Spark's own capability check: the wrapper exposes no write surface
+    assert(e.getMessage.toLowerCase.contains("support") ||
+      e.getMessage.toLowerCase.contains("write"), e.getMessage.take(300))
+    // and no stray parquet landed outside the manifest's knowledge
+    assert(SnapshotLog.read(spark, t).count() == 10L)
+  }
+
+  /** Small helper: a local Seq to DataFrame with named columns. */
+  private def pairsDf(rows: Seq[(Long, Long)], c1: String, c2: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF(c1, c2)
+  }
+}
