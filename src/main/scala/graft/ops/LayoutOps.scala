@@ -26,10 +26,30 @@ object LayoutOps {
 
   /** Morton interleave as a Spark SQL expression: bit i of x lands at
     * position 2i, bit i of y at 2i+1. */
-  def zOrderSparkSql(x: String, y: String, bits: Int): String = {
+  def zOrderSparkSql(x: String, y: String, bits: Int): String =
+    zOrderSparkSqlN(Seq(x, y), bits)
+
+  /** The N-DIMENSIONAL Morton interleave (2-D is the n=2 special case,
+    * bit-identical to [[zOrderSparkSql]]): bit i of dimension d lands
+    * at position n·i + d, so every file of a z-sorted layout covers a
+    * small HYPER-RECTANGLE of the n-D domain and each raw dimension's
+    * min/max stats stay tight. n·bits must fit a BIGINT (n ≤ 4 at the
+    * 8-bit/256-cell grid the optimize verb uses — and the USEFUL
+    * ceiling is about there anyway: each added dimension halves the
+    * per-dimension resolution a fixed file count can hold, so 2–4
+    * correlated-ask dimensions is the regime where z-ordering beats
+    * single-column clustering; beyond that the curve degrades toward
+    * hashing and per-dimension stats stop pruning). Same arithmetic
+    * shape as the 2-D form: pure integer bit-ops, built-ins only,
+    * whole-stage-codegen friendly. */
+  def zOrderSparkSqlN(cols: Seq[String], bits: Int): String = {
+    require(cols.size >= 2, s"Morton interleave wants >= 2 dimensions")
+    require(cols.size * bits <= 62,
+      s"${cols.size} dims x $bits bits overflows the BIGINT z-key")
+    val n = cols.size
     val terms = (0 until bits).flatMap { i =>
-      Seq(s"shiftleft((shiftright($x, $i) & 1), ${2 * i})",
-        s"shiftleft((shiftright($y, $i) & 1), ${2 * i + 1})")
+      cols.zipWithIndex.map { case (c, d) =>
+        s"shiftleft((shiftright($c, $i) & 1), ${n * i + d})" }
     }
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }

@@ -2594,10 +2594,14 @@ object SnapshotLog {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are exclusive layouts — pick one")
-    require(zOrderBy.isEmpty || zOrderBy.size == 2,
-      "zOrderBy wants exactly two columns (the 2-D Morton interleave)")
+    require(zOrderBy.isEmpty || (zOrderBy.size >= 2 && zOrderBy.size <= 4),
+      "zOrderBy wants 2 to 4 columns — the n-D Morton interleave; past " +
+        "4 dims the curve degrades toward hashing (each added dimension " +
+        "halves the per-dimension resolution a fixed file count holds) " +
+        "and per-dimension stats stop pruning, so more dims would be a " +
+        "footgun, not a feature")
     require(zOrderBy.nonEmpty || !zOrderQuantile,
-      "zOrderQuantile modifies zOrderBy — pass the two dimensions")
+      "zOrderQuantile modifies zOrderBy — pass the dimensions")
     val baseV = latestVersion(tableDir).getOrElse(
       sys.error(s"no committed version in $tableDir"))
     val df = read(spark, tableDir, asOf = Some(baseV))
@@ -2608,15 +2612,16 @@ object SnapshotLog {
       if (zOrderBy.nonEmpty) {
         // ZORDER BY (Delta/Iceberg's verb at this log's minimum): each
         // dimension bucketed to 256 cells, then Morton-interleaved
-        // ([[graft.ops.LayoutOps]]'s key) and range-written on the z
-        // key, so every file covers a small RECTANGLE of the 2-D
-        // domain and EITHER column's min/max stats prune (ZOrderSpec
-        // measures the asymmetry vs linear clustering; the snapshot
-        // spec pins both-dimension pruning through this verb). Two
-        // bucketing maps, both one broadcast 1-row agg (no per-column
-        // sort): the default LINEAR map divides each dimension's own
-        // [min, max] evenly — right for roughly uniform dimensions and
-        // the cheapest to compute; `zOrderQuantile` buckets by RANK
+        // ([[graft.ops.LayoutOps.zOrderSparkSqlN]] — 2 to 4 dims) and
+        // range-written on the z key, so every file covers a small
+        // HYPER-RECTANGLE of the n-D domain and ANY dimension's
+        // min/max stats prune (ZOrderSpec measures the asymmetry vs
+        // linear clustering, in 2-D and 3-D; the snapshot spec pins
+        // both-dimension pruning through this verb). Two bucketing
+        // maps, both one broadcast 1-row agg (no per-column sort): the
+        // default LINEAR map divides each dimension's own [min, max]
+        // evenly — right for roughly uniform dimensions and the
+        // cheapest to compute; `zOrderQuantile` buckets by RANK
         // instead (255 approx-percentile cuts per dimension, cell =
         // cuts at or below the value), which keeps cells POPULATION-
         // balanced under skew — a heavy-tailed dimension packs almost
@@ -2627,7 +2632,6 @@ object SnapshotLog {
         // the repair). Null cells bucket to 0 under both maps (they
         // cluster first, like a NULLS FIRST sort). Dimensions must be
         // numeric.
-        val Seq(cx, cy) = zOrderBy
         zOrderBy.foreach { c =>
           require(df.schema.fieldNames.contains(c), s"unknown zOrderBy column $c")
           require(df.schema(c).dataType.isInstanceOf[
@@ -2635,13 +2639,15 @@ object SnapshotLog {
             s"zOrderBy column $c is ${df.schema(c).dataType} — the Morton " +
               "grid wants numeric dimensions")
         }
+        val cellCols = zOrderBy.indices.map(d => s"_gc$d")
         val withCells = if (zOrderQuantile) {
           val probs = (1 until 256).map(i => i / 256.0).mkString(", ")
           val cuts = df.agg(
-            expr(s"approx_percentile(CAST(`$cx` AS DOUBLE), array($probs))")
-              .as("_gqx"),
-            expr(s"approx_percentile(CAST(`$cy` AS DOUBLE), array($probs))")
-              .as("_gqy"))
+            expr(s"approx_percentile(CAST(`${zOrderBy.head}` AS DOUBLE), " +
+              s"array($probs))").as("_gq0"),
+            zOrderBy.tail.zipWithIndex.map { case (c, i) =>
+              expr(s"approx_percentile(CAST(`$c` AS DOUBLE), array($probs))")
+                .as(s"_gq${i + 1}") }: _*)
           // cell = #cuts at or below the value: 256 codegen'd
           // comparisons per row against the broadcast cut arrays —
           // scan-bound rewrites never notice, and no per-row join or
@@ -2650,31 +2656,36 @@ object SnapshotLog {
             coalesce(least(lit(255),
               size(filter(cutsCol, x => x <= col(c).cast("double"))))
               .cast("long"), lit(0L))
-          df.crossJoin(broadcast(cuts))
-            .withColumn("_gx", qcell(cx, col("_gqx")))
-            .withColumn("_gy", qcell(cy, col("_gqy")))
+          zOrderBy.zipWithIndex.foldLeft(df.crossJoin(broadcast(cuts))) {
+            case (acc, (c, d)) =>
+              acc.withColumn(cellCols(d), qcell(c, col(s"_gq$d")))
+          }
         } else {
           val mm = df.agg(
-            min(col(cx)).cast("double").as("_gxlo"),
-            max(col(cx)).cast("double").as("_gxhi"),
-            min(col(cy)).cast("double").as("_gylo"),
-            max(col(cy)).cast("double").as("_gyhi"))
+            min(col(zOrderBy.head)).cast("double").as("_glo0"),
+            (max(col(zOrderBy.head)).cast("double").as("_ghi0") +:
+              zOrderBy.tail.zipWithIndex.flatMap { case (c, i) => Seq(
+                min(col(c)).cast("double").as(s"_glo${i + 1}"),
+                max(col(c)).cast("double").as(s"_ghi${i + 1}")) }): _*)
           def cell(c: String, lo: org.apache.spark.sql.Column,
               hi: org.apache.spark.sql.Column) =
             coalesce(least(lit(255L), floor(
               (col(c).cast("double") - lo) /
                 greatest(hi - lo, lit(1e-12)) * 256).cast("long")), lit(0L))
-          df.crossJoin(broadcast(mm))
-            .withColumn("_gx", cell(cx, col("_gxlo"), col("_gxhi")))
-            .withColumn("_gy", cell(cy, col("_gylo"), col("_gyhi")))
+          zOrderBy.zipWithIndex.foldLeft(df.crossJoin(broadcast(mm))) {
+            case (acc, (c, d)) =>
+              acc.withColumn(cellCols(d),
+                cell(c, col(s"_glo$d"), col(s"_ghi$d")))
+          }
         }
+        val scaffolding = cellCols ++ Seq("_gz") ++
+          zOrderBy.indices.flatMap(d => Seq(s"_glo$d", s"_ghi$d", s"_gq$d"))
         withCells
-          .withColumn("_gz",
-            expr(graft.ops.LayoutOps.zOrderSparkSql("_gx", "_gy", 8)))
+          .withColumn("_gz", expr(
+            graft.ops.LayoutOps.zOrderSparkSqlN(cellCols, 8)))
           .repartitionByRange(nFiles, col("_gz"))
           .sortWithinPartitions("_gz")
-          .drop("_gx", "_gy", "_gz", "_gxlo", "_gxhi", "_gylo", "_gyhi",
-            "_gqx", "_gqy")
+          .drop(scaffolding: _*)
       } else if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)

@@ -58,6 +58,34 @@ object MorSqlProbe {
       val compacted = med(scanAll())
       println(f"MORSQL: n=$n files=$nFiles clean=$clean%.2fs " +
         f"masked_one_file=$masked%.2fs compacted=$compacted%.2fs")
+      // round-17 SPLIT rung: one HOT masked file (the whole table in a
+      // single ~400 MB parquet), scanned whole-file (one task — the
+      // pre-split behavior, forced via a huge maxPartitionBytes) vs
+      // split at the default 128 MB. The split is what keeps a big
+      // dv'd file from serializing onto one task at scale.
+      val t2 = s"$root/lake/one"
+      SnapshotLog.commit(spark, t2,
+        spark.range(n).repartition(1).select(
+          col("id").as("key"),
+          md5(col("id").cast("string")).as("pay"),
+          (col("id") % 97).as("v")))
+      SnapshotLog.deleteWhereInMOR(spark, t2, "key", Seq(7L))
+      def scanOne(): Unit =
+        spark.sql("SELECT count(*), sum(v) FROM morsql.lake.one")
+          .collect(): Unit
+      def parts(): Int =
+        spark.sql("SELECT v FROM morsql.lake.one").rdd.getNumPartitions
+      val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (1L << 40).toString)
+      val wholeParts = parts()
+      val whole = med(scanOne())
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      val splitParts = parts()
+      val split = med(scanOne())
+      require(splitParts > wholeParts && wholeParts == 1,
+        s"expected the masked file to split: $wholeParts -> $splitParts")
+      println(f"MORSQL_SPLIT: n=$n hot_masked_file_tasks=" +
+        f"$wholeParts->$splitParts whole=$whole%.2fs split=$split%.2fs")
     } finally {
       spark.conf.unset("spark.sql.catalog.morsql.root")
       spark.conf.unset("spark.sql.catalog.morsql")

@@ -46,6 +46,26 @@ object Bridge {
       // Spark's own `_metadata.row_index` contract).
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : String => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ranged = parquetFileRangeRows(spark, schema, filters)
+    (path: String) => ranged(path, 0L, Long.MaxValue)
+  }
+
+  /** [[parquetFileRows]] with a BYTE RANGE — the split form the masked
+    * snapshot scan uses so one large dv'd file parallelizes across
+    * tasks like a clean file would: each range reads exactly the row
+    * groups whose midpoint falls inside it (parquet-mr's own
+    * midpoint-assignment rule, the same one Spark's file splits rely
+    * on), so ranges covering [0, fileLen) partition the file's row
+    * groups disjointly and completely. Row-index generation stays
+    * ABSOLUTE under range reads AND row-group skipping (the generator
+    * reads the page store's row ranges — Spark's own
+    * `_metadata.row_index` contract), which is what keeps deletion
+    * masks correct across split boundaries. `length = Long.MaxValue`
+    * clamps to the file's size (the whole-file read). */
+  def parquetFileRangeRows(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : (String, Long, Long) => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val readFunc = new org.apache.spark.sql.execution.datasources.parquet
       .ParquetFileFormat()
       .buildReaderWithPartitionValues(
@@ -60,12 +80,13 @@ object Bridge {
           .OPTION_RETURNING_BATCH -> "false"),
         hadoopConf = spark.asInstanceOf[ClassicSession].sessionState
           .newHadoopConf())
-    (path: String) => {
-      val len = new java.io.File(path).length()
+    (path: String, start: Long, length: Long) => {
+      val fileLen = new java.io.File(path).length()
+      val len = math.min(length, math.max(0L, fileLen - start))
       val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
         org.apache.spark.sql.catalyst.InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(path),
-        0L, len)
+        start, len)
       readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
         case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
           scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala

@@ -206,9 +206,9 @@ private[graftbridge] class PrunedSnapshotScan(
     * Built per reader-factory creation so the CURRENT v1 filters —
     * runtime IN included — ride into the masked files' parquet
     * readers for row-group skipping. */
-  private def maskedReadFunc: String => Iterator[
+  private def maskedReadFunc: (String, Long, Long) => Iterator[
       org.apache.spark.sql.catalyst.InternalRow] =
-    Bridge.parquetFileRows(spark, StructType(
+    Bridge.parquetFileRangeRows(spark, StructType(
       inner.readSchema().fields :+ org.apache.spark.sql.types.StructField(
         // the TEMPORARY name is what the reader's row-index generator
         // matches on (ROW_INDEX_FIELD carries the final `_metadata`
@@ -243,19 +243,33 @@ private[graftbridge] class PrunedSnapshotScan(
       val clean = currentBatch.planInputPartitions()
       if (maskedKept.isEmpty) clean
       else {
-        // one partition per masked file, carrying its SIDECAR PATHS
-        // and canonical key: the deleted positions materialize ON THE
-        // EXECUTOR (each task reads its own file's share out of the
-        // sidecars), so NOTHING mask-sized ever collects to the driver
-        // and the SQL path carries masks of ANY size — the same
+        // masked files SPLIT at `spark.sql.files.maxPartitionBytes`
+        // boundaries like clean files do — each split reads exactly the
+        // row groups whose midpoint falls in its byte range (parquet's
+        // own split-assignment rule), and row indexes stay ABSOLUTE
+        // under range reads, so the mask applies correctly across split
+        // boundaries (spec-pinned). One hot 1 GB dv'd file therefore
+        // parallelizes onto ~8 tasks instead of serializing onto one.
+        // Each partition carries its file's SIDECAR PATHS and canonical
+        // key: the deleted positions materialize ON THE EXECUTOR (each
+        // task reads — or hits the executor-side cache for — its own
+        // file's share), so NOTHING mask-sized ever collects to the
+        // driver and the SQL path carries masks of ANY size — the same
         // distribution shape as the change-feed delete partitions.
-        // Whole-file partitions: a masked file never splits, which
-        // under-parallelizes a huge dv'd file relative to the clean
-        // path — acceptable for the transitional dv'd state
-        // (compactDeletes restores the split scan), and stated here
-        // rather than discovered
-        clean ++ maskedKept.map(f => DvMaskedFilePartition(
-          f, Bridge.canonKey(f), dv(f)): InputPartition)
+        val chunk = math.max(1L << 20, spark.asInstanceOf[
+          org.apache.spark.sql.classic.SparkSession]
+          .sessionState.conf.filesMaxPartitionBytes)
+        clean ++ maskedKept.flatMap { f =>
+          val size = try java.nio.file.Files.size(
+            java.nio.file.Paths.get(f)) catch { case _: Exception => 0L }
+          val key = Bridge.canonKey(f)
+          if (size <= chunk)
+            Seq(DvMaskedFilePartition(f, key, dv(f), 0L, Long.MaxValue)
+              : InputPartition)
+          else (0L until size by chunk).map(off => DvMaskedFilePartition(
+            f, key, dv(f), off, math.min(chunk, size - off))
+            : InputPartition)
+        }
       }
     }
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -394,14 +408,18 @@ private[graftbridge] class PrunedSnapshotScan(
     }
 }
 
-/** A prune-surviving data file that carries a deletion mask, plus ITS
-  * sidecar paths and pre-resolved canonical key. The deleted positions
-  * are NOT shipped: the executor task reads its own file's share out
-  * of the sidecars (they record every masked file's positions —
-  * filter by canonical key), so the mask never materializes anywhere
-  * whole, and the SQL path carries masks of any size. */
+/** A byte-range SPLIT of a prune-surviving data file that carries a
+  * deletion mask, plus the file's sidecar paths and pre-resolved
+  * canonical key. `start`/`length` bound the row groups this task
+  * reads (midpoint assignment — large masked files split like clean
+  * ones; `length = Long.MaxValue` = the whole file). The deleted
+  * positions are NOT shipped: the executor task reads its own file's
+  * share out of the sidecars (they record every masked file's
+  * positions — filter by canonical key) or hits the executor-side
+  * positions cache, so the mask never materializes anywhere whole,
+  * and the SQL path carries masks of any size. */
 private case class DvMaskedFilePartition(path: String, canonKey: String,
-    sidecars: Seq[String]) extends InputPartition
+    sidecars: Seq[String], start: Long, length: Long) extends InputPartition
 
 /** The reader factory for a merge-on-read snapshot scan: clean
   * partitions delegate to the inner parquet factory untouched; a
@@ -413,15 +431,19 @@ private case class DvMaskedFilePartition(path: String, canonKey: String,
   * this log's minimum. The whole scan runs row-based (see
   * `columnarSupportMode`); the masked read itself still decodes
   * vectorized inside `readFunc` (the row-flattened batches of
-  * [[Bridge.parquetFileRows]]). Cost shape, stated: each masked
-  * partition scans its file's FULL sidecar list (sidecars hold many
-  * files' positions), so k masked files sharing s sidecars pay k×s
-  * churn-sized sidecar reads — distributed across tasks, never on the
-  * driver, and bounded by compaction like the rest of the dv'd
-  * regime. */
+  * [[Bridge.parquetFileRangeRows]]). Cost shape, stated: a masked
+  * file's positions load once per (file, executor) — the per-executor
+  * [[DvMaskingReaderFactory.positionsCache]] keyed by (canonical key,
+  * sidecar list) serves every SPLIT of the file and every later query
+  * of the same version from memory (sidecar files are immutable: new
+  * marks publish NEW sidecars, so a key can never go stale) — so k
+  * masked files sharing s sidecars pay at most k×s churn-sized
+  * sidecar reads per executor, independent of split count,
+  * distributed across tasks, never on the driver, and bounded by
+  * compaction like the rest of the dv'd regime. */
 private class DvMaskingReaderFactory(
     inner: PartitionReaderFactory,
-    readFunc: String => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    readFunc: (String, Long, Long) => Iterator[org.apache.spark.sql.catalyst.InternalRow],
     readSidecar: String => Iterator[org.apache.spark.sql.catalyst.InternalRow],
     dataTypes: Array[org.apache.spark.sql.types.DataType],
     nullables: Array[Boolean]) extends PartitionReaderFactory {
@@ -435,7 +457,7 @@ private class DvMaskingReaderFactory(
     * memoizing the per-row file-spelling canonicalization (rows of one
     * file repeat; toRealPath is a syscall). Sorted for binary search.
     * Duplicates (re-marks across successive MOR commits) collapse. */
-  private def positionsFor(canonKey: String,
+  private def loadPositions(canonKey: String,
       sidecars: Seq[String]): Array[Long] = {
     val set = new java.util.HashSet[java.lang.Long]()
     val memo = new java.util.HashMap[String, java.lang.Boolean]()
@@ -455,14 +477,19 @@ private class DvMaskingReaderFactory(
     out
   }
 
+  private def positionsFor(canonKey: String,
+      sidecars: Seq[String]): Array[Long] =
+    DvMaskingReaderFactory.positionsCache.get(
+      (canonKey, sidecars), () => loadPositions(canonKey, sidecars))
+
   override def createReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = p match {
-    case DvMaskedFilePartition(path, canonKey, sidecars) =>
+    case DvMaskedFilePartition(path, canonKey, sidecars, start, length) =>
       new org.apache.spark.sql.connector.read.PartitionReader[
           org.apache.spark.sql.catalyst.InternalRow] {
         private val positions = positionsFor(canonKey, sidecars)
-        private val it = readFunc(path)
+        private val it = readFunc(path, start, length)
         // the row-index generator column rides LAST in the read schema
         private val idxOrdinal = dataTypes.length
         private val proj = org.apache.spark.sql.catalyst.expressions
@@ -491,4 +518,46 @@ private class DvMaskingReaderFactory(
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] =
     inner.createColumnarReader(p)
+}
+
+private object DvMaskingReaderFactory {
+  /** Per-executor (JVM-static) positions cache: (canonical file key,
+    * sidecar path list) → the file's sorted deleted positions. Sound
+    * to cache FOREVER — sidecar files are immutable once published
+    * (new marks land in NEW sidecars, so a later version of the same
+    * file carries a DIFFERENT sidecar list and misses) — but bounded
+    * anyway: LRU over entry count plus a total-positions ceiling, so
+    * a long-lived executor serving many masked tables cannot grow a
+    * mask museum. The win it buys: a split masked file's N range
+    * tasks (and every later query of the same version on this
+    * executor) load the sidecars ONCE instead of N times. */
+  private final class BoundedPositionsCache(maxEntries: Int,
+      maxTotalPositions: Long) {
+    private var totalPositions = 0L
+    private val map = new java.util.LinkedHashMap[
+        (String, Seq[String]), Array[Long]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[String]), Array[Long]])
+          : Boolean = {
+        val evict = size() > maxEntries || totalPositions > maxTotalPositions
+        if (evict) totalPositions -= e.getValue.length
+        evict
+      }
+    }
+    def get(key: (String, Seq[String]), load: () => Array[Long])
+        : Array[Long] = synchronized {
+      val hit = map.get(key)
+      if (hit != null) hit
+      else {
+        val v = load()
+        totalPositions += v.length
+        map.put(key, v): Unit
+        v
+      }
+    }
+  }
+
+  // 64 files × up to ~32M positions total (256 MB of longs ceiling;
+  // typical masks are orders of magnitude smaller)
+  private val positionsCache = new BoundedPositionsCache(64, 32L * 1024 * 1024)
 }

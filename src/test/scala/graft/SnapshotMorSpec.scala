@@ -257,6 +257,65 @@ class SnapshotMorSpec extends SparkSpec {
     }
   }
 
+  test("a LARGE masked file SPLITS into byte-range partitions; the mask stays correct across split boundaries") {
+    // round-17: a dv'd file used to read as ONE whole-file partition —
+    // a hot 1 GB masked file serialized onto one task while its clean
+    // siblings split. Now masked files split at maxPartitionBytes like
+    // clean ones (row groups assign by byte-midpoint; row indexes stay
+    // absolute), so parallelism returns and the mask must hold exactly
+    // across split boundaries.
+    val root = Files.createTempDirectory("graft_mor_split_").toString
+    val t = s"$root/lake/big"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      SnapshotLog.commit(spark, t,
+        spark.range(128000).repartition(1).sortWithinPartitions("id")
+          .select(col("id").as("k"),
+            md5(col("id").cast("string")).as("pay"),
+            (col("id") * 3).as("v")))
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    // scattered deletes hitting DIFFERENT row groups (first, middle,
+    // last), so a split-boundary mistake would surface as a resurrected
+    // or doubly-dropped row
+    val dead = Seq(5L, 40000L, 79999L, 100000L, 127999L)
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", dead)
+    val cat = s"morsplit_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // default split size: the file is far under 128 MB — one partition
+      val whole = spark.sql(s"SELECT k, v FROM $cat.lake.big")
+      assert(whole.rdd.getNumPartitions == 1,
+        s"expected one partition under the default split size")
+      // shrink the split size: the SAME masked file fans out
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+      val split = spark.sql(s"SELECT k, v FROM $cat.lake.big")
+      val parts = split.rdd.getNumPartitions
+      assert(parts > 2, s"masked file did not split: $parts partition(s)")
+      // correctness across boundaries: exact survivors, no resurrections,
+      // no double-drops — and identical to the Scala read
+      val got = split.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 128000 - dead.size, s"${got.length}")
+      val gotKeys = got.map(_._1).toSet
+      assert(dead.forall(k => !gotKeys.contains(k)), "a deleted row resurrected")
+      assert(got.toSet == SnapshotLog.read(spark, t).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      // pushed predicates still row-group-skip inside a SPLIT masked file
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.lake.big " +
+        "WHERE k BETWEEN 39995 AND 40005").head().getLong(0) == 10L)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   test("a dv-bearing PRE-SCHEMA manifest refuses SQL loudly (the one remaining protocol gate)") {
     // a manifest that never recorded a schema cannot take the pruning
     // wrapper the masked scan rides — and over-answering (resurrecting

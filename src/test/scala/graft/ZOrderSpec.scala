@@ -173,4 +173,56 @@ class ZOrderSpec extends SparkSpec {
       SnapshotLog.optimize(spark, t, 1000L, zOrderQuantile = true)
     }
   }
+
+  test("3-D ZORDER: the n-dim Morton interleave prunes on EVERY dimension, hardest on the 3-d box") {
+    // spot values first: n=3 puts bit i of dim d at position 3i+d
+    val spot = spark.sql(s"""SELECT
+      ${LayoutOps.zOrderSparkSqlN(Seq("1", "1", "1"), 8)} AS a,
+      ${LayoutOps.zOrderSparkSqlN(Seq("2", "0", "1"), 8)} AS b""").head()
+    assert(spot.getLong(0) == 7L)  // bits at positions 0,1,2
+    assert(spot.getLong(1) == 12L) // x bit1 -> pos 3; w bit0 -> pos 2
+    // (the 2-D spot test above pins zOrderSparkSql's historical values,
+    // and it now delegates to the n=2 case — one arithmetic, two arities)
+
+    import sources.SnapshotLog
+    val t = s"$scratch/lake_zorder_3d/t"
+    val n = 32000L
+    // three roughly independent uniform dims (co-prime multipliers)
+    val rows = spark.range(n).select(
+      ((col("id") * 7919) % 256).as("x"),
+      ((col("id") * 104729) % 256).as("y"),
+      ((col("id") * 1299709) % 256).as("w"))
+    SnapshotLog.commit(spark, t, rows.repartition(NFiles))
+    assert(SnapshotLog.pruneFiles(t, "x", Some(128L), Some(255L))._1.size
+      == NFiles, "round-robin layout should prune nothing")
+    SnapshotLog.optimize(spark, t, targetRecordsPerFile = n / NFiles,
+      zOrderBy = Seq("x", "y", "w"))
+    // 16 z-range files over a 24-bit key split on the top interleaved
+    // bits (w7, y7, x7, w6): a top-half ask on ANY dimension keeps
+    // about half the files (+ boundary slop), and w — owning two of
+    // the four split bits — prunes a top-quarter ask to ~4
+    val (kx, tx) = SnapshotLog.pruneFiles(t, "x", Some(128L), Some(255L))
+    val (ky, _) = SnapshotLog.pruneFiles(t, "y", Some(128L), Some(255L))
+    val (kw, _) = SnapshotLog.pruneFiles(t, "w", Some(192L), Some(255L))
+    assert(tx == NFiles, s"expected $NFiles files, got $tx")
+    assert(kx.size <= 11, s"x top-half ask kept ${kx.size}/$tx")
+    assert(ky.size <= 11, s"y top-half ask kept ${ky.size}/$tx")
+    assert(kw.size <= 8, s"w top-quarter ask kept ${kw.size}/$tx")
+    // the 3-d box composes: intersect the per-dimension keeps (what a
+    // conjunctive scan prune computes) — strictly harder than any
+    // single dimension
+    val box = kx.toSet & ky.toSet & kw.toSet
+    assert(box.size <= 6 && box.size <= Seq(kx.size, ky.size, kw.size).min,
+      s"3-d box kept ${box.size} files")
+    // semantics invisible: same multiset, exact filter counts
+    assert(SnapshotLog.read(spark, t).count() == n)
+    assert(SnapshotLog.readWhere(spark, t, "w", Some(192L), Some(255L))
+      .count() == rows.filter(col("w") >= 192).count())
+    // guardrail: 5 dims refuse (the useful ceiling is documented)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.optimize(spark, t, 1000L,
+        zOrderBy = Seq("x", "y", "w", "x", "y"))
+    }
+    assert(e.getMessage.contains("2 to 4"), e.getMessage)
+  }
 }
