@@ -3133,6 +3133,66 @@ object SnapshotLog {
     }
   }
 
+  /** Resolve OPTIONAL time bounds to VERSION bounds against the
+    * manifests' commit-ts provenance — the streaming source's
+    * `startingTimestamp`/`endingTimestamp` options ride this (Delta's
+    * spelling), sharing [[readChangeFeedByTime]]'s semantics and
+    * refusal taxonomy: ts-less pre-provenance versions refuse naming
+    * the version-bounded form, and CLOCK SKEW that makes a bound's
+    * version set non-contiguous (a mid-range version stamped on the
+    * wrong side of the bound) refuses loudly rather than silently
+    * streaming skewed versions. Returns (first version at-or-after
+    * `from`, last version at-or-before `to`); a `from` past every
+    * commit resolves to latest+1 (the stream waits for future
+    * commits, which are presumed to stamp later); a `to` before the
+    * first commit is a loud error. */
+  private[sources] def resolveTimeBounds(tableDir: String,
+      from: Option[java.time.Instant], to: Option[java.time.Instant])
+      : (Option[Long], Option[Long]) = {
+    val entries = history(tableDir).sortBy(_.version)
+    require(entries.nonEmpty, s"no committed version in $tableDir")
+    val unstamped = entries.filter(_.tsMillis <= 0L)
+    require(unstamped.isEmpty,
+      s"time bounds: version(s) ${unstamped.map(_.version).sorted
+        .mkString(", ")} predate commit-timestamp provenance and cannot " +
+        "be time-bounded — use version bounds (startVersion / " +
+        "readChangeFeed)")
+    val allV = entries.map(_.version)
+    val startV = from.map { f =>
+      val fms = f.toEpochMilli
+      val atOrAfter = entries.filter(_.tsMillis >= fms).map(_.version)
+      if (atOrAfter.isEmpty) allV.max + 1
+      else {
+        val in = atOrAfter.toSet
+        val skewed = (atOrAfter.min to allV.max).filterNot(in.contains)
+        require(skewed.isEmpty,
+          s"startingTimestamp: version(s) ${skewed.mkString(", ")} sit " +
+            s"above first-in-window version ${atOrAfter.min} but carry " +
+            s"commit timestamps BEFORE $f (clock skew at commit time) — " +
+            "a time bound cannot represent this range faithfully; use " +
+            s"startVersion=${atOrAfter.min}")
+        atOrAfter.min
+      }
+    }
+    val endV = to.map { t =>
+      val tms = t.toEpochMilli
+      val atOrBefore = entries.filter(_.tsMillis <= tms).map(_.version)
+      require(atOrBefore.nonEmpty,
+        s"endingTimestamp: no version of $tableDir was committed at or " +
+          s"before $t (first commit: ${java.time.Instant.ofEpochMilli(
+            entries.map(_.tsMillis).min)})")
+      val in = atOrBefore.toSet
+      val skewed = (allV.min to atOrBefore.max).filterNot(in.contains)
+      require(skewed.isEmpty,
+        s"endingTimestamp: version(s) ${skewed.mkString(", ")} sit below " +
+          s"last-in-window version ${atOrBefore.max} but carry commit " +
+          s"timestamps AFTER $t (clock skew at commit time) — use a " +
+          s"version bound instead (end at ${atOrBefore.max})")
+      atOrBefore.max
+    }
+    (startV, endV)
+  }
+
   /** Apply a change-feed batch to a REPLICA table, exactly-once — the
     * missing half of CDC replication (source → [[readChangeFeed]] /
     * the streaming `changeFeed` mode → THIS → replica), foreachBatch-

@@ -52,7 +52,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * way nested types and every encoding quirk behave exactly as a
   * batch scan of the same files; this source adds offset bookkeeping,
   * not a second parquet reader. Options: `tableDir` (required),
-  * `startVersion` (default 0), `ignoreChanges` (default false),
+  * `startVersion` (default 0), `startingTimestamp`/`endingTimestamp`
+  * (Delta's time-bound spelling — resolved ONCE at stream build to
+  * version bounds against the manifests' commit-ts provenance, with
+  * [[SnapshotLog.readChangeFeedByTime]]'s refusal taxonomy: ts-less
+  * tables and clock-skew non-contiguity refuse loudly naming the
+  * version-bounded form; `startingTimestamp` is exclusive with
+  * `startVersion`, `endingTimestamp` stops the stream after its
+  * resolved version), `ignoreChanges` (default false),
   * `columnar` (default true — `false` is the measurement escape
   * hatch, not a tuning knob), and `changeFeed` (default false): the
   * CHANGE DATA FEED mode, [[SnapshotLog.readChangeFeed]] as a stream
@@ -111,15 +118,54 @@ private class SnapshotStreamTable(schema: StructType,
           "graft-snaplog: changeFeed and ignoreChanges are exclusive — " +
             "the feed represents dv deletions exactly, and restated " +
             "rewrite rows would double-count as inserts")
+        val tableDir = options.get("tableDir")
+        // TIME bounds (Delta's startingTimestamp/endingTimestamp):
+        // resolved ONCE at stream build against the manifests' op/ts
+        // provenance — the same semantics and refusal taxonomy as the
+        // batch readChangeFeedByTime (ts-less tables name the
+        // version-bounded form; clock-skew non-contiguity refuses)
+        val startingTs = Option(options.get("startingTimestamp"))
+          .map(parseTs("startingTimestamp", _))
+        val endingTs = Option(options.get("endingTimestamp"))
+          .map(parseTs("endingTimestamp", _))
+        require(startingTs.isEmpty || options.get("startVersion") == null,
+          "graft-snaplog: startingTimestamp and startVersion are " +
+            "exclusive — pick one clock")
+        for (f <- startingTs; t <- endingTs) require(!f.isAfter(t),
+          s"graft-snaplog: startingTimestamp $f is after endingTimestamp $t")
+        val (tsStartV, tsEndV) =
+          if (startingTs.isEmpty && endingTs.isEmpty) (None, None)
+          else SnapshotLog.resolveTimeBounds(tableDir, startingTs, endingTs)
         new SnapshotLogMicroBatchStream(
-          options.get("tableDir"), schema,
-          options.getLong("startVersion", 0L),
+          tableDir, schema,
+          tsStartV.getOrElse(options.getLong("startVersion", 0L)),
           ignore,
           options.getBoolean("columnar", true),
-          changeFeed)
+          changeFeed,
+          endVersion = tsEndV)
       }
       override def description(): String = name()
     }
+
+  /** A timestamp option's accepted spellings: ISO-8601 instant
+    * (`2026-08-15T12:00:00Z`), `yyyy-MM-dd[ HH:mm:ss[.SSS]]` (read as
+    * UTC — every session here pins UTC), or epoch milliseconds. */
+  private def parseTs(name: String, s: String): java.time.Instant = {
+    val utc = java.time.ZoneOffset.UTC
+    try java.time.Instant.parse(s) catch { case _: Exception =>
+      try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(utc) catch { case _: Exception =>
+        try java.time.LocalDate.parse(s).atStartOfDay.toInstant(utc)
+        catch { case _: Exception =>
+          if (s.nonEmpty && s.forall(_.isDigit))
+            java.time.Instant.ofEpochMilli(s.toLong)
+          else sys.error(s"graft-snaplog: cannot parse $name='$s' — " +
+            "use an ISO-8601 instant, 'yyyy-MM-dd[ HH:mm:ss]' (UTC), " +
+            "or epoch milliseconds")
+        }
+      }
+    }
+  }
 
   private def ignoreChanges(o: CaseInsensitiveStringMap): Boolean =
     o.getBoolean("ignoreChanges", false)
@@ -165,7 +211,11 @@ private[graft] object ChangeFeed {
 private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
     startVersion: Long, ignoreChanges: Boolean,
     columnar: Boolean = true,
-    changeFeed: Boolean = false) extends MicroBatchStream {
+    changeFeed: Boolean = false,
+    // resolved from endingTimestamp at stream build: the stream stops
+    // ADVANCING past this version (versions committed later — whatever
+    // their recorded ts — never plan)
+    endVersion: Option[Long] = None) extends MicroBatchStream {
 
   /** The exposed schema minus the change-feed bookkeeping columns —
     * what the parquet files actually hold. */
@@ -188,9 +238,11 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
 
   override def initialOffset(): Offset = new VersionOffset(startVersion - 1)
 
-  override def latestOffset(): Offset =
-    new VersionOffset(SnapshotLog.latestVersion(tableDir)
-      .getOrElse(startVersion - 1))
+  override def latestOffset(): Offset = {
+    val latest = SnapshotLog.latestVersion(tableDir)
+      .getOrElse(startVersion - 1)
+    new VersionOffset(endVersion.fold(latest)(math.min(latest, _)))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].v

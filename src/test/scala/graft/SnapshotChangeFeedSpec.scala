@@ -259,6 +259,83 @@ class SnapshotChangeFeedSpec extends SparkSpec {
     assert(rootMsg(e).contains("exclusive"), rootMsg(e).take(300))
   }
 
+  test("TIME-bounded STREAM: startingTimestamp/endingTimestamp resolve to versions and hash-match the version-bounded feed") {
+    val t = freshTable("tstream", n = 60)                      // v0
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(7L))       // v1
+    SnapshotLog.commitAppend(spark, t,                         // v2
+      spark.range(60, 70).select(col("id").as("k"), (col("id") * 7).as("v")))
+    SnapshotLog.commitAppend(spark, t,                         // v3 (outside)
+      spark.range(70, 80).select(col("id").as("k"), (col("id") * 7).as("v")))
+    // controlled, distinct commit timestamps
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val log = java.nio.file.Paths.get(t, "_log")
+    def stamp(v: Long, ms: Long): Unit = {
+      val n = mapper.readTree(Files.readString(log.resolve(s"$v.json")))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      n.put("ts", ms): Unit
+      Files.writeString(log.resolve(s"$v.json"), n.toString): Unit
+    }
+    stamp(0, 1000000L); stamp(1, 2000000L); stamp(2, 3000000L)
+    stamp(3, 4000000L)
+    val out = Files.createTempDirectory("graft_cf_ts_sink_").toString
+    spark.readStream.format("graft-snaplog")
+      .option("tableDir", t)
+      .option("changeFeed", "true")
+      // [ts(v1), ts(v2)]: versions 1..2 — the delete + one insert batch
+      .option("startingTimestamp", "1970-01-01T00:33:20Z") // 2000000 ms
+      .option("endingTimestamp", (3000000L).toString)      // epoch-ms form
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000): Unit
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(_.toString).sorted
+    val batch = SnapshotLog.readChangeFeed(spark, t, 0, 2)
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"time-bounded stream (${streamed.length}) != version-bounded " +
+        s"batch (${batch.length})")
+    // v3 (stamped after the ending bound) never planned
+    assert(!streamed.exists(_.contains("_3]")) &&
+      spark.read.parquet(s"$out/data")
+        .filter(col(CF.CommitVersionCol) === 3L).count() == 0L)
+    // refusal taxonomy carries over: a ts-less version refuses naming
+    // the version-bounded form
+    val n0 = mapper.readTree(Files.readString(log.resolve("0.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n0.remove("ts"): Unit
+    Files.writeString(log.resolve("0.json"), n0.toString)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snaplog")
+        .option("tableDir", t)
+        .option("startingTimestamp", "1970-01-01T00:33:20Z")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$out/cp2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    def rootMsg(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + rootMsg(x.getCause)
+    assert(rootMsg(e).contains("predate commit-timestamp provenance") &&
+      rootMsg(e).contains("startVersion"), rootMsg(e).take(400))
+    // and startVersion + startingTimestamp together refuse
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-snaplog")
+        .option("tableDir", t)
+        .option("startVersion", "1")
+        .option("startingTimestamp", "1970-01-01T00:33:20Z")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$out/cp3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    assert(rootMsg(e2).contains("exclusive"), rootMsg(e2).take(300))
+  }
+
   test("birth-masked files emit on NEITHER half: no insert for masked rows, no delete pre-images") {
     // A version that both appends a file and dv's it in the same commit
     // is unreachable via the log's own verbs — craft it by folding a

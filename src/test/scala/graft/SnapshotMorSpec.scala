@@ -316,6 +316,47 @@ class SnapshotMorSpec extends SparkSpec {
     }
   }
 
+  test("compaction supersedes sidecars: expire + vacuum reclaims their BYTES; a feed crossing expired versions refuses") {
+    // the sidecar half of the erasure theorem, pinned at FILE
+    // granularity: compactDeletes stops referencing the sidecars in
+    // the new manifest, but older manifests still pin them (time
+    // travel), so vacuum may only reclaim them once expiry renounces
+    // those versions — and a change feed asked to cross the expired
+    // range must refuse, not silently skip history
+    val t = freshTable("scvac", n = 400, files = 2)
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(11L, 13L)) // v1: sidecars
+    def sidecarFiles: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(Paths.get(t, "data"))) { st =>
+        st.iterator().asScala.filter(p =>
+          Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+            p.getParent.getFileName.toString.startsWith("v1-"))
+          .map(_.toString).toList
+      }
+    }
+    assert(sidecarFiles.nonEmpty, "fixture: the MOR delete wrote sidecars")
+    SnapshotLog.compactDeletes(spark, t)                        // v2
+    // superseded but still pinned by v1's manifest: vacuum keeps them
+    SnapshotLog.vacuum(t, minAgeMillis = 0L)
+    assert(sidecarFiles.nonEmpty,
+      "vacuum reclaimed sidecars a surviving manifest still references")
+    assert(SnapshotLog.read(spark, t, asOf = Some(1L)).count() == 398)
+    // expiry renounces v0/v1 — the age-floor path may now reclaim
+    SnapshotLog.expireVersions(t, keepLast = 1)
+    SnapshotLog.vacuum(t, minAgeMillis = 0L)
+    assert(sidecarFiles.isEmpty,
+      "superseded sidecars must be reclaimable after compact + expire")
+    assert(SnapshotLog.read(spark, t).count() == 398)
+    // a feed range crossing the expired versions refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.readChangeFeed(spark, t, -1, 2).collect()
+    }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // the surviving suffix still feeds (v2 is a maintenance rewrite —
+    // content-identical, an empty feed with the right shape)
+    assert(SnapshotLog.readChangeFeed(spark, t, 2, 2).count() == 0L)
+  }
+
   test("a dv-bearing PRE-SCHEMA manifest refuses SQL loudly (the one remaining protocol gate)") {
     // a manifest that never recorded a schema cannot take the pruning
     // wrapper the masked scan rides — and over-answering (resurrecting
