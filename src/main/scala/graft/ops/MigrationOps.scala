@@ -604,6 +604,120 @@ object MigrationOps {
     }
   }
 
+  /** Table LIFECYCLE through the snapshot catalog, driver-gated — the
+    * round-17 DDL surface: `CREATE TABLE` (the log's schema-only
+    * genesis), `INSERT INTO … SELECT` onto it (the nullability-
+    * tightening append), `CTAS` of a per-status aggregate, `ALTER
+    * TABLE … RENAME TO` (the rehome: directory move + manifest path
+    * rewrite), and `DROP TABLE` of the source. The require()s pin the
+    * op provenance (create-table → append; create-table → append again
+    * for CTAS), the renamed directory swap, and the dropped source;
+    * the RESULT is the SQL read of the RENAMED CTAS table, which the
+    * oracle recomputes from `orders` directly — if any lifecycle step
+    * (genesis schema, enforced insert, rehome's manifest rewrite)
+    * corrupted the data path, the aggregate hashes would diverge. */
+  val snapLifecycleSql: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_lc_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"lcsql_$tok"
+    val view = s"lcsrc_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      t(s, dir, "orders").createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.lake.src (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderstatus STRING, o_price_c BIGINT)")
+      s.sql(s"INSERT INTO $cat.lake.src SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) " +
+        s"FROM $view")
+      s.sql(s"CREATE TABLE $cat.lake.agg AS SELECT o_orderstatus, " +
+        "count(*) AS n, sum(o_price_c) AS sum_price_c " +
+        s"FROM $cat.lake.src GROUP BY o_orderstatus")
+      s.sql(s"ALTER TABLE $cat.lake.agg RENAME TO lake.agg_renamed")
+      s.sql(s"DROP TABLE $cat.lake.src")
+      val srcOps = // genesis + enforced append, both source and CTAS
+        graft.sources.SnapshotLog.history(
+          scratchP.resolve("lake").resolve("agg_renamed").toString)
+          .sortBy(_.version).map(_.op)
+      require(srcOps == Seq("create-table", "append"),
+        s"lifecycle op provenance diverged: $srcOps")
+      require(!Files.exists(scratchP.resolve("lake").resolve("agg")) &&
+        !Files.exists(scratchP.resolve("lake").resolve("src")),
+        "rename/drop left stale directories")
+      val res = s.sql(s"SELECT o_orderstatus, n, " +
+        s"CAST(sum_price_c AS BIGINT) AS sum_price_c " +
+        s"FROM $cat.lake.agg_renamed")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.catalog.dropTempView(view): Unit
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /** [[graft.sources.SnapshotLog.restore]] driver-gated, through the
+    * SQL `CALL` procedure surface: v0 commits the orders slice, v1
+    * MOR-deletes the 24 smallest keys, v2 appends two synthetic rows,
+    * then `CALL <cat>.system.restore(version => 0)` publishes v3
+    * re-pointing at v0's content (metadata-only — the require()s pin
+    * the op, the version, and that the restored read drops BOTH later
+    * changes). The RESULT is the post-restore SQL read, which must
+    * hash-match the oracle's plain `orders` slice — restore is exactly
+    * "the table is its old self again". */
+  val snapRestore: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_restore_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"ressql_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      val tdir = scratchP.resolve("lake").resolve("t").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.repartitionByRange(8, col("o_orderkey")))
+      val delKeys = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect()
+        .map(_.getLong(0)).toSeq
+      graft.sources.SnapshotLog.deleteWhereInMOR(s, tdir, "o_orderkey", delKeys)
+      graft.sources.SnapshotLog.commitAppend(s, tdir,
+        s.sql("SELECT CAST(-1 AS BIGINT) AS o_orderkey, " +
+          "CAST(0 AS BIGINT) AS o_custkey, CAST(111 AS BIGINT) AS o_price_c " +
+          "UNION ALL SELECT -2, 0, 222"))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val out = s.sql(
+        s"CALL $cat.system.restore(table => 'lake.t', version => 0)")
+        .collect()
+      require(out.length == 1 && out(0).getLong(0) == 0L &&
+        out(0).getLong(1) == 3L,
+        s"CALL restore reported ${out.mkString(", ")}")
+      require(graft.sources.SnapshotLog.history(tdir)
+        .maxBy(_.version).op == "restore", "restore op not recorded")
+      val res = s.sql(s"SELECT o_orderkey, o_custkey, o_price_c " +
+        s"FROM $cat.lake.t")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.readChangeFeed]] driver-gated — the
     * dv-aware CHANGE DATA FEED: v0 commits the even orderkeys, v1
     * appends the odd ones, v2 MOR-deletes the 24 smallest keys; the
@@ -896,6 +1010,8 @@ object MigrationOps {
     "snap_delete_in" -> snapDeleteIn,
     "snap_delete_mor" -> snapDeleteMor,
     "snap_dml_sql" -> snapDmlSql,
+    "snap_lifecycle_sql" -> snapLifecycleSql,
+    "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
     "snap_runtime_prune_join" -> snapRuntimePruneJoin,
     "csv_ingest" -> csvIngest,
@@ -1083,6 +1199,20 @@ object MigrationOps {
          SELECT CAST(-2 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(222 AS BIGINT)
          UNION ALL
          SELECT CAST(-3 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(333 AS BIGINT)""",
+    // the lifecycle ladder (CREATE TABLE genesis → enforced INSERT →
+    // CTAS → RENAME's manifest-rewriting rehome → DROP) ends in a
+    // per-status aggregate the oracle computes from orders directly
+    "snap_lifecycle_sql" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+         FROM orders GROUP BY o_orderstatus""",
+    // RESTORE to v0 after a MOR delete and an append: the table is its
+    // old self again — the plain orders slice
+    "snap_restore" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
+         FROM orders""",
     // the MOR update (mask + post-image append, one commit) must equal
     // the CASE-expression rewrite of the whole table
     "snap_update_mor" ->

@@ -1,13 +1,16 @@
 package graft.sources
 
+import java.nio.file.Files
 import java.util
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces,
-  Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
+  NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException,
+  TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
+  ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -52,11 +55,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ADD/RENAME/DROP COLUMN`) delegates to the log's metadata-only
   * commits via [[alterTable]]. Everything the commit paths own —
   * put-if-absent OCC, stats, schema enforcement — holds for the SQL
-  * verbs because they ARE the same paths. Table-lifecycle DDL
-  * (CREATE/DROP/RENAME TABLE, namespaces) stays rejected: the log's
-  * tables are directories its writers create, not catalog state.
+  * verbs because they ARE the same paths. Table LIFECYCLE rides the
+  * same discipline since round 17: `CREATE TABLE` publishes the log's
+  * own schema-only genesis ([[SnapshotLog.createTable]] — CTAS is that
+  * genesis plus the ordinary INSERT bridge, so its data lands through
+  * `commitAppend` with full schema enforcement), `DROP TABLE` deletes
+  * exactly one `_log`-bearing directory, `ALTER TABLE … RENAME TO`
+  * routes to [[SnapshotLog.rehome]] (one atomic directory move plus
+  * the manifest path-prefix rewrite — manifests record canonical
+  * absolute paths, so a bare `mv` would strand them; exclusive-access,
+  * like a filesystem `mv`), and namespaces are plain directories
+  * (`CREATE NAMESPACE` = mkdir; `DROP NAMESPACE` only when empty —
+  * CASCADE stays refused: bulk table destruction remains a deliberate
+  * per-table act).
+  *
+  * MAINTENANCE is SQL-reachable through DSv2 procedures (Spark 4's
+  * `CALL` statement), namespaced `system` by the Iceberg convention:
+  *
+  * {{{
+  *   CALL snap.system.restore(table => 'ns.t', version => 3)
+  *   CALL snap.system.optimize('ns.t', 500000)
+  *   CALL snap.system.expire_versions('ns.t', 10)
+  *   CALL snap.system.vacuum('ns.t')
+  *   CALL snap.system.compact_deletes('ns.t')
+  * }}}
+  *
+  * each routing to the log's own verb (see [[SnapshotProcedures]]).
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: java.io.File = _
@@ -99,14 +126,46 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       Map("location" -> nsDir(namespace).getAbsolutePath).asJava
     else throw new NoSuchNamespaceException(namespace)
 
+  /** `CREATE NAMESPACE` — a namespace IS a directory under root, so
+    * creating one is mkdir. Properties other than Spark's own
+    * bookkeeping (`owner`) refuse: a location or comment the directory
+    * can't record would be silently lost. */
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit = readOnly("CREATE NAMESPACE")
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"namespace ${namespace.mkString(".")}: the catalog's namespace " +
+        "tree is single-level (root's subdirectories)")
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    val unsupported = metadata.asScala.keys.filterNot(_ == "owner")
+    require(unsupported.isEmpty,
+      s"CREATE NAMESPACE: propert${if (unsupported.size == 1) "y" else "ies"} " +
+        s"${unsupported.mkString(", ")} — a namespace is a plain " +
+        "directory and records no metadata")
+    Files.createDirectories(nsDir(namespace).toPath): Unit
+  }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit = readOnly("ALTER NAMESPACE")
 
+  /** `DROP NAMESPACE` — only when EMPTY. CASCADE stays refused: it is
+    * bulk table destruction in one statement, and the catalog keeps
+    * that a deliberate per-table `DROP TABLE` act. */
   override def dropNamespace(namespace: Array[String],
-      cascade: Boolean): Boolean = readOnly("DROP NAMESPACE")
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    require(!cascade,
+      s"DROP NAMESPACE ${namespace.mkString(".")} CASCADE: refused — " +
+        "dropping every table in a namespace in one statement stays a " +
+        "deliberate per-table act (DROP TABLE each, then drop the " +
+        "empty namespace)")
+    val dir = nsDir(namespace)
+    if (Option(dir.listFiles()).exists(_.nonEmpty))
+      throw new NonEmptyNamespaceException(namespace)
+    Files.delete(dir.toPath)
+    true
+  }
 
   // ---- TableCatalog ----------------------------------------------------
 
@@ -247,9 +306,47 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().length == 1 && isTable(tableDir(ident))
 
+  /** `CREATE TABLE snap.ns.t (…)` — the log's schema-only GENESIS
+    * ([[SnapshotLog.createTable]]: version 0, zero data files, the
+    * schema recorded all-nullable per SQL's convention). CTAS is this
+    * genesis plus Spark's own follow-up INSERT through the table's V1
+    * write bridge, so CTAS data lands via `commitAppend` with full
+    * schema enforcement (and Spark drops the half-made table if the
+    * write fails — the manifest the genesis published just orphans
+    * with the directory). Refused shapes, loudly: PARTITIONED BY (the
+    * log's layout story is `optimize`'s clustering / z-order, not
+    * hive-style directory partitioning), LOCATION/EXTERNAL (tables
+    * live under the catalog root — that is what makes them this
+    * catalog's tables), any provider but parquet, and table
+    * properties/comments the manifest doesn't record. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    require(partitions.isEmpty,
+      s"CREATE TABLE ${ident.name()} PARTITIONED BY: the snapshot log " +
+        "does not do hive-style directory partitioning — its layout " +
+        "story is optimize(clusterBy/zOrderBy) plus manifest-stats file " +
+        "pruning, which serves the same skipping without small-file " +
+        "explosion")
+    val props = properties.asScala
+    props.get(TableCatalog.PROP_PROVIDER).foreach(p =>
+      require(p.equalsIgnoreCase("parquet"),
+        s"CREATE TABLE ${ident.name()} USING $p: snapshot tables are " +
+          "parquet (omit USING, or say USING parquet)"))
+    val unsupported = props.keys.filterNot(k =>
+      k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_OWNER)
+    require(unsupported.isEmpty,
+      s"CREATE TABLE ${ident.name()}: unsupported " +
+        s"propert${if (unsupported.size == 1) "y" else "ies"} " +
+        s"${unsupported.mkString(", ")} — the manifest records schema, " +
+        "stats, and provenance; LOCATION, COMMENT, and TBLPROPERTIES " +
+        "have nowhere to live")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    SnapshotLog.createTable(dir.getAbsolutePath, schema): Unit
+    loadTable(ident)
+  }
 
   /** The one write surface the catalog exposes: COLUMN DDL — and only
     * because it delegates to the log's OWN metadata-only commit paths
@@ -318,18 +415,89 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** `DROP TABLE` — recursive delete of exactly one `_log`-bearing
+    * directory (the marker check is the guard: a directory the log
+    * never wrote is never deleted through this catalog, whatever its
+    * name looks like). Returns false for a non-table, which Spark
+    * turns into the usual no-such-table handling (IF EXISTS
+    * swallows it). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (ident.namespace().length != 1 || !isTable(dir)) return false
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory && !Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      Files.deleteIfExists(f.toPath): Unit
+    }
+    rm(dir)
+    true
+  }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+  /** `ALTER TABLE snap.ns.a RENAME TO ns.b` →
+    * [[SnapshotLog.rehome]]: one atomic directory move plus the
+    * manifest path-prefix rewrite (manifests record canonical absolute
+    * paths). Exclusive-access, like a filesystem `mv` — documented at
+    * the verb. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val src = tableDir(oldIdent)
+    if (!isTable(src)) throw new NoSuchTableException(oldIdent)
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    val dst = tableDir(newIdent)
+    if (isTable(dst)) throw new TableAlreadyExistsException(newIdent)
+    SnapshotLog.rehome(SparkSession.active, src.getAbsolutePath,
+      dst.getAbsolutePath)
+  }
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$op: snapshot catalog '$catalogName' is read-only for table " +
-        "LIFECYCLE — its tables are directories the log's writers create, " +
-        "not catalog state (DML — INSERT/DELETE/UPDATE/MERGE — and column " +
-        "DDL are supported: they route to the log's own commit paths; " +
-        "create tables with SnapshotLog.commit)")
+      s"$op: unsupported by snapshot catalog '$catalogName' — supported " +
+        "surfaces are reads (time travel included), DML " +
+        "(INSERT/DELETE/UPDATE/MERGE), column DDL (ADD/RENAME/DROP " +
+        "COLUMN), table lifecycle (CREATE/CTAS/DROP/RENAME TABLE, " +
+        "CREATE/DROP NAMESPACE), and CALL snap.system.* maintenance " +
+        "procedures; each routes to the log's own commit paths")
+
+  // ---- ProcedureCatalog --------------------------------------------------
+
+  /** Maintenance verbs as SQL `CALL` procedures (Spark 4's DSv2
+    * stored-procedure surface), namespaced `system` by the Iceberg
+    * convention. Each binds its table argument against THIS catalog's
+    * root and routes to the log's own verb — see [[SnapshotProcedures]]
+    * for the inventory and the argument contract. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"CALL ${ident.namespace().mkString(".")}.${ident.name()}: " +
+        s"procedures live in the 'system' namespace — CALL $catalogName" +
+        s".system.${ident.name()}(…)")
+    SnapshotProcedures.load(this, ident.name()).getOrElse(sys.error(
+      s"no procedure '${ident.name()}' — available: " +
+        SnapshotProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else SnapshotProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  /** A procedure's `table` argument resolved against this catalog:
+    * `ns.t` under root, or an absolute path (path-addressed tables,
+    * the TVF convention). */
+  private[sources] def resolveTableArg(table: String): String = {
+    val dir =
+      if (table.startsWith("/")) new java.io.File(table)
+      else table.split('.') match {
+        case Array(ns, t) => new java.io.File(new java.io.File(root, ns), t)
+        case _ => sys.error(
+          s"table '$table': expected 'namespace.table' (resolved under " +
+            s"this catalog's root) or an absolute path")
+      }
+    require(isTable(dir),
+      s"table '$table': ${dir.getAbsolutePath} is not a snapshot table " +
+        "(no _log)")
+    dir.getAbsolutePath
+  }
 }
 
 /** `DESCRIBE HISTORY` as a SQL-queryable metadata table (the
@@ -439,9 +607,13 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
   override def schema(): StructType = recorded
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
     import org.apache.spark.sql.connector.catalog.TableCapability._
-    // writes only on a latest-version load: a time-travel pin
-    // advertising write capabilities would let INSERT retarget history
-    if (writable) java.util.EnumSet.of(BATCH_READ, V1_BATCH_WRITE, TRUNCATE)
+    // writes and STREAMING reads only on a latest-version load: a
+    // time-travel pin advertising write capabilities would let INSERT
+    // retarget history, and a pinned version is a fixed relation — a
+    // stream over it would emit its history once and hang, which the
+    // batch read already does better
+    if (writable) java.util.EnumSet.of(BATCH_READ, MICRO_BATCH_READ,
+      V1_BATCH_WRITE, TRUNCATE)
     else java.util.EnumSet.of(BATCH_READ)
   }
 
@@ -454,7 +626,16 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
         Some(recorded), colmap, filters),
       mapName = c => colmap.getOrElse(c, c),
       unmapName = c => phys2log.getOrElse(c, c),
-      dv = dv)
+      dv = dv,
+      // `spark.readStream.table("snap.ns.t")` — the catalog face of
+      // the snapshot stream source (SnapshotStreamBuild owns the
+      // option vocabulary: startVersion, ignoreChanges, time bounds;
+      // changeFeed refuses here naming the format surface, whose
+      // inferSchema can carry the feed's two extra columns)
+      streamFor =
+        if (writable) Some(() =>
+          SnapshotStreamBuild.microBatch(tableDir, recorded, options))
+        else None)
   }
 
   /** `INSERT INTO` / `INSERT OVERWRITE` as the log's own commits — a

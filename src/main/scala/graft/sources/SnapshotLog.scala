@@ -480,6 +480,20 @@ object SnapshotLog {
       physSchemaOpt: Option[org.apache.spark.sql.types.StructType],
       dv: Map[String, Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions.{col, collect_list, not}
+    // a ZERO-file manifest (a freshly CREATE TABLE'd genesis, or a
+    // table whose every row was deleted by a full-replacement commit)
+    // reads as the empty relation under the recorded schema — the
+    // parquet reader wants at least one path, and an empty local
+    // relation is the honest plan anyway
+    if (files.isEmpty) physSchemaOpt match {
+      case Some(s) => return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      case None => sys.error(
+        "zero-file manifest without a recorded schema — nothing shapes " +
+          "the empty relation (this manifest came from committing an " +
+          "empty, partition-less DataFrame; use createTable to record " +
+          "a schema for an empty genesis)")
+    }
     def plain(fs: Seq[String]): DataFrame =
       physSchemaOpt.fold(spark.read)(spark.read.schema).parquet(fs: _*)
     val dvd = files.filter(dv.contains)
@@ -1228,6 +1242,48 @@ object SnapshotLog {
   private def listDir(dir: Path): Seq[Path] =
     Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
 
+  /** Create an EMPTY table: publish version 0 with zero data files and
+    * the given schema recorded — the genesis `CREATE TABLE` asks for
+    * (every other verb wants data; this one wants only a contract
+    * future inserts are checked against). Metadata-only: no Spark job,
+    * no data directory. Reads of the genesis serve the empty relation
+    * under the recorded schema; the first [[commitAppend]] is an
+    * ordinary schema-enforced append on top of it.
+    *
+    * The recorded schema is NORMALIZED to all-nullable top-level
+    * fields, metadata stripped — SQL DDL's convention (a column is
+    * nullable unless declared otherwise, and the log's enforcement
+    * has no NOT-NULL runtime check to back a stricter claim), and the
+    * manifest schema's contract is "describes all files", for which
+    * nullable-over-required is the always-safe direction. Inserts
+    * whose files read back non-nullable tighten harmlessly
+    * ([[nullabilityTightens]]). Genesis-only: a table with any
+    * committed version refuses (an empty REPLACEMENT of a live table
+    * is `commit(emptyDf)`, a deliberate data operation). Two racing
+    * creators arbitrate through the same put-if-absent publish as
+    * every commit — the loser's createTable throws. */
+  def createTable(tableDir: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    require(schema.nonEmpty, "createTable wants at least one column")
+    require(latestVersion(tableDir).isEmpty,
+      s"$tableDir already has a committed version — createTable is " +
+        "genesis-only; to replace a live table's content commit the " +
+        "new data, to drop it delete the directory")
+    val norm = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType,
+        nullable = true)))
+    // the evolve discipline at genesis: case-variant duplicates are
+    // unreadable under case-insensitive resolution — refuse them here
+    // rather than poison every future read
+    val lower = norm.fieldNames.map(_.toLowerCase)
+    require(lower.distinct.length == lower.length,
+      s"createTable: column names collide case-insensitively — " +
+        s"${norm.fieldNames.mkString("(", ", ", ")")}")
+    publish(tableDir, 0L, Nil, schemaJson = Some(norm.json),
+      op = "create-table")
+    0L
+  }
+
   /** Write `df` as version `latest+1` and atomically publish it.
     * Returns the committed version. Throws
     * `FileAlreadyExistsException` if another writer published the same
@@ -1337,6 +1393,18 @@ object SnapshotLog {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     }
   }
+
+  /** True iff `written` differs from `recorded` ONLY by being
+    * non-nullable where `recorded` is nullable — same names, same
+    * types, same order. Top-level only, like every schema rule here. */
+  private def nullabilityTightens(
+      recorded: org.apache.spark.sql.types.StructType,
+      written: org.apache.spark.sql.types.StructType): Boolean =
+    recorded.length == written.length &&
+      recorded.fields.zip(written.fields).forall { case (r, w) =>
+        r.name == w.name && r.dataType == w.dataType &&
+          (r.nullable || !w.nullable)
+      }
 
   /** Additive schema merge — the ONLY evolution this log supports
     * (Delta's `mergeSchema` at the same minimum). Validates and merges
@@ -1601,6 +1669,15 @@ object SnapshotLog {
       .getOrElse(spark.read.parquet(prevFiles: _*).schema)
     val published =
       if (recorded == written) written
+      // a batch that differs ONLY by being non-nullable where the table
+      // is nullable is always safe (non-null values into a nullable
+      // column) — the DDL surface makes this the COMMON case: CREATE
+      // TABLE records every column nullable (SQL's convention), and the
+      // first INSERT's files read back `required` wherever the data had
+      // no nulls. The manifest keeps the RECORDED (wider) schema: it
+      // claims to describe all files, and nullable-over-required is the
+      // safe direction
+      else if (nullabilityTightens(recorded, written)) recorded
       else if (mergeSchema) mergeSchemas(recorded, written)
       else {
         require(recorded == written,
@@ -2902,6 +2979,203 @@ object SnapshotLog {
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 
+  /** RESTORE the table to version `v`'s content — Delta's `RESTORE
+    * TABLE … TO VERSION AS OF` as a METADATA-ONLY forward commit: a
+    * new version at `latest + 1` republishing v's file list, stats,
+    * schema, column map, and dv sidecars verbatim. Nothing is copied
+    * or rewritten — v's files still exist on disk because v's
+    * surviving manifest references them (vacuum deletes only the
+    * unreferenced), which is also why restore REQUIRES v to survive
+    * expiry: a restore target must be readable, and the error names
+    * [[history]] as the way to see the surviving range. History moves
+    * FORWARD (the versions between v and latest stay time-travelable
+    * until expired) and concurrent writers conflict on the same
+    * put-if-absent publish as every commit.
+    *
+    * `retired` physical column names merge from BOTH manifests: v's
+    * (what its own schema era had retired) and latest's (names retired
+    * after v — post-v files carrying them remain on disk for time
+    * travel, and a post-restore ADD COLUMN must not re-mint one).
+    *
+    * The CHANGE FEED refuses ranges crossing a restore, by
+    * construction: restore is a rewrite that is NOT content-identical
+    * (the table's content genuinely changes), so the feed's
+    * no-rewrite guard trips and names [[diff]] — the honest answer,
+    * since a restore has no per-row change representation short of
+    * diffing the two snapshots. */
+  def restore(tableDir: String, v: Long): Long = {
+    val latest = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    require(v >= 0, s"restore wants a committed version, got $v")
+    val p = logDir(tableDir).resolve(s"$v.json")
+    require(Files.exists(p),
+      s"restore: no version $v in $tableDir (committed versions may " +
+        "have been expired) — history() lists the surviving range")
+    val node = mapper.readTree(Files.readString(p))
+    val latestNode = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$latest.json")))
+    val files = node.get("files").elements().asScala.map(_.asText()).toSeq
+    val schema = Option(node.get("schema")).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    publish(tableDir, latest + 1, files, carriedStats(node, files),
+      schema.map(_.json), orderedColmap(schema, colmapOf(node)),
+      (retiredOf(latestNode) ++ retiredOf(node)).distinct,
+      dv = dvOf(node), op = "restore")
+    latest + 1
+  }
+
+  /** MOVE the table directory to `newDir` and rewrite every surviving
+    * manifest's recorded paths to match — `ALTER TABLE … RENAME TO`'s
+    * engine. Manifests record CANONICAL ABSOLUTE paths (the honest
+    * choice for vacuum's referenced-set comparison), so a bare `mv`
+    * would leave every manifest pointing at the old location; the
+    * rewrite translates the table-dir prefix in the file list, the
+    * stats keys, and the dv keys + sidecar paths. O(history) driver
+    * metadata work, ZERO data-FILE movement beyond the one atomic
+    * directory move — with one honest exception: dv SIDECAR contents
+    * record the masked data files' `_metadata.file_path` URIs (that is
+    * what the mask joins match at read time), so each surviving
+    * sidecar is rewritten with the prefix translated, to a FRESH path
+    * the manifests then reference (the superseded original orphans for
+    * [[vacuum]]) — one tiny churn-sized Spark job per sidecar, the
+    * rare-admin-op price of keeping masks correct across the move
+    * (skipping it would RESURRECT deleted rows: stale sidecar paths
+    * match nothing). The
+    * bloom index needs no touch-up: its verdict lookup keys by file
+    * BASENAME (stable across the move) and a missing entry keeps the
+    * file — conservative either way.
+    *
+    * EXCLUSIVE-ACCESS operation, stated plainly: a reader or writer
+    * racing the move sees the directory vanish (a loud miss, never a
+    * torn snapshot — manifests at the new location are rewritten
+    * in place AFTER the move, and until each is rewritten its reads
+    * fail loudly on the old absolute paths rather than resolve wrong
+    * data). Rename a table nobody is using, the same contract as a
+    * filesystem `mv`. Pre-checked before anything moves: every
+    * recorded path in every surviving manifest must live under the
+    * table directory (always true for log-written tables — every verb
+    * writes under `data/`), so a half-rewritable table refuses before
+    * the move instead of stranding mid-way. */
+  def rehome(spark: SparkSession, oldDir: String, newDir: String): Unit = {
+    val oldP = canon(Paths.get(oldDir))
+    require(Files.isDirectory(oldP.resolve("_log")),
+      s"$oldDir is not a snapshot table (no _log)")
+    val newP = Paths.get(newDir).toAbsolutePath.normalize
+    require(!Files.exists(newP), s"rehome target $newP already exists")
+    require(newP.getParent != null && Files.isDirectory(newP.getParent),
+      s"rehome target parent ${newP.getParent} is not a directory")
+    val oldPrefix = oldP.toString
+    // pre-flight: every path in every surviving manifest must be
+    // translatable, BEFORE the move makes failure expensive
+    val manifestNames = listDir(oldP.resolve("_log"))
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+    manifestNames.foreach { name =>
+      val node = mapper.readTree(
+        Files.readString(oldP.resolve("_log").resolve(name)))
+      val paths = node.get("files").elements().asScala.map(_.asText()).toSeq ++
+        dvOf(node).values.flatten
+      val outside = paths.filterNot(_.startsWith(oldPrefix + "/"))
+      require(outside.isEmpty,
+        s"rehome: manifest $name records path(s) outside the table " +
+          s"directory — ${outside.take(3).mkString(", ")} — cannot " +
+          "translate; this table was not written by the log's verbs")
+    }
+    // collect every distinct sidecar (old-path spelling) BEFORE the
+    // move — their contents need the prefix translated too
+    val oldSidecars: Seq[String] = manifestNames.flatMap { name =>
+      dvOf(mapper.readTree(
+        Files.readString(oldP.resolve("_log").resolve(name)))).values.flatten
+    }.distinct.sorted
+    Files.move(oldP, newP, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val newPrefix = canon(newP).toString
+    def moved(s: String): String =
+      if (s.startsWith(oldPrefix + "/")) newPrefix + s.drop(oldPrefix.length)
+      else s
+    // rewrite each sidecar's rows: the `file` column holds the masked
+    // data file's _metadata.file_path URI ("file:" + path — the exact
+    // string the mask joins compare), so only its PREFIX translates
+    // and every other byte of the spelling is preserved. Rewritten
+    // sidecars land at FRESH paths (immutable-file discipline — an
+    // in-place replace would also poison Spark's FileStatusCache with
+    // the old length); the manifest rewrite below points dv entries at
+    // them, and the superseded originals orphan for [[vacuum]]
+    val sidecarMap: Map[String, String] =
+      if (oldSidecars.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
+        val uriOld = "file:" + oldPrefix + "/"
+        val rawOld = oldPrefix + "/"
+        val outDir = newP.resolve("data").resolve(
+          s"rehome-${java.util.UUID.randomUUID.toString.take(8)}")
+        Files.createDirectories(outDir)
+        oldSidecars.map { oldSc =>
+          val scOnDisk = moved(oldSc)
+          val tmpDir = outDir.resolve(
+            s"._tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+          spark.read.schema("file STRING, pos LONG")
+            .parquet(scOnDisk)
+            .withColumn("file",
+              when(col("file").startsWith(uriOld),
+                concat(lit("file:" + newPrefix + "/"),
+                  expr(s"substring(file, ${uriOld.length + 1})")))
+              .when(col("file").startsWith(rawOld),
+                concat(lit(newPrefix + "/"),
+                  expr(s"substring(file, ${rawOld.length + 1})")))
+              .otherwise(col("file")))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmpDir.toString)
+          val part = listDir(tmpDir).filter(_.toString.endsWith(".parquet"))
+          require(part.size == 1,
+            s"rehome: sidecar rewrite produced ${part.size} files")
+          // keep the basename (parquet part names are uuid-unique) —
+          // a rewritten sidecar stays recognizable beside its original
+          val dest = outDir.resolve(Paths.get(scOnDisk).getFileName)
+          Files.move(part.head, dest)
+          deleteRecursively(tmpDir)
+          oldSc -> canon(dest).toString
+        }.toMap
+      }
+    manifestNames.foreach { name =>
+      val mPath = newP.resolve("_log").resolve(name)
+      val node = mapper.readTree(Files.readString(mPath))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val files = node.get("files").elements().asScala.map(_.asText()).toSeq
+      val fArr = node.putArray("files")
+      files.foreach(f => fArr.add(moved(f)))
+      Option(node.get("stats")).foreach { s =>
+        val sNode = s.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val rebuilt = mapper.createObjectNode()
+        sNode.properties().asScala.foreach { e =>
+          rebuilt.set[com.fasterxml.jackson.databind.JsonNode](
+            moved(e.getKey), e.getValue); ()
+        }
+        node.set[com.fasterxml.jackson.databind.JsonNode]("stats", rebuilt); ()
+      }
+      Option(node.get("dv")).foreach { d =>
+        val dNode = d.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val rebuilt = mapper.createObjectNode()
+        dNode.properties().asScala.foreach { e =>
+          val arr = rebuilt.putArray(moved(e.getKey))
+          // sidecar references point at the REWRITTEN files (fresh
+          // paths with translated contents), never the moved originals
+          e.getValue.elements().asScala.foreach(sc =>
+            arr.add(sidecarMap.getOrElse(sc.asText(), moved(sc.asText()))))
+        }
+        node.set[com.fasterxml.jackson.databind.JsonNode]("dv", rebuilt); ()
+      }
+      // in-place atomic replace: rehome owns the table exclusively
+      // (documented above), so put-if-absent arbitration doesn't apply
+      val tmp = newP.resolve("_log").resolve(
+        s".$name-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      Files.writeString(tmp, mapper.writeValueAsString(node))
+      Files.move(tmp, mPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Change data feed between two committed versions — Delta's
     * `table_changes` reduced to the same minimum as the log itself:
     * read both versions (each immune to concurrent writers) and diff
@@ -2994,6 +3268,15 @@ object SnapshotLog {
       val op = Option(n.get("op")).map(_.asText()).getOrElse("unknown")
       val skip = ChangeFeed.ContentIdenticalOps.contains(op)
       if (!skip) {
+        // RESTORE needs its own guard: the structural rewrite check
+        // below misses the restore shape whose FILE list is unchanged
+        // but whose dv masks SHRANK (un-deleting rows) — a feed that
+        // emitted nothing there would silently lie
+        require(op != "restore",
+          s"readChangeFeed($fromV, $toV): version $v is a RESTORE — " +
+            "restored content has no per-row change representation " +
+            s"(masks may shrink, files may vanish); use diff($fromV, " +
+            s"$toV) for post-image semantics, or feed up to ${v - 1}")
         require(prevFiles.subsetOf(files.toSet),
           s"readChangeFeed($fromV, $toV): version $v rewrote data files " +
             s"(op=$op) — a rewrite restates rows and has no per-row " +

@@ -111,41 +111,61 @@ private class SnapshotStreamTable(schema: StructType,
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = schema
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-        val changeFeed = options.getBoolean("changeFeed", false)
-        val ignore = options.getBoolean("ignoreChanges", false)
-        require(!(changeFeed && ignoreChanges(options)),
-          "graft-snaplog: changeFeed and ignoreChanges are exclusive — " +
-            "the feed represents dv deletions exactly, and restated " +
-            "rewrite rows would double-count as inserts")
-        val tableDir = options.get("tableDir")
-        // TIME bounds (Delta's startingTimestamp/endingTimestamp):
-        // resolved ONCE at stream build against the manifests' op/ts
-        // provenance — the same semantics and refusal taxonomy as the
-        // batch readChangeFeedByTime (ts-less tables name the
-        // version-bounded form; clock-skew non-contiguity refuses)
-        val startingTs = Option(options.get("startingTimestamp"))
-          .map(parseTs("startingTimestamp", _))
-        val endingTs = Option(options.get("endingTimestamp"))
-          .map(parseTs("endingTimestamp", _))
-        require(startingTs.isEmpty || options.get("startVersion") == null,
-          "graft-snaplog: startingTimestamp and startVersion are " +
-            "exclusive — pick one clock")
-        for (f <- startingTs; t <- endingTs) require(!f.isAfter(t),
-          s"graft-snaplog: startingTimestamp $f is after endingTimestamp $t")
-        val (tsStartV, tsEndV) =
-          if (startingTs.isEmpty && endingTs.isEmpty) (None, None)
-          else SnapshotLog.resolveTimeBounds(tableDir, startingTs, endingTs)
-        new SnapshotLogMicroBatchStream(
-          tableDir, schema,
-          tsStartV.getOrElse(options.getLong("startVersion", 0L)),
-          ignore,
-          options.getBoolean("columnar", true),
-          changeFeed,
-          endVersion = tsEndV)
-      }
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        SnapshotStreamBuild.microBatch(options.get("tableDir"), schema, options)
       override def description(): String = name()
     }
+}
+
+/** The option-parsing half of stream construction, shared by the
+  * format-based surface (`readStream.format("graft-snaplog")`) and the
+  * catalog surface (`readStream.table("snap.ns.t")`) — both resolve
+  * the same options to the same [[SnapshotLogMicroBatchStream]]. */
+private[sources] object SnapshotStreamBuild {
+
+  def microBatch(tableDir: String, schema: StructType,
+      options: CaseInsensitiveStringMap): MicroBatchStream = {
+    val changeFeed = options.getBoolean("changeFeed", false)
+    val ignore = options.getBoolean("ignoreChanges", false)
+    require(!(changeFeed && ignore),
+      "graft-snaplog: changeFeed and ignoreChanges are exclusive — " +
+        "the feed represents dv deletions exactly, and restated " +
+        "rewrite rows would double-count as inserts")
+    // the feed appends two bookkeeping columns to the schema; a caller
+    // whose resolved schema cannot carry them (the CATALOG surface —
+    // readStream.table resolves the TABLE's schema before scan options
+    // exist) must use the format-based surface, loudly
+    if (changeFeed)
+      require(schema.fieldNames.contains(ChangeFeed.ChangeTypeCol),
+        "graft-snaplog: changeFeed needs the feed's two extra columns " +
+          "in the stream schema, which a catalog-resolved table cannot " +
+          "carry — use spark.readStream.format(\"graft-snaplog\")" +
+          s".option(\"tableDir\", ...).option(\"changeFeed\", true)")
+    // TIME bounds (Delta's startingTimestamp/endingTimestamp):
+    // resolved ONCE at stream build against the manifests' op/ts
+    // provenance — the same semantics and refusal taxonomy as the
+    // batch readChangeFeedByTime (ts-less tables name the
+    // version-bounded form; clock-skew non-contiguity refuses)
+    val startingTs = Option(options.get("startingTimestamp"))
+      .map(parseTs("startingTimestamp", _))
+    val endingTs = Option(options.get("endingTimestamp"))
+      .map(parseTs("endingTimestamp", _))
+    require(startingTs.isEmpty || options.get("startVersion") == null,
+      "graft-snaplog: startingTimestamp and startVersion are " +
+        "exclusive — pick one clock")
+    for (f <- startingTs; t <- endingTs) require(!f.isAfter(t),
+      s"graft-snaplog: startingTimestamp $f is after endingTimestamp $t")
+    val (tsStartV, tsEndV) =
+      if (startingTs.isEmpty && endingTs.isEmpty) (None, None)
+      else SnapshotLog.resolveTimeBounds(tableDir, startingTs, endingTs)
+    new SnapshotLogMicroBatchStream(
+      tableDir, schema,
+      tsStartV.getOrElse(options.getLong("startVersion", 0L)),
+      ignore,
+      options.getBoolean("columnar", true),
+      changeFeed,
+      endVersion = tsEndV)
+  }
 
   /** A timestamp option's accepted spellings: ISO-8601 instant
     * (`2026-08-15T12:00:00Z`), `yyyy-MM-dd[ HH:mm:ss[.SSS]]` (read as
@@ -166,9 +186,6 @@ private class SnapshotStreamTable(schema: StructType,
       }
     }
   }
-
-  private def ignoreChanges(o: CaseInsensitiveStringMap): Boolean =
-    o.getBoolean("ignoreChanges", false)
 }
 
 /** Offset = the highest version whose rows are already emitted. */
@@ -317,6 +334,14 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
       dvNow: Map[String, Seq[String]], prevFiles: Set[String],
       dvPrev: Map[String, Seq[String]]): Seq[InputPartition] = {
     if (ChangeFeed.ContentIdenticalOps.contains(op)) return Nil
+    // restore's own guard — the structural check below misses a
+    // restore whose file list is unchanged but whose dv masks SHRANK
+    // (un-deleted rows the feed cannot represent)
+    if (op == "restore")
+      throw new IllegalStateException(
+        s"graft-snaplog: version $v of $tableDir is a RESTORE, which a " +
+          "change feed cannot represent per-row — use SnapshotLog.diff " +
+          s"for post-image semantics, or skip with startVersion=${v + 1}")
     if (!prevFiles.subsetOf(files.toSet))
       throw new IllegalStateException(
         s"graft-snaplog: version $v of $tableDir rewrote data files " +

@@ -58,7 +58,12 @@ class PruningParquetScanBuilder(
     prune: Seq[Expression] => Seq[String],
     mapName: String => String = identity,
     unmapName: String => String = identity,
-    dv: Map[String, Seq[String]] = Map.empty)
+    dv: Map[String, Seq[String]] = Map.empty,
+    // the catalog's STREAMING face: when present, toMicroBatchStream
+    // delegates here (the snapshot stream source, options captured at
+    // newScanBuilder) instead of refusing — batch scans are untouched
+    streamFor: Option[() =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -81,7 +86,7 @@ class PruningParquetScanBuilder(
 
   override def build(): Scan =
     new PrunedSnapshotScan(spark, tableName, readSchema, prune,
-      mapName, unmapName, filterExprs, required, dv)
+      mapName, unmapName, filterExprs, required, dv, streamFor)
 }
 
 /** The scan [[PruningParquetScanBuilder.build]] returns — an ordinary
@@ -138,11 +143,28 @@ private[graftbridge] class PrunedSnapshotScan(
     unmapName: String => String,
     plannedFilters: Seq[Expression],
     required: Option[StructType],
-    dv: Map[String, Seq[String]] = Map.empty)
+    dv: Map[String, Seq[String]] = Map.empty,
+    streamFor: Option[() =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
   extends Scan
   with SupportsReportStatistics
   with SupportsMetadata
   with SupportsRuntimeV2Filtering {
+
+  /** `spark.readStream.table("snap.ns.t")` — the catalog surface of
+    * the snapshot stream source: the catalog hands in a constructor
+    * capturing the table dir, the recorded schema, and the
+    * readStream options; everything else (version offsets, the
+    * append-only/ignoreChanges taxonomy, time bounds) is the one
+    * stream implementation both surfaces share. Absent (a pinned
+    * time-travel load, or a non-catalog use of this builder), Spark's
+    * own unsupported-operation error stands. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamFor match {
+      case Some(f) => f()
+      case None => super.toMicroBatchStream(checkpointLocation)
+    }
 
   private val dvFiles: Set[String] = dv.keySet
   private var runtimeExprs: Seq[Expression] = Nil

@@ -131,12 +131,16 @@ class SnapshotCatalogSpec extends SparkSpec {
       .head.getLong(0) == 150L)
   }
 
-  test("the catalog is read-only with an explanatory error") {
+  test("statements outside the supported surface refuse with the inventory") {
     registered()
+    // CREATE TABLE is supported since round 17 (SnapshotLifecycleSpec
+    // owns it); what remains out of surface must still name what IS
+    // supported instead of a bare unsupported-operation
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE snap.lake.nope (k BIGINT) USING parquet")
+      spark.sql("ALTER TABLE snap.lake.events SET TBLPROPERTIES ('a'='b')")
     }
-    assert(e.getMessage.contains("read-only"), e.getMessage)
+    assert(e.getMessage.contains("unsupported") &&
+      e.getMessage.contains("CALL snap.system"), e.getMessage)
   }
 
   test("column DDL through SQL reaches the log's metadata-only commits") {
@@ -197,7 +201,7 @@ class SnapshotCatalogSpec extends SparkSpec {
     val e3 = intercept[Exception] {
       spark.sql("ALTER TABLE snap.lake.ddlguard SET TBLPROPERTIES ('a'='b')")
     }
-    assert(e3.getMessage.contains("read-only"), e3.getMessage)
+    assert(e3.getMessage.contains("unsupported"), e3.getMessage)
     // nothing above published a version
     assert(SnapshotLog.latestVersion(t).get == 0L)
 

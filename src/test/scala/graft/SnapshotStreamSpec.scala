@@ -161,4 +161,52 @@ class SnapshotStreamSpec extends SparkSpec {
     val total = files.map(f => fn.get(f).map(_.numRows()).sum).sum
     assert(total == 1000L, s"columnar batches carried $total rows")
   }
+
+  test("readStream.table through the catalog is the same stream; changeFeed names the format surface") {
+    val root = java.nio.file.Files.createTempDirectory("graft_catstream_")
+    java.nio.file.Files.createDirectories(root.resolve("lake"))
+    spark.conf.set("spark.sql.catalog.scs", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.scs.root", root.toString)
+    val t = root.resolve("lake").resolve("t").toString
+    try {
+      SnapshotLog.commit(spark, t, spark.range(5).select(
+        col("id").as("key"), (col("id") * 10).as("v")).repartition(1))
+      val q = spark.readStream.table("scs.lake.t")
+        .writeStream.format("memory").queryName("catstream").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("catstream").count() == 5)
+        // appends keep arriving — the stream tracks the LOG, not the
+        // version the catalog resolved at plan time
+        SnapshotLog.commitAppend(spark, t, spark.range(5, 8).select(
+          col("id").as("key"), (col("id") * 10).as("v")).repartition(1))
+        q.processAllAvailable()
+        val rows = spark.table("catstream").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(rows == (0L until 8L).map(i => i -> i * 10).toMap)
+        // options flow: startVersion through the catalog surface
+        val q2 = spark.readStream.option("startVersion", 1L)
+          .table("scs.lake.t")
+          .writeStream.format("memory").queryName("catstream2").start()
+        try {
+          q2.processAllAvailable()
+          assert(spark.table("catstream2").count() == 3) // v1's appended rows
+        } finally q2.stop()
+      } finally q.stop()
+      // changeFeed cannot ride the catalog-resolved schema (no room
+      // for the feed's two extra columns) — loud, naming the format
+      val e = intercept[Exception] {
+        val qf = spark.readStream.option("changeFeed", true)
+          .table("scs.lake.t")
+          .writeStream.format("memory").queryName("catstream3").start()
+        try qf.processAllAvailable() finally qf.stop()
+      }
+      def msgs(x: Throwable): String =
+        if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+      assert(msgs(e).contains("graft-snaplog"), msgs(e).take(400))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.scs.root")
+      spark.conf.unset("spark.sql.catalog.scs")
+    }
+  }
 }
