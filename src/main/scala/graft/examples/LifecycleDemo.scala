@@ -1,0 +1,106 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotLog
+
+/** Runnable tour of the round-17 catalog surfaces — table LIFECYCLE
+  * (CREATE / CTAS / RENAME / DROP through SQL), maintenance as SQL
+  * `CALL` procedures, and RESTORE:
+  *
+  * {{{ sbt "runMain graft.examples.LifecycleDemo /tmp/graft_lifecycle" }}}
+  *
+  * Prints ONE summary line; every claim is require()d on the way.
+  * The tour is deliberately end-to-end SQL: a user who never imports
+  * graft.sources can create, fill, reorganize, mistake, restore,
+  * rename, and retire a table with spark.sql alone.
+  */
+object LifecycleDemo {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_lifecycle")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("LifecycleDemo")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.catalog.lake", "graft.sources.SnapshotCatalog")
+      .config("spark.sql.catalog.lake.root", outDir)
+      .getOrCreate()
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.demo")
+
+      // 1. CREATE TABLE: schema-only genesis; the empty relation reads
+      spark.sql("CREATE TABLE lake.demo.events (k BIGINT, grp BIGINT, v BIGINT)")
+      require(spark.sql("SELECT count(*) FROM lake.demo.events")
+        .head.getLong(0) == 0L, "genesis not empty")
+
+      // 2. INSERT (enforced append; non-null batch tightens harmlessly)
+      spark.sql("INSERT INTO lake.demo.events " +
+        "SELECT id AS k, id % 8 AS grp, id * 3 AS v FROM range(4096)")
+      val n0 = spark.sql("SELECT count(*) FROM lake.demo.events").head.getLong(0)
+      require(n0 == 4096L, s"insert landed $n0 rows")
+
+      // 3. CTAS: a derived table in one statement
+      spark.sql("CREATE TABLE lake.demo.by_grp AS " +
+        "SELECT grp, count(*) AS n, sum(v) AS sum_v " +
+        "FROM lake.demo.events GROUP BY grp")
+      require(spark.sql("SELECT count(*) FROM lake.demo.by_grp")
+        .head.getLong(0) == 8L, "CTAS aggregate wrong")
+
+      // 4. point DML (MOR) + CALL optimize + CALL compact_deletes
+      spark.sql("DELETE FROM lake.demo.events WHERE k IN (1, 2, 3)")
+      val vOpt = spark.sql(
+        "CALL lake.system.compact_deletes('demo.events')").head.getLong(0)
+      val vZ = spark.sql("CALL lake.system.optimize('demo.events', 100000, " +
+        "zorder_by => 'k,grp')").head.getLong(0)
+      require(vZ == vOpt + 1, s"optimize landed at $vZ, expected ${vOpt + 1}")
+      require(SnapshotLog.history(s"$outDir/demo/events")
+        .maxBy(_.version).op == "optimize-zorder", "zorder op not recorded")
+
+      // 5. a MISTAKE and its RESTORE: drop everything, then undo
+      spark.sql("INSERT OVERWRITE lake.demo.events " +
+        "SELECT id, id, id FROM range(1)") // oops
+      require(spark.sql("SELECT count(*) FROM lake.demo.events")
+        .head.getLong(0) == 1L)
+      val restored = spark.sql(
+        s"CALL lake.system.restore(table => 'demo.events', version => $vZ)")
+        .head
+      val nBack = spark.sql("SELECT count(*) FROM lake.demo.events")
+        .head.getLong(0)
+      require(nBack == 4093L,
+        s"restore read $nBack rows, expected 4093 (4096 - 3 deleted)")
+
+      // 6. RENAME (rehome: dir move + manifest rewrite); reads follow
+      spark.sql("ALTER TABLE lake.demo.events RENAME TO demo.events_renamed")
+      require(spark.sql("SELECT count(*) FROM lake.demo.events_renamed")
+        .head.getLong(0) == 4093L, "renamed table lost rows")
+      // time travel survives the rename
+      require(spark.sql(
+        "SELECT count(*) FROM lake.demo.events_renamed VERSION AS OF 1")
+        .head.getLong(0) == 4096L, "time travel broken after rename")
+
+      // 7. retire history + reclaim space, all through CALL
+      val expired = spark.sql(
+        "CALL lake.system.expire_versions('demo.events_renamed', 2)")
+        .head.getInt(0)
+      val vacuumed = spark.sql(
+        "CALL lake.system.vacuum('demo.events_renamed', 0)").head.getInt(0)
+      require(expired > 0 && vacuumed > 0,
+        s"retention no-op: expired=$expired vacuumed=$vacuumed")
+
+      // 8. DROP: the derived table retires
+      spark.sql("DROP TABLE lake.demo.by_grp")
+      require(spark.sql("SHOW TABLES IN lake.demo").count() == 1L,
+        "DROP left the table listed")
+
+      println(s"LIFECYCLE: created=2 ctas_groups=8 deleted=3 " +
+        s"compacted@v$vOpt zordered@v$vZ overwrote=1 " +
+        s"restored_from=${restored.getLong(0)}@v${restored.getLong(1)} " +
+        s"rows=$nBack renamed=events->events_renamed " +
+        s"expired=$expired vacuumed=$vacuumed dropped=by_grp")
+    } finally spark.stop()
+  }
+}

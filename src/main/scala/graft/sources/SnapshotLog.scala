@@ -1311,7 +1311,8 @@ object SnapshotLog {
     * against version N silently land at N+2 after an interleaved
     * commit: a lost update that never surfaces as a conflict. */
   private def commitAt(spark: SparkSession, tableDir: String,
-      df: DataFrame, v: Long, op: String = "commit"): Long = {
+      df: DataFrame, v: Long, op: String = "commit",
+      txn: Option[String] = None): Long = {
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(dd.toString)
@@ -1325,7 +1326,7 @@ object SnapshotLog {
     // merging a million footers
     val schema = try Some(spark.read.parquet(dd.toString).schema.json)
       catch { case _: Exception => None }
-    publish(tableDir, v, files, stats, schema, op = op)
+    publish(tableDir, v, files, stats, schema, op = op, txn = txn)
     v
   }
 
@@ -1374,8 +1375,31 @@ object SnapshotLog {
     * [[commitIdempotent]] keeps the log gap-free. Returns true iff
     * THIS call published the version. */
   def commitAppendIdempotent(spark: SparkSession, tableDir: String,
-      df: DataFrame, v: Long, mergeSchema: Boolean = false): Boolean = {
-    if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
+      df: DataFrame, v: Long, mergeSchema: Boolean = false,
+      txn: Option[String] = None): Boolean = {
+    // an already-existing version declines as a replay — except under
+    // a TXN tag, where only a version THIS writer published may
+    // decline silently: a foreign commit that landed on the derived
+    // version is theft of the sink's base+batchId arithmetic, and
+    // declining it would DROP the batch (the manifest holds someone
+    // else's rows). Replay-after-crash still declines: the crash
+    // happened after publish, so the manifest carries our tag
+    def declinesAsReplay(): Boolean = {
+      val p = logDir(tableDir).resolve(s"$v.json")
+      if (!Files.exists(p)) return false
+      txn.foreach { t =>
+        val existing = Option(
+          mapper.readTree(Files.readString(p)).get("txn")).map(_.asText())
+        require(existing.contains(t),
+          s"version $v of $tableDir exists but was published by " +
+            s"${existing.fold("an untagged writer")(x => s"txn $x")}, " +
+            s"not this stream ($t) — a foreign commit interleaved with " +
+            "the sink's base+batchId arithmetic; the streaming sink " +
+            "owns the table while it runs")
+      }
+      true
+    }
+    if (declinesAsReplay()) return false
     val latest = latestVersion(tableDir).getOrElse(-1L)
     // retention listing only on the cold expired-replay path — see
     // [[requireAboveRetention]]; the hot v == latest + 1 append never
@@ -1386,11 +1410,13 @@ object SnapshotLog {
         "versions are dense; derive v as base + batchId")
     if (latest == -1L) {
       // first-ever version: an append to nothing is a plain commit
-      try { commitAt(spark, tableDir, df, v); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      try { commitAt(spark, tableDir, df, v, txn = txn); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        !declinesAsReplay() && sys.error(s"unreachable: $v vanished") }
     } else {
-      try { appendAt(spark, tableDir, df, latest, mergeSchema); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      try { appendAt(spark, tableDir, df, latest, mergeSchema, txn); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        !declinesAsReplay() && sys.error(s"unreachable: $v vanished") }
     }
   }
 
@@ -1615,7 +1641,8 @@ object SnapshotLog {
     * as version `baseV + 1` (put-if-absent — a concurrent writer
     * surfaces as the usual conflict). */
   private def appendAt(spark: SparkSession, tableDir: String,
-      df: DataFrame, baseV: Long, mergeSchema: Boolean = false): Long = {
+      df: DataFrame, baseV: Long, mergeSchema: Boolean = false,
+      txn: Option[String] = None): Long = {
     val v = baseV + 1
     val prevManifest = mapper.readTree(
       Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
@@ -1699,7 +1726,7 @@ object SnapshotLog {
     val carried = carriedStats(prevManifest, prevFiles)
     publish(tableDir, v, prevFiles ++ newFiles, carried ++ newStats,
       Some(published.json), newColmap, retired, dv = dvOf(prevManifest),
-      op = "append")
+      op = "append", txn = txn)
     v
   }
 
@@ -2819,7 +2846,8 @@ object SnapshotLog {
       colmap: Seq[(String, String)] = Nil,
       retired: Seq[String] = Nil,
       dv: Map[String, Seq[String]] = Map.empty,
-      op: String = "commit"): Unit = {
+      op: String = "commit",
+      txn: Option[String] = None): Unit = {
     Files.createDirectories(logDir(tableDir))
     val root = mapper.createObjectNode()
     root.put("version", v)
@@ -2829,6 +2857,10 @@ object SnapshotLog {
     // simply lack the fields ([[history]] reads them as "unknown"/0)
     root.put("op", op)
     root.put("ts", System.currentTimeMillis())
+    // writer identity for idempotent sinks (Delta's SetTransaction at
+    // the same minimum): lets a replayed batch recognize ITS version
+    // and a foreign commit surface as theft instead of a silent decline
+    txn.foreach(t => root.put("txn", t): Unit)
     schemaJson.foreach(s => root.put("schema", s): Unit)
     if (dv.nonEmpty) {
       // every dv key must be a published data file — a stale entry for
@@ -3023,6 +3055,41 @@ object SnapshotLog {
       (retiredOf(latestNode) ++ retiredOf(node)).distinct,
       dv = dvOf(node), op = "restore")
     latest + 1
+  }
+
+  /** Durable BASE-version registration for the streaming SINK's
+    * exactly-once arithmetic (`v = base + batchId`): the first batch a
+    * (table, query) pair ever lands registers `base = latest + 1 −
+    * batchId` via the same put-if-absent hard-link publish as every
+    * commit (two racing first batches agree on one base); every later
+    * call — including after a driver restart resuming the same
+    * checkpoint, where the query id is stable — reads the registered
+    * value, so replayed batches re-derive the same version and decline
+    * at [[commitAppendIdempotent]]'s manifest pre-check. The state
+    * file is a DOTFILE (`.sink-<queryId>.json`): every manifest
+    * listing in this object filters hidden names, so it can never be
+    * parsed as a version. Subtracting `batchId` at registration keeps
+    * the arithmetic right even when the first OBSERVED batch is a
+    * replay (> 0) against a sink file that was deleted — versions stay
+    * dense from the table's then-latest. */
+  private[sources] def sinkBase(tableDir: String, queryId: String,
+      batchId: Long): Long = {
+    val safe = queryId.replaceAll("[^A-Za-z0-9_-]", "_")
+    val p = logDir(tableDir).resolve(s".sink-$safe.json")
+    if (Files.exists(p))
+      return mapper.readTree(Files.readString(p)).get("base").asLong()
+    Files.createDirectories(logDir(tableDir))
+    val base = latestVersion(tableDir).getOrElse(-1L) + 1 - batchId
+    val root = mapper.createObjectNode()
+    root.put("base", base)
+    val tmp = logDir(tableDir).resolve(
+      s".sink-$safe-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(root))
+    try { Files.createLink(p, tmp); base }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        mapper.readTree(Files.readString(p)).get("base").asLong()
+    } finally { Files.deleteIfExists(tmp): Unit }
   }
 
   /** MOVE the table directory to `newDir` and rewrite every surviving

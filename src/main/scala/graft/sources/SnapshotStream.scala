@@ -73,18 +73,63 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * an evolved version streams through the PINNED schema — new
   * columns need a stream restart, the Delta decision).
   */
-class SnapshotStreamProvider extends TableProvider with DataSourceRegister {
+class SnapshotStreamProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-snaplog"
 
   private def tableDir(options: CaseInsensitiveStringMap): String =
     Option(options.get("tableDir")).getOrElse(
       sys.error("graft-snaplog requires option tableDir"))
 
+  /** The streaming SINK half — `writeStream.format("graft-snaplog")
+    * .option("tableDir", …)`: each micro-batch lands as ONE
+    * exactly-once idempotent append ([[SnapshotLog
+    * .commitAppendIdempotent]] at `base + batchId`, where `base` is
+    * registered durably in the table's own log the first time this
+    * stream touches it — [[SnapshotLog.sinkBase]] — so restarts from
+    * the checkpoint recompute the same versions and replayed batches
+    * decline at the manifest pre-check). The V1 `Sink` face is
+    * deliberate: `addBatch` receives the whole micro-batch as a
+    * DataFrame, and the append verb's own distributed parquet write +
+    * schema enforcement + put-if-absent publish do the rest — the
+    * same owned-path routing rule as the catalog's DML. Single-writer
+    * per table while the stream runs, enforced loudly: an interleaved
+    * foreign commit breaks the dense `base + batchId` arithmetic and
+    * the next batch fails with the version-gap error instead of
+    * corrupting anything. The target table must exist (one
+    * `SnapshotLog.createTable`/`commit` first) — the sink APPENDS;
+    * `mergeSchema=true` opts into the append path's additive
+    * evolution. Append output mode only (the log is an append-of-
+    * immutable-versions structure; complete/update modes would be
+    * rewrites — use foreachBatch + the DML verbs for those). */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snaplog sink: output mode $outputMode — the log appends " +
+        "immutable versions; complete/update are rewrites (use " +
+        "foreachBatch with the DML verbs)")
+    require(partitionColumns.isEmpty,
+      "graft-snaplog sink: partitionBy is not the log's layout story — " +
+        "optimize(clusterBy/zOrderBy) after ingest")
+    val params = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
+    val dir = params.getOrElse("tableDir",
+      sys.error("graft-snaplog sink requires option tableDir"))
+    require(SnapshotLog.latestVersion(dir).isDefined,
+      s"graft-snaplog sink: no committed version in $dir — create the " +
+        "table first (SnapshotLog.createTable for an empty genesis, or " +
+        "commit a seed batch)")
+    val mergeSchema = params.get("mergeSchema").exists(_.toBoolean)
+    new SnapshotLogSink(dir, mergeSchema)
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val t = tableDir(options)
     val v = SnapshotLog.latestVersion(t).getOrElse(
       sys.error(s"graft-snaplog: no committed version in $t — " +
-        "commit at least once before streaming"))
+        "create the table first (SnapshotLog.createTable for an empty " +
+        "genesis, or commit a seed batch) before streaming"))
     val (files, schema) = SnapshotLog.manifestAt(t, v)
     val base = schema.getOrElse(
       SparkSession.active.read.parquet(files: _*).schema)
@@ -191,6 +236,34 @@ private[sources] object SnapshotStreamBuild {
 /** Offset = the highest version whose rows are already emitted. */
 private class VersionOffset(val v: Long) extends Offset {
   override def json: String = v.toString
+}
+
+/** [[SnapshotStreamProvider.createSink]]'s Sink: one idempotent
+  * append per micro-batch at `base + batchId`. The micro-batch
+  * DataFrame rebinding ([[Bridge.unstream]]) is Spark's own
+  * ForeachBatchSink recipe — the incremental plan's rows, served to
+  * an ordinary batch write. */
+private class SnapshotLogSink(tableDir: String, mergeSchema: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    // the STABLE query id (constant across restarts of the same
+    // checkpoint — runId is not), set by StreamExecution for the
+    // batch's thread; keyed per (table, query) in sinkBase
+    val appId = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse(sys.error(
+        "graft-snaplog sink: no sql.streaming.queryId local property — " +
+          "addBatch called outside a streaming query?"))
+    val base = SnapshotLog.sinkBase(tableDir, appId, batchId)
+    SnapshotLog.commitAppendIdempotent(spark, tableDir,
+      Bridge.unstream(data), base + batchId, mergeSchema,
+      txn = Some(s"$appId#$batchId")): Unit
+  }
+
+  override def toString: String = s"SnapshotLogSink($tableDir)"
 }
 
 /** Shared vocabulary of the CHANGE DATA FEED surfaces

@@ -14,6 +14,21 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
+  /** The micro-batch DataFrame a V1 streaming Sink receives, rebound
+    * as a BATCH frame over the same physical rows — Spark's own
+    * ForeachBatchSink recipe (`LogicalRDD.fromDataset(toRdd, …,
+    * isStreaming = false)`): the incremental plan executes once, and
+    * ordinary batch actions (a parquet write, a count) run on the
+    * result without tripping the "streaming queries must use
+    * writeStream" analysis guard. */
+  def unstream(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      rdd = ds.queryExecution.toRdd, originDataset = ds,
+      isStreaming = false)
+    Dataset.ofRows(ds.sparkSession, node)
+  }
+
   /** Whether a planner strategy of the given class is registered in
     * this session (extension-injected strategies live in the session
     * state's planner, which is `private[sql]`). Lets programmatic

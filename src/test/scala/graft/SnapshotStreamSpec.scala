@@ -162,6 +162,61 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(total == 1000L, s"columnar batches carried $total rows")
   }
 
+  test("writeStream.format(graft-snaplog) is the exactly-once ingest sink; foreign commits surface as theft") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t = s"$scratch/sinktable"
+    SnapshotLog.createTable(t, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType))))
+    val ckpt = s"$scratch/sink_ckpt"
+    val in = MemoryStream[(Long, Long)]
+    def start() = in.toDF().toDF("k", "v").writeStream
+      .format("graft-snaplog").option("tableDir", t)
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      in.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+      in.addData((3L, 30L)); q.processAllAvailable()
+      assert(SnapshotLog.read(spark, t).count() == 3)
+      // one version per micro-batch on top of the genesis, op = append
+      assert(SnapshotLog.latestVersion(t).contains(2L))
+      assert(SnapshotLog.history(t).sortBy(_.version).map(_.op) ==
+        Seq("create-table", "append", "append"))
+    } finally q.stop()
+    // restart on the SAME checkpoint: the durable base keeps versions
+    // dense; new batches land as the next versions
+    val q2 = start()
+    try {
+      in.addData((4L, 40L)); q2.processAllAvailable()
+      assert(SnapshotLog.read(spark, t).count() == 4)
+      assert(SnapshotLog.latestVersion(t).contains(3L))
+      // a FOREIGN commit interleaving with the sink's arithmetic is
+      // theft, not a silent replay-decline: the next batch fails
+      // loudly instead of dropping its rows
+      SnapshotLog.commitAppend(spark, t, spark.range(100, 101)
+        .select(org.apache.spark.sql.functions.col("id").as("k"),
+          org.apache.spark.sql.functions.col("id").as("v")))
+      in.addData((5L, 50L))
+      val e = intercept[StreamingQueryException] { q2.processAllAvailable() }
+      def msgs(x: Throwable): String =
+        if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+      assert(msgs(e).contains("foreign commit") || msgs(e).contains("gap"),
+        msgs(e).take(400))
+    } finally q2.stop()
+    // update/complete modes and missing tables refuse at sink build
+    val eM = intercept[Exception] {
+      in.toDF().toDF("k", "v").writeStream.format("graft-snaplog")
+        .option("tableDir", s"$scratch/sink_absent")
+        .option("checkpointLocation", s"$scratch/sink_ckpt2").start()
+    }
+    assert(eM.getMessage.contains("create the table first"),
+      eM.getMessage.take(300))
+  }
+
   test("readStream.table through the catalog is the same stream; changeFeed names the format surface") {
     val root = java.nio.file.Files.createTempDirectory("graft_catstream_")
     java.nio.file.Files.createDirectories(root.resolve("lake"))
