@@ -718,6 +718,61 @@ object MigrationOps {
     }
   }
 
+  /** CHECK constraints driver-gated ([[graft.sources.SnapshotLog
+    * .addConstraint]] + the enforcement funnel + the CALL
+    * procedures): seed the orders slice, `CALL add_constraint`
+    * (price non-negative — the live data satisfies it), one VALID
+    * SQL INSERT lands, one VIOLATING SQL INSERT refuses naming the
+    * constraint with NOTHING published (require()d), and the RESULT
+    * is the final read — the oracle recomputes the slice + the one
+    * valid synthetic row. If enforcement fired on the wrong side
+    * (blocking the valid row or admitting the violator) the hashes
+    * diverge. */
+  val snapConstraintSql: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_cns_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"cnssql_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      val tdir = scratchP.resolve("lake").resolve("t").toString
+      graft.sources.SnapshotLog.commit(s, tdir,
+        t(s, dir, "orders").select(col("o_orderkey"),
+          cents(col("o_totalprice")).as("o_price_c"))
+          .repartitionByRange(8, col("o_orderkey")))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      s.sql(s"CALL $cat.system.add_constraint('lake.t', 'price_nn', " +
+        "'o_price_c >= 0')")
+      s.sql(s"INSERT INTO $cat.lake.t VALUES " +
+        "(CAST(-1 AS BIGINT), CAST(111 AS BIGINT))")
+      val v = graft.sources.SnapshotLog.latestVersion(tdir).get
+      val refused = try {
+        s.sql(s"INSERT INTO $cat.lake.t VALUES " +
+          "(CAST(-2 AS BIGINT), CAST(-222 AS BIGINT))")
+        false
+      } catch { case e: Exception =>
+        def msgs(x: Throwable): String =
+          if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+        msgs(e).contains("price_nn")
+      }
+      require(refused, "violating INSERT was not refused by price_nn")
+      require(graft.sources.SnapshotLog.latestVersion(tdir).contains(v),
+        "the refused INSERT published a version")
+      val res = s.sql(s"SELECT o_orderkey, o_price_c FROM $cat.lake.t")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.readChangeFeed]] driver-gated — the
     * dv-aware CHANGE DATA FEED: v0 commits the even orderkeys, v1
     * appends the odd ones, v2 MOR-deletes the 24 smallest keys; the
@@ -1010,6 +1065,7 @@ object MigrationOps {
     "snap_delete_in" -> snapDeleteIn,
     "snap_delete_mor" -> snapDeleteMor,
     "snap_dml_sql" -> snapDmlSql,
+    "snap_constraint_sql" -> snapConstraintSql,
     "snap_lifecycle_sql" -> snapLifecycleSql,
     "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
@@ -1199,6 +1255,15 @@ object MigrationOps {
          SELECT CAST(-2 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(222 AS BIGINT)
          UNION ALL
          SELECT CAST(-3 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(333 AS BIGINT)""",
+    // CHECK constraint enforcement: the valid insert lands, the
+    // violating one refuses (require()d in the query) — the final
+    // table is the slice plus exactly the one valid synthetic row
+    "snap_constraint_sql" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)
+             AS o_price_c
+         FROM orders
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(111 AS BIGINT)""",
     // the lifecycle ladder (CREATE TABLE genesis → enforced INSERT →
     // CTAS → RENAME's manifest-rewriting rehome → DROP) ends in a
     // per-status aggregate the oracle computes from orders directly

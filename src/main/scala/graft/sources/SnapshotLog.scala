@@ -1313,6 +1313,10 @@ object SnapshotLog {
   private def commitAt(spark: SparkSession, tableDir: String,
       df: DataFrame, v: Long, op: String = "commit",
       txn: Option[String] = None): Long = {
+    // constraints guard NEW content; maintenance rewrites routed here
+    // (optimize — op != "commit") restate already-validated rows and
+    // skip the extra pass
+    if (op == "commit") enforceConstraints(spark, tableDir, df, op)
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(dd.toString)
@@ -1643,6 +1647,7 @@ object SnapshotLog {
   private def appendAt(spark: SparkSession, tableDir: String,
       df: DataFrame, baseV: Long, mergeSchema: Boolean = false,
       txn: Option[String] = None): Long = {
+    enforceConstraints(spark, tableDir, df, "append")
     val v = baseV + 1
     val prevManifest = mapper.readTree(
       Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
@@ -2085,6 +2090,7 @@ object SnapshotLog {
         require(schemaOk,
           s"updateWhereInMOR must preserve the schema: " +
             s"${base.schema} -> ${updated.schema}")
+        enforceConstraints(spark, tableDir, updated, "update-where-in-mor")
         val out =
           if (colmap.isEmpty) updated
           else updated.toDF(
@@ -2212,6 +2218,7 @@ object SnapshotLog {
         }.toSeq: _*)
         require(updated.schema == base.schema,
           s"updateWhere must preserve the schema: ${base.schema} -> ${updated.schema}")
+        enforceConstraints(spark, tableDir, updated, "update-where")
         val out =
           if (colmap.isEmpty) updated
           else updated.toDF(base.columns.map(physName(colmap, _)).toIndexedSeq: _*)
@@ -2280,6 +2287,7 @@ object SnapshotLog {
         }.toSeq: _*)
         require(updated.schema == base.schema,
           s"updateWhereIn must preserve the schema: ${base.schema} -> ${updated.schema}")
+        enforceConstraints(spark, tableDir, updated, "update-where-in")
         val out =
           if (colmap.isEmpty) updated
           else updated.toDF(base.columns.map(physName(colmap, _)).toIndexedSeq: _*)
@@ -2406,6 +2414,10 @@ object SnapshotLog {
       s"mergeInto feed has ${pre.getLong(0)} rows over ${pre.getLong(1)} " +
         "distinct keys — one row per key; compact multi-version batches " +
         "with cdcChangelogCompact first")
+    // post-images are the NEW content (deletes only remove) — the
+    // constraint pass is feed-sized, before anything rewrites
+    enforceConstraints(spark, tableDir,
+      changes.filter(col("op") =!= "delete"), "merge-into")
     val nIns = pre.getLong(6)
     val pkey = physName(colmap, key)
     val (statsCandidates, clear) = prevFiles.partition(f =>
@@ -2592,6 +2604,10 @@ object SnapshotLog {
       s"mergeIntoMOR feed has ${pre.getLong(0)} rows over " +
         s"${pre.getLong(1)} distinct keys — one row per key; compact " +
         "multi-version batches with cdcChangelogCompact first")
+    // post-images are the NEW content — the constraint pass is
+    // feed-sized, before the marks scan opens anything
+    enforceConstraints(spark, tableDir,
+      changes.filter(col("op") =!= "delete"), "merge-mor")
     val nIns = pre.getLong(6)
     val pkey = physName(colmap, key)
     // stage 1 + 1.5, exactly [[mergeInto]]'s: stats interval, then the
@@ -3055,6 +3071,118 @@ object SnapshotLog {
       (retiredOf(latestNode) ++ retiredOf(node)).distinct,
       dv = dvOf(node), op = "restore")
     latest + 1
+  }
+
+  /** CHECK constraints — Delta's table invariants at this log's
+    * minimum: a named SQL predicate every row of every FUTURE write
+    * must satisfy (SQL CHECK semantics: a row passes when the
+    * predicate is TRUE or NULL; only FALSE violates — so `c > 0`
+    * admits null `c`, and NOT NULL is spelled `c IS NOT NULL`).
+    * Adding a constraint VALIDATES THE CURRENT TABLE first (Delta's
+    * rule — a guard the live data already breaks would make every
+    * next write fail for someone else's rows). Enforcement runs at
+    * every row-creating verb — commit/INSERT OVERWRITE, append/INSERT
+    * INTO (the streaming sink included), COW and MOR updates, both
+    * merges — as ONE extra pass over exactly the NEW row content
+    * (O(batch) on appends, O(rewritten slice) on updates), naming the
+    * violated constraint and a sample row. Deletes, compaction,
+    * optimize, and RESTORE restate or remove already-validated
+    * content and are exempt by design (restore may resurrect rows
+    * that predate a constraint — the constraint guards writes from
+    * the moment it exists, it does not rewrite history).
+    *
+    * Storage is ONE DOTFILE PER CONSTRAINT (`_log/.constraint-<name>
+    * .json`, put-if-absent hard link — racing adds of the same name
+    * conflict loudly; hidden names can never parse as manifests, and
+    * [[rehome]] moves them with the directory). Deliberately NOT
+    * versioned into manifests: constraints are table-level guards on
+    * future writes, not time-travel state — a stated minimum vs
+    * Delta, which versions them. Constraints reference LOGICAL column
+    * names; after a renameColumn a stale reference fails loudly at
+    * the next write (drop and re-add under the new name). */
+  def addConstraint(spark: SparkSession, tableDir: String, name: String,
+      exprSql: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_') && !name.head.isDigit,
+      s"constraint name '$name': letters, digits, underscores, " +
+        "not starting with a digit")
+    require(latestVersion(tableDir).isDefined,
+      s"no committed version in $tableDir — create the table first")
+    // the predicate must RESOLVE against the table and HOLD on the
+    // live data before it may guard anyone else's writes
+    val current = read(spark, tableDir)
+    val bad = violations(current, Seq(name -> exprSql))
+    require(bad.isEmpty,
+      s"cannot add constraint $name CHECK ($exprSql): existing data " +
+        s"violates it — e.g. ${bad.get}")
+    val root = mapper.createObjectNode()
+    root.put("name", name)
+    root.put("expr", exprSql)
+    val p = logDir(tableDir).resolve(s".constraint-$name.json")
+    val tmp = logDir(tableDir).resolve(
+      s".constraint-$name-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(root))
+    try Files.createLink(p, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        sys.error(s"constraint $name already exists on $tableDir — " +
+          "drop it first to change the predicate")
+    } finally { Files.deleteIfExists(tmp): Unit }
+  }
+
+  /** Remove a constraint — future writes stop checking it. Loud on a
+    * missing name (a typo'd drop that silently "succeeds" leaves the
+    * caller believing a guard is gone that never existed). */
+  def dropConstraint(tableDir: String, name: String): Unit = {
+    val p = logDir(tableDir).resolve(s".constraint-$name.json")
+    require(Files.exists(p),
+      s"no constraint '$name' on $tableDir — have: " +
+        constraints(tableDir).map(_._1).mkString(", "))
+    Files.delete(p)
+  }
+
+  /** The table's constraints, name → predicate SQL, sorted by name. */
+  def constraints(tableDir: String): Seq[(String, String)] = {
+    val ld = logDir(tableDir)
+    if (!Files.isDirectory(ld)) return Nil
+    listDir(ld).map(_.getFileName.toString)
+      .filter(n => n.startsWith(".constraint-") && n.endsWith(".json"))
+      .map { n =>
+        val node = mapper.readTree(Files.readString(ld.resolve(n)))
+        node.get("name").asText() -> node.get("expr").asText()
+      }.sortBy(_._1)
+  }
+
+  /** First violating (constraint, row) over `df`, if any — ONE job
+    * for all constraints (per-row violated-name array, filter
+    * non-empty, take(1)). */
+  private def violations(df: DataFrame,
+      cs: Seq[(String, String)]): Option[String] = {
+    import org.apache.spark.sql.functions.{array, array_compact, coalesce,
+      col, expr, lit, not, size, struct, when}
+    if (cs.isEmpty) return None
+    val tags = cs.map { case (n, e) =>
+      when(not(coalesce(expr(e), lit(true))), lit(n)) }
+    val hit = df
+      .withColumn("_graft_violated", array_compact(array(tags: _*)))
+      .filter(size(col("_graft_violated")) > 0)
+      .select(col("_graft_violated"),
+        struct(df.columns.map(col).toSeq: _*).as("_row"))
+      .take(1)
+    hit.headOption.map(r =>
+      s"constraint(s) ${r.getSeq[String](0).mkString(", ")} violated by " +
+        s"row ${r.get(1)}")
+  }
+
+  /** Enforcement funnel: every row-creating verb passes its NEW
+    * content here before writing. */
+  private def enforceConstraints(spark: SparkSession, tableDir: String,
+      df: DataFrame, verb: String): Unit = {
+    val cs = constraints(tableDir)
+    if (cs.isEmpty) return
+    violations(df, cs).foreach(v => sys.error(
+      s"$verb on $tableDir refused: $v (CHECK predicates are enforced " +
+        "on every new row; dropConstraint removes the guard)"))
   }
 
   /** Durable BASE-version registration for the streaming SINK's

@@ -40,16 +40,20 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object SnapshotProcedures {
 
   def names: Seq[String] =
-    Seq("compact_deletes", "expire_versions", "optimize", "restore", "vacuum")
+    Seq("add_constraint", "compact_deletes", "drop_constraint",
+      "expire_versions", "optimize", "restore", "show_constraints", "vacuum")
 
   def load(cat: SnapshotCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
-      case "restore"         => Some(restore(cat))
-      case "optimize"        => Some(optimize(cat))
-      case "compact_deletes" => Some(compactDeletes(cat))
-      case "expire_versions" => Some(expireVersions(cat))
-      case "vacuum"          => Some(vacuum(cat))
-      case _                 => None
+      case "restore"          => Some(restore(cat))
+      case "optimize"         => Some(optimize(cat))
+      case "compact_deletes"  => Some(compactDeletes(cat))
+      case "expire_versions"  => Some(expireVersions(cat))
+      case "vacuum"           => Some(vacuum(cat))
+      case "add_constraint"   => Some(addConstraint(cat))
+      case "drop_constraint"  => Some(dropConstraint(cat))
+      case "show_constraints" => Some(showConstraints(cat))
+      case _                  => None
     }
 
   // ---- the inventory -----------------------------------------------------
@@ -135,6 +139,56 @@ private[sources] object SnapshotProcedures {
         val deleted = SnapshotLog.vacuum(dir,
           if (args.isNullAt(1)) 3600000L else args.getLong(1))
         Seq(new GenericInternalRow(Array[Any](deleted.size)))
+      })
+
+  private def addConstraint(cat: SnapshotCatalog): UnboundProcedure =
+    proc(cat, "add_constraint",
+      "add a named CHECK constraint enforced on every future write; " +
+        "existing data is validated first (SnapshotLog.addConstraint)",
+      Seq(in("table", StringType, "ns.t or absolute path"),
+        in("name", StringType, "constraint name (letters/digits/_)"),
+        in("expr", StringType,
+          "SQL predicate over the table's columns; NULL passes " +
+            "(CHECK semantics) — spell NOT NULL as `c IS NOT NULL`")),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("expr", StringType, nullable = false))),
+      (args, spark) => {
+        val dir = cat.resolveTableArg(str(args, 0))
+        SnapshotLog.addConstraint(spark, dir, str(args, 1), str(args, 2))
+        Seq(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(str(args, 1)),
+          UTF8String.fromString(str(args, 2)))))
+      })
+
+  private def dropConstraint(cat: SnapshotCatalog): UnboundProcedure =
+    proc(cat, "drop_constraint",
+      "remove a CHECK constraint; future writes stop checking it " +
+        "(SnapshotLog.dropConstraint — loud on a missing name)",
+      Seq(in("table", StringType, "ns.t or absolute path"),
+        in("name", StringType, "constraint name")),
+      StructType(Seq(StructField("dropped", StringType, nullable = false))),
+      (args, _) => {
+        val dir = cat.resolveTableArg(str(args, 0))
+        SnapshotLog.dropConstraint(dir, str(args, 1))
+        Seq(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(str(args, 1)))))
+      })
+
+  private def showConstraints(cat: SnapshotCatalog): UnboundProcedure =
+    proc(cat, "show_constraints",
+      "list the table's CHECK constraints, name-sorted",
+      Seq(in("table", StringType, "ns.t or absolute path")),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("expr", StringType, nullable = false))),
+      (args, _) => {
+        val dir = cat.resolveTableArg(str(args, 0))
+        SnapshotLog.constraints(dir).map { case (n, e) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), UTF8String.fromString(e)))
+            : InternalRow
+        }
       })
 
   // ---- plumbing ----------------------------------------------------------
