@@ -582,7 +582,20 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     writable: Boolean = false)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with SnapshotSqlTable {
+
+  /** `TRUNCATE TABLE snap.ns.t` → [[SnapshotLog.truncate]]: one
+    * metadata-only zero-file commit (schema/colmap carried; time
+    * travel keeps the pre-truncate versions; restore un-truncates).
+    * Latest-version loads only — truncating through a time-travel pin
+    * would silently retarget, the same rule as every DML verb. */
+  override def truncateTable(): Boolean = {
+    require(writable, s"$tName: TRUNCATE on a time-travel pinned " +
+      "relation — DML targets the latest version only")
+    SnapshotLog.truncate(tableDir)
+    true
+  }
 
   override def snapshotTableDir: String = tableDir
   override def snapshotWritable: Boolean = writable

@@ -81,6 +81,12 @@ object SnapshotSqlDml extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(target, cond) if d.resolved =>
       snapshotDir(target) match {
         case None => d
+        // DELETE without a predicate (the parser spells it WHERE true)
+        // is TRUNCATE: one metadata-only zero-file commit — per-key
+        // masking of every row would manufacture a table-sized sidecar
+        // for a shape the log answers in one manifest write
+        case Some(dir) if cond == Literal.TrueLiteral =>
+          SnapshotTruncateSqlCommand(dir)
         case Some(dir) =>
           val (column, values) = whereIn(cond).getOrElse(refuseCond(
             "DELETE FROM", dir, cond,
@@ -293,6 +299,16 @@ object SnapshotSqlDml extends Rule[LogicalPlan] {
         refuse(s"action shape (${ms.map(_.getClass.getSimpleName).mkString("+")}" +
           s" / ${ns.map(_.getClass.getSimpleName).mkString("+")}) is unsupported")
     }
+  }
+}
+
+/** `DELETE FROM snap.ns.t` (no WHERE) → [[SnapshotLog.truncate]]:
+  * one metadata-only zero-file commit. */
+case class SnapshotTruncateSqlCommand(dir: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.truncate(dir): Unit
+    Seq.empty
   }
 }
 

@@ -2726,6 +2726,11 @@ object SnapshotLog {
       sys.error(s"no committed version in $tableDir"))
     val df = read(spark, tableDir, asOf = Some(baseV))
     val rows = df.count()
+    // an EMPTY table (a fresh CREATE TABLE genesis, or a truncate) has
+    // nothing to arrange: no-op at the current version — rewriting
+    // zero rows could publish a zero-file manifest whose schema
+    // inference has no files to read, losing the recorded schema
+    if (rows == 0L) return baseV
     val nFiles = math.max(1L,
       math.ceil(rows.toDouble / targetRecordsPerFile).toLong).toInt
     val arranged =
@@ -3071,6 +3076,37 @@ object SnapshotLog {
       (retiredOf(latestNode) ++ retiredOf(node)).distinct,
       dv = dvOf(node), op = "restore")
     latest + 1
+  }
+
+  /** TRUNCATE — delete every row, METADATA-ONLY: publish a zero-file
+    * version carrying the current schema, column map, and retired
+    * names forward (physical names stay reserved — the old files
+    * remain on disk for time travel until expiry + vacuum reclaim
+    * them, and a future ADD COLUMN must not re-mint one). This is
+    * `DELETE FROM t` without a predicate done at the only cost that
+    * shape deserves: one manifest write, zero data I/O, at any table
+    * size. Time travel still serves every pre-truncate version;
+    * [[restore]] is the exact inverse (un-truncate). Requires a
+    * schema-recording manifest — a zero-file version is readable only
+    * under a recorded schema. The CHANGE FEED refuses ranges crossing
+    * a truncate (the structural rewrite guard: the file list shrank),
+    * honestly — per-row delete pre-images for a whole table would be
+    * a table-sized feed, which is [[diff]]'s job. */
+  def truncate(tableDir: String): Long = {
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val node = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val schemaJson = Option(node.get("schema")).map(_.asText()).getOrElse(
+      sys.error(s"$tableDir: truncate needs a schema-recording " +
+        "manifest (this is a pre-round-10 table) — re-commit once to " +
+        "record the schema"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    publish(tableDir, baseV + 1, Nil, Map.empty, Some(schemaJson),
+      orderedColmap(Some(schema), colmapOf(node)), retiredOf(node),
+      op = "truncate")
+    baseV + 1
   }
 
   /** CHECK constraints — Delta's table invariants at this log's

@@ -186,6 +186,42 @@ class SnapshotLifecycleSpec extends SparkSpec {
     assert(Files.isDirectory(Paths.get(dir))) // nothing moved
   }
 
+  test("TRUNCATE is one metadata-only commit; restore un-truncates; DELETE without WHERE routes to it") {
+    root
+    val dir = s"$root/lake/trunc"
+    SnapshotLog.commit(spark, dir, spark.range(64)
+      .select(col("id").as("k"), (col("id") * 2).as("v")))
+    val filesBefore = SnapshotLog.read(spark, dir).inputFiles.toSet
+    spark.sql("TRUNCATE TABLE lc.lake.trunc")
+    assert(spark.sql("SELECT count(*) FROM lc.lake.trunc").head.getLong(0) == 0L)
+    assert(spark.table("lc.lake.trunc").schema.fieldNames.toSeq == Seq("k", "v"))
+    val h = SnapshotLog.history(dir).maxBy(_.version)
+    assert(h.op == "truncate" && h.files == 0)
+    // METADATA-only: the old data files still exist on disk (time
+    // travel serves them until expiry + vacuum)
+    assert(filesBefore.forall(f =>
+      Files.exists(Paths.get(new java.net.URI(f).getPath))))
+    assert(spark.sql("SELECT count(*) FROM lc.lake.trunc VERSION AS OF 0")
+      .head.getLong(0) == 64L)
+    // appends continue on the empty table
+    spark.sql("INSERT INTO lc.lake.trunc VALUES (999, 999)")
+    assert(spark.sql("SELECT count(*) FROM lc.lake.trunc").head.getLong(0) == 1L)
+    // restore is the exact inverse: un-truncate
+    SnapshotLog.restore(dir, 0L)
+    assert(SnapshotLog.read(spark, dir).count() == 64L)
+    // DELETE without WHERE is the same metadata-only verb
+    spark.sql("DELETE FROM lc.lake.trunc")
+    assert(SnapshotLog.history(dir).maxBy(_.version).op == "truncate")
+    assert(spark.sql("SELECT count(*) FROM lc.lake.trunc").head.getLong(0) == 0L)
+    // the change feed refuses ranges crossing a truncate/restore —
+    // per-row pre-images for a whole table are diff()'s job
+    val e = intercept[Exception] {
+      SnapshotLog.readChangeFeed(spark, dir, 0L,
+        SnapshotLog.latestVersion(dir).get).collect() }
+    assert(e.getMessage.contains("RESTORE") || e.getMessage.contains("rewrote"),
+      e.getMessage.take(300))
+  }
+
   test("namespace DDL: create = mkdir, drop only when empty, CASCADE refused") {
     root
     spark.sql("CREATE NAMESPACE lc.ns2")

@@ -139,6 +139,17 @@ class SnapshotProcedureSpec extends SparkSpec {
     assert(et.getMessage.contains("not a snapshot table"), et.getMessage.take(300))
   }
 
+  test("SHOW PROCEDURES and DESCRIBE PROCEDURE surface the inventory for free") {
+    root
+    val shown = spark.sql("SHOW PROCEDURES IN pc.system").collect()
+      .map(_.toString).mkString("\n")
+    assert(shown.contains("restore") && shown.contains("vacuum") &&
+      shown.contains("add_constraint"), shown.take(400))
+    val desc = spark.sql("DESCRIBE PROCEDURE pc.system.restore").collect()
+      .map(_.toString).mkString("\n")
+    assert(desc.contains("restore"), desc.take(400))
+  }
+
   test("streaming change feed refuses a restore version loudly") {
     val dir = seed("resstream")
     SnapshotLog.deleteWhereInMOR(spark, dir, "k", Seq(3L))
