@@ -744,6 +744,15 @@ object MigrationOps {
       s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
       s.sql(s"CALL $cat.system.add_constraint('lake.t', 'price_nn', " +
         "'o_price_c >= 0')")
+      // the ANSI spelling rides the same dotfile: ADD CONSTRAINT
+      // validates live data (keys are positive), DROP removes only its
+      // own guard — price_nn below must still refuse the violator
+      s.sql(s"ALTER TABLE $cat.lake.t ADD CONSTRAINT key_nn " +
+        "CHECK (o_orderkey >= 0)")
+      require(graft.sources.SnapshotLog.constraints(tdir)
+        .map(_._1) == Seq("key_nn", "price_nn"), "ANSI ADD CONSTRAINT " +
+        "did not land beside the CALL-added one")
+      s.sql(s"ALTER TABLE $cat.lake.t DROP CONSTRAINT key_nn")
       s.sql(s"INSERT INTO $cat.lake.t VALUES " +
         "(CAST(-1 AS BIGINT), CAST(111 AS BIGINT))")
       val v = graft.sources.SnapshotLog.latestVersion(tdir).get
@@ -760,6 +769,114 @@ object MigrationOps {
       require(graft.sources.SnapshotLog.latestVersion(tdir).contains(v),
         "the refused INSERT published a version")
       val res = s.sql(s"SELECT o_orderkey, o_price_c FROM $cat.lake.t")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /** GENERAL-predicate SQL DML driver-gated
+    * ([[graft.sources.SnapshotLog.deleteWhereMOR]] /
+    * [[graft.sources.SnapshotLog.updateWhereMOR]] through the
+    * [[graft.sources.SnapshotSqlDml]] routing): a range `DELETE FROM …
+    * WHERE o_price_c < threshold` (no membership list — the shape the
+    * membership-only surface refused) masks O(matching rows) with ZERO
+    * files rewritten (require()d), then a predicate `UPDATE … WHERE
+    * o_orderstatus = 'F' AND o_orderkey % 10 = 3` bumps the survivors'
+    * price — mask + post-image in one commit. The RESULT is the final
+    * read; the oracle reconstructs both steps relationally. */
+  val snapDmlPredSql: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_gpred_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"gpred_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      val tdir = scratchP.resolve("lake").resolve("t").toString
+      graft.sources.SnapshotLog.commit(s, tdir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), cents(col("o_totalprice")).as("o_price_c"))
+          .repartitionByRange(8, col("o_orderkey")))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val filesBefore = graft.sources.SnapshotLog.history(tdir)
+        .maxBy(_.version).files
+      s.sql(s"DELETE FROM $cat.lake.t WHERE o_price_c < 5000000")
+      val h1 = graft.sources.SnapshotLog.history(tdir).maxBy(_.version)
+      require(h1.op == "delete-where-mor" && h1.files == filesBefore &&
+        h1.dvFiles > 0,
+        s"general DELETE must be MOR: op=${h1.op} files=${h1.files}/" +
+          s"$filesBefore dv=${h1.dvFiles}")
+      s.sql(s"UPDATE $cat.lake.t SET o_price_c = o_price_c + 777 " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 3")
+      val h2 = graft.sources.SnapshotLog.history(tdir).maxBy(_.version)
+      require(h2.op == "update-where-mor",
+        s"general UPDATE must be MOR: op=${h2.op}")
+      val res = s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        s"o_price_c FROM $cat.lake.t")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /** The table-addressed V2 streaming sink
+    * (`writeStream.toTable("cat.ns.t")`,
+    * [[graft.sources.SnapshotStreamingWrite]]) driver-gated: a SOURCE
+    * snapshot table takes the orders slice in two versions (evens,
+    * then odds), a stream replays it micro-batch-per-version into a
+    * sink table toTable CREATES through the catalog (the schema-only
+    * genesis + executor-side parquet writers + one idempotent
+    * manifest per epoch), and the RESULT is the SQL read of the sink
+    * — the oracle recomputes the plain slice. The require()s pin the
+    * auto-create provenance (create-table, then appends) and the
+    * exactly-once version arithmetic (base registered at the genesis,
+    * one version per non-empty epoch). */
+  val snapStreamTableSink: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_tsink_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"tsink_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      val src = scratchP.resolve("lake").resolve("src").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, src,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")))
+      graft.sources.SnapshotLog.commitAppend(s, src,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(4, col("o_orderkey")))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val q = s.readStream.format("graft-snaplog").option("tableDir", src)
+        .load().writeStream
+        .option("checkpointLocation", scratchP.resolve("ckpt").toString)
+        .toTable(s"$cat.lake.sink")
+      try { q.processAllAvailable() } finally q.stop()
+      val sinkDir = scratchP.resolve("lake").resolve("sink").toString
+      val ops = graft.sources.SnapshotLog.history(sinkDir)
+        .sortBy(_.version).map(_.op)
+      require(ops.head == "create-table" && ops.tail.forall(_ == "append") &&
+        ops.size >= 2, s"toTable sink provenance diverged: $ops")
+      val res = s.sql(s"SELECT o_orderkey, o_custkey, o_price_c " +
+        s"FROM $cat.lake.sink")
       val local = java.util.Arrays.asList(res.collect(): _*)
       s.createDataFrame(local, res.schema)
     } finally {
@@ -1065,8 +1182,10 @@ object MigrationOps {
     "snap_delete_in" -> snapDeleteIn,
     "snap_delete_mor" -> snapDeleteMor,
     "snap_dml_sql" -> snapDmlSql,
+    "snap_dml_pred_sql" -> snapDmlPredSql,
     "snap_constraint_sql" -> snapConstraintSql,
     "snap_lifecycle_sql" -> snapLifecycleSql,
+    "snap_stream_table_sink" -> snapStreamTableSink,
     "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
     "snap_runtime_prune_join" -> snapRuntimePruneJoin,
@@ -1255,6 +1374,17 @@ object MigrationOps {
          SELECT CAST(-2 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(222 AS BIGINT)
          UNION ALL
          SELECT CAST(-3 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(333 AS BIGINT)""",
+    // general-predicate SQL DML (no membership list): the range MOR
+    // delete then the predicate MOR update must equal the relational
+    // reconstruction — survivors above the threshold, +777 on the
+    // matched status/key-suffix slice
+    "snap_dml_pred_sql" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) +
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 3
+               THEN 777 ELSE 0 END AS o_price_c
+         FROM orders
+         WHERE CAST(round(o_totalprice*100) AS BIGINT) >= 5000000""",
     // CHECK constraint enforcement: the valid insert lands, the
     // violating one refuses (require()d in the query) — the final
     // table is the slice plus exactly the one valid synthetic row
@@ -1264,6 +1394,13 @@ object MigrationOps {
          FROM orders
          UNION ALL
          SELECT CAST(-1 AS BIGINT), CAST(111 AS BIGINT)""",
+    // the table-addressed streaming sink: source table → change stream
+    // → toTable (auto-created genesis + executor-side parquet writers
+    // + idempotent per-epoch manifests) must land exactly the slice
+    "snap_stream_table_sink" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
+         FROM orders""",
     // the lifecycle ladder (CREATE TABLE genesis → enforced INSERT →
     // CTAS → RENAME's manifest-rewriting rehome → DROP) ends in a
     // per-status aggregate the oracle computes from orders directly

@@ -52,8 +52,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * V1 write bridge ([[PrunedSnapshotTable.newWriteBuilder]]);
   * `DELETE`/`UPDATE`/`MERGE` route to the MOR verbs through the
   * [[SnapshotSqlDml]] extension rule; COLUMN DDL (`ALTER TABLE …
-  * ADD/RENAME/DROP COLUMN`) delegates to the log's metadata-only
-  * commits via [[alterTable]]. Everything the commit paths own —
+  * ADD/RENAME/DROP COLUMN`) and CHECK-CONSTRAINT DDL (`ALTER TABLE …
+  * ADD CONSTRAINT c CHECK (…)` / `DROP CONSTRAINT`, `CREATE TABLE`
+  * with inline CHECKs) delegate to the log's metadata-only commits
+  * via [[alterTable]]/[[createTable]]; streaming INGEST reaches the
+  * catalog as `writeStream.toTable` (a real V2 [[StreamingWrite]] —
+  * [[SnapshotStreamingWrite]] — with the format sink's exactly-once
+  * versioning). Everything the commit paths own —
   * put-if-absent OCC, stats, schema enforcement — holds for the SQL
   * verbs because they ARE the same paths. Table LIFECYCLE rides the
   * same discipline since round 17: `CREATE TABLE` publishes the log's
@@ -95,6 +100,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  /** Constraint DDL is analyzer-gated on this declaration: without it
+    * Spark refuses `ADD CONSTRAINT` / `CREATE TABLE (… CHECK …)`
+    * before the catalog ever sees the change. Only CHECK constraints
+    * actually land (see [[alterTable]]) — the capability opts into the
+    * SYNTAX, the per-change handling enforces the semantics. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def nsDir(namespace: Array[String]): java.io.File = namespace match {
     case Array(one) => new java.io.File(root, one)
@@ -348,6 +363,45 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** `CREATE TABLE (…, CONSTRAINT c CHECK (…))` — the [[TableInfo]]
+    * overload Spark calls when the statement carries constraints (the
+    * default implementation would DROP them silently). Every
+    * constraint is vetted FIRST (enforced CHECK only — the same rules
+    * as [[alterTable]]'s ADD CONSTRAINT), then the genesis publishes
+    * and each constraint lands as the log's own dotfile; validation
+    * over the empty genesis passes trivially, so a mid-way failure is
+    * impossible once vetting is through. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val cs = info.constraints()
+    if (cs.isEmpty)
+      return createTable(ident, info.schema(), info.partitions(),
+        info.properties())
+    val checks = cs.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          s"CREATE TABLE ${ident.name()} CONSTRAINT ${c.name()} NOT " +
+            "ENFORCED: the log's constraints are write guards — it " +
+            "does not record informational constraints")
+        c.name() -> Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+          sys.error(s"CONSTRAINT ${c.name()}: no predicate SQL text"))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"CREATE TABLE ${ident.name()} CONSTRAINT ${other.name()} " +
+            s"(${other.getClass.getSimpleName}): only CHECK constraints " +
+            "— PRIMARY KEY / UNIQUE / FOREIGN KEY are unenforceable " +
+            "at scale and this log refuses to record guards it cannot " +
+            "enforce")
+    }
+    createTable(ident, info.schema(), info.partitions(),
+      info.properties()): Unit
+    val spark = SparkSession.active
+    checks.foreach { case (n, sql) =>
+      SnapshotLog.addConstraint(spark, tableDir(ident).getAbsolutePath, n, sql)
+    }
+    loadTable(ident) // re-load so the returned Table reports its constraints
+  }
+
   /** The one write surface the catalog exposes: COLUMN DDL — and only
     * because it delegates to the log's OWN metadata-only commit paths
     * ([[SnapshotLog.addColumn]]/[[SnapshotLog.renameColumn]]/
@@ -409,6 +463,36 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           schemaOpt.exists(s => !s.fieldNames.contains(name))
         }
         if (!absent) SnapshotLog.dropColumn(t, name): Unit
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(c.enforced(),
+              s"ADD CONSTRAINT ${c.name()} … NOT ENFORCED: the snapshot " +
+                "log's constraints are WRITE GUARDS (every row-creating " +
+                "verb checks them) — it does not record informational " +
+                "constraints it will not enforce")
+            val sql = Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+              sys.error(s"ADD CONSTRAINT ${c.name()}: no predicate SQL " +
+                "text on the CHECK constraint"))
+            // the log's own add: validates the EXISTING data first
+            // (Delta's rule), then one put-if-absent dotfile — the same
+            // path CALL snap.system.add_constraint takes
+            SnapshotLog.addConstraint(SparkSession.active, t, c.name(), sql)
+          case other =>
+            throw new UnsupportedOperationException(
+              s"ADD CONSTRAINT ${other.name()} " +
+                s"(${other.getClass.getSimpleName}): only CHECK " +
+                "constraints — PRIMARY KEY / UNIQUE / FOREIGN KEY are " +
+                "informational in every lakehouse (nothing enforces them " +
+                "at scale without a global index), and this log refuses " +
+                "to record a guard it cannot enforce")
+        }
+      case dcn: TableChange.DropConstraint =>
+        // RESTRICT vs CASCADE is vacuous here — constraints have no
+        // dependent objects in this catalog — so both modes accept
+        val absent = dcn.ifExists() &&
+          !SnapshotLog.constraints(t).exists(_._1 == dcn.name())
+        if (!absent) SnapshotLog.dropConstraint(t, dcn.name())
       case other =>
         readOnly(s"ALTER TABLE (${other.getClass.getSimpleName})")
     }
@@ -454,9 +538,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       s"$op: unsupported by snapshot catalog '$catalogName' — supported " +
         "surfaces are reads (time travel included), DML " +
         "(INSERT/DELETE/UPDATE/MERGE), column DDL (ADD/RENAME/DROP " +
-        "COLUMN), table lifecycle (CREATE/CTAS/DROP/RENAME TABLE, " +
-        "CREATE/DROP NAMESPACE), and CALL snap.system.* maintenance " +
-        "procedures; each routes to the log's own commit paths")
+        "COLUMN), CHECK constraint DDL (ADD/DROP CONSTRAINT), table " +
+        "lifecycle (CREATE/CTAS/DROP/RENAME TABLE, CREATE/DROP " +
+        "NAMESPACE), and CALL snap.system.* maintenance procedures; " +
+        "each routes to the log's own commit paths")
 
   // ---- ProcedureCatalog --------------------------------------------------
 
@@ -618,15 +703,32 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
 
   override def name(): String = tName
   override def schema(): StructType = recorded
+
+  /** The table's CHECK constraints, surfaced to DESCRIBE and the
+    * analyzer. Always ENFORCED + VALID — [[SnapshotLog.addConstraint]]
+    * validated the live data before recording, and every row-creating
+    * verb has checked them since; RELY is deliberately false (the
+    * optimizer may not assume what a concurrent out-of-band writer
+    * could have broken between loads). */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    SnapshotLog.constraints(tableDir).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .rely(false).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
     import org.apache.spark.sql.connector.catalog.TableCapability._
-    // writes and STREAMING reads only on a latest-version load: a
-    // time-travel pin advertising write capabilities would let INSERT
+    // writes and STREAMING reads/writes only on a latest-version load:
+    // a time-travel pin advertising write capabilities would let INSERT
     // retarget history, and a pinned version is a fixed relation — a
     // stream over it would emit its history once and hang, which the
     // batch read already does better
     if (writable) java.util.EnumSet.of(BATCH_READ, MICRO_BATCH_READ,
-      V1_BATCH_WRITE, TRUNCATE)
+      V1_BATCH_WRITE, STREAMING_WRITE, TRUNCATE)
     else java.util.EnumSet.of(BATCH_READ)
   }
 
@@ -687,6 +789,46 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
               if (replace) SnapshotLog.commit(spark, tableDir, data): Unit
               else SnapshotLog.commitAppend(spark, tableDir, data): Unit
             }
+
+          /** `writeStream.toTable("snap.ns.t")` — the table-addressed
+            * face of the exactly-once streaming ingest sink
+            * ([[SnapshotStreamingWrite]]: executor-side parquet
+            * writers, one idempotent manifest publish per epoch at
+            * `sinkBase + epochId`). Append mode only — Spark spells
+            * complete mode as `truncate()` on this builder, and the
+            * log appends immutable versions. The stream's schema must
+            * BE the table's recorded schema (names + types,
+            * positionally; nullability may tighten): this surface
+            * pins schema at stream start and never evolves it — the
+            * format surface's `mergeSchema` opt-in is the evolution
+            * path. */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(!replace,
+              s"$tName: complete output mode — the log appends " +
+                "immutable versions; use foreachBatch with " +
+                "SnapshotLog.commitIdempotent for whole-table rewrites")
+            require(!info.options().getBoolean("mergeSchema", false),
+              s"$tName: mergeSchema is not available on the " +
+                "table-addressed streaming sink (the catalog resolved " +
+                "this table's schema before the stream started) — use " +
+                "writeStream.format(\"graft-snaplog\")" +
+                ".option(\"tableDir\", …).option(\"mergeSchema\", true)")
+            val in = info.schema()
+            require(in.length == recorded.length &&
+              in.fields.zip(recorded.fields).forall { case (a, b) =>
+                a.name == b.name && a.dataType == b.dataType },
+              s"$tName: streaming write schema $in does not match the " +
+                s"recorded table schema $recorded (names and types, " +
+                "in order) — the table-addressed sink never evolves " +
+                "schema; SELECT the table's columns explicitly")
+            // files carry PHYSICAL names under a column map; the
+            // positional rename here is appendAt's `toDF(batchPhys)`
+            val phys = StructType(in.fields.map(f =>
+              f.copy(name = colmap.getOrElse(f.name, f.name))))
+            new SnapshotStreamingWrite(SparkSession.active, tableDir,
+              tName, info.queryId(), phys)
+          }
         }
     }
   }

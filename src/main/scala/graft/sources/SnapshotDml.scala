@@ -57,11 +57,16 @@ private[graft] trait SnapshotSqlTable {
   * shapes they cannot express refuse LOUDLY at analysis, naming the
   * Scala alternative — never a silent semantic downgrade:
   *
-  *  - DELETE/UPDATE predicates must be `col = lit` / `col IN (lits)`
-  *    (OR-composable on the same column). An arbitrary predicate has
-  *    no membership list to mask by — the error names
-  *    `deleteWhereIn[MOR]`/`updateWhereIn[MOR]` and the Scala read-
-  *    transform-commit path.
+  *  - DELETE/UPDATE take ARBITRARY deterministic predicates (since
+  *    round 17's fifth push): `col = lit` / `col IN (lits)` shapes
+  *    keep the dedicated membership path (bloom-backed pruning),
+  *    everything else routes to `deleteWhereMOR`/`updateWhereMOR` —
+  *    the same O(matching rows) masks, file-pruned through the
+  *    stats+bloom translator on the resolved condition. The two
+  *    honest exclusions, refused at analysis: SUBQUERIES (no meaning
+  *    against the verb's own later scan — materialize the key set)
+  *    and NON-DETERMINISTIC predicates (the masked set must be the
+  *    one every re-evaluation sees).
   *  - UPDATE assignment values may reference the row's own columns
   *    (`SET v = v + 1`) but not subqueries.
   *  - MERGE translates exactly two shapes: the full upsert (matched
@@ -88,10 +93,16 @@ object SnapshotSqlDml extends Rule[LogicalPlan] {
         case Some(dir) if cond == Literal.TrueLiteral =>
           SnapshotTruncateSqlCommand(dir)
         case Some(dir) =>
-          val (column, values) = whereIn(cond).getOrElse(refuseCond(
-            "DELETE FROM", dir, cond,
-            "SnapshotLog.deleteWhereIn[MOR](spark, dir, column, values)"))
-          SnapshotDeleteSqlCommand(dir, column, values)
+          whereIn(cond) match {
+            // key-membership keeps its dedicated path (bloom-backed
+            // membership pruning + the point verb's provenance)
+            case Some((column, values)) =>
+              SnapshotDeleteSqlCommand(dir, column, values)
+            case None =>
+              guardGeneralPredicate("DELETE FROM", dir, cond)
+              SnapshotDeleteWhereSqlCommand(dir,
+                Bridge.column(unresolve(cond)))
+          }
       }
 
     case u @ UpdateTable(target, assignments, condOpt) if u.resolved =>
@@ -102,9 +113,6 @@ object SnapshotSqlDml extends Rule[LogicalPlan] {
             s"UPDATE $dir without WHERE is a whole-table rewrite, not " +
               "point DML — use SnapshotLog.updateWhereIn[MOR] with the " +
               "full key set, or read-transform-commit from Scala"))
-          val (column, values) = whereIn(cond).getOrElse(refuseCond(
-            "UPDATE", dir, cond,
-            "SnapshotLog.updateWhereIn[MOR](spark, dir, column, values, set)"))
           val sets = assignments.flatMap {
             case Assignment(k: AttributeReference, v) =>
               v match {
@@ -126,7 +134,14 @@ object SnapshotSqlDml extends Rule[LogicalPlan] {
           require(sets.nonEmpty,
             s"UPDATE $dir: every assignment is an identity (SET c = c) " +
               "— nothing to update")
-          SnapshotUpdateSqlCommand(dir, column, values, sets)
+          whereIn(cond) match {
+            case Some((column, values)) =>
+              SnapshotUpdateSqlCommand(dir, column, values, sets)
+            case None =>
+              guardGeneralPredicate("UPDATE", dir, cond)
+              SnapshotUpdateWhereSqlCommand(dir,
+                Bridge.column(unresolve(cond)), sets)
+          }
       }
 
     case m @ MergeIntoTable(target, source, mergeCond, matched, notMatched,
@@ -198,13 +213,26 @@ object SnapshotSqlDml extends Rule[LogicalPlan] {
     }
   }
 
-  private def refuseCond(verb: String, dir: String, cond: Expression,
-      alt: String): Nothing = sys.error(
-    s"$verb $dir: predicate `${cond.sql}` does not translate to the " +
-      "log's point DML — only `col = literal` / `col IN (literals)` " +
-      "(OR-composable on the same column) route to the MOR verbs. " +
-      s"For arbitrary predicates use $alt from Scala, or " +
-      "read-transform-commit")
+  /** The two shapes the GENERAL-predicate MOR verbs cannot honor,
+    * refused at ANALYSIS with the statement still on screen: a
+    * SUBQUERY has no meaning against the verb's own later scan
+    * (materialize the key set), and a NON-DETERMINISTIC predicate
+    * would mask different rows than any re-evaluation sees. Everything
+    * else routes to `deleteWhereMOR`/`updateWhereMOR` — since round
+    * 17's fifth push the SQL DML predicate surface is total up to
+    * these two honest exclusions. */
+  private def guardGeneralPredicate(verb: String, dir: String,
+      cond: Expression): Unit = {
+    require(!cond.exists(_.isInstanceOf[PlanExpression[_]]),
+      s"$verb $dir: predicate `${cond.sql}` contains a subquery — " +
+        "materialize the key set and use " +
+        "SnapshotLog.deleteWhereIn[MOR]/updateWhereIn[MOR], or " +
+        "read-transform-commit")
+    require(cond.deterministic,
+      s"$verb $dir: predicate `${cond.sql}` is non-deterministic — " +
+        "the masked row set must be the one every re-evaluation sees; " +
+        "compute the key set and use the WhereIn[MOR] form")
+  }
 
   /** Resolved target-column references → by-name unresolved ones, so
     * the expression re-resolves against the verb's own read of the
@@ -319,6 +347,38 @@ case class SnapshotDeleteSqlCommand(dir: String, column: String,
     values: Seq[Any]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     SnapshotLog.deleteWhereInMOR(spark, dir, column, values): Unit
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM snap.ns.t WHERE <arbitrary predicate>` → the
+  * general-predicate MOR delete. The condition re-resolves by name
+  * against the verb's own read ([[SnapshotSqlDml.unresolve]]) and
+  * rides as a [[org.apache.spark.sql.Column]] — deliberately OPAQUE
+  * to TreeNode traversal: a bare `Expression` constructor arg would
+  * reach CheckAnalysis, which rejects the (by-design unresolved)
+  * by-name references before the command could run. The verb prunes
+  * files through the same stats+bloom translator the catalog pushes
+  * scan filters through, then masks O(matching rows). */
+case class SnapshotDeleteWhereSqlCommand(dir: String,
+    cond: org.apache.spark.sql.Column) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.deleteWhereMOR(spark, dir, cond): Unit
+    Seq.empty
+  }
+}
+
+/** `UPDATE snap.ns.t SET … WHERE <arbitrary predicate>` → the
+  * general-predicate MOR update: mask + post-image append in one
+  * commit, assignments re-resolving against the matched rows'
+  * pre-images exactly like the membership form (the condition rides
+  * opaque for the same CheckAnalysis reason as the delete's). */
+case class SnapshotUpdateWhereSqlCommand(dir: String,
+    cond: org.apache.spark.sql.Column, sets: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.updateWhereMOR(spark, dir, cond,
+      sets.map { case (n, e) => n -> Bridge.column(e) }.toMap): Unit
     Seq.empty
   }
 }

@@ -1381,28 +1381,7 @@ object SnapshotLog {
   def commitAppendIdempotent(spark: SparkSession, tableDir: String,
       df: DataFrame, v: Long, mergeSchema: Boolean = false,
       txn: Option[String] = None): Boolean = {
-    // an already-existing version declines as a replay — except under
-    // a TXN tag, where only a version THIS writer published may
-    // decline silently: a foreign commit that landed on the derived
-    // version is theft of the sink's base+batchId arithmetic, and
-    // declining it would DROP the batch (the manifest holds someone
-    // else's rows). Replay-after-crash still declines: the crash
-    // happened after publish, so the manifest carries our tag
-    def declinesAsReplay(): Boolean = {
-      val p = logDir(tableDir).resolve(s"$v.json")
-      if (!Files.exists(p)) return false
-      txn.foreach { t =>
-        val existing = Option(
-          mapper.readTree(Files.readString(p)).get("txn")).map(_.asText())
-        require(existing.contains(t),
-          s"version $v of $tableDir exists but was published by " +
-            s"${existing.fold("an untagged writer")(x => s"txn $x")}, " +
-            s"not this stream ($t) — a foreign commit interleaved with " +
-            "the sink's base+batchId arithmetic; the streaming sink " +
-            "owns the table while it runs")
-      }
-      true
-    }
+    def declinesAsReplay(): Boolean = replayDeclines(tableDir, v, txn)
     if (declinesAsReplay()) return false
     val latest = latestVersion(tableDir).getOrElse(-1L)
     // retention listing only on the cold expired-replay path — see
@@ -1422,6 +1401,117 @@ object SnapshotLog {
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         !declinesAsReplay() && sys.error(s"unreachable: $v vanished") }
     }
+  }
+
+  /** The idempotent sinks' replay pre-check, shared by the DataFrame
+    * ([[commitAppendIdempotent]]) and pre-written-files
+    * ([[appendFilesIdempotent]]) paths: an already-existing version
+    * declines as a replay — except under a TXN tag, where only a
+    * version THIS writer published may decline silently. A foreign
+    * commit that landed on the derived version is theft of the sink's
+    * base+batchId arithmetic, and declining it would DROP the batch
+    * (the manifest holds someone else's rows). Replay-after-crash
+    * still declines: the crash happened after publish, so the
+    * manifest carries our tag. */
+  private def replayDeclines(tableDir: String, v: Long,
+      txn: Option[String]): Boolean = {
+    val p = logDir(tableDir).resolve(s"$v.json")
+    if (!Files.exists(p)) return false
+    txn.foreach { t =>
+      val existing = Option(
+        mapper.readTree(Files.readString(p)).get("txn")).map(_.asText())
+      require(existing.contains(t),
+        s"version $v of $tableDir exists but was published by " +
+          s"${existing.fold("an untagged writer")(x => s"txn $x")}, " +
+          s"not this stream ($t) — a foreign commit interleaved with " +
+          "the sink's base+batchId arithmetic; the streaming sink " +
+          "owns the table while it runs")
+    }
+    true
+  }
+
+  /** [[commitAppendIdempotent]] for data files the EXECUTORS already
+    * wrote — the commit half of the table-addressed V2 streaming sink
+    * (`writeStream.toTable("snap.ns.t")`,
+    * [[SnapshotStreamingWrite]]): same replay pre-check, same density
+    * guard, same put-if-absent publish, but the batch's parquet files
+    * arrive as paths (each task wrote its own through Spark's parquet
+    * [[org.apache.spark.sql.execution.datasources.OutputWriter]])
+    * instead of as a DataFrame the verb must write itself. Schema
+    * enforcement still runs against the authoritative READ-BACK of the
+    * written files; an empty batch publishes a files-unchanged version
+    * so the `base + epochId` arithmetic stays dense. Returns true iff
+    * THIS call published the version. */
+  private[sources] def appendFilesIdempotent(spark: SparkSession,
+      tableDir: String, newFiles: Seq[String], v: Long,
+      txn: Option[String]): Boolean = {
+    if (replayDeclines(tableDir, v, txn)) return false
+    val latest = latestVersion(tableDir).getOrElse(sys.error(
+      s"no committed version in $tableDir — create the table first " +
+        "(SnapshotLog.createTable for an empty genesis)"))
+    if (v <= latest) requireAboveRetention(tableDir, v)
+    require(v <= latest + 1,
+      s"version $v would leave a gap above latest=$latest — the log's " +
+        "versions are dense; derive v as base + epochId")
+    try { appendFilesAt(spark, tableDir, newFiles, latest, txn); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      !replayDeclines(tableDir, v, txn) && sys.error(s"unreachable: $v vanished") }
+  }
+
+  /** [[appendAt]] for pre-written files: manifest bookkeeping only —
+    * prev files + stats carry, new footers harvested, dv/colmap/
+    * retired carried verbatim. The files arrived with PHYSICAL column
+    * names (the write factory renames positionally, exactly like
+    * [[appendAt]]'s `toDF(batchPhys)`), so enforcement restates the
+    * read-back under logical names via the colmap swap — the map
+    * covers every recorded column, so the swap never guesses. No
+    * schema evolution on this surface: the stream pinned its schema at
+    * start, and an evolved table needs a stream restart (the Delta
+    * decision, same as the read side). */
+  private def appendFilesAt(spark: SparkSession, tableDir: String,
+      newFilesRaw: Seq[String], baseV: Long, txn: Option[String]): Long = {
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val colmap = colmapOf(prevManifest)
+    val newFiles = newFilesRaw.map(p => canon(Paths.get(p)).toString).sorted
+    val recorded = Option(prevManifest.get("schema"))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(spark.read.parquet(prevFiles: _*).schema)
+    if (newFiles.nonEmpty) {
+      val p2l = colmap.map(_.swap)
+      val writtenPhys = spark.read.parquet(newFiles: _*).schema
+      val written = org.apache.spark.sql.types.StructType(
+        writtenPhys.fields.map(f =>
+          f.copy(name = p2l.getOrElse(f.name, f.name))))
+      require(recorded == written ||
+        nullabilityTightens(recorded, written),
+        s"append schema mismatch: table has $recorded, stream wrote " +
+          s"$written — the table-addressed streaming sink never evolves " +
+          "schema (restart the stream after an ALTER, or use " +
+          "writeStream.format(\"graft-snaplog\") with mergeSchema " +
+          "for additive evolution)")
+      // constraint funnel on exactly the NEW content, under logical
+      // names (read-back order equals recorded order: the write schema
+      // was the positional physical rename of the recorded schema)
+      if (constraints(tableDir).nonEmpty)
+        enforceConstraints(spark, tableDir,
+          spark.read.parquet(newFiles: _*)
+            .toDF(recorded.fieldNames.toSeq: _*),
+          "streaming append")
+    }
+    val newStats = harvestStats(newFiles)
+    val carried = carriedStats(prevManifest, prevFiles)
+    val colmapSeq: Seq[(String, String)] =
+      if (colmap.isEmpty) Nil
+      else recorded.fieldNames.toSeq.map(c => c -> colmap(c))
+    publish(tableDir, v, prevFiles ++ newFiles, carried ++ newStats,
+      Some(recorded.json), colmapSeq, retiredOf(prevManifest),
+      dv = dvOf(prevManifest), op = "append", txn = txn)
+    v
   }
 
   /** True iff `written` differs from `recorded` ONLY by being
@@ -1993,6 +2083,49 @@ object SnapshotLog {
       .filter(col("_graft_dv_k").isin(values: _*))
       .select("file", "pos")
       .write.mode("overwrite").parquet(dd.toString)
+    foldSidecars(spark, dd, affected, prevDv)
+  }
+
+  /** [[morMarks]] for an ARBITRARY row predicate — the marks half of
+    * the general-predicate MOR verbs. Same raw (mask-free) candidate
+    * scan, but the predicate speaks LOGICAL column names, so the scan
+    * restates its physical columns under the logical names (positional
+    * — physOpt mirrors the logical schema's order) before filtering;
+    * the metadata bookkeeping columns ride under `_graft_dv_*` names a
+    * user predicate cannot collide with (resolution against the table
+    * schema already refused unknown names). */
+  private def morMarksWhere(spark: SparkSession, tableDir: String, v: Long,
+      affected: Seq[String],
+      physOpt: Option[org.apache.spark.sql.types.StructType],
+      logicalNamesOpt: Option[Seq[String]],
+      predicate: org.apache.spark.sql.Column,
+      prevDv: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions.col
+    if (affected.isEmpty) return prevDv
+    val dd = Paths.get(tableDir, "data",
+      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    val raw = physOpt.fold(spark.read)(spark.read.schema).parquet(affected: _*)
+    val fpCol = "_graft_dv_file"
+    val posCol = "_graft_dv_pos"
+    val withMeta = raw.select(raw.columns.map(col).toIndexedSeq ++ Seq(
+      col("_metadata.file_path").as(fpCol),
+      col("_metadata.row_index").as(posCol)): _*)
+    val logicalNames = logicalNamesOpt.getOrElse(raw.columns.toSeq)
+    withMeta.toDF(logicalNames ++ Seq(fpCol, posCol): _*)
+      .filter(predicate)
+      .select(col(fpCol).as("file"), col(posCol).as("pos"))
+      .write.mode("overwrite").parquet(dd.toString)
+    foldSidecars(spark, dd, affected, prevDv)
+  }
+
+  /** Shared tail of the mark builders: list the just-written sidecar
+    * parquet, find which data files actually hold marked rows
+    * (sidecar-sized read), and fold the entries into `prevDv` — or
+    * remove the scratch dir and return `prevDv` untouched when nothing
+    * matched. */
+  private def foldSidecars(spark: SparkSession, dd: Path,
+      affected: Seq[String],
+      prevDv: Map[String, Seq[String]]): Map[String, Seq[String]] = {
     val sidecars = listDir(dd)
       .filter(_.toString.endsWith(".parquet"))
       .map(p => canon(p).toString).sorted
@@ -2067,39 +2200,9 @@ object SnapshotLog {
         // post-images FIRST (through the current mask), then the marks:
         // both scans are candidate-sized, and the order keeps the
         // post-image read free of this commit's own sidecar
-        val base = readFiles(spark, affected, logicalSchema, colmap,
-          prevDv.view.filterKeys(affected.toSet).toMap)
-          .filter(col(column).isin(values: _*))
-        set.keys.foreach(c => require(base.columns.contains(c),
-          s"updateWhereInMOR assigns unknown column $c — updates never " +
-            "add columns"))
-        val updated = base.select(base.columns.map { c =>
-          set.get(c).map(_.as(c)).getOrElse(col(c))
-        }.toSeq: _*)
-        // names and types must hold exactly; nullability may only
-        // NARROW (an unconditional `lit(x)` assignment is naturally
-        // non-nullable, and a required parquet column reads fine under
-        // the recorded optional schema — the reverse would let nulls
-        // into a claimed-non-null column and fails)
-        val schemaOk =
-          updated.schema.fields.length == base.schema.fields.length &&
-            updated.schema.fields.zip(base.schema.fields).forall {
-              case (w, r) => w.name == r.name && w.dataType == r.dataType &&
-                (r.nullable || !w.nullable)
-            }
-        require(schemaOk,
-          s"updateWhereInMOR must preserve the schema: " +
-            s"${base.schema} -> ${updated.schema}")
-        enforceConstraints(spark, tableDir, updated, "update-where-in-mor")
-        val out =
-          if (colmap.isEmpty) updated
-          else updated.toDF(
-            base.columns.map(physName(colmap, _)).toIndexedSeq: _*)
-        val pd = Paths.get(tableDir, "data",
-          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-        out.write.mode("overwrite").parquet(pd.toString)
-        val nf = listDir(pd).filter(_.toString.endsWith(".parquet"))
-          .map(p => canon(p).toString).sorted
+        val nf = morPostImageFiles(spark, tableDir, v, affected,
+          logicalSchema, colmap, prevDv,
+          _.filter(col(column).isin(values: _*)), set, "update-where-in-mor")
         (nf, morMarks(spark, tableDir, v, affected, physOpt,
           pcol, values, prevDv))
       }
@@ -2107,6 +2210,195 @@ object SnapshotLog {
       carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "update-where-in-mor")
+    v
+  }
+
+  /** The post-image half shared by the MOR updates: the matched rows
+    * (read THROUGH the current mask — an already-deleted row must not
+    * resurrect as an updated one) with each `set` assignment applied,
+    * written as new data files under version `v`'s data dir. Names and
+    * types must hold exactly; nullability may only NARROW (an
+    * unconditional `lit(x)` assignment is naturally non-nullable, and
+    * a required parquet column reads fine under the recorded optional
+    * schema — the reverse would let nulls into a claimed-non-null
+    * column and fails). Constraint funnel runs on exactly these rows. */
+  private def morPostImageFiles(spark: SparkSession, tableDir: String,
+      v: Long, affected: Seq[String],
+      logicalSchema: Option[org.apache.spark.sql.types.StructType],
+      colmap: Map[String, String], prevDv: Map[String, Seq[String]],
+      matched: DataFrame => DataFrame,
+      set: Map[String, org.apache.spark.sql.Column],
+      verb: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val base = matched(readFiles(spark, affected, logicalSchema, colmap,
+      prevDv.view.filterKeys(affected.toSet).toMap))
+    set.keys.foreach(c => require(base.columns.contains(c),
+      s"$verb assigns unknown column $c — updates never add columns"))
+    val updated = base.select(base.columns.map { c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))
+    }.toSeq: _*)
+    val schemaOk =
+      updated.schema.fields.length == base.schema.fields.length &&
+        updated.schema.fields.zip(base.schema.fields).forall {
+          case (w, r) => w.name == r.name && w.dataType == r.dataType &&
+            (r.nullable || !w.nullable)
+        }
+    require(schemaOk,
+      s"$verb must preserve the schema: ${base.schema} -> ${updated.schema}")
+    enforceConstraints(spark, tableDir, updated, verb)
+    val out =
+      if (colmap.isEmpty) updated
+      else updated.toDF(
+        base.columns.map(physName(colmap, _)).toIndexedSeq: _*)
+    val pd = Paths.get(tableDir, "data",
+      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    out.write.mode("overwrite").parquet(pd.toString)
+    listDir(pd).filter(_.toString.endsWith(".parquet"))
+      .map(p => canon(p).toString).sorted
+  }
+
+  /** The predicate-resolution front door of the general-predicate MOR
+    * verbs: resolve `predicate` against the table's LOGICAL schema
+    * (an empty local relation — no I/O) and return the analyzed
+    * condition, refusing the shapes the verbs cannot honor — an
+    * unresolvable/unknown column fails in Spark's own words, a
+    * NONDETERMINISTIC predicate would mask different rows than any
+    * re-evaluation sees, and a SUBQUERY has no meaning against the
+    * verb's own scan (materialize the key set and use the
+    * `*WhereIn[MOR]` form). */
+  private def resolveRowPredicate(spark: SparkSession, tableDir: String,
+      logicalSchema: Option[org.apache.spark.sql.types.StructType],
+      prevFiles: Seq[String], predicate: org.apache.spark.sql.Column,
+      verb: String): org.apache.spark.sql.catalyst.expressions.Expression = {
+    val schema = logicalSchema.getOrElse(
+      spark.read.parquet(prevFiles: _*).schema)
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val cond = probe.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.getOrElse(sys.error(
+      s"$verb on $tableDir: predicate did not resolve to a filter"))
+    require(cond.deterministic,
+      s"$verb on $tableDir: predicate `${predicate}` is " +
+        "non-deterministic — re-evaluation could mask different rows " +
+        "than the reader sees")
+    require(!cond.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+      s"$verb on $tableDir: predicate contains a subquery — " +
+        "materialize the key set and use the WhereIn[MOR] form, or " +
+        "read-transform-commit")
+    // constant-fold before the prune translator sees it: analysis
+    // leaves coercion casts AROUND literals (`k < CAST(8 AS BIGINT)`),
+    // and the stats/bloom patterns match bare Literal comparands —
+    // the optimizer would do this on a real scan, but this condition
+    // never passes through the optimizer (it exists only to prune)
+    cond.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow),
+          e.dataType)
+    }
+  }
+
+  /** MERGE-ON-READ delete for an ARBITRARY row predicate — the general
+    * form of [[deleteWhereInMOR]] (`DELETE FROM t WHERE price < 100 AND
+    * status = 'F'`, Delta's DV delete shape): mark every row the
+    * predicate matches, in O(matching rows) sidecar + one manifest,
+    * zero data files rewritten. The predicate speaks LOGICAL column
+    * names and must be deterministic and subquery-free (loud
+    * refusals — [[resolveRowPredicate]]); rows where it evaluates NULL
+    * are NOT matched (SQL `WHERE` semantics, same as the membership
+    * verbs' null rule). File pruning runs the resolved predicate
+    * through the same stats+bloom translator the SQL catalog pushes
+    * scan filters through ([[ScanPrune.kept]]): ranges prune on
+    * min/max intervals, equalities/INs on stats+bloom, IS [NOT] NULL
+    * on recorded null counts, AND/OR compose, and anything it cannot
+    * prove keeps the file — the candidate scan is then
+    * kept-files-sized, not table-sized, on a clustered layout.
+    * Positions come from the CURRENT visible rows; re-marking an
+    * already-masked position is a harmless duplicate under the
+    * anti-join. Publishes as the next version (op
+    * `delete-where-mor`); returns it. */
+  def deleteWhereMOR(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val colmap = colmapOf(prevManifest)
+    val prevDv = dvOf(prevManifest)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val cond = resolveRowPredicate(spark, tableDir, logicalSchema,
+      prevFiles, predicate, "deleteWhereMOR")
+    val kept = ScanPrune.kept(spark, tableDir, s"$tableDir@delete-where-mor",
+      prevFiles, prevManifest.get("stats"), logicalSchema, colmap,
+      Seq(cond)).toSet
+    val affected = prevFiles.filter(kept)
+    val newDv = morMarksWhere(spark, tableDir, v, affected,
+      logicalSchema.map(physSchema(_, colmap)),
+      logicalSchema.map(_.fieldNames.toSeq), predicate, prevDv)
+    publish(tableDir, v, prevFiles, carriedStats(prevManifest, prevFiles),
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest), dv = newDv, op = "delete-where-mor")
+    v
+  }
+
+  /** MERGE-ON-READ update for an ARBITRARY row predicate — the general
+    * form of [[updateWhereInMOR]] (`UPDATE t SET v = v * 2 WHERE
+    * price < 100`, the Delta-DV update shape): ONE commit that masks
+    * the matching rows and appends their post-images (read THROUGH the
+    * existing mask, each `set` assignment applied). Same predicate
+    * contract as [[deleteWhereMOR]] (logical names, deterministic,
+    * subquery-free, NULL never matches, stats+bloom file pruning via
+    * the resolved condition) and same guardrails as the membership
+    * update (schema preserved exactly, constraint funnel on the
+    * post-images). Publishes as the next version (op
+    * `update-where-mor`); returns it. */
+  def updateWhereMOR(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "updateWhereMOR wants at least one assignment")
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val colmap = colmapOf(prevManifest)
+    val prevDv = dvOf(prevManifest)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val cond = resolveRowPredicate(spark, tableDir, logicalSchema,
+      prevFiles, predicate, "updateWhereMOR")
+    val kept = ScanPrune.kept(spark, tableDir, s"$tableDir@update-where-mor",
+      prevFiles, prevManifest.get("stats"), logicalSchema, colmap,
+      Seq(cond)).toSet
+    val affected = prevFiles.filter(kept)
+    val (newFiles, newDv) =
+      if (affected.isEmpty) (Nil, prevDv)
+      else {
+        val nf = morPostImageFiles(spark, tableDir, v, affected,
+          logicalSchema, colmap, prevDv, _.filter(predicate), set,
+          "update-where-mor")
+        (nf, morMarksWhere(spark, tableDir, v, affected,
+          logicalSchema.map(physSchema(_, colmap)),
+          logicalSchema.map(_.fieldNames.toSeq), predicate, prevDv))
+      }
+    publish(tableDir, v, prevFiles ++ newFiles,
+      carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest), dv = newDv, op = "update-where-mor")
     v
   }
 

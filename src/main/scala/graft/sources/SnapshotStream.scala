@@ -290,7 +290,7 @@ private[graft] object ChangeFeed {
     * same version as delete rows); anything else appended is an
     * insert. */
   def label(op: String): String = op match {
-    case "update-where-in-mor" => "update_postimage"
+    case "update-where-in-mor" | "update-where-mor" => "update_postimage"
     case "merge-mor" => "upsert"
     case _ => "insert"
   }

@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo,
+  WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.{OutputWriter,
+  OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** The table-addressed exactly-once streaming INGEST sink —
+  * `df.writeStream.toTable("snap.ns.t")` — as a real DSv2
+  * [[StreamingWrite]]: executors write the micro-batch's rows straight
+  * to parquet data files through Spark's own parquet
+  * [[OutputWriter]] (the identical write stack `df.write.parquet`
+  * uses — dictionary encoding, codegen'd row conversion, footer
+  * stats), and the driver's per-epoch `commit` publishes ONE manifest
+  * referencing exactly the files the committed tasks reported
+  * ([[SnapshotLog.appendFilesIdempotent]]). Nothing row-sized ever
+  * touches the driver: tasks ship back (path, rowCount) pairs, the
+  * commit reads footers for stats — O(batch files), the same cost
+  * shape as the Scala append verb.
+  *
+  * Exactly-once is the format sink's discipline, shared via
+  * [[SnapshotLog.sinkBase]]: `v = base + epochId` where `base` is
+  * registered durably in the table's log the first time this query
+  * (the STABLE id — Spark passes `StreamExecution.id`, not `runId`,
+  * as the write's queryId) touches the table, so a restart from the
+  * checkpoint re-derives the same versions; a replayed epoch's commit
+  * declines at the manifest pre-check ONLY if the manifest carries
+  * this stream's txn tag (`queryId#epochId`), so a foreign commit
+  * interleaving with the arithmetic fails loudly instead of silently
+  * dropping the batch. A replayed epoch's re-written files orphan for
+  * [[SnapshotLog.vacuum]] — at-least-once task work, exactly-once
+  * table state.
+  *
+  * Files land under `data/stream-<queryId>/` with epoch + partition +
+  * uuid names — version-independent paths, because a task writes
+  * before the driver derives the version; manifests record canonical
+  * absolute paths, so placement inside `data/` is all vacuum needs.
+  * One file per non-empty input partition per epoch (empty partitions
+  * write NOTHING — the writer opens its file lazily on the first
+  * row), the same small-file cost shape as the format sink's
+  * `df.write.parquet`, with `compactDeletes`/`optimize` as the
+  * standing answer once a table accumulates ingest files. */
+private[sources] class SnapshotStreamingWrite(spark: SparkSession,
+    tableDir: String, tName: String, queryId: String,
+    physicalSchema: StructType)
+    extends StreamingWrite {
+
+  private val safeQuery = queryId.replaceAll("[^A-Za-z0-9_-]", "_")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // Spark's parquet write stack, prepared ONCE on the driver: the
+    // returned factory and the job configuration (schema string,
+    // codec, timestamp encoding — all resolved from this session's
+    // conf) serialize to every task
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(
+      spark, job, Map.empty, physicalSchema)
+    val dataDir = Paths.get(tableDir, "data", s"stream-$safeQuery")
+      .toAbsolutePath.normalize.toString
+    new SnapshotStreamWriterFactory(owf, physicalSchema, dataDir,
+      new SerializableHadoopConf(job.getConfiguration))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq.collect {
+      case SnapshotWriteMessage(p, n) if p != null && n > 0 => p }
+    val base = SnapshotLog.sinkBase(tableDir, queryId, epochId)
+    SnapshotLog.appendFilesIdempotent(spark, tableDir, files,
+      base + epochId, txn = Some(s"$queryId#$epochId")): Unit
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    // best-effort: anything a failed epoch leaves behind is an
+    // unreferenced file under data/, exactly what vacuum reclaims
+    messages.foreach {
+      case SnapshotWriteMessage(p, _) if p != null =>
+        try Files.deleteIfExists(Paths.get(p)): Unit
+        catch { case _: Exception => () }
+      case _ => ()
+    }
+
+  override def toString: String =
+    s"SnapshotStreamingWrite($tName @ $tableDir)"
+}
+
+/** Task-side half: one lazily-opened parquet [[OutputWriter]] per
+  * (epoch, partition) — opened on the FIRST row, so empty partitions
+  * report zero files instead of littering the table with empty
+  * parquet. The commit message carries (path, rowCount); under
+  * Spark's streaming commit coordinator only one attempt per
+  * partition commits, and losers' files orphan for vacuum. */
+private class SnapshotStreamWriterFactory(owf: OutputWriterFactory,
+    schema: StructType, dataDir: String, conf: SerializableHadoopConf)
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
+      new org.apache.hadoop.mapreduce.TaskID(
+        new org.apache.hadoop.mapreduce.JobID("graft-stream",
+          (epochId % Int.MaxValue).toInt),
+        org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      new org.apache.hadoop.conf.Configuration(conf.value), attempt)
+    val path = s"$dataDir/e$epochId-p$partitionId-" +
+      java.util.UUID.randomUUID.toString.take(8) +
+      owf.getFileExtension(ctx)
+    new SnapshotStreamDataWriter(owf, schema, path, ctx)
+  }
+}
+
+private class SnapshotStreamDataWriter(owf: OutputWriterFactory,
+    schema: StructType, path: String,
+    ctx: org.apache.hadoop.mapreduce.TaskAttemptContext)
+    extends DataWriter[InternalRow] {
+
+  private var writer: OutputWriter = _
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) writer = owf.newInstance(path, schema, ctx)
+    writer.write(record)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); writer = null }
+    SnapshotWriteMessage(if (rows > 0) path else null, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case _: Exception => () }
+      writer = null
+    }
+    try Files.deleteIfExists(Paths.get(path)): Unit
+    catch { case _: Exception => () }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** (path, rows) from each committed task — the only thing that
+  * crosses the executor→driver boundary per partition. */
+private[sources] case class SnapshotWriteMessage(path: String, rows: Long)
+  extends WriterCommitMessage
+
+/** Hadoop `Configuration` is not `Serializable`; this is the standard
+  * write/readFields envelope for shipping the prepared job conf to
+  * tasks. */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}

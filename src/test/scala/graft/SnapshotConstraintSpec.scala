@@ -135,6 +135,49 @@ class SnapshotConstraintSpec extends SparkSpec {
       .head.getLong(0) == 33L)
   }
 
+  test("ANSI constraint DDL: ALTER TABLE ADD/DROP CONSTRAINT and CREATE TABLE … CHECK") {
+    root
+    val dir = seed("ddl")
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    // ALTER TABLE ADD CONSTRAINT routes to the log's own add: the
+    // live data is validated first (k max is 32 — k < 10 refuses)
+    val e0 = intercept[Exception] { spark.sql(
+      "ALTER TABLE cns.lake.ddl ADD CONSTRAINT k_small CHECK (k < 10)") }
+    assert(msgs(e0).contains("existing data") || msgs(e0).contains("violat"),
+      msgs(e0).take(400))
+    spark.sql("ALTER TABLE cns.lake.ddl ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(SnapshotLog.constraints(dir).map(_._1) == Seq("v_pos"))
+    // …and the guard is live: a violating SQL INSERT refuses
+    val e1 = intercept[Exception] { spark.sql(
+      "INSERT INTO cns.lake.ddl VALUES (CAST(900 AS BIGINT), CAST(-1 AS BIGINT))") }
+    assert(msgs(e1).contains("v_pos"), msgs(e1).take(400))
+    // the Table reports its constraints (DESCRIBE's raw material)
+    val reported = spark.sessionState.catalogManager.catalog("cns")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "ddl")).constraints()
+    assert(reported.length == 1 && reported(0).name() == "v_pos" &&
+      reported(0).enforced(), reported.mkString(", "))
+    // DROP CONSTRAINT drops the guard; IF EXISTS swallows a repeat
+    spark.sql("ALTER TABLE cns.lake.ddl DROP CONSTRAINT v_pos")
+    assert(SnapshotLog.constraints(dir).isEmpty)
+    spark.sql("ALTER TABLE cns.lake.ddl DROP CONSTRAINT IF EXISTS v_pos")
+    val e2 = intercept[Exception] { spark.sql(
+      "ALTER TABLE cns.lake.ddl DROP CONSTRAINT v_pos") }
+    assert(msgs(e2).contains("v_pos"), msgs(e2).take(400))
+    // CREATE TABLE with an inline CHECK: genesis + dotfile in one
+    // statement, enforced from the first INSERT
+    spark.sql("CREATE TABLE cns.lake.ddlc (k BIGINT, v BIGINT, " +
+      "CONSTRAINT v_nn CHECK (v IS NOT NULL))")
+    assert(SnapshotLog.constraints(s"$root/lake/ddlc").map(_._1) == Seq("v_nn"))
+    spark.sql("INSERT INTO cns.lake.ddlc VALUES (CAST(1 AS BIGINT), CAST(5 AS BIGINT))")
+    val e3 = intercept[Exception] { spark.sql(
+      "INSERT INTO cns.lake.ddlc VALUES (CAST(2 AS BIGINT), CAST(NULL AS BIGINT))") }
+    assert(msgs(e3).contains("v_nn"), msgs(e3).take(400))
+    assert(spark.sql("SELECT count(*) FROM cns.lake.ddlc").head.getLong(0) == 1L)
+  }
+
   test("restore is exempt by design: it may resurrect rows that predate the constraint") {
     val dir = seed("resc")                                  // v0: v in 10..320
     SnapshotLog.commit(spark, dir, spark.range(1, 9)

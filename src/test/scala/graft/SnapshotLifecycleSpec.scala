@@ -222,6 +222,28 @@ class SnapshotLifecycleSpec extends SparkSpec {
       e.getMessage.take(300))
   }
 
+  test("DataFrameWriterV2: writeTo(...).create() is CTAS, .append() the V1 bridge") {
+    root
+    spark.range(3).select(col("id").as("k"), (col("id") * 7).as("v"))
+      .writeTo("lc.lake.w2").create()
+    val dir = s"$root/lake/w2"
+    assert(SnapshotLog.history(dir).sortBy(_.version).map(_.op) ==
+      Seq("create-table", "append"))
+    spark.range(3, 5).select(col("id").as("k"), (col("id") * 7).as("v"))
+      .writeTo("lc.lake.w2").append()
+    assert(SnapshotLog.read(spark, dir).count() == 5L)
+    assert(SnapshotLog.history(dir).maxBy(_.version).op == "append")
+    // the typed face enforces the recorded schema like every append
+    val e = intercept[Exception] {
+      spark.range(1).select(col("id").cast("string").as("k"),
+        col("id").as("v")).writeTo("lc.lake.w2").append()
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    assert(msgs(e).toLowerCase.contains("schema") ||
+      msgs(e).toLowerCase.contains("cast"), msgs(e).take(300))
+  }
+
   test("namespace DDL: create = mkdir, drop only when empty, CASCADE refused") {
     root
     spark.sql("CREATE NAMESPACE lc.ns2")

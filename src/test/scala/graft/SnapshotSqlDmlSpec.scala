@@ -171,22 +171,79 @@ class SnapshotSqlDmlSpec extends SparkSpec {
       .head.getLong(0) == 0L) // still masked
   }
 
+  test("general predicates route to the WhereMOR verbs, hash-matching the Scala twins") {
+    val (a, b, sqlA, _) = twins("gpred")
+    // range DELETE — no membership list, masked by the predicate
+    spark.sql(s"DELETE FROM $sqlA WHERE k < 5")
+    SnapshotLog.deleteWhereMOR(spark, b, col("k") < 5L)
+    val (ra, opA, filesA, dvA) = state(a)
+    val (rb, opB, filesB, dvB) = state(b)
+    assert(ra == rb && ra.size == 59)
+    assert(opA == "delete-where-mor" && opB == opA)
+    // file count unchanged (no rewrite) and masks present on both;
+    // the PER-FILE dv spread may differ — repartitionByRange samples
+    // with an RDD-id-derived seed, so the twins' range boundaries can
+    // legitimately split the matched rows across different files
+    assert(filesA == 4 && filesB == 4 && dvA > 0 && dvB > 0,
+      s"files=$filesA/$filesB dv=$dvA/$dvB — general DELETE must be MOR")
+    // cross-column OR + arithmetic — the shapes the membership path
+    // refused for years
+    spark.sql(s"DELETE FROM $sqlA WHERE k = 60 OR v % 100 = 49")
+    SnapshotLog.deleteWhereMOR(spark, b,
+      col("k") === 60L || col("v") % 100 === 49L)
+    assert(state(a)._1 == state(b)._1)
+    // general UPDATE: mask + post-image in one commit, assignments see
+    // the pre-image
+    spark.sql(s"UPDATE $sqlA SET v = v + 1000000 WHERE k >= 40 AND k < 44")
+    SnapshotLog.updateWhereMOR(spark, b, col("k") >= 40L && col("k") < 44L,
+      Map("v" -> (col("v") + 1000000L)))
+    val (ra2, opA2, _, dvA2) = state(a)
+    val (rb2, opB2, _, dvB2) = state(b)
+    assert(ra2 == rb2 && opA2 == "update-where-mor" && opB2 == opA2 &&
+      dvA2 > 0 && dvB2 > 0)
+    assert(spark.sql(s"SELECT v FROM $sqlA WHERE k = 41").head.getLong(0) ==
+      41L * 7 + 1000000L)
+    // NULL never matches (SQL WHERE semantics): a predicate that is
+    // NULL for every row masks nothing and publishes a dv-free version
+    val vBefore = SnapshotLog.read(spark, a).count()
+    spark.sql(s"DELETE FROM $sqlA WHERE k < CAST(NULL AS BIGINT)")
+    assert(SnapshotLog.read(spark, a).count() == vBefore)
+    // under a COLUMN MAP the predicate speaks the LOGICAL name; the
+    // marks scan restates physical columns under it
+    val (m, _, sqlM, _) = twins("gmap")
+    SnapshotLog.renameColumn(m, "v", "val")
+    spark.sql(s"DELETE FROM $sqlM WHERE val >= 7 AND val < 70") // k 1..9
+    assert(SnapshotLog.read(spark, m).count() == 55L)
+    assert(SnapshotLog.read(spark, m).columns.toSeq == Seq("k", "val"))
+    // the predicate prunes files before the position scan: a range ask
+    // on the clustered key keeps a strict subset (ScanPrune decision)
+    val (c, _, sqlC, _) = twins("gprune")
+    spark.sql(s"DELETE FROM $sqlC WHERE k >= 0 AND k < 8")
+    val dec = graft.sources.ScanPrune.decisions.collectFirst {
+      case (name, d) if name.contains("gprune_a@delete-where-mor") => d }
+    assert(dec.exists { case (kept, total) => kept < total && total == 4 },
+      s"expected a pruned candidate set, got $dec")
+    assert(SnapshotLog.read(spark, c).count() == 56L)
+  }
+
   test("untranslatable shapes refuse loudly, naming the Scala API") {
     val (_, _, sqlA, _) = twins("refuse")
     def rootMsg(x: Throwable): String =
       if (x == null) "" else x.getMessage + "\n" + rootMsg(x.getCause)
-    // range predicate: no membership list to mask by
+    // subquery predicate: no meaning against the verb's own later scan
     val e1 = intercept[Exception] {
-      spark.sql(s"DELETE FROM $sqlA WHERE k < 5") }
-    assert(rootMsg(e1).contains("deleteWhereIn"), rootMsg(e1).take(300))
+      spark.sql(s"DELETE FROM $sqlA WHERE k IN (SELECT id FROM range(5))") }
+    assert(rootMsg(e1).contains("subquery") ||
+      rootMsg(e1).contains("deleteWhereIn"), rootMsg(e1).take(300))
     // UPDATE without WHERE: whole-table rewrite
     val e2 = intercept[Exception] {
       spark.sql(s"UPDATE $sqlA SET v = 0") }
     assert(rootMsg(e2).contains("updateWhereIn"), rootMsg(e2).take(300))
-    // cross-column OR
+    // non-deterministic predicate: the masked set must be the one
+    // every re-evaluation sees
     val e3 = intercept[Exception] {
-      spark.sql(s"DELETE FROM $sqlA WHERE k = 1 OR v = 14") }
-    assert(rootMsg(e3).contains("deleteWhereIn"), rootMsg(e3).take(300))
+      spark.sql(s"DELETE FROM $sqlA WHERE rand() < 0.5") }
+    assert(rootMsg(e3).contains("non-deterministic"), rootMsg(e3).take(300))
     // MERGE with a partial (non-whole-row) update
     spark.range(3).select(col("id").as("k"), col("id").as("v"))
       .createOrReplaceTempView("refuse_src")

@@ -217,6 +217,149 @@ class SnapshotStreamSpec extends SparkSpec {
       eM.getMessage.take(300))
   }
 
+  test("writeStream.toTable is the exactly-once V2 streaming sink (executor-side parquet writers)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    val root = java.nio.file.Files.createTempDirectory("graft_tablesink_")
+    java.nio.file.Files.createDirectories(root.resolve("lake"))
+    spark.conf.set("spark.sql.catalog.scw", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.scw.root", root.toString)
+    val t = root.resolve("lake").resolve("w").toString
+    try {
+      spark.sql("CREATE TABLE scw.lake.w (k BIGINT, v BIGINT, " +
+        "CONSTRAINT v_nn CHECK (v >= 0))")
+      val ckpt = s"$scratch/tablesink_ckpt"
+      val in = MemoryStream[(Long, Long)]
+      def start() = in.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", ckpt).toTable("scw.lake.w")
+      val q = start()
+      try {
+        in.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+        in.addData((3L, 30L)); q.processAllAvailable()
+        assert(SnapshotLog.read(spark, t).count() == 3)
+        // one version per epoch on the genesis; append provenance
+        assert(SnapshotLog.latestVersion(t).contains(2L))
+        assert(SnapshotLog.history(t).sortBy(_.version).map(_.op) ==
+          Seq("create-table", "append", "append"))
+        // the executor-written files carry harvested footer stats —
+        // the stats-pruned point read equals the exact filter
+        val pruned = SnapshotLog.readWhere(spark, t, "k",
+          lower = Some(3L), upper = Some(3L))
+        assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .toSeq == Seq((3L, 30L)))
+      } finally q.stop()
+      // restart on the SAME checkpoint: the durable base keeps
+      // versions dense (queryId is the stable id, not runId)
+      val q2 = start()
+      try {
+        in.addData((4L, 40L)); q2.processAllAvailable()
+        assert(SnapshotLog.read(spark, t).count() == 4)
+        assert(SnapshotLog.latestVersion(t).contains(3L))
+        // CHECK constraints guard this surface like every other
+        // row-creating verb: the violating epoch fails loudly and
+        // publishes nothing
+        in.addData((5L, -50L))
+        val eC = intercept[StreamingQueryException] { q2.processAllAvailable() }
+        assert(msgs(eC).contains("v_nn"), msgs(eC).take(400))
+        assert(SnapshotLog.latestVersion(t).contains(3L))
+        assert(SnapshotLog.read(spark, t).count() == 4)
+      } finally q2.stop()
+      // a FOREIGN commit interleaving with the arithmetic is theft:
+      // the sink refuses loudly instead of dropping its batch.
+      // (fresh checkpoint — the poisoned epoch above would replay)
+      SnapshotLog.dropConstraint(t, "v_nn")
+      val q3 = in.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", s"$scratch/tablesink_ckpt3")
+        .toTable("scw.lake.w")
+      try {
+        in.addData((6L, 60L)); q3.processAllAvailable()
+        SnapshotLog.commitAppend(spark, t, spark.range(100, 101)
+          .select(col("id").as("k"), col("id").as("v")))
+        in.addData((7L, 70L))
+        val eF = intercept[StreamingQueryException] { q3.processAllAvailable() }
+        assert(msgs(eF).contains("foreign commit") || msgs(eF).contains("gap"),
+          msgs(eF).take(400))
+      } finally q3.stop()
+      // schema mismatch refuses loudly at stream start — this surface
+      // never evolves schema
+      val eS = intercept[Exception] {
+        val qs = in.toDF().toDF("k", "wrong").writeStream
+          .option("checkpointLocation", s"$scratch/tablesink_ckpt4")
+          .toTable("scw.lake.w")
+        try qs.processAllAvailable() finally qs.stop()
+      }
+      assert(msgs(eS).toLowerCase.contains("schema") ||
+        msgs(eS).contains("wrong"), msgs(eS).take(400))
+      // toTable on a MISSING table creates it through the catalog (the
+      // schema-only genesis) and streams into it
+      val in2 = MemoryStream[(Long, Long)]
+      val q4 = in2.toDF().toDF("a", "b").writeStream
+        .option("checkpointLocation", s"$scratch/tablesink_ckpt5")
+        .toTable("scw.lake.fresh")
+      try {
+        in2.addData((1L, 2L)); q4.processAllAvailable()
+        val ft = root.resolve("lake").resolve("fresh").toString
+        assert(SnapshotLog.history(ft).sortBy(_.version).map(_.op) ==
+          Seq("create-table", "append"))
+        assert(spark.sql("SELECT a, b FROM scw.lake.fresh").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+      } finally q4.stop()
+    } finally {
+      spark.conf.unset("spark.sql.catalog.scw.root")
+      spark.conf.unset("spark.sql.catalog.scw")
+    }
+  }
+
+  test("toTable streaming writes speak PHYSICAL names under a column map") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_tablesink_cm_")
+    java.nio.file.Files.createDirectories(root.resolve("lake"))
+    spark.conf.set("spark.sql.catalog.scm", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.scm.root", root.toString)
+    val t = root.resolve("lake").resolve("m").toString
+    try {
+      SnapshotLog.commit(spark, t, spark.range(2).select(
+        col("id").as("key"), (col("id") * 10).as("src")).repartition(1))
+      // activate the column map: src → a fresh logical name
+      SnapshotLog.renameColumn(t, "src", "source")
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        t, "_log", s"${SnapshotLog.latestVersion(t).get}.json"))
+        .contains("colmap"))
+      val in = MemoryStream[(Long, Long)]
+      val q = in.toDF().toDF("key", "source").writeStream
+        .option("checkpointLocation", s"$scratch/tablesink_cm_ckpt")
+        .toTable("scm.lake.m")
+      try {
+        in.addData((7L, 70L)); q.processAllAvailable()
+        // logical read sees the row under the logical name…
+        val rows = spark.sql("SELECT key, source FROM scm.lake.m")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(rows == Map(0L -> 0L, 1L -> 10L, 7L -> 70L))
+        // …and the stream-written FILE carries the physical name (the
+        // original 'src' — rename was metadata-only)
+        val streamed = SnapshotLog.read(spark, t) // resolves mask/map
+        assert(streamed.columns.toSeq == Seq("key", "source"))
+        val fresh = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(t, "data")).iterator()
+        val streamFile = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(fresh).asScala
+          .find(p => p.toString.contains("stream-") &&
+            p.toString.endsWith(".parquet"))
+        assert(streamFile.isDefined, "no stream-written file found")
+        assert(spark.read.parquet(streamFile.get.toString)
+          .columns.toSeq == Seq("key", "src"))
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.catalog.scm.root")
+      spark.conf.unset("spark.sql.catalog.scm")
+    }
+  }
+
   test("readStream.table through the catalog is the same stream; changeFeed names the format surface") {
     val root = java.nio.file.Files.createTempDirectory("graft_catstream_")
     java.nio.file.Files.createDirectories(root.resolve("lake"))
