@@ -782,6 +782,73 @@ object MigrationOps {
     }
   }
 
+  /** GENERAL SQL MERGE driver-gated
+    * ([[graft.sources.SnapshotLog.mergeWhereMOR]] through the
+    * [[graft.sources.SnapshotSqlDml]] general translation): the full
+    * clause algebra in ONE statement — two CONDITIONAL matched
+    * clauses (first passing wins: status-F rows take the source
+    * price, status-O rows delete), a PARTIAL assignment (only
+    * o_price_c — the other columns keep their pre-image), a GUARDED
+    * insert (negative synthetic keys only), and WHEN NOT MATCHED BY
+    * SOURCE zeroing a key-suffix slice of the untouched rows. The
+    * require()s pin the op (`merge-where-mor`), the MOR shape (zero
+    * files rewritten, dv present), and the RESULT is the final read
+    * vs the oracle's relational reconstruction of all four clauses. */
+  val snapMergeGeneralSql: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_gmerge_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"gmerge_$tok"
+    val srcView = s"gmerge_src_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      val tdir = scratchP.resolve("lake").resolve("t").toString
+      graft.sources.SnapshotLog.commit(s, tdir,
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), cents(col("o_totalprice")).as("o_price_c"))
+          .repartitionByRange(8, col("o_orderkey")))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("key"),
+          (col("o_orderkey") + 123456L).as("newprice"))
+        .union(s.sql("SELECT CAST(-1 AS BIGINT), CAST(111 AS BIGINT) " +
+          "UNION ALL SELECT -2, 222 UNION ALL SELECT -3, 333"))
+        .createOrReplaceTempView(srcView)
+      val filesBefore = graft.sources.SnapshotLog.history(tdir)
+        .maxBy(_.version).files
+      s.sql(s"""MERGE INTO $cat.lake.t t USING $srcView s
+        ON t.o_orderkey = s.key
+        WHEN MATCHED AND t.o_orderstatus = 'F'
+          THEN UPDATE SET o_price_c = s.newprice
+        WHEN MATCHED AND t.o_orderstatus = 'O' THEN DELETE
+        WHEN NOT MATCHED AND s.key < 0 THEN INSERT
+          (o_orderkey, o_custkey, o_orderstatus, o_price_c)
+          VALUES (s.key, CAST(0 AS BIGINT), 'Z', s.newprice)
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 100 = 7
+          THEN UPDATE SET o_price_c = CAST(0 AS BIGINT)""")
+      val h = graft.sources.SnapshotLog.history(tdir).maxBy(_.version)
+      require(h.op == "merge-where-mor" && h.dvFiles > 0 &&
+        h.files >= filesBefore,
+        s"general MERGE must be MOR: op=${h.op} files=${h.files}/" +
+          s"$filesBefore dv=${h.dvFiles}")
+      val res = s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        s"o_price_c FROM $cat.lake.t")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.catalog.dropTempView(srcView): Unit
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** GENERAL-predicate SQL DML driver-gated
     * ([[graft.sources.SnapshotLog.deleteWhereMOR]] /
     * [[graft.sources.SnapshotLog.updateWhereMOR]] through the
@@ -1183,6 +1250,7 @@ object MigrationOps {
     "snap_delete_mor" -> snapDeleteMor,
     "snap_dml_sql" -> snapDmlSql,
     "snap_dml_pred_sql" -> snapDmlPredSql,
+    "snap_merge_general_sql" -> snapMergeGeneralSql,
     "snap_constraint_sql" -> snapConstraintSql,
     "snap_lifecycle_sql" -> snapLifecycleSql,
     "snap_stream_table_sink" -> snapStreamTableSink,
@@ -1385,6 +1453,27 @@ object MigrationOps {
                THEN 777 ELSE 0 END AS o_price_c
          FROM orders
          WHERE CAST(round(o_totalprice*100) AS BIGINT) >= 5000000""",
+    // the general SQL MERGE (conditional matched clauses first-wins,
+    // partial assignment, guarded insert, by-source update) must equal
+    // the relational reconstruction: matched keys end in 3 — 'F' takes
+    // the source price, 'O' deletes, others unchanged; unmatched keys
+    // with suffix 07 zero out; three negative synthetic rows insert
+    "snap_merge_general_sql" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 3 AND o_orderstatus = 'F'
+                  THEN o_orderkey + 123456
+                WHEN o_orderkey % 10 <> 3 AND o_orderkey % 100 = 7
+                  THEN 0
+                ELSE CAST(round(o_totalprice*100) AS BIGINT)
+           END AS o_price_c
+         FROM orders
+         WHERE NOT (o_orderkey % 10 = 3 AND o_orderstatus = 'O')
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(111 AS BIGINT)
+         UNION ALL
+         SELECT CAST(-2 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(222 AS BIGINT)
+         UNION ALL
+         SELECT CAST(-3 AS BIGINT), CAST(0 AS BIGINT), 'Z', CAST(333 AS BIGINT)""",
     // CHECK constraint enforcement: the valid insert lands, the
     // violating one refuses (require()d in the query) — the final
     // table is the slice plus exactly the one valid synthetic row

@@ -69,16 +69,20 @@ private[graft] trait SnapshotSqlTable {
   *    one every re-evaluation sees).
   *  - UPDATE assignment values may reference the row's own columns
   *    (`SET v = v + 1`) but not subqueries.
-  *  - MERGE translates exactly two shapes: the full upsert (matched
-  *    UPDATE + not-matched INSERT assigning every target column the
-  *    same source expression — `mergeIntoMOR`'s post-image feed
-  *    semantics, where an insert on an existing key upserts and a
-  *    matched update's post-image replaces the whole row) and the
-  *    delete feed (a sole matched DELETE; absent keys no-op, the
-  *    verb's contract). Conditional actions, partial assignments,
-  *    NOT MATCHED BY SOURCE, and schema evolution refuse naming
-  *    `SnapshotLog.mergeIntoMOR`. The verb's one-row-per-key feed
-  *    require() doubles as SQL MERGE's cardinality check.
+  *  - MERGE translates the FULL clause algebra (round 17's sixth
+  *    push): the two keyed whole-row FEED shapes (full unconditional
+  *    upsert; sole unconditional matched DELETE on a single-equality
+  *    ON) keep their dedicated `mergeIntoMOR` fast path, and
+  *    EVERYTHING else — conditional matched clauses (first passing
+  *    clause wins), PARTIAL assignments (unassigned columns keep
+  *    their pre-image), multiple clauses, guarded inserts, WHEN NOT
+  *    MATCHED BY SOURCE, arbitrary deterministic ON — routes to
+  *    `SnapshotLog.mergeWhereMOR` (O(matching rows) masks +
+  *    post-image/insert files, one commit). Still refused loudly:
+  *    WITH SCHEMA EVOLUTION (evolve first, then merge), subqueries
+  *    in clause expressions, and non-deterministic expressions; SQL
+  *    MERGE's cardinality rule (two source rows acting on one target
+  *    row) refuses inside the verb naming the row address.
   */
 object SnapshotSqlDml extends Rule[LogicalPlan] {
 
@@ -249,84 +253,144 @@ object SnapshotSqlDml extends Rule[LogicalPlan] {
       matched: Seq[MergeAction], notMatched: Seq[MergeAction],
       notMatchedBySource: Seq[MergeAction],
       withSchemaEvolution: Boolean): LogicalPlan = {
-    def refuse(why: String): Nothing = sys.error(
-      s"MERGE INTO $dir: $why — the log's SQL MERGE translates exactly " +
-        "two shapes: the full upsert (WHEN MATCHED THEN UPDATE SET " +
-        "<every column = source expr> WHEN NOT MATCHED THEN INSERT " +
-        "<same exprs>) and the delete feed (a sole WHEN MATCHED THEN " +
-        "DELETE); anything else is SnapshotLog.mergeIntoMOR's Scala " +
-        "feed surface")
-    if (withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is unsupported")
-    if (notMatchedBySource.nonEmpty) refuse(
-      "WHEN NOT MATCHED BY SOURCE is unsupported (the feed never sees " +
-        "unmatched target rows)")
+    def refuse(why: String): Nothing = sys.error(s"MERGE INTO $dir: $why")
+    if (withSchemaEvolution) refuse(
+      "WITH SCHEMA EVOLUTION is unsupported — evolve first (ALTER TABLE " +
+        "ADD COLUMN, or an append with mergeSchema), then merge")
     val targetRel = EliminateSubqueryAliases(target)
     val tableCols: Seq[Attribute] = targetRel.output
     val srcOut = source.outputSet
-    // the ON clause must be a single target-key = source-expr equality:
-    // that key is the verb's merge key, and the source side becomes the
-    // feed's key column
-    val (keyAttr, srcKeyExpr) = mergeCond match {
-      case EqualTo(a: AttributeReference, e)
-          if targetRel.outputSet.contains(a) && e.references.subsetOf(srcOut) =>
-        (a, e)
-      case EqualTo(e, a: AttributeReference)
-          if targetRel.outputSet.contains(a) && e.references.subsetOf(srcOut) =>
-        (a, e)
-      case other => refuse(s"ON condition `${other.sql}` is not a single " +
-        "target-column = source-expression equality")
+
+    // ---- FAST PATH: the keyed whole-row FEED shapes (mergeIntoMOR) —
+    // a single target-key = source-expr ON, and either the sole
+    // unconditional matched DELETE or the full unconditional upsert.
+    // Anything that doesn't fit falls to the GENERAL translation
+    // below instead of refusing (round 17's sixth-push completion).
+    def fastPath: Option[LogicalPlan] = {
+      if (notMatchedBySource.nonEmpty) return None
+      val keyOpt = mergeCond match {
+        case EqualTo(a: AttributeReference, e)
+            if targetRel.outputSet.contains(a) &&
+              e.references.subsetOf(srcOut) => Some((a, e))
+        case EqualTo(e, a: AttributeReference)
+            if targetRel.outputSet.contains(a) &&
+              e.references.subsetOf(srcOut) => Some((a, e))
+        case _ => None
+      }
+      keyOpt.flatMap { case (keyAttr, srcKeyExpr) =>
+        (matched, notMatched) match {
+          // delete feed: sole unconditional matched DELETE
+          case (Seq(DeleteAction(None)), Seq()) =>
+            val feedExprs: Seq[NamedExpression] = tableCols.map { c =>
+              if (c.exprId == keyAttr.exprId) Alias(srcKeyExpr, c.name)()
+              else Alias(Literal.create(null, c.dataType), c.name)()
+            } :+ Alias(Literal.create("delete",
+              org.apache.spark.sql.types.StringType), "op")()
+            Some(SnapshotMergeSqlCommand(dir,
+              Project(feedExprs, source), keyAttr.name))
+          // upsert: unconditional full-row UPDATE + INSERT assigning
+          // the same source expressions
+          case (Seq(UpdateAction(None, uAssigns, _)),
+              Seq(InsertAction(None, iAssigns))) =>
+            def toMap(as: Seq[Assignment]): Option[Map[ExprId, Expression]] =
+              Some(as.collect {
+                case Assignment(k: AttributeReference, v) => k.exprId -> v
+              }.toMap).filter(_.size == as.size)
+            for {
+              uMap <- toMap(uAssigns)
+              iMap <- toMap(iAssigns)
+              exprs <- Some(tableCols.flatMap { c =>
+                for {
+                  u <- uMap.get(c.exprId)
+                  i <- iMap.get(c.exprId)
+                  if u.semanticEquals(i) && u.references.subsetOf(srcOut) &&
+                    !u.exists(_.isInstanceOf[PlanExpression[_]])
+                } yield Alias(u, c.name)()
+              }).filter(_.size == tableCols.size)
+              keyExpr = exprs(tableCols.indexWhere(_.exprId == keyAttr.exprId))
+                .child
+              if keyExpr.semanticEquals(srcKeyExpr)
+            } yield SnapshotMergeSqlCommand(dir,
+              Project(exprs :+ Alias(Literal.create("update",
+                org.apache.spark.sql.types.StringType), "op")(), source),
+              keyAttr.name)
+          case _ => None
+        }
+      }
     }
-    (matched, notMatched) match {
-      // ---- delete feed: sole matched DELETE, nothing else ----
-      case (Seq(DeleteAction(None)), Seq()) =>
-        val feedExprs: Seq[NamedExpression] = tableCols.map { c =>
-          if (c.exprId == keyAttr.exprId) Alias(srcKeyExpr, c.name)()
-          else Alias(Literal.create(null, c.dataType), c.name)()
-        } :+ Alias(Literal.create("delete", org.apache.spark.sql.types.StringType), "op")()
-        SnapshotMergeSqlCommand(dir, Project(feedExprs, source), keyAttr.name)
-      case (Seq(DeleteAction(Some(c))), Seq()) =>
-        refuse(s"conditional WHEN MATCHED AND ${c.sql} THEN DELETE is " +
-          "unsupported (fold the condition into the source)")
-      // ---- upsert: matched UPDATE + not-matched INSERT, full rows ----
-      case (Seq(UpdateAction(None, uAssigns, _)), Seq(InsertAction(None, iAssigns))) =>
-        def toMap(as: Seq[Assignment], what: String): Map[ExprId, Expression] =
-          as.map {
-            case Assignment(k: AttributeReference, v) => k.exprId -> v
+
+    // ---- GENERAL PATH: arbitrary ON, conditional/partial/multiple
+    // clauses, NOT MATCHED BY SOURCE → SnapshotLog.mergeWhereMOR.
+    // Every expression rewrites its resolved attributes to the verb's
+    // `t.<col>` / `s.<col>` alias vocabulary and re-resolves there.
+    def generalTranslate(): LogicalPlan = {
+      def rewrite(e: Expression, allowSource: Boolean,
+          what: String): Expression = {
+        if (e.exists(_.isInstanceOf[PlanExpression[_]])) refuse(
+          s"$what carries a subquery — materialize it into the source " +
+            "relation first")
+        if (!e.deterministic) refuse(
+          s"$what is non-deterministic — the matched/masked row set " +
+            "must be the one every re-evaluation sees")
+        e.transform {
+          case a: AttributeReference if targetRel.outputSet.contains(a) =>
+            UnresolvedAttribute(Seq("t", a.name))
+          case a: AttributeReference if srcOut.contains(a) =>
+            if (!allowSource) refuse(
+              s"$what references source column ${a.name} in a NOT " +
+                "MATCHED BY SOURCE clause — there is no source row there")
+            UnresolvedAttribute(Seq("s", a.name))
+          case a: AttributeReference => refuse(
+            s"$what references ${a.name} from neither the target nor " +
+              "the source")
+        }
+      }
+      def colOf(e: Expression, allowSource: Boolean, what: String) =
+        Bridge.column(rewrite(e, allowSource, what))
+      def setOf(assigns: Seq[Assignment], allowSource: Boolean,
+          what: String): Map[String, org.apache.spark.sql.Column] =
+        assigns.flatMap {
+          // identity fills (alignment assigns unmentioned columns to
+          // themselves) are "keep the pre-image" — the verb's default
+          case Assignment(k: AttributeReference, a: AttributeReference)
+              if a.exprId == k.exprId => None
+          case Assignment(k: AttributeReference, v) =>
+            Some(k.name -> colOf(v, allowSource, s"$what SET ${k.name}"))
+          case Assignment(other, _) => refuse(
+            s"$what assigns non-top-level target ${other.sql} — the " +
+              "log's updates are top-level-only")
+        }.toMap
+      def clauseOf(a: MergeAction, allowSource: Boolean,
+          what: String): SnapshotLog.MergeClause = a match {
+        case UpdateAction(c, assigns, _) => SnapshotLog.MergeUpdate(
+          c.map(colOf(_, allowSource, s"$what condition")),
+          setOf(assigns, allowSource, s"$what UPDATE"))
+        case DeleteAction(c) => SnapshotLog.MergeDelete(
+          c.map(colOf(_, allowSource, s"$what condition")))
+        case other => refuse(
+          s"$what action ${other.getClass.getSimpleName} is unsupported")
+      }
+      val m = matched.map(clauseOf(_, allowSource = true, "WHEN MATCHED"))
+      val nm = notMatched.map {
+        case InsertAction(c, assigns) => SnapshotLog.MergeInsert(
+          c.map(colOf(_, allowSource = true, "WHEN NOT MATCHED condition")),
+          assigns.map {
+            case Assignment(k: AttributeReference, v) =>
+              k.name -> colOf(v, allowSource = true, s"INSERT ${k.name}")
             case Assignment(other, _) => refuse(
-              s"$what assigns non-top-level target ${other.sql}")
-          }.toMap
-        val uMap = toMap(uAssigns, "UPDATE")
-        val iMap = toMap(iAssigns, "INSERT")
-        val feedExprs: Seq[NamedExpression] = tableCols.map { c =>
-          val u = uMap.getOrElse(c.exprId, refuse(
-            s"UPDATE leaves column ${c.name} unassigned — post-images " +
-              "replace the whole row, so every column needs a source " +
-              "expression"))
-          val i = iMap.getOrElse(c.exprId, refuse(
-            s"INSERT leaves column ${c.name} unassigned"))
-          if (!u.semanticEquals(i)) refuse(
-            s"column ${c.name} gets `${u.sql}` when matched but " +
-              s"`${i.sql}` when not — the feed carries ONE post-image " +
-              "per key, so both actions must assign the same expression")
-          if (!u.references.subsetOf(srcOut)) refuse(
-            s"column ${c.name}'s assignment `${u.sql}` references the " +
-              "target row — post-images are built from the source alone")
-          if (u.exists(_.isInstanceOf[PlanExpression[_]])) refuse(
-            s"column ${c.name}'s assignment carries a subquery")
-          Alias(u, c.name)()
-        } :+ Alias(Literal.create("update", org.apache.spark.sql.types.StringType), "op")()
-        val keyExpr = feedExprs(tableCols.indexWhere(_.exprId == keyAttr.exprId))
-          .asInstanceOf[Alias].child
-        if (!keyExpr.semanticEquals(srcKeyExpr)) refuse(
-          s"the ON key `${srcKeyExpr.sql}` and the ${keyAttr.name} " +
-            s"assignment `${keyExpr.sql}` differ — the feed's key column " +
-            "must be the join key, or matched rows would mask under one " +
-            "key and re-insert under another")
-        SnapshotMergeSqlCommand(dir, Project(feedExprs, source), keyAttr.name)
-      case (ms, ns) =>
-        refuse(s"action shape (${ms.map(_.getClass.getSimpleName).mkString("+")}" +
-          s" / ${ns.map(_.getClass.getSimpleName).mkString("+")}) is unsupported")
+              s"INSERT assigns non-top-level target ${other.sql}")
+          }.toMap)
+        case other => refuse(
+          s"WHEN NOT MATCHED action ${other.getClass.getSimpleName} is " +
+            "unsupported")
+      }
+      val bs = notMatchedBySource.map(
+        clauseOf(_, allowSource = false, "WHEN NOT MATCHED BY SOURCE"))
+      SnapshotMergeWhereSqlCommand(dir, source,
+        colOf(mergeCond, allowSource = true, "ON condition"), m, nm, bs)
     }
+
+    fastPath.getOrElse(generalTranslate())
   }
 }
 
@@ -394,6 +458,26 @@ case class SnapshotUpdateSqlCommand(dir: String, column: String,
   override def run(spark: SparkSession): Seq[Row] = {
     SnapshotLog.updateWhereInMOR(spark, dir, column, values,
       sets.map { case (n, e) => n -> Bridge.column(e) }.toMap): Unit
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO snap.ns.t USING …` with the FULL clause algebra —
+  * conditional/partial/multiple matched clauses, arbitrary ON, NOT
+  * MATCHED BY SOURCE — → [[SnapshotLog.mergeWhereMOR]]. The clause
+  * conditions/assignments ride as opaque Columns over the verb's
+  * `t.*`/`s.*` alias vocabulary (the CheckAnalysis rule again); the
+  * source rides as its resolved plan, executed via [[Bridge.ofRows]]
+  * and materialized by the verb before any pass depends on it. */
+case class SnapshotMergeWhereSqlCommand(dir: String, source: LogicalPlan,
+    cond: org.apache.spark.sql.Column,
+    matched: Seq[SnapshotLog.MergeClause],
+    notMatched: Seq[SnapshotLog.MergeInsert],
+    notMatchedBySource: Seq[SnapshotLog.MergeClause])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.mergeWhereMOR(spark, dir, Bridge.ofRows(spark, source),
+      cond, matched, notMatched, notMatchedBySource): Unit
     Seq.empty
   }
 }

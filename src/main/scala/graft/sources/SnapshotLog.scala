@@ -2402,6 +2402,281 @@ object SnapshotLog {
     v
   }
 
+  /** [[readFiles]] with the mask-stable ROW ADDRESS exposed: every row
+    * carries its `_metadata` (file_path, row_index) as ordinary columns
+    * named `fileCol`/`posCol`, read THROUGH the deletion mask (the
+    * anti-join form — the general MERGE that needs addresses is an
+    * admin-sized op, not a hot read path). This is what a row-level
+    * operation needs to MARK the rows it read: the address is exactly
+    * the sidecar coordinate system. */
+  private def readFilesWithPos(spark: SparkSession, files: Seq[String],
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
+      colmap: Map[String, String], dv: Map[String, Seq[String]],
+      fileCol: String, posCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val physOpt =
+      if (colmap.isEmpty) schemaOpt
+      else Some(physSchema(schemaOpt.getOrElse(sys.error(
+        "mapped table without a recorded schema — unreachable")), colmap))
+    if (files.isEmpty) {
+      val base = schemaOpt.getOrElse(sys.error(
+        "zero-file manifest without a recorded schema — nothing shapes " +
+          "the empty relation"))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(fileCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(posCol,
+            org.apache.spark.sql.types.LongType))))
+    }
+    def plainPos(fs: Seq[String]): DataFrame = {
+      val base = physOpt.fold(spark.read)(spark.read.schema).parquet(fs: _*)
+      base.select(base.columns.map(col).toIndexedSeq ++ Seq(
+        col("_metadata.file_path").as(fileCol),
+        col("_metadata.row_index").as(posCol)): _*)
+    }
+    val dvd = files.filter(dv.contains)
+    val physNamed =
+      if (dvd.isEmpty) plainPos(files)
+      else {
+        val clean = files.filterNot(dv.contains)
+        val sidecars = dvd.flatMap(dv).distinct
+        val marks = spark.read.schema("file STRING, pos LONG")
+          .parquet(sidecars: _*)
+        val withMeta = plainPos(dvd)
+        val masked = withMeta.join(marks,
+          withMeta(fileCol) === marks("file") &&
+            withMeta(posCol) === marks("pos"), "left_anti")
+        if (clean.isEmpty) masked else masked.unionByName(plainPos(clean))
+      }
+    if (colmap.isEmpty) physNamed
+    else physNamed.toDF(
+      schemaOpt.get.fieldNames.toIndexedSeq ++ Seq(fileCol, posCol): _*)
+  }
+
+  /** One clause of the general MERGE ([[mergeWhereMOR]]): WHEN MATCHED
+    * (or NOT MATCHED BY SOURCE) THEN UPDATE/DELETE, optionally guarded.
+    * Expressions reference the target as `t.<col>` and the source as
+    * `s.<col>` (by-source clauses may reference only `t.*` — there is
+    * no source row); `set` keys are bare target column names, and a
+    * PARTIAL set keeps the unassigned columns' pre-image values. */
+  sealed trait MergeClause
+  final case class MergeUpdate(cond: Option[org.apache.spark.sql.Column],
+      set: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+  final case class MergeDelete(cond: Option[org.apache.spark.sql.Column])
+      extends MergeClause
+  /** WHEN NOT MATCHED THEN INSERT: `values` keys are target column
+    * names (missing nullable columns null-fill; missing non-nullable
+    * refuse); values reference `s.<col>` only. */
+  final case class MergeInsert(cond: Option[org.apache.spark.sql.Column],
+      values: Map[String, org.apache.spark.sql.Column])
+
+  /** The GENERAL MERGE — SQL MERGE's full clause algebra on the
+    * merge-on-read cost model, where [[mergeIntoMOR]] is the keyed
+    * whole-row-feed fast path: arbitrary deterministic ON condition,
+    * multiple CONDITIONAL matched clauses (first passing clause wins —
+    * SQL's order semantics), PARTIAL update assignments (unassigned
+    * columns keep their pre-image), guarded NOT MATCHED inserts, and
+    * WHEN NOT MATCHED BY SOURCE update/delete. ONE commit publishes
+    * O(matching rows) of sidecar masks plus the post-image/insert
+    * files — affected data files carry byte-identical, the only merge
+    * cost model that holds at 100 TB churn.
+    *
+    * Expressions reference `t.<col>` / `s.<col>` (the two sides are
+    * aliased exactly so); the SQL surface rewrites its resolved
+    * attributes to these names ([[SnapshotSqlDml]]). Matched rows are
+    * read THROUGH the current mask with their (file, row_index)
+    * addresses ([[readFilesWithPos]]) — an already-deleted row can
+    * neither match nor resurrect. CARDINALITY is SQL MERGE's rule:
+    * a target row that more than one source row would ACT on refuses
+    * loudly (rows no clause acts on are exempt, Delta's resolution).
+    * The matched join materializes once (persist) and is churn-sized
+    * by construction — the inner join keeps only matching rows.
+    * Scale note: give the ON condition an equi conjunct (`t.k = s.k
+    * [AND …]`) so Spark plans a hash join; a pure range/inequality
+    * ON degrades to a nested-loop join, which is the same warning
+    * Delta ships. Publishes as the next version (op
+    * `merge-where-mor`, feed label `upsert`); returns it. */
+  def mergeWhereMOR(spark: SparkSession, tableDir: String,
+      source: DataFrame, cond: org.apache.spark.sql.Column,
+      matched: Seq[MergeClause], notMatched: Seq[MergeInsert],
+      notMatchedBySource: Seq[MergeClause] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeWhereMOR wants at least one clause")
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val prevFiles = prevManifest.get("files").elements().asScala
+      .map(_.asText()).toSeq
+    val colmap = colmapOf(prevManifest)
+    val prevDv = dvOf(prevManifest)
+    val schemaJson = Option(prevManifest.get("schema")).map(_.asText())
+    val logicalSchema = schemaJson.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val logical = logicalSchema.getOrElse(
+      spark.read.parquet(prevFiles: _*).schema)
+    val names = logical.fieldNames.toSeq
+    // clause sanity before any job: assignment/value keys must be
+    // target columns
+    (matched ++ notMatchedBySource).foreach {
+      case MergeUpdate(_, set) =>
+        val unknown = set.keySet -- names
+        require(unknown.isEmpty,
+          s"mergeWhereMOR assigns unknown column(s) " +
+            s"${unknown.mkString(", ")} — updates never add columns")
+      case _ => ()
+    }
+    notMatched.foreach { ins =>
+      val unknown = ins.values.keySet -- names
+      require(unknown.isEmpty,
+        s"mergeWhereMOR INSERT values unknown column(s) " +
+          s"${unknown.mkString(", ")}")
+      logical.fields.filterNot(f => ins.values.contains(f.name)).foreach(f =>
+        require(f.nullable,
+          s"mergeWhereMOR INSERT leaves non-nullable column " +
+            s"'${f.name}' unassigned"))
+    }
+    val fileCol = "_graft_mg_file"
+    val posCol = "_graft_mg_pos"
+    val t = readFilesWithPos(spark, prevFiles, logicalSchema, colmap,
+      prevDv, fileCol, posCol).alias("t")
+    // MATERIALIZE the source (Delta's rule, for Delta's reason): the
+    // join re-derives for the cardinality check, the sidecar write,
+    // and each clause slice — a source whose plan re-evaluates
+    // differently (a non-deterministic expression, a table someone
+    // mutates mid-merge) would mask one row set and post-image
+    // another. localCheckpoint pins the rows once, executor-side.
+    val s = source.localCheckpoint().alias("s")
+    // every provided expression must be deterministic and
+    // subquery-free — the join re-derives across passes, and a
+    // re-evaluation that matched a different row set would mask one
+    // set and post-image another. Checked RESOLVED (an unresolved
+    // `rand()` reads deterministic until analysis), against a
+    // zero-row scope carrying both aliases — analysis only, no job.
+    val allExprs: Seq[org.apache.spark.sql.Column] = Seq(cond) ++
+      (matched ++ notMatchedBySource).flatMap {
+        case MergeUpdate(c, set) => c.toSeq ++ set.values
+        case MergeDelete(c) => c.toSeq
+      } ++ notMatched.flatMap(i => i.cond.toSeq ++ i.values.values)
+    val checkScope = t.crossJoin(s).limit(0)
+    allExprs.foreach { c =>
+      val analyzed = checkScope.select(c.as("_graft_mg_chk"))
+        .queryExecution.analyzed
+      require(analyzed.expressions.forall(_.deterministic),
+        s"mergeWhereMOR: `$c` is non-deterministic — the matched row " +
+          "set must be the one every re-evaluation sees")
+      require(!analyzed.expressions.exists(_.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])),
+        s"mergeWhereMOR: `$c` carries a subquery — materialize it " +
+          "into the source relation first")
+    }
+    // first-passing-clause index, -1 = no clause acts (row unchanged)
+    def firstMatch(conds: Seq[Option[org.apache.spark.sql.Column]])
+        : org.apache.spark.sql.Column =
+      conds.zipWithIndex.reverse.foldLeft(lit(-1)) { case (acc, (c, i)) =>
+        when(c.getOrElse(lit(true)), lit(i)).otherwise(acc)
+      }
+    val act = "_graft_mg_act"
+    val dd = Paths.get(tableDir, "data",
+      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val maskParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def actOn(rows: DataFrame, clauses: Seq[MergeClause],
+        what: String): Unit = {
+      if (clauses.isEmpty) return
+      val tagged = rows
+        .withColumn(act, firstMatch(clauses.map {
+          case MergeUpdate(c, _) => c
+          case MergeDelete(c) => c
+        })).filter(col(act) >= 0).persist()
+      try {
+        if (what == "matched") {
+          // SQL MERGE cardinality: >1 source row ACTING on one target
+          // row is ambiguous — refuse naming the address
+          val dup = tagged.groupBy(col(fileCol), col(posCol)).count()
+            .filter(col("count") > 1).take(1)
+          require(dup.isEmpty,
+            s"mergeWhereMOR: multiple source rows match (and act on) " +
+              s"target row ${dup.headOption.fold("")(_.toString)} — SQL " +
+              "MERGE requires at most one; deduplicate the source or " +
+              "tighten the ON condition")
+        }
+        maskParts += tagged
+          .select(col(fileCol).as("file"), col(posCol).as("pos"))
+        clauses.zipWithIndex.foreach {
+          case (MergeUpdate(_, set), i) =>
+            pieces += tagged.filter(col(act) === i).select(names.map { c =>
+              set.get(c).map(_.as(c)).getOrElse(col(s"t.$c").as(c))
+            }: _*)
+          case (MergeDelete(_), _) => () // mask only
+        }
+      } finally tagged.unpersist(): Unit
+    }
+    // the matched half: inner join keeps only matching rows
+    // (churn-sized); acting rows mask, update clauses add post-images
+    actOn(t.join(s, cond, "inner"), matched, "matched")
+    // not-matched-by-source: target rows with no source match —
+    // clauses may reference only t.* (resolution fails loudly on s.*)
+    actOn(t.join(s, cond, "left_anti"), notMatchedBySource, "by-source")
+    // not-matched inserts: source rows with no target match
+    if (notMatched.nonEmpty) {
+      val srcOnly = s.join(t, cond, "left_anti")
+        .withColumn(act, firstMatch(notMatched.map(_.cond)))
+        .filter(col(act) >= 0)
+      notMatched.zipWithIndex.foreach { case (ins, i) =>
+        pieces += srcOnly.filter(col(act) === i).select(logical.fields.map {
+          f => ins.values.get(f.name).map(_.as(f.name)).getOrElse(
+            lit(null).cast(f.dataType).as(f.name))
+        }.toSeq: _*)
+      }
+    }
+    // NOTE: persist scope — the mask/post-image frames re-derive from
+    // the (small, churn-sized) tagged data; Spark recomputes the join
+    // for the sidecar write and each clause slice, each a
+    // candidate-sized scan. An admin op pays it; correctness never
+    // depends on it.
+    val newFiles: Seq[String] =
+      if (pieces.isEmpty) Nil
+      else {
+        val union = pieces.reduce(_.unionByName(_))
+        // names align by construction; types must hold exactly,
+        // nullability may only narrow — the morPostImageFiles rule
+        val schemaOk = union.schema.fields.zip(logical.fields).forall {
+          case (w, r) => w.name == r.name && w.dataType == r.dataType &&
+            (r.nullable || !w.nullable)
+        }
+        require(schemaOk,
+          s"mergeWhereMOR must preserve the schema: $logical -> " +
+            s"${union.schema}")
+        enforceConstraints(spark, tableDir, union, "merge-where-mor")
+        val out =
+          if (colmap.isEmpty) union
+          else union.toDF(names.map(physName(colmap, _)).toIndexedSeq: _*)
+        val pd = Paths.get(tableDir, "data",
+          s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        out.write.mode("overwrite").parquet(pd.toString)
+        listDir(pd).filter(_.toString.endsWith(".parquet"))
+          .map(p => canon(p).toString).sorted
+      }
+    val newDv =
+      if (maskParts.isEmpty) prevDv
+      else {
+        maskParts.reduce(_.union(_))
+          .write.mode("overwrite").parquet(dd.toString)
+        foldSidecars(spark, dd, prevFiles, prevDv)
+      }
+    publish(tableDir, v, prevFiles ++ newFiles,
+      carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      schemaJson, orderedColmap(logicalSchema, colmap),
+      retiredOf(prevManifest), dv = newDv, op = "merge-where-mor")
+    v
+  }
+
   /** Materialize every deletion vector: rewrite ONLY the dv-bearing
     * files through the mask and publish them dv-free — the targeted
     * compaction that restores SQL-catalog readability and pre-MOR read

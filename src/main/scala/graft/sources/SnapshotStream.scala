@@ -291,7 +291,7 @@ private[graft] object ChangeFeed {
     * insert. */
   def label(op: String): String = op match {
     case "update-where-in-mor" | "update-where-mor" => "update_postimage"
-    case "merge-mor" => "upsert"
+    case "merge-mor" | "merge-where-mor" => "upsert"
     case _ => "insert"
   }
 

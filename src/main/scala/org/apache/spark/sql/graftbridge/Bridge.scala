@@ -176,6 +176,13 @@ object Bridge {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** [[column]]'s inverse: the Catalyst expression under a Column —
+    * for pre-flight inspection (determinism / subquery guards) of
+    * caller-supplied predicates before a verb commits to them. */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Block until the listener bus has delivered all posted events
     * (`private[spark]` in LiveListenerBus). Used by the migration
     * observability listener to make per-statement metric attribution

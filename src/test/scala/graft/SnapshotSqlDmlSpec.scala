@@ -244,21 +244,55 @@ class SnapshotSqlDmlSpec extends SparkSpec {
     val e3 = intercept[Exception] {
       spark.sql(s"DELETE FROM $sqlA WHERE rand() < 0.5") }
     assert(rootMsg(e3).contains("non-deterministic"), rootMsg(e3).take(300))
-    // MERGE with a partial (non-whole-row) update
+    // MERGE with a subquery in a clause condition
     spark.range(3).select(col("id").as("k"), col("id").as("v"))
       .createOrReplaceTempView("refuse_src")
     val e4 = intercept[Exception] {
       spark.sql(s"""MERGE INTO $sqlA t USING refuse_src s ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET v = s.v""") }
-    assert(rootMsg(e4).contains("mergeIntoMOR"), rootMsg(e4).take(400))
-    // MERGE with target-referencing assignment
+        WHEN MATCHED AND t.v > (SELECT avg(id) FROM range(5))
+        THEN UPDATE SET v = s.v""") }
+    assert(rootMsg(e4).contains("subquery"), rootMsg(e4).take(400))
+    // MERGE WITH SCHEMA EVOLUTION
     val e5 = intercept[Exception] {
-      spark.sql(s"""MERGE INTO $sqlA t USING refuse_src s ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET k = s.k, v = t.v + s.v
-        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""") }
-    assert(rootMsg(e5).contains("mergeIntoMOR"), rootMsg(e5).take(400))
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $sqlA t
+        USING refuse_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v""") }
+    assert(rootMsg(e5).contains("SCHEMA EVOLUTION"), rootMsg(e5).take(400))
     // nothing published by any refusal
     assert(spark.sql(s"SELECT count(*) FROM $sqlA").head.getLong(0) == 64L)
+  }
+
+  test("general MERGE shapes route to mergeWhereMOR, hash-matching the Scala twin") {
+    import SnapshotLog.{MergeDelete, MergeInsert, MergeUpdate}
+    val (a, b, sqlA, _) = twins("gmerge")
+    def src() = spark.range(32, 96)
+      .select(col("id").as("sk"), (col("id") * 1000).as("sv"))
+    src().createOrReplaceTempView("gmerge_src")
+    // conditional matched clauses (first wins), PARTIAL assignment,
+    // guarded insert, NOT MATCHED BY SOURCE — none of it feed-shaped
+    spark.sql(s"""MERGE INTO $sqlA t USING gmerge_src s
+      ON t.k = s.sk AND s.sk < 90
+      WHEN MATCHED AND s.sk % 10 = 0 THEN DELETE
+      WHEN MATCHED AND t.k % 2 = 0 THEN UPDATE SET v = s.sv
+      WHEN NOT MATCHED AND s.sk < 80 THEN INSERT (k, v) VALUES (s.sk, -s.sk)
+      WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN UPDATE SET v = -999""")
+    SnapshotLog.mergeWhereMOR(spark, b, src(),
+      col("t.k") === col("s.sk") && col("s.sk") < 90,
+      matched = Seq(
+        MergeDelete(Some(col("s.sk") % 10 === 0)),
+        MergeUpdate(Some(col("t.k") % 2 === 0), Map("v" -> col("s.sv")))),
+      notMatched = Seq(MergeInsert(Some(col("s.sk") < 80),
+        Map("k" -> col("s.sk"), "v" -> (col("s.sk") * -1)))),
+      notMatchedBySource = Seq(
+        MergeUpdate(Some(col("t.k") < 5), Map("v" -> lit(-999L)))))
+    val (ra, opA, _, dvA) = state(a)
+    val (rb, opB, _, dvB) = state(b)
+    assert(ra == rb, s"diff: ${ra.toSet -- rb.toSet} / ${rb.toSet -- ra.toSet}")
+    assert(opA == "merge-where-mor" && opB == opA && dvA > 0 && dvB > 0)
+    // the fast-path feed shapes still take the dedicated command
+    spark.sql(s"""MERGE INTO $sqlA t USING gmerge_src s ON t.k = s.sk
+      WHEN MATCHED THEN DELETE""")
+    assert(state(a)._2 == "merge-mor")
   }
 
   test("a pre-schema table read-only-wraps: INSERT cannot bypass the manifest") {
