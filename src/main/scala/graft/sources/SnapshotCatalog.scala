@@ -263,6 +263,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           s"$catalogName.${ident.namespace().mkString(".")}.history",
           dir.getAbsolutePath)
     }
+    // `snap.ns.t.files` — the latest manifest's per-file inventory
+    // (Iceberg's files metadata table at this log's minimum)
+    if (ident.namespace().length == 2 &&
+        ident.name().equalsIgnoreCase("files")) {
+      val inner = Identifier.of(Array(ident.namespace()(0)),
+        ident.namespace()(1))
+      val dir = tableDir(inner)
+      if (dir.isDirectory && isTable(dir))
+        return new SnapshotFilesTable(
+          s"$catalogName.${ident.namespace().mkString(".")}.files",
+          dir.getAbsolutePath)
+    }
     val dir = tableDir(ident)
     if (!dir.isDirectory || !isTable(dir)) throw new NoSuchTableException(ident)
     val latest = SnapshotLog.latestVersion(dir.getAbsolutePath)
@@ -637,6 +649,60 @@ private class SnapshotHistoryTable(tName: String, tableDirPath: String)
               e.files,
               e.dvFiles)): org.apache.spark.sql.catalyst.InternalRow
         }.toArray
+    }
+}
+
+/** `snap.ns.t.files` — the LATEST manifest's per-file inventory as a
+  * SQL metadata table (Iceberg's `files` table at this log's
+  * minimum), manifest-only by design: one row per data file with its
+  * deletion-mask state and the recorded column stats as a JSON
+  * string (`get_json_object(stats, '$.col.min')` digs in — the stats
+  * vocabulary is per-column `min`/`max`/`nulls`/`allNull`, keyed by
+  * PHYSICAL column name). Deliberately no row/byte counts: the
+  * manifest doesn't record them, and a metadata query that re-reads
+  * every footer would be O(files) driver I/O on a table whose whole
+  * point is not listing files. Served as a LocalScan like
+  * [[SnapshotHistoryTable]] — driver-sized metadata, re-read per
+  * plan. */
+private class SnapshotFilesTable(tName: String, tableDirPath: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val filesSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("masked", BooleanType, nullable = false),
+    StructField("dv_sidecars", IntegerType, nullable = false),
+    StructField("stats", StringType, nullable = true)))
+
+  override def name(): String = tName
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = filesSchema
+      override def description(): String = tName
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        val v = SnapshotLog.latestVersion(tableDirPath).getOrElse(
+          sys.error(s"no committed version in $tableDirPath"))
+        val (files, stats, _, _, dv) =
+          SnapshotLog.manifestDetailsAt(tableDirPath, v)
+        files.map { f =>
+          val st = Option(stats).flatMap(s => Option(s.get(f)))
+            .map(_.toString)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(f),
+              dv.contains(f),
+              dv.get(f).fold(0)(_.size),
+              st.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+                .orNull)): org.apache.spark.sql.catalyst.InternalRow
+        }.toArray
+      }
     }
 }
 

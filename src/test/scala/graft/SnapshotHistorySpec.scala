@@ -111,4 +111,43 @@ class SnapshotHistorySpec extends SparkSpec {
       spark.conf.unset(s"spark.sql.catalog.$cat")
     }
   }
+
+  test("the per-file inventory is a SQL metadata table: snap.ns.t.files") {
+    val root = Files.createTempDirectory("graft_files_sql_").toString
+    val t = s"$root/lake/tbl"
+    SnapshotLog.commit(spark, t, spark.range(100).select(
+      col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k")))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(5L))
+    val cat = s"filesql_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      val rows = spark.sql(
+        s"""SELECT file, masked, dv_sidecars, stats
+            FROM $cat.lake.tbl.files ORDER BY file""").collect()
+      assert(rows.length == 4, s"${rows.length} files")
+      // exactly the file holding k=5 carries the mask
+      assert(rows.count(_.getBoolean(1)) == 1)
+      assert(rows.filter(_.getBoolean(1)).forall(_.getInt(2) == 1))
+      // recorded stats dig open with plain JSON functions — min of k
+      // across files is the table min
+      val mins = spark.sql(
+        s"""SELECT CAST(get_json_object(stats, '$$.k.min') AS BIGINT) AS lo
+            FROM $cat.lake.tbl.files""").collect().map(_.getLong(0))
+      assert(mins.min == 0L && mins.length == 4)
+      // drives maintenance decisions: the masked-file list feeds
+      // compactDeletes, and after compaction the inventory is clean
+      SnapshotLog.compactDeletes(spark, t)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.lake.tbl.files " +
+        "WHERE masked").head.getLong(0) == 0L)
+      // plans driver-local like .history
+      val plan = spark.sql(s"SELECT * FROM $cat.lake.tbl.files")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan"), plan.take(400))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
 }
