@@ -43,12 +43,26 @@ object LifecycleDemo {
       val n0 = spark.sql("SELECT count(*) FROM lake.demo.events").head.getLong(0)
       require(n0 == 4096L, s"insert landed $n0 rows")
 
-      // 3. CTAS: a derived table in one statement
+      // 3. CTAS: a derived table in ONE atomic commit (staged — the
+      //    data rides the genesis manifest)
       spark.sql("CREATE TABLE lake.demo.by_grp AS " +
         "SELECT grp, count(*) AS n, sum(v) AS sum_v " +
         "FROM lake.demo.events GROUP BY grp")
       require(spark.sql("SELECT count(*) FROM lake.demo.by_grp")
         .head.getLong(0) == 8L, "CTAS aggregate wrong")
+      require(SnapshotLog.history(s"$outDir/demo/by_grp").map(_.op) ==
+        Seq("create-table"), "CTAS should be one staged commit")
+
+      // 3b. CREATE OR REPLACE: redefine the derived table — one
+      //     replace-table commit, HISTORY PRESERVED (v0 still reads)
+      spark.sql("CREATE OR REPLACE TABLE lake.demo.by_grp AS " +
+        "SELECT grp, avg(v) AS avg_v FROM lake.demo.events GROUP BY grp")
+      require(spark.sql("SELECT count(*) FROM lake.demo.by_grp")
+        .head.getLong(0) == 8L, "replaced aggregate wrong")
+      require(spark.sql(
+        "SELECT count(*) FROM lake.demo.by_grp VERSION AS OF 0")
+        .head.getLong(0) == 8L, "pre-replace version lost — replace " +
+        "must preserve history")
 
       // 4. point DML (MOR) + CALL optimize + CALL compact_deletes
       spark.sql("DELETE FROM lake.demo.events WHERE k IN (1, 2, 3)")
@@ -96,7 +110,8 @@ object LifecycleDemo {
       require(spark.sql("SHOW TABLES IN lake.demo").count() == 1L,
         "DROP left the table listed")
 
-      println(s"LIFECYCLE: created=2 ctas_groups=8 deleted=3 " +
+      println(s"LIFECYCLE: created=2 ctas_groups=8 replaced=by_grp " +
+        s"deleted=3 " +
         s"compacted@v$vOpt zordered@v$vZ overwrote=1 " +
         s"restored_from=${restored.getLong(0)}@v${restored.getLong(1)} " +
         s"rows=$nBack renamed=events->events_renamed " +

@@ -637,11 +637,12 @@ object MigrationOps {
         s"FROM $cat.lake.src GROUP BY o_orderstatus")
       s.sql(s"ALTER TABLE $cat.lake.agg RENAME TO lake.agg_renamed")
       s.sql(s"DROP TABLE $cat.lake.src")
-      val srcOps = // genesis + enforced append, both source and CTAS
+      val srcOps = // CTAS through the staging catalog: ONE atomic
+        // commit carrying the data at genesis (round 17's staged path)
         graft.sources.SnapshotLog.history(
           scratchP.resolve("lake").resolve("agg_renamed").toString)
           .sortBy(_.version).map(_.op)
-      require(srcOps == Seq("create-table", "append"),
+      require(srcOps == Seq("create-table"),
         s"lifecycle op provenance diverged: $srcOps")
       require(!Files.exists(scratchP.resolve("lake").resolve("agg")) &&
         !Files.exists(scratchP.resolve("lake").resolve("src")),
@@ -649,6 +650,73 @@ object MigrationOps {
       val res = s.sql(s"SELECT o_orderstatus, n, " +
         s"CAST(sum_price_c AS BIGINT) AS sum_price_c " +
         s"FROM $cat.lake.agg_renamed")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.catalog.dropTempView(view): Unit
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /** `CREATE OR REPLACE TABLE … AS SELECT` through the STAGING catalog
+    * ([[graft.sources.SnapshotCatalog.stageCreateOrReplace]]),
+    * driver-gated: the ladder commits the orders slice (atomic CTAS),
+    * MOR-deletes 24 keys (a dv-bearing version in the history), then
+    * REPLACES the table with a per-status aggregate computed from the
+    * source view. The require()s pin what makes the staged path the
+    * right one — ONE `replace-table` commit on top of the intact
+    * history (Spark's non-staging fallback would plan drop+create and
+    * destroy every version), and a time-travel read of the
+    * PRE-replace version still serving the masked slice. The RESULT is
+    * the post-replace SQL read, which the oracle recomputes from
+    * `orders` directly. */
+  val snapReplaceSql: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_replace_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"repsql_$tok"
+    val view = s"repsrc_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      t(s, dir, "orders").createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.lake.t AS SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) " +
+        s"AS o_price_c FROM $view")
+      val total = s.sql(s"SELECT count(*) FROM $cat.lake.t").head.getLong(0)
+      // subqueries in DML predicates refuse by design — materialize
+      // the key set (driver-sized: 24 keys) and inline the IN list
+      val delKeys = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect()
+        .map(_.getLong(0))
+      s.sql(s"DELETE FROM $cat.lake.t WHERE o_orderkey IN " +
+        delKeys.mkString("(", ", ", ")"))
+      val tdir = scratchP.resolve("lake").resolve("t").toString
+      val preReplace = graft.sources.SnapshotLog.latestVersion(tdir).get
+      s.sql(s"CREATE OR REPLACE TABLE $cat.lake.t AS " +
+        "SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+        s"AS sum_price_c FROM $view GROUP BY o_orderstatus")
+      val ops = graft.sources.SnapshotLog.history(tdir)
+        .sortBy(_.version).map(_.op)
+      require(ops == Seq("create-table", "delete-where-in-mor",
+        "replace-table"),
+        s"replace provenance diverged: $ops — the staged path must be " +
+          "ONE replace-table commit on the intact history")
+      // the pre-replace (dv-bearing) version still time-travels
+      val tt = s.sql(
+        s"SELECT count(*) FROM $cat.lake.t VERSION AS OF $preReplace")
+        .head.getLong(0)
+      require(tt == total - 24,
+        s"time travel across the replace broke: $tt vs ${total - 24}")
+      val res = s.sql(s"SELECT o_orderstatus, n, sum_price_c FROM $cat.lake.t")
       val local = java.util.Arrays.asList(res.collect(): _*)
       s.createDataFrame(local, res.schema)
     } finally {
@@ -1253,6 +1321,7 @@ object MigrationOps {
     "snap_merge_general_sql" -> snapMergeGeneralSql,
     "snap_constraint_sql" -> snapConstraintSql,
     "snap_lifecycle_sql" -> snapLifecycleSql,
+    "snap_replace_sql" -> snapReplaceSql,
     "snap_stream_table_sink" -> snapStreamTableSink,
     "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
@@ -1494,6 +1563,14 @@ object MigrationOps {
     // CTAS → RENAME's manifest-rewriting rehome → DROP) ends in a
     // per-status aggregate the oracle computes from orders directly
     "snap_lifecycle_sql" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+         FROM orders GROUP BY o_orderstatus""",
+    // CREATE OR REPLACE through the staging catalog: after the ladder
+    // (atomic CTAS → MOR delete → staged replace, history require()d
+    // intact) the table IS the per-status aggregate of orders
+    "snap_replace_sql" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
              AS sum_price_c

@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
   NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException,
   TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
-  ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+  ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces,
+  Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -62,9 +63,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * put-if-absent OCC, stats, schema enforcement — holds for the SQL
   * verbs because they ARE the same paths. Table LIFECYCLE rides the
   * same discipline since round 17: `CREATE TABLE` publishes the log's
-  * own schema-only genesis ([[SnapshotLog.createTable]] — CTAS is that
-  * genesis plus the ordinary INSERT bridge, so its data lands through
-  * `commitAppend` with full schema enforcement), `DROP TABLE` deletes
+  * own schema-only genesis ([[SnapshotLog.createTable]]); CTAS, RTAS,
+  * and `[CREATE OR] REPLACE TABLE` are STAGED (this catalog is a
+  * [[StagingTableCatalog]]) — data files land with no manifest, one
+  * atomic commit makes the statement real, and REPLACE PRESERVES
+  * HISTORY as a fresh generation at `latest+1`
+  * ([[SnapshotLog.replaceTableFiles]]) instead of Spark's non-staging
+  * drop+create fallback destroying every version; `DROP TABLE` deletes
   * exactly one `_log`-bearing directory, `ALTER TABLE … RENAME TO`
   * routes to [[SnapshotLog.rehome]] (one atomic directory move plus
   * the manifest path-prefix rewrite — manifests record canonical
@@ -88,7 +93,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * each routing to the log's own verb (see [[SnapshotProcedures]]).
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: java.io.File = _
@@ -346,12 +351,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * live under the catalog root — that is what makes them this
     * catalog's tables), any provider but parquet, and table
     * properties/comments the manifest doesn't record. */
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (!namespaceExists(ident.namespace()))
-      throw new NoSuchNamespaceException(ident.namespace())
+  /** The CREATE/REPLACE shape gate, shared by [[createTable]] and the
+    * three staged verbs: no hive partitioning, parquet-only provider,
+    * no properties the manifest can't record. */
+  private def vetCreateShape(verb: String, ident: Identifier,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Unit = {
     require(partitions.isEmpty,
-      s"CREATE TABLE ${ident.name()} PARTITIONED BY: the snapshot log " +
+      s"$verb ${ident.name()} PARTITIONED BY: the snapshot log " +
         "does not do hive-style directory partitioning — its layout " +
         "story is optimize(clusterBy/zOrderBy) plus manifest-stats file " +
         "pruning, which serves the same skipping without small-file " +
@@ -359,16 +366,45 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val props = properties.asScala
     props.get(TableCatalog.PROP_PROVIDER).foreach(p =>
       require(p.equalsIgnoreCase("parquet"),
-        s"CREATE TABLE ${ident.name()} USING $p: snapshot tables are " +
+        s"$verb ${ident.name()} USING $p: snapshot tables are " +
           "parquet (omit USING, or say USING parquet)"))
     val unsupported = props.keys.filterNot(k =>
       k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_OWNER)
     require(unsupported.isEmpty,
-      s"CREATE TABLE ${ident.name()}: unsupported " +
+      s"$verb ${ident.name()}: unsupported " +
         s"propert${if (unsupported.size == 1) "y" else "ies"} " +
         s"${unsupported.mkString(", ")} — the manifest records schema, " +
         "stats, and provenance; LOCATION, COMMENT, and TBLPROPERTIES " +
         "have nowhere to live")
+  }
+
+  /** Constraint vetting for CREATE/REPLACE definitions: enforced CHECK
+    * only, returned as (name, predicate SQL) for the log's dotfiles. */
+  private def vetChecks(verb: String, ident: Identifier,
+      cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Seq[(String, String)] =
+    cs.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          s"$verb ${ident.name()} CONSTRAINT ${c.name()} NOT " +
+            "ENFORCED: the log's constraints are write guards — it " +
+            "does not record informational constraints")
+        c.name() -> Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
+          sys.error(s"CONSTRAINT ${c.name()}: no predicate SQL text"))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$verb ${ident.name()} CONSTRAINT ${other.name()} " +
+            s"(${other.getClass.getSimpleName}): only CHECK constraints " +
+            "— PRIMARY KEY / UNIQUE / FOREIGN KEY are unenforceable " +
+            "at scale and this log refuses to record guards it cannot " +
+            "enforce")
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    vetCreateShape("CREATE TABLE", ident, partitions, properties)
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     SnapshotLog.createTable(dir.getAbsolutePath, schema): Unit
@@ -389,22 +425,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     if (cs.isEmpty)
       return createTable(ident, info.schema(), info.partitions(),
         info.properties())
-    val checks = cs.toSeq.map {
-      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-        require(c.enforced(),
-          s"CREATE TABLE ${ident.name()} CONSTRAINT ${c.name()} NOT " +
-            "ENFORCED: the log's constraints are write guards — it " +
-            "does not record informational constraints")
-        c.name() -> Option(c.predicateSql()).filter(_.nonEmpty).getOrElse(
-          sys.error(s"CONSTRAINT ${c.name()}: no predicate SQL text"))
-      case other =>
-        throw new UnsupportedOperationException(
-          s"CREATE TABLE ${ident.name()} CONSTRAINT ${other.name()} " +
-            s"(${other.getClass.getSimpleName}): only CHECK constraints " +
-            "— PRIMARY KEY / UNIQUE / FOREIGN KEY are unenforceable " +
-            "at scale and this log refuses to record guards it cannot " +
-            "enforce")
-    }
+    val checks = vetChecks("CREATE TABLE", ident, cs)
     createTable(ident, info.schema(), info.partitions(),
       info.properties()): Unit
     val spark = SparkSession.active
@@ -413,6 +434,67 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     }
     loadTable(ident) // re-load so the returned Table reports its constraints
   }
+
+  // ---- StagingTableCatalog ----------------------------------------------
+  //
+  // Why stage at all: for a non-staging catalog Spark plans REPLACE
+  // TABLE [AS SELECT] as dropTable + createTable — and this catalog's
+  // dropTable DELETES THE DIRECTORY, so a statement that asked to
+  // replace a table's CONTENT would destroy every committed version,
+  // every time-travel read, the whole history. Staging turns all three
+  // statements (CTAS, RTAS, REPLACE) into ONE log commit:
+  //
+  //  - the staged table's write bridge lands data files under the
+  //    table's data/ directory with NO manifest — nothing can read
+  //    them, a crash orphans them for vacuum/abort;
+  //  - commitStagedChanges publishes exactly one manifest — v0 with
+  //    its files for CTAS (op "create-table"), latest+1 with the new
+  //    generation for replace (op "replace-table", history intact —
+  //    see SnapshotLog.replaceTableFiles for the isolation argument);
+  //  - abortStagedChanges deletes the staged files.
+  //
+  // REPLACE swaps CHECK constraints (the old definition's guards die
+  // with it — Delta's semantics), pre-validating the new definition's
+  // constraints against the staged content BEFORE publishing, so a
+  // violating replace refuses with the old table (and its guards)
+  // fully intact.
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    vetCreateShape("CREATE TABLE", ident, info.partitions(), info.properties())
+    if (isTable(tableDir(ident))) throw new TableAlreadyExistsException(ident)
+    new SnapshotStagedTable(this, ident, tableDir(ident), info.schema(),
+      SnapshotStagedTable.Create,
+      vetChecks("CREATE TABLE", ident, info.constraints()))
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    vetCreateShape("REPLACE TABLE", ident, info.partitions(),
+      info.properties())
+    if (!isTable(tableDir(ident))) throw new NoSuchTableException(ident)
+    new SnapshotStagedTable(this, ident, tableDir(ident), info.schema(),
+      SnapshotStagedTable.Replace,
+      vetChecks("REPLACE TABLE", ident, info.constraints()))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    vetCreateShape("CREATE OR REPLACE TABLE", ident, info.partitions(),
+      info.properties())
+    new SnapshotStagedTable(this, ident, tableDir(ident), info.schema(),
+      SnapshotStagedTable.CreateOrReplace,
+      vetChecks("CREATE OR REPLACE TABLE", ident, info.constraints()))
+  }
+
+  private[sources] def stagedTableExists(dir: java.io.File): Boolean =
+    isTable(dir)
 
   /** The one write surface the catalog exposes: COLUMN DDL — and only
     * because it delegates to the log's OWN metadata-only commit paths
@@ -595,6 +677,125 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         "(no _log)")
     dir.getAbsolutePath
   }
+}
+
+private object SnapshotStagedTable {
+  sealed trait Mode
+  case object Create extends Mode          // CREATE TABLE … AS SELECT
+  case object Replace extends Mode         // REPLACE TABLE [AS SELECT]
+  case object CreateOrReplace extends Mode // CREATE OR REPLACE TABLE …
+}
+
+/** The staged half of CTAS / RTAS / REPLACE TABLE (see the
+  * StagingTableCatalog section of [[SnapshotCatalog]] for why this
+  * exists): Spark writes the SELECT's rows through this table's write
+  * bridge — files land under `data/staged-<uuid>` with NO manifest, so
+  * nothing can read them and a crash orphans them — then calls
+  * [[commitStagedChanges]], which publishes the ONE manifest that
+  * makes the statement real ([[SnapshotLog.createTableFiles]] /
+  * [[SnapshotLog.replaceTableFiles]]) and swaps CHECK constraint
+  * dotfiles for the replace forms. The plain `REPLACE TABLE` DDL form
+  * never writes — zero staged files publish as an empty new
+  * generation, the analog of the schema-only genesis.
+  *
+  * The write bridge is the same V1 [[InsertableRelation]] shape as the
+  * live table's ([[PrunedSnapshotTable.newWriteBuilder]]) — the data
+  * write is Spark's distributed parquet writer, nothing row-sized
+  * touches the driver; the difference is only WHEN the manifest
+  * appears. `SupportsTruncate` is accepted and ignored: RTAS plans its
+  * write as overwrite-by-true, but the whole staged operation IS the
+  * replacement — there is no previous generation inside the staging
+  * directory to clear. */
+private class SnapshotStagedTable(catalog: SnapshotCatalog,
+    ident: Identifier, dir: java.io.File, declared: StructType,
+    mode: SnapshotStagedTable.Mode, checks: Seq[(String, String)])
+    extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private val fullName =
+    s"${catalog.name()}.${ident.namespace().mkString(".")}.${ident.name()}"
+  // one staging area per staged statement; writer-unique like every
+  // data directory the log writes
+  private val stagingDir = new java.io.File(new java.io.File(dir, "data"),
+    s"staged-${java.util.UUID.randomUUID.toString.take(8)}")
+  @volatile private var stagedFiles: Seq[String] = Nil
+  @volatile private var stagedSpark: SparkSession = _
+
+  override def name(): String = s"$fullName (staged)"
+  override def schema(): StructType = declared
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCapability._
+    util.EnumSet.of(V1_BATCH_WRITE, TRUNCATE)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+        this // RTAS overwrite-by-true; the staged commit IS the replace
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              data.write.mode("overwrite").parquet(stagingDir.getPath)
+              stagedSpark = data.sparkSession
+              stagedFiles = Option(stagingDir.listFiles())
+                .getOrElse(Array.empty).toSeq
+                .filter(_.getName.endsWith(".parquet"))
+                .map(_.toPath.toAbsolutePath.normalize.toString).sorted
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = Option(stagedSpark).getOrElse(SparkSession.active)
+    val t = dir.getAbsolutePath
+    val replacing = mode match {
+      case SnapshotStagedTable.Create => false
+      case SnapshotStagedTable.Replace => true
+      case SnapshotStagedTable.CreateOrReplace => catalog.stagedTableExists(dir)
+    }
+    // the new definition's constraints gate the staged content BEFORE
+    // any manifest exists — a violating CREATE/REPLACE refuses with
+    // the previous state (old table, old guards) fully intact
+    if (checks.nonEmpty && stagedFiles.nonEmpty) {
+      val staged = spark.read.parquet(stagedFiles: _*)
+        .toDF(declared.fieldNames.toSeq: _*)
+      SnapshotLog.firstViolation(staged, checks).foreach(v => sys.error(
+        s"${if (replacing) "REPLACE" else "CREATE"} TABLE $fullName " +
+          s"refused: $v (the definition's own CHECK constraints gate " +
+          "its data; nothing was published)"))
+    }
+    if (replacing) {
+      SnapshotLog.replaceTableFiles(spark, t, declared, stagedFiles): Unit
+      // REPLACE redefines the table: the old definition's guards die
+      // with it (Delta's semantics), the new definition's take over
+      SnapshotLog.constraints(t).foreach { case (n, _) =>
+        SnapshotLog.dropConstraint(t, n) }
+    } else {
+      SnapshotLog.createTableFiles(spark, t, declared, stagedFiles): Unit
+    }
+    checks.foreach { case (n, sql) =>
+      SnapshotLog.addConstraintUnchecked(t, n, sql) }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    // staged files were never referenced by any manifest — delete them
+    // and the staging directory; on an aborted CREATE the directory
+    // has no _log, and Spark's exec additionally dropTable()s it
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      Files.deleteIfExists(f.toPath): Unit
+    }
+    rm(stagingDir)
+  }
+
+  override def toString: String = name()
 }
 
 /** `DESCRIBE HISTORY` as a SQL-queryable metadata table (the

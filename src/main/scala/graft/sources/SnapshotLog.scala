@@ -1284,6 +1284,166 @@ object SnapshotLog {
     0L
   }
 
+  /** [[createTable]]'s normalization, shared with the staged-commit
+    * verbs: record all-nullable (SQL's convention, and the always-safe
+    * claim for a manifest describing all files — the first append's
+    * read-back may TIGHTEN, never widen), drop field metadata, refuse
+    * case-insensitive name collisions at the door. */
+  private def normGeneration(schema: org.apache.spark.sql.types.StructType,
+      verb: String): org.apache.spark.sql.types.StructType = {
+    require(schema.nonEmpty, s"$verb wants at least one column")
+    val norm = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType,
+        nullable = true)))
+    val lower = norm.fieldNames.map(_.toLowerCase)
+    require(lower.distinct.length == lower.length,
+      s"$verb: column names collide case-insensitively — " +
+        s"${norm.fieldNames.mkString("(", ", ", ")")}")
+    norm
+  }
+
+  /** The staged commits' schema gate: files already written (by the
+    * staged V1 bridge) must read back as exactly the DECLARED schema,
+    * modulo nullability tightening — the same read-back-authoritative
+    * rule as [[appendFilesAt]]. Loud, because the manifest schema
+    * claims to describe all files. */
+  private def requireGenerationReadback(spark: SparkSession,
+      declared: org.apache.spark.sql.types.StructType,
+      files: Seq[String], verb: String): Unit = {
+    if (files.isEmpty) return
+    val readback = spark.read.parquet(files: _*).schema
+    require(readback == declared || nullabilityTightens(declared, readback),
+      s"$verb: staged files read back as $readback, declared schema is " +
+        s"$declared — the manifest schema must describe every file it " +
+        "publishes")
+  }
+
+  /** Atomic CTAS — the genesis WITH its data: version 0 publishes the
+    * staged files, their footer stats, and the declared (all-nullable)
+    * schema in ONE manifest, so `CREATE TABLE … AS SELECT` through the
+    * staging catalog ([[SnapshotCatalog.stageCreate]]) either exists
+    * with its data or not at all. Files arrived via the staged table's
+    * write bridge (no manifest existed while they landed — nothing
+    * could read them); a crash before this publish leaves only
+    * unreferenced files in a directory with no `_log`, which the
+    * staged ABORT (or a later create's fresh genesis + vacuum)
+    * reclaims. Identity column naming — a genesis never has a column
+    * map — and no constraints yet (the staged commit adds vetted ones
+    * AFTER its own pre-publish validation pass). */
+  private[sources] def createTableFiles(spark: SparkSession,
+      tableDir: String, declared: org.apache.spark.sql.types.StructType,
+      files: Seq[String]): Long = {
+    require(latestVersion(tableDir).isEmpty,
+      s"$tableDir already has a committed version — staged CREATE lost " +
+        "a race; CREATE OR REPLACE is the intent-carrying form")
+    val norm = normGeneration(declared, "CREATE TABLE AS SELECT")
+    val canonF = files.map(p => canon(Paths.get(p)).toString).sorted
+    requireGenerationReadback(spark, norm, canonF, "CREATE TABLE AS SELECT")
+    publish(tableDir, 0L, canonF, harvestStats(canonF), Some(norm.json),
+      op = "create-table")
+    0L
+  }
+
+  /** REPLACE TABLE — a fresh GENERATION at `latest+1`, history intact:
+    * one manifest carrying the staged files (possibly none — the plain
+    * `REPLACE TABLE` DDL form), their stats, and the NEW declared
+    * schema, with NO colmap, NO retired names, and NO dv carried. This
+    * is the whole point of routing `CREATE OR REPLACE` through the
+    * staging catalog instead of Spark's non-atomic drop+create
+    * fallback, which would DELETE THE DIRECTORY — every old version,
+    * every time-travel read, gone for a statement that only asked to
+    * replace the content.
+    *
+    * Why the fresh start is safe (generation isolation): per-version
+    * schema travel means no manifest ever mixes files of two
+    * generations — post-replace manifests list only post-replace
+    * files, pre-replace versions read with THEIR recorded
+    * schema/colmap/dv, and [[restore]] to a pre-replace version
+    * republishes that version's manifest content wholesale (its
+    * schema, its colmap, retired names merged from both manifests), so
+    * a physical column name can never be read under the wrong
+    * generation's meaning. Stats/bloom lookups key by file, and every
+    * post-replace file is new. The old generation's files stay on disk
+    * for time travel until [[expireVersions]] + [[vacuum]].
+    *
+    * CHECK constraints are NOT handled here — the catalog's staged
+    * commit swaps them (a replace REDEFINES the table, so the old
+    * definition's guards die with it; Delta's REPLACE semantics),
+    * after pre-validating the new definition's constraints against the
+    * staged content so a violating replace refuses with the old table
+    * intact. The CHANGE FEED refuses ranges crossing a replace via the
+    * standing structural rewrite guard (the file list is replaced, not
+    * appended) — [[diff]] is the honest answer across a redefinition. */
+  private[sources] def replaceTableFiles(spark: SparkSession,
+      tableDir: String, declared: org.apache.spark.sql.types.StructType,
+      files: Seq[String]): Long = {
+    val latest = latestVersion(tableDir).getOrElse(sys.error(
+      s"no committed version in $tableDir — REPLACE wants an existing " +
+        "table; CREATE OR REPLACE (stageCreateOrReplace) handles both"))
+    val norm = normGeneration(declared, "REPLACE TABLE")
+    val canonF = files.map(p => canon(Paths.get(p)).toString).sorted
+    requireGenerationReadback(spark, norm, canonF, "REPLACE TABLE")
+    publish(tableDir, latest + 1, canonF, harvestStats(canonF),
+      Some(norm.json), op = "replace-table")
+    latest + 1
+  }
+
+  /** The Scala face of [[replaceTableFiles]]: write `df` as the new
+    * generation's data (the same writer-unique directory discipline as
+    * [[commit]]), then publish the replace manifest. History stays
+    * time-travelable; see [[replaceTableFiles]] for the generation
+    * isolation argument and the constraint story (this Scala verb,
+    * like the log's other verbs, leaves constraint dotfiles untouched
+    * — they keep guarding writes; drop them explicitly if the new
+    * generation redefines the table's meaning). */
+  def replaceTable(spark: SparkSession, tableDir: String,
+      df: DataFrame): Long = {
+    val latest = latestVersion(tableDir).getOrElse(sys.error(
+      s"no committed version in $tableDir — use commit() to create"))
+    enforceConstraints(spark, tableDir, df, "replaceTable")
+    val dd = Paths.get(tableDir, "data",
+      s"v${latest + 1}-${java.util.UUID.randomUUID.toString.take(8)}")
+    df.write.mode("overwrite").parquet(dd.toString)
+    val files = listDir(dd)
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => canon(p).toString).sorted
+    replaceTableFiles(spark, tableDir, df.schema, files)
+  }
+
+  /** Dotfile-only constraint record for the STAGED commit, which runs
+    * its own validation pass over the staged content BEFORE
+    * publishing (so a violating CREATE OR REPLACE refuses with the old
+    * table intact) — re-validating here would re-scan the table for an
+    * answer the caller just computed. Everything else about the record
+    * matches [[addConstraint]]: same dotfile, same put-if-absent. */
+  private[sources] def addConstraintUnchecked(tableDir: String,
+      name: String, exprSql: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_') && !name.head.isDigit,
+      s"constraint name '$name': letters, digits, underscores, " +
+        "not starting with a digit")
+    val root = mapper.createObjectNode()
+    root.put("name", name)
+    root.put("expr", exprSql)
+    val p = logDir(tableDir).resolve(s".constraint-$name.json")
+    val tmp = logDir(tableDir).resolve(
+      s".constraint-$name-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(root))
+    try Files.createLink(p, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        sys.error(s"constraint $name already exists on $tableDir — " +
+          "drop it first to change the predicate")
+    } finally { Files.deleteIfExists(tmp): Unit }
+  }
+
+  /** The staged commit's pre-publish constraint gate: first violating
+    * row of `df` against `cs`, as [[violations]] reports it — exposed
+    * so the catalog can refuse a violating CREATE/REPLACE before any
+    * manifest exists. */
+  private[sources] def firstViolation(df: DataFrame,
+      cs: Seq[(String, String)]): Option[String] = violations(df, cs)
+
   /** Write `df` as version `latest+1` and atomically publish it.
     * Returns the committed version. Throws
     * `FileAlreadyExistsException` if another writer published the same
@@ -3705,10 +3865,6 @@ object SnapshotLog {
     * the next write (drop and re-add under the new name). */
   def addConstraint(spark: SparkSession, tableDir: String, name: String,
       exprSql: String): Unit = {
-    require(name.nonEmpty && name.forall(c =>
-      c.isLetterOrDigit || c == '_') && !name.head.isDigit,
-      s"constraint name '$name': letters, digits, underscores, " +
-        "not starting with a digit")
     require(latestVersion(tableDir).isDefined,
       s"no committed version in $tableDir — create the table first")
     // the predicate must RESOLVE against the table and HOLD on the
@@ -3718,19 +3874,7 @@ object SnapshotLog {
     require(bad.isEmpty,
       s"cannot add constraint $name CHECK ($exprSql): existing data " +
         s"violates it — e.g. ${bad.get}")
-    val root = mapper.createObjectNode()
-    root.put("name", name)
-    root.put("expr", exprSql)
-    val p = logDir(tableDir).resolve(s".constraint-$name.json")
-    val tmp = logDir(tableDir).resolve(
-      s".constraint-$name-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    Files.writeString(tmp, mapper.writeValueAsString(root))
-    try Files.createLink(p, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        sys.error(s"constraint $name already exists on $tableDir — " +
-          "drop it first to change the predicate")
-    } finally { Files.deleteIfExists(tmp): Unit }
+    addConstraintUnchecked(tableDir, name, exprSql)
   }
 
   /** Remove a constraint — future writes stop checking it. Loud on a

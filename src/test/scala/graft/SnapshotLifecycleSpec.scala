@@ -100,7 +100,7 @@ class SnapshotLifecycleSpec extends SparkSpec {
       ec.getMessage.take(300))
   }
 
-  test("CTAS lands through the genesis + the INSERT bridge, content exact") {
+  test("CTAS lands as ONE atomic create-table commit carrying its data") {
     root
     spark.sql("CREATE TABLE lc.lake.ctas AS " +
       "SELECT id AS k, id * 3 AS v FROM range(100)")
@@ -108,12 +108,13 @@ class SnapshotLifecycleSpec extends SparkSpec {
     val got = spark.sql("SELECT * FROM lc.lake.ctas")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(got == (0L until 100L).map(i => (i, i * 3)))
-    // provenance shows the two-step shape: genesis then append
-    val ops = SnapshotLog.history(dir).sortBy(_.version).map(_.op)
-    assert(ops == Seq("create-table", "append"), ops.toString)
-    // time travel to the empty genesis still works
+    // provenance shows the staged shape: one commit, data at genesis
+    // (the staging catalog — SnapshotReplaceSpec pins the rest)
+    val h = SnapshotLog.history(dir).sortBy(_.version)
+    assert(h.map(_.op) == Seq("create-table"), h.map(_.op).toString)
+    assert(h.head.files > 0)
     assert(spark.sql("SELECT count(*) FROM lc.lake.ctas VERSION AS OF 0")
-      .head.getLong(0) == 0L)
+      .head.getLong(0) == 100L)
   }
 
   test("Scala createTable is genesis-only and refuses case-variant columns") {
@@ -228,7 +229,7 @@ class SnapshotLifecycleSpec extends SparkSpec {
       .writeTo("lc.lake.w2").create()
     val dir = s"$root/lake/w2"
     assert(SnapshotLog.history(dir).sortBy(_.version).map(_.op) ==
-      Seq("create-table", "append"))
+      Seq("create-table")) // atomic staged CTAS: data rides the genesis
     spark.range(3, 5).select(col("id").as("k"), (col("id") * 7).as("v"))
       .writeTo("lc.lake.w2").append()
     assert(SnapshotLog.read(spark, dir).count() == 5L)
