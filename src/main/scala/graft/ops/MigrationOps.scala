@@ -664,6 +664,94 @@ object MigrationOps {
     }
   }
 
+  /** METADATA-ONLY AGGREGATE PUSHDOWN driver-gated
+    * ([[graft.sources.SnapshotCatalog]]'s `aggAnswer` through the
+    * bridge's `SupportsPushDownAggregates`): after the CTAS, the
+    * ungrouped COUNT(*)/MIN/MAX/COUNT(col) query must plan as ONE
+    * `SnapAggScan` row — answered from manifest stats, zero data I/O
+    * (require()d via the optimized plan's scan class). A dv-bearing
+    * version must DECLINE to an honest parquet scan (require()d
+    * absent — sidecar re-marks make mask sizes unsubtractable) with
+    * the post-delete values, and `CALL compact_deletes` must restore
+    * the shortcut. The RESULT is the post-compaction pushed aggregate
+    * row; the oracle recomputes it relationally over `orders` minus
+    * the 24 deleted keys — a wrong stats-derived answer (stale count,
+    * truncated bound, null mishandling) hash-diverges. */
+  val snapAggPushdown: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_aggpush_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"aggsql_$tok"
+    val view = s"aggsrc_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      t(s, dir, "orders").createOrReplaceTempView(view)
+      // Spark's parquet writer defaults to INT96 timestamps, which the
+      // harvest deliberately leaves stat-less (deprecated, unordered
+      // stats) — write MICROS for the whole ladder (the CTAS and the
+      // compaction rewrite both land files) so min/max(o_orderdate)
+      // is answerable; the INT96 decline path is
+      // SnapshotAggPushSpec's business. Restored in the outer finally.
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      s.sql(s"CREATE TABLE $cat.lake.t AS SELECT o_orderkey, " +
+        "o_custkey, o_orderdate, o_orderpriority, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) " +
+        s"AS o_price_c FROM $view")
+      def aggDf() = s.sql(
+        s"""SELECT cnt, min_ok, max_ok,
+              date_format(min_od, 'yyyy-MM-dd HH:mm:ss') AS min_od,
+              date_format(max_od, 'yyyy-MM-dd HH:mm:ss') AS max_od,
+              cnt_pri
+            FROM (SELECT count(*) AS cnt, min(o_orderkey) AS min_ok,
+              max(o_orderkey) AS max_ok, min(o_orderdate) AS min_od,
+              max(o_orderdate) AS max_od, count(o_orderpriority) AS cnt_pri
+              FROM $cat.lake.t)""")
+      def pushed(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.scan
+        }.exists(_.getClass.getSimpleName.contains("SnapAggScan"))
+      val full = aggDf()
+      require(pushed(full), "metadata aggregate did not push: the " +
+        "ungrouped COUNT/MIN/MAX over a clean version must plan as " +
+        "SnapAggScan (manifest stats, zero data I/O)")
+      val fullRow = full.collect()(0)
+      val delKeys = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect()
+        .map(_.getLong(0))
+      s.sql(s"DELETE FROM $cat.lake.t WHERE o_orderkey IN " +
+        delKeys.mkString("(", ", ", ")"))
+      val masked = aggDf()
+      require(!pushed(masked), "metadata aggregate pushed through a " +
+        "dv-bearing version — masked rows make stats counts unsound; " +
+        "the scan must decline")
+      val maskedRow = masked.collect()(0)
+      require(maskedRow.getLong(0) == fullRow.getLong(0) - 24,
+        s"post-delete count ${maskedRow.getLong(0)} != " +
+          s"${fullRow.getLong(0) - 24}")
+      s.sql(s"CALL $cat.system.compact_deletes(table => 'lake.t')")
+        .collect(): Unit
+      val compacted = aggDf()
+      require(pushed(compacted), "compaction must retire the masks and " +
+        "restore the metadata-aggregate shortcut")
+      val res = compacted
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.conf.unset("spark.sql.parquet.outputTimestampType")
+      s.catalog.dropTempView(view): Unit
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** `CREATE OR REPLACE TABLE … AS SELECT` through the STAGING catalog
     * ([[graft.sources.SnapshotCatalog.stageCreateOrReplace]]),
     * driver-gated: the ladder commits the orders slice (atomic CTAS),
@@ -1322,6 +1410,7 @@ object MigrationOps {
     "snap_constraint_sql" -> snapConstraintSql,
     "snap_lifecycle_sql" -> snapLifecycleSql,
     "snap_replace_sql" -> snapReplaceSql,
+    "snap_agg_pushdown" -> snapAggPushdown,
     "snap_stream_table_sink" -> snapStreamTableSink,
     "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
@@ -1567,6 +1656,20 @@ object MigrationOps {
            CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
              AS sum_price_c
          FROM orders GROUP BY o_orderstatus""",
+    // metadata-only aggregate pushdown: after CTAS → MOR delete (decline
+    // require()d) → compact_deletes, the pushed COUNT/MIN/MAX row must
+    // equal the relational aggregate over orders minus the 24 deleted
+    // keys — a stale or unsound stats answer hash-diverges
+    "snap_agg_pushdown" ->
+      """WITH kept AS (
+           SELECT * FROM orders WHERE o_orderkey NOT IN
+             (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24))
+         SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS min_ok,
+           MAX(o_orderkey) AS max_ok,
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_od,
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_od,
+           COUNT(o_orderpriority) AS cnt_pri
+         FROM kept""",
     // CREATE OR REPLACE through the staging catalog: after the ladder
     // (atomic CTAS → MOR delete → staged replace, history require()d
     // intact) the table IS the per-status aggregate of orders

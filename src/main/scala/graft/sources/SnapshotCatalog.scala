@@ -859,18 +859,20 @@ private class SnapshotHistoryTable(tName: String, tableDirPath: String)
   * deletion-mask state and the recorded column stats as a JSON
   * string (`get_json_object(stats, '$.col.min')` digs in — the stats
   * vocabulary is per-column `min`/`max`/`nulls`/`allNull`, keyed by
-  * PHYSICAL column name). Deliberately no row/byte counts: the
-  * manifest doesn't record them, and a metadata query that re-reads
-  * every footer would be O(files) driver I/O on a table whose whole
-  * point is not listing files. Served as a LocalScan like
-  * [[SnapshotHistoryTable]] — driver-sized metadata, re-read per
-  * plan. */
+  * PHYSICAL column name). `rows` is the manifest-recorded footer row
+  * count (the `:rows` pseudo-stat — null for files committed before
+  * it was harvested); no other counts are re-derived: a metadata
+  * query that re-reads every footer would be O(files) driver I/O on
+  * a table whose whole point is not listing files. Served as a
+  * LocalScan like [[SnapshotHistoryTable]] — driver-sized metadata,
+  * re-read per plan. */
 private class SnapshotFilesTable(tName: String, tableDirPath: String)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.types._
 
   private val filesSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
+    StructField("rows", LongType, nullable = true),
     StructField("masked", BooleanType, nullable = false),
     StructField("dv_sidecars", IntegerType, nullable = false),
     StructField("stats", StringType, nullable = true)))
@@ -893,15 +895,19 @@ private class SnapshotFilesTable(tName: String, tableDirPath: String)
         val (files, stats, _, _, dv) =
           SnapshotLog.manifestDetailsAt(tableDirPath, v)
         files.map { f =>
-          val st = Option(stats).flatMap(s => Option(s.get(f)))
-            .map(_.toString)
+          val cols = Option(stats).flatMap(s => Option(s.get(f)))
+          val rows = cols.flatMap(c => Option(c.get(":rows")))
+            .flatMap(r => Option(r.get("n")))
+            .filter(_.isIntegralNumber).map(_.asLong)
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(f),
+              rows.map(java.lang.Long.valueOf).orNull,
               dv.contains(f),
               dv.get(f).fold(0)(_.size),
-              st.map(org.apache.spark.unsafe.types.UTF8String.fromString)
-                .orNull)): org.apache.spark.sql.catalyst.InternalRow
+              cols.map(c => org.apache.spark.unsafe.types.UTF8String
+                .fromString(c.toString)).orNull))
+            : org.apache.spark.sql.catalyst.InternalRow
         }.toArray
       }
     }
@@ -999,6 +1005,185 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     else java.util.EnumSet.of(BATCH_READ)
   }
 
+  private def fileCols(f: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
+    Option(stats).flatMap(s => Option(s.get(f)))
+
+  /** The manifest-recorded footer row count of `f` — the `:rows`
+    * pseudo-stat harvested at commit (None for files committed before
+    * it existed, or whose harvest failed). */
+  private def rowsOf(f: String): Option[Long] =
+    fileCols(f).flatMap(c => Option(c.get(":rows")))
+      .flatMap(r => Option(r.get("n")))
+      .filter(_.isIntegralNumber).map(_.asLong)
+
+  /** LIMIT as FILE-LIST pruning: the manifest prefix whose recorded
+    * row counts cover `n` rows — `SELECT * FROM t LIMIT 10` then
+    * plans one file's tasks instead of the whole table's. Exact-only,
+    * like every metadata answer: a dv-bearing version declines (masks
+    * drop an unknown share of each file's rows, so the prefix could
+    * under-deliver), as does any file missing `:rows`. Partial
+    * pushdown contract (Spark keeps its Limit): the prefix must hold
+    * AT LEAST min(n, table) rows, which exact counts guarantee. */
+  private def limitFiles(n: Int): Option[Seq[String]] = {
+    if (dv.nonEmpty || n <= 0 || recorded.fieldNames.contains(":rows"))
+      return None
+    val out = Seq.newBuilder[String]
+    var acc = 0L
+    var i = 0
+    while (i < files.length && acc < n) {
+      rowsOf(files(i)) match {
+        case None => return None
+        case Some(r) => acc += r; out += files(i)
+      }
+      i += 1
+    }
+    val kept = out.result()
+    ScanPrune.recordLimit(tName, kept.size, files.size)
+    Some(kept)
+  }
+
+  /** METADATA-ONLY AGGREGATES — answer an ungrouped
+    * COUNT(*)/COUNT(col)/MIN(col)/MAX(col) Aggregation exactly from
+    * the manifest's per-file stats, or decline (None → ordinary scan +
+    * aggregate). The Iceberg/Delta shortcut: at 100 TB a bare
+    * `SELECT count(*)` is O(files) driver JSON lookups instead of a
+    * full table scan. Every rule below exists because a wrong answer
+    * here IS the query result (no residual re-check protects an
+    * aggregate the way it protects file pruning), so only provably
+    * exact facts answer:
+    *
+    *  - versions carrying DELETION MASKS decline everything: sidecars
+    *    may re-mark the same position across commits, so their counts
+    *    don't subtract soundly without a dedup pass (compaction
+    *    retires the masks and restores the shortcut);
+    *  - COUNT(*) needs every file's `:rows` pseudo-stat (harvested
+    *    from footer block counts since this round; older manifests
+    *    decline);
+    *  - COUNT(col) additionally needs the column's exact `nulls`
+    *    count in every file (a file the harvest poisoned — unset
+    *    num_nulls in any row group — declines); `allNull` files
+    *    contribute zero. COUNT(DISTINCT …) is never answerable;
+    *  - MIN/MAX(col) only for LONG-KIND recorded stats on integral /
+    *    date / micros-timestamp columns: parquet's fixed-width stats
+    *    are exact values. DOUBLE/FLOAT decline (footers ignore NaN,
+    *    Spark's MAX sorts NaN above everything — the stat can't see
+    *    the true answer); STRING declines (writers may truncate
+    *    binary bounds — a bound is not the value); every file must
+    *    carry the column's stats or be provably allNull;
+    *  - a schema containing a real column named ":rows" shadows the
+    *    pseudo-stat — decline everything rather than read ambiguity.
+    *
+    * Output schema/values positionally match the agg expressions
+    * (internal representations: Long/Int/…; null MIN/MAX on an
+    * empty/all-null table — a zero-file genesis answers (0, null)). */
+  private def aggAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{
+      Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty || dv.nonEmpty ||
+      recorded.fieldNames.contains(":rows")) return None
+    lazy val totalRows: Option[Long] = {
+      val per = files.map(rowsOf)
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
+    // SQL resolves case-insensitively by default; the pushed reference
+    // carries the resolved attribute's case, but match the recorded
+    // schema defensively (exact first, unique fold otherwise)
+    def fieldOf(name: String): Option[StructField] =
+      recorded.fields.find(_.name == name).orElse {
+        recorded.fields.filter(_.name.equalsIgnoreCase(name)) match {
+          case Array(one) => Some(one)
+          case _ => None
+        }
+      }
+    def colRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        fieldOf(nr.fieldNames().head)
+      case _ => None
+    }
+    def countCol(field: StructField): Option[Long] = {
+      val phys = colmap.getOrElse(field.name, field.name)
+      val per = files.map { f =>
+        for {
+          node <- fileCols(f).flatMap(c => Option(c.get(phys)))
+          nonNull <-
+            if (node.path("allNull").asBoolean(false)) Some(0L)
+            else for {
+              rows <- rowsOf(f)
+              nulls <- Option(node.get("nulls"))
+                .filter(_.isIntegralNumber).map(_.asLong)
+            } yield rows - nulls
+        } yield nonNull
+      }
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
+    def minMax(field: StructField, wantMin: Boolean): Option[Any] = {
+      val longKind = field.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      if (!longKind) return None
+      val phys = colmap.getOrElse(field.name, field.name)
+      var best: Option[Long] = None
+      files.foreach { f =>
+        fileCols(f).flatMap(c => Option(c.get(phys))) match {
+          case None => return None
+          case Some(node) if node.path("allNull").asBoolean(false) => ()
+          case Some(node) =>
+            val b = Option(node.get(if (wantMin) "min" else "max"))
+              .filter(_.isIntegralNumber).map(_.asLong)
+              .getOrElse(return None)
+            best = Some(best.fold(b)(p =>
+              if (wantMin) math.min(p, b) else math.max(p, b)))
+        }
+      }
+      // recorded long → the column type's catalyst-internal value; a
+      // value outside the narrow type's range means the stat and the
+      // schema disagree — decline, never mis-answer
+      best match {
+        case None => Some(null)
+        case Some(l) => field.dataType match {
+          case LongType | TimestampType | TimestampNTZType => Some(l)
+          case IntegerType | DateType =>
+            if (l < Int.MinValue || l > Int.MaxValue) None else Some(l.toInt)
+          case ShortType =>
+            if (l < Short.MinValue || l > Short.MaxValue) None
+            else Some(l.toShort)
+          case ByteType =>
+            if (l < Byte.MinValue || l > Byte.MaxValue) None
+            else Some(l.toByte)
+          case _ => None
+        }
+      }
+    }
+    val answered = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => totalRows.map(n =>
+        (StructField("count(*)", LongType, nullable = false), n: Any))
+      case c: Count if !c.isDistinct =>
+        colRef(c.column()).flatMap(f => countCol(f).map(n =>
+          (StructField(s"count(${f.name})", LongType, nullable = false),
+            n: Any)))
+      case m: Min => colRef(m.column()).flatMap { f =>
+        minMax(f, wantMin = true).map(v =>
+          (StructField(s"min(${f.name})", f.dataType), v))
+      }
+      case m: Max => colRef(m.column()).flatMap { f =>
+        minMax(f, wantMin = false).map(v =>
+          (StructField(s"max(${f.name})", f.dataType), v))
+      }
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty) || answered.isEmpty) None
+    else Some((StructType(answered.flatten.map(_._1)),
+      answered.flatten.map(_._2).toArray))
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     val spark = SparkSession.active
@@ -1009,6 +1194,8 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       mapName = c => colmap.getOrElse(c, c),
       unmapName = c => phys2log.getOrElse(c, c),
       dv = dv,
+      aggAnswer = aggAnswer,
+      limitFiles = limitFiles,
       // `spark.readStream.table("snap.ns.t")` — the catalog face of
       // the snapshot stream source (SnapshotStreamBuild owns the
       // option vocabulary: startVersion, ignoreChanges, time bounds;
@@ -1163,6 +1350,11 @@ private[graft] object ScanPrune {
   private val decisionOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val DecisionsCap = 512
+
+  /** LIMIT-as-file-pruning decisions, under the `@vN#limit`-suffixed
+    * key (same advisory observability contract as [[decisions]]). */
+  private[sources] def recordLimit(tName: String, kept: Int,
+      total: Int): Unit = recordDecision(s"$tName#limit", (kept, total))
 
   private def recordDecision(tName: String, v: (Int, Int)): Unit = {
     if (decisions.put(tName, v).isEmpty) decisionOrder.add(tName): Unit

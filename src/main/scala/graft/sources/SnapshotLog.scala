@@ -247,7 +247,27 @@ object SnapshotLog {
         // the field keeps the file under pruneIsNull's conservative rule
         if (nulls >= 0) node.put("nulls", nulls): Unit
         name -> node
-    }.toMap
+    }.toMap ++ {
+      // the file's ROW COUNT rides as the reserved pseudo-column
+      // ":rows" (an ObjectNode like every stats value, so every
+      // carry/copy path moves it verbatim; readers look columns up by
+      // name and never see it). Footer block counts are exact and
+      // free — the footer is already open. What it buys: the catalog
+      // can answer ungrouped COUNT(*)/COUNT(col) (and, with min/max,
+      // MIN/MAX) from the manifest alone — zero data I/O at any table
+      // size (the Iceberg/Delta metadata-aggregate shortcut). A real
+      // parquet column literally named ":rows" (legal in the format,
+      // unreachable from Spark's writer) would collide: skip the
+      // pseudo-column entirely for such a file — aggregates then
+      // decline to a plain scan, never mis-answer.
+      if (acc.contains(":rows")) Map.empty[String,
+        com.fasterxml.jackson.databind.node.ObjectNode]
+      else {
+        val rNode = mapper.createObjectNode()
+        rNode.put("n", footer.getBlocks.asScala.map(_.getRowCount).sum): Unit
+        Map(":rows" -> rNode)
+      }
+    }
   }
 
   /** Decide from manifest stats whether `file` can hold a row with
@@ -671,6 +691,77 @@ object SnapshotLog {
       colmapOf(node),
       dvOf(node))
   }
+
+  /** The BUCKET LAYOUT recorded across a version's per-file stats, if
+    * consistent: (physical column, numBuckets, file → bucket id). The
+    * layout lives as the reserved `:bucket` pseudo-stat on EVERY file
+    * (written by [[rebucket]] and maintained by bucketed appends), so
+    * it rides every stats carry/copy/rehome path untouched and — the
+    * design's point — DEGRADES instead of lying: any file without the
+    * entry (a COW rewrite's fresh harvest, an optimize, a MOR
+    * post-image, a pre-bucket append) breaks consistency and the scan
+    * simply stops reporting the partitioning. A stale claim is
+    * impossible because data files are immutable: a file's recorded
+    * (col, n, id) is true forever; only the TABLE-level consistency
+    * can lapse. Returns None unless every file agrees on (col, n) and
+    * carries a valid id. */
+  private[sources] def bucketLayoutOf(
+      stats: com.fasterxml.jackson.databind.JsonNode, files: Seq[String])
+      : Option[(String, Int, Map[String, Int])] = {
+    if (files.isEmpty || stats == null) return None
+    val entries = files.map { f =>
+      for {
+        cols <- Option(stats.get(f))
+        b <- Option(cols.get(":bucket"))
+        c <- Option(b.get("col")).map(_.asText)
+        n <- Option(b.get("n")).filter(_.isIntegralNumber).map(_.asInt)
+        id <- Option(b.get("id")).filter(_.isIntegralNumber).map(_.asInt)
+        if id >= 0 && id < n
+      } yield (c, n, f -> id)
+    }
+    if (entries.exists(_.isEmpty)) return None
+    val all = entries.flatten
+    val (c0, n0) = (all.head._1, all.head._2)
+    if (all.forall(e => e._1 == c0 && e._2 == n0))
+      Some((c0, n0, all.map(_._3).toMap))
+    else None
+  }
+
+  /** Spark's task-partition index from the written file name
+    * (`part-NNNNN-<uuid>…`) — for a frame repartitioned by
+    * `repartition(n, col)` this IS the row set's bucket id
+    * (`pmod(murmur3(col, seed 42), n)`, HashPartitioning's own
+    * arithmetic; REPARTITION_BY_NUM pins the count, so AQE never
+    * coalesces two buckets into one file). */
+  private def bucketIdFromName(file: String): Option[Int] = {
+    val name = Paths.get(file).getFileName.toString
+    val m = java.util.regex.Pattern.compile("^part-(\\d+)-").matcher(name)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** Annotate freshly-harvested stats with each file's `:bucket`
+    * pseudo-stat. A file whose name carries no partition index is left
+    * unannotated — the layout then reads as inconsistent (degrade,
+    * never lie). */
+  private def annotateBuckets(
+      stats: Map[String, Map[String,
+        com.fasterxml.jackson.databind.node.ObjectNode]],
+      files: Seq[String], col: String, n: Int)
+      : Map[String, Map[String,
+        com.fasterxml.jackson.databind.node.ObjectNode]] =
+    files.map { f =>
+      val base = stats.getOrElse(f, Map.empty[String,
+        com.fasterxml.jackson.databind.node.ObjectNode])
+      f -> (bucketIdFromName(f) match {
+        case Some(id) if id < n =>
+          val b = mapper.createObjectNode()
+          b.put("col", col): Unit
+          b.put("n", n): Unit
+          b.put("id", id): Unit
+          base + (":bucket" -> b)
+        case _ => base
+      })
+    }.toMap
 
   /** The membership prune stages over a caller-held manifest — the
     * catalog's scan-time entry into [[pruneCore]] (equality/IN asks:
@@ -1930,7 +2021,25 @@ object SnapshotLog {
       }
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.toDF(batchPhys: _*).write.mode("overwrite").parquet(dd.toString)
+    // BUCKET MAINTENANCE: an append to a bucketed table ([[rebucket]])
+    // repartitions its batch by the same hash arithmetic so the
+    // storage-partitioned-join layout survives ingestion — the one
+    // verb besides mask-only MOR deletes that keeps it. A batch that
+    // OMITS the bucket column (mergeSchema) writes unbucketed and the
+    // layout degrades by the honest-degrade contract.
+    val bucketSpec = bucketLayoutOf(prevManifest.get("stats"), prevFiles)
+      .map { case (pcol, n, _) => (pcol, n) }
+      .filter { case (pcol, _) =>
+        val logical = colmap.map(_.swap).getOrElse(pcol, pcol)
+        df.columns.contains(logical)
+      }
+    val toWrite = bucketSpec match {
+      case Some((pcol, n)) =>
+        val logical = colmap.map(_.swap).getOrElse(pcol, pcol)
+        df.repartition(n, org.apache.spark.sql.functions.col(logical))
+      case None => df
+    }
+    toWrite.toDF(batchPhys: _*).write.mode("overwrite").parquet(dd.toString)
     val newFiles = listDir(dd)
       .filter(_.toString.endsWith(".parquet"))
       .map(p => canon(p).toString).sorted
@@ -1977,7 +2086,11 @@ object SnapshotLog {
       if (colmap.isEmpty) Nil
       else published.fieldNames.toSeq.map(c =>
         c -> colmap.getOrElse(c, batchMap(c)))
-    val newStats = harvestStats(newFiles)
+    val newStats = bucketSpec match {
+      case Some((pcol, n)) =>
+        annotateBuckets(harvestStats(newFiles), newFiles, pcol, n)
+      case None => harvestStats(newFiles)
+    }
     val carried = carriedStats(prevManifest, prevFiles)
     publish(tableDir, v, prevFiles ++ newFiles, carried ++ newStats,
       Some(published.json), newColmap, retired, dv = dvOf(prevManifest),
@@ -3549,6 +3662,66 @@ object SnapshotLog {
     // until a refresh). Maintenance is post-commit and advisory: a
     // failure here cannot un-publish the version.
     if (maintainIndexes) maintainBloomIndexes(spark, tableDir): Unit
+    v
+  }
+
+  /** REBUCKET — establish the storage-partitioned-join layout
+    * (Iceberg's `bucket(n, col)` partition transform at this log's
+    * minimum): one full clustered rewrite in which every output file
+    * holds exactly one bucket of `pmod(murmur3(column, seed 42),
+    * numBuckets)` — Spark's own hash-partitioning arithmetic, which is
+    * what `df.repartition(n, col)` computes, so the file's task-
+    * partition index IS its bucket id. Each file records its
+    * (col, n, id) as the `:bucket` pseudo-stat; when every file of a
+    * version agrees ([[bucketLayoutOf]]), the SQL catalog's scan
+    * reports `KeyGroupedPartitioning(bucket(n, col))` under
+    * `spark.sql.sources.v2.bucketing.enabled=true` and a join of two
+    * tables bucketed with the same (n, column type) runs with NO
+    * shuffle on either side — the 100 TB fact-to-fact join cost model.
+    *
+    * Maintenance semantics (the honest-degrade contract): appends
+    * re-bucket their batch and keep the layout; MOR deletes are
+    * mask-only and keep it free; ANY other rewrite (COW DML, optimize,
+    * z-order, MOR post-images, compaction) harvests fresh stats
+    * without `:bucket`, so the layout silently degrades to an
+    * ordinary table — correctness never depends on it, joins just
+    * shuffle again until the next `rebucket`. A column RENAME keeps
+    * the layout (the pseudo-stat records the immutable physical
+    * name); this rewrite itself rematerializes logical names and
+    * sheds the column map, like [[optimize]].
+    *
+    * The rewrite reads THROUGH deletion masks (a dv-bearing table
+    * compacts and buckets in one commit). Bucket the JOIN KEY —
+    * mid-size dims and facts you co-locate; broadcast stays the right
+    * answer for small dims. */
+  def rebucket(spark: SparkSession, tableDir: String, column: String,
+      numBuckets: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    require(numBuckets >= 2 && numBuckets <= 65536,
+      s"numBuckets $numBuckets: want 2..65536")
+    val baseV = latestVersion(tableDir).getOrElse(
+      sys.error(s"no committed version in $tableDir"))
+    val df = read(spark, tableDir, asOf = Some(baseV))
+    require(df.columns.contains(column),
+      s"unknown bucket column $column (have ${df.columns.mkString(", ")})")
+    require(df.take(1).nonEmpty,
+      s"rebucket of an empty table: the bucket layout lives in per-file " +
+        "metadata and an empty table has no files to carry it — land " +
+        "data first, then rebucket")
+    val v = baseV + 1
+    val dd = Paths.get(tableDir, "data",
+      s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    df.repartition(numBuckets, col(column))
+      .write.mode("overwrite").parquet(dd.toString)
+    val files = listDir(dd)
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => canon(p).toString).sorted
+    val stats = annotateBuckets(harvestStats(files), files, column,
+      numBuckets)
+    val schema = try Some(spark.read.parquet(dd.toString).schema.json)
+      catch { case _: Exception => None }
+    publish(tableDir, v, files, stats, schema, op = "rebucket")
+    maintainBloomIndexes(spark, tableDir): Unit
     v
   }
 

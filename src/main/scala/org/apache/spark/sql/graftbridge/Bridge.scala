@@ -123,7 +123,11 @@ object Bridge {
     * batch scan of the same files, and THIS is the lever that note
     * named. */
   def parquetFileBatches(spark: SparkSession,
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      // advisory v1 filters for row-group/page skipping, exactly as on
+      // the row path — record-level filtering stays off, callers keep
+      // their residual semantics
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : Option[String => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = {
     val fmt = new org.apache.spark.sql.execution.datasources.parquet
       .ParquetFileFormat()
@@ -134,7 +138,7 @@ object Bridge {
       dataSchema = schema,
       partitionSchema = new org.apache.spark.sql.types.StructType(),
       requiredSchema = schema,
-      filters = Nil,
+      filters = filters,
       options = Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "true"),
       hadoopConf = classic.sessionState.newHadoopConf())

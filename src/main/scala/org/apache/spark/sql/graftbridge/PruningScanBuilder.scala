@@ -63,13 +63,52 @@ class PruningParquetScanBuilder(
     // delegates here (the snapshot stream source, options captured at
     // newScanBuilder) instead of refusing — batch scans are untouched
     streamFor: Option[() =>
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+    // METADATA-ONLY AGGREGATE answers (the Iceberg/Delta shortcut): the
+    // catalog answers an ungrouped COUNT/MIN/MAX Aggregation from
+    // manifest stats alone, or None to decline — see
+    // PrunedSnapshotTable.aggAnswer for the exactness rules. Answered
+    // aggregations build a one-row [[SnapAggScan]] instead of the
+    // parquet stack: zero data I/O at any table size.
+    aggAnswer: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+      => Option[(StructType, Array[Any])] = _ => None,
+    // LIMIT as FILE-LIST pruning: the catalog returns the manifest
+    // prefix whose recorded row counts cover `limit` rows (None =
+    // unanswerable — old manifests, dv masks). Partial pushdown only
+    // (Spark keeps its Limit above), so the contract is "at least
+    // min(limit, table) rows", which the exact `:rows` counts on a
+    // mask-free version guarantee. What it buys at scale: `SELECT *
+    // FROM t LIMIT 10` plans one file's tasks instead of 100k.
+    limitFiles: Int => Option[Seq[String]] = _ => None,
+    // the table's consistent BUCKET LAYOUT, when one exists and the
+    // version carries no deletion masks: (logical column, numBuckets,
+    // file → bucket id). Under spark.sql.sources.v2.bucketing.enabled
+    // the build returns a [[SnapBucketScan]] reporting
+    // KeyGroupedPartitioning (the transform resolves to the catalog's
+    // own `bucket` function) — storage-partitioned joins, no shuffle
+    // on either side. Conf off (the default): the ordinary pruned
+    // parquet scan, byte-split parallelism untouched.
+    bucket: Option[(String, Int, Map[String, Int])] = None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var filterExprs: Seq[Expression] = Nil
   private var required: Option[StructType] = None
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
+  private var limitKept: Option[Seq[String]] = None
+
+  /** Spark only pushes a limit with no Filter between it and the scan,
+    * and every predicate here is residual — so `filterExprs` is empty
+    * whenever this is consulted (guarded anyway: a residual filter
+    * drops rows, which would break the at-least-limit contract). */
+  override def pushLimit(l: Int): Boolean = {
+    if (filterExprs.isEmpty) limitKept = limitFiles(l)
+    limitKept.isDefined
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     filterExprs = filters
@@ -84,9 +123,80 @@ class PruningParquetScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan =
-    new PrunedSnapshotScan(spark, tableName, readSchema, prune,
-      mapName, unmapName, filterExprs, required, dv, streamFor)
+  /** COMPLETE pushdown only: the manifest either answers the whole
+    * ungrouped aggregation exactly or declines — there is no partial
+    * per-partition form to hand back. Guarded on zero pushed filters
+    * (Spark only attempts aggregate pushdown below a filter-free
+    * Aggregate, but every predicate here is residual by contract, so
+    * the belt-and-braces check is free). */
+  private def answer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] =
+    if (filterExprs.nonEmpty) None else aggAnswer(agg)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = answer(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    pushedAgg = answer(agg)
+    pushedAgg.isDefined
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) => new SnapAggScan(tableName, schema, row)
+    case None => bucket match {
+      case Some((bCol, n, fileIds)) if dv.isEmpty && limitKept.isEmpty &&
+          spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
+            "false").toBoolean =>
+        new SnapBucketScan(spark, tableName, readSchema, prune, mapName,
+          unmapName, filterExprs, required, bCol, n, fileIds)
+      case _ =>
+        new PrunedSnapshotScan(spark, tableName, readSchema, prune,
+          mapName, unmapName, filterExprs, required, dv, streamFor,
+          limitKept)
+    }
+  }
+}
+
+/** The scan a completely-pushed aggregation builds: ONE partition, ONE
+  * row — the aggregate values computed on the driver from manifest
+  * stats (O(files) JSON lookups, no file I/O at all). Its schema IS
+  * the aggregation output, positionally (the [[DocGenCountScan]]
+  * contract: Spark maps complete-pushdown scan output to the agg
+  * expressions by position and plans a Project, no Aggregate exec).
+  * Values are catalyst-internal (Long/Int/…, null for an empty MIN). */
+private class SnapAggScan(tableName: String, schema: StructType,
+    row: Array[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SnapAggScan[$tableName](" + schema.fields.zip(row).map { case (f, v) =>
+      s"${f.name}=$v" }.mkString(", ") + ") — manifest stats, zero data I/O"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapAggReaderFactory
+}
+
+private case class SnapAggPartition(row: Array[Any]) extends InputPartition
+
+private object SnapAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          p.asInstanceOf[SnapAggPartition].row)
+      override def close(): Unit = ()
+    }
 }
 
 /** The scan [[PruningParquetScanBuilder.build]] returns — an ordinary
@@ -145,7 +255,14 @@ private[graftbridge] class PrunedSnapshotScan(
     required: Option[StructType],
     dv: Map[String, Seq[String]] = Map.empty,
     streamFor: Option[() =>
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+    // a pushed LIMIT's pre-computed file prefix (see the builder's
+    // limitFiles doc) — used only while NO predicates are in play: a
+    // runtime filter arriving later rebuilds over the FULL prune (the
+    // runtime IN drops rows, so the at-least-limit arithmetic no
+    // longer holds on the prefix; Spark's retained Limit keeps the
+    // semantics either way)
+    limitKept: Option[Seq[String]] = None)
   extends Scan
   with SupportsReportStatistics
   with SupportsMetadata
@@ -184,7 +301,10 @@ private[graftbridge] class PrunedSnapshotScan(
   private[graftbridge] def currentBatch: Batch = inner.toBatch
 
   private def buildInner(): Scan = {
-    val kept = prune(plannedFilters ++ runtimeExprs)
+    val kept = limitKept match {
+      case Some(lk) if plannedFilters.isEmpty && runtimeExprs.isEmpty => lk
+      case _ => prune(plannedFilters ++ runtimeExprs)
+    }
     // merge-on-read split: dv'd files leave the parquet-stack scan
     // (which cannot apply a deletion mask) for the masked per-file
     // partitions below. The prune ran over BOTH halves first, so
@@ -428,6 +548,150 @@ private[graftbridge] class PrunedSnapshotScan(
           lits.toSeq))
       case _ => None
     }
+}
+
+/** The scan a BUCKETED snapshot table builds under
+  * `spark.sql.sources.v2.bucketing.enabled` — the read half of
+  * storage-partitioned joins (Iceberg's SPJ on this log's layout):
+  * ONE InputPartition per bucket, each carrying its bucket id as the
+  * partition key ([[HasPartitionKey]]) and reading its files through
+  * Spark's own parquet reader machinery (columnar whenever
+  * `supportBatch` admits the schema, exactly a batch scan's rule), and
+  * [[SupportsReportPartitioning]] reporting
+  * `KeyGroupedPartitioning(bucket(n, col), n)`. Spark resolves the
+  * transform through the table's catalog (a FunctionCatalog serving
+  * [[graft.sources.GraftBucketFunction]]), and a join of two tables
+  * bucketed with the same (n, column type) then plans with NO shuffle
+  * on either side — the join cost model that matters at 100 TB, where
+  * shuffling a fact table dwarfs the join itself.
+  *
+  * ALL n partitions are always emitted — an empty bucket rides as an
+  * empty partition — so both sides of a join present identical key
+  * sets and every join type stays correct without the
+  * push-part-values machinery. Manifest stats/bloom file pruning runs
+  * BEFORE bucket grouping (a pruned file just thins its bucket), and
+  * the planned predicates re-push into the per-file readers for
+  * row-group skipping; everything stays residual, as in every scan
+  * this builder makes. The parallelism ceiling is n tasks — the
+  * layout's own granularity; that (and losing byte-splits) is why the
+  * bucket scan only builds under the conf opt-in. */
+private class SnapBucketScan(
+    spark: SparkSession,
+    tableName: String,
+    physSchema: StructType,
+    prune: Seq[Expression] => Seq[String],
+    mapName: String => String,
+    unmapName: String => String,
+    plannedFilters: Seq[Expression],
+    required: Option[StructType],
+    bucketCol: String,
+    n: Int,
+    fileIds: Map[String, Int])
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with SupportsReportStatistics
+  with SupportsMetadata {
+
+  private val physReq: StructType = required match {
+    case Some(r) => StructType(r.fields.map(f =>
+      f.copy(name = mapName(f.name))))
+    case None => physSchema
+  }
+
+  private val kept: Seq[String] = prune(plannedFilters)
+
+  private val v1Filters: Seq[org.apache.spark.sql.sources.Filter] =
+    plannedFilters.map(_.transform {
+      case a: AttributeReference => a.withName(mapName(a.name))
+    }).flatMap(e =>
+      org.apache.spark.sql.execution.datasources.DataSourceStrategy
+        .translateFilter(e, supportNestedPredicatePushdown = true))
+
+  override def readSchema(): StructType = StructType(
+    physReq.fields.map(f => f.copy(name = unmapName(f.name))))
+
+  override def toBatch: Batch = this
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning
+      .KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(n, unmapName(bucketCol))), n)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val byId = kept.groupBy(f => fileIds.getOrElse(f, -1))
+    (0 until n).map(id => SnapBucketPartition(id,
+      byId.getOrElse(id, Nil).sorted): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapBucketReaderFactory(
+      Bridge.parquetFileRows(spark, physReq, v1Filters),
+      Bridge.parquetFileBatches(spark, physReq, v1Filters))
+
+  override def estimateStatistics(): Statistics = {
+    val bytes = kept.map(f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      catch { case _: Exception => 0L }).sum
+    new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(bytes)
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def description(): String =
+    s"SnapBucketScan[$tableName](bucket($n, ${unmapName(bucketCol)}), " +
+      s"files=${kept.size})"
+
+  override def getMetaData(): Map[String, String] = Map(
+    "BucketLayout" -> s"bucket($n, ${unmapName(bucketCol)})",
+    "Files" -> kept.size.toString,
+    "PushedFilters" -> v1Filters.mkString("[", ", ", "]"))
+}
+
+/** One bucket of a [[SnapBucketScan]]: the bucket id IS the partition
+  * key, the files are whole (bucket grouping is the point — a split
+  * would break co-location). */
+private case class SnapBucketPartition(id: Int, files: Seq[String])
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](id))
+}
+
+private class SnapBucketReaderFactory(
+    rowFunc: String => Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    batchFunc: Option[String =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]])
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    batchFunc.isDefined
+
+  private def reader[T](it: Iterator[T])
+      : org.apache.spark.sql.connector.read.PartitionReader[T] =
+    new org.apache.spark.sql.connector.read.PartitionReader[T] {
+      private var row: T = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): T = row
+      override def close(): Unit = ()
+    }
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    reader(p.asInstanceOf[SnapBucketPartition].files.iterator
+      .flatMap(rowFunc))
+
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    reader(p.asInstanceOf[SnapBucketPartition].files.iterator
+      .flatMap(batchFunc.getOrElse(sys.error(
+        "columnar read requested but supportColumnarReads said no"))))
 }
 
 /** A byte-range SPLIT of a prune-surviving data file that carries a
