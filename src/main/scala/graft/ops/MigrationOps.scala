@@ -752,6 +752,88 @@ object MigrationOps {
     }
   }
 
+  /** STORAGE-PARTITIONED JOIN driver-gated
+    * ([[graft.sources.SnapshotLog.rebucket]] + the catalog's
+    * FunctionCatalog + SnapBucketScan's KeyGroupedPartitioning): two
+    * snapshot tables bucketed `bucket(8, custkey)` joined on that key
+    * under `spark.sql.sources.v2.bucketing.enabled` must plan the join
+    * with ZERO shuffles below it (require()d by walking the final
+    * adaptive plan through its query stages) on two SnapBucketScans —
+    * the 100 TB fact-to-fact join cost model, Iceberg's SPJ on this
+    * log. The RESULT is the joined per-nation aggregate, which the
+    * oracle recomputes relationally — co-partitioning that lied about
+    * row placement would drop or duplicate matches and hash-diverge. */
+  val snapSpjJoin: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    import org.apache.spark.sql.execution.SparkPlan
+    val scratchP = Files.createTempDirectory("graft_spj_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"spjsql_$tok"
+    val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val odir = scratchP.resolve("lake").resolve("o").toString
+      val cdir = scratchP.resolve("lake").resolve("c").toString
+      graft.sources.SnapshotLog.commit(s, odir, t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("o_price_c")).repartition(4))
+      graft.sources.SnapshotLog.commit(s, cdir, t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey")).repartition(4))
+      graft.sources.SnapshotLog.rebucket(s, odir, "o_custkey", 8)
+      graft.sources.SnapshotLog.rebucket(s, cdir, "c_custkey", 8)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = s.sql(
+        s"""SELECT c_nationkey, count(*) AS n,
+              CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+            FROM $cat.lake.o o JOIN $cat.lake.c c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c_nationkey""")
+      val rows = q.collect()
+      def all(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            qs +: all(qs.plan)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a +: all(a.executedPlan)
+          case n => Seq(n)
+        }
+      val nodes = all(q.queryExecution.executedPlan)
+      val joinShuffles = nodes.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          all(j).count(_.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          all(j).count(_.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      }
+      require(joinShuffles.contains(0),
+        s"storage-partitioned join shuffled (exchanges below the join: " +
+          s"$joinShuffles) — KeyGroupedPartitioning compatibility failed")
+      val scans = nodes.count {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.getClass.getSimpleName.contains("SnapBucketScan")
+        case _ => false
+      }
+      require(scans == 2,
+        s"expected two SnapBucketScans under the join, found $scans")
+      val local = java.util.Arrays.asList(rows: _*)
+      s.createDataFrame(local, q.schema)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** `CREATE OR REPLACE TABLE … AS SELECT` through the STAGING catalog
     * ([[graft.sources.SnapshotCatalog.stageCreateOrReplace]]),
     * driver-gated: the ladder commits the orders slice (atomic CTAS),
@@ -1411,6 +1493,7 @@ object MigrationOps {
     "snap_lifecycle_sql" -> snapLifecycleSql,
     "snap_replace_sql" -> snapReplaceSql,
     "snap_agg_pushdown" -> snapAggPushdown,
+    "snap_spj_join" -> snapSpjJoin,
     "snap_stream_table_sink" -> snapStreamTableSink,
     "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
@@ -1670,6 +1753,15 @@ object MigrationOps {
            strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_od,
            COUNT(o_orderpriority) AS cnt_pri
          FROM kept""",
+    // storage-partitioned join: two tables bucketed bucket(8, custkey)
+    // joined shuffle-free (require()d in the plan) must equal the
+    // relational join aggregate — lying co-partitioning hash-diverges
+    "snap_spj_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""",
     // CREATE OR REPLACE through the staging catalog: after the ladder
     // (atomic CTAS → MOR delete → staged replace, history require()d
     // intact) the table IS the per-status aggregate of orders

@@ -93,7 +93,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * each routing to the log's own verb (see [[SnapshotProcedures]]).
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with StagingTableCatalog {
+    with ProcedureCatalog with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: java.io.File = _
@@ -637,6 +638,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         "NAMESPACE), and CALL snap.system.* maintenance procedures; " +
         "each routes to the log's own commit paths")
 
+  // ---- FunctionCatalog ---------------------------------------------------
+
+  /** One function: `bucket` — the identity storage-partitioned joins
+    * resolve a bucketed scan's `KeyGroupedPartitioning(bucket(n, col))`
+    * through (V2ExpressionUtils loads it as `Identifier.of(empty,
+    * "bucket")` against the TABLE's catalog). See
+    * [[GraftBucketFunction]] for the arithmetic and why the canonical
+    * name carries the input type. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket") && ident.namespace().isEmpty)
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
   // ---- ProcedureCatalog --------------------------------------------------
 
   /** Maintenance verbs as SQL `CALL` procedures (Spark 4's DSv2
@@ -962,13 +983,16 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
 
   /** DESCRIBE TABLE EXTENDED surface: where this table sits in its
     * lifecycle, from metadata already in hand (no extra I/O). */
-  override def properties(): util.Map[String, String] = Map(
+  override def properties(): util.Map[String, String] = (Map(
     "snapshot.version" -> version.toString,
     "snapshot.op" -> SnapshotLog.opAt(tableDir, version),
     "snapshot.files" -> files.size.toString,
     "snapshot.stats" -> (stats != null).toString,
     "snapshot.columnMapped" -> colmap.nonEmpty.toString,
-    "snapshot.dvFiles" -> dv.size.toString).asJava
+    "snapshot.dvFiles" -> dv.size.toString) ++
+    bucketLayout.map { case (pc, n, _) =>
+      "snapshot.bucket" -> s"bucket($n, ${phys2log.getOrElse(pc, pc)})"
+    }).asJava
   private val physical: StructType =
     if (colmap.isEmpty) recorded
     else StructType(recorded.fields.map(f =>
@@ -1184,6 +1208,19 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       answered.flatten.map(_._2).toArray))
   }
 
+  /** The version's consistent bucket layout, if any
+    * ([[SnapshotLog.bucketLayoutOf]] — every file carries an agreeing
+    * `:bucket` pseudo-stat), vetted for the scan: the physical column
+    * must still be live in the schema (a DROPPED bucket column leaves
+    * orphaned pseudo-stats — degrade), and a dv-bearing version never
+    * reports (the masked per-file partitions and the bucket partitions
+    * are different batch shapes; compaction restores both worlds). */
+  private lazy val bucketLayout: Option[(String, Int, Map[String, Int])] =
+    if (dv.nonEmpty) None
+    else SnapshotLog.bucketLayoutOf(stats, files).filter { case (pc, _, _) =>
+      physical.fieldNames.contains(pc)
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     val spark = SparkSession.active
@@ -1196,6 +1233,7 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       dv = dv,
       aggAnswer = aggAnswer,
       limitFiles = limitFiles,
+      bucket = bucketLayout,
       // `spark.readStream.table("snap.ns.t")` — the catalog face of
       // the snapshot stream source (SnapshotStreamBuild owns the
       // option vocabulary: startVersion, ignoreChanges, time bounds;

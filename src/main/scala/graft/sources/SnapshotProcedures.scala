@@ -17,6 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL snap.system.restore(table => 'ns.t', version => 3)
   *   CALL snap.system.optimize('ns.t', 500000)
   *   CALL snap.system.optimize('ns.t', 500000, zorder_by => 'x,y')
+  *   CALL snap.system.rebucket('ns.t', 'k', 16)
   *   CALL snap.system.compact_deletes('ns.t')
   *   CALL snap.system.expire_versions('ns.t', 10)
   *   CALL snap.system.vacuum('ns.t')                -- 1h age floor
@@ -41,12 +42,14 @@ private[sources] object SnapshotProcedures {
 
   def names: Seq[String] =
     Seq("add_constraint", "compact_deletes", "drop_constraint",
-      "expire_versions", "optimize", "restore", "show_constraints", "vacuum")
+      "expire_versions", "optimize", "rebucket", "restore",
+      "show_constraints", "vacuum")
 
   def load(cat: SnapshotCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "restore"          => Some(restore(cat))
       case "optimize"         => Some(optimize(cat))
+      case "rebucket"         => Some(rebucket(cat))
       case "compact_deletes"  => Some(compactDeletes(cat))
       case "expire_versions"  => Some(expireVersions(cat))
       case "vacuum"           => Some(vacuum(cat))
@@ -95,6 +98,23 @@ private[sources] object SnapshotProcedures {
           clusterBy = cols(args, 3),
           zOrderBy = cols(args, 2),
           zOrderQuantile = !args.isNullAt(4) && args.getBoolean(4))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      })
+
+  private def rebucket(cat: SnapshotCatalog): UnboundProcedure =
+    proc(cat, "rebucket",
+      "rewrite the table into the bucket(n, col) layout for storage-" +
+        "partitioned joins (SnapshotLog.rebucket; scans report " +
+        "KeyGroupedPartitioning under " +
+        "spark.sql.sources.v2.bucketing.enabled)",
+      Seq(in("table", StringType, "ns.t or absolute path"),
+        in("col", StringType, "the bucket (join-key) column"),
+        in("num_buckets", IntegerType, "bucket count (2..65536)")),
+      StructType(Seq(StructField("version", LongType, nullable = false))),
+      (args, spark) => {
+        val dir = cat.resolveTableArg(str(args, 0))
+        val v = SnapshotLog.rebucket(spark, dir, str(args, 1),
+          args.getInt(2))
         Seq(new GenericInternalRow(Array[Any](v)))
       })
 

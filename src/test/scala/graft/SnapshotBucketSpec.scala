@@ -1,0 +1,257 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import sources.SnapshotLog
+
+/** Storage-partitioned joins on bucketed snapshot tables
+  * ([[SnapshotLog.rebucket]] + [[SnapBucketScan]] +
+  * [[graft.sources.GraftBucketFunction]]): under
+  * `spark.sql.sources.v2.bucketing.enabled`, a join of two tables
+  * bucketed with the same (n, column type) plans with NO shuffle on
+  * either side — each scan reports
+  * `KeyGroupedPartitioning(bucket(n, col))`, resolved through the
+  * catalog's own FunctionCatalog. The layout lives as the `:bucket`
+  * pseudo-stat on every file, so the contract under test is
+  * HONEST-DEGRADE: anything that can't provably keep it (COW
+  * rewrites, mask-bearing versions, layout-less appends, mismatched
+  * bucket counts, the conf left off) falls back to ordinary scans
+  * with identical results — the layout is only ever a cost lever. */
+class SnapshotBucketSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft_bucket_").toString
+    Files.createDirectories(Paths.get(r, "lake"))
+    spark.conf.set("spark.sql.catalog.bkt", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.bkt.root", r)
+    r
+  }
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect(): Unit
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Every node of the FINAL physical plan, descending through AQE's
+    * QueryStageExec leaves (stages hide their plan from TreeNode
+    * traversal) — what shuffle/scan counting must walk. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: allNodes(q.plan)
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  private def joinSubtreeShuffles(plan: SparkPlan): Option[Int] =
+    allNodes(plan).collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        allNodes(j).count(_.isInstanceOf[ShuffleExchangeLike])
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        allNodes(j).count(_.isInstanceOf[ShuffleExchangeLike])
+    }
+
+  private def bucketScans(plan: SparkPlan): Int =
+    allNodes(plan).count {
+      case b: BatchScanExec =>
+        b.scan.getClass.getSimpleName.contains("SnapBucketScan")
+      case _ => false
+    }
+
+  /** SPJ on, broadcast off — a tiny fixture would otherwise broadcast
+    * and the shuffle-free claim would test nothing. */
+  private def withSpj[T](body: => T): T = {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
+  private def seed(dir: String, rows: Long, tag: String): Unit =
+    SnapshotLog.commit(spark, dir, spark.range(0, rows).toDF("k")
+      .withColumn(tag, col("k") * 2).repartition(4))
+
+  test("same-bucket join plans with zero shuffles on either side") {
+    root
+    seed(s"$root/lake/a", 10000, "va")
+    seed(s"$root/lake/b", 4000, "vb")
+    SnapshotLog.rebucket(spark, s"$root/lake/a", "k", 8)
+    SnapshotLog.rebucket(spark, s"$root/lake/b", "k", 8)
+    val q = "SELECT a.k, a.va, b.vb FROM bkt.lake.a a " +
+      "JOIN bkt.lake.b b ON a.k = b.k"
+    val (plan, rows) = withSpj {
+      val df = spark.sql(q)
+      (finalPlan(df), df.collect())
+    }
+    assert(bucketScans(plan) == 2, s"expected two SnapBucketScans:\n$plan")
+    assert(joinSubtreeShuffles(plan).contains(0),
+      s"the storage-partitioned join must not shuffle:\n$plan")
+    // exact result parity with the ordinary (conf off, shuffled) plan
+    val plain = spark.sql(q).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      plain.map(_.toString).sorted.toSeq)
+    assert(rows.length == 4000)
+  }
+
+  test("conf off: ordinary pruned scans, byte-split parallelism intact") {
+    root
+    val df = spark.sql("SELECT * FROM bkt.lake.a WHERE k < 100")
+    assert(bucketScans(finalPlan(df)) == 0)
+    assert(df.count() == 100)
+  }
+
+  test("append maintains the layout; the join stays shuffle-free") {
+    root
+    SnapshotLog.commitAppend(spark, s"$root/lake/b",
+      spark.range(4000, 4200).toDF("k").withColumn("vb", col("k") * 2))
+    val (plan, n) = withSpj {
+      val df = spark.sql("SELECT a.k FROM bkt.lake.a a " +
+        "JOIN bkt.lake.b b ON a.k = b.k")
+      (finalPlan(df), df.count())
+    }
+    assert(joinSubtreeShuffles(plan).contains(0),
+      s"a bucketed append must keep the layout:\n$plan")
+    assert(n == 4200)
+  }
+
+  test("mismatched bucket counts degrade to a shuffled join, same rows") {
+    root
+    seed(s"$root/lake/c", 4000, "vc")
+    SnapshotLog.rebucket(spark, s"$root/lake/c", "k", 4)
+    val (plan, n) = withSpj {
+      val df = spark.sql("SELECT a.k FROM bkt.lake.a a " +
+        "JOIN bkt.lake.c c ON a.k = c.k")
+      (finalPlan(df), df.count())
+    }
+    assert(joinSubtreeShuffles(plan).exists(_ > 0),
+      s"bucket(8) vs bucket(4) must not claim co-partitioning:\n$plan")
+    assert(n == 4000)
+  }
+
+  test("COW rewrite degrades the layout honestly; results exact") {
+    root
+    seed(s"$root/lake/d", 1000, "vd")
+    SnapshotLog.rebucket(spark, s"$root/lake/d", "k", 8)
+    // a COW update harvests fresh stats without :bucket for the
+    // rewritten file — the whole-table consistency lapses
+    SnapshotLog.updateWhere(spark, s"$root/lake/d", "k", Some(0L), Some(10L),
+      Map("vd" -> lit(-1L)))
+    val (plan, rows) = withSpj {
+      val df = spark.sql("SELECT k, vd FROM bkt.lake.d WHERE vd = -1")
+      (finalPlan(df), df.count())
+    }
+    assert(bucketScans(plan) == 0,
+      s"a partially-rewritten table must not report the layout:\n$plan")
+    assert(rows == 11)
+  }
+
+  test("dv-bearing version declines; compaction degrades (re-bucket to restore)") {
+    root
+    seed(s"$root/lake/e", 1000, "ve")
+    SnapshotLog.rebucket(spark, s"$root/lake/e", "k", 8)
+    SnapshotLog.deleteWhereInMOR(spark, s"$root/lake/e", "k", Seq(1L, 2L))
+    val (p1, n1) = withSpj {
+      val df = spark.sql("SELECT k FROM bkt.lake.e")
+      (finalPlan(df), df.count())
+    }
+    assert(bucketScans(p1) == 0, "masked versions read through the dv scan")
+    assert(n1 == 998)
+    SnapshotLog.compactDeletes(spark, s"$root/lake/e")
+    val (p2, n2) = withSpj {
+      val df = spark.sql("SELECT k FROM bkt.lake.e")
+      (finalPlan(df), df.count())
+    }
+    assert(bucketScans(p2) == 0,
+      "compaction rewrites masked files without :bucket — degrade")
+    assert(n2 == 998)
+    // re-establishing the layout brings SPJ back
+    SnapshotLog.rebucket(spark, s"$root/lake/e", "k", 8)
+    val p3 = withSpj(finalPlan(spark.sql("SELECT k FROM bkt.lake.e")))
+    assert(bucketScans(p3) == 1)
+  }
+
+  test("column rename keeps the layout (the pseudo-stat is physical)") {
+    root
+    seed(s"$root/lake/f", 2000, "vf")
+    SnapshotLog.rebucket(spark, s"$root/lake/f", "k", 8)
+    SnapshotLog.renameColumn(s"$root/lake/f", "k", "key")
+    val (plan, n) = withSpj {
+      val df = spark.sql("SELECT a.k FROM bkt.lake.a a " +
+        "JOIN bkt.lake.f f ON a.k = f.key")
+      (finalPlan(df), df.count())
+    }
+    assert(bucketScans(plan) == 2 && joinSubtreeShuffles(plan).contains(0),
+      s"the renamed bucket column must keep co-partitioning:\n$plan")
+    assert(n == 2000)
+  }
+
+  test("predicates compose: file pruning + row-group pushdown, exact rows") {
+    root
+    val (plan, rows) = withSpj {
+      val df = spark.sql("SELECT k, va FROM bkt.lake.a WHERE k >= 9990")
+      (finalPlan(df), df.collect())
+    }
+    assert(bucketScans(plan) == 1)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (9990L until 10000L).toSeq)
+  }
+
+  test("CALL system.rebucket establishes the layout through SQL") {
+    root
+    seed(s"$root/lake/g", 1000, "vg")
+    val out = spark.sql(
+      "CALL bkt.system.rebucket(table => 'lake.g', col => 'k', " +
+        "num_buckets => 8)").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L, out.mkString(", "))
+    assert(SnapshotLog.history(s"$root/lake/g")
+      .maxBy(_.version).op == "rebucket")
+    val plan = withSpj(finalPlan(spark.sql("SELECT k FROM bkt.lake.g")))
+    assert(bucketScans(plan) == 1, s"CALL rebucket must enable SPJ:\n$plan")
+    // DESCRIBE surfaces the layout (the properties() face)
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED bkt.lake.g").collect()
+      .map(_.toString).mkString("\n")
+    assert(desc.contains("bucket(8, k)"), desc.takeRight(400))
+  }
+
+  test("the bound bucket function replays the write-side arithmetic") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
+      StructType}
+    val f = graft.sources.GraftBucketFunction
+      .bind(StructType(Seq(StructField("n", IntegerType),
+        StructField("c", LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Integer]]
+    // Spark's own hash partitioning id (`pmod(hash(v), n)`, murmur3
+    // seed 42) is what repartition(n, col) wrote — produceResult must
+    // agree value-for-value, null included
+    val vs = Seq(0L, 1L, 7L, 42L, -5L, 9999999L)
+    val expected = spark.sql("SELECT " + vs.map(v =>
+      s"pmod(hash(CAST($v AS BIGINT)), 8)").mkString(", ")).collect()(0)
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val got = f.produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](8, v)))
+      assert(got == expected.getInt(i),
+        s"bucket($v) = $got vs Spark's ${expected.getInt(i)}")
+    }
+    val nullGot = f.produceResult(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](8, null)))
+    val nullExpected = spark.sql(
+      "SELECT pmod(hash(CAST(NULL AS BIGINT)), 8)").collect()(0).getInt(0)
+    assert(nullGot == nullExpected, s"bucket(null) = $nullGot vs $nullExpected")
+  }
+}
