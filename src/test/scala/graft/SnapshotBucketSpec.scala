@@ -226,6 +226,28 @@ class SnapshotBucketSpec extends SparkSpec {
     assert(desc.contains("bucket(8, k)"), desc.takeRight(400))
   }
 
+  test("grouped aggregation on the bucket key is exchange-free too") {
+    root
+    // KeyGroupedPartitioning(bucket(n, k)) satisfies
+    // ClusteredDistribution(k): rows sharing k provably share a
+    // partition (the id is a function of k), so a lone GROUP BY k over
+    // a bucketed table aggregates in place — no exchange at all, the
+    // second shuffle the layout deletes beyond the join
+    if (!Files.exists(Paths.get(s"$root/lake/h"))) {
+      seed(s"$root/lake/h", 3000, "vh")
+      SnapshotLog.rebucket(spark, s"$root/lake/h", "k", 8)
+    }
+    val (plan, n) = withSpj {
+      val df = spark.sql(
+        "SELECT k, count(*) AS c FROM bkt.lake.h GROUP BY k")
+      (finalPlan(df), df.count())
+    }
+    val shuffles = allNodes(plan).count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles == 0,
+      s"GROUP BY the bucket key must aggregate in place:\n$plan")
+    assert(n == 3000)
+  }
+
   test("the bound bucket function replays the write-side arithmetic") {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
       StructType}
