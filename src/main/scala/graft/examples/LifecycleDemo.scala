@@ -74,6 +74,42 @@ object LifecycleDemo {
       require(SnapshotLog.history(s"$outDir/demo/events")
         .maxBy(_.version).op == "optimize-zorder", "zorder op not recorded")
 
+      // 4b. metadata-only aggregates: post-compaction (mask-free) the
+      //     ungrouped COUNT/MIN/MAX answers from the MANIFEST — one
+      //     SnapAggScan row, zero data I/O
+      val aggQ = spark.sql("SELECT count(*) AS c, min(k) AS mn, " +
+        "max(k) AS mx FROM lake.demo.events")
+      require(aggQ.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.exists(_.getClass.getSimpleName.contains("SnapAggScan")),
+        "metadata aggregate did not push")
+      val aggRow = aggQ.head
+      require(aggRow.getLong(0) == 4093L && aggRow.getLong(1) == 0L &&
+        aggRow.getLong(2) == 4095L, s"metadata aggregate lied: $aggRow")
+
+      // 4c. bucket layout + STORAGE-PARTITIONED JOIN: both tables
+      //     bucketed bucket(4, grp) join with zero exchanges
+      spark.sql("CALL lake.system.rebucket('demo.events', 'grp', 4)")
+        .collect()
+      spark.sql("CALL lake.system.rebucket('demo.by_grp', 'grp', 4)")
+        .collect()
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val spjQ = spark.sql("SELECT e.k, b.avg_v FROM lake.demo.events e " +
+        "JOIN lake.demo.by_grp b ON e.grp = b.grp")
+      val spjRows = spjQ.collect().length
+      val spjPlan = spjQ.queryExecution.executedPlan.toString
+      require(spjRows == 4093, s"SPJ join returned $spjRows rows")
+      require(!spjPlan.contains("ShuffleExchange"),
+        s"storage-partitioned join shuffled:\n$spjPlan")
+      // AQE's dump prints the final AND initial plans — 2 scans each
+      require("SnapBucketScan".r.findAllIn(spjPlan).size >= 2,
+        s"expected two bucket scans:\n$spjPlan")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val vBkt = SnapshotLog.latestVersion(s"$outDir/demo/events").get
+
       // 5. a MISTAKE and its RESTORE: drop everything, then undo
       spark.sql("INSERT OVERWRITE lake.demo.events " +
         "SELECT id, id, id FROM range(1)") // oops
@@ -112,7 +148,8 @@ object LifecycleDemo {
 
       println(s"LIFECYCLE: created=2 ctas_groups=8 replaced=by_grp " +
         s"deleted=3 " +
-        s"compacted@v$vOpt zordered@v$vZ overwrote=1 " +
+        s"compacted@v$vOpt zordered@v$vZ agg_pushed=true " +
+        s"bucketed=grp/4@v$vBkt spj_exchanges=0 overwrote=1 " +
         s"restored_from=${restored.getLong(0)}@v${restored.getLong(1)} " +
         s"rows=$nBack renamed=events->events_renamed " +
         s"expired=$expired vacuumed=$vacuumed dropped=by_grp")

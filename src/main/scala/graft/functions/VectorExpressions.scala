@@ -1052,6 +1052,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.SparkSession.active, dir, from, to)
           .queryExecution.logical
       }))
+    // snap_table_changes_by_time(dir, fromTs, toTs) — the TIME-bounded
+    // twin (readChangeFeedByTime: bounds resolve against RECORDED
+    // commit-ts provenance; non-contiguous in-window version sets —
+    // clock skew — refuse loudly naming the version-bounded form, and
+    // ts-less pre-provenance versions refuse naming it too). Bounds
+    // are timestamp/string literals; strings parse as SQL timestamps
+    // in the session zone (UTC-pinned in this engine's sessions).
+    ext.injectTableFunction((
+      new FunctionIdentifier("snap_table_changes_by_time"),
+      new ExpressionInfo("graft.sources.SnapshotLog",
+        "snap_table_changes_by_time"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`snap_table_changes_by_time`",
+              "expectedNum" -> "3",
+              "actualNum" -> children.length.toString, "docroot" -> ""))
+        def folded(i: Int, what: String): Any = {
+          val e = children(i)
+          if (!e.foldable) sys.error(
+            s"snap_table_changes_by_time: $what must be a literal, " +
+              s"got ${e.sql}")
+          e.eval()
+        }
+        def instant(i: Int, what: String): java.time.Instant =
+          folded(i, what) match {
+            case micros: java.lang.Long =>
+              // TimestampType literal: catalyst-internal epoch micros
+              java.time.Instant.EPOCH.plus(micros,
+                java.time.temporal.ChronoUnit.MICROS)
+            case s: org.apache.spark.unsafe.types.UTF8String =>
+              // string literal → SQL timestamp in the session zone
+              val zone = java.time.ZoneId.of(org.apache.spark.sql
+                .SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+              java.time.LocalDateTime.parse(s.toString.replace(' ', 'T'))
+                .atZone(zone).toInstant
+            case other => sys.error(
+              s"snap_table_changes_by_time: $what must be a TIMESTAMP " +
+                s"or timestamp string, got $other")
+          }
+        val dir = String.valueOf(folded(0, "tableDir"))
+        graft.sources.SnapshotLog.readChangeFeedByTime(
+          org.apache.spark.sql.SparkSession.active, dir,
+          instant(1, "fromTs"), instant(2, "toTs"))
+          .queryExecution.logical
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => VecDotNormRewrite)
     ext.injectOptimizerRule(_ => graft.plans.AsOfWindowRewrite)

@@ -1024,8 +1024,18 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     // retarget history, and a pinned version is a fixed relation — a
     // stream over it would emit its history once and hang, which the
     // batch read already does better
+    // AUTOMATIC_SCHEMA_EVOLUTION: opts into Spark's OWN analyzer-driven
+    // `MERGE … WITH SCHEMA EVOLUTION` (ResolveMergeIntoSchemaEvolution
+    // computes the AddColumn TableChanges from the source schema and
+    // routes them through this catalog's alterTable — i.e. the log's
+    // metadata-only addColumn, no-resurrection physicals included —
+    // then re-resolves the merge against the evolved table). Additive
+    // nullable top-level columns only: any other change Spark derives
+    // (type widening, nested) hits alterTable's loud refusals, so the
+    // statement fails before anything publishes
     if (writable) java.util.EnumSet.of(BATCH_READ, MICRO_BATCH_READ,
-      V1_BATCH_WRITE, STREAMING_WRITE, TRUNCATE)
+      V1_BATCH_WRITE, STREAMING_WRITE, TRUNCATE,
+      AUTOMATIC_SCHEMA_EVOLUTION)
     else java.util.EnumSet.of(BATCH_READ)
   }
 

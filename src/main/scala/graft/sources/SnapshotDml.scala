@@ -78,11 +78,15 @@ private[graft] trait SnapshotSqlTable {
   *    their pre-image), multiple clauses, guarded inserts, WHEN NOT
   *    MATCHED BY SOURCE, arbitrary deterministic ON — routes to
   *    `SnapshotLog.mergeWhereMOR` (O(matching rows) masks +
-  *    post-image/insert files, one commit). Still refused loudly:
-  *    WITH SCHEMA EVOLUTION (evolve first, then merge), subqueries
-  *    in clause expressions, and non-deterministic expressions; SQL
-  *    MERGE's cardinality rule (two source rows acting on one target
-  *    row) refuses inside the verb naming the row address.
+  *    post-image/insert files, one commit). `WITH SCHEMA EVOLUTION`
+  *    is Spark's own analyzer's job: the table advertises
+  *    AUTOMATIC_SCHEMA_EVOLUTION, so new source columns arrive here
+  *    already added through the catalog's alterTable (metadata-only;
+  *    non-additive changes refuse there). Still refused loudly:
+  *    subqueries in clause expressions and non-deterministic
+  *    expressions; SQL MERGE's cardinality rule (two source rows
+  *    acting on one target row) refuses inside the verb naming the
+  *    row address.
   */
 object SnapshotSqlDml extends Rule[LogicalPlan] {
 
@@ -254,9 +258,17 @@ object SnapshotSqlDml extends Rule[LogicalPlan] {
       notMatchedBySource: Seq[MergeAction],
       withSchemaEvolution: Boolean): LogicalPlan = {
     def refuse(why: String): Nothing = sys.error(s"MERGE INTO $dir: $why")
-    if (withSchemaEvolution) refuse(
-      "WITH SCHEMA EVOLUTION is unsupported — evolve first (ALTER TABLE " +
-        "ADD COLUMN, or an append with mergeSchema), then merge")
+    // WITH SCHEMA EVOLUTION: nothing to do HERE — the target table
+    // advertises AUTOMATIC_SCHEMA_EVOLUTION, so Spark's own analyzer
+    // (ResolveMergeIntoSchemaEvolution) already derived the AddColumn
+    // changes from the source schema, routed them through the
+    // catalog's alterTable (the log's metadata-only addColumn), and
+    // re-resolved this merge against the EVOLVED relation before this
+    // rule could match it (`m.resolved` gates the case). The flag
+    // arriving true just means evolution was requested and has been
+    // satisfied (or found vacuous); non-additive asks already refused
+    // loudly inside alterTable.
+    val _ = withSchemaEvolution
     val targetRel = EliminateSubqueryAliases(target)
     val tableCols: Seq[Attribute] = targetRel.output
     val srcOut = source.outputSet

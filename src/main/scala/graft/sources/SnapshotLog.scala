@@ -3679,13 +3679,15 @@ object SnapshotLog {
     * tables bucketed with the same (n, column type) runs with NO
     * shuffle on either side — the 100 TB fact-to-fact join cost model.
     *
-    * Maintenance semantics (the honest-degrade contract): appends
-    * re-bucket their batch and keep the layout; MOR deletes are
-    * mask-only and keep it free; ANY other rewrite (COW DML, optimize,
-    * z-order, MOR post-images, compaction) harvests fresh stats
-    * without `:bucket`, so the layout silently degrades to an
-    * ordinary table — correctness never depends on it, joins just
-    * shuffle again until the next `rebucket`. A column RENAME keeps
+    * Maintenance semantics (the honest-degrade contract): BATCH
+    * appends ([[commitAppend]] / SQL INSERT INTO) re-bucket their
+    * batch and keep the layout; MOR deletes are mask-only and keep it
+    * free; ANY other new-file writer — COW DML, optimize, z-order,
+    * MOR post-images, compaction, and the STREAMING sinks (executor
+    * epoch writers can't re-partition; their files land unbucketed) —
+    * harvests fresh stats without `:bucket`, so the layout silently
+    * degrades to an ordinary table: correctness never depends on it,
+    * joins just shuffle again until the next `rebucket`. A column RENAME keeps
     * the layout (the pseudo-stat records the immutable physical
     * name); this rewrite itself rematerializes logical names and
     * sheds the column map, like [[optimize]].

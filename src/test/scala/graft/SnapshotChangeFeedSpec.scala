@@ -213,6 +213,31 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       e.getMessage.contains("snap_table_changes"), e.getMessage)
   }
 
+  test("the time-bounded feed is a TVF too: snap_table_changes_by_time") {
+    val t = freshTable("sqltvft", n = 50)
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(3L))
+    val ts = SnapshotLog.history(t).map(_.tsMillis)
+    val fromS = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ts.min - 1000),
+      java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+    val toS = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ts.max + 1000),
+      java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+    // string bounds parse in the (UTC-pinned) session zone; TIMESTAMP
+    // literals ride as internal micros — both forms must match the API
+    val viaStr = spark.sql("SELECT * FROM snap_table_changes_by_time(" +
+      s"'$t', '$fromS', '$toS')").collect().map(_.toString).sorted
+    val viaLit = spark.sql("SELECT * FROM snap_table_changes_by_time(" +
+      s"'$t', TIMESTAMP '$fromS', TIMESTAMP '$toS')")
+      .collect().map(_.toString).sorted
+    val viaApi = SnapshotLog.readChangeFeedByTime(spark, t,
+      java.time.Instant.ofEpochMilli(ts.min - 1000),
+      java.time.Instant.ofEpochMilli(ts.max + 1000))
+      .collect().map(_.toString).sorted
+    assert(viaStr.length == 51 && viaStr.sameElements(viaApi) &&
+      viaLit.sameElements(viaApi))
+  }
+
   test("the STREAM with changeFeed=true matches the batch feed; a mid-stream MOR delete streams as delete records") {
     val t = freshTable("stream", n = 100)
     SnapshotLog.commitAppend(spark, t,

@@ -252,14 +252,50 @@ class SnapshotSqlDmlSpec extends SparkSpec {
         WHEN MATCHED AND t.v > (SELECT avg(id) FROM range(5))
         THEN UPDATE SET v = s.v""") }
     assert(rootMsg(e4).contains("subquery"), rootMsg(e4).take(400))
-    // MERGE WITH SCHEMA EVOLUTION
-    val e5 = intercept[Exception] {
-      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $sqlA t
-        USING refuse_src s ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET v = s.v""") }
-    assert(rootMsg(e5).contains("SCHEMA EVOLUTION"), rootMsg(e5).take(400))
     // nothing published by any refusal
     assert(spark.sql(s"SELECT count(*) FROM $sqlA").head.getLong(0) == 64L)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: Spark evolves through alterTable, then merges") {
+    val (a, _, sqlA, _) = twins("evomerge")
+    // source carries a column the target lacks — the analyzer's
+    // ResolveMergeIntoSchemaEvolution must derive ADD COLUMN extra,
+    // route it through the catalog's alterTable (the log's
+    // metadata-only addColumn), and re-resolve the merge against the
+    // evolved relation
+    spark.range(32, 96)
+      .select(col("id").as("k"), (col("id") * 1000).as("v"),
+        concat(lit("x"), col("id")).as("extra"))
+      .createOrReplaceTempView("evomerge_src")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $sqlA t
+      USING evomerge_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql(
+      s"SELECT k, v, extra FROM $sqlA ORDER BY k").collect()
+    assert(got.length == 96)
+    // pre-merge rows (k < 32) read null for the evolved column; the
+    // merge's own rows carry the source values
+    assert(got.take(32).forall(_.isNullAt(2)))
+    assert(got.drop(32).forall(r =>
+      r.getString(2) == s"x${r.getLong(0)}" &&
+        r.getLong(1) == r.getLong(0) * 1000))
+    // the evolution is a metadata-only commit in the history, then the
+    // merge's own MOR commit
+    // history: genesis commit → the analyzer's metadata-only evolution
+    // → the merge (the evolved SET */INSERT * is a full-row upsert, so
+    // it lands on the keyed FEED fast path — evolution composes with it)
+    val ops = SnapshotLog.history(a).sortBy(_.version).map(_.op)
+    assert(ops.contains("add-column") &&
+      Set("merge-mor", "merge-where-mor").contains(ops.last), ops.toString)
+    // vacuous evolution (no new source columns) stays a plain merge
+    spark.range(0, 4).select(col("id").as("k"), lit(7L).as("v"),
+      lit("y").as("extra")).createOrReplaceTempView("evomerge_src2")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $sqlA t
+      USING evomerge_src2 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(spark.sql(s"SELECT count(*) FROM $sqlA WHERE v = 7")
+      .head.getLong(0) == 4L)
   }
 
   test("general MERGE shapes route to mergeWhereMOR, hash-matching the Scala twin") {
