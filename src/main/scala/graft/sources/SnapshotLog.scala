@@ -3697,15 +3697,15 @@ object SnapshotLog {
     * mid-size dims and facts you co-locate; broadcast stays the right
     * answer for small dims. */
   def rebucket(spark: SparkSession, tableDir: String, column: String,
-      numBuckets: Int): Long = {
+      numBuckets: Int, sortWithin: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     require(numBuckets >= 2 && numBuckets <= 65536,
       s"numBuckets $numBuckets: want 2..65536")
     val baseV = latestVersion(tableDir).getOrElse(
       sys.error(s"no committed version in $tableDir"))
     val df = read(spark, tableDir, asOf = Some(baseV))
-    require(df.columns.contains(column),
-      s"unknown bucket column $column (have ${df.columns.mkString(", ")})")
+    (column +: sortWithin).foreach(c => require(df.columns.contains(c),
+      s"unknown column $c (have ${df.columns.mkString(", ")})"))
     require(df.take(1).nonEmpty,
       s"rebucket of an empty table: the bucket layout lives in per-file " +
         "metadata and an empty table has no files to carry it — land " +
@@ -3713,7 +3713,19 @@ object SnapshotLog {
     val v = baseV + 1
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.repartition(numBuckets, col(column))
+    // `sortWithin`: intra-bucket clustering — each bucket's rows sort
+    // on the given keys, so range pruning composes with the join
+    // layout (buckets answer "which partition", the sort answers
+    // "which slice inside it"): when a bucket spills into several
+    // files (spark.sql.files.maxRecordsPerFile), consecutive files
+    // carry DISJOINT sort-key ranges and manifest stats prune at FILE
+    // level; a single-file bucket still gets tight parquet row-group
+    // stats, which the re-pushed predicates skip on. Ordering within
+    // a bucket never affects its id, so the SPJ contract is untouched.
+    val arranged = df.repartition(numBuckets, col(column))
+    (if (sortWithin.nonEmpty)
+      arranged.sortWithinPartitions(sortWithin.map(col): _*)
+    else arranged)
       .write.mode("overwrite").parquet(dd.toString)
     val files = listDir(dd)
       .filter(_.toString.endsWith(".parquet"))

@@ -109,12 +109,15 @@ private[sources] object SnapshotProcedures {
         "spark.sql.sources.v2.bucketing.enabled)",
       Seq(in("table", StringType, "ns.t or absolute path"),
         in("col", StringType, "the bucket (join-key) column"),
-        in("num_buckets", IntegerType, "bucket count (2..65536)")),
+        in("num_buckets", IntegerType, "bucket count (2..65536)"),
+        inDefault("sort_within", StringType, "NULL",
+          "comma-separated intra-bucket sort columns (tight per-file " +
+            "stats → range pruning composes with the join layout)")),
       StructType(Seq(StructField("version", LongType, nullable = false))),
       (args, spark) => {
         val dir = cat.resolveTableArg(str(args, 0))
         val v = SnapshotLog.rebucket(spark, dir, str(args, 1),
-          args.getInt(2))
+          args.getInt(2), sortWithin = cols(args, 3))
         Seq(new GenericInternalRow(Array[Any](v)))
       })
 

@@ -620,7 +620,15 @@ private class SnapBucketScan(
           .bucket(n, unmapName(bucketCol))), n)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val byId = kept.groupBy(f => fileIds.getOrElse(f, -1))
+    // bucketLayoutOf only reports a layout when EVERY file carries a
+    // valid id, and `kept` ⊆ the manifest's files — so this can only
+    // fire on a future drift bug, and a silently-dropped file (wrong
+    // rows) is the one failure mode worth a hard stop
+    val orphans = kept.filterNot(fileIds.contains)
+    require(orphans.isEmpty,
+      s"$tableName: bucket layout lost track of ${orphans.size} kept " +
+        s"file(s) — refusing to plan a scan that would drop rows")
+    val byId = kept.groupBy(fileIds)
     (0 until n).map(id => SnapBucketPartition(id,
       byId.getOrElse(id, Nil).sorted): InputPartition).toArray
   }

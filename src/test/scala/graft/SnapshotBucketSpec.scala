@@ -248,6 +248,32 @@ class SnapshotBucketSpec extends SparkSpec {
     assert(n == 3000)
   }
 
+  test("rebucket(sortWithin): intra-bucket clustering keeps range pruning alive") {
+    root
+    val dir = s"$root/lake/srt"
+    SnapshotLog.commit(spark, dir, spark.range(0, 20000).toDF("k")
+      .withColumn("v", col("k")).repartition(4))
+    // multiple files per bucket (sorted, so each file holds a tight
+    // v-slice of its bucket) — the shape sortWithin exists for
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1000")
+    try SnapshotLog.rebucket(spark, dir, "k", 4, sortWithin = Seq("v"))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val (plan, rows) = withSpj {
+      val df = spark.sql(
+        "SELECT k, v FROM bkt.lake.srt WHERE v >= 100 AND v < 200")
+      (finalPlan(df), df.collect())
+    }
+    assert(bucketScans(plan) == 1)
+    assert(rows.map(_.getLong(1)).sorted.toSeq == (100L until 200L).toSeq)
+    // the range ask pruned files BEFORE bucket grouping: each bucket's
+    // sorted splits carry disjoint v ranges, so most are provably dead
+    val dec = graft.sources.ScanPrune.decisions.collectFirst {
+      case (key, v) if key.contains("lake.srt@") && !key.endsWith("#limit") => v
+    }
+    assert(dec.exists { case (kept, total) => total >= 8 && kept < total / 2 },
+      s"sorted buckets must prune on the sort key: $dec")
+  }
+
   test("the bound bucket function replays the write-side arithmetic") {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
       StructType}
