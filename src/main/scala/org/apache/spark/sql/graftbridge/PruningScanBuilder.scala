@@ -518,18 +518,24 @@ private[graftbridge] class PrunedSnapshotScan(
     }
   }
 
-  /** Runtime predicates arrive in exactly one shape
-    * (DataSourceV2Strategy.translateRuntimeFilterV2): `IN(col,
-    * lit...)` with the dim side's materialized keys as catalyst-
-    * internal LiteralValues. Translate that back to the catalyst
-    * `In` the prune translator already speaks; anything else is
-    * ignored — runtime pruning is advisory. A VALUES-LESS IN is the
-    * one non-advisory-shaped case worth keeping: it means the dim
-    * side materialized EMPTY, the join provably returns no rows, and
-    * `x IN ()` is false — translate it to a false literal, which the
-    * prune translator answers with the best possible keep list
-    * (zero files). */
   private def toCatalyst(p: Predicate): Option[Expression] =
+    SnapBucketScan.toCatalyst(p)
+}
+
+/** Runtime-predicate translation shared by the ordinary pruned scan
+  * and the bucket scan. Runtime predicates arrive in exactly one
+  * shape (DataSourceV2Strategy.translateRuntimeFilterV2): `IN(col,
+  * lit...)` with the dim side's materialized keys as catalyst-
+  * internal LiteralValues. Translate that back to the catalyst `In`
+  * the prune translator already speaks; anything else is ignored —
+  * runtime pruning is advisory. A VALUES-LESS IN is the one
+  * non-advisory-shaped case worth keeping: it means the dim side
+  * materialized EMPTY, the join provably returns no rows, and
+  * `x IN ()` is false — translate it to a false literal, which the
+  * prune translator answers with the best possible keep list (zero
+  * files). */
+private object SnapBucketScan {
+  def toCatalyst(p: Predicate): Option[Expression] =
     if (p.name() != "IN" || p.children().length < 1) None
     else if (p.children().length == 1) p.children().head match {
       case _: NamedReference =>
@@ -590,7 +596,8 @@ private class SnapBucketScan(
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with SupportsReportStatistics
-  with SupportsMetadata {
+  with SupportsMetadata
+  with SupportsRuntimeV2Filtering {
 
   private val physReq: StructType = required match {
     case Some(r) => StructType(r.fields.map(f =>
@@ -598,19 +605,54 @@ private class SnapBucketScan(
     case None => physSchema
   }
 
-  private val kept: Seq[String] = prune(plannedFilters)
+  /** Runtime (DPP) predicates — a selective dim join re-prunes the
+    * bucket groups' file lists at execution with the dim's actual
+    * keys, exactly as [[PrunedSnapshotScan.filter]] does for the
+    * ordinary scan (same translator, same conservative contract).
+    * Re-pruning only THINS buckets; the partition count and keys
+    * never change, so the reported KeyGroupedPartitioning stays
+    * truthful. */
+  private var runtimeExprs: Seq[Expression] = Nil
 
-  private val v1Filters: Seq[org.apache.spark.sql.sources.Filter] =
-    plannedFilters.map(_.transform {
+  /** Pruned once per filter state (NOT a def): repeated re-prunes from
+    * description()/statistics calls would re-record the PLANNING-time
+    * decision into ScanPrune's observability map after the runtime
+    * one, clobbering what specs and operators read. */
+  private var kept: Seq[String] = prune(plannedFilters)
+
+  private def v1Filters: Seq[org.apache.spark.sql.sources.Filter] =
+    (plannedFilters ++ runtimeExprs).map(_.transform {
       case a: AttributeReference => a.withName(mapName(a.name))
     }).flatMap(e =>
       org.apache.spark.sql.execution.datasources.DataSourceStrategy
         .translateFilter(e, supportNestedPredicatePushdown = true))
 
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema().fieldNames.map(FieldReference.column)
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(SnapBucketScan.toCatalyst)
+    if (exprs.nonEmpty) {
+      runtimeExprs = exprs
+      kept = prune(plannedFilters ++ runtimeExprs)
+    }
+  }
+
   override def readSchema(): StructType = StructType(
     physReq.fields.map(f => f.copy(name = unmapName(f.name))))
 
   override def toBatch: Batch = this
+
+  /** Answer columnar support from conf + schema, NOT the reader
+    * factory: the default PARTITION_DEFINED mode would force
+    * `createReaderFactory` during planning — BEFORE runtime
+    * `filter()` — freezing pre-runtime v1 filters into the readers
+    * (the exact ordering trap [[PrunedSnapshotScan.columnarSupportMode]]
+    * documents). Columnar-ness depends only on the read schema. */
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    if (Bridge.parquetFileBatches(spark, physReq).isDefined)
+      Scan.ColumnarSupportMode.SUPPORTED
+    else Scan.ColumnarSupportMode.UNSUPPORTED
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =

@@ -274,6 +274,64 @@ class SnapshotBucketSpec extends SparkSpec {
       s"sorted buckets must prune on the sort key: $dec")
   }
 
+  test("runtime (DPP) filtering reaches the bucket scan: an empty dim prunes to zero files") {
+    root
+    val dir = s"$root/lake/rt"
+    SnapshotLog.commit(spark, dir, spark.range(0, 5000).toDF("k")
+      .withColumn("v", col("k") * 2).repartition(4))
+    SnapshotLog.rebucket(spark, dir, "k", 8)
+    spark.range(20).select(col("id").as("d_key"),
+      when(col("id") < 10, lit("pick")).otherwise(lit("other")).as("tag"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/dim_rt")
+    // AQE's empty-relation propagation would collapse the join before
+    // the runtime filter fires — exclude it, as the ordinary scan's
+    // runtime-prune spec does
+    val exclKey = "spark.sql.adaptive.optimizer.excludedRules"
+    spark.conf.set(exclKey, "org.apache.spark.sql.execution.adaptive" +
+      ".AQEPropagateEmptyRelation")
+    // broadcast stays ON here (unlike withSpj): DPP is
+    // reuse-broadcast-only by default, so disabling broadcast rewrites
+    // the pruning expression to literal true and nothing fires
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      graft.sources.ScanPrune.decisions.clear()
+      val fact = spark.table("bkt.lake.rt")
+      val dimEmpty = spark.read.parquet(s"$root/dim_rt")
+        .filter(col("tag") === "nosuch")
+      val j = fact.join(dimEmpty, fact("k") === dimEmpty("d_key"))
+        .agg(count(lit(1)).as("n"))
+      assert(j.collect()(0).getLong(0) == 0L)
+      val d = graft.sources.ScanPrune.decisions.collectFirst {
+        case (tn, dd) if tn.contains("lake.rt@") && !tn.endsWith("#limit") =>
+          dd
+      }
+      assert(d.contains((0, 8)),
+        s"values-less runtime IN must prune every bucket file: $d")
+      // and a selective dim stays exact through the bucket partitions
+      val dimPick = spark.read.parquet(s"$root/dim_rt")
+        .filter(col("tag") === "pick")
+      val n = fact.join(dimPick, fact("k") === dimPick("d_key")).count()
+      assert(n == 10L)
+    } finally {
+      spark.conf.unset(exclKey)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("the change feed refuses a range crossing a rebucket (a rewrite)") {
+    root
+    val dir = s"$root/lake/cf"
+    SnapshotLog.commit(spark, dir, spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k")).repartition(2))
+    SnapshotLog.rebucket(spark, dir, "k", 4)
+    val e = intercept[Exception] {
+      SnapshotLog.readChangeFeed(spark, dir, 0, 1).collect()
+    }
+    assert(e.getMessage.contains("diff"),
+      s"a rebucket is a rewrite — the feed must refuse naming diff(): " +
+        s"${e.getMessage.take(300)}")
+  }
+
   test("the bound bucket function replays the write-side arithmetic") {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
       StructType}

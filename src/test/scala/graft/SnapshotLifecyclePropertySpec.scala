@@ -43,7 +43,7 @@ class SnapshotLifecyclePropertySpec extends SparkSpec {
       var cur = models.head
       (1 to 10).foreach { _ =>
         val live = cur.keys.toSeq.sorted
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // append fresh keys
             val b = freshBatch(1 + rnd.nextInt(8))
             SnapshotLog.commitAppend(spark, dir, df(b))
@@ -84,6 +84,14 @@ class SnapshotLifecyclePropertySpec extends SparkSpec {
             val target = rnd.nextInt(models.size).toLong
             SnapshotLog.restore(dir, target)
             cur = models(target.toInt)
+          case 6 => // rebucket: content-identical bucket(n, k) rewrite
+            // (the SPJ layout verb) — on an EMPTY table it refuses by
+            // design, publish a miss-delete instead (one version per
+            // loop step, like the optimize arm)
+            if (cur.isEmpty)
+              SnapshotLog.deleteWhereInMOR(spark, dir, "k", Seq(-1L))
+            else
+              SnapshotLog.rebucket(spark, dir, "k", 2 + rnd.nextInt(3))
         }
         models += cur
         assert(SnapshotLog.latestVersion(dir).contains(models.size - 1L),
