@@ -32,29 +32,37 @@ object GraftBucketFunction extends UnboundFunction {
     "bucket(n, col): pmod(murmur3(col, seed 42), n) — Spark's " +
       "hash-partitioning id; the layout SnapshotLog.rebucket writes"
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.length == 2,
-      s"bucket wants (numBuckets INT, column), got $inputType")
+    require(inputType.length >= 2,
+      s"bucket wants (numBuckets INT, column, ...), got $inputType")
     require(inputType.fields(0).dataType == IntegerType,
       s"bucket's first argument is the INT bucket count, got " +
         s"${inputType.fields(0).dataType}")
-    BoundBucket(inputType.fields(1).dataType)
+    BoundBucket(inputType.fields.drop(1).map(_.dataType).toSeq)
   }
 }
 
-case class BoundBucket(dt: DataType) extends ScalarFunction[Integer] {
-  override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+case class BoundBucket(dts: Seq[DataType]) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] =
+    (IntegerType +: dts).toArray
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   override def isResultNullable: Boolean = false
-  override def canonicalName(): String = s"graft.bucket(${dt.catalogString})"
+  override def canonicalName(): String =
+    s"graft.bucket(${dts.map(_.catalogString).mkString(",")})"
   override def produceResult(input: InternalRow): Integer = {
     val n = input.getInt(0)
-    // a null value hashes to the bare seed — HashExpression's own rule
-    // (the hash folds over children, a null child leaves it unchanged)
-    val h =
-      if (input.isNullAt(1)) 42
-      else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-        .hash(input.get(1, dt), dt, 42L).toInt
-    ((h % n) + n) % n
+    // the exact HashExpression fold repartition(n, cols…) evaluates:
+    // seed 42, each non-null column's murmur3 feeds the next column's
+    // seed, null columns leave the running hash unchanged
+    var h = 42L
+    var i = 0
+    while (i < dts.length) {
+      if (!input.isNullAt(i + 1))
+        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(input.get(i + 1, dts(i)), dts(i), h)
+      i += 1
+    }
+    val hi = h.toInt
+    ((hi % n) + n) % n
   }
 }

@@ -990,8 +990,9 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     "snapshot.stats" -> (stats != null).toString,
     "snapshot.columnMapped" -> colmap.nonEmpty.toString,
     "snapshot.dvFiles" -> dv.size.toString) ++
-    bucketLayout.map { case (pc, n, _) =>
-      "snapshot.bucket" -> s"bucket($n, ${phys2log.getOrElse(pc, pc)})"
+    bucketLayout.map { case (pcs, n, _) =>
+      "snapshot.bucket" -> s"bucket($n, ${pcs.map(pc =>
+        phys2log.getOrElse(pc, pc)).mkString(", ")})"
     }).asJava
   private val physical: StructType =
     if (colmap.isEmpty) recorded
@@ -1225,10 +1226,10 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     * orphaned pseudo-stats — degrade), and a dv-bearing version never
     * reports (the masked per-file partitions and the bucket partitions
     * are different batch shapes; compaction restores both worlds). */
-  private lazy val bucketLayout: Option[(String, Int, Map[String, Int])] =
+  private lazy val bucketLayout: Option[(Seq[String], Int, Map[String, Int])] =
     if (dv.nonEmpty) None
-    else SnapshotLog.bucketLayoutOf(stats, files).filter { case (pc, _, _) =>
-      physical.fieldNames.contains(pc)
+    else SnapshotLog.bucketLayoutOf(stats, files).filter { case (pcs, _, _) =>
+      pcs.forall(physical.fieldNames.contains)
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)

@@ -707,12 +707,16 @@ object SnapshotLog {
     * carries a valid id. */
   private[sources] def bucketLayoutOf(
       stats: com.fasterxml.jackson.databind.JsonNode, files: Seq[String])
-      : Option[(String, Int, Map[String, Int])] = {
+      : Option[(Seq[String], Int, Map[String, Int])] = {
     if (files.isEmpty || stats == null) return None
     val entries = files.map { f =>
       for {
         cols <- Option(stats.get(f))
         b <- Option(cols.get(":bucket"))
+        // "col": comma-joined bucket column list (multi-column keys
+        // since the same push that introduced them — a comma is not a
+        // legal unquoted column character in this log's top-level-only
+        // schema discipline, and single-column layouts read unchanged)
         c <- Option(b.get("col")).map(_.asText)
         n <- Option(b.get("n")).filter(_.isIntegralNumber).map(_.asInt)
         id <- Option(b.get("id")).filter(_.isIntegralNumber).map(_.asInt)
@@ -723,7 +727,7 @@ object SnapshotLog {
     val all = entries.flatten
     val (c0, n0) = (all.head._1, all.head._2)
     if (all.forall(e => e._1 == c0 && e._2 == n0))
-      Some((c0, n0, all.map(_._3).toMap))
+      Some((c0.split(',').toSeq, n0, all.map(_._3).toMap))
     else None
   }
 
@@ -746,7 +750,7 @@ object SnapshotLog {
   private def annotateBuckets(
       stats: Map[String, Map[String,
         com.fasterxml.jackson.databind.node.ObjectNode]],
-      files: Seq[String], col: String, n: Int)
+      files: Seq[String], cols: Seq[String], n: Int)
       : Map[String, Map[String,
         com.fasterxml.jackson.databind.node.ObjectNode]] =
     files.map { f =>
@@ -755,7 +759,7 @@ object SnapshotLog {
       f -> (bucketIdFromName(f) match {
         case Some(id) if id < n =>
           val b = mapper.createObjectNode()
-          b.put("col", col): Unit
+          b.put("col", cols.mkString(",")): Unit
           b.put("n", n): Unit
           b.put("id", id): Unit
           base + (":bucket" -> b)
@@ -2028,15 +2032,16 @@ object SnapshotLog {
     // OMITS the bucket column (mergeSchema) writes unbucketed and the
     // layout degrades by the honest-degrade contract.
     val bucketSpec = bucketLayoutOf(prevManifest.get("stats"), prevFiles)
-      .map { case (pcol, n, _) => (pcol, n) }
-      .filter { case (pcol, _) =>
-        val logical = colmap.map(_.swap).getOrElse(pcol, pcol)
-        df.columns.contains(logical)
+      .map { case (pcols, n, _) => (pcols, n) }
+      .filter { case (pcols, _) =>
+        val inverse = colmap.map(_.swap)
+        pcols.forall(pc => df.columns.contains(inverse.getOrElse(pc, pc)))
       }
     val toWrite = bucketSpec match {
-      case Some((pcol, n)) =>
-        val logical = colmap.map(_.swap).getOrElse(pcol, pcol)
-        df.repartition(n, org.apache.spark.sql.functions.col(logical))
+      case Some((pcols, n)) =>
+        val inverse = colmap.map(_.swap)
+        df.repartition(n, pcols.map(pc =>
+          org.apache.spark.sql.functions.col(inverse.getOrElse(pc, pc))): _*)
       case None => df
     }
     toWrite.toDF(batchPhys: _*).write.mode("overwrite").parquet(dd.toString)
@@ -2087,8 +2092,8 @@ object SnapshotLog {
       else published.fieldNames.toSeq.map(c =>
         c -> colmap.getOrElse(c, batchMap(c)))
     val newStats = bucketSpec match {
-      case Some((pcol, n)) =>
-        annotateBuckets(harvestStats(newFiles), newFiles, pcol, n)
+      case Some((pcols, n)) =>
+        annotateBuckets(harvestStats(newFiles), newFiles, pcols, n)
       case None => harvestStats(newFiles)
     }
     val carried = carriedStats(prevManifest, prevFiles)
@@ -3697,14 +3702,43 @@ object SnapshotLog {
     * mid-size dims and facts you co-locate; broadcast stays the right
     * answer for small dims. */
   def rebucket(spark: SparkSession, tableDir: String, column: String,
-      numBuckets: Int, sortWithin: Seq[String] = Nil): Long = {
+      numBuckets: Int, sortWithin: Seq[String] = Nil): Long =
+    rebucketBy(spark, tableDir, Seq(column), numBuckets, sortWithin)
+
+  /** [[rebucket]]'s list-shaped face — ONE column today, refused
+    * loudly past that: the write side could hash a composite key fine
+    * (`repartition(n, k1, k2, …)`), but Spark's
+    * KeyGroupedShuffleSpec matches ONE reference per partition
+    * transform, so a multi-reference `bucket(n, k1, k2)` never
+    * satisfies a two-key join's clustering and the layout would be a
+    * full rewrite that buys nothing (measured, not assumed — the
+    * composite join kept both exchanges under every co-partition
+    * conf). The working spelling for a composite key is a DERIVED
+    * key column (`withColumn("tk", concat_ws(" ", k1, k2))`,
+    * bucket on it, join on it); the internal plumbing stays
+    * list-shaped so lifting this ceiling is one require() away if a
+    * Spark release extends the shuffle-spec matching. */
+  def rebucketBy(spark: SparkSession, tableDir: String,
+      columns: Seq[String], numBuckets: Int,
+      sortWithin: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     require(numBuckets >= 2 && numBuckets <= 65536,
       s"numBuckets $numBuckets: want 2..65536")
+    require(columns.nonEmpty, "rebucketBy wants at least one column")
+    require(columns.size == 1,
+      s"rebucketBy(${columns.mkString(", ")}): composite bucket keys " +
+        "cannot power storage-partitioned joins — Spark's " +
+        "KeyGroupedShuffleSpec matches one reference per transform, so " +
+        "a multi-column bucket(n, k1, k2) never satisfies a two-key " +
+        "join's clustering; derive one key column (concat_ws of the " +
+        "parts), bucket on it, and join on it instead")
+    require(columns.forall(!_.contains(",")),
+      s"bucket column names cannot contain ',' (the layout records " +
+        s"the list comma-joined): ${columns.mkString("; ")}")
     val baseV = latestVersion(tableDir).getOrElse(
       sys.error(s"no committed version in $tableDir"))
     val df = read(spark, tableDir, asOf = Some(baseV))
-    (column +: sortWithin).foreach(c => require(df.columns.contains(c),
+    (columns ++ sortWithin).foreach(c => require(df.columns.contains(c),
       s"unknown column $c (have ${df.columns.mkString(", ")})"))
     require(df.take(1).nonEmpty,
       s"rebucket of an empty table: the bucket layout lives in per-file " +
@@ -3722,7 +3756,7 @@ object SnapshotLog {
     // level; a single-file bucket still gets tight parquet row-group
     // stats, which the re-pushed predicates skip on. Ordering within
     // a bucket never affects its id, so the SPJ contract is untouched.
-    val arranged = df.repartition(numBuckets, col(column))
+    val arranged = df.repartition(numBuckets, columns.map(col): _*)
     (if (sortWithin.nonEmpty)
       arranged.sortWithinPartitions(sortWithin.map(col): _*)
     else arranged)
@@ -3730,7 +3764,7 @@ object SnapshotLog {
     val files = listDir(dd)
       .filter(_.toString.endsWith(".parquet"))
       .map(p => canon(p).toString).sorted
-    val stats = annotateBuckets(harvestStats(files), files, column,
+    val stats = annotateBuckets(harvestStats(files), files, columns,
       numBuckets)
     val schema = try Some(spark.read.parquet(dd.toString).schema.json)
       catch { case _: Exception => None }

@@ -108,7 +108,9 @@ private[sources] object SnapshotProcedures {
         "KeyGroupedPartitioning under " +
         "spark.sql.sources.v2.bucketing.enabled)",
       Seq(in("table", StringType, "ns.t or absolute path"),
-        in("col", StringType, "the bucket (join-key) column"),
+        in("col", StringType,
+          "the bucket (join-key) column, or a comma-separated " +
+            "composite-key list"),
         in("num_buckets", IntegerType, "bucket count (2..65536)"),
         inDefault("sort_within", StringType, "NULL",
           "comma-separated intra-bucket sort columns (tight per-file " +
@@ -116,7 +118,8 @@ private[sources] object SnapshotProcedures {
       StructType(Seq(StructField("version", LongType, nullable = false))),
       (args, spark) => {
         val dir = cat.resolveTableArg(str(args, 0))
-        val v = SnapshotLog.rebucket(spark, dir, str(args, 1),
+        val v = SnapshotLog.rebucketBy(spark, dir,
+          str(args, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           args.getInt(2), sortWithin = cols(args, 3))
         Seq(new GenericInternalRow(Array[Any](v)))
       })

@@ -88,7 +88,7 @@ class PruningParquetScanBuilder(
     // own `bucket` function) — storage-partitioned joins, no shuffle
     // on either side. Conf off (the default): the ordinary pruned
     // parquet scan, byte-split parallelism untouched.
-    bucket: Option[(String, Int, Map[String, Int])] = None)
+    bucket: Option[(Seq[String], Int, Map[String, Int])] = None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -148,11 +148,11 @@ class PruningParquetScanBuilder(
   override def build(): Scan = pushedAgg match {
     case Some((schema, row)) => new SnapAggScan(tableName, schema, row)
     case None => bucket match {
-      case Some((bCol, n, fileIds)) if dv.isEmpty && limitKept.isEmpty &&
+      case Some((bCols, n, fileIds)) if dv.isEmpty && limitKept.isEmpty &&
           spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
             "false").toBoolean =>
         new SnapBucketScan(spark, tableName, readSchema, prune, mapName,
-          unmapName, filterExprs, required, bCol, n, fileIds)
+          unmapName, filterExprs, required, bCols, n, fileIds)
       case _ =>
         new PrunedSnapshotScan(spark, tableName, readSchema, prune,
           mapName, unmapName, filterExprs, required, dv, streamFor,
@@ -590,7 +590,7 @@ private class SnapBucketScan(
     unmapName: String => String,
     plannedFilters: Seq[Expression],
     required: Option[StructType],
-    bucketCol: String,
+    bucketCols: Seq[String],
     n: Int,
     fileIds: Map[String, Int])
   extends Scan with Batch
@@ -659,7 +659,7 @@ private class SnapBucketScan(
     new org.apache.spark.sql.connector.read.partitioning
       .KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
-          .bucket(n, unmapName(bucketCol))), n)
+          .bucket(n, bucketCols.map(unmapName): _*)), n)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // bucketLayoutOf only reports a layout when EVERY file carries a
@@ -690,12 +690,14 @@ private class SnapBucketScan(
     }
   }
 
+  private def colsLabel: String = bucketCols.map(unmapName).mkString(", ")
+
   override def description(): String =
-    s"SnapBucketScan[$tableName](bucket($n, ${unmapName(bucketCol)}), " +
+    s"SnapBucketScan[$tableName](bucket($n, $colsLabel), " +
       s"files=${kept.size})"
 
   override def getMetaData(): Map[String, String] = Map(
-    "BucketLayout" -> s"bucket($n, ${unmapName(bucketCol)})",
+    "BucketLayout" -> s"bucket($n, $colsLabel)",
     "Files" -> kept.size.toString,
     "PushedFilters" -> v1Filters.mkString("[", ", ", "]"))
 }

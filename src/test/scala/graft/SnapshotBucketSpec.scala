@@ -332,6 +332,39 @@ class SnapshotBucketSpec extends SparkSpec {
         s"${e.getMessage.take(300)}")
   }
 
+  test("composite keys refuse loudly; the DERIVED-key spelling joins shuffle-free") {
+    root
+    def seed2(dir: String, rows: Long, tag: String): Unit =
+      SnapshotLog.commit(spark, dir, spark.range(0, rows).toDF("id")
+        .select((col("id") % 50).as("tenant"), col("id").as("entity"),
+          (col("id") * 3).as(tag))
+        .withColumn("tk", concat_ws(" ", col("tenant"), col("entity")))
+        .repartition(4))
+    seed2(s"$root/lake/m1", 6000, "x")
+    seed2(s"$root/lake/m2", 3000, "y")
+    // multi-column bucket keys cannot power SPJ (Spark's
+    // KeyGroupedShuffleSpec matches one reference per transform —
+    // measured, the composite transform kept both exchanges) — the
+    // verb refuses naming the derived-key spelling
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.rebucketBy(spark, s"$root/lake/m1",
+        Seq("tenant", "entity"), 8)
+    }
+    assert(e.getMessage.contains("concat_ws"), e.getMessage.take(300))
+    // the working spelling: ONE derived key column
+    SnapshotLog.rebucket(spark, s"$root/lake/m1", "tk", 8)
+    SnapshotLog.rebucket(spark, s"$root/lake/m2", "tk", 8)
+    val q = "SELECT a.tenant, a.entity, a.x, b.y FROM bkt.lake.m1 a " +
+      "JOIN bkt.lake.m2 b ON a.tk = b.tk"
+    val (plan, rows) = withSpj {
+      val df = spark.sql(q)
+      (finalPlan(df), df.collect())
+    }
+    assert(bucketScans(plan) == 2 && joinSubtreeShuffles(plan).contains(0),
+      s"the derived-key join must not shuffle:\n$plan")
+    assert(rows.length == 3000)
+  }
+
   test("the bound bucket function replays the write-side arithmetic") {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
       StructType}
