@@ -81,8 +81,9 @@ class PruningParquetScanBuilder(
     // FROM t LIMIT 10` plans one file's tasks instead of 100k.
     limitFiles: Int => Option[Seq[String]] = _ => None,
     // the table's consistent BUCKET LAYOUT, when one exists and the
-    // version carries no deletion masks: (logical column, numBuckets,
-    // file → bucket id). Under spark.sql.sources.v2.bucketing.enabled
+    // version carries no deletion masks: (PHYSICAL bucket columns —
+    // one today, see SnapshotLog.rebucketBy — numBuckets, file →
+    // bucket id). Under spark.sql.sources.v2.bucketing.enabled
     // the build returns a [[SnapBucketScan]] reporting
     // KeyGroupedPartitioning (the transform resolves to the catalog's
     // own `bucket` function) — storage-partitioned joins, no shuffle
