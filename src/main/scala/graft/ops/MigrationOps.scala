@@ -683,6 +683,10 @@ object MigrationOps {
     val tok = java.lang.Long.toHexString(System.nanoTime())
     val cat = s"aggsql_$tok"
     val view = s"aggsrc_$tok"
+    // restore (not unset) in the finally: a caller's pre-set session
+    // value must survive this gate (the autoBroadcastJoinThreshold
+    // save/restore discipline of the other gates)
+    var priorTsType: Option[String] = None
     try {
       Files.createDirectories(scratchP.resolve("lake"))
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
@@ -694,6 +698,7 @@ object MigrationOps {
       // compaction rewrite both land files) so min/max(o_orderdate)
       // is answerable; the INT96 decline path is
       // SnapshotAggPushSpec's business. Restored in the outer finally.
+      priorTsType = s.conf.getOption("spark.sql.parquet.outputTimestampType")
       s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       s.sql(s"CREATE TABLE $cat.lake.t AS SELECT o_orderkey, " +
         "o_custkey, o_orderdate, o_orderpriority, " +
@@ -740,7 +745,10 @@ object MigrationOps {
       val local = java.util.Arrays.asList(res.collect(): _*)
       s.createDataFrame(local, res.schema)
     } finally {
-      s.conf.unset("spark.sql.parquet.outputTimestampType")
+      priorTsType match {
+        case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
       s.catalog.dropTempView(view): Unit
       s.conf.unset(s"spark.sql.catalog.$cat.root")
       s.conf.unset(s"spark.sql.catalog.$cat")
@@ -1232,6 +1240,55 @@ object MigrationOps {
     }
   }
 
+  /** [[graft.sources.SnapshotLog.readChangeFeedByTime]] driver-gated
+    * through its SQL TVF (`snap_table_changes_by_time` — registered by
+    * GraftExtensions): the same three-version ladder as
+    * [[snapChangeFeed]], read back with a TIME window spanning the
+    * table's recorded commit-ts provenance (first commit ts .. last
+    * commit ts, inclusive both ends per the verb's contract), which
+    * must resolve to the FULL version range and hash-match the exact
+    * version-bounded oracle — a wrong ts→version resolution (off-by-one
+    * at either bound, a silently-dropped mid-range version) changes
+    * the emitted slice set and diverges. */
+  val snapChangeFeedByTime: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_cft_gate_")
+    try {
+      val tdir = scratchP.resolve("t").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_custkey")))
+      graft.sources.SnapshotLog.commitAppend(s, tdir,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(4, col("o_custkey")))
+      val keys: Seq[Any] = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+      graft.sources.SnapshotLog.deleteWhereInMOR(
+        s, tdir, "o_orderkey", keys): Unit
+      // the window = the provenance's own [min ts, max ts]: covers
+      // every committed version, so the TVF must equal the unbounded
+      // version feed (sessions pin UTC — format the instants there)
+      val stamps = graft.sources.SnapshotLog.history(tdir).map(_.tsMillis)
+      def lit(ms: Long): String = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      val res = s.sql(s"SELECT * FROM snap_table_changes_by_time('$tdir'," +
+        s" TIMESTAMP '${lit(stamps.min)}', TIMESTAMP '${lit(stamps.max)}')")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.applyChangeFeed]] driver-gated — CDC
     * REPLICATION closed end-to-end: the source commits the even
     * orderkeys (v0), appends the odd ones (v1), MOR-deletes the 24
@@ -1482,6 +1539,7 @@ object MigrationOps {
     "snap_merge_into" -> snapMergeInto,
     "snap_merge_mor" -> snapMergeMor,
     "snap_change_feed" -> snapChangeFeed,
+    "snap_change_feed_by_time" -> snapChangeFeedByTime,
     "snap_replicate" -> snapReplicate,
     "snap_bloom_lookup" -> snapBloomLookup,
     "snap_delete_in" -> snapDeleteIn,
@@ -1605,6 +1663,24 @@ object MigrationOps {
     // table directly: even keys inserted at v0, odd keys at v1, the
     // 24 smallest keys' PRE-IMAGES re-emitted as v2 deletes
     "snap_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey % 2 = 1
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey IN
+           (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
+    // the TIME-bounded TVF over a window spanning the whole provenance
+    // must equal the full version-bounded feed — the same oracle
+    "snap_change_feed_by_time" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
            CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
            'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version

@@ -268,6 +268,21 @@ object SnapshotSqlDml extends Rule[LogicalPlan] {
     // arriving true just means evolution was requested and has been
     // satisfied (or found vacuous); non-additive asks already refused
     // loudly inside alterTable.
+    //
+    // STATED CONSEQUENCE — the two-commit window: because the analyzer
+    // publishes the add-column version at ANALYSIS and the merge
+    // publishes its own at EXECUTION, an evolved merge that then FAILS
+    // (cardinality violation, CHECK constraint, OCC conflict) leaves
+    // the added column committed — unlike Delta/Iceberg's
+    // single-transaction evolution, and unlike every other verb of
+    // this log, which publishes all-or-nothing. The stranded state is
+    // benign (a nullable column every existing row null-fills, exactly
+    // what a retried merge would have created) and self-describing in
+    // history (an `add-column` op with no following merge). NOT
+    // auto-rolled-back deliberately: between the two commits a
+    // concurrent writer may have landed on top of the evolution, so a
+    // failure-path restore could destroy a foreign commit — the one
+    // wrong answer. A user who wants the column gone has `restore`.
     val _ = withSchemaEvolution
     val targetRel = EliminateSubqueryAliases(target)
     val tableCols: Seq[Attribute] = targetRel.output
