@@ -1052,6 +1052,17 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       .flatMap(r => Option(r.get("n")))
       .filter(_.isIntegralNumber).map(_.asLong)
 
+  /** The manifest-recorded on-disk size of `f` — the `:bytes`
+    * pseudo-stat harvested at commit (None for files committed before
+    * it existed — scan statistics then fall back to a filesystem
+    * stat). A real column literally named ":bytes" never minted the
+    * pseudo-stat, so its harvested min/max node lacks the "b" field
+    * and this reads None — degrade, never mis-read. */
+  private def bytesOf(f: String): Option[Long] =
+    fileCols(f).flatMap(c => Option(c.get(":bytes")))
+      .flatMap(b => Option(b.get("b")))
+      .filter(_.isIntegralNumber).map(_.asLong)
+
   /** LIMIT as FILE-LIST pruning: the manifest prefix whose recorded
     * row counts cover `n` rows — `SELECT * FROM t LIMIT 10` then
     * plans one file's tasks instead of the whole table's. Exact-only,
@@ -1245,6 +1256,7 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       aggAnswer = aggAnswer,
       limitFiles = limitFiles,
       bucket = bucketLayout,
+      bytesOf = bytesOf,
       // `spark.readStream.table("snap.ns.t")` — the catalog face of
       // the snapshot stream source (SnapshotStreamBuild owns the
       // option vocabulary: startVersion, ignoreChanges, time bounds;

@@ -267,6 +267,23 @@ object SnapshotLog {
         rNode.put("n", footer.getBlocks.asScala.map(_.getRowCount).sum): Unit
         Map(":rows" -> rNode)
       }
+    } ++ {
+      // the file's ON-DISK SIZE as the reserved pseudo-column ":bytes"
+      // (field "b") — the footer's input file is already open, so the
+      // length is free. What it buys: scan-planning statistics
+      // (AQE/broadcast sizing) answer from the manifest instead of one
+      // driver-side filesystem stat PER KEPT FILE PER QUERY PLAN —
+      // at 100k files on an object store that was 100k HEAD requests
+      // per plan. Same collision rule as ":rows": a real column named
+      // ":bytes" keeps its harvested stats and the pseudo-stat is
+      // skipped (consumers fall back to stat-at-plan, never mis-read).
+      if (acc.contains(":bytes")) Map.empty[String,
+        com.fasterxml.jackson.databind.node.ObjectNode]
+      else {
+        val bNode = mapper.createObjectNode()
+        bNode.put("b", in.getLength): Unit
+        Map(":bytes" -> bNode)
+      }
     }
   }
 
@@ -746,7 +763,10 @@ object SnapshotLog {
   /** Annotate freshly-harvested stats with each file's `:bucket`
     * pseudo-stat. A file whose name carries no partition index is left
     * unannotated — the layout then reads as inconsistent (degrade,
-    * never lie). */
+    * never lie). A harvest that already holds a `:bucket` key means a
+    * real parquet column literally carries that name — skip annotation
+    * (the layout degrades) rather than replace the column's harvested
+    * min/max/nulls node, mirroring the harvest's own `:rows` guard. */
   private def annotateBuckets(
       stats: Map[String, Map[String,
         com.fasterxml.jackson.databind.node.ObjectNode]],
@@ -757,7 +777,7 @@ object SnapshotLog {
       val base = stats.getOrElse(f, Map.empty[String,
         com.fasterxml.jackson.databind.node.ObjectNode])
       f -> (bucketIdFromName(f) match {
-        case Some(id) if id < n =>
+        case Some(id) if id < n && !base.contains(":bucket") =>
           val b = mapper.createObjectNode()
           b.put("col", cols.mkString(",")): Unit
           b.put("n", n): Unit
@@ -3735,6 +3755,15 @@ object SnapshotLog {
     require(columns.forall(!_.contains(",")),
       s"bucket column names cannot contain ',' (the layout records " +
         s"the list comma-joined): ${columns.mkString("; ")}")
+    // '.' refused too: SnapBucketScan's outputPartitioning builds the
+    // transform via Expressions.bucket(n, name), which PARSES a dotted
+    // name as a multipart (nested) field reference — against this
+    // log's flat top-level schemas that reference can never resolve at
+    // scan time, so the layout would be a full rewrite that either
+    // fails the scan or silently never matches a join's clustering
+    require(columns.forall(!_.contains(".")),
+      s"bucket column names cannot contain '.' (the SPJ transform " +
+        s"would parse it as a nested field path): ${columns.mkString("; ")}")
     val baseV = latestVersion(tableDir).getOrElse(
       sys.error(s"no committed version in $tableDir"))
     val df = read(spark, tableDir, asOf = Some(baseV))

@@ -89,7 +89,16 @@ class PruningParquetScanBuilder(
     // own `bucket` function) — storage-partitioned joins, no shuffle
     // on either side. Conf off (the default): the ordinary pruned
     // parquet scan, byte-split parallelism untouched.
-    bucket: Option[(Seq[String], Int, Map[String, Int])] = None)
+    bucket: Option[(Seq[String], Int, Map[String, Int])] = None,
+    // a file's MANIFEST-RECORDED on-disk size (the `:bytes`
+    // pseudo-stat harvested at commit — the footer was already open),
+    // or None for files committed before the stat existed. Every
+    // driver-side size consumer in this builder's scans (masked-split
+    // arithmetic, AQE/broadcast statistics) answers from it first and
+    // falls back to a filesystem stat — on an object store the
+    // fallback is one HEAD request per file per query plan, which the
+    // manifest answer retires.
+    bytesOf: String => Option[Long] = _ => None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -153,11 +162,11 @@ class PruningParquetScanBuilder(
           spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
             "false").toBoolean =>
         new SnapBucketScan(spark, tableName, readSchema, prune, mapName,
-          unmapName, filterExprs, required, bCols, n, fileIds)
+          unmapName, filterExprs, required, bCols, n, fileIds, bytesOf)
       case _ =>
         new PrunedSnapshotScan(spark, tableName, readSchema, prune,
           mapName, unmapName, filterExprs, required, dv, streamFor,
-          limitKept)
+          limitKept, bytesOf)
     }
   }
 }
@@ -263,7 +272,8 @@ private[graftbridge] class PrunedSnapshotScan(
     // runtime IN drops rows, so the at-least-limit arithmetic no
     // longer holds on the prefix; Spark's retained Limit keeps the
     // semantics either way)
-    limitKept: Option[Seq[String]] = None)
+    limitKept: Option[Seq[String]] = None,
+    bytesOf: String => Option[Long] = _ => None)
   extends Scan
   with SupportsReportStatistics
   with SupportsMetadata
@@ -403,8 +413,10 @@ private[graftbridge] class PrunedSnapshotScan(
           org.apache.spark.sql.classic.SparkSession]
           .sessionState.conf.filesMaxPartitionBytes)
         clean ++ maskedKept.flatMap { f =>
-          val size = try java.nio.file.Files.size(
-            java.nio.file.Paths.get(f)) catch { case _: Exception => 0L }
+          // manifest-recorded size first (`:bytes` pseudo-stat);
+          // filesystem stat only for pre-stat files
+          val size = bytesOf(f).getOrElse(try java.nio.file.Files.size(
+            java.nio.file.Paths.get(f)) catch { case _: Exception => 0L })
           val key = Bridge.canonKey(f)
           if (size <= chunk)
             Seq(DvMaskedFilePartition(f, key, dv(f), 0L, Long.MaxValue)
@@ -483,10 +495,11 @@ private[graftbridge] class PrunedSnapshotScan(
       // files' on-disk bytes so AQE/broadcast sizing sees the whole
       // scan (an over-estimate of the post-mask output, which is the
       // safe direction: it under-broadcasts). Row counts stay absent:
-      // the mask drops an unknown share
-      val maskedBytes = maskedKept.map(f =>
+      // the mask drops an unknown share. Sizes from the manifest's
+      // `:bytes` pseudo-stat; filesystem stat only for pre-stat files
+      val maskedBytes = maskedKept.map(f => bytesOf(f).getOrElse(
         try java.nio.file.Files.size(java.nio.file.Paths.get(f))
-        catch { case _: Exception => 0L }).sum
+        catch { case _: Exception => 0L })).sum
       new Statistics {
         override def sizeInBytes() = java.util.OptionalLong.of(
           (if (base.sizeInBytes().isPresent) base.sizeInBytes().getAsLong
@@ -593,7 +606,8 @@ private class SnapBucketScan(
     required: Option[StructType],
     bucketCols: Seq[String],
     n: Int,
-    fileIds: Map[String, Int])
+    fileIds: Map[String, Int],
+    bytesOf: String => Option[Long] = _ => None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with SupportsReportStatistics
@@ -682,9 +696,11 @@ private class SnapBucketScan(
       Bridge.parquetFileBatches(spark, physReq, v1Filters))
 
   override def estimateStatistics(): Statistics = {
-    val bytes = kept.map(f =>
+    // manifest-recorded sizes (`:bytes` pseudo-stat) first — zero
+    // filesystem stats at planning; pre-stat files fall back
+    val bytes = kept.map(f => bytesOf(f).getOrElse(
       try java.nio.file.Files.size(java.nio.file.Paths.get(f))
-      catch { case _: Exception => 0L }).sum
+      catch { case _: Exception => 0L })).sum
     new Statistics {
       override def sizeInBytes() = java.util.OptionalLong.of(bytes)
       override def numRows() = java.util.OptionalLong.empty()
