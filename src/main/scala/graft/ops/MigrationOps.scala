@@ -730,12 +730,22 @@ object MigrationOps {
         delKeys.mkString("(", ", ", ")"))
       val masked = aggDf()
       require(!pushed(masked), "metadata aggregate pushed through a " +
-        "dv-bearing version — masked rows make stats counts unsound; " +
-        "the scan must decline")
+        "dv-bearing version — masked rows can hide a column's extremes; " +
+        "the MIN/MAX-carrying aggregation must decline")
       val maskedRow = masked.collect()(0)
       require(maskedRow.getLong(0) == fullRow.getLong(0) - 24,
         s"post-delete count ${maskedRow.getLong(0)} != " +
           s"${fullRow.getLong(0) - 24}")
+      // the dv-count rung: a bare COUNT(*) on the dv-bearing version
+      // MUST still push — the dv-writing verbs record each file's
+      // exact deduped mask cardinality (`:masked`), so
+      // Σ:rows − Σ:masked answers from the manifest with zero data I/O
+      val dvCount = s.sql(s"SELECT count(*) AS c FROM $cat.lake.t")
+      require(pushed(dvCount), "COUNT(*) on a dv-bearing version must " +
+        "answer from the manifest (:rows − :masked) — the exact masked " +
+        "cardinality is recorded at commit time")
+      require(dvCount.collect()(0).getLong(0) == fullRow.getLong(0) - 24,
+        "dv-aware metadata COUNT(*) mis-answered")
       s.sql(s"CALL $cat.system.compact_deletes(table => 'lake.t')")
         .collect(): Unit
       val compacted = aggDf()

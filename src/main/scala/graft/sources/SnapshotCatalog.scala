@@ -1052,6 +1052,28 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       .flatMap(r => Option(r.get("n")))
       .filter(_.isIntegralNumber).map(_.asLong)
 
+  /** The manifest-recorded EXACT deleted-row count of `f` under its
+    * CURRENT deletion mask — the `:masked` pseudo-stat the dv-writing
+    * verbs maintain (deduped across sidecar re-marks at commit time).
+    * Version-consistency gate: the stat's recorded sidecar-list length
+    * ("s") must equal the live list's — a stat describing an older,
+    * shorter list declines rather than under-counts. None for files
+    * without a mask or with an inconsistent/absent stat. */
+  private def maskedOf(f: String): Option[Long] =
+    fileCols(f).flatMap(c => Option(c.get(":masked")))
+      .filter(n => dv.get(f).exists(_.size == n.path("s").asInt(-1)))
+      .flatMap(n => Option(n.get("n")))
+      .filter(_.isIntegralNumber).map(_.asLong)
+
+  /** `f`'s exact LIVE row count: footer rows minus the exact masked
+    * count (0 for mask-free files). None when either side is
+    * unknowable — consumers decline. */
+  private def liveRowsOf(f: String): Option[Long] =
+    rowsOf(f).flatMap { r =>
+      if (!dv.contains(f)) Some(r)
+      else maskedOf(f).map(m => r - m)
+    }
+
   /** The manifest-recorded on-disk size of `f` — the `:bytes`
     * pseudo-stat harvested at commit (None for files committed before
     * it existed — scan statistics then fall back to a filesystem
@@ -1064,21 +1086,24 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       .filter(_.isIntegralNumber).map(_.asLong)
 
   /** LIMIT as FILE-LIST pruning: the manifest prefix whose recorded
-    * row counts cover `n` rows — `SELECT * FROM t LIMIT 10` then
+    * LIVE row counts cover `n` rows — `SELECT * FROM t LIMIT 10` then
     * plans one file's tasks instead of the whole table's. Exact-only,
-    * like every metadata answer: a dv-bearing version declines (masks
-    * drop an unknown share of each file's rows, so the prefix could
-    * under-deliver), as does any file missing `:rows`. Partial
-    * pushdown contract (Spark keeps its Limit): the prefix must hold
-    * AT LEAST min(n, table) rows, which exact counts guarantee. */
+    * like every metadata answer: any file missing `:rows` declines,
+    * and a dv-bearing file counts `:rows − :masked` (the exact deduped
+    * mask cardinality the dv-writing verbs record) or declines when
+    * the stat is absent/inconsistent — masked files would otherwise
+    * make the prefix under-deliver. Partial pushdown contract (Spark
+    * keeps its Limit): the prefix must hold AT LEAST min(n, table)
+    * rows, which exact live counts guarantee. */
   private def limitFiles(n: Int): Option[Seq[String]] = {
-    if (dv.nonEmpty || n <= 0 || recorded.fieldNames.contains(":rows"))
+    if (n <= 0 || recorded.fieldNames.contains(":rows") ||
+        recorded.fieldNames.contains(":masked"))
       return None
     val out = Seq.newBuilder[String]
     var acc = 0L
     var i = 0
     while (i < files.length && acc < n) {
-      rowsOf(files(i)) match {
+      liveRowsOf(files(i)) match {
         case None => return None
         case Some(r) => acc += r; out += files(i)
       }
@@ -1099,10 +1124,17 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     * aggregate the way it protects file pruning), so only provably
     * exact facts answer:
     *
-    *  - versions carrying DELETION MASKS decline everything: sidecars
-    *    may re-mark the same position across commits, so their counts
-    *    don't subtract soundly without a dedup pass (compaction
-    *    retires the masks and restores the shortcut);
+    *  - COUNT(*) on a version carrying DELETION MASKS answers
+    *    Σ`:rows` − Σ`:masked` — the dv-writing verbs record each
+    *    file's EXACT deduped mask cardinality at commit time
+    *    (sidecar re-marks of the same position are deduped there,
+    *    which is why raw sidecar row counts never subtract), gated on
+    *    version consistency (the stat's recorded sidecar-list length
+    *    must match the live list's). Any dv file missing a consistent
+    *    `:masked` declines. COUNT(col)/MIN/MAX still decline on dv
+    *    versions: a mask can hide any share of a column's nulls or
+    *    its extremes, and per-column subtraction has no recorded fact
+    *    to stand on (compaction retires the masks and restores them);
     *  - COUNT(*) needs every file's `:rows` pseudo-stat (harvested
     *    from footer block counts since this round; older manifests
     *    decline);
@@ -1130,10 +1162,11 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types._
-    if (agg.groupByExpressions.nonEmpty || dv.nonEmpty ||
-      recorded.fieldNames.contains(":rows")) return None
+    if (agg.groupByExpressions.nonEmpty ||
+      recorded.fieldNames.contains(":rows") ||
+      recorded.fieldNames.contains(":masked")) return None
     lazy val totalRows: Option[Long] = {
-      val per = files.map(rowsOf)
+      val per = files.map(liveRowsOf)
       if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
     }
     // SQL resolves case-insensitively by default; the pushed reference
@@ -1153,6 +1186,9 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       case _ => None
     }
     def countCol(field: StructField): Option[Long] = {
+      // a mask can hide any share of the column's nulls — no recorded
+      // per-column fact subtracts soundly on a dv version
+      if (dv.nonEmpty) return None
       val phys = colmap.getOrElse(field.name, field.name)
       val per = files.map { f =>
         for {
@@ -1169,6 +1205,8 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
     }
     def minMax(field: StructField, wantMin: Boolean): Option[Any] = {
+      // a mask can hide exactly the extreme the footer recorded
+      if (dv.nonEmpty) return None
       val longKind = field.dataType match {
         case LongType | IntegerType | ShortType | ByteType | DateType |
              TimestampType | TimestampNTZType => true

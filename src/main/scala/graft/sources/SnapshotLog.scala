@@ -1587,18 +1587,33 @@ object SnapshotLog {
     * commit: a lost update that never surfaces as a conflict. */
   private def commitAt(spark: SparkSession, tableDir: String,
       df: DataFrame, v: Long, op: String = "commit",
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None,
+      // a layout-preserving maintenance rewrite ([[optimize]] on a
+      // bucketed table): the (columns-as-written, numBuckets) to
+      // re-mint as `:bucket`, plus an optional per-file row cap
+      // (splits an oversized bucket into several files of the SAME
+      // task index — bucketIdFromName parses the prefix, so every
+      // split carries its bucket's id)
+      bucketMeta: Option[(Seq[String], Int)] = None,
+      maxRecordsPerFile: Option[Long] = None): Long = {
     // constraints guard NEW content; maintenance rewrites routed here
     // (optimize — op != "commit") restate already-validated rows and
     // skip the extra pass
     if (op == "commit") enforceConstraints(spark, tableDir, df, op)
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.write.mode("overwrite").parquet(dd.toString)
+    val w = df.write.mode("overwrite")
+    maxRecordsPerFile.foreach(m =>
+      w.option("maxRecordsPerFile", m): Unit)
+    w.parquet(dd.toString)
     val files = listDir(dd)
       .filter(_.toString.endsWith(".parquet"))
       .map(p => canon(p).toString).sorted
-    val stats = harvestStats(files)
+    val stats = bucketMeta match {
+      case Some((cols, n)) => annotateBuckets(harvestStats(files), files,
+        cols, n)
+      case None => harvestStats(files)
+    }
     // record the schema AS WRITTEN (inferred once from the fresh files,
     // so read-side behavior is byte-identical to inference): readers of
     // a million-file table then plan from the manifest instead of
@@ -2350,7 +2365,8 @@ object SnapshotLog {
     val physOpt = logicalSchema.map(physSchema(_, colmap))
     val newDv = morMarks(spark, tableDir, v, affected, physOpt,
       pcol, values, prevDv)
-    publish(tableDir, v, prevFiles, carriedStats(prevManifest, prevFiles),
+    publish(tableDir, v, prevFiles, withMaskedCounts(spark,
+      carriedStats(prevManifest, prevFiles), newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "delete-where-in-mor")
     v
@@ -2451,6 +2467,74 @@ object SnapshotLog {
     }
   }
 
+  /** Overlay each dv-bearing file's EXACT deduped deleted-position
+    * count as the reserved `:masked` pseudo-stat ({"n": count, "s":
+    * sidecar-list length}) — computed by the mask-WRITING verbs, where
+    * exactness is free (the deduped position set materializes at
+    * commit time anyway; sidecar re-marks of the same position are
+    * exactly why raw sidecar row counts don't subtract). What it
+    * buys: the catalog's metadata aggregate answers COUNT(*) on a
+    * dv-bearing version (Σ`:rows` − Σ`:masked`) and LIMIT pruning
+    * keeps working between compactions — the regime a lakehouse
+    * actually lives in.
+    *
+    * VERSION CONSISTENCY (the degrade-don't-lie half): "s" pins the
+    * sidecar-list length the count described. Sidecar lists only ever
+    * GROW within a generation (new marks append new sidecars — a
+    * grown list mismatches and recounts here) or get REPLACED
+    * position-preserving (rehome rewrites each sidecar to a fresh
+    * path with identical content, so count and length both carry);
+    * a consumer accepts the stat only when the recorded "s" equals
+    * the live list's length, and declines otherwise. Files already
+    * consistent (untouched carries) skip the recount, so the one
+    * churn-sized job here covers exactly the files THIS commit
+    * touched. A real column literally named ":masked" owns the key —
+    * never minted, consumers decline (the `:rows`/`:bucket` collision
+    * rule). Canonicalization mirrors [[foldSidecars]]: sidecar rows
+    * spell paths as `_metadata.file_path` URIs, translated on the
+    * driver over the DISTINCT spellings only (file-count-sized) and
+    * broadcast back, so the distinct-count groups by CANONICAL file
+    * even across spelling generations. */
+  private def withMaskedCounts(spark: SparkSession,
+      stats: Map[String, Map[String,
+        com.fasterxml.jackson.databind.node.ObjectNode]],
+      dv: Map[String, Seq[String]],
+      logicalSchema: Option[org.apache.spark.sql.types.StructType])
+      : Map[String, Map[String,
+        com.fasterxml.jackson.databind.node.ObjectNode]] = {
+    if (dv.isEmpty) return stats
+    if (logicalSchema.exists(_.fieldNames.contains(":masked"))) return stats
+    def consistent(f: String): Boolean =
+      stats.get(f).flatMap(_.get(":masked")).exists { n =>
+        n.path("s").asInt(-1) == dv(f).size && n.has("n") }
+    val stale = dv.keys.filterNot(consistent).toSeq.sorted
+    if (stale.isEmpty) return stats
+    import org.apache.spark.sql.functions.{broadcast, col, countDistinct}
+    val sidecars = stale.flatMap(dv).distinct.sorted
+    val rows = spark.read.schema("file STRING, pos LONG")
+      .parquet(sidecars: _*)
+    val spellings = rows.select("file").distinct().collect()
+      .map(_.getString(0))
+    val canonOf: Seq[(String, String)] = spellings.toSeq.map { fp =>
+      val p = try Paths.get(java.net.URI.create(fp))
+        catch { case _: Exception => Paths.get(fp) }
+      fp -> canon(p).toString
+    }
+    import spark.implicits._
+    val counts: Map[String, Long] = rows
+      .join(broadcast(canonOf.toDF("file", "_graft_canon")), Seq("file"))
+      .groupBy("_graft_canon").agg(countDistinct(col("pos")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stats ++ stale.map { f =>
+      val node = mapper.createObjectNode()
+      node.put("n", counts.getOrElse(canon(Paths.get(f)).toString, 0L)): Unit
+      node.put("s", dv(f).size): Unit
+      f -> (stats.getOrElse(f, Map.empty[String,
+        com.fasterxml.jackson.databind.node.ObjectNode]) +
+        (":masked" -> node))
+    }
+  }
+
   /** MERGE-ON-READ point UPDATE — [[updateWhereIn]]'s cost-model twin,
     * the Delta-DV update shape: ONE commit that (a) MASKS the matching
     * rows' positions via a sidecar (exactly [[deleteWhereInMOR]]'s
@@ -2504,8 +2588,9 @@ object SnapshotLog {
         (nf, morMarks(spark, tableDir, v, affected, physOpt,
           pcol, values, prevDv))
       }
-    publish(tableDir, v, prevFiles ++ newFiles,
+    publish(tableDir, v, prevFiles ++ newFiles, withMaskedCounts(spark,
       carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "update-where-in-mor")
     v
@@ -2643,7 +2728,8 @@ object SnapshotLog {
     val newDv = morMarksWhere(spark, tableDir, v, affected,
       logicalSchema.map(physSchema(_, colmap)),
       logicalSchema.map(_.fieldNames.toSeq), predicate, prevDv)
-    publish(tableDir, v, prevFiles, carriedStats(prevManifest, prevFiles),
+    publish(tableDir, v, prevFiles, withMaskedCounts(spark,
+      carriedStats(prevManifest, prevFiles), newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "delete-where-mor")
     v
@@ -2693,8 +2779,9 @@ object SnapshotLog {
           logicalSchema.map(physSchema(_, colmap)),
           logicalSchema.map(_.fieldNames.toSeq), predicate, prevDv))
       }
-    publish(tableDir, v, prevFiles ++ newFiles,
+    publish(tableDir, v, prevFiles ++ newFiles, withMaskedCounts(spark,
       carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "update-where-mor")
     v
@@ -2968,8 +3055,9 @@ object SnapshotLog {
           .write.mode("overwrite").parquet(dd.toString)
         foldSidecars(spark, dd, prevFiles, prevDv)
       }
-    publish(tableDir, v, prevFiles ++ newFiles,
+    publish(tableDir, v, prevFiles ++ newFiles, withMaskedCounts(spark,
       carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "merge-where-mor")
     v
@@ -2984,8 +3072,23 @@ object SnapshotLog {
     * [[expireVersions]] + [[vacuum]] (which is also the tail of the
     * MOR erasure theorem — only after compact + expire + vacuum are a
     * deleted row's bytes in no surviving file). No dv entries → no-op
-    * (returns the current version unchanged). */
+    * (returns the current version unchanged).
+    *
+    * BUCKET-PRESERVING (round 18): when the version carries a
+    * consistent [[rebucket]] layout, the masked rewrite re-partitions
+    * the affected files' surviving rows by the layout's own hash
+    * arithmetic (`repartition(n, col)` — identical to the original
+    * write, so every row provably lands back in ITS bucket) and the
+    * fresh files re-mint `:bucket`; untouched files carry theirs
+    * verbatim. The SPJ layout — the most expensive asset a 100 TB
+    * table owns — thus SURVIVES the one maintenance verb a dv'd
+    * regime runs routinely, instead of costing a full-table
+    * `rebucket` to re-establish. The price is one shuffle of the
+    * affected files' rows (the unbucketed rewrite is shuffle-free);
+    * paid only when a layout exists, which is exactly when it buys
+    * back a whole-table rewrite. */
   def compactDeletes(spark: SparkSession, tableDir: String): Long = {
+    import org.apache.spark.sql.functions.col
     val baseV = latestVersion(tableDir).getOrElse(
       sys.error(s"no committed version in $tableDir"))
     val prevManifest = mapper.readTree(
@@ -3003,12 +3106,26 @@ object SnapshotLog {
     val (affected, untouched) = prevFiles.partition(prevDv.contains)
     val dd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-    readPhysical(spark, affected, logicalSchema.map(physSchema(_, colmap)),
-      prevDv).write.mode("overwrite").parquet(dd.toString)
+    val masked = readPhysical(spark, affected,
+      logicalSchema.map(physSchema(_, colmap)), prevDv)
+    // :bucket records PHYSICAL names and readPhysical keeps them — the
+    // re-partition needs no name translation
+    val bucketSpec = bucketLayoutOf(prevManifest.get("stats"), prevFiles)
+      .map { case (pcols, n, _) => (pcols, n) }
+      .filter(_._1.forall(masked.columns.contains))
+    (bucketSpec match {
+      case Some((pcols, n)) => masked.repartition(n, pcols.map(col): _*)
+      case None => masked
+    }).write.mode("overwrite").parquet(dd.toString)
     val newFiles = listDir(dd).filter(_.toString.endsWith(".parquet"))
       .map(p => canon(p).toString).sorted
+    val newStats = bucketSpec match {
+      case Some((pcols, n)) =>
+        annotateBuckets(harvestStats(newFiles), newFiles, pcols, n)
+      case None => harvestStats(newFiles)
+    }
     publish(tableDir, v, untouched ++ newFiles,
-      carriedStats(prevManifest, untouched) ++ harvestStats(newFiles),
+      carriedStats(prevManifest, untouched) ++ newStats,
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), op = "compact-deletes")
     v
@@ -3544,8 +3661,9 @@ object SnapshotLog {
         listDir(pd).filter(_.toString.endsWith(".parquet"))
           .map(p => canon(p).toString).sorted
       }
-    publish(tableDir, v, prevFiles ++ newFiles,
+    publish(tableDir, v, prevFiles ++ newFiles, withMaskedCounts(spark,
       carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "merge-mor")
     v
@@ -3596,6 +3714,53 @@ object SnapshotLog {
     // zero rows could publish a zero-file manifest whose schema
     // inference has no files to read, losing the recorded schema
     if (rows == 0L) return baseV
+    // BUCKET-PRESERVING compaction (round 18): when the base version
+    // carries a consistent [[rebucket]] layout and this rewrite's
+    // arrangement is compatible with it — no z-order, and the cluster
+    // key is the bucket key or absent — re-partition by the layout's
+    // own hash arithmetic instead of round-robin/range, so small files
+    // merge WITHIN their buckets and the fresh files re-mint `:bucket`
+    // (columns recorded under the names as written: this rewrite
+    // rematerializes logical names and sheds the column map, like any
+    // full rewrite). `targetRecordsPerFile` still holds via the
+    // per-file cap — an oversized bucket splits into several files of
+    // the same task index, all carrying the bucket's id. A clusterBy
+    // on the bucket key sorts WITHIN buckets (rebucket's own
+    // `sortWithin` layout: consecutive split files carry disjoint key
+    // ranges, so stats pruning composes with SPJ). Any OTHER cluster
+    // key or a z-order is a deliberate re-layout — the bucket layout
+    // sheds by the honest-degrade contract, as before.
+    val bucketKeep: Option[(Seq[String], Int)] =
+      if (zOrderBy.nonEmpty) None
+      else {
+        val (bFiles, bStats, _, bColmap, _) = manifestFor(tableDir, Some(baseV))
+        val inverse = bColmap.map(_.swap)
+        bucketLayoutOf(bStats, bFiles)
+          .map { case (pcols, n, _) =>
+            (pcols.map(pc => inverse.getOrElse(pc, pc)), n) }
+          .filter { case (lcols, _) =>
+            lcols.forall(df.columns.contains) &&
+              (clusterBy.isEmpty || clusterBy == lcols) }
+      }
+    bucketKeep match {
+      case Some((lcols, n)) =>
+        val rebucketed = df.repartition(n, lcols.map(col): _*)
+        val arrangedB =
+          if (clusterBy.nonEmpty)
+            rebucketed.sortWithinPartitions(clusterBy.map(col): _*)
+          else rebucketed
+        // the same 10% headroom as unbucketed compaction: a cap at
+        // exactly the target would shave a few-row shard off every
+        // slightly-jittered bucket
+        val cap = targetRecordsPerFile +
+          math.max(1L, targetRecordsPerFile / 10)
+        val v = commitAt(spark, tableDir, arrangedB, baseV + 1,
+          op = "optimize", bucketMeta = Some((lcols, n)),
+          maxRecordsPerFile = Some(cap))
+        if (maintainIndexes) maintainBloomIndexes(spark, tableDir): Unit
+        return v
+      case None => ()
+    }
     val nFiles = math.max(1L,
       math.ceil(rows.toDouble / targetRecordsPerFile).toLong).toInt
     val arranged =
@@ -3707,12 +3872,17 @@ object SnapshotLog {
     * Maintenance semantics (the honest-degrade contract): BATCH
     * appends ([[commitAppend]] / SQL INSERT INTO) re-bucket their
     * batch and keep the layout; MOR deletes are mask-only and keep it
-    * free; ANY other new-file writer — COW DML, optimize, z-order,
-    * MOR post-images, compaction, and the STREAMING sinks (executor
-    * epoch writers can't re-partition; their files land unbucketed) —
-    * harvests fresh stats without `:bucket`, so the layout silently
-    * degrades to an ordinary table: correctness never depends on it,
-    * joins just shuffle again until the next `rebucket`. A column RENAME keeps
+    * free; [[compactDeletes]] and [[optimize]] (when the arrangement
+    * is compatible — no z-order, cluster key absent or equal to the
+    * bucket key) re-partition their rewrite by the layout's own hash
+    * arithmetic and KEEP it too (round 18 — routine maintenance no
+    * longer costs the layout). Every other new-file writer — COW DML,
+    * z-order, a foreign-keyed optimize, MOR post-images, and the
+    * STREAMING sinks (executor epoch writers can't re-partition;
+    * their files land unbucketed) — harvests fresh stats without
+    * `:bucket`, so the layout silently degrades to an ordinary table:
+    * correctness never depends on it, joins just shuffle again until
+    * the next `rebucket`. A column RENAME keeps
     * the layout (the pseudo-stat records the immutable physical
     * name); this rewrite itself rematerializes logical names and
     * sheds the column map, like [[optimize]].

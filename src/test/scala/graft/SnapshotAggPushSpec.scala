@@ -18,9 +18,12 @@ import sources.SnapshotLog
   * re-check protects it, unlike file pruning), so every case the
   * stats cannot answer EXACTLY must fall back to an honest scan —
   * filters, group-bys, DISTINCT, NaN-able double/float min-max,
-  * truncatable string bounds, dv-bearing versions (sidecar re-marks
-  * make mask sizes unsubtractable), stat-less INT96 timestamps, and
-  * files missing the row-count pseudo-stat. */
+  * truncatable string bounds, stat-less INT96 timestamps, and files
+  * missing the row-count pseudo-stat. Dv-bearing versions are SPLIT:
+  * COUNT(*) answers exactly (the dv-writing verbs record each file's
+  * deduped mask cardinality as `:masked` — Σ:rows − Σ:masked), while
+  * COUNT(col)/MIN/MAX keep declining (a mask can hide any share of a
+  * column's nulls or exactly the extreme the footer recorded). */
 class SnapshotAggPushSpec extends SparkSpec {
 
   private lazy val root: String = {
@@ -116,23 +119,43 @@ class SnapshotAggPushSpec extends SparkSpec {
       .collect()(0).getLong(0) == 1000L)
   }
 
-  test("dv-bearing version declines; compactDeletes restores the shortcut") {
+  test("dv version: COUNT(*) pushes exactly (re-marks deduped), " +
+      "MIN/MAX decline; compactDeletes restores the full shortcut") {
     root
     val dir = s"$root/lake/t2"
     seed(dir)
     SnapshotLog.deleteWhereInMOR(spark, dir, "k", Seq(0L, 1L, 2L, 999L))
+    // a MIN/MAX-carrying aggregation still declines as a whole: the
+    // mask could hide exactly the extreme the footer recorded
     val masked = spark.sql("SELECT count(*) AS c, min(k), max(k) FROM agp.lake.t2")
     assert(!pushedScan(masked),
-      "a version with deletion masks must not answer from stats")
+      "a dv version must not answer MIN/MAX from stats")
     val mr = masked.collect()(0)
     assert(mr.getLong(0) == 996L && mr.getLong(1) == 3L &&
       mr.getLong(2) == 998L)
+    // ...but a bare COUNT(*) answers from :rows − :masked
+    val cq = spark.sql("SELECT count(*) AS c FROM agp.lake.t2")
+    assert(pushedScan(cq), "dv-aware COUNT(*) must answer from the manifest")
+    assert(cq.collect()(0).getLong(0) == 996L)
+    // COUNT(col) keeps declining: per-column null shares are invisible
+    // to the mask stat
+    val ccq = spark.sql("SELECT count(nv) AS c FROM agp.lake.t2")
+    assert(!pushedScan(ccq))
+    ccq.collect(): Unit
+    // RE-MARKS across commits: key 2 deleted again (the marks scan is
+    // mask-free, so its position lands in a SECOND sidecar) — the
+    // recorded cardinality must dedup, never double-subtract
+    SnapshotLog.deleteWhereInMOR(spark, dir, "k", Seq(2L, 3L))
+    val cq2 = spark.sql("SELECT count(*) AS c FROM agp.lake.t2")
+    assert(pushedScan(cq2), "the second MOR commit must refresh :masked")
+    assert(cq2.collect()(0).getLong(0) == 995L,
+      "overlapping re-marks double-subtracted")
     SnapshotLog.compactDeletes(spark, dir)
     val clean = spark.sql("SELECT count(*) AS c, min(k), max(k) FROM agp.lake.t2")
     assert(pushedScan(clean), "compaction retires the masks — the " +
       "metadata shortcut must come back")
     val cr = clean.collect()(0)
-    assert(cr.getLong(0) == 996L && cr.getLong(1) == 3L &&
+    assert(cr.getLong(0) == 995L && cr.getLong(1) == 4L &&
       cr.getLong(2) == 998L)
     // VERSION AS OF a pre-delete version answers ITS stats
     val v0 = spark.sql("SELECT count(*) FROM agp.lake.t2 VERSION AS OF 0")
@@ -216,17 +239,24 @@ class SnapshotAggPushSpec extends SparkSpec {
       filtered.map(_.getLong(0)).toSet == (990L until 1000L).toSet)
   }
 
-  test("LIMIT declines on a dv-bearing version (masks could under-deliver)") {
+  test("LIMIT prunes through a dv-bearing version on exact LIVE counts") {
     root
     val dir = s"$root/lake/t7"
     SnapshotLog.commit(spark, dir,
       spark.range(0, 100).toDF("k").repartition(4))
     SnapshotLog.deleteWhereInMOR(spark, dir, "k", (0L until 50L).toSeq)
-    val got = spark.sql("SELECT k FROM agp.lake.t7 LIMIT 60").collect()
-    assert(got.length == 50, "only the 50 unmasked rows survive")
-    assert(!graft.sources.ScanPrune.decisions.keys.exists(k =>
-      k.contains("lake.t7@") && k.endsWith("#limit")),
-      "a dv-bearing version must not limit-prune")
+    // the prefix is computed on :rows − :masked per file, so a limit
+    // the 50 LIVE rows can cover keeps pruning (files holding only
+    // masked rows never satisfy it vacuously — counts are exact)
+    val got = spark.sql("SELECT k FROM agp.lake.t7 LIMIT 10").collect()
+    assert(got.length == 10)
+    val dec = graft.sources.ScanPrune.decisions.collectFirst {
+      case (k, v) if k.contains("lake.t7@") && k.endsWith("#limit") => v
+    }
+    assert(dec.exists(_._2 == 4), s"limit prune decision: $dec")
+    // a limit PAST the live rows keeps every file and every live row
+    assert(spark.sql("SELECT k FROM agp.lake.t7 LIMIT 60").collect()
+      .length == 50, "only the 50 unmasked rows survive")
   }
 
   test("the .files metadata table surfaces the recorded row counts") {
