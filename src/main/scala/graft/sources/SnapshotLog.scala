@@ -748,6 +748,42 @@ object SnapshotLog {
     else None
   }
 
+  /** The version's consistent bucket layout as (PHYSICAL columns, n),
+    * vetted against the columns a writer is about to write — what the
+    * MOR verbs consult so their churn-sized fresh files (post-images,
+    * merge inserts) re-bucket and keep the [[rebucket]] layout instead
+    * of shedding it (round 18; the batch-append rule extended to every
+    * new-file writer whose batch carries the bucket column). */
+  private def bucketSpecFor(
+      statsNode: com.fasterxml.jackson.databind.JsonNode,
+      prevFiles: Seq[String], writeCols: Seq[String])
+      : Option[(Seq[String], Int)] =
+    bucketLayoutOf(statsNode, prevFiles)
+      .map { case (pcols, n, _) => (pcols, n) }
+      .filter(_._1.forall(writeCols.contains))
+
+  /** Re-partition a physically-named batch by the layout's own hash
+    * arithmetic (None = pass through). The SAME Option must drive the
+    * post-write [[annotateBuckets]]: annotating files this did not
+    * arrange would record ids the rows don't have. */
+  private def rebucketBatch(out: DataFrame,
+      spec: Option[(Seq[String], Int)]): DataFrame = spec match {
+    case Some((pcols, n)) =>
+      out.repartition(n, pcols.map(org.apache.spark.sql.functions.col): _*)
+    case None => out
+  }
+
+  /** [[harvestStats]] plus `:bucket` annotation when a layout spec
+    * drove the write. */
+  private def harvestBucketed(files: Seq[String],
+      spec: Option[(Seq[String], Int)])
+      : Map[String, Map[String,
+        com.fasterxml.jackson.databind.node.ObjectNode]] = spec match {
+    case Some((pcols, n)) => annotateBuckets(harvestStats(files), files,
+      pcols, n)
+    case None => harvestStats(files)
+  }
+
   /** Spark's task-partition index from the written file name
     * (`part-NNNNN-<uuid>…`) — for a frame repartitioned by
     * `repartition(n, col)` this IS the row set's bucket id
@@ -2576,6 +2612,10 @@ object SnapshotLog {
       logicalSchema, colmap, column, values).toSet
     val affected = prevFiles.filter(keptSet)
     val physOpt = logicalSchema.map(physSchema(_, colmap))
+    // post-images re-bucket their churn-sized batch so the SPJ layout
+    // survives a MOR update (the append rule, round 18)
+    val postSpec = physOpt.map(_.fieldNames.toSeq)
+      .flatMap(pc => bucketSpecFor(statsNode, prevFiles, pc))
     val (newFiles, newDv) =
       if (affected.isEmpty) (Nil, prevDv)
       else {
@@ -2584,12 +2624,14 @@ object SnapshotLog {
         // post-image read free of this commit's own sidecar
         val nf = morPostImageFiles(spark, tableDir, v, affected,
           logicalSchema, colmap, prevDv,
-          _.filter(col(column).isin(values: _*)), set, "update-where-in-mor")
+          _.filter(col(column).isin(values: _*)), set,
+          "update-where-in-mor", postSpec)
         (nf, morMarks(spark, tableDir, v, affected, physOpt,
           pcol, values, prevDv))
       }
     publish(tableDir, v, prevFiles ++ newFiles, withMaskedCounts(spark,
-      carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      carriedStats(prevManifest, prevFiles) ++
+        harvestBucketed(newFiles, postSpec),
       newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "update-where-in-mor")
@@ -2611,7 +2653,10 @@ object SnapshotLog {
       colmap: Map[String, String], prevDv: Map[String, Seq[String]],
       matched: DataFrame => DataFrame,
       set: Map[String, org.apache.spark.sql.Column],
-      verb: String): Seq[String] = {
+      verb: String,
+      // the base version's bucket layout (physical cols, n), when the
+      // caller wants the post-images to re-bucket and keep it
+      bucketSpec: Option[(Seq[String], Int)] = None): Seq[String] = {
     import org.apache.spark.sql.functions.col
     val base = matched(readFiles(spark, affected, logicalSchema, colmap,
       prevDv.view.filterKeys(affected.toSet).toMap))
@@ -2635,7 +2680,8 @@ object SnapshotLog {
         base.columns.map(physName(colmap, _)).toIndexedSeq: _*)
     val pd = Paths.get(tableDir, "data",
       s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-    out.write.mode("overwrite").parquet(pd.toString)
+    rebucketBatch(out, bucketSpec).write.mode("overwrite")
+      .parquet(pd.toString)
     listDir(pd).filter(_.toString.endsWith(".parquet"))
       .map(p => canon(p).toString).sorted
   }
@@ -2769,18 +2815,22 @@ object SnapshotLog {
       prevFiles, prevManifest.get("stats"), logicalSchema, colmap,
       Seq(cond)).toSet
     val affected = prevFiles.filter(kept)
+    val postSpec = logicalSchema
+      .map(physSchema(_, colmap).fieldNames.toSeq)
+      .flatMap(pc => bucketSpecFor(prevManifest.get("stats"), prevFiles, pc))
     val (newFiles, newDv) =
       if (affected.isEmpty) (Nil, prevDv)
       else {
         val nf = morPostImageFiles(spark, tableDir, v, affected,
           logicalSchema, colmap, prevDv, _.filter(predicate), set,
-          "update-where-mor")
+          "update-where-mor", postSpec)
         (nf, morMarksWhere(spark, tableDir, v, affected,
           logicalSchema.map(physSchema(_, colmap)),
           logicalSchema.map(_.fieldNames.toSeq), predicate, prevDv))
       }
     publish(tableDir, v, prevFiles ++ newFiles, withMaskedCounts(spark,
-      carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      carriedStats(prevManifest, prevFiles) ++
+        harvestBucketed(newFiles, postSpec),
       newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "update-where-mor")
@@ -3025,6 +3075,10 @@ object SnapshotLog {
     // for the sidecar write and each clause slice, each a
     // candidate-sized scan. An admin op pays it; correctness never
     // depends on it.
+    // post-images/inserts re-bucket when the SPJ layout exists
+    // (churn-sized — the round-18 layout-keeping rule)
+    val postSpec = bucketSpecFor(prevManifest.get("stats"), prevFiles,
+      physSchema(logical, colmap).fieldNames.toSeq)
     val newFiles: Seq[String] =
       if (pieces.isEmpty) Nil
       else {
@@ -3044,7 +3098,8 @@ object SnapshotLog {
           else union.toDF(names.map(physName(colmap, _)).toIndexedSeq: _*)
         val pd = Paths.get(tableDir, "data",
           s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-        out.write.mode("overwrite").parquet(pd.toString)
+        rebucketBatch(out, postSpec).write.mode("overwrite")
+          .parquet(pd.toString)
         listDir(pd).filter(_.toString.endsWith(".parquet"))
           .map(p => canon(p).toString).sorted
       }
@@ -3056,7 +3111,8 @@ object SnapshotLog {
         foldSidecars(spark, dd, prevFiles, prevDv)
       }
     publish(tableDir, v, prevFiles ++ newFiles, withMaskedCounts(spark,
-      carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      carriedStats(prevManifest, prevFiles) ++
+        harvestBucketed(newFiles, postSpec),
       newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "merge-where-mor")
@@ -3645,7 +3701,12 @@ object SnapshotLog {
             f -> (prevDv.getOrElse(f, Nil) ++ sidecars))
         }
       }
-    // post-images: every non-delete feed row, verbatim, as new files
+    // post-images: every non-delete feed row, verbatim, as new files —
+    // re-bucketed when the table carries the SPJ layout (round 18: a
+    // keyed merge feed is churn-sized, so keeping the layout costs one
+    // tiny repartition instead of a later full-table rebucket)
+    val postSpec = bucketSpecFor(statsNode, prevFiles,
+      physSchema(logical, colmap).fieldNames.toSeq)
     val newFiles =
       if (nIns == 0L) Nil
       else {
@@ -3657,12 +3718,14 @@ object SnapshotLog {
             logical.fieldNames.map(physName(colmap, _)).toIndexedSeq: _*)
         val pd = Paths.get(tableDir, "data",
           s"v$v-${java.util.UUID.randomUUID.toString.take(8)}")
-        out.write.mode("overwrite").parquet(pd.toString)
+        rebucketBatch(out, postSpec).write.mode("overwrite")
+          .parquet(pd.toString)
         listDir(pd).filter(_.toString.endsWith(".parquet"))
           .map(p => canon(p).toString).sorted
       }
     publish(tableDir, v, prevFiles ++ newFiles, withMaskedCounts(spark,
-      carriedStats(prevManifest, prevFiles) ++ harvestStats(newFiles),
+      carriedStats(prevManifest, prevFiles) ++
+        harvestBucketed(newFiles, postSpec),
       newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
       retiredOf(prevManifest), dv = newDv, op = "merge-mor")

@@ -89,6 +89,22 @@ object SpjBench {
     println(f"SPJ: rows=$rowsL,$rowsR joined=$cOn " +
       f"wall_shuffled=$wOff%.2fs wall_spj=$wOn%.2fs " +
       f"shuffles_shuffled=$sOff shuffles_spj=$sOn")
+
+    // MAINTENANCE RUNG (round 18): a routine lifecycle pass over the
+    // left fact — MOR delete, compact_deletes, bucket-keyed small-file
+    // optimize — must leave the zero-exchange plan standing (the
+    // bucket-preserving maintenance contract). Before round 18 this
+    // sequence shed :bucket and the join re-shuffled until a full
+    // rebucket.
+    SnapshotLog.deleteWhereInMOR(spark, ldir, "k",
+      (0L until 1000L).toSeq): Unit
+    SnapshotLog.compactDeletes(spark, ldir): Unit
+    SnapshotLog.optimize(spark, ldir, rowsL / n + 1): Unit
+    val (wM, cM, sM) = run(spj = true)
+    require(sM == 0,
+      s"maintenance shed the SPJ layout ($sM exchanges below the join)")
+    println(f"SPJ-MAINT: joined=$cM wall_spj_after_maintenance=$wM%.2fs " +
+      f"shuffles=$sM (MOR delete -> compact_deletes -> optimize)")
     spark.stop()
   }
 }

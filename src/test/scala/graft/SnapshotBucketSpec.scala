@@ -159,7 +159,7 @@ class SnapshotBucketSpec extends SparkSpec {
     assert(rows == 11)
   }
 
-  test("dv-bearing version declines; compaction degrades (re-bucket to restore)") {
+  test("dv-bearing version declines; compactDeletes PRESERVES the layout") {
     root
     seed(s"$root/lake/e", 1000, "ve")
     SnapshotLog.rebucket(spark, s"$root/lake/e", "k", 8)
@@ -170,18 +170,98 @@ class SnapshotBucketSpec extends SparkSpec {
     }
     assert(bucketScans(p1) == 0, "masked versions read through the dv scan")
     assert(n1 == 998)
+    // round 18: the masked rewrite re-partitions by the layout's own
+    // hash arithmetic, so the fresh files re-mint :bucket and the scan
+    // reports the layout again WITHOUT a full-table rebucket
     SnapshotLog.compactDeletes(spark, s"$root/lake/e")
     val (p2, n2) = withSpj {
       val df = spark.sql("SELECT k FROM bkt.lake.e")
       (finalPlan(df), df.count())
     }
-    assert(bucketScans(p2) == 0,
-      "compaction rewrites masked files without :bucket — degrade")
+    assert(bucketScans(p2) == 1,
+      s"compaction must keep the bucket layout:\n$p2")
     assert(n2 == 998)
-    // re-establishing the layout brings SPJ back
-    SnapshotLog.rebucket(spark, s"$root/lake/e", "k", 8)
-    val p3 = withSpj(finalPlan(spark.sql("SELECT k FROM bkt.lake.e")))
-    assert(bucketScans(p3) == 1)
+  }
+
+  test("the full maintenance cycle keeps the SPJ join shuffle-free") {
+    root
+    // the r17 ceiling, closed: bucketed tables survive MOR delete →
+    // compact_deletes → small-file optimize (bucket-keyed cluster)
+    // with the zero-exchange join intact — routine maintenance and
+    // SPJ are no longer mutually exclusive
+    seed(s"$root/lake/m1", 8000, "vm")
+    seed(s"$root/lake/m2", 3000, "vn")
+    SnapshotLog.rebucket(spark, s"$root/lake/m1", "k", 8)
+    SnapshotLog.rebucket(spark, s"$root/lake/m2", "k", 8)
+    SnapshotLog.deleteWhereInMOR(spark, s"$root/lake/m1", "k",
+      (0L until 100L).toSeq)
+    spark.sql("CALL bkt.system.compact_deletes(table => 'lake.m1')")
+      .collect(): Unit
+    // small-file compaction through the CALL surface, cluster key ==
+    // bucket key → merged within buckets, layout re-minted
+    spark.sql("CALL bkt.system.optimize(table => 'lake.m1', " +
+      "target_records_per_file => 4000, cluster_by => 'k')")
+      .collect(): Unit
+    val files = SnapshotLog.pruneFiles(s"$root/lake/m1", "k", None, None)._1
+    assert(files.size <= 8, s"optimize must merge within buckets: $files")
+    val q = "SELECT a.k, a.vm, b.vn FROM bkt.lake.m1 a " +
+      "JOIN bkt.lake.m2 b ON a.k = b.k"
+    val (plan, rows) = withSpj {
+      val df = spark.sql(q)
+      (finalPlan(df), df.collect())
+    }
+    assert(bucketScans(plan) == 2,
+      s"both sides must still report the layout:\n$plan")
+    assert(joinSubtreeShuffles(plan).contains(0),
+      s"the join must stay shuffle-free through maintenance:\n$plan")
+    // result parity with the ordinary shuffled plan
+    val plain = spark.sql(q).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      plain.map(_.toString).sorted.toSeq)
+    assert(rows.length == 2900)
+  }
+
+  test("MOR update and keyed merge re-bucket their post-images; the " +
+      "layout survives churn -> compaction") {
+    root
+    seed(s"$root/lake/mu", 4000, "vg")
+    SnapshotLog.rebucket(spark, s"$root/lake/mu", "k", 8)
+    // a MOR point update masks old rows and appends post-images — the
+    // post-images now re-partition by the layout's hash, so after the
+    // masks compact away the whole file set still agrees on :bucket
+    SnapshotLog.updateWhereInMOR(spark, s"$root/lake/mu", "k",
+      (0L until 50L).toSeq, Map("vg" -> lit(-7L)))
+    // a keyed merge feed (insert new + update existing + delete)
+    import spark.implicits._
+    val feed = Seq(
+      (9000L, -1L, "insert"), (100L, -2L, "update"), (200L, 0L, "delete"))
+      .toDF("k", "vg", "op")
+    SnapshotLog.mergeIntoMOR(spark, s"$root/lake/mu", feed, "k")
+    SnapshotLog.compactDeletes(spark, s"$root/lake/mu")
+    val (plan, rows) = withSpj {
+      val df = spark.sql("SELECT k, vg FROM bkt.lake.mu WHERE vg = -7")
+      (finalPlan(df), df.count())
+    }
+    assert(bucketScans(plan) == 1,
+      s"the layout must survive MOR churn + compaction:\n$plan")
+    assert(rows == 50)
+    assert(spark.sql("SELECT vg FROM bkt.lake.mu WHERE k = 9000")
+      .collect().map(_.getLong(0)).toSeq == Seq(-1L))
+    assert(spark.sql("SELECT count(*) FROM bkt.lake.mu WHERE k = 200")
+      .collect()(0).getLong(0) == 0L)
+  }
+
+  test("optimize with a FOREIGN cluster key still sheds the layout") {
+    root
+    seed(s"$root/lake/n1", 2000, "vx")
+    SnapshotLog.rebucket(spark, s"$root/lake/n1", "k", 8)
+    // clustering on vx asks for a different physical order — the
+    // honest-degrade contract stands for deliberate re-layouts
+    SnapshotLog.optimize(spark, s"$root/lake/n1", 1000,
+      clusterBy = Seq("vx"))
+    val p = withSpj(finalPlan(spark.sql("SELECT k FROM bkt.lake.n1")))
+    assert(bucketScans(p) == 0,
+      s"a foreign-keyed optimize must shed the layout:\n$p")
   }
 
   test("column rename keeps the layout (the pseudo-stat is physical)") {
