@@ -1299,6 +1299,60 @@ object MigrationOps {
     }
   }
 
+  /** The catalog-native `.changes` METADATA TABLE driver-gated
+    * ([[graft.sources.SnapshotCatalog]] loadTable's `snap.ns.t.changes`
+    * interception → V1Scan over [[graft.sources.SnapshotLog
+    * .readChangeFeed]]): the same three-version ladder as
+    * [[snapChangeFeed]], built under a catalog root and read back as
+    * `SELECT * FROM <cat>.lake.t.changes` — one SQL identifier, no
+    * TVF, no Scala verb — which must hash-match the same oracle. A
+    * require() pins the bounded form too (endVersion option == the
+    * sub-range TVF result). */
+  val snapChangesTable: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_cmt_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"cfcat_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val tdir = scratchP.resolve("lake").resolve("t").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, tdir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_custkey")))
+      graft.sources.SnapshotLog.commitAppend(s, tdir,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(4, col("o_custkey")))
+      val keys: Seq[Any] = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+      val v = graft.sources.SnapshotLog.deleteWhereInMOR(
+        s, tdir, "o_orderkey", keys)
+      // the bounded form matches the TVF's sub-range
+      val bounded = s.read.option("startVersion", v)
+        .table(s"$cat.lake.t.changes").collect().map(_.toString).sorted
+      val tvf = s.sql(s"SELECT * FROM snap_table_changes('$tdir', " +
+        s"${v - 1}, $v)").collect().map(_.toString).sorted
+      require(bounded.length == tvf.length && bounded.sameElements(tvf),
+        s".changes bounded read diverged from the TVF " +
+          s"(${bounded.length} vs ${tvf.length})")
+      val res = s.table(s"$cat.lake.t.changes")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.applyChangeFeed]] driver-gated — CDC
     * REPLICATION closed end-to-end: the source commits the even
     * orderkeys (v0), appends the odd ones (v1), MOR-deletes the 24
@@ -1550,6 +1604,7 @@ object MigrationOps {
     "snap_merge_mor" -> snapMergeMor,
     "snap_change_feed" -> snapChangeFeed,
     "snap_change_feed_by_time" -> snapChangeFeedByTime,
+    "snap_changes_table" -> snapChangesTable,
     "snap_replicate" -> snapReplicate,
     "snap_bloom_lookup" -> snapBloomLookup,
     "snap_delete_in" -> snapDeleteIn,
@@ -1673,6 +1728,24 @@ object MigrationOps {
     // table directly: even keys inserted at v0, odd keys at v1, the
     // 24 smallest keys' PRE-IMAGES re-emitted as v2 deletes
     "snap_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey % 2 = 1
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+         FROM orders WHERE o_orderkey IN
+           (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)""",
+    // the catalog-native .changes metadata table over the whole
+    // history must equal the full version-bounded feed — same oracle
+    "snap_changes_table" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
            CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c,
            'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version

@@ -281,6 +281,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           s"$catalogName.${ident.namespace().mkString(".")}.files",
           dir.getAbsolutePath)
     }
+    // `snap.ns.t.changes` — the change data feed as a metadata table
+    // (batch + streaming; see [[SnapshotChangesTable]])
+    if (ident.namespace().length == 2 &&
+        ident.name().equalsIgnoreCase("changes")) {
+      val inner = Identifier.of(Array(ident.namespace()(0)),
+        ident.namespace()(1))
+      val dir = tableDir(inner)
+      if (dir.isDirectory && isTable(dir))
+        return new SnapshotChangesTable(
+          s"$catalogName.${ident.namespace().mkString(".")}.changes",
+          dir.getAbsolutePath)
+    }
     val dir = tableDir(ident)
     if (!dir.isDirectory || !isTable(dir)) throw new NoSuchTableException(ident)
     val latest = SnapshotLog.latestVersion(dir.getAbsolutePath)
@@ -930,6 +942,122 @@ private class SnapshotFilesTable(tName: String, tableDirPath: String)
                 .fromString(c.toString)).orNull))
             : org.apache.spark.sql.catalyst.InternalRow
         }.toArray
+      }
+    }
+}
+
+/** `snap.ns.t.changes` — the CHANGE DATA FEED as a catalog-native
+  * metadata table beside `.files`/`.history` (Iceberg's `.changes`
+  * spelling on this log's feed). The schema is STATIC — the table's
+  * recorded schema plus `_change_type`/`_commit_version` — which is
+  * exactly why this surface can exist where the plain table's
+  * `changeFeed` option cannot: `readStream.table` resolves the
+  * TABLE's schema before scan options exist, so the feed's two extra
+  * columns can never ride the main table, but they ARE this table's
+  * schema.
+  *
+  * Both read surfaces serve the one feed implementation, bounds and
+  * refusal taxonomy included (restore/replace/truncate ranges refuse
+  * inside [[SnapshotLog.readChangeFeed]]; clock-skew and
+  * pre-provenance refusals inside the ByTime form):
+  *
+  *  - BATCH: `spark.read.option("endVersion", 5).table(
+  *    "snap.ns.t.changes")` — `startVersion`/`endVersion` are the
+  *    first/last EMITTED versions (inclusive, the streaming source's
+  *    convention; defaults: the whole history), or
+  *    `startingTimestamp`/`endingTimestamp` resolve through
+  *    [[SnapshotLog.readChangeFeedByTime]]. Served through a
+  *    [[org.apache.spark.sql.connector.read.V1Scan]] whose relation
+  *    IS the feed verb's DataFrame — zero plan duplication, every
+  *    feed contract verbatim.
+  *  - STREAMING: `spark.readStream.table("snap.ns.t.changes")` — the
+  *    same micro-batch stream the format surface serves, with
+  *    `changeFeed=true` implied by the table identity (plus the
+  *    shared option vocabulary: startVersion, time bounds). */
+private class SnapshotChangesTable(tName: String, tableDirPath: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val declared: StructType = {
+    val v = SnapshotLog.latestVersion(tableDirPath).getOrElse(
+      sys.error(s"no committed version in $tableDirPath"))
+    val (files, schema) = SnapshotLog.manifestAt(tableDirPath, v)
+    val base = schema.getOrElse(
+      SparkSession.active.read.parquet(files: _*).schema)
+    StructType(base.fields ++ Seq(
+      StructField(ChangeFeed.ChangeTypeCol, StringType, nullable = false),
+      StructField(ChangeFeed.CommitVersionCol, LongType, nullable = false)))
+  }
+
+  override def name(): String = tName
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+      org.apache.spark.sql.connector.catalog.TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = declared
+      override def description(): String = tName
+
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = declared
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            val spark = context.sparkSession
+            val hasTs = options.get("startingTimestamp") != null ||
+              options.get("endingTimestamp") != null
+            require(!hasTs || (options.get("startVersion") == null &&
+              options.get("endVersion") == null),
+              s"$tName: version bounds and timestamp bounds are " +
+                "exclusive — pick one clock")
+            val df =
+              if (hasTs) {
+                val lo = Option(options.get("startingTimestamp"))
+                  .map(ChangeFeed.parseTs("startingTimestamp", _))
+                  .getOrElse(java.time.Instant.EPOCH)
+                val hi = Option(options.get("endingTimestamp"))
+                  .map(ChangeFeed.parseTs("endingTimestamp", _))
+                  .getOrElse(java.time.Instant.ofEpochMilli(Long.MaxValue))
+                SnapshotLog.readChangeFeedByTime(spark, tableDirPath, lo, hi)
+              } else {
+                val latest = SnapshotLog.latestVersion(tableDirPath)
+                  .getOrElse(sys.error(
+                    s"no committed version in $tableDirPath"))
+                // inclusive emitted-version bounds, the streaming
+                // source's convention (startVersion 0 = whole history)
+                val startV = options.getLong("startVersion", 0L)
+                val endV = options.getLong("endVersion", latest)
+                SnapshotLog.readChangeFeed(spark, tableDirPath,
+                  startV - 1, endV)
+              }
+            // a range pinned entirely under an OLDER schema would make
+            // the feed's columns diverge from this table's declared
+            // (latest) schema — positional binding would then lie
+            require(df.columns.toSeq == declared.fieldNames.toSeq,
+              s"$tName: the asked range's schema " +
+                s"(${df.columns.mkString(", ")}) differs from the " +
+                s"table's current schema — read the feed for that " +
+                "range with SnapshotLog.readChangeFeed / the " +
+                "snap_table_changes TVF instead")
+            df.rdd
+          }
+        }.asInstanceOf[T]
+
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        val merged = new java.util.HashMap[String, String](
+          options.asCaseSensitiveMap())
+        merged.put("changeFeed", "true"): Unit
+        SnapshotStreamBuild.microBatch(tableDirPath, declared,
+          new CaseInsensitiveStringMap(merged))
       }
     }
 }

@@ -183,9 +183,12 @@ private[sources] object SnapshotStreamBuild {
     if (changeFeed)
       require(schema.fieldNames.contains(ChangeFeed.ChangeTypeCol),
         "graft-snaplog: changeFeed needs the feed's two extra columns " +
-          "in the stream schema, which a catalog-resolved table cannot " +
-          "carry — use spark.readStream.format(\"graft-snaplog\")" +
-          s".option(\"tableDir\", ...).option(\"changeFeed\", true)")
+          "in the stream schema, which a catalog-resolved PLAIN table " +
+          "cannot carry — stream the `.changes` metadata table instead " +
+          "(spark.readStream.table(\"snap.ns.t.changes\"), whose " +
+          "declared schema IS the feed's), or use spark.readStream" +
+          ".format(\"graft-snaplog\").option(\"tableDir\", ...)" +
+          ".option(\"changeFeed\", true)")
     // TIME bounds (Delta's startingTimestamp/endingTimestamp):
     // resolved ONCE at stream build against the manifests' op/ts
     // provenance — the same semantics and refusal taxonomy as the
@@ -215,7 +218,7 @@ private[sources] object SnapshotStreamBuild {
   /** A timestamp option's accepted spellings: ISO-8601 instant
     * (`2026-08-15T12:00:00Z`), `yyyy-MM-dd[ HH:mm:ss[.SSS]]` (read as
     * UTC — every session here pins UTC), or epoch milliseconds. */
-  private def parseTs(name: String, s: String): java.time.Instant = {
+  private[sources] def parseTs(name: String, s: String): java.time.Instant = {
     val utc = java.time.ZoneOffset.UTC
     try java.time.Instant.parse(s) catch { case _: Exception =>
       try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
@@ -296,6 +299,12 @@ private[graft] object ChangeFeed {
   }
 
   def canonKey(s: String): String = Bridge.canonKey(s)
+
+  /** [[SnapshotStreamBuild.parseTs]], shared with the catalog's
+    * `.changes` metadata table — ONE spelling set for every
+    * timestamp-bounded feed surface. */
+  def parseTs(name: String, s: String): java.time.Instant =
+    SnapshotStreamBuild.parseTs(name, s)
 }
 
 private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,

@@ -435,6 +435,133 @@ class SnapshotChangeFeedSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  // ---- the catalog-native `.changes` metadata table (round 18) ----
+
+  private lazy val chRoot: String = {
+    val r = Files.createTempDirectory("graft_cf_cat_").toString
+    Files.createDirectories(java.nio.file.Paths.get(r, "lake"))
+    spark.conf.set("spark.sql.catalog.cfc", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.cfc.root", r)
+    r
+  }
+
+  test(".changes metadata table: batch parity with the TVF, " +
+      "version and time bounds, one refusal taxonomy") {
+    val t = s"$chRoot/lake/t"
+    SnapshotLog.commit(spark, t,                               // v0
+      spark.range(200).repartitionByRange(2, col("id")).select(
+        col("id").as("k"), (col("id") * 7).as("v")))
+    SnapshotLog.commitAppend(spark, t,                         // v1
+      spark.range(200, 220).select(col("id").as("k"), (col("id") * 7).as("v")))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(3L, 4L))   // v2
+    def s(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // full-history read == the TVF over (-1, latest]
+    assert(s(spark.table("cfc.lake.t.changes")) ==
+      s(spark.sql(s"SELECT * FROM snap_table_changes('$t', -1, 2)")))
+    // inclusive emitted-version bounds (the streaming vocabulary)
+    assert(s(spark.read.option("startVersion", 2)
+      .table("cfc.lake.t.changes")) ==
+      s(spark.sql(s"SELECT * FROM snap_table_changes('$t', 1, 2)")))
+    assert(s(spark.read.option("endVersion", 1)
+      .table("cfc.lake.t.changes")) ==
+      s(spark.sql(s"SELECT * FROM snap_table_changes('$t', -1, 1)")))
+    // the feed schema IS the table schema (+ the two columns)
+    assert(spark.table("cfc.lake.t.changes").columns.toSeq ==
+      Seq("k", "v", CF.ChangeTypeCol, CF.CommitVersionCol))
+    // time bounds resolve through readChangeFeedByTime
+    val stamps = SnapshotLog.history(t).map(_.tsMillis)
+    val fullTs = spark.read
+      .option("startingTimestamp", stamps.min.toString)
+      .option("endingTimestamp", stamps.max.toString)
+      .table("cfc.lake.t.changes")
+    assert(s(fullTs) == s(spark.table("cfc.lake.t.changes")))
+    // one clock per read
+    val eMix = intercept[Exception] {
+      spark.read.option("startVersion", 1)
+        .option("endingTimestamp", stamps.max.toString)
+        .table("cfc.lake.t.changes").collect()
+    }
+    assert(eMix.getMessage.contains("exclusive"), eMix.getMessage.take(200))
+    // predicates and aggregates compose (post-scan, exact)
+    assert(spark.sql("SELECT count(*) FROM cfc.lake.t.changes " +
+      s"WHERE ${CF.ChangeTypeCol} = 'delete'").collect()(0).getLong(0) == 2L)
+  }
+
+  test(".changes refuses ranges crossing restore / truncate / replace " +
+      "with the verbs' own taxonomy") {
+    def msg(x: Throwable): String =
+      if (x == null) "" else x.getMessage + msg(x.getCause)
+    // RESTORE
+    val r1 = s"$chRoot/lake/r1"
+    SnapshotLog.commit(spark, r1, spark.range(50).select(
+      col("id").as("k"), (col("id") * 2).as("v")))
+    SnapshotLog.deleteWhereInMOR(spark, r1, "k", Seq(1L))
+    SnapshotLog.restore(r1, 0L)
+    val e1 = intercept[Exception] {
+      spark.table("cfc.lake.r1.changes").collect()
+    }
+    assert(msg(e1).contains("RESTORE") && msg(e1).contains("diff"),
+      msg(e1).take(300))
+    // a range that stops BEFORE the restore still serves
+    assert(spark.read.option("endVersion", 1)
+      .table("cfc.lake.r1.changes").count() == 51L)
+    // TRUNCATE (zero-file commit = a structural rewrite to the feed)
+    val r2 = s"$chRoot/lake/r2"
+    SnapshotLog.commit(spark, r2, spark.range(50).select(
+      col("id").as("k"), (col("id") * 2).as("v")))
+    SnapshotLog.truncate(r2)
+    val e2 = intercept[Exception] {
+      spark.table("cfc.lake.r2.changes").collect()
+    }
+    assert(msg(e2).contains("diff"), msg(e2).take(300))
+    // REPLACE (a fresh generation)
+    val r3 = s"$chRoot/lake/r3"
+    SnapshotLog.commit(spark, r3, spark.range(50).select(
+      col("id").as("k"), (col("id") * 2).as("v")))
+    SnapshotLog.replaceTable(spark, r3, spark.range(5).select(
+      col("id").as("k"), (col("id") * 3).as("v")))
+    val e3 = intercept[Exception] {
+      spark.table("cfc.lake.r3.changes").collect()
+    }
+    assert(msg(e3).contains("diff"), msg(e3).take(300))
+  }
+
+  test(".changes streams through the catalog: readStream.table, " +
+      "no format surface needed") {
+    val t = s"$chRoot/lake/st"
+    SnapshotLog.commit(spark, t, spark.range(80).select(
+      col("id").as("k"), (col("id") * 7).as("v")))
+    SnapshotLog.deleteWhereInMOR(spark, t, "k", Seq(8L))
+    SnapshotLog.updateWhereInMOR(spark, t, "k", Seq(9L), Map("v" -> lit(0L)))
+    val out = Files.createTempDirectory("graft_cf_catsink_").toString
+    val q = spark.readStream.table("cfc.lake.st.changes")
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(_.toString).sorted
+    val batch = SnapshotLog.readChangeFeed(spark, t, -1,
+      SnapshotLog.latestVersion(t).get).collect().map(_.toString).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"catalog stream (${streamed.length}) != batch (${batch.length})")
+    // the PLAIN table still refuses the changeFeed option, now naming
+    // the .changes surface as the first escape hatch
+    val e = intercept[Exception] {
+      spark.readStream.option("changeFeed", "true").table("cfc.lake.st")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$out/cp2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    def msg(x: Throwable): String =
+      if (x == null) "" else x.getMessage + msg(x.getCause)
+    assert(msg(e).contains(".changes"), msg(e).take(400))
+  }
+
   test("sidecarPositionCount saturates instead of overflowing on unreadable sidecars") {
     // >=1024 unreadable sidecars used to sum per-file sentinels past
     // Long.MaxValue into NEGATIVE territory, spuriously passing the
