@@ -105,6 +105,50 @@ object SpjBench {
       s"maintenance shed the SPJ layout ($sM exchanges below the join)")
     println(f"SPJ-MAINT: joined=$cM wall_spj_after_maintenance=$wM%.2fs " +
       f"shuffles=$sM (MOR delete -> compact_deletes -> optimize)")
+
+    // SKEW RUNG (round 18): one hot key owns 80% of the left fact —
+    // grouped SPJ serializes that bucket onto ONE task; Spark's
+    // partially-clustered distribution keeps the skewed side's
+    // per-file partitions ungrouped and replays the other side's
+    // group against each piece. Same zero exchanges, hot bucket fans
+    // out. (maxRecordsPerFile splits the hot bucket's file at rebucket
+    // time — the same-task-index files all carry the bucket's id.)
+    val sdir = root.resolve("lake").resolve("sk").toString
+    SnapshotLog.commit(spark, sdir, spark.range(0, rowsL).toDF("i")
+      .selectExpr(s"CASE WHEN i < ${rowsL * 8 / 10} THEN 7 ELSE i END AS k",
+        "i AS lv").repartition(32))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile",
+      math.max(rowsL / 64, 1L).toString)
+    try SnapshotLog.rebucket(spark, sdir, "k", n)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val qs = "SELECT count(*) AS c, sum(l.lv + r.rv) AS s FROM " +
+      "spj.lake.sk l JOIN spj.lake.r r ON l.k = r.k"
+    def runSkew(partial: Boolean): (Double, Long, Int) = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", partial.toString)
+      try {
+        spark.sql(qs).collect(): Unit
+        val t0 = System.nanoTime()
+        val df = spark.sql(qs)
+        val c = df.collect()(0).getLong(0)
+        ((System.nanoTime() - t0) / 1e9, c, shuffles(df))
+      } finally {
+        spark.conf.unset("spark.sql.sources.v2.bucketing" +
+          ".partiallyClusteredDistribution.enabled")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      }
+    }
+    val (wG, cG, sG) = runSkew(partial = false)
+    val (wP, cP, sP) = runSkew(partial = true)
+    require(cG == cP, s"skew result diverged: $cG vs $cP")
+    require(sG == 0 && sP == 0,
+      s"skew SPJ shuffled (grouped=$sG partial=$sP)")
+    println(f"SPJ-SKEW: joined=$cP wall_grouped=$wG%.2fs " +
+      f"wall_partially_clustered=$wP%.2fs shuffles=0")
     spark.stop()
   }
 }

@@ -676,6 +676,23 @@ private class SnapBucketScan(
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .bucket(n, bucketCols.map(unmapName): _*)), n)
 
+  /** PARTIALLY-CLUSTERED mode (skew relief, Spark's own
+    * `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    * .enabled`): emit ONE partition PER FILE (each still carrying its
+    * bucket id as the partition key) instead of one grouped partition
+    * per bucket. Spark's SPJ machinery groups same-key partitions
+    * itself, so the grouped plan is identical — but with the conf on,
+    * the runtime can keep the LARGER side's hot bucket ungrouped and
+    * replicate the other side's matching group against each piece:
+    * one skewed bucket then runs as k tasks instead of serializing on
+    * one. Decided at scan construction (consistent for the plan's
+    * lifetime); default off keeps the one-partition-per-bucket shape
+    * every existing pin describes. */
+  private val perFilePartitions: Boolean =
+    spark.conf.get(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution" +
+        ".enabled", "false").toBoolean
+
   override def planInputPartitions(): Array[InputPartition] = {
     // bucketLayoutOf only reports a layout when EVERY file carries a
     // valid id, and `kept` ⊆ the manifest's files — so this can only
@@ -686,8 +703,19 @@ private class SnapBucketScan(
       s"$tableName: bucket layout lost track of ${orphans.size} kept " +
         s"file(s) — refusing to plan a scan that would drop rows")
     val byId = kept.groupBy(fileIds)
-    (0 until n).map(id => SnapBucketPartition(id,
-      byId.getOrElse(id, Nil).sorted): InputPartition).toArray
+    if (perFilePartitions)
+      // every bucket id still present (empty buckets ride as empty
+      // partitions), so both join sides expose identical key sets
+      (0 until n).flatMap { id =>
+        byId.getOrElse(id, Nil).sorted match {
+          case Nil => Seq(SnapBucketPartition(id, Nil): InputPartition)
+          case fs => fs.map(f =>
+            SnapBucketPartition(id, Seq(f)): InputPartition)
+        }
+      }.toArray
+    else
+      (0 until n).map(id => SnapBucketPartition(id,
+        byId.getOrElse(id, Nil).sorted): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -251,6 +251,68 @@ class SnapshotBucketSpec extends SparkSpec {
       .collect()(0).getLong(0) == 0L)
   }
 
+  test("partially-clustered SPJ: one hot bucket splits against a " +
+      "replayed other side (skew relief, still zero exchanges)") {
+    root
+    // LEFT is heavily skewed: 18k of 20k rows share key 7 — one hot
+    // bucket — and maxRecordsPerFile splits it into ~5 files at
+    // rebucket time (same task index, same :bucket id). RIGHT is tiny
+    // and even.
+    val ldir = s"$root/lake/sk1"
+    val rdir = s"$root/lake/sk2"
+    SnapshotLog.commit(spark, ldir,
+      spark.range(0, 20000).toDF("i")
+        .select(when(col("i") < 18000, lit(7L)).otherwise(col("i")).as("k"),
+          col("i").as("lv")).repartition(4))
+    SnapshotLog.commit(spark, rdir,
+      spark.range(0, 50).toDF("k").withColumn("rv", col("k") * 3))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "4000")
+    try {
+      SnapshotLog.rebucket(spark, ldir, "k", 4)
+      SnapshotLog.rebucket(spark, rdir, "k", 4)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val q = "SELECT l.k, l.lv, r.rv FROM bkt.lake.sk1 l " +
+      "JOIN bkt.lake.sk2 r ON l.k = r.k"
+    val plain = spark.sql(q).collect().map(_.toString).sorted.toSeq
+    def joinParts(p: SparkPlan): Int = allNodes(p).collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.outputPartitioning.numPartitions
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.outputPartitioning.numPartitions
+    }.getOrElse(-1)
+    // grouped SPJ: zero exchanges, exactly n join partitions — the hot
+    // bucket serializes onto one task
+    val (pG, rG) = withSpj {
+      val df = spark.sql(q); (finalPlan(df), df.collect())
+    }
+    assert(joinSubtreeShuffles(pG).contains(0))
+    assert(joinParts(pG) == 4, s"grouped SPJ expected 4 partitions:\n$pG")
+    assert(rG.map(_.toString).sorted.toSeq == plain)
+    // partially-clustered: the skewed side's per-file partitions stay
+    // ungrouped and the tiny side's groups replay against each piece —
+    // more join tasks than buckets, still not one exchange
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution" +
+        ".enabled", "true")
+    val (pP, rP) = try withSpj {
+      val df = spark.sql(q); (finalPlan(df), df.collect())
+    } finally {
+      spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution" +
+          ".enabled")
+      spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    }
+    assert(joinSubtreeShuffles(pP).contains(0),
+      s"partially-clustered SPJ must still not shuffle:\n$pP")
+    assert(joinParts(pP) > 4,
+      s"the hot bucket must split past the bucket count:\n$pP")
+    assert(rP.map(_.toString).sorted.toSeq == plain,
+      "partially-clustered SPJ changed the result")
+  }
+
   test("optimize with a FOREIGN cluster key still sheds the layout") {
     root
     seed(s"$root/lake/n1", 2000, "vx")
