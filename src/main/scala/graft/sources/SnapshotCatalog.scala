@@ -1423,6 +1423,7 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       limitFiles = limitFiles,
       bucket = bucketLayout,
       bytesOf = bytesOf,
+      rowsOfFile = liveRowsOf,
       // `spark.readStream.table("snap.ns.t")` — the catalog face of
       // the snapshot stream source (SnapshotStreamBuild owns the
       // option vocabulary: startVersion, ignoreChanges, time bounds;

@@ -98,7 +98,15 @@ class PruningParquetScanBuilder(
     // falls back to a filesystem stat — on an object store the
     // fallback is one HEAD request per file per query plan, which the
     // manifest answer retires.
-    bytesOf: String => Option[Long] = _ => None)
+    bytesOf: String => Option[Long] = _ => None,
+    // a file's exact LIVE row count (`:rows` minus the `:masked`
+    // cardinality on dv files; None = unknowable). Lets the scans
+    // report an exact numRows in estimateStatistics — AQE and
+    // broadcast sizing then work from row facts instead of byte
+    // heuristics. Only reported when every kept file answers (a
+    // partial sum would under-estimate, the dangerous direction for
+    // broadcast decisions).
+    rowsOfFile: String => Option[Long] = _ => None)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -162,11 +170,12 @@ class PruningParquetScanBuilder(
           spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
             "false").toBoolean =>
         new SnapBucketScan(spark, tableName, readSchema, prune, mapName,
-          unmapName, filterExprs, required, bCols, n, fileIds, bytesOf)
+          unmapName, filterExprs, required, bCols, n, fileIds, bytesOf,
+          rowsOfFile)
       case _ =>
         new PrunedSnapshotScan(spark, tableName, readSchema, prune,
           mapName, unmapName, filterExprs, required, dv, streamFor,
-          limitKept, bytesOf)
+          limitKept, bytesOf, rowsOfFile)
     }
   }
 }
@@ -273,7 +282,8 @@ private[graftbridge] class PrunedSnapshotScan(
     // longer holds on the prefix; Spark's retained Limit keeps the
     // semantics either way)
     limitKept: Option[Seq[String]] = None,
-    bytesOf: String => Option[Long] = _ => None)
+    bytesOf: String => Option[Long] = _ => None,
+    rowsOfFile: String => Option[Long] = _ => None)
   extends Scan
   with SupportsReportStatistics
   with SupportsMetadata
@@ -308,6 +318,10 @@ private[graftbridge] class PrunedSnapshotScan(
     * shapes simply drop out. Updated alongside `inner`, so a runtime
     * IN skips row groups inside masked files too. */
   private var maskedV1Filters: Seq[org.apache.spark.sql.sources.Filter] = Nil
+  /** The current prune-surviving file list (clean + masked) — what
+    * the exact numRows estimate sums over. Updated on every
+    * (re)build. */
+  private var allKept: Seq[String] = Nil
   private var inner: Scan = buildInner()
   private[graftbridge] def currentBatch: Batch = inner.toBatch
 
@@ -322,6 +336,7 @@ private[graftbridge] class PrunedSnapshotScan(
     // stats/bloom/runtime skipping applies to masked files exactly as
     // to clean ones — a dv'd file a predicate exonerates is never read
     maskedKept = kept.filter(dvFiles.contains)
+    allKept = kept
     val clean = if (dvFiles.isEmpty) kept else kept.filterNot(dvFiles.contains)
     val b = ParquetTable(
       tableName,
@@ -489,22 +504,38 @@ private[graftbridge] class PrunedSnapshotScan(
         override def numRows() = java.util.OptionalLong.empty()
       }
     }
-    if (maskedKept.isEmpty) base
-    else {
+    // EXACT row count over the kept files from the manifest (`:rows`,
+    // minus the exact `:masked` cardinality on dv files) — the file
+    // source itself only byte-guesses, so supplying the recorded fact
+    // upgrades AQE/broadcast sizing from heuristic to arithmetic.
+    // All-or-nothing: one unknowable file and the estimate stays
+    // absent (a partial sum would UNDER-estimate, the direction that
+    // mis-broadcasts). Pre-residual-filter by the scan-stats contract;
+    // an over-estimate only under-broadcasts.
+    val exactRows: Option[Long] = {
+      val per = allKept.map(rowsOfFile)
+      if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+      else None
+    }
+    val maskedBytes =
+      if (maskedKept.isEmpty) 0L
+      else maskedKept.map(f => bytesOf(f).getOrElse(
+        try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+        catch { case _: Exception => 0L })).sum
+    if (maskedKept.isEmpty && exactRows.isEmpty) base
+    else new Statistics {
       // the inner scan counts the CLEAN half only — add the masked
       // files' on-disk bytes so AQE/broadcast sizing sees the whole
       // scan (an over-estimate of the post-mask output, which is the
-      // safe direction: it under-broadcasts). Row counts stay absent:
-      // the mask drops an unknown share. Sizes from the manifest's
-      // `:bytes` pseudo-stat; filesystem stat only for pre-stat files
-      val maskedBytes = maskedKept.map(f => bytesOf(f).getOrElse(
-        try java.nio.file.Files.size(java.nio.file.Paths.get(f))
-        catch { case _: Exception => 0L })).sum
-      new Statistics {
-        override def sizeInBytes() = java.util.OptionalLong.of(
-          (if (base.sizeInBytes().isPresent) base.sizeInBytes().getAsLong
-           else 0L) + maskedBytes)
-        override def numRows() = java.util.OptionalLong.empty()
+      // safe direction: it under-broadcasts). Sizes from the
+      // manifest's `:bytes` pseudo-stat; filesystem stat only for
+      // pre-stat files
+      override def sizeInBytes() = java.util.OptionalLong.of(
+        (if (base.sizeInBytes().isPresent) base.sizeInBytes().getAsLong
+         else 0L) + maskedBytes)
+      override def numRows() = exactRows match {
+        case Some(n) => java.util.OptionalLong.of(n)
+        case None => base.numRows()
       }
     }
   }
@@ -607,7 +638,8 @@ private class SnapBucketScan(
     bucketCols: Seq[String],
     n: Int,
     fileIds: Map[String, Int],
-    bytesOf: String => Option[Long] = _ => None)
+    bytesOf: String => Option[Long] = _ => None,
+    rowsOfFile: String => Option[Long] = _ => None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with SupportsReportStatistics
@@ -725,13 +757,24 @@ private class SnapBucketScan(
 
   override def estimateStatistics(): Statistics = {
     // manifest-recorded sizes (`:bytes` pseudo-stat) first — zero
-    // filesystem stats at planning; pre-stat files fall back
+    // filesystem stats at planning; pre-stat files fall back. Row
+    // count exact from `:rows` when every kept file answers (bucket
+    // scans never carry dv, so :rows IS the live count) — what
+    // partially-clustered distribution sizes its side choice with.
     val bytes = kept.map(f => bytesOf(f).getOrElse(
       try java.nio.file.Files.size(java.nio.file.Paths.get(f))
       catch { case _: Exception => 0L })).sum
+    val exactRows: Option[Long] = {
+      val per = kept.map(rowsOfFile)
+      if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+      else None
+    }
     new Statistics {
       override def sizeInBytes() = java.util.OptionalLong.of(bytes)
-      override def numRows() = java.util.OptionalLong.empty()
+      override def numRows() = exactRows match {
+        case Some(n) => java.util.OptionalLong.of(n)
+        case None => java.util.OptionalLong.empty()
+      }
     }
   }
 

@@ -134,6 +134,27 @@ class SnapshotBytesStatSpec extends SparkSpec {
     }
   }
 
+  test("scan statistics report EXACT numRows from :rows (minus :masked " +
+      "on dv files) — AQE sizes from arithmetic, not byte heuristics") {
+    root
+    val dir = s"$root/lake/nr"
+    SnapshotLog.commit(spark, dir, spark.range(0, 12000).toDF("k")
+      .withColumn("v", col("k") * 3).repartition(3))
+    def rows(): java.util.OptionalLong =
+      scanStats(spark.table("byt.lake.nr")).estimateStatistics().numRows()
+    assert(rows().getAsLong == 12000L)
+    // dv version: numRows is the exact LIVE count (:rows − :masked)
+    SnapshotLog.deleteWhereInMOR(spark, dir, "k", Seq(5L, 6L, 7L)): Unit
+    assert(rows().getAsLong == 11997L,
+      "dv-aware numRows must subtract the exact masked cardinality")
+    // the bucket scan reports it too
+    SnapshotLog.compactDeletes(spark, dir): Unit
+    SnapshotLog.rebucket(spark, dir, "k", 4): Unit
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try assert(rows().getAsLong == 11997L)
+    finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("a dv-bearing version's masked bytes come from the manifest too") {
     root
     val dir = s"$root/lake/m"
