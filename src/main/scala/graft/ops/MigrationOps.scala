@@ -852,6 +852,93 @@ object MigrationOps {
     }
   }
 
+  /** Storage-partitioned join THROUGH A DELETION MASK driver-gated
+    * (round 18 — [[SnapBucketScan]]'s dv composition): the same
+    * bucketed pair as [[snapSpjJoin]], but the fact side takes a MOR
+    * delete of the 24 smallest orderkeys BEFORE the join. The
+    * dv-bearing version must still report the layout (two
+    * SnapBucketScans, ZERO exchanges below the join — require()d) and
+    * the masked rows must be invisible to the aggregate — the oracle
+    * recomputes the join minus the deleted keys, so a mask leak or a
+    * mis-bucketed masked file hash-diverges. SPJ between compactions:
+    * the regime a lakehouse actually lives in. */
+  val snapSpjDv: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    import org.apache.spark.sql.execution.SparkPlan
+    val scratchP = Files.createTempDirectory("graft_spjdv_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"spjdv_$tok"
+    val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val odir = scratchP.resolve("lake").resolve("o").toString
+      val cdir = scratchP.resolve("lake").resolve("c").toString
+      graft.sources.SnapshotLog.commit(s, odir, t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("o_price_c")).repartition(4))
+      graft.sources.SnapshotLog.commit(s, cdir, t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey")).repartition(4))
+      graft.sources.SnapshotLog.rebucket(s, odir, "o_custkey", 8)
+      graft.sources.SnapshotLog.rebucket(s, cdir, "c_custkey", 8)
+      val delKeys: Seq[Any] = t(s, dir, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(24).collect().map(_.get(0)).toSeq
+      val v = graft.sources.SnapshotLog.deleteWhereInMOR(
+        s, odir, "o_orderkey", delKeys)
+      require(graft.sources.SnapshotLog.dvAt(odir, v).nonEmpty,
+        "the MOR delete published no deletion-vector entries")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = s.sql(
+        s"""SELECT c_nationkey, count(*) AS n,
+              CAST(sum(o_price_c) AS BIGINT) AS sum_price_c
+            FROM $cat.lake.o o JOIN $cat.lake.c c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c_nationkey""")
+      val rows = q.collect()
+      def all(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            qs +: all(qs.plan)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a +: all(a.executedPlan)
+          case n => Seq(n)
+        }
+      val nodes = all(q.queryExecution.executedPlan)
+      val joinShuffles = nodes.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          all(j).count(_.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          all(j).count(_.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      }
+      require(joinShuffles.contains(0),
+        s"SPJ through a deletion mask shuffled (exchanges below the " +
+          s"join: $joinShuffles)")
+      val scans = nodes.count {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.getClass.getSimpleName.contains("SnapBucketScan")
+        case _ => false
+      }
+      require(scans == 2,
+        s"expected two SnapBucketScans under the join, found $scans")
+      val local = java.util.Arrays.asList(rows: _*)
+      s.createDataFrame(local, q.schema)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** `CREATE OR REPLACE TABLE … AS SELECT` through the STAGING catalog
     * ([[graft.sources.SnapshotCatalog.stageCreateOrReplace]]),
     * driver-gated: the ladder commits the orders slice (atomic CTAS),
@@ -1617,6 +1704,7 @@ object MigrationOps {
     "snap_replace_sql" -> snapReplaceSql,
     "snap_agg_pushdown" -> snapAggPushdown,
     "snap_spj_join" -> snapSpjJoin,
+    "snap_spj_dv" -> snapSpjDv,
     "snap_stream_table_sink" -> snapStreamTableSink,
     "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
@@ -1920,6 +2008,16 @@ object MigrationOps {
            CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
              AS sum_price_c
          FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""",
+    // SPJ through a deletion mask: the same join minus the 24 deleted
+    // keys — a mask leak or a mis-bucketed masked file hash-diverges
+    "snap_spj_dv" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey NOT IN
+           (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24)
          GROUP BY c_nationkey""",
     // CREATE OR REPLACE through the staging catalog: after the ladder
     // (atomic CTAS → MOR delete → staged replace, history require()d

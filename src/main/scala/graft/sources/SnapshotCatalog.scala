@@ -1400,12 +1400,14 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
     * ([[SnapshotLog.bucketLayoutOf]] — every file carries an agreeing
     * `:bucket` pseudo-stat), vetted for the scan: the physical column
     * must still be live in the schema (a DROPPED bucket column leaves
-    * orphaned pseudo-stats — degrade), and a dv-bearing version never
-    * reports (the masked per-file partitions and the bucket partitions
-    * are different batch shapes; compaction restores both worlds). */
+    * orphaned pseudo-stats — degrade). Dv-bearing versions report too
+    * (round 18): a deletion mask only DROPS rows — a row's bucket id
+    * is a function of its key — so the co-partitioning claim stays
+    * exact and the bucket scan masks its dv'd files executor-side,
+    * exactly like the ordinary scan; SPJ then serves BETWEEN
+    * compactions, the regime a lakehouse actually lives in. */
   private lazy val bucketLayout: Option[(Seq[String], Int, Map[String, Int])] =
-    if (dv.nonEmpty) None
-    else SnapshotLog.bucketLayoutOf(stats, files).filter { case (pcs, _, _) =>
+    SnapshotLog.bucketLayoutOf(stats, files).filter { case (pcs, _, _) =>
       pcs.forall(physical.fieldNames.contains)
     }
 

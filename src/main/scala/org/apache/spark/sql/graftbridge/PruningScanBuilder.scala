@@ -166,12 +166,17 @@ class PruningParquetScanBuilder(
   override def build(): Scan = pushedAgg match {
     case Some((schema, row)) => new SnapAggScan(tableName, schema, row)
     case None => bucket match {
-      case Some((bCols, n, fileIds)) if dv.isEmpty && limitKept.isEmpty &&
+      case Some((bCols, n, fileIds)) if limitKept.isEmpty &&
           spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
             "false").toBoolean =>
+        // dv-bearing versions ride too (round 18): masks only DROP
+        // rows, never move them, so the bucket ids — and the reported
+        // co-partitioning — stay exact through a deletion mask; the
+        // masked files read row-based through the executor-side
+        // positions cache, exactly the ordinary scan's dv machinery
         new SnapBucketScan(spark, tableName, readSchema, prune, mapName,
           unmapName, filterExprs, required, bCols, n, fileIds, bytesOf,
-          rowsOfFile)
+          rowsOfFile, dv, streamFor)
       case _ =>
         new PrunedSnapshotScan(spark, tableName, readSchema, prune,
           mapName, unmapName, filterExprs, required, dv, streamFor,
@@ -639,12 +644,33 @@ private class SnapBucketScan(
     n: Int,
     fileIds: Map[String, Int],
     bytesOf: String => Option[Long] = _ => None,
-    rowsOfFile: String => Option[Long] = _ => None)
+    rowsOfFile: String => Option[Long] = _ => None,
+    // MERGE-ON-READ composition (round 18): masked file → its
+    // sidecars. Masks only DROP rows — a row's bucket id is a function
+    // of its key, so the reported KeyGroupedPartitioning stays exact
+    // through any deletion mask and SPJ serves BETWEEN compactions,
+    // the regime a lakehouse actually lives in. Masked files read
+    // row-based (whole scan row-based when any survives pruning, the
+    // BatchScanExec all-partitions-agree rule) via the same
+    // executor-side positions cache as the ordinary scan's dv half.
+    dv: Map[String, Seq[String]] = Map.empty,
+    streamFor: Option[() =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with SupportsReportStatistics
   with SupportsMetadata
   with SupportsRuntimeV2Filtering {
+
+  /** The catalog's streaming face rides the bucket scan unchanged —
+    * `readStream.table` under the bucketing conf must not lose the
+    * stream surface the ordinary scan offers. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamFor match {
+      case Some(f) => f()
+      case None => super.toMicroBatchStream(checkpointLocation)
+    }
 
   private val physReq: StructType = required match {
     case Some(r) => StructType(r.fields.map(f =>
@@ -695,9 +721,13 @@ private class SnapBucketScan(
     * `createReaderFactory` during planning — BEFORE runtime
     * `filter()` — freezing pre-runtime v1 filters into the readers
     * (the exact ordering trap [[PrunedSnapshotScan.columnarSupportMode]]
-    * documents). Columnar-ness depends only on the read schema. */
+    * documents). Columnar-ness depends only on the read schema — plus
+    * the dv rule: any PLANNING-time-kept masked file forces the whole
+    * scan row-based (runtime filters only shrink the masked set, so
+    * the pre-runtime answer stays safe — the ordinary scan's rule). */
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    if (Bridge.parquetFileBatches(spark, physReq).isDefined)
+    if (kept.exists(dv.contains)) Scan.ColumnarSupportMode.UNSUPPORTED
+    else if (Bridge.parquetFileBatches(spark, physReq).isDefined)
       Scan.ColumnarSupportMode.SUPPORTED
     else Scan.ColumnarSupportMode.UNSUPPORTED
 
@@ -735,6 +765,12 @@ private class SnapBucketScan(
       s"$tableName: bucket layout lost track of ${orphans.size} kept " +
         s"file(s) — refusing to plan a scan that would drop rows")
     val byId = kept.groupBy(fileIds)
+    // each file rides with its sidecar list (empty = clean) and its
+    // pre-resolved canonical key — the executor masks its own file's
+    // positions, nothing mask-sized ever touches the driver
+    def slice(f: String): SnapBucketFileSlice =
+      SnapBucketFileSlice(f, dv.getOrElse(f, Nil),
+        if (dv.contains(f)) Bridge.canonKey(f) else "")
     if (perFilePartitions)
       // every bucket id still present (empty buckets ride as empty
       // partitions), so both join sides expose identical key sets
@@ -742,18 +778,30 @@ private class SnapBucketScan(
         byId.getOrElse(id, Nil).sorted match {
           case Nil => Seq(SnapBucketPartition(id, Nil): InputPartition)
           case fs => fs.map(f =>
-            SnapBucketPartition(id, Seq(f)): InputPartition)
+            SnapBucketPartition(id, Seq(slice(f))): InputPartition)
         }
       }.toArray
     else
       (0 until n).map(id => SnapBucketPartition(id,
-        byId.getOrElse(id, Nil).sorted): InputPartition).toArray
+        byId.getOrElse(id, Nil).sorted.map(slice)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapBucketReaderFactory(
       Bridge.parquetFileRows(spark, physReq, v1Filters),
-      Bridge.parquetFileBatches(spark, physReq, v1Filters))
+      Bridge.parquetFileBatches(spark, physReq, v1Filters),
+      // the masked-file reader: physical schema + Spark's row-index
+      // generator column, the ordinary dv scan's exact recipe (current
+      // v1 filters re-pushed for row-group skipping inside dv'd files)
+      Bridge.parquetFileRangeRows(spark, StructType(
+        physReq.fields :+ org.apache.spark.sql.types.StructField(
+          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true)),
+        v1Filters),
+      Bridge.parquetFileRows(spark,
+        StructType.fromDDL("file STRING, pos BIGINT")),
+      physReq.fields.map(_.dataType),
+      physReq.fields.map(_.nullable))
 
   override def estimateStatistics(): Statistics = {
     // manifest-recorded sizes (`:bytes` pseudo-stat) first — zero
@@ -787,13 +835,22 @@ private class SnapBucketScan(
   override def getMetaData(): Map[String, String] = Map(
     "BucketLayout" -> s"bucket($n, $colsLabel)",
     "Files" -> kept.size.toString,
-    "PushedFilters" -> v1Filters.mkString("[", ", ", "]"))
+    "PushedFilters" -> v1Filters.mkString("[", ", ", "]")) ++
+    (if (dv.isEmpty) Map.empty[String, String]
+     else Map("DvMaskedFiles" -> kept.count(dv.contains).toString))
 }
+
+/** One file of a bucket partition: its sidecar list (empty = clean)
+  * and pre-resolved canonical key ride along so a masked file's
+  * executor task loads its own positions from the per-executor cache. */
+private case class SnapBucketFileSlice(path: String,
+    sidecars: Seq[String], canonKey: String)
 
 /** One bucket of a [[SnapBucketScan]]: the bucket id IS the partition
   * key, the files are whole (bucket grouping is the point — a split
   * would break co-location). */
-private case class SnapBucketPartition(id: Int, files: Seq[String])
+private case class SnapBucketPartition(id: Int,
+    files: Seq[SnapBucketFileSlice])
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
@@ -804,11 +861,20 @@ private case class SnapBucketPartition(id: Int, files: Seq[String])
 private class SnapBucketReaderFactory(
     rowFunc: String => Iterator[org.apache.spark.sql.catalyst.InternalRow],
     batchFunc: Option[String =>
-      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]])
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
+    maskedReadFunc: (String, Long, Long) => Iterator[
+      org.apache.spark.sql.catalyst.InternalRow],
+    readSidecar: String => Iterator[
+      org.apache.spark.sql.catalyst.InternalRow],
+    dataTypes: Array[org.apache.spark.sql.types.DataType],
+    nullables: Array[Boolean])
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean =
-    batchFunc.isDefined
+    batchFunc.isDefined && (p match {
+      case b: SnapBucketPartition => b.files.forall(_.sidecars.isEmpty)
+      case _ => false
+    })
 
   private def reader[T](it: Iterator[T])
       : org.apache.spark.sql.connector.read.PartitionReader[T] =
@@ -820,18 +886,38 @@ private class SnapBucketReaderFactory(
       override def close(): Unit = ()
     }
 
+  /** A masked file's surviving rows: read with the row-index generator
+    * column, drop positions recorded deleted (executor-cached, deduped,
+    * binary-searched), project the index column back off — the
+    * ordinary dv scan's read, per bucket file. */
+  private def maskedRows(s: SnapBucketFileSlice)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val positions = DvMaskingReaderFactory.positionsFor(
+      s.canonKey, s.sidecars, readSidecar)
+    val idxOrdinal = dataTypes.length
+    val proj = org.apache.spark.sql.catalyst.expressions
+      .UnsafeProjection.create(dataTypes.indices.map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, dataTypes(i), nullables(i))))
+    maskedReadFunc(s.path, 0L, Long.MaxValue).collect {
+      case r if java.util.Arrays.binarySearch(positions,
+          r.getLong(idxOrdinal)) < 0 => proj(r)
+    }
+  }
+
   override def createReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] =
-    reader(p.asInstanceOf[SnapBucketPartition].files.iterator
-      .flatMap(rowFunc))
+    reader(p.asInstanceOf[SnapBucketPartition].files.iterator.flatMap {
+      s => if (s.sidecars.isEmpty) rowFunc(s.path) else maskedRows(s)
+    })
 
   override def createColumnarReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] =
     reader(p.asInstanceOf[SnapBucketPartition].files.iterator
-      .flatMap(batchFunc.getOrElse(sys.error(
-        "columnar read requested but supportColumnarReads said no"))))
+      .flatMap(s => batchFunc.getOrElse(sys.error(
+        "columnar read requested but supportColumnarReads said no"))(s.path)))
 }
 
 /** A byte-range SPLIT of a prune-surviving data file that carries a
@@ -879,34 +965,9 @@ private class DvMaskingReaderFactory(
     case other => inner.supportColumnarReads(other)
   }
 
-  /** This file's deleted positions, from its sidecars — executor-side,
-    * memoizing the per-row file-spelling canonicalization (rows of one
-    * file repeat; toRealPath is a syscall). Sorted for binary search.
-    * Duplicates (re-marks across successive MOR commits) collapse. */
-  private def loadPositions(canonKey: String,
-      sidecars: Seq[String]): Array[Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
-    val memo = new java.util.HashMap[String, java.lang.Boolean]()
-    sidecars.foreach { sc =>
-      readSidecar(sc).foreach { r =>
-        val f = r.getUTF8String(0).toString
-        val hit = memo.computeIfAbsent(f,
-          k => java.lang.Boolean.valueOf(Bridge.canonKey(k) == canonKey))
-        if (hit) set.add(r.getLong(1)): Unit
-      }
-    }
-    val out = new Array[Long](set.size())
-    val it = set.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(out)
-    out
-  }
-
   private def positionsFor(canonKey: String,
       sidecars: Seq[String]): Array[Long] =
-    DvMaskingReaderFactory.positionsCache.get(
-      (canonKey, sidecars), () => loadPositions(canonKey, sidecars))
+    DvMaskingReaderFactory.positionsFor(canonKey, sidecars, readSidecar)
 
   override def createReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
@@ -946,7 +1007,42 @@ private class DvMaskingReaderFactory(
     inner.createColumnarReader(p)
 }
 
-private object DvMaskingReaderFactory {
+private[graftbridge] object DvMaskingReaderFactory {
+
+  /** This file's deleted positions, from its sidecars — executor-side,
+    * memoizing the per-row file-spelling canonicalization (rows of one
+    * file repeat; toRealPath is a syscall). Sorted for binary search.
+    * Duplicates (re-marks across successive MOR commits) collapse.
+    * Shared by the ordinary masked partitions and the BUCKET scan's
+    * masked files (one positions cache per executor either way). */
+  private def loadPositions(canonKey: String, sidecars: Seq[String],
+      readSidecar: String => Iterator[
+        org.apache.spark.sql.catalyst.InternalRow]): Array[Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val memo = new java.util.HashMap[String, java.lang.Boolean]()
+    sidecars.foreach { sc =>
+      readSidecar(sc).foreach { r =>
+        val f = r.getUTF8String(0).toString
+        val hit = memo.computeIfAbsent(f,
+          k => java.lang.Boolean.valueOf(Bridge.canonKey(k) == canonKey))
+        if (hit) set.add(r.getLong(1)): Unit
+      }
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  private[graftbridge] def positionsFor(canonKey: String,
+      sidecars: Seq[String],
+      readSidecar: String => Iterator[
+        org.apache.spark.sql.catalyst.InternalRow]): Array[Long] =
+    positionsCache.get((canonKey, sidecars),
+      () => loadPositions(canonKey, sidecars, readSidecar))
+
   /** Per-executor (JVM-static) positions cache: (canonical file key,
     * sidecar path list) → the file's sorted deleted positions. Sound
     * to cache FOREVER — sidecar files are immutable once published

@@ -159,20 +159,34 @@ class SnapshotBucketSpec extends SparkSpec {
     assert(rows == 11)
   }
 
-  test("dv-bearing version declines; compactDeletes PRESERVES the layout") {
+  test("deletion masks RIDE the bucket scan (SPJ between compactions); " +
+      "compactDeletes preserves the layout") {
     root
     seed(s"$root/lake/e", 1000, "ve")
     SnapshotLog.rebucket(spark, s"$root/lake/e", "k", 8)
     SnapshotLog.deleteWhereInMOR(spark, s"$root/lake/e", "k", Seq(1L, 2L))
+    // round 18: a mask only DROPS rows — bucket ids are a function of
+    // the key — so the dv-bearing version still reports the layout and
+    // the bucket scan masks its dv'd files executor-side
     val (p1, n1) = withSpj {
       val df = spark.sql("SELECT k FROM bkt.lake.e")
       (finalPlan(df), df.count())
     }
-    assert(bucketScans(p1) == 0, "masked versions read through the dv scan")
-    assert(n1 == 998)
-    // round 18: the masked rewrite re-partitions by the layout's own
-    // hash arithmetic, so the fresh files re-mint :bucket and the scan
-    // reports the layout again WITHOUT a full-table rebucket
+    assert(bucketScans(p1) == 1,
+      s"the masked version must keep the bucket scan:\n$p1")
+    assert(n1 == 998, "masked rows leaked through the bucket scan")
+    // a JOIN through the mask stays shuffle-free and exact
+    val (pj, nj) = withSpj {
+      val df = spark.sql("SELECT e.k FROM bkt.lake.e e " +
+        "JOIN bkt.lake.a a ON e.k = a.k")
+      (finalPlan(df), df.count())
+    }
+    assert(bucketScans(pj) == 2 && joinSubtreeShuffles(pj).contains(0),
+      s"SPJ through a deletion mask must not shuffle:\n$pj")
+    assert(nj == 998)
+    // the masked rewrite re-partitions by the layout's own hash
+    // arithmetic, so compaction keeps the layout (and restores the
+    // vectorized scan)
     SnapshotLog.compactDeletes(spark, s"$root/lake/e")
     val (p2, n2) = withSpj {
       val df = spark.sql("SELECT k FROM bkt.lake.e")
