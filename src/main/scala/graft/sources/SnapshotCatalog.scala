@@ -906,6 +906,12 @@ private class SnapshotFilesTable(tName: String, tableDirPath: String)
   private val filesSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("rows", LongType, nullable = true),
+    // rows minus the exact :masked cardinality (null when either side
+    // is unknowable — pre-stat files, or a mask without a consistent
+    // recorded count); == rows on mask-free files
+    StructField("live_rows", LongType, nullable = true),
+    // the :bytes pseudo-stat (on-disk size recorded at commit)
+    StructField("bytes", LongType, nullable = true),
     StructField("masked", BooleanType, nullable = false),
     StructField("dv_sidecars", IntegerType, nullable = false),
     StructField("stats", StringType, nullable = true)))
@@ -932,10 +938,22 @@ private class SnapshotFilesTable(tName: String, tableDirPath: String)
           val rows = cols.flatMap(c => Option(c.get(":rows")))
             .flatMap(r => Option(r.get("n")))
             .filter(_.isIntegralNumber).map(_.asLong)
+          val masked = cols.flatMap(c => Option(c.get(":masked")))
+            .filter(n => dv.get(f).exists(_.size == n.path("s").asInt(-1)))
+            .flatMap(n => Option(n.get("n")))
+            .filter(_.isIntegralNumber).map(_.asLong)
+          val live =
+            if (!dv.contains(f)) rows
+            else for (r <- rows; m <- masked) yield r - m
+          val bytes = cols.flatMap(c => Option(c.get(":bytes")))
+            .flatMap(b => Option(b.get("b")))
+            .filter(_.isIntegralNumber).map(_.asLong)
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             Array[Any](
               org.apache.spark.unsafe.types.UTF8String.fromString(f),
               rows.map(java.lang.Long.valueOf).orNull,
+              live.map(java.lang.Long.valueOf).orNull,
+              bytes.map(java.lang.Long.valueOf).orNull,
               dv.contains(f),
               dv.get(f).fold(0)(_.size),
               cols.map(c => org.apache.spark.unsafe.types.UTF8String

@@ -130,6 +130,14 @@ class SnapshotHistorySpec extends SparkSpec {
       // exactly the file holding k=5 carries the mask
       assert(rows.count(_.getBoolean(1)) == 1)
       assert(rows.filter(_.getBoolean(1)).forall(_.getInt(2) == 1))
+      // live_rows = rows − the exact :masked count on the masked file;
+      // bytes = the :bytes pseudo-stat (round 18)
+      val acc = spark.sql(
+        s"""SELECT sum(rows) AS r, sum(live_rows) AS lr, min(bytes) AS b
+            FROM $cat.lake.tbl.files""").head
+      assert(acc.getLong(0) == 100L && acc.getLong(1) == 99L,
+        s"rows/live_rows: $acc")
+      assert(acc.getLong(2) > 0L)
       // recorded stats dig open with plain JSON functions — min of k
       // across files is the table min
       val mins = spark.sql(
