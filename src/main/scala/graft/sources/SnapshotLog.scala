@@ -3754,7 +3754,19 @@ object SnapshotLog {
   def optimize(spark: SparkSession, tableDir: String,
       targetRecordsPerFile: Long, clusterBy: Seq[String] = Nil,
       maintainIndexes: Boolean = true, zOrderBy: Seq[String] = Nil,
-      zOrderQuantile: Boolean = false): Long = {
+      zOrderQuantile: Boolean = false,
+      // opt-in COMPOSITION with a rebucket layout: z-order WITHIN each
+      // bucket instead of range-partitioning on the z key globally —
+      // the bucket layout (and its zero-exchange joins) survives, and
+      // a bucket whose rows split into several files still carries
+      // per-file z-rectangles for multi-dimensional pruning. Opt-in
+      // rather than automatic because the two layouts genuinely trade:
+      // a GLOBAL z-order packs tighter hyper-rectangles per file (all
+      // files partition the whole domain) where the within-bucket form
+      // scatters each rectangle across n buckets — choose it when the
+      // table's join traffic outweighs its range-scan traffic. Ignored
+      // (with the layout shedding as ever) when no layout exists. */
+      zOrderWithinBuckets: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr,
       filter, floor, greatest, least, lit, max, min, size}
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
@@ -3794,7 +3806,7 @@ object SnapshotLog {
     // key or a z-order is a deliberate re-layout — the bucket layout
     // sheds by the honest-degrade contract, as before.
     val bucketKeep: Option[(Seq[String], Int)] =
-      if (zOrderBy.nonEmpty) None
+      if (zOrderBy.nonEmpty && !zOrderWithinBuckets) None
       else {
         val (bFiles, bStats, _, bColmap, _) = manifestFor(tableDir, Some(baseV))
         val inverse = bColmap.map(_.swap)
@@ -3805,7 +3817,7 @@ object SnapshotLog {
             lcols.forall(df.columns.contains) &&
               (clusterBy.isEmpty || clusterBy == lcols) }
       }
-    bucketKeep match {
+    bucketKeep.filter(_ => zOrderBy.isEmpty) match {
       case Some((lcols, n)) =>
         val rebucketed = df.repartition(n, lcols.map(col): _*)
         val arrangedB =
@@ -3898,18 +3910,27 @@ object SnapshotLog {
         }
         val scaffolding = cellCols ++ Seq("_gz") ++
           zOrderBy.indices.flatMap(d => Seq(s"_glo$d", s"_ghi$d", s"_gq$d"))
-        withCells
-          .withColumn("_gz", expr(
-            graft.ops.LayoutOps.zOrderSparkSqlN(cellCols, 8)))
-          .repartitionByRange(nFiles, col("_gz"))
-          .sortWithinPartitions("_gz")
+        val withZ = withCells.withColumn("_gz", expr(
+          graft.ops.LayoutOps.zOrderSparkSqlN(cellCols, 8)))
+        (bucketKeep match {
+          // zOrderWithinBuckets + a live layout: keep the buckets,
+          // z-curve INSIDE each (split files then carry per-file
+          // z-rectangles; the bucket id never depends on row order)
+          case Some((lcols, n)) => withZ.repartition(n, lcols.map(col): _*)
+          case None => withZ.repartitionByRange(nFiles, col("_gz"))
+        }).sortWithinPartitions("_gz")
           .drop(scaffolding: _*)
       } else if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df.repartition(nFiles)
     val v = commitAt(spark, tableDir, arranged, baseV + 1,
-      op = if (zOrderBy.nonEmpty) "optimize-zorder" else "optimize")
+      op = if (zOrderBy.nonEmpty) "optimize-zorder" else "optimize",
+      // zOrderWithinBuckets: the arrangement above kept the buckets —
+      // re-mint the layout and hold the per-file target via the cap
+      bucketMeta = bucketKeep,
+      maxRecordsPerFile = bucketKeep.map(_ => targetRecordsPerFile +
+        math.max(1L, targetRecordsPerFile / 10)))
     // a clustered rewrite replaces EVERY file — without maintenance the
     // whole bloom index goes stale at once (lookups keep everything
     // until a refresh). Maintenance is post-commit and advisory: a

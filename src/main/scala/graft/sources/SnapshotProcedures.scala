@@ -89,7 +89,10 @@ private[sources] object SnapshotProcedures {
         inDefault("cluster_by", StringType, "NULL",
           "comma-separated sort columns (exclusive with zorder_by)"),
         inDefault("zorder_quantile", BooleanType, "false",
-          "bucket z-order cells by rank instead of value (skew repair)")),
+          "bucket z-order cells by rank instead of value (skew repair)"),
+        inDefault("zorder_within_buckets", BooleanType, "false",
+          "compose z-order with a rebucket layout: z-curve INSIDE " +
+            "each bucket so the SPJ layout survives")),
       StructType(Seq(StructField("version", LongType, nullable = false))),
       (args, spark) => {
         val dir = cat.resolveTableArg(str(args, 0))
@@ -97,7 +100,8 @@ private[sources] object SnapshotProcedures {
           targetRecordsPerFile = args.getLong(1),
           clusterBy = cols(args, 3),
           zOrderBy = cols(args, 2),
-          zOrderQuantile = !args.isNullAt(4) && args.getBoolean(4))
+          zOrderQuantile = !args.isNullAt(4) && args.getBoolean(4),
+          zOrderWithinBuckets = !args.isNullAt(5) && args.getBoolean(5))
         Seq(new GenericInternalRow(Array[Any](v)))
       })
 

@@ -327,6 +327,39 @@ class SnapshotBucketSpec extends SparkSpec {
       "partially-clustered SPJ changed the result")
   }
 
+  test("z-order WITHIN buckets (opt-in): SPJ layout + 2-D pruning " +
+      "compose; the plain z-order still sheds") {
+    root
+    val dir = s"$root/lake/zb"
+    SnapshotLog.commit(spark, dir, spark.range(0, 40000).toDF("k")
+      .withColumn("x", col("k") % 200)
+      .withColumn("y", (col("k") * 31) % 200).repartition(4))
+    SnapshotLog.rebucket(spark, dir, "k", 4)
+    // opt-in composition through the CALL surface: buckets kept, the
+    // z-curve arranged INSIDE each (multiple files per bucket via the
+    // per-file target)
+    spark.sql("CALL bkt.system.optimize(table => 'lake.zb', " +
+      "target_records_per_file => 2500, zorder_by => 'x,y', " +
+      "zorder_within_buckets => true)").collect(): Unit
+    val p = withSpj(finalPlan(spark.sql("SELECT k FROM bkt.lake.zb")))
+    assert(bucketScans(p) == 1,
+      s"zOrderWithinBuckets must keep the layout:\n$p")
+    // both z dimensions prune at FILE level inside the kept layout
+    val (keptX, totalX) = SnapshotLog.pruneFiles(dir, "x", Some(0L), Some(10L))
+    val (keptY, totalY) = SnapshotLog.pruneFiles(dir, "y", Some(0L), Some(10L))
+    assert(totalX > 4 && keptX.size < totalX,
+      s"x-dim pruning dead: ${keptX.size}/$totalX")
+    assert(keptY.size < totalY, s"y-dim pruning dead: ${keptY.size}/$totalY")
+    // results exact through the composed layout
+    assert(spark.sql("SELECT count(*) FROM bkt.lake.zb WHERE x < 10")
+      .head.getLong(0) == 2000L)
+    // the DEFAULT z-order is a deliberate global re-layout — sheds
+    SnapshotLog.optimize(spark, dir, 2500, zOrderBy = Seq("x", "y"))
+    val p2 = withSpj(finalPlan(spark.sql("SELECT k FROM bkt.lake.zb")))
+    assert(bucketScans(p2) == 0,
+      s"a global z-order must shed the layout:\n$p2")
+  }
+
   test("optimize with a FOREIGN cluster key still sheds the layout") {
     root
     seed(s"$root/lake/n1", 2000, "vx")
