@@ -1300,6 +1300,68 @@ object MigrationOps {
     }
   }
 
+  /** The UPDATE-mode (keyed upsert) face of the table-addressed V2
+    * streaming sink driver-gated: a base snapshot table takes the
+    * orders slice; a churn table holds two versions of keyed
+    * post-images (price bumps for two disjoint key classes, plus
+    * brand-new keys); the stream replays the churn into the base via
+    * `.option("upsertKey", …)` — each epoch lands as one idempotent
+    * MOR merge (masks + post-image appends; merge-mor provenance
+    * require()d). The oracle recomputes the final upsert state from
+    * `orders` relationally — a dropped update, a duplicated key, or a
+    * mask leak hash-diverges. */
+  val snapStreamUpsert: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_upsert_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"usink_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      val sinkDir = scratchP.resolve("lake").resolve("sink").toString
+      val churnDir = scratchP.resolve("churn").toString
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, sinkDir,
+        base.repartitionByRange(4, col("o_orderkey")))
+      val upd1 = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_price_c", col("o_price_c") + 111)
+      val sevens = base.filter(col("o_orderkey") % 10 === 7)
+      val upd2 = sevens.withColumn("o_price_c", col("o_price_c") * 2)
+        .unionByName(sevens.select(
+          (col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), lit(42L).as("o_price_c")))
+      graft.sources.SnapshotLog.commit(s, churnDir, upd1.repartition(2))
+      graft.sources.SnapshotLog.commitAppend(s, churnDir,
+        upd2.repartition(2))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      val q = s.readStream.format("graft-snaplog")
+        .option("tableDir", churnDir).load()
+        .writeStream.option("upsertKey", "o_orderkey")
+        .option("checkpointLocation", scratchP.resolve("ckpt").toString)
+        .toTable(s"$cat.lake.sink")
+      try { q.processAllAvailable() } finally q.stop()
+      val ops = graft.sources.SnapshotLog.history(sinkDir)
+        .sortBy(_.version).map(_.op)
+      require(ops.head == "commit" && ops.tail.nonEmpty &&
+        ops.tail.forall(_ == "merge-mor"),
+        s"upsert sink provenance diverged: $ops")
+      val res = s.sql(s"SELECT o_orderkey, o_custkey, o_price_c " +
+        s"FROM $cat.lake.sink")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.readChangeFeed]] driver-gated — the
     * dv-aware CHANGE DATA FEED: v0 commits the even orderkeys, v1
     * appends the odd ones, v2 MOR-deletes the 24 smallest keys; the
@@ -1706,6 +1768,7 @@ object MigrationOps {
     "snap_spj_join" -> snapSpjJoin,
     "snap_spj_dv" -> snapSpjDv,
     "snap_stream_table_sink" -> snapStreamTableSink,
+    "snap_stream_upsert" -> snapStreamUpsert,
     "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
     "snap_runtime_prune_join" -> snapRuntimePruneJoin,
@@ -1978,6 +2041,22 @@ object MigrationOps {
       """SELECT o_orderkey, o_custkey,
            CAST(round(o_totalprice*100) AS BIGINT) AS o_price_c
          FROM orders""",
+    // the update-mode (upsertKey) streaming sink: base slice + two
+    // epochs of keyed post-images — %10=3 keys bumped by 111, %10=7
+    // keys doubled, and a fresh key class appended; the final table
+    // must equal the relational recomputation of that upsert state
+    "snap_stream_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 3 THEN price_c + 111
+                WHEN o_orderkey % 10 = 7 THEN price_c * 2
+                ELSE price_c END AS o_price_c
+         FROM (SELECT o_orderkey, o_custkey,
+                 CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+               FROM orders)
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_custkey,
+           CAST(42 AS BIGINT) AS o_price_c
+         FROM orders WHERE o_orderkey % 10 = 7""",
     // the lifecycle ladder (CREATE TABLE genesis → enforced INSERT →
     // CTAS → RENAME's manifest-rewriting rehome → DROP) ends in a
     // per-status aggregate the oracle computes from orders directly

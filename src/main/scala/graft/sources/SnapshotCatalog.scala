@@ -1476,7 +1476,22 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(writable, s"$tName: INSERT into a time-travel pinned " +
       "relation — DML targets the latest version only")
-    new org.apache.spark.sql.connector.write.WriteBuilder
+    // the explicit upsert signal for the streaming sink: Spark's V2
+    // update-mode dispatch is a METHODLESS marker (update compiles to
+    // a plain build()), so the writer option — not the mode — selects
+    // upsert semantics, and the marker is advertised ONLY when the
+    // option names the key (update mode without it would silently
+    // append duplicate keys — Spark's own "does not support Update"
+    // refusal is the honest answer there)
+    val upsertKey = Option(info.options().get("upsertKey"))
+      .map(_.trim).filter(_.nonEmpty)
+    upsertKey.foreach { k =>
+      require(recorded.fieldNames.contains(k),
+        s"$tName: upsertKey `$k` is not a table column " +
+          s"(${recorded.fieldNames.mkString(", ")})")
+    }
+    class SnapWriteBuilder
+        extends org.apache.spark.sql.connector.write.WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var replace = false
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -1493,23 +1508,27 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
             }
 
           /** `writeStream.toTable("snap.ns.t")` — the table-addressed
-            * face of the exactly-once streaming ingest sink
+            * face of the exactly-once streaming sink
             * ([[SnapshotStreamingWrite]]: executor-side parquet
             * writers, one idempotent manifest publish per epoch at
-            * `sinkBase + epochId`). Append mode only — Spark spells
-            * complete mode as `truncate()` on this builder, and the
-            * log appends immutable versions. The stream's schema must
-            * BE the table's recorded schema (names + types,
-            * positionally; nullability may tighten): this surface
-            * pins schema at stream start and never evolves it — the
-            * format surface's `mergeSchema` opt-in is the evolution
-            * path. */
+            * `sinkBase + epochId`), in all three output modes:
+            * append → the table grows by each epoch's files; complete
+            * (Spark spells it `truncate()` on this builder) → each
+            * epoch's files REPLACE the table, INSERT OVERWRITE per
+            * trigger with history kept; update → requires
+            * `.option("upsertKey", <col>)` and applies each epoch as
+            * a keyed MOR upsert (mask + append, O(epoch) work). The
+            * stream's schema must BE the table's recorded schema
+            * (names + types, positionally; nullability may tighten):
+            * this surface pins schema at stream start and never
+            * evolves it — the format surface's `mergeSchema` opt-in
+            * is the evolution path. */
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-            require(!replace,
-              s"$tName: complete output mode — the log appends " +
-                "immutable versions; use foreachBatch with " +
-                "SnapshotLog.commitIdempotent for whole-table rewrites")
+            require(!(replace && upsertKey.isDefined),
+              s"$tName: complete mode and upsertKey conflict — a " +
+                "complete epoch replaces the whole table, so there is " +
+                "nothing to upsert into; drop one of the two")
             require(!info.options().getBoolean("mergeSchema", false),
               s"$tName: mergeSchema is not available on the " +
                 "table-addressed streaming sink (the catalog resolved " +
@@ -1528,11 +1547,22 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
             // positional rename here is appendAt's `toDF(batchPhys)`
             val phys = StructType(in.fields.map(f =>
               f.copy(name = colmap.getOrElse(f.name, f.name))))
+            val mode =
+              if (replace) SnapshotSinkMode.Replace
+              // `in` carries LOGICAL names (it arrived from the
+              // analyzed plan and matched `recorded` above) — exactly
+              // what the upsert feed's read-back rename needs
+              else upsertKey.map(k => SnapshotSinkMode.Upsert(k, in))
+                .getOrElse(SnapshotSinkMode.Ingest)
             new SnapshotStreamingWrite(SparkSession.active, tableDir,
-              tName, info.queryId(), phys)
+              tName, info.queryId(), phys, mode)
           }
         }
     }
+    if (upsertKey.isDefined)
+      new SnapWriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    else new SnapWriteBuilder
   }
 }
 

@@ -1852,6 +1852,81 @@ object SnapshotLog {
           (r.nullable || !w.nullable)
       }
 
+  /** [[appendFilesIdempotent]]'s REPLACE twin — the commit half of the
+    * COMPLETE-mode streaming sink (`writeStream.outputMode("complete")
+    * .toTable(…)`): each epoch's executor-written files become the
+    * table's ENTIRE content at `v = base + epochId` (INSERT OVERWRITE
+    * semantics per trigger — a fresh generation; history keeps every
+    * prior epoch for time travel, and the change feed refuses ranges
+    * crossing it like any full rewrite). Same replay pre-check, same
+    * density guard, same put-if-absent publish as the append twin. An
+    * EMPTY epoch publishes a zero-file version — complete mode's
+    * result genuinely is empty, and the `base + epochId` arithmetic
+    * stays dense. Returns true iff THIS call published. */
+  private[sources] def replaceFilesIdempotent(spark: SparkSession,
+      tableDir: String, newFiles: Seq[String], v: Long,
+      txn: Option[String]): Boolean = {
+    if (replayDeclines(tableDir, v, txn)) return false
+    val latest = latestVersion(tableDir).getOrElse(sys.error(
+      s"no committed version in $tableDir — create the table first " +
+        "(SnapshotLog.createTable for an empty genesis)"))
+    if (v <= latest) requireAboveRetention(tableDir, v)
+    require(v <= latest + 1,
+      s"version $v would leave a gap above latest=$latest — the log's " +
+        "versions are dense; derive v as base + epochId")
+    try { replaceFilesAt(spark, tableDir, newFiles, latest, txn); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      !replayDeclines(tableDir, v, txn) && sys.error(s"unreachable: $v vanished") }
+  }
+
+  /** Manifest bookkeeping for a pre-written full replacement: the new
+    * manifest references ONLY the epoch's files (no carry, no dv —
+    * nothing of the previous generation survives a complete-mode
+    * epoch), with the colmap and retired names carried so physical
+    * identities stay reserved across the rewrite. Schema enforcement
+    * and the constraint funnel run against the authoritative
+    * READ-BACK, exactly like [[appendFilesAt]]; requires a
+    * schema-recording manifest (a zero-file epoch is readable only
+    * under a recorded schema — [[truncate]]'s rule). */
+  private def replaceFilesAt(spark: SparkSession, tableDir: String,
+      newFilesRaw: Seq[String], baseV: Long, txn: Option[String]): Long = {
+    val v = baseV + 1
+    val prevManifest = mapper.readTree(
+      Files.readString(logDir(tableDir).resolve(s"$baseV.json")))
+    val colmap = colmapOf(prevManifest)
+    val newFiles = newFilesRaw.map(p => canon(Paths.get(p)).toString).sorted
+    val recorded = Option(prevManifest.get("schema"))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(sys.error(s"$tableDir: the complete-mode sink needs a " +
+        "schema-recording manifest (this is a pre-round-10 table) — " +
+        "re-commit once to record the schema"))
+    if (newFiles.nonEmpty) {
+      val p2l = colmap.map(_.swap)
+      val writtenPhys = spark.read.parquet(newFiles: _*).schema
+      val written = org.apache.spark.sql.types.StructType(
+        writtenPhys.fields.map(f =>
+          f.copy(name = p2l.getOrElse(f.name, f.name))))
+      require(recorded == written ||
+        nullabilityTightens(recorded, written),
+        s"replace schema mismatch: table has $recorded, stream wrote " +
+          s"$written — the table-addressed streaming sink never evolves " +
+          "schema (restart the stream after an ALTER)")
+      if (constraints(tableDir).nonEmpty)
+        enforceConstraints(spark, tableDir,
+          spark.read.parquet(newFiles: _*)
+            .toDF(recorded.fieldNames.toSeq: _*),
+          "streaming replace")
+    }
+    val colmapSeq: Seq[(String, String)] =
+      if (colmap.isEmpty) Nil
+      else recorded.fieldNames.toSeq.map(c => c -> colmap(c))
+    publish(tableDir, v, newFiles, harvestStats(newFiles),
+      Some(recorded.json), colmapSeq, retiredOf(prevManifest),
+      op = "commit", txn = txn)
+    v
+  }
+
   /** Additive schema merge — the ONLY evolution this log supports
     * (Delta's `mergeSchema` at the same minimum). Validates and merges
     * the table's recorded schema with an appended batch's:
@@ -3568,8 +3643,9 @@ object SnapshotLog {
     * stream must be able to map every batchId to a version. Returns
     * true iff THIS call published. */
   def mergeIntoMORIdempotent(spark: SparkSession, tableDir: String,
-      changes: DataFrame, key: String, v: Long): Boolean = {
-    if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
+      changes: DataFrame, key: String, v: Long,
+      txn: Option[String] = None): Boolean = {
+    if (replayDeclines(tableDir, v, txn)) return false
     val latest = latestVersion(tableDir).getOrElse(-1L)
     require(latest >= 0,
       s"no committed version in $tableDir — merge needs a base; commit first")
@@ -3579,13 +3655,14 @@ object SnapshotLog {
         "versions are dense; derive v as base + batchId")
     try {
       mergeIntoMORAt(spark, tableDir, changes, key, latest,
-        publishEmpty = true); true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        publishEmpty = true, txn = txn); true
+    } catch { case _: java.nio.file.FileAlreadyExistsException =>
+      !replayDeclines(tableDir, v, txn) && sys.error(s"unreachable: $v vanished") }
   }
 
   private def mergeIntoMORAt(spark: SparkSession, tableDir: String,
       changes: DataFrame, key: String, baseV: Long,
-      publishEmpty: Boolean): Long = {
+      publishEmpty: Boolean, txn: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, countDistinct,
       lit, max, min, when}
     val v = baseV + 1
@@ -3632,7 +3709,7 @@ object SnapshotLog {
       if (!publishEmpty) return baseV
       publish(tableDir, v, prevFiles, carriedStats(prevManifest, prevFiles),
         schemaJson, orderedColmap(logicalSchema, colmap),
-        retiredOf(prevManifest), dv = prevDv, op = "merge-mor")
+        retiredOf(prevManifest), dv = prevDv, op = "merge-mor", txn = txn)
       return v
     }
     require(pre.getLong(5) == 0L, "mergeIntoMOR feed has NULL keys")
@@ -3728,7 +3805,7 @@ object SnapshotLog {
         harvestBucketed(newFiles, postSpec),
       newDv, logicalSchema),
       schemaJson, orderedColmap(logicalSchema, colmap),
-      retiredOf(prevManifest), dv = newDv, op = "merge-mor")
+      retiredOf(prevManifest), dv = newDv, op = "merge-mor", txn = txn)
     v
   }
 

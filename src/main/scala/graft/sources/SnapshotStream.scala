@@ -99,17 +99,21 @@ class SnapshotStreamProvider extends TableProvider with DataSourceRegister
     * corrupting anything. The target table must exist (one
     * `SnapshotLog.createTable`/`commit` first) — the sink APPENDS;
     * `mergeSchema=true` opts into the append path's additive
-    * evolution. Append output mode only (the log is an append-of-
-    * immutable-versions structure; complete/update modes would be
-    * rewrites — use foreachBatch + the DML verbs for those). */
+    * evolution. Append output mode only on THIS surface — the
+    * table-addressed sink (`writeStream.toTable`) carries all three
+    * modes (complete = replace-per-epoch, update = keyed MOR upsert
+    * via `.option("upsertKey", …)`), and foreachBatch + the DML verbs
+    * remain the fully-general escape hatch. */
   override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"graft-snaplog sink: output mode $outputMode — the log appends " +
-        "immutable versions; complete/update are rewrites (use " +
-        "foreachBatch with the DML verbs)")
+      s"graft-snaplog sink: output mode $outputMode — this format " +
+        "surface appends only; the table-addressed sink carries all " +
+        "three modes (writeStream.toTable: complete = replace-per-" +
+        "epoch, update = keyed upsert via .option(\"upsertKey\", …)), " +
+        "or use foreachBatch with the DML verbs)")
     require(partitionColumns.isEmpty,
       "graft-snaplog sink: partitionBy is not the log's layout story — " +
         "optimize(clusterBy/zOrderBy) after ingest")

@@ -13,6 +13,27 @@ import org.apache.spark.sql.execution.datasources.{OutputWriter,
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
+/** What a committed epoch DOES to the table — the three output-mode
+  * faces of the table-addressed streaming sink, decided once at
+  * stream build from Spark's own mode dispatch (append → [[Ingest]];
+  * complete → `truncate()` on the write builder → [[Replace]]) plus
+  * the explicit `upsertKey` writer option ([[Upsert]] — which is also
+  * what makes UPDATE mode legal: without a key, "updated rows
+  * appended" would silently duplicate keys, so the builder only
+  * advertises update support when the option names the key). */
+private[sources] sealed trait SnapshotSinkMode
+private[sources] object SnapshotSinkMode {
+  /** Append mode: epoch files append to the table ([[SnapshotLog.appendFilesIdempotent]]). */
+  case object Ingest extends SnapshotSinkMode
+  /** Complete mode: epoch files REPLACE the table ([[SnapshotLog.replaceFilesIdempotent]]). */
+  case object Replace extends SnapshotSinkMode
+  /** Update mode (or append with `upsertKey`): epoch rows upsert by
+    * key on the MOR cost model ([[SnapshotLog.mergeIntoMORIdempotent]]).
+    * Carries the LOGICAL schema for the feed read-back rename. */
+  final case class Upsert(key: String, logical: StructType)
+    extends SnapshotSinkMode
+}
+
 /** The table-addressed exactly-once streaming INGEST sink —
   * `df.writeStream.toTable("snap.ns.t")` — as a real DSv2
   * [[StreamingWrite]]: executors write the micro-batch's rows straight
@@ -50,7 +71,8 @@ import org.apache.spark.sql.types.StructType
   * standing answer once a table accumulates ingest files. */
 private[sources] class SnapshotStreamingWrite(spark: SparkSession,
     tableDir: String, tName: String, queryId: String,
-    physicalSchema: StructType)
+    physicalSchema: StructType,
+    mode: SnapshotSinkMode = SnapshotSinkMode.Ingest)
     extends StreamingWrite {
 
   private val safeQuery = queryId.replaceAll("[^A-Za-z0-9_-]", "_")
@@ -76,8 +98,47 @@ private[sources] class SnapshotStreamingWrite(spark: SparkSession,
     val files = messages.toSeq.collect {
       case SnapshotWriteMessage(p, n) if p != null && n > 0 => p }
     val base = SnapshotLog.sinkBase(tableDir, queryId, epochId)
-    SnapshotLog.appendFilesIdempotent(spark, tableDir, files,
-      base + epochId, txn = Some(s"$queryId#$epochId")): Unit
+    val v = base + epochId
+    val tag = Some(s"$queryId#$epochId")
+    mode match {
+      case SnapshotSinkMode.Ingest =>
+        SnapshotLog.appendFilesIdempotent(spark, tableDir, files, v,
+          txn = tag): Unit
+      case SnapshotSinkMode.Replace =>
+        // COMPLETE mode: this epoch's files ARE the table — INSERT
+        // OVERWRITE semantics per trigger, idempotent at base+epochId
+        SnapshotLog.replaceFilesIdempotent(spark, tableDir, files, v,
+          txn = tag): Unit
+      case SnapshotSinkMode.Upsert(key, logical) =>
+        // UPDATE mode with an upsertKey: the epoch's rows are keyed
+        // post-images, applied as a MOR merge (mask the old row,
+        // append the new — O(epoch) + one pruned candidate scan).
+        // op = "insert" is the verb's upsert spelling: an insert on
+        // an existing key masks-and-replaces, on a fresh key appends.
+        import org.apache.spark.sql.functions.lit
+        val feed =
+          if (files.isEmpty)
+            // dense-version contract: an empty epoch still maps to a
+            // version — the merge verb publishes a carried no-op
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(logical.fields :+
+                org.apache.spark.sql.types.StructField("op",
+                  org.apache.spark.sql.types.StringType)))
+          else spark.read.schema(physicalSchema).parquet(files: _*)
+            .toDF(logical.fieldNames.toIndexedSeq: _*)
+            .withColumn("op", lit("insert"))
+        SnapshotLog.mergeIntoMORIdempotent(spark, tableDir, feed, key, v,
+          txn = tag): Unit
+        // the merge re-wrote the epoch's rows as post-image files
+        // (re-bucketed under a layout); the task-written staging files
+        // are referenced by no manifest — reclaim them now instead of
+        // leaving a per-epoch orphan stream for vacuum
+        files.foreach { f =>
+          try Files.deleteIfExists(Paths.get(f)): Unit
+          catch { case _: Exception => () }
+        }
+    }
   }
 
   override def abort(epochId: Long,

@@ -407,4 +407,160 @@ class SnapshotStreamSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.scs")
     }
   }
+
+  test("complete mode replaces the table per epoch (idempotent INSERT OVERWRITE per trigger)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    val root = java.nio.file.Files.createTempDirectory("graft_complete_")
+    java.nio.file.Files.createDirectories(root.resolve("lake"))
+    spark.conf.set("spark.sql.catalog.scc", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.scc.root", root.toString)
+    val t = root.resolve("lake").resolve("c").toString
+    try {
+      spark.sql("CREATE TABLE scc.lake.c (word STRING, n BIGINT)")
+      val ckpt = s"$scratch/complete_ckpt"
+      val in = MemoryStream[String]
+      def start() = in.toDF().toDF("word").groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt).toTable("scc.lake.c")
+      val q = start()
+      try {
+        in.addData("a", "b", "a"); q.processAllAvailable()
+        def state() = spark.sql("SELECT word, n FROM scc.lake.c")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(state() == Map("a" -> 2L, "b" -> 1L))
+        // the epoch REPLACED the genesis: a full-rewrite commit, not
+        // an append — and the next epoch replaces it again
+        in.addData("a"); q.processAllAvailable()
+        assert(state() == Map("a" -> 3L, "b" -> 1L))
+        assert(SnapshotLog.history(t).sortBy(_.version).map(_.op) ==
+          Seq("create-table", "commit", "commit"))
+        // history kept every epoch: time travel reads epoch 0's result
+        val v1 = SnapshotLog.read(spark, t, asOf = Some(1L)).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(v1 == Map("a" -> 2L, "b" -> 1L))
+      } finally q.stop()
+      // restart on the SAME checkpoint: the complete state replays and
+      // the next epoch lands as the next dense version
+      val q2 = start()
+      try {
+        in.addData("c"); q2.processAllAvailable()
+        val s = spark.sql("SELECT word, n FROM scc.lake.c").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(s == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+      } finally q2.stop()
+      // complete + upsertKey is a semantic conflict — loud at build
+      val eC = intercept[Exception] {
+        val qc = in.toDF().toDF("word").groupBy("word")
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete")
+          .option("upsertKey", "word")
+          .option("checkpointLocation", s"$scratch/complete_ckpt2")
+          .toTable("scc.lake.c")
+        try qc.processAllAvailable() finally qc.stop()
+      }
+      assert(msgs(eC).contains("conflict"), msgs(eC).take(400))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.scc.root")
+      spark.conf.unset("spark.sql.catalog.scc")
+    }
+  }
+
+  test("update mode with upsertKey is the keyed MOR upsert sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_")
+    java.nio.file.Files.createDirectories(root.resolve("lake"))
+    spark.conf.set("spark.sql.catalog.scu", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.scu.root", root.toString)
+    val t = root.resolve("lake").resolve("u").toString
+    try {
+      spark.sql("CREATE TABLE scu.lake.u (k BIGINT, v BIGINT)")
+      val ckpt = s"$scratch/upsert_ckpt"
+      val in = MemoryStream[(Long, Long)]
+      def start() = in.toDF().toDF("k", "raw").groupBy("k")
+        .agg(sum($"raw").as("v"))
+        .writeStream.outputMode("update")
+        .option("upsertKey", "k")
+        .option("checkpointLocation", ckpt).toTable("scu.lake.u")
+      def state() = spark.sql("SELECT k, v FROM scu.lake.u")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val q = start()
+      try {
+        in.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+        assert(state() == Map(1L -> 10L, 2L -> 20L))
+        // update mode delivers only the UPDATED key; the sink merges
+        // it — key 2's row survives untouched (an append would have
+        // duplicated key 1; a replace would have dropped key 2)
+        in.addData((1L, 5L)); q.processAllAvailable()
+        assert(state() == Map(1L -> 15L, 2L -> 20L))
+        assert(SnapshotLog.history(t).sortBy(_.version).map(_.op) ==
+          Seq("create-table", "merge-mor", "merge-mor"))
+        // time travel: the pre-update state survives
+        assert(SnapshotLog.read(spark, t, asOf = Some(1L)).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+          Map(1L -> 10L, 2L -> 20L))
+      } finally q.stop()
+      // restart on the SAME checkpoint — dense versions continue
+      val q2 = start()
+      try {
+        in.addData((3L, 7L)); q2.processAllAvailable()
+        assert(state() == Map(1L -> 15L, 2L -> 20L, 3L -> 7L))
+      } finally q2.stop()
+      // the per-epoch staging files were reclaimed after each merge —
+      // no orphan stream accumulates between vacuums
+      val staged = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(t, "data")).iterator()
+      val leftover = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(staged).asScala
+        .filter(p => p.toString.contains("stream-") &&
+          p.toString.endsWith(".parquet")).toSeq
+      assert(leftover.isEmpty, s"staging files not reclaimed: $leftover")
+      // update mode WITHOUT upsertKey: the builder does not advertise
+      // update-as-append, so Spark itself refuses — no silent
+      // duplicate-key appends
+      val eU = intercept[Exception] {
+        val qu = in.toDF().toDF("k", "raw").groupBy("k")
+          .agg(sum($"raw").as("v"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$scratch/upsert_ckpt2")
+          .toTable("scu.lake.u")
+        try qu.processAllAvailable() finally qu.stop()
+      }
+      assert(msgs(eU).toLowerCase.contains("update"), msgs(eU).take(400))
+      // a key outside the schema refuses at build, naming the columns
+      val eK = intercept[Exception] {
+        val qk = in.toDF().toDF("k", "raw").groupBy("k")
+          .agg(sum($"raw").as("v"))
+          .writeStream.outputMode("update")
+          .option("upsertKey", "nope")
+          .option("checkpointLocation", s"$scratch/upsert_ckpt3")
+          .toTable("scu.lake.u")
+        try qk.processAllAvailable() finally qk.stop()
+      }
+      assert(msgs(eK).contains("not a table column"), msgs(eK).take(400))
+      // APPEND mode with upsertKey upserts too: the option, not the
+      // mode, selects the semantics (a post-image CDC stream is
+      // append-shaped but keyed)
+      val in2 = MemoryStream[(Long, Long)]
+      val q3 = in2.toDF().toDF("k", "v").writeStream
+        .option("upsertKey", "k")
+        .option("checkpointLocation", s"$scratch/upsert_ckpt4")
+        .toTable("scu.lake.u")
+      try {
+        in2.addData((2L, 99L)); q3.processAllAvailable()
+        assert(state() == Map(1L -> 15L, 2L -> 99L, 3L -> 7L))
+      } finally q3.stop()
+    } finally {
+      spark.conf.unset("spark.sql.catalog.scu.root")
+      spark.conf.unset("spark.sql.catalog.scu")
+    }
+  }
 }
