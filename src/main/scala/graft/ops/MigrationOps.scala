@@ -1362,6 +1362,74 @@ object MigrationOps {
     }
   }
 
+  /** One-line CDC REPLICATION driver-gated: a source snapshot table
+    * lives a lifecycle (commit evens, append odds, MOR-delete the 24
+    * smallest keys, MOR-update the next 10 to a sentinel price), then
+    * `readStream.table("….src.changes") → writeStream
+    * .option("upsertKey", …).toTable("….replica")` replicates it —
+    * the feed-shaped stream routes through
+    * [[graft.sources.SnapshotLog.applyChangeFeed]] (last-wins
+    * compaction across the epoch's source versions, deletes honored,
+    * idempotent MOR merges). The RESULT is the replica's SQL read;
+    * the oracle recomputes the post-churn source relationally — a
+    * missed delete, a pre-image leak, or a compaction-order bug
+    * hash-diverges. */
+  val snapStreamCdcReplica: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_cdcrep_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"crep_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      val srcDir = scratchP.resolve("lake").resolve("src").toString
+      val repDir = scratchP.resolve("lake").resolve("rep").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, srcDir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")))
+      graft.sources.SnapshotLog.commitAppend(s, srcDir,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(4, col("o_orderkey")))
+      val sorted = orders.select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(34).collect()
+        .map(_.get(0)).toSeq
+      val dead = sorted.take(24)
+      val upd = sorted.drop(24)
+      graft.sources.SnapshotLog.deleteWhereInMOR(
+        s, srcDir, "o_orderkey", dead)
+      graft.sources.SnapshotLog.updateWhereInMOR(
+        s, srcDir, "o_orderkey", upd, Map("o_price_c" -> lit(-1L)))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      s.sql(s"CREATE TABLE $cat.lake.rep (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_price_c BIGINT)")
+      val q = s.readStream.table(s"$cat.lake.src.changes")
+        .writeStream.option("upsertKey", "o_orderkey")
+        .option("checkpointLocation", scratchP.resolve("ckpt").toString)
+        .toTable(s"$cat.lake.rep")
+      try { q.processAllAvailable() } finally q.stop()
+      val ops = graft.sources.SnapshotLog.history(repDir)
+        .sortBy(_.version).map(_.op)
+      require(ops.head == "create-table" && ops.tail.nonEmpty &&
+        ops.tail.forall(_ == "merge-mor"),
+        s"replica provenance diverged: $ops")
+      val res = s.sql(s"SELECT o_orderkey, o_custkey, o_price_c " +
+        s"FROM $cat.lake.rep")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** [[graft.sources.SnapshotLog.readChangeFeed]] driver-gated — the
     * dv-aware CHANGE DATA FEED: v0 commits the even orderkeys, v1
     * appends the odd ones, v2 MOR-deletes the 24 smallest keys; the
@@ -1769,6 +1837,7 @@ object MigrationOps {
     "snap_spj_dv" -> snapSpjDv,
     "snap_stream_table_sink" -> snapStreamTableSink,
     "snap_stream_upsert" -> snapStreamUpsert,
+    "snap_stream_cdc_replica" -> snapStreamCdcReplica,
     "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
     "snap_runtime_prune_join" -> snapRuntimePruneJoin,
@@ -2057,6 +2126,23 @@ object MigrationOps {
          SELECT o_orderkey + 10000000, o_custkey,
            CAST(42 AS BIGINT) AS o_price_c
          FROM orders WHERE o_orderkey % 10 = 7""",
+    // one-line CDC replication (.changes stream → upsertKey sink):
+    // the replica must equal the post-churn source — orders minus the
+    // 24 smallest keys, with the next 10 priced at the sentinel
+    "snap_stream_cdc_replica" ->
+      """WITH dead AS (
+           SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 24),
+         upd AS (
+           SELECT o_orderkey FROM orders
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dead)
+           ORDER BY o_orderkey LIMIT 10)
+         SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upd)
+                THEN CAST(-1 AS BIGINT)
+                ELSE CAST(round(o_totalprice*100) AS BIGINT)
+           END AS o_price_c
+         FROM orders
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dead)""",
     // the lifecycle ladder (CREATE TABLE genesis → enforced INSERT →
     // CTAS → RENAME's manifest-rewriting rehome → DROP) ends in a
     // per-status aggregate the oracle computes from orders directly

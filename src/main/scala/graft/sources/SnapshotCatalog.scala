@@ -1536,19 +1536,41 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
                 "writeStream.format(\"graft-snaplog\")" +
                 ".option(\"tableDir\", …).option(\"mergeSchema\", true)")
             val in = info.schema()
-            require(in.length == recorded.length &&
-              in.fields.zip(recorded.fields).forall { case (a, b) =>
-                a.name == b.name && a.dataType == b.dataType },
+            def prefixMatches(n: Int): Boolean =
+              in.fields.take(n).zip(recorded.fields).forall { case (a, b) =>
+                a.name == b.name && a.dataType == b.dataType }
+            // upsertKey also accepts the CHANGE-FEED shape — the
+            // table's schema plus the feed's two columns, exactly what
+            // `readStream.table("….changes")` emits — turning one line
+            // of catalog surface into table replication (deletes
+            // honored, multi-version epochs last-wins-compacted)
+            val isCdc = upsertKey.isDefined &&
+              in.length == recorded.length + 2 &&
+              prefixMatches(recorded.length) && {
+                val Array(ct, cv) = in.fields.takeRight(2)
+                ct.name == ChangeFeed.ChangeTypeCol &&
+                  ct.dataType == org.apache.spark.sql.types.StringType &&
+                  cv.name == ChangeFeed.CommitVersionCol &&
+                  cv.dataType == org.apache.spark.sql.types.LongType
+              }
+            require(isCdc ||
+              (in.length == recorded.length && prefixMatches(in.length)),
               s"$tName: streaming write schema $in does not match the " +
                 s"recorded table schema $recorded (names and types, " +
-                "in order) — the table-addressed sink never evolves " +
+                "in order)" + (if (upsertKey.isDefined)
+                  s" or the change-feed shape (table schema + " +
+                    s"${ChangeFeed.ChangeTypeCol} STRING, " +
+                    s"${ChangeFeed.CommitVersionCol} BIGINT)" else "") +
+                " — the table-addressed sink never evolves " +
                 "schema; SELECT the table's columns explicitly")
             // files carry PHYSICAL names under a column map; the
             // positional rename here is appendAt's `toDF(batchPhys)`
+            // (the feed columns have no colmap entry and pass through)
             val phys = StructType(in.fields.map(f =>
               f.copy(name = colmap.getOrElse(f.name, f.name))))
             val mode =
               if (replace) SnapshotSinkMode.Replace
+              else if (isCdc) SnapshotSinkMode.CdcApply(upsertKey.get, in)
               // `in` carries LOGICAL names (it arrived from the
               // analyzed plan and matched `recorded` above) — exactly
               // what the upsert feed's read-back rename needs

@@ -4321,8 +4321,8 @@ object SnapshotLog {
     * the loser directory orphans for [[vacuum]], the manifest the
     * readers follow is unchanged. StreamingSpec pins the pattern. */
   def commitIdempotent(spark: SparkSession, tableDir: String,
-      df: DataFrame, v: Long): Boolean = {
-    if (Files.exists(logDir(tableDir).resolve(s"$v.json"))) return false
+      df: DataFrame, v: Long, txn: Option[String] = None): Boolean = {
+    if (replayDeclines(tableDir, v, txn)) return false
     // density guard: versions are dense by construction ([[commit]]
     // publishes latest+1), and both the checkpoint's upward probe and
     // time travel's dense scan rely on it — a caller-chosen version
@@ -4336,8 +4336,9 @@ object SnapshotLog {
     require(v <= latest + 1,
       s"version $v would leave a gap above latest=$latest — the log's " +
         "versions are dense; derive v as base + batchId")
-    try { commitAt(spark, tableDir, df, v); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    try { commitAt(spark, tableDir, df, v, txn = txn); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      !replayDeclines(tableDir, v, txn) && sys.error(s"unreachable: $v vanished") }
   }
 
   /** RESTORE the table to version `v`'s content — Delta's `RESTORE
@@ -5020,7 +5021,8 @@ object SnapshotLog {
     * keys are no-ops by definition). Returns true iff THIS call
     * published. */
   def applyChangeFeed(spark: SparkSession, replicaDir: String,
-      feed: DataFrame, key: String, v: Long): Boolean = {
+      feed: DataFrame, key: String, v: Long,
+      txn: Option[String] = None): Boolean = {
     import org.apache.spark.sql.functions.{col, lit, max_by, struct, when}
     val ct = ChangeFeed.ChangeTypeCol
     val cv = ChangeFeed.CommitVersionCol
@@ -5044,8 +5046,9 @@ object SnapshotLog {
           s"— the bootstrap batch must be version 0, got $v (a stream " +
           "should derive v = batchId against a fresh replica)")
       commitIdempotent(spark, replicaDir,
-        winner.filter(col("op") =!= "delete").drop("op"), v)
-    } else mergeIntoMORIdempotent(spark, replicaDir, winner, key, v)
+        winner.filter(col("op") =!= "delete").drop("op"), v, txn = txn)
+    } else mergeIntoMORIdempotent(spark, replicaDir, winner, key, v,
+      txn = txn)
   }
 
   /** Retention: delete the manifests of all but the newest `keepLast`

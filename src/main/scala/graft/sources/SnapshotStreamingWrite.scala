@@ -32,6 +32,17 @@ private[sources] object SnapshotSinkMode {
     * Carries the LOGICAL schema for the feed read-back rename. */
   final case class Upsert(key: String, logical: StructType)
     extends SnapshotSinkMode
+  /** `upsertKey` with a CHANGE-FEED-shaped stream (the table's schema
+    * plus `_change_type`/`_commit_version` — what
+    * `readStream.table("….changes")` emits): each epoch applies via
+    * [[SnapshotLog.applyChangeFeed]] — last-wins compaction across the
+    * epoch's source versions, deletes honored, then the same
+    * idempotent MOR merge. One line of catalog surface replicates a
+    * table: `readStream.table("c.ns.src.changes") → writeStream
+    * .option("upsertKey", k).toTable("c.ns.replica")`. `logical` is
+    * the full FEED schema (data columns + the two feed columns). */
+  final case class CdcApply(key: String, logical: StructType)
+    extends SnapshotSinkMode
 }
 
 /** The table-addressed exactly-once streaming INGEST sink —
@@ -130,16 +141,35 @@ private[sources] class SnapshotStreamingWrite(spark: SparkSession,
             .withColumn("op", lit("insert"))
         SnapshotLog.mergeIntoMORIdempotent(spark, tableDir, feed, key, v,
           txn = tag): Unit
-        // the merge re-wrote the epoch's rows as post-image files
-        // (re-bucketed under a layout); the task-written staging files
-        // are referenced by no manifest — reclaim them now instead of
-        // leaving a per-epoch orphan stream for vacuum
-        files.foreach { f =>
-          try Files.deleteIfExists(Paths.get(f)): Unit
-          catch { case _: Exception => () }
-        }
+        reclaimStaging(files)
+      case SnapshotSinkMode.CdcApply(key, logical) =>
+        // a change-feed epoch may span several source versions and
+        // carry a key several times — applyChangeFeed compacts
+        // last-wins (highest _commit_version; post-image outranks its
+        // paired delete pre-image) before the same idempotent merge,
+        // and honors deletes
+        val feed =
+          if (files.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              logical)
+          else spark.read.schema(physicalSchema).parquet(files: _*)
+            .toDF(logical.fieldNames.toIndexedSeq: _*)
+        SnapshotLog.applyChangeFeed(spark, tableDir, feed, key, v,
+          txn = tag): Unit
+        reclaimStaging(files)
     }
   }
+
+  // the merge re-wrote the epoch's rows as post-image files
+  // (re-bucketed under a layout); the task-written staging files are
+  // referenced by no manifest — reclaim them now instead of leaving a
+  // per-epoch orphan stream for vacuum
+  private def reclaimStaging(files: Seq[String]): Unit =
+    files.foreach { f =>
+      try Files.deleteIfExists(Paths.get(f)): Unit
+      catch { case _: Exception => () }
+    }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =

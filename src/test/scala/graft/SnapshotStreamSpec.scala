@@ -563,4 +563,64 @@ class SnapshotStreamSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.scu")
     }
   }
+
+  test("one line of catalog surface replicates a table: .changes stream into the upsertKey sink") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcrep_")
+    java.nio.file.Files.createDirectories(root.resolve("lake"))
+    spark.conf.set("spark.sql.catalog.scr", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.scr.root", root.toString)
+    val src = root.resolve("lake").resolve("src").toString
+    val rep = root.resolve("lake").resolve("rep").toString
+    try {
+      // source lifecycle: commit, append, MOR delete, MOR update —
+      // the feed carries inserts, deletes, and pre/post image pairs
+      SnapshotLog.commit(spark, src, spark.range(100)
+        .select(col("id").as("k"), (col("id") * 7).as("v"))
+        .repartition(2))
+      SnapshotLog.commitAppend(spark, src, spark.range(100, 120)
+        .select(col("id").as("k"), (col("id") * 7).as("v")))
+      SnapshotLog.deleteWhereInMOR(spark, src, "k", (0L until 5L).toSeq)
+      SnapshotLog.updateWhereInMOR(spark, src, "k", Seq(10L, 11L),
+        Map("v" -> lit(-1L)))
+      spark.sql("CREATE TABLE scr.lake.rep (k BIGINT, v BIGINT)")
+      val ckpt = s"$scratch/cdcrep_ckpt"
+      def replicate(): Unit = {
+        val q = spark.readStream.table("scr.lake.src.changes")
+          .writeStream.option("upsertKey", "k")
+          .option("checkpointLocation", ckpt)
+          .toTable("scr.lake.rep")
+        try q.processAllAvailable() finally q.stop()
+      }
+      def rows(d: String): Seq[(Long, Long)] =
+        SnapshotLog.read(spark, d).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+      replicate()
+      assert(rows(rep) == rows(src),
+        "replica must equal the source after the first run")
+      assert(rows(rep).toMap.get(10L).contains(-1L)) // update applied
+      assert(!rows(rep).toMap.contains(0L))          // delete applied
+      // every applied epoch is one idempotent merge on the replica
+      val ops = SnapshotLog.history(rep).sortBy(_.version).map(_.op)
+      assert(ops.head == "create-table" &&
+        ops.tail.forall(_ == "merge-mor"), ops.toString)
+      // day-2 churn catches up on the SAME checkpoint
+      SnapshotLog.deleteWhereInMOR(spark, src, "k", Seq(10L))
+      SnapshotLog.commitAppend(spark, src, spark.range(120, 130)
+        .select(col("id").as("k"), (col("id") * 7).as("v")))
+      replicate()
+      assert(rows(rep) == rows(src),
+        "replica must catch up after day-2 churn")
+      // the per-epoch staging files were reclaimed after each apply
+      val staged = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(rep, "data")).iterator()
+      val leftover = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(staged).asScala
+        .filter(p => p.toString.contains("stream-") &&
+          p.toString.endsWith(".parquet")).toSeq
+      assert(leftover.isEmpty, s"staging files not reclaimed: $leftover")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.scr.root")
+      spark.conf.unset("spark.sql.catalog.scr")
+    }
+  }
 }
