@@ -1362,6 +1362,63 @@ object MigrationOps {
     }
   }
 
+  /** The COMPLETE-mode face of the table-addressed V2 streaming sink
+    * driver-gated: a two-version source stream feeds a streaming
+    * aggregation whose complete-mode epochs REPLACE the sink table
+    * ([[graft.sources.SnapshotLog.replaceFilesIdempotent]] — INSERT
+    * OVERWRITE per trigger, commit provenance require()d, history
+    * kept). The RESULT is the final epoch's full aggregate; the
+    * oracle recomputes it from orders directly — a stale epoch
+    * surviving, a partial replace, or double-counted state
+    * hash-diverges. */
+  val snapStreamComplete: Q = (s, dir) => {
+    import java.nio.file.{Files, Path}
+    val scratchP = Files.createTempDirectory("graft_csink_gate_")
+    val tok = java.lang.Long.toHexString(System.nanoTime())
+    val cat = s"csink_$tok"
+    try {
+      Files.createDirectories(scratchP.resolve("lake"))
+      val srcDir = scratchP.resolve("src").toString
+      val sinkDir = scratchP.resolve("lake").resolve("agg").toString
+      val orders = t(s, dir, "orders").select(
+        col("o_orderstatus"), col("o_custkey"),
+        cents(col("o_totalprice")).as("o_price_c"))
+      graft.sources.SnapshotLog.commit(s, srcDir,
+        orders.filter(col("o_custkey") % 2 === 0).repartition(2))
+      graft.sources.SnapshotLog.commitAppend(s, srcDir,
+        orders.filter(col("o_custkey") % 2 === 1).repartition(2))
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", scratchP.toString)
+      s.sql(s"CREATE TABLE $cat.lake.agg (o_orderstatus STRING, " +
+        "n BIGINT, sum_price_c BIGINT)")
+      val q = s.readStream.format("graft-snaplog")
+        .option("tableDir", srcDir).load()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_price_c")).as("sum_price_c"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", scratchP.resolve("ckpt").toString)
+        .toTable(s"$cat.lake.agg")
+      try { q.processAllAvailable() } finally q.stop()
+      val ops = graft.sources.SnapshotLog.history(sinkDir)
+        .sortBy(_.version).map(_.op)
+      require(ops.head == "create-table" && ops.tail.nonEmpty &&
+        ops.tail.forall(_ == "commit"),
+        s"complete sink provenance diverged: $ops")
+      val res = s.sql(s"SELECT o_orderstatus, n, sum_price_c " +
+        s"FROM $cat.lake.agg")
+      val local = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(local, res.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(scratchP)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** One-line CDC REPLICATION driver-gated: a source snapshot table
     * lives a lifecycle (commit evens, append odds, MOR-delete the 24
     * smallest keys, MOR-update the next 10 to a sentinel price), then
@@ -1837,6 +1894,7 @@ object MigrationOps {
     "snap_spj_dv" -> snapSpjDv,
     "snap_stream_table_sink" -> snapStreamTableSink,
     "snap_stream_upsert" -> snapStreamUpsert,
+    "snap_stream_complete" -> snapStreamComplete,
     "snap_stream_cdc_replica" -> snapStreamCdcReplica,
     "snap_restore" -> snapRestore,
     "snap_update_mor" -> snapUpdateMor,
@@ -2126,6 +2184,13 @@ object MigrationOps {
          SELECT o_orderkey + 10000000, o_custkey,
            CAST(42 AS BIGINT) AS o_price_c
          FROM orders WHERE o_orderkey % 10 = 7""",
+    // the complete-mode streaming sink: the final epoch's full
+    // aggregate replaced the table — the oracle recomputes it
+    "snap_stream_complete" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+         FROM orders GROUP BY o_orderstatus""",
     // one-line CDC replication (.changes stream → upsertKey sink):
     // the replica must equal the post-churn source — orders minus the
     // 24 smallest keys, with the next 10 priced at the sentinel
