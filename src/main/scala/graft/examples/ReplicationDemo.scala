@@ -25,7 +25,11 @@ import graft.sources.SnapshotLog
   *      idempotent MOR merge (replays decline at the version check);
   *   4. day-2: more churn on the source, the SAME checkpoint catches
   *      the replica up incrementally — and the replica's own history
-  *      shows exactly one version per applied batch.
+  *      shows exactly one version per applied batch;
+  *   5. (round 18) the ONE-LINER replica: the identical loop with no
+  *      foreachBatch and no verbs — `readStream.table("….changes")
+  *      → writeStream.option("upsertKey", k).toTable("….rep2")` —
+  *      the catalog-native feed composed with the update-mode sink.
   *
   * The require()s make it a golden test: replica == source
   * row-for-row after each run, a replayed batch leaves the replica
@@ -101,13 +105,41 @@ object ReplicationDemo {
     replicate()
     require(rows(dst).sameElements(rows(src)),
       "replica must catch up after run 2")
+
+    // 5. the ONE-LINER replica (round 18): the same loop on pure
+    // catalog surfaces — no foreachBatch, no verbs, no key plumbing
+    // beyond one option: the .changes metadata table streamed into
+    // the upsertKey sink. Needs catalog-addressable paths (root/ns/t),
+    // so a twin of the source seeds under the namespace and churns.
+    Files.createDirectories(Paths.get(outDir, "lake"))
+    val src2 = s"$outDir/lake/src2"
+    val rep2 = s"$outDir/lake/rep2"
+    SnapshotLog.commit(spark, src2, SnapshotLog.read(spark, src)
+      .repartition(4))
+    SnapshotLog.deleteWhereInMOR(spark, src2, "k", Seq(200L, 201L))
+    SnapshotLog.updateWhereInMOR(spark, src2, "k", Seq(300L),
+      Map("v" -> lit(-2L)))
+    spark.conf.set("spark.sql.catalog.repl", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.repl.root", outDir)
+    spark.sql("CREATE TABLE repl.lake.rep2 (k BIGINT, v BIGINT)")
+    val q2 = spark.readStream.table("repl.lake.src2.changes")
+      .writeStream.option("upsertKey", "k")
+      .option("checkpointLocation", s"$outDir/checkpoint2")
+      .toTable("repl.lake.rep2")
+    try q2.processAllAvailable() finally q2.stop()
+    require(rows(rep2).sameElements(rows(src2)),
+      "one-liner replica must equal its source")
+    require(SnapshotLog.history(rep2).sortBy(_.version).map(_.op)
+      .forall(op => op == "create-table" || op == "merge-mor"),
+      "one-liner replica must apply as idempotent MOR merges")
+
     val srcN = SnapshotLog.read(spark, src).count()
     val dstHist = SnapshotLog.history(dst)
     println(s"REPLICATION: source_versions=0->${SnapshotLog.latestVersion(src).get} " +
       s"rows=$srcN replica_versions=${dstHist.map(_.version).min}->" +
       s"${dstHist.map(_.version).max} " +
       s"replica_ops=${dstHist.sortBy(_.version).map(_.op).distinct.mkString("+")} " +
-      s"replayed_batch=declined exact_match=2/2")
+      s"replayed_batch=declined exact_match=2/2 oneliner_match=1/1")
     spark.stop()
   }
 }
