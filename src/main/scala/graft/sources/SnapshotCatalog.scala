@@ -1500,12 +1500,19 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
-              : org.apache.spark.sql.sources.InsertableRelation =
+              : org.apache.spark.sql.sources.InsertableRelation = {
+            // a BATCH write ignoring the option would silently append
+            // duplicate keys — refuse naming the right surfaces
+            require(upsertKey.isEmpty,
+              s"$tName: upsertKey is a streaming-sink option " +
+                "(writeStream.toTable) — batch upserts are MERGE INTO's " +
+                "job, or SnapshotLog.mergeIntoMOR")
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
               val spark = data.sparkSession
               if (replace) SnapshotLog.commit(spark, tableDir, data): Unit
               else SnapshotLog.commitAppend(spark, tableDir, data): Unit
             }
+          }
 
           /** `writeStream.toTable("snap.ns.t")` — the table-addressed
             * face of the exactly-once streaming sink

@@ -546,6 +546,13 @@ class SnapshotStreamSpec extends SparkSpec {
         try qk.processAllAvailable() finally qk.stop()
       }
       assert(msgs(eK).contains("not a table column"), msgs(eK).take(400))
+      // a BATCH write carrying upsertKey refuses loudly — silently
+      // appending duplicate keys would be a lie by omission
+      val eB = intercept[Exception] {
+        spark.range(1).select(col("id").as("k"), col("id").as("v"))
+          .writeTo("scu.lake.u").option("upsertKey", "k").append()
+      }
+      assert(msgs(eB).contains("streaming-sink option"), msgs(eB).take(400))
       // APPEND mode with upsertKey upserts too: the option, not the
       // mode, selects the semantics (a post-image CDC stream is
       // append-shaped but keyed)
