@@ -571,6 +571,40 @@ class SnapshotStreamSpec extends SparkSpec {
     }
   }
 
+  test("the upsert sink speaks PHYSICAL names under a column map") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_cm_")
+    java.nio.file.Files.createDirectories(root.resolve("lake"))
+    spark.conf.set("spark.sql.catalog.scm2", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.scm2.root", root.toString)
+    val t = root.resolve("lake").resolve("m").toString
+    try {
+      SnapshotLog.commit(spark, t, spark.range(3).select(
+        col("id").as("key"), (col("id") * 10).as("src")).repartition(1))
+      SnapshotLog.renameColumn(t, "src", "source")
+      val in = MemoryStream[(Long, Long)]
+      // the stream speaks LOGICAL names; the staging files carry the
+      // physical 'src', and the merge's post-images land through the
+      // colmap like any MOR write
+      val q = in.toDF().toDF("key", "source").writeStream
+        .option("upsertKey", "key")
+        .option("checkpointLocation", s"$scratch/upsert_cm_ckpt")
+        .toTable("scm2.lake.m")
+      try {
+        in.addData((1L, -5L), (7L, 70L)); q.processAllAvailable()
+        val rows = spark.sql("SELECT key, source FROM scm2.lake.m")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(rows == Map(0L -> 0L, 1L -> -5L, 2L -> 20L, 7L -> 70L))
+        assert(SnapshotLog.history(t).maxBy(_.version).op == "merge-mor")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.catalog.scm2.root")
+      spark.conf.unset("spark.sql.catalog.scm2")
+    }
+  }
+
   test("one line of catalog surface replicates a table: .changes stream into the upsertKey sink") {
     val root = java.nio.file.Files.createTempDirectory("graft_cdcrep_")
     java.nio.file.Files.createDirectories(root.resolve("lake"))
