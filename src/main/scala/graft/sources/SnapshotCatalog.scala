@@ -1058,12 +1058,19 @@ private class SnapshotChangesTable(tName: String, tableDirPath: String)
               }
             // a range pinned entirely under an OLDER schema would make
             // the feed's columns diverge from this table's declared
-            // (latest) schema — positional binding would then lie
+            // (latest) schema — positional binding would then lie.
+            // `declared` resolved at loadTable; a schema-changing
+            // commit between load and this scan trips the same
+            // require (acceptable TOCTOU: loud, never wrong).
             require(df.columns.toSeq == declared.fieldNames.toSeq,
               s"$tName: the asked range's schema " +
                 s"(${df.columns.mkString(", ")}) differs from the " +
-                s"table's current schema — read the feed for that " +
-                "range with SnapshotLog.readChangeFeed / the " +
+                s"table's schema as resolved at load " +
+                s"(${declared.fieldNames.mkString(", ")}) — either " +
+                "the range pins an older schema, or a concurrent " +
+                "DDL commit changed the schema between load and " +
+                "scan (re-resolve the table). Read the feed for " +
+                "that range with SnapshotLog.readChangeFeed / the " +
                 "snap_table_changes TVF instead")
             df.rdd
           }

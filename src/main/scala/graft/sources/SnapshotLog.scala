@@ -2605,7 +2605,10 @@ object SnapshotLog {
     * spell paths as `_metadata.file_path` URIs, translated on the
     * driver over the DISTINCT spellings only (file-count-sized) and
     * broadcast back, so the distinct-count groups by CANONICAL file
-    * even across spelling generations. */
+    * even across spelling generations. Each file's count is taken
+    * over ITS OWN dv(f) sidecar list (membership join on the sidecar
+    * a row came from), the read path's exact recipe — never the
+    * pooled sidecars of unrelated files. */
   private def withMaskedCounts(spark: SparkSession,
       stats: Map[String, Map[String,
         com.fasterxml.jackson.databind.node.ObjectNode]],
@@ -2621,19 +2624,44 @@ object SnapshotLog {
     val stale = dv.keys.filterNot(consistent).toSeq.sorted
     if (stale.isEmpty) return stats
     import org.apache.spark.sql.functions.{broadcast, col, countDistinct}
-    val sidecars = stale.flatMap(dv).distinct.sorted
+    // count file f's positions over dv(f)'s OWN sidecar list — the
+    // exact set the read path masks f from — not the pooled sidecars
+    // of all stale files grouped by spelling. Pooling was exact only
+    // under the invariant "every sidecar with marks for f is listed
+    // in dv(f)"; counting per (sidecar ∈ dv(f), file == f) makes the
+    // recorded cardinality structurally mirror the scan whatever a
+    // future verb does to that invariant. The membership table is
+    // sidecar-list-sized, driver-built from dv itself.
+    val member: Seq[(String, String)] = stale.flatMap { f =>
+      val cf = canon(Paths.get(f)).toString
+      dv(f).map(s => canon(Paths.get(s)).toString -> cf)
+    }.distinct
+    val sidecars = member.map(_._1).distinct.sorted
     val rows = spark.read.schema("file STRING, pos LONG")
       .parquet(sidecars: _*)
-    val spellings = rows.select("file").distinct().collect()
-      .map(_.getString(0))
-    val canonOf: Seq[(String, String)] = spellings.toSeq.map { fp =>
+      .select(col("file"), col("pos"),
+        col("_metadata.file_path").as("_graft_sc_spelling"))
+    def canonSpelling(fp: String): String = {
       val p = try Paths.get(java.net.URI.create(fp))
         catch { case _: Exception => Paths.get(fp) }
-      fp -> canon(p).toString
+      canon(p).toString
     }
+    val canonOf: Seq[(String, String)] = rows.select("file").distinct()
+      .collect().map(_.getString(0)).toSeq
+      .map(fp => fp -> canonSpelling(fp))
+    val scCanonOf: Seq[(String, String)] = rows
+      .select("_graft_sc_spelling").distinct()
+      .collect().map(_.getString(0)).toSeq
+      .map(sp => sp -> canonSpelling(sp))
     import spark.implicits._
     val counts: Map[String, Long] = rows
       .join(broadcast(canonOf.toDF("file", "_graft_canon")), Seq("file"))
+      .join(broadcast(scCanonOf.toDF("_graft_sc_spelling", "_graft_sc")),
+        Seq("_graft_sc_spelling"))
+      // inner membership join: keep a (sidecar, file) row only when
+      // that sidecar is in THAT file's dv list
+      .join(broadcast(member.toDF("_graft_sc", "_graft_canon")),
+        Seq("_graft_sc", "_graft_canon"))
       .groupBy("_graft_canon").agg(countDistinct(col("pos")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     stats ++ stale.map { f =>
@@ -4065,7 +4093,7 @@ object SnapshotLog {
     * full rewrite that buys nothing (measured, not assumed — the
     * composite join kept both exchanges under every co-partition
     * conf). The working spelling for a composite key is a DERIVED
-    * key column (`withColumn("tk", concat_ws(" ", k1, k2))`,
+    * key column (`withColumn("tk", concat_ws("\u0000", k1, k2))`,
     * bucket on it, join on it); the internal plumbing stays
     * list-shaped so lifting this ceiling is one require() away if a
     * Spark release extends the shuffle-spec matching. */

@@ -806,8 +806,9 @@ private class SnapBucketScan(
   override def estimateStatistics(): Statistics = {
     // manifest-recorded sizes (`:bytes` pseudo-stat) first — zero
     // filesystem stats at planning; pre-stat files fall back. Row
-    // count exact from `:rows` when every kept file answers (bucket
-    // scans never carry dv, so :rows IS the live count) — what
+    // count exact when every kept file answers; since r18 bucket scans
+    // DO carry dv (SPJ through deletion masks), so rowsOfFile supplies
+    // the dv-aware LIVE count (`:rows` − `:masked`) per file — what
     // partially-clustered distribution sizes its side choice with.
     val bytes = kept.map(f => bytesOf(f).getOrElse(
       try java.nio.file.Files.size(java.nio.file.Paths.get(f))
