@@ -1497,6 +1497,24 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
         s"$tName: upsertKey `$k` is not a table column " +
           s"(${recorded.fieldNames.mkString(", ")})")
     }
+    // last-wins epoch compaction for the plain keyed upsert sink: a
+    // catch-up micro-batch can carry a key twice; this column orders
+    // the duplicates (max wins). The key itself can't disambiguate
+    // its own duplicates, so ordering by it is refused.
+    val upsertOrderBy = Option(info.options().get("upsertOrderBy"))
+      .map(_.trim).filter(_.nonEmpty)
+    upsertOrderBy.foreach { ob =>
+      require(upsertKey.isDefined,
+        s"$tName: upsertOrderBy only orders an upsert — set " +
+          "upsertKey too")
+      require(recorded.fieldNames.contains(ob),
+        s"$tName: upsertOrderBy `$ob` is not a table column " +
+          s"(${recorded.fieldNames.mkString(", ")})")
+      require(!upsertKey.contains(ob),
+        s"$tName: upsertOrderBy `$ob` is the upsert key — a key " +
+          "cannot order its own duplicates; pick an ordering column " +
+          "(event time, sequence number)")
+    }
     class SnapWriteBuilder
         extends org.apache.spark.sql.connector.write.WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate {
@@ -1584,11 +1602,20 @@ private class PrunedSnapshotTable(tName: String, tableDir: String,
               f.copy(name = colmap.getOrElse(f.name, f.name))))
             val mode =
               if (replace) SnapshotSinkMode.Replace
-              else if (isCdc) SnapshotSinkMode.CdcApply(upsertKey.get, in)
+              else if (isCdc) {
+                require(upsertOrderBy.isEmpty,
+                  s"$tName: upsertOrderBy conflicts with a " +
+                    "change-feed-shaped stream — the feed's " +
+                    s"${ChangeFeed.CommitVersionCol} already orders " +
+                    "the epoch's duplicates (last-wins); drop the " +
+                    "option")
+                SnapshotSinkMode.CdcApply(upsertKey.get, in)
+              }
               // `in` carries LOGICAL names (it arrived from the
               // analyzed plan and matched `recorded` above) — exactly
               // what the upsert feed's read-back rename needs
-              else upsertKey.map(k => SnapshotSinkMode.Upsert(k, in))
+              else upsertKey.map(k =>
+                SnapshotSinkMode.Upsert(k, in, upsertOrderBy))
                 .getOrElse(SnapshotSinkMode.Ingest)
             new SnapshotStreamingWrite(SparkSession.active, tableDir,
               tName, info.queryId(), phys, mode)

@@ -29,8 +29,23 @@ private[sources] object SnapshotSinkMode {
   case object Replace extends SnapshotSinkMode
   /** Update mode (or append with `upsertKey`): epoch rows upsert by
     * key on the MOR cost model ([[SnapshotLog.mergeIntoMORIdempotent]]).
-    * Carries the LOGICAL schema for the feed read-back rename. */
-  final case class Upsert(key: String, logical: StructType)
+    * Carries the LOGICAL schema for the feed read-back rename.
+    *
+    * THE PER-EPOCH KEY CONTRACT: the merge verb wants ONE row per key
+    * per epoch. A catch-up epoch (the snapshot micro-batch source
+    * batches every unread version into one trigger; checkpoint
+    * restarts replay the identical epoch) can legally carry a key
+    * twice — without help that epoch fails its one-row-per-key
+    * require on EVERY replay and the stream wedges permanently.
+    * `orderBy` (the `upsertOrderBy` writer option) is the escape:
+    * when it names an ordering column, the epoch is compacted
+    * LAST-WINS per key (max order value; ties broken deterministically
+    * by full-row fingerprint) before the merge. Without it, a
+    * duplicate-keyed epoch fails loudly with the fix spelled out
+    * (set upsertOrderBy, or stream the `.changes` feed whose
+    * `_commit_version` makes [[CdcApply]] compact for free). */
+  final case class Upsert(key: String, logical: StructType,
+      orderBy: Option[String] = None)
     extends SnapshotSinkMode
   /** `upsertKey` with a CHANGE-FEED-shaped stream (the table's schema
     * plus `_change_type`/`_commit_version` — what
@@ -120,13 +135,14 @@ private[sources] class SnapshotStreamingWrite(spark: SparkSession,
         // OVERWRITE semantics per trigger, idempotent at base+epochId
         SnapshotLog.replaceFilesIdempotent(spark, tableDir, files, v,
           txn = tag): Unit
-      case SnapshotSinkMode.Upsert(key, logical) =>
+      case SnapshotSinkMode.Upsert(key, logical, orderBy) =>
         // UPDATE mode with an upsertKey: the epoch's rows are keyed
         // post-images, applied as a MOR merge (mask the old row,
         // append the new — O(epoch) + one pruned candidate scan).
         // op = "insert" is the verb's upsert spelling: an insert on
         // an existing key masks-and-replaces, on a fresh key appends.
-        import org.apache.spark.sql.functions.lit
+        import org.apache.spark.sql.functions.{col, lit, md5, row_number,
+          struct, to_json}
         val feed =
           if (files.isEmpty)
             // dense-version contract: an empty epoch still maps to a
@@ -136,11 +152,46 @@ private[sources] class SnapshotStreamingWrite(spark: SparkSession,
               StructType(logical.fields :+
                 org.apache.spark.sql.types.StructField("op",
                   org.apache.spark.sql.types.StringType)))
-          else spark.read.schema(physicalSchema).parquet(files: _*)
-            .toDF(logical.fieldNames.toIndexedSeq: _*)
-            .withColumn("op", lit("insert"))
-        SnapshotLog.mergeIntoMORIdempotent(spark, tableDir, feed, key, v,
-          txn = tag): Unit
+          else {
+            val raw = spark.read.schema(physicalSchema).parquet(files: _*)
+              .toDF(logical.fieldNames.toIndexedSeq: _*)
+            // last-wins compaction for catch-up epochs (a multi-version
+            // micro-batch may carry a key twice): keep the max-order
+            // row per key, ties broken deterministically by full-row
+            // fingerprint so a replayed epoch elects the same row.
+            // Epoch-sized work, only under the option.
+            val compacted = orderBy match {
+              case Some(ob) =>
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col(key))
+                  .orderBy(col(ob).desc,
+                    md5(to_json(struct(raw.columns.map(col)
+                      .toIndexedSeq: _*))).desc)
+                raw.withColumn("_graft_rn", row_number().over(w))
+                  .filter(col("_graft_rn") === 1).drop("_graft_rn")
+              case None => raw
+            }
+            compacted.withColumn("op", lit("insert"))
+          }
+        try
+          SnapshotLog.mergeIntoMORIdempotent(spark, tableDir, feed, key, v,
+            txn = tag): Unit
+        catch {
+          // the verb's one-row-per-key require, re-raised with the
+          // sink-level fixes: a checkpoint replay re-forms the same
+          // epoch, so without one of these the stream wedges forever
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("one row per key") =>
+            throw new IllegalArgumentException(
+              s"$tName: epoch $epochId carries key `$key` more than " +
+                "once (a catch-up micro-batch can span several source " +
+                "versions). Fix: set .option(\"upsertOrderBy\", <col>) " +
+                "to compact the epoch last-wins, or stream the " +
+                "source's `.changes` feed (its _commit_version makes " +
+                "the CDC-apply path compact for free). " +
+                s"[${e.getMessage}]", e)
+        }
         reclaimStaging(files)
       case SnapshotSinkMode.CdcApply(key, logical) =>
         // a change-feed epoch may span several source versions and

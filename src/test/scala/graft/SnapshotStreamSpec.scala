@@ -664,4 +664,99 @@ class SnapshotStreamSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.scr")
     }
   }
+
+  test("upsertOrderBy compacts a duplicate-keyed epoch last-wins; without it the epoch fails actionably") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_ob_")
+    java.nio.file.Files.createDirectories(root.resolve("lake"))
+    spark.conf.set("spark.sql.catalog.sob", "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.sob.root", root.toString)
+    try {
+      spark.sql("CREATE TABLE sob.lake.o (k BIGINT, seq BIGINT, v BIGINT)")
+      def state() = spark.sql("SELECT k, seq, v FROM sob.lake.o")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // ONE epoch carrying key 1 twice — exactly the catch-up shape
+      // (a multi-version micro-batch) that used to wedge the stream:
+      // with upsertOrderBy the sink compacts last-wins (max seq)
+      val in = MemoryStream[(Long, Long, Long)]
+      val q = in.toDF().toDF("k", "seq", "v").writeStream
+        .option("upsertKey", "k").option("upsertOrderBy", "seq")
+        .option("checkpointLocation", s"$scratch/upsert_ob_ckpt")
+        .toTable("sob.lake.o")
+      try {
+        in.addData((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 5L))
+        q.processAllAvailable()
+        assert(state() == Map(1L -> (2L, 20L), 2L -> (1L, 5L)))
+        // a later epoch still upserts over the compacted winner
+        in.addData((1L, 3L, 30L)); q.processAllAvailable()
+        assert(state() == Map(1L -> (3L, 30L), 2L -> (1L, 5L)))
+      } finally q.stop()
+      // WITHOUT the option the duplicate-keyed epoch fails — but with
+      // both fixes named (the old failure was the verb's bare
+      // one-row-per-key require, identical on every checkpoint replay)
+      val in2 = MemoryStream[(Long, Long, Long)]
+      val eDup = intercept[Exception] {
+        val qd = in2.toDF().toDF("k", "seq", "v").writeStream
+          .option("upsertKey", "k")
+          .option("checkpointLocation", s"$scratch/upsert_ob_ckpt2")
+          .toTable("sob.lake.o")
+        try {
+          in2.addData((7L, 1L, 1L), (7L, 2L, 2L))
+          qd.processAllAvailable()
+        } finally qd.stop()
+      }
+      assert(msgs(eDup).contains("upsertOrderBy") &&
+        msgs(eDup).contains(".changes"), msgs(eDup).take(600))
+      // refusal taxonomy: orderBy without a key, unknown column, the
+      // key itself, and the change-feed shape (which self-orders)
+      val eNoKey = intercept[Exception] {
+        val qn = in2.toDF().toDF("k", "seq", "v").writeStream
+          .option("upsertOrderBy", "seq")
+          .option("checkpointLocation", s"$scratch/upsert_ob_ckpt3")
+          .toTable("sob.lake.o")
+        try qn.processAllAvailable() finally qn.stop()
+      }
+      assert(msgs(eNoKey).contains("set upsertKey too"),
+        msgs(eNoKey).take(400))
+      val eCol = intercept[Exception] {
+        val qc = in2.toDF().toDF("k", "seq", "v").writeStream
+          .option("upsertKey", "k").option("upsertOrderBy", "nope")
+          .option("checkpointLocation", s"$scratch/upsert_ob_ckpt4")
+          .toTable("sob.lake.o")
+        try qc.processAllAvailable() finally qc.stop()
+      }
+      assert(msgs(eCol).contains("not a table column"), msgs(eCol).take(400))
+      val eKey = intercept[Exception] {
+        val qk = in2.toDF().toDF("k", "seq", "v").writeStream
+          .option("upsertKey", "k").option("upsertOrderBy", "k")
+          .option("checkpointLocation", s"$scratch/upsert_ob_ckpt5")
+          .toTable("sob.lake.o")
+        try qk.processAllAvailable() finally qk.stop()
+      }
+      assert(msgs(eKey).contains("cannot order its own duplicates"),
+        msgs(eKey).take(400))
+      val inCdc = MemoryStream[(Long, Long, Long, String, Long)]
+      val eCdc = intercept[Exception] {
+        val qc = inCdc.toDF()
+          .toDF("k", "seq", "v", "_change_type", "_commit_version")
+          .writeStream
+          .option("upsertKey", "k").option("upsertOrderBy", "seq")
+          .option("checkpointLocation", s"$scratch/upsert_ob_ckpt6")
+          .toTable("sob.lake.o")
+        try {
+          inCdc.addData((9L, 1L, 1L, "insert", 1L))
+          qc.processAllAvailable()
+        } finally qc.stop()
+      }
+      assert(msgs(eCdc).contains("change-feed-shaped"), msgs(eCdc).take(400))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.sob.root")
+      spark.conf.unset("spark.sql.catalog.sob")
+    }
+  }
 }
