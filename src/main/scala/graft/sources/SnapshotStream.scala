@@ -8,7 +8,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+  MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows,
+  SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -61,7 +63,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `startVersion`, `endingTimestamp` stops the stream after its
   * resolved version), `ignoreChanges` (default false),
   * `columnar` (default true — `false` is the measurement escape
-  * hatch, not a tuning knob), and `changeFeed` (default false): the
+  * hatch, not a tuning knob), `maxVersionsPerTrigger` (admission
+  * control — at most N versions advance per micro-batch, so a fresh
+  * checkpoint on a deep history backfills in ⌈backlog/N⌉ bounded
+  * batches instead of one giant epoch; honored by
+  * `Trigger.AvailableNow`, which drains to a start-of-run head
+  * snapshot and stops; inherited by the `.changes` stream), and
+  * `changeFeed` (default false): the
   * CHANGE DATA FEED mode, [[SnapshotLog.readChangeFeed]] as a stream
   * — appends emit `insert` rows, MOR deletes emit the masked rows'
   * pre-images as `delete` rows (new dv entries no longer force
@@ -210,13 +218,27 @@ private[sources] object SnapshotStreamBuild {
     val (tsStartV, tsEndV) =
       if (startingTs.isEmpty && endingTs.isEmpty) (None, None)
       else SnapshotLog.resolveTimeBounds(tableDir, startingTs, endingTs)
+    // admission control (Delta's maxFilesPerTrigger analog, in this
+    // log's own clock): cap each micro-batch at N versions so a fresh
+    // checkpoint on a deep history backfills in ⌈backlog/N⌉ batches
+    // instead of one giant catch-up epoch
+    val maxVersions = Option(options.get("maxVersionsPerTrigger"))
+      .map { s =>
+        val n = try s.trim.toLong catch { case _: NumberFormatException =>
+          sys.error(s"graft-snaplog: maxVersionsPerTrigger '$s' is " +
+            "not a number") }
+        require(n >= 1,
+          s"graft-snaplog: maxVersionsPerTrigger must be >= 1, got $n")
+        n
+      }
     new SnapshotLogMicroBatchStream(
       tableDir, schema,
       tsStartV.getOrElse(options.getLong("startVersion", 0L)),
       ignore,
       options.getBoolean("columnar", true),
       changeFeed,
-      endVersion = tsEndV)
+      endVersion = tsEndV,
+      maxVersionsPerTrigger = maxVersions)
   }
 
   /** A timestamp option's accepted spellings: ISO-8601 instant
@@ -318,7 +340,11 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
     // resolved from endingTimestamp at stream build: the stream stops
     // ADVANCING past this version (versions committed later — whatever
     // their recorded ts — never plan)
-    endVersion: Option[Long] = None) extends MicroBatchStream {
+    endVersion: Option[Long] = None,
+    // admission control: at most this many versions per micro-batch
+    // (None = all available — the pre-r19 behavior)
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** The exposed schema minus the change-feed bookkeeping columns —
     * what the parquet files actually hold. */
@@ -341,11 +367,60 @@ private class SnapshotLogMicroBatchStream(tableDir: String, schema: StructType,
 
   override def initialOffset(): Offset = new VersionOffset(startVersion - 1)
 
-  override def latestOffset(): Offset = {
+  /** The true head the stream may advance to, whatever the rate limit:
+    * the log's latest version, clipped by `endingTimestamp`'s resolved
+    * version. */
+  private def headVersion: Long = {
     val latest = SnapshotLog.latestVersion(tableDir)
       .getOrElse(startVersion - 1)
-    new VersionOffset(endVersion.fold(latest)(math.min(latest, _)))
+    endVersion.fold(latest)(math.min(latest, _))
   }
+
+  /** `Trigger.AvailableNow`'s snapshot of the head, taken once at
+    * [[prepareForTriggerAvailableNow]]: the run drains up to HERE (in
+    * rate-limited steps) and stops, even while writers keep
+    * committing. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(headVersion)
+
+  /** Admission control ([[SupportsTriggerAvailableNow]] extends
+    * [[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]]):
+    * with `maxVersionsPerTrigger` the default read limit caps each
+    * micro-batch's ADVANCE at N versions — offsets here ARE versions,
+    * so `ReadLimit.maxRows` carries the version budget (the Kafka
+    * maxOffsetsPerTrigger spelling). A fresh checkpoint on a
+    * 10,000-version history backfills in ⌈10000/N⌉ bounded batches
+    * instead of one giant catch-up epoch; the `.changes` stream
+    * inherits the knob through the shared option parse. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxRows)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[VersionOffset].v
+    val head = availableNowCap.fold(headVersion)(math.min(headVersion, _))
+    def budget(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows => r.maxRows()
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(budget).min
+      case _: ReadAllAvailable => Long.MaxValue
+      case _ => Long.MaxValue // min/other limits: no cap from here
+    }
+    val b = budget(limit)
+    new VersionOffset(
+      if (b == Long.MaxValue || head - lo <= b) head else lo + b)
+  }
+
+  /** The real head for progress reporting — what the UI's "latest
+    * offset" shows while a rate-limited backfill drains. */
+  override def reportLatestOffset(): Offset = new VersionOffset(headVersion)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-snaplog implements SupportsAdmissionControl — Spark calls " +
+        "latestOffset(start, limit)")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[VersionOffset].v

@@ -759,4 +759,98 @@ class SnapshotStreamSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.sob")
     }
   }
+
+  test("maxVersionsPerTrigger: a deep backlog drains in bounded micro-batches, restart resumes mid-backlog") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = s"$scratch/snapstream_admission"
+    // a 10-version history (0..9), 4 rows each — the deep-backlog
+    // shape that used to land as ONE giant catch-up micro-batch
+    SnapshotLog.commit(spark, t, spark.range(4).select(
+      col("id").as("key"), (col("id") * 10).as("v")).repartition(1))
+    (1 to 9).foreach { i =>
+      SnapshotLog.commitAppend(spark, t, spark.range(i * 4L, i * 4L + 4)
+        .select(col("id").as("key"), (col("id") * 10).as("v"))
+        .repartition(1))
+    }
+    val ckpt = s"$scratch/admission_ckpt"
+    // restartable sink: the snaplog format sink (memory sink cannot
+    // recover a checkpoint) — one sink version per micro-batch, so
+    // the sink table's history IS the batch count
+    val out = s"$scratch/snapstream_admission_out"
+    SnapshotLog.createTable(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType))))
+    def sinkRows(): Map[Long, Long] = SnapshotLog.read(spark, out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sinkVersions(): Long = SnapshotLog.latestVersion(out).get
+    def start(trigger: Trigger) =
+      spark.readStream.format("graft-snaplog")
+        .option("tableDir", t).option("maxVersionsPerTrigger", 3)
+        .load()
+        .writeStream.format("graft-snaplog").option("tableDir", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+    // run 1: a long ProcessingTime interval means exactly ONE
+    // micro-batch fires before we stop — under the limit it advances
+    // 3 versions (0..2), NOT the whole backlog. (Trigger.Once is no
+    // test: Spark documents it BYPASSES admission control.)
+    val q1 = start(Trigger.ProcessingTime("300 seconds"))
+    try {
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (!q1.recentProgress.exists(_.numInputRows > 0) &&
+        System.nanoTime < deadline) Thread.sleep(50)
+    } finally q1.stop()
+    assert(sinkRows().size == 12,
+      "one rate-limited batch = versions 0..2 only")
+    val v1 = sinkVersions()
+    assert(v1 == 1L, s"one micro-batch = one sink version, got $v1")
+    // run 2 on the SAME checkpoint resumes mid-backlog (offset 2) and
+    // AvailableNow drains the remaining 7 versions in ceil(7/3) = 3
+    // bounded batches, then stops
+    val q2 = start(Trigger.AvailableNow())
+    try q2.awaitTermination() finally q2.stop()
+    assert(sinkVersions() - v1 == 3,
+      s"expected ceil(7/3)=3 batches, got ${sinkVersions() - v1}")
+    // stream == batch row parity over the whole history, exactly once
+    assert(sinkRows() == SnapshotLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(sinkRows().size == 40, "exactly-once: no row re-emitted")
+    // day-2: new commits drain under the same checkpoint, still capped
+    (10 to 13).foreach { i =>
+      SnapshotLog.commitAppend(spark, t, spark.range(i * 4L, i * 4L + 4)
+        .select(col("id").as("key"), (col("id") * 10).as("v"))
+        .repartition(1))
+    }
+    val v2 = sinkVersions()
+    val q3 = start(Trigger.AvailableNow())
+    try q3.awaitTermination() finally q3.stop()
+    assert(sinkVersions() - v2 == 2,
+      s"expected ceil(4/3)=2 batches, got ${sinkVersions() - v2}")
+    assert(sinkRows().size == 56)
+    // the .changes stream inherits the knob through the shared option
+    // parse: 14 feed versions drain in ceil(14/5) = 3 batches
+    val qc = spark.readStream.format("graft-snaplog")
+      .option("tableDir", t).option("changeFeed", "true")
+      .option("maxVersionsPerTrigger", 5).load()
+      .writeStream.format("memory").queryName("admcdc")
+      .option("checkpointLocation", s"$scratch/admission_cdc_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    try qc.awaitTermination() finally qc.stop()
+    assert(qc.recentProgress.count(_.numInputRows > 0) == 3)
+    assert(spark.table("admcdc").count() == 56, "every insert row once")
+    // refusals: zero and non-numeric budgets
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    val eZero = intercept[Exception] {
+      val qz = spark.readStream.format("graft-snaplog")
+        .option("tableDir", t).option("maxVersionsPerTrigger", 0).load()
+        .writeStream.format("memory").queryName("admz")
+        .option("checkpointLocation", s"$scratch/admission_z_ckpt")
+        .start()
+      try qz.processAllAvailable() finally qz.stop()
+    }
+    assert(msgs(eZero).contains("must be >= 1"), msgs(eZero).take(300))
+  }
 }
