@@ -37,7 +37,14 @@ object Probe {
         case Some(q) =>
           val samples = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
-            q(spark, dir).count()
+            // noop = Bench's action (full materialization of every
+            // column); count() lets Catalyst prune terminal projections
+            // and entire unused aggregate expressions (e.g. the rebuild
+            // md5 of dedup_paragraph_rebuild), so a count-probe of a
+            // map- or agg-projection-heavy query times the wrong plan.
+            if (sys.env.get("SPARK_GRAFT_PROBE_ACTION").contains("count"))
+              q(spark, dir).count(): Unit
+            else q(spark, dir).write.mode("overwrite").format("noop").save()
             val dt = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             dt

@@ -1137,15 +1137,30 @@ object DedupOps {
     * occurrences, one per-doc re-aggregation. dup_frac6 is a single
     * division of exact counts. */
   val dedupParagraph: Q = (s, dir) => {
-    val segs = paragraphSegs(s, dir)
-    val isDup = col("first.doc_id") =!= col("doc_id") ||
-      col("first.seg_idx") =!= col("seg_idx")
-    segs.join(paragraphFirsts(segs), "seg_md5")
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_segs"),
-        sum(when(isDup, 1L).otherwise(0L)).as("n_dup_segs"),
-        round(sum(when(isDup, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
-          .as("dup_frac6"))
+    // r19 restructure (guide §2.3/§2.4 — shuffle decisions, not
+    // payloads): the old shape computed the segment Generate TWICE
+    // (once under the firsts groupBy, once as the join probe side) and
+    // then re-shuffled every segment row through the flag join + per-doc
+    // re-aggregation. But the per-doc output is derivable WITHOUT the
+    // join: each seg_md5 group's min is its one non-dup occurrence,
+    // attributed to first.doc_id — so grouping the FIRSTS table by
+    // first.doc_id counts each doc's non-dup segments, and n_segs is
+    // in-row arithmetic on the token count (segments are fixed
+    // non-overlapping windows: ceil(size/16)). One segment Generate
+    // instead of two, and the corpus-sized equi-join disappears; the
+    // remaining join is doc-count-sized on both sides. Oracle-checked
+    // identical (same rows, same n_dup = n_segs − n_first algebra).
+    val nonDup = paragraphFirsts(paragraphSegs(s, dir))
+      .groupBy(col("first.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"),
+        expr(s"CAST((size(split(text, ' ')) + ${ParaSegTokens - 1}) div $ParaSegTokens AS BIGINT)")
+          .as("n_segs"))
+    val nDup = col("n_segs") - coalesce(col("n_first"), lit(0L))
+    perDoc.join(nonDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"), nDup.as("n_dup_segs"),
+        round(nDup.cast("double") / col("n_segs"), 6).as("dup_frac6"))
   }
 
   /** Paragraph dedup with RECONSTRUCTION — the artifact a CCNet-style
@@ -1158,6 +1173,15 @@ object DedupOps {
     * `array_sort(collect_list(struct(seg_idx, …)))` — bounded by a
     * document's own segment count, never corpus-wide state. */
   val dedupParagraphRebuild: Q = (s, dir) => {
+    // r19 restructure, same move as [[dedupParagraph]]: the kept
+    // segments ARE the firsts-election minima, so carrying seg_txt
+    // INSIDE the min struct (safe: (doc_id, seg_idx) is unique per
+    // group, so the comparison never reaches the text field, and all
+    // rows of one seg_md5 group carry identical text anyway) lets the
+    // rebuild aggregate the firsts table by first.doc_id directly —
+    // one segment Generate instead of two, no corpus-sized join, no
+    // post-join filter. Docs whose every segment occurred earlier
+    // elsewhere win no group minimum and vanish, exactly as before.
     val segs = docs(s, dir)
       .withColumn("tk", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
@@ -1165,15 +1189,17 @@ object DedupOps {
             st -> struct(CAST((st - 1) div $ParaSegTokens AS BIGINT) AS seg_idx,
                          concat_ws(' ', slice(tk, st, $ParaSegTokens)) AS seg_txt))"""))
         .as("sg"))
-      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"), col("sg.seg_txt").as("seg_txt"),
-        md5(col("sg.seg_txt")).as("seg_md5"))
-    segs.join(paragraphFirsts(segs), "seg_md5")
-      .filter(col("first.doc_id") === col("doc_id") && col("first.seg_idx") === col("seg_idx"))
-      .groupBy("doc_id").agg(
+      .select(col("doc_id"), col("sg.seg_idx").as("seg_idx"),
+        col("sg.seg_txt").as("seg_txt"), md5(col("sg.seg_txt")).as("seg_md5"))
+    segs.groupBy("seg_md5")
+      .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg_txt"))).as("first"))
+      .groupBy(col("first.doc_id").as("doc_id")).agg(
         count(lit(1)).as("n_kept_segs"),
-        sum(size(split(col("seg_txt"), " ")).cast("long")).as("n_new_tokens"),
+        sum(size(split(col("first.seg_txt"), " ")).cast("long")).as("n_new_tokens"),
         md5(expr(
-          "array_join(transform(array_sort(collect_list(struct(seg_idx, seg_txt))), x -> x.seg_txt), ' ')"))
+          """array_join(transform(array_sort(collect_list(
+               struct(first.seg_idx AS seg_idx, first.seg_txt AS seg_txt))),
+             x -> x.seg_txt), ' ')"""))
           .as("new_md5"))
   }
 
@@ -1205,6 +1231,17 @@ object DedupOps {
     * span hash, which AQE CAN skew-split. dup_frac6 is one division of
     * exact counts. */
   val dedupSubstring: Q = (s, dir) => {
+    // r19 restructure (guide §2.3/§2.4), same move as
+    // [[dedupParagraph]]: the old shape computed the stride-1 span
+    // Generate — md5 over EVERY overlapping 50-token window, the
+    // dominant in-row cost — TWICE (firsts side + join probe side) and
+    // re-shuffled every span row through the flag join. The per-doc
+    // answer needs neither: each span_md5 group's minimum is its one
+    // non-dup occurrence, attributed to first.doc_id, so grouping the
+    // firsts table by first.doc_id counts each doc's non-dup spans,
+    // and n_spans is in-row arithmetic (size − 49 stride-1 windows).
+    // One span Generate instead of two; the only join left is
+    // doc-count-sized on both sides. Oracle-checked identical.
     val spans = docs(s, dir)
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= SubstrSpanTokens)
@@ -1214,16 +1251,18 @@ object DedupOps {
                          md5(concat_ws(' ', slice(tk, st, $SubstrSpanTokens))) AS span_md5))"""))
         .as("sp"))
       .select(col("doc_id"), col("sp.span_idx").as("span_idx"), col("sp.span_md5").as("span_md5"))
-    val firsts = spans.groupBy("span_md5")
+    val nonDup = spans.groupBy("span_md5")
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
-    val isDup = col("first.doc_id") =!= col("doc_id") ||
-      col("first.span_idx") =!= col("span_idx")
-    spans.join(firsts, "span_md5")
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_spans"),
-        sum(when(isDup, 1L).otherwise(0L)).as("n_dup_spans"),
-        round(sum(when(isDup, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
-          .as("dup_frac6"))
+      .groupBy(col("first.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - (SubstrSpanTokens - 1)).cast("long").as("n_spans"))
+      .filter(col("n_spans") >= 1L)
+    val nDup = col("n_spans") - coalesce(col("n_first"), lit(0L))
+    perDoc.join(nonDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), nDup.as("n_dup_spans"),
+        round(nDup.cast("double") / col("n_spans"), 6).as("dup_frac6"))
   }
 
   /** Embeddings with norms and a sign-bit LSH bucket over the first
