@@ -783,16 +783,23 @@ object DedupOps {
       // exactly once, so it both replaces the self-union branch and
       // carries the doc's OLD label through as `prev`: the changed
       // count is then a filter over the just-checkpointed table, not a
-      // join back onto the previous round
-      val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("label"),
-          lit(null).cast("long").as("prev"))
-      val jump = labels.as("x")
-        .join(labels.select(col("doc_id").as("j_doc"), col("label").as("j_label")),
-          col("x.label") === col("j_doc"))
-        .select(col("x.doc_id").as("doc_id"), col("j_label").as("label"),
-          col("x.label").as("prev"))
-      val next = jump.union(prop)
+      // join back onto the previous round.
+      //
+      // r19: prop and jump FUSED into one join (guide §2.4 — share the
+      // exchange). Both were labels-probes on different keys
+      // (edges.src for prop, x.label for jump); re-expressing the jump
+      // as synthetic "label edges" (label(x) → x, carrying x's old
+      // label as prev) makes the round ONE relation ⋈ labels on one
+      // key + the groupBy-min — per round one broadcast build and one
+      // join stage fewer than the two-join form. Same rows out: edge
+      // rows emit (dst, label(src), null) ≡ prop; label-edge rows emit
+      // (x, label(label(x)), label(x)) ≡ jump, because label(x) is
+      // itself a doc_id present in labels (the invariant above).
+      val rel = edges.select(col("src"), col("dst"), lit(null).cast("long").as("prev"))
+        .union(labels.select(col("label").as("src"), col("doc_id").as("dst"),
+          col("label").as("prev")))
+      val next = rel.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"), col("prev"))
         .groupBy("doc_id").agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
         .localCheckpoint(eager = false)
       changed = next.filter(col("label") =!= col("prev")).count()
