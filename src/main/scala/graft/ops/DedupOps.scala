@@ -805,6 +805,8 @@ object DedupOps {
       changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select("doc_id", "label")
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $rounds changed=$changed")
     }
     labels
   }

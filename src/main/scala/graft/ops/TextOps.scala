@@ -1724,9 +1724,11 @@ object TextOps {
     * [[graft.functions.MgSketch]]) keeps exactly 64 counters per
     * partition and ships ONE ≤64-entry summary per partition to the
     * merge — candidate-set memory and shuffle are O(k), independent of
-    * vocabulary size. Pass 2: exact recount of candidates only (the
-    * corpus side map-filters against the ≤64-item broadcast before any
-    * shuffle) + the same threshold filter. Because MG candidates
+    * vocabulary size; the same aggregation carries the stream length N
+    * (one pass, not two), and the ≤64-entry result row is collected to
+    * the driver (the kmeans-centroid pattern). Pass 2: exact recount of
+    * candidates only (the corpus side map-filters against the ≤64-item
+    * literal IN-set before any shuffle) + the same threshold filter. Because MG candidates
     * provably include every item above N/(k+1) ≤ N/HhThreshold, the
     * output is byte-identical to the exact twin — same oracle —
     * even though the intermediate candidate set depends on
@@ -1734,17 +1736,36 @@ object TextOps {
     * when the extension is absent. */
   val textHeavyHittersMg: Q = (s, dir) => {
     val items = hhItems(s, dir)
-    val cand =
-      if (s.catalog.functionExists("mg_sketch"))
-        items.agg(expr(s"mg_sketch(item, $HhSketchK)").as("sk"))
-          .select(explode(map_keys(col("sk"))).as("item"))
-      else items.select("item").distinct()
-    val total = items.agg(count(lit(1)).as("n"))
-    items.join(broadcast(cand), Seq("item"))
-      .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * HhThreshold >= col("n"))
-      .select("item", "cnt", "n")
+    if (s.catalog.functionExists("mg_sketch")) {
+      // r19 (guide §2.3/§2.4): the sketch row is DRIVER-sized (≤
+      // HhSketchK entries + one long), so pass 1 collects it — the
+      // kmeans-centroid pattern — computing the stream length N in the
+      // SAME aggregation instead of a third corpus pass, and pass 2
+      // screens map-side against the ≤64-item literal IN-set instead
+      // of a broadcast join (same semantics, no join, no second
+      // scan for the old separate `total` aggregate). Two corpus
+      // passes — the two-pass algorithm's floor. Output unchanged:
+      // recount + threshold make the result independent of the
+      // partitioning-dependent intermediate candidate set.
+      val row = items
+        .agg(expr(s"mg_sketch(item, $HhSketchK)").as("sk"), count(lit(1)).as("n"))
+        .select(map_keys(col("sk")).as("cand"), col("n")).head()
+      val cand = row.getSeq[String](0)
+      val n = row.getLong(1)
+      val screen = if (cand.isEmpty) lit(false) else col("item").isin(cand: _*)
+      items.filter(screen)
+        .groupBy("item").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * HhThreshold >= n)
+        .select(col("item"), col("cnt"), lit(n).as("n"))
+    } else {
+      val cand = items.select("item").distinct()
+      val total = items.agg(count(lit(1)).as("n"))
+      items.join(broadcast(cand), Seq("item"))
+        .groupBy("item").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * HhThreshold >= col("n"))
+        .select("item", "cnt", "n")
+    }
   }
 
   /** Count-min-sketch two-pass heavy hitters — the third member of the
