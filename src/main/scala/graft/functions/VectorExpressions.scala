@@ -541,6 +541,79 @@ object TokenTf {
   }
 }
 
+/** One-pass element frequencies over an `array<string>` — [[TokenTf]]'s
+  * exact move for PRE-TOKENIZED input (n-grams, normalized tokens):
+  * `array_tf(arr)` → map<element, count> built in a single hash pass per
+  * row. Exists so per-document n-gram statistics (top bigram frequency,
+  * the Gopher repetition signal) stay IN-ROW instead of paying an
+  * explode + two shuffled aggregations + a corpus-sized join back — at
+  * 100 TB that is the difference between a pure map stage and three
+  * exchanges of every bigram occurrence. No separator trick: elements
+  * are counted as opaque strings, so values containing any delimiter
+  * are exact (a `concat_ws`-then-`token_tf` fold would conflate them).
+  * Null elements are skipped (the callers' generated n-grams are never
+  * null; documented for direct SQL users). Deterministic first-
+  * occurrence key order, same as token_tf. */
+case class ArrayTf(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.MapType(
+    org.apache.spark.sql.types.StringType,
+    org.apache.spark.sql.types.IntegerType, valueContainsNull = false)
+  override def prettyName: String = "array_tf"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_tf requires array<string> input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayTf.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayTf.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayTf =
+    copy(child = newChild)
+}
+
+object ArrayTf {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, Int]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getUTF8String(i)
+        val prev: Int = counts.getOrDefault(v, 0)
+        // copy once per distinct element: the backing buffer may be
+        // reused by the caller between rows (the TokenTf discipline)
+        if (prev == 0) counts.put(v.clone(), 1)
+        else counts.put(v, prev + 1)
+      }
+      i += 1
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = e.getKey; vals(k) = e.getValue
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+}
+
 /** Optimizer rule: rewrite the built-in higher-order-function self-dot
   * pattern `aggregate(zip_with(v, v, (x,y) -> x*y), 0D, (a,x) -> a+x)`
   * into the codegen'd [[VecDot]] — users writing the idiomatic HOF form
@@ -923,6 +996,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_tf"),
       new ExpressionInfo(classOf[TokenTf].getName, "token_tf"),
       (children: Seq[Expression]) => TokenTf(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("array_tf"),
+      new ExpressionInfo(classOf[ArrayTf].getName, "array_tf"),
+      (children: Seq[Expression]) => ArrayTf(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("mg_sketch"),
       new ExpressionInfo(classOf[MgSketch].getName, "mg_sketch"),

@@ -1020,30 +1020,56 @@ object TextOps {
     * real LLM corpus filter applies (repetitious documents mark
     * boilerplate, scraped templates, or generation loops): duplicate-
     * token fraction (1 − distinct/total), most-common-token fraction,
-    * and most-common-bigram fraction. The token signals are IN-ROW —
-    * one native token_tf map pass (HOF fallback when the extension is
-    * absent, identical counts); the bigram mode needs per-doc heavy-
-    * hitter state, which is exactly a (doc_id, bigram) count + per-doc
-    * max — one shuffle keyed by the doc, no global vocabulary, no
-    * skew (partitions are per-document). Every ratio is a single
-    * division of exact integer counts — the exact-parity class, so no
-    * rounding is needed. */
+    * and most-common-bigram fraction. ALL signals are IN-ROW when the
+    * extension is present — one native token_tf map pass for the token
+    * stats and one native array_tf pass over the doc's own bigram array
+    * for the bigram mode (r19, guide §2.4: the per-doc heavy-hitter
+    * state is bounded by the document, so it never needed the
+    * (doc_id, bigram) shuffle + per-doc re-aggregation + corpus-sized
+    * join back the dataflow form paid — the whole query is now one
+    * shuffle-free Project over the scan). The dataflow form stays as
+    * the extension-absent fallback, identical counts. Every ratio is a
+    * single division of exact integer counts — the exact-parity class,
+    * so no rounding is needed. */
   val textRepetition: Q = (s, dir) => {
     val base = t(s, dir, "documents")
+    if (s.catalog.functionExists("array_tf")) {
+      // bigram array of the doc's own tokens; docs with < 2 tokens have
+      // no bigrams — their fractions are NULL, matching the dataflow
+      // form's left join against an absent biStats row
+      base.withColumn("m", expr("token_tf(text)"))
+        // tk hoisted to its own column: a split() referenced INSIDE the
+        // transform lambda would re-evaluate per element (O(n²) per doc)
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("bm", expr(
+          """CASE WHEN size(tk) >= 2 THEN
+               array_tf(transform(sequence(1, size(tk) - 1),
+                 i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))
+             END"""))
+        .select(col("doc_id"),
+          expr("aggregate(map_values(m), 0, (a, x) -> a + x)").cast("long").as("n_tokens"),
+          size(expr("map_keys(m)")).cast("long").as("n_distinct"),
+          expr("array_max(map_values(m))").cast("long").as("top_tf"),
+          expr("array_max(map_values(bm))").cast("long").as("top_bi"),
+          expr("aggregate(map_values(bm), 0, (a, x) -> a + x)").cast("long").as("n_bigrams"))
+        .select(col("doc_id"), col("n_tokens"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_token_frac"),
+          (col("top_tf").cast("double") / col("n_tokens")).as("top_token_frac"),
+          (col("top_bi").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+    } else textRepetitionDataflow(base)
+  }
+
+  /** The extension-absent fallback (and the r19 parity witness for the
+    * in-row form above): HOF token stats + the shuffled (doc_id, bigram)
+    * count + per-doc re-aggregation + left join back. */
+  private[graft] def textRepetitionDataflow(base: DataFrame): DataFrame = {
     val tokStats =
-      if (s.catalog.functionExists("token_tf"))
-        base.withColumn("m", expr("token_tf(text)"))
-          .select(col("doc_id"),
-            expr("aggregate(map_values(m), 0, (a, x) -> a + x)").cast("long").as("n_tokens"),
-            size(expr("map_keys(m)")).cast("long").as("n_distinct"),
-            expr("array_max(map_values(m))").cast("long").as("top_tf"))
-      else
-        base.withColumn("tk", split(col("text"), " "))
-          .select(col("doc_id"),
-            size(col("tk")).cast("long").as("n_tokens"),
-            size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
-            expr("array_max(transform(array_distinct(tk), x -> size(filter(tk, y -> y = x))))")
-              .cast("long").as("top_tf"))
+      base.withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+          expr("array_max(transform(array_distinct(tk), x -> size(filter(tk, y -> y = x))))")
+            .cast("long").as("top_tf"))
     val bigrams = base.withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1668,7 +1694,11 @@ object TextOps {
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val ab = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
-    val fst = big.groupBy("w1").agg(count(lit(1)).as("n_a"))
+    // r19 (guide §2.3): n_a = Σ_w2 n_ab — both count the same bigram
+    // rows grouped by w1, so the context count re-aggregates the
+    // (vocabulary-sized) bigram table instead of paying a third
+    // corpus-sized Generate pass; ab's exchange is then reused for it.
+    val fst = ab.groupBy("w1").agg(sum(col("n_ab")).as("n_a"))
     big.join(ab, Seq("w1", "w2")).join(fst, Seq("w1"))
       .withColumn("lp", log(col("n_ab").cast("double") / col("n_a")))
       .groupBy("doc_id")
