@@ -329,7 +329,11 @@ object DedupOps {
   val dedupMinhashAccuracy: Q = (s, dir) => {
     val pairs = dedupMinhashLsh(s, dir).select("a", "b", "n_match")
     val tok = distinctTokens(s, dir)
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // r19 (guide §2.3): |distinct tokens| per doc is in-row arithmetic
+    // on the text itself — one narrow Project instead of re-exploding
+    // the token index and shuffling it into a per-doc count
+    val sz = docs(s, dir).select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n"))
     val inter = pairs.select("a", "b")
       .join(tok.toDF("a", "tk"), "a")
       .join(tok.toDF("b", "tk"), Seq("b", "tk"))
@@ -386,7 +390,11 @@ object DedupOps {
       .filter(col("n_shared") >= WinnowMinShared)
       .select("a", "b")
     val tok = distinctTokens(s, dir)
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // r19 (guide §2.3): |distinct tokens| per doc is in-row arithmetic
+    // on the text itself — one narrow Project instead of re-exploding
+    // the token index and shuffling it into a per-doc count
+    val sz = docs(s, dir).select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n"))
     val inter = pairs
       .join(tok.toDF("a", "tk"), "a")
       .join(tok.toDF("b", "tk"), Seq("b", "tk"))
@@ -931,7 +939,11 @@ object DedupOps {
     val pairs = dedupMinhashLsh(s, dir).select("a", "b")
     val sh = dedupSimhash(s, dir)
     val tok = distinctTokens(s, dir)
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // r19 (guide §2.3): |distinct tokens| per doc is in-row arithmetic
+    // on the text itself — one narrow Project instead of re-exploding
+    // the token index and shuffling it into a per-doc count
+    val sz = docs(s, dir).select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n"))
     val inter = pairs
       .join(tok.toDF("a", "tk"), "a")
       .join(tok.toDF("b", "tk"), Seq("b", "tk"))

@@ -460,15 +460,28 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("text_heavy_hitters_mg sketches via ObjectHashAggregate and recounts only candidates") {
-    val plan = executedPlan("text_heavy_hitters_mg")
-    // the MG TypedImperativeAggregate must plan as ObjectHashAggregate
+    // r19: the sketch pass runs at DataFrame-construction time (the
+    // driver-sized (sketch, N) row is collected, the kmeans-centroid
+    // pattern), so the TERMINAL plan is the recount pass alone. Pin
+    // the sketch pass's shape directly instead: the MG
+    // TypedImperativeAggregate must plan as ObjectHashAggregate
     // (partial per partition — one <=k-entry summary crosses the wire)
-    assert(plan.contains("ObjectHashAggregate"), plan)
-    assert(plan.contains("mg_sketch"), plan)
-    // the recount pass filters the corpus against the tiny candidate
-    // set BEFORE any shuffle: a broadcast hash join, never a shuffled
-    // join of the full token stream
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // fused with the stream-length count in ONE aggregation.
+    val sketchPass = graft.ops.TextOps.hhItems(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.expr(
+        s"mg_sketch(item, ${graft.ops.TextOps.HhSketchK})").as("sk"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+    sketchPass.write.mode("overwrite").format("noop").save()
+    val sketchPlan = sketchPass.queryExecution.executedPlan.toString
+    assert(sketchPlan.contains("ObjectHashAggregate"), sketchPlan)
+    assert(sketchPlan.contains("mg_sketch"), sketchPlan)
+    // the recount pass screens the corpus against the <=k-item literal
+    // IN-set BEFORE any shuffle: a map-side filter + one aggregation —
+    // no join of the full token stream at all
+    val plan = executedPlan("text_heavy_hitters_mg")
+    assert(plan.contains("Filter"), plan)
+    assert(!plan.contains("Join"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
