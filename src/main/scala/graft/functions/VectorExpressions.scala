@@ -614,6 +614,72 @@ object ArrayTf {
   }
 }
 
+/** BPE token normalization in ONE byte pass — the native form of
+  * `regexp_replace(translate(t, '0123456789', 'qwertyuiop'), '[^a-z]', '')`
+  * (digits transliterate to letters, every other non-a-z character
+  * strips; multi-byte UTF-8 chars consist solely of bytes ≥ 0x80, so
+  * byte-wise skipping strips them exactly like the char regex). The
+  * regex pair costs two engine passes per token OCCURRENCE on the
+  * corpus-sized tokenize/train paths; this is a single scan of the
+  * bytes. [[BpeAtomize]] additionally wraps each surviving char as
+  * `(c)` — the char-atomization `regexp_replace(w, '(.)', '($1)')`
+  * fused in, so the corpus tokenize pays ONE byte pass for what was
+  * three regex passes. Both are exact-output twins of the regex forms
+  * (BpeSpec pins parity); the regex forms remain the extension-absent
+  * fallback. */
+case class BpeNorm(child: Expression, wrap: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = if (wrap) "bpe_atomize" else "bpe_norm"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeNorm.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], wrap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeNorm.compute($c, $wrap)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeNorm =
+    copy(child = newChild)
+}
+
+object BpeNorm {
+  private val digitMap: Array[Byte] = "qwertyuiop".getBytes("US-ASCII")
+
+  def compute(t: org.apache.spark.unsafe.types.UTF8String, wrap: Boolean)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = t.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](if (wrap) 3 * n else n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      val c: Byte =
+        if (b >= 'a' && b <= 'z') b
+        else if (b >= '0' && b <= '9') digitMap(b - '0')
+        else 0
+      if (c != 0) {
+        if (wrap) {
+          out(k) = '('; out(k + 1) = c; out(k + 2) = ')'; k += 3
+        } else { out(k) = c; k += 1 }
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String
+      .fromBytes(java.util.Arrays.copyOf(out, k))
+  }
+}
+
 /** Optimizer rule: rewrite the built-in higher-order-function self-dot
   * pattern `aggregate(zip_with(v, v, (x,y) -> x*y), 0D, (a,x) -> a+x)`
   * into the codegen'd [[VecDot]] — users writing the idiomatic HOF form
@@ -1000,6 +1066,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_tf"),
       new ExpressionInfo(classOf[ArrayTf].getName, "array_tf"),
       (children: Seq[Expression]) => ArrayTf(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_norm"),
+      new ExpressionInfo(classOf[BpeNorm].getName, "bpe_norm"),
+      (children: Seq[Expression]) => BpeNorm(children.head, wrap = false)))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_atomize"),
+      new ExpressionInfo(classOf[BpeNorm].getName, "bpe_atomize"),
+      (children: Seq[Expression]) => BpeNorm(children.head, wrap = true)))
     ext.injectFunction((
       new FunctionIdentifier("mg_sketch"),
       new ExpressionInfo(classOf[MgSketch].getName, "mg_sketch"),

@@ -723,9 +723,12 @@ object TextOps {
       // digits transliterate to letters (a no-op on the digit-free
       // fixture, gate-verified) so digit-bearing vocabularies — the
       // generated corpora — keep their distinctions instead of
-      // collapsing; remaining non-letters strip as before
-      .select(regexp_replace(
-        translate(col("w"), "0123456789", "qwertyuiop"), "[^a-z]", "").as("word"))
+      // collapsing; remaining non-letters strip as before. r19: the
+      // native bpe_norm does both in one byte pass (exact twin of the
+      // translate+regexp pair — BpeSpec parity); regex fallback kept.
+      .select((if (s.catalog.functionExists("bpe_norm")) expr("bpe_norm(w)")
+        else regexp_replace(
+          translate(col("w"), "0123456789", "qwertyuiop"), "[^a-z]", "")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -822,15 +825,17 @@ object TextOps {
     * BpeSpec call this same builder so their codegen/cost/fixed-point
     * answers cover exactly what the entries run. */
   private[graft] def bpeChainExpr(merges: Seq[(String, String, Long)],
-      v: String = "w"): String =
-    merges.foldLeft(s"regexp_replace($v, '(.)', '($$1)')") {
+      v: String = "w", preAtomized: Boolean = false): String =
+    merges.foldLeft(
+      if (preAtomized) v else s"regexp_replace($v, '(.)', '($$1)')") {
       case (acc, (l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
     }
 
   val bpeTokenCount: Q = (s, dir) => {
     val (merges, _) = bpeTrain(s, dir)
-    graft.streaming.DocStreams
-      .bpeTokenizeScreen(t(s, dir, "documents"), bpeChainExpr(merges))
+    val atomized = s.catalog.functionExists("bpe_atomize")
+    graft.streaming.DocStreams.bpeTokenizeScreen(t(s, dir, "documents"),
+      bpeChainExpr(merges, preAtomized = atomized), atomized)
   }
 
   /** The tokenizer as an INGEST stream — the THIRTEENTH oracle-checked
@@ -844,8 +849,9 @@ object TextOps {
     val sch = s.read.parquet(s"$dir/documents.parquet").schema
     val stream = s.readStream.schema(sch)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val scored = graft.streaming.DocStreams
-      .bpeTokenizeScreen(stream, bpeChainExpr(merges))
+    val atomized = s.catalog.functionExists("bpe_atomize")
+    val scored = graft.streaming.DocStreams.bpeTokenizeScreen(stream,
+      bpeChainExpr(merges, preAtomized = atomized), atomized)
     val sink = "graft_bpe_stream_sink"
     s.catalog.dropTempView(sink)
     val q = scored.writeStream.format("memory").queryName(sink)

@@ -40,10 +40,22 @@ object DocStreams {
     * the batch entry `bpe_token_count` and its stream twin execute
     * THIS transform, so stream == batch cannot drift by one-copy
     * edits. Emits (doc_id, n_ws_tokens, n_bpe_tokens). */
-  def bpeTokenizeScreen(docs: DataFrame, chainE: String): DataFrame =
+  def bpeTokenizeScreen(docs: DataFrame, chainE: String,
+      atomized: Boolean = false): DataFrame =
     docs
+      // r19: with the extension, normalization + char-atomization fuse
+      // into ONE native byte pass (bpe_atomize) and chainE is the
+      // replaces-only chain over the pre-wrapped tokens — what was
+      // three regex passes per token occurrence. Exact-output twin of
+      // the regex form (BpeSpec parity); caller passes atomized=false
+      // (and the wrapping chain) when the extension is absent. The
+      // empty-string filter drops the same tokens either way (a
+      // letterless token atomizes to '' exactly when it normalizes
+      // to '').
       .select(col("doc_id"),
-        expr("filter(transform(split(lower(text), ' '), " +
+        expr(if (atomized)
+          "filter(transform(split(lower(text), ' '), t -> bpe_atomize(t)), w -> w <> '')"
+        else "filter(transform(split(lower(text), ' '), " +
           "t -> regexp_replace(translate(t, '0123456789', 'qwertyuiop'), '[^a-z]', '')), " +
           "w -> w <> '')").as("ws"))
       // a doc with NO alphabetic tokens has no tokenizer output — drop

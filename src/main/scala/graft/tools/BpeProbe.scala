@@ -33,6 +33,12 @@ object BpeProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.fallback", "false")
       .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      // r19: load the extension so the probe certifies the PRODUCTION
+      // tokenize path (native bpe_atomize) under strict codegen; unset
+      // SPARK_GRAFT_BPE_NOEXT=1 to probe the regex fallback instead
+      .config("spark.sql.extensions",
+        if (sys.env.contains("SPARK_GRAFT_BPE_NOEXT")) ""
+        else "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,12 +51,14 @@ object BpeProbe {
     // the applied tokenizer over the corpus, strict-codegen — built by
     // THE production chain builder so the probe certifies exactly what
     // bpe_token_count runs
-    val chain = graft.ops.TextOps.bpeChainExpr(merges)
+    val atomized = spark.catalog.functionExists("bpe_atomize")
+    val chain = graft.ops.TextOps.bpeChainExpr(merges, preAtomized = atomized)
     var agg: org.apache.spark.sql.Row = null
     val samples = (1 to reps).map { _ =>
       val t1 = System.nanoTime()
       agg = graft.streaming.DocStreams
-        .bpeTokenizeScreen(spark.read.parquet(s"$dir/documents.parquet"), chain)
+        .bpeTokenizeScreen(spark.read.parquet(s"$dir/documents.parquet"),
+          chain, atomized)
         .agg(sum("n_ws_tokens").as("ws"), sum("n_bpe_tokens").as("bpe")).head()
       (System.nanoTime() - t1) / 1e9
     }

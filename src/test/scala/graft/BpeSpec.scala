@@ -54,4 +54,42 @@ class BpeSpec extends SparkSpec {
     assert(totalSyms == words.count(),
       s"saturated training must leave one symbol per word ($totalSyms vs ${words.count()})")
   }
+
+  test("bpe_norm/bpe_atomize are exact twins of the regex normalize/wrap (r19)") {
+    import org.apache.spark.sql.functions._
+    assert(spark.catalog.functionExists("bpe_norm"), "extension not loaded")
+    // corpus tokens + adversarial strings: digits, unicode (multi-byte
+    // UTF-8), punctuation, empty, mixed
+    import spark.implicits._
+    val adversarial = Seq("abc", "a1b2", "0123456789", "héllo", "日本語",
+      "a-b.c", "", "...", "ABC" /* pre-lower() uppercase strips */,
+      "x0y9z").toDF("w")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+    for (df <- Seq(adversarial, corpus)) {
+      val cmp = df.select(
+        expr("bpe_norm(w)").as("native"),
+        regexp_replace(translate(col("w"), "0123456789", "qwertyuiop"),
+          "[^a-z]", "").as("regex"),
+        expr("bpe_atomize(w)").as("nativeW"),
+        regexp_replace(regexp_replace(translate(col("w"), "0123456789",
+          "qwertyuiop"), "[^a-z]", ""), "(.)", "($1)").as("regexW"))
+      assert(cmp.filter(col("native") =!= col("regex")
+        || col("nativeW") =!= col("regexW")).isEmpty,
+        cmp.filter(col("native") =!= col("regex")
+          || col("nativeW") =!= col("regexW")).collect().mkString("\n"))
+    }
+  }
+
+  test("atomized bpe_token_count matches the regex-fallback plan row-for-row (r19)") {
+    val (merges, _) = graft.ops.TextOps.bpeTrain(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val atomized = graft.streaming.DocStreams.bpeTokenizeScreen(docs,
+      graft.ops.TextOps.bpeChainExpr(merges, preAtomized = true), atomized = true)
+    val fallback = graft.streaming.DocStreams.bpeTokenizeScreen(docs,
+      graft.ops.TextOps.bpeChainExpr(merges))
+    val a = atomized.collect().map(_.toSeq).toSet
+    val b = fallback.collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
 }
