@@ -508,11 +508,49 @@ object SimilarityOps {
     * cell. */
   private[graft] def pqTrain(
       s: SparkSession, dir: String, mu: Seq[Double],
-      m: Int = PqM, subDim: Int = PqSubDim): Seq[Seq[(Int, Seq[Double])]] = {
-    // dims = mu.length: the MRL composition trains over the truncated
-    // prefix, so the source vector is sliced to the mean's width first
-    // (zip_with null-pads mismatched lengths — silent poison otherwise)
-    val dims = mu.length
+      m: Int = PqM, subDim: Int = PqSubDim): Seq[Seq[(Int, Seq[Double])]] =
+    pqTrainFused(s, dir, mu.length, m, subDim, Some(mu))._2
+
+  /** [[pqMean]] + [[pqTrain]] with the mean pass and the init-codebook
+    * collect FUSED into one job (r19, guide §1.2/§2.3): the per-dim
+    * round-6 mean and the `vec_id < PqK` init vectors come out of the
+    * SAME corpus aggregation (the init rows ride as a collect_list of
+    * ≤ PqK driver-sized structs), so every PQ entry pays dims+init in
+    * one barrier instead of two sequential corpus passes. Centering and
+    * sub-slicing of the init vectors move to the driver — the same
+    * IEEE double subtract the zip_with form computed, on the same
+    * doubles (the literal channel is shortest-roundtrip exact), so the
+    * codebooks are bit-identical (AnnIndexSpec's model-parity pin).
+    * `muOverride` keeps the two-arg [[pqTrain]] form (tests, callers
+    * that computed the mean separately) on the same Lloyd code. */
+  private[graft] def pqTrainFused(
+      s: SparkSession, dir: String, dims: Int = 64,
+      m: Int = PqM, subDim: Int = PqSubDim,
+      muOverride: Option[Seq[Double]] = None)
+      : (Seq[Double], Seq[Seq[(Int, Seq[Double])]]) = {
+    val (mu, initVecs): (Seq[Double], Seq[(Long, Seq[Double])]) = muOverride match {
+      case Some(given) =>
+        val init = t(s, dir, "embeddings")
+          .filter(col("vec_id") < PqK)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        (given, init)
+      case None =>
+        val row = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .agg(
+            array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("mu"),
+            expr(s"sort_array(collect_list(CASE WHEN vec_id < $PqK THEN struct(vec_id, v) END))")
+              .as("init"))
+          .head()
+        (row.getSeq[Double](0).take(dims),
+          row.getSeq[org.apache.spark.sql.Row](1)
+            .map(r => (r.getLong(0), r.getSeq[Double](1))))
+    }
+    // dims = mu.length contract of the two-arg form: the MRL
+    // composition trains over the truncated prefix, so vectors are
+    // sliced to the mean's width before centering (zip_with null-pads
+    // mismatched lengths — silent poison otherwise)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .select(col("vec_id"), expr(s"slice(v, 1, $dims)").as("v"))
@@ -526,10 +564,13 @@ object SimilarityOps {
         rows.filter(_._1 == mm).sortBy(_._2).zipWithIndex
           .map { case ((_, _, c), i) => (i, c) }
       }
+    // init codebooks: centered + sub-sliced on the driver (≤ PqK rows)
     var cb: Seq[Seq[(Int, Seq[Double])]] = rekey(
-      subs.filter(col("vec_id") < PqK)
-        .collect().toSeq
-        .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2))))
+      initVecs.flatMap { case (id, v) =>
+        val centered = (0 until dims).map(d => v(d) - mu(d))
+        (0 until m).map(mm =>
+          (mm, id, centered.slice(subDim * mm, subDim * (mm + 1)): Seq[Double]))
+      })
     for (_ <- 1 to PqIters) {
       val assigned = subs.withColumn("code",
         expr(pqAssignFold(s, s"${pqCbLit(cb)}[m]", "sv")))
@@ -538,7 +579,7 @@ object SimilarityOps {
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))))
     }
-    cb
+    (mu, cb)
   }
 
   /** Per-row PQ encoding: array of code ids, all subspaces assigned
@@ -568,8 +609,7 @@ object SimilarityOps {
     * this projection (plus the IVF cell id from [[annIvfKmeans]]'s
     * assignment) as the search index: 32× smaller than the vectors. */
   val embeddingPqCodes: Q = (s, dir) => {
-    val mu = pqMean(s, dir)
-    val cb = pqTrain(s, dir, mu)
+    val (mu, cb) = pqTrainFused(s, dir)
     t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .select(col("vec_id"), expr(centerExpr(mu)).as("v"))
@@ -586,8 +626,7 @@ object SimilarityOps {
     * verbatim so the gate pins stream == batch == oracle for the PQ
     * index build too. */
   val embeddingPqCodesStreamTwin: Q = (s, dir) => {
-    val mu = pqMean(s, dir)
-    val cb = pqTrain(s, dir, mu)
+    val (mu, cb) = pqTrainFused(s, dir)
     val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
     val stream = s.readStream.schema(sch)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
@@ -631,8 +670,7 @@ object SimilarityOps {
     * candidate and silently skews the order). */
   private def pqAdcScored(s: SparkSession, dir: String,
       dims: Int = 64, m: Int = PqM, subDim: Int = PqSubDim): (DataFrame, DataFrame) = {
-    val mu = pqMean(s, dir).take(dims)
-    val cb = pqTrain(s, dir, mu, m, subDim)
+    val (mu, cb) = pqTrainFused(s, dir, dims, m, subDim)
     val raw = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
     // the PQ side sees the (possibly truncated) prefix; `raw` stays
@@ -740,8 +778,7 @@ object SimilarityOps {
     * vectors — a probe reads one cell's codes, and raw vectors are
     * point-looked-up [[PqShortlist]] times per query. */
   val annIvfPqTopk: Q = (s, dir) => {
-    val mu = pqMean(s, dir)
-    val cb = pqTrain(s, dir, mu)
+    val (mu, cb) = pqTrainFused(s, dir)
     val cents = kmeansTrain(s, dir)
     val raw = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -816,8 +853,7 @@ object SimilarityOps {
     * codes) bucketed by cell, raw vectors point-looked-up only for the
     * [[PqShortlist]]-deep shortlist. */
   val annMrlIvfPqTopk: Q = (s, dir) => {
-    val mu = pqMean(s, dir).take(MrlDim)
-    val cb = pqTrain(s, dir, mu, MrlPqM, MrlPqSubDim)
+    val (mu, cb) = pqTrainFused(s, dir, MrlDim, MrlPqM, MrlPqSubDim)
     val cents = kmeansTrain(s, dir)
     val raw = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -894,8 +930,7 @@ object SimilarityOps {
     // stay FULL-width (geometry pays no truncation tax), codes cover
     // the truncated prefix; the probe derives every width from the
     // model itself, so it needs no flag
-    val mu = pqMean(s, dir).take(dims)
-    val cb = pqTrain(s, dir, mu, m, subDim)
+    val (mu, cb) = pqTrainFused(s, dir, dims, m, subDim)
     val cents = kmeansTrain(s, dir)
     val modelRows: Seq[(String, Int, Long, Seq[Double])] =
       Seq(("mean", 0, 0L, mu)) ++
