@@ -793,6 +793,14 @@ object DedupOps {
       // count is then a filter over the just-checkpointed table, not a
       // join back onto the previous round.
       //
+      // r19 REJECTED EXPERIMENT (do not redo): composing a SECOND
+      // pointer hop through the old labels onto the round's min
+      // (join the groupBy output back onto `labels` on label = doc_id,
+      // taking label_old(label) — valid and monotone) did NOT reduce
+      // the round count (9 → 9 at sf0.1; the convergence tail is
+      // prop-bound stragglers, not jump depth) and the extra broadcast
+      // join made the loop measurably slower (probe 3.4-3.5 s → 4.3+ s).
+      //
       // r19: prop and jump FUSED into one join (guide §2.4 — share the
       // exchange). Both were labels-probes on different keys
       // (edges.src for prop, x.label for jump); re-expressing the jump
