@@ -652,6 +652,80 @@ case class BpeNorm(child: Expression, wrap: Boolean)
     copy(child = newChild)
 }
 
+/** Heavy-hitter item derivation in ONE digest pass — the native form
+  * of the oracle-mirrored SQL
+  * `u = pmod(cast(conv(substring(md5(concat(tk, ':', cast(doc_id as
+  * string))), 1, 13), 16, 10) as bigint), 1024)` followed by
+  * `if(u < 512, 'hot_' || (u div 64), 'rare_' || u)`: the md5 is
+  * streamed over exactly the bytes the concat renders (token bytes,
+  * one ':', the decimal doc id), the 52-bit value is read from the
+  * digest bytes (hex chars 1..13 = bytes 0..5 + the high nibble of
+  * byte 6, as [[ShingleHashes]]), and the item string comes from a
+  * precomputed 1024-entry table. What it removes per token OCCURRENCE:
+  * the concat allocation, the 32-char hex render, the substring, the
+  * base-16 string parse (`conv`), the base-10 re-render + long cast,
+  * and the conditional string concat — both heavy-hitter passes pay
+  * this per occurrence (r20, VERDICT item 5). The SQL form remains the
+  * extension-absent fallback; HhItemSpec pins bit parity. */
+case class HhItem(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "hh_item"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hh_item requires (string, bigint) inputs, got $other")
+    }
+
+  override def nullSafeEval(tk: Any, docId: Any): Any =
+    HhItem.compute(
+      tk.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      docId.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, d) => s"graft.functions.HhItem.compute($t, $d)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HhItem =
+    copy(left = newLeft, right = newRight)
+}
+
+object HhItem {
+  private val localMd: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val Colon = Array[Byte](':')
+  // u is 0..1023, so every possible item string is precomputable:
+  // u < 512 folds to hot_{u div 64}, the rest stay rare_{u}
+  private val items: Array[org.apache.spark.unsafe.types.UTF8String] =
+    (0 until 1024).map { u =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (u < 512) s"hot_${u / 64}" else s"rare_$u")
+    }.toArray
+
+  def compute(tk: org.apache.spark.unsafe.types.UTF8String, docId: Long)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val md = localMd.get()
+    md.reset()
+    md.update(tk.getBytes)
+    md.update(Colon, 0, 1)
+    md.update(java.lang.Long.toString(docId)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val d = md.digest()
+    // 52 bits = hex chars 1..13: bytes 0..5 + high nibble of byte 6
+    var h = 0L
+    var k = 0
+    while (k < 6) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    h = (h << 4) | ((d(6) & 0xf0L) >>> 4)
+    items((h % 1024L).toInt) // h >= 0 (52 bits), so % == pmod
+  }
+}
+
 object BpeNorm {
   private val digitMap: Array[Byte] = "qwertyuiop".getBytes("US-ASCII")
 
@@ -659,7 +733,23 @@ object BpeNorm {
       : org.apache.spark.unsafe.types.UTF8String = {
     val bytes = t.getBytes
     val n = bytes.length
-    val out = new Array[Byte](if (wrap) 3 * n else n)
+    // 3*n overflows int for inputs over ~715 MB (ADVICE r19): the
+    // expression is registered for arbitrary SQL input, so count the
+    // kept characters first when the wrapped size could overflow
+    val outLen =
+      if (!wrap) n
+      else if (n <= Int.MaxValue / 3) 3 * n
+      else {
+        var kept = 0
+        var j = 0
+        while (j < n) {
+          val b = bytes(j)
+          if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) kept += 1
+          j += 1
+        }
+        3 * kept // kept <= n/…: only a-z0-9 survive, each renders 3 bytes
+      }
+    val out = new Array[Byte](outLen)
     var k = 0
     var i = 0
     while (i < n) {
@@ -1074,6 +1164,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bpe_atomize"),
       new ExpressionInfo(classOf[BpeNorm].getName, "bpe_atomize"),
       (children: Seq[Expression]) => BpeNorm(children.head, wrap = true)))
+    ext.injectFunction((
+      new FunctionIdentifier("hh_item"),
+      new ExpressionInfo(classOf[HhItem].getName, "hh_item"),
+      (children: Seq[Expression]) => HhItem(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("mg_sketch"),
       new ExpressionInfo(classOf[MgSketch].getName, "mg_sketch"),

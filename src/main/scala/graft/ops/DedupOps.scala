@@ -145,6 +145,33 @@ object DedupOps {
     docs(s, dir).select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tk"))
 
+  /** Pair-bounded token-intersection counts — (a, b, ni) for each
+    * candidate pair, ni = |distinct-token intersection|. Shared by the
+    * three sketch-accuracy audits (minhash/simhash/containment).
+    *
+    * r20 (guide §2.3/§3.2, VERDICT item 3): the two inverted-index join
+    * SIDES used to each derive the corpus-sized token index (two full
+    * text scans + explodes — differently keyed, so no exchange ever
+    * reused; StageReuseProbe measured 10 Generates in the executed
+    * minhash_accuracy plan). Now the index is derived ONCE, pruned to
+    * the candidate-pair members by a semi join BEFORE it is
+    * materialized (candidate docs are the sub-quadratic LSH output —
+    * a vanishing fraction of a 100 TB corpus), and the in-query persist
+    * shares that pruned slice between the a-side and b-side joins.
+    * `pairs` must carry exactly (a, b) and should itself be persisted
+    * by the caller (every audit references it at least twice). */
+  private def pairIntersections(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val pairDocs = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val tok = distinctTokens(s, dir)
+      .join(pairDocs, Seq("doc_id"), "left_semi").persist()
+    pairs
+      .join(tok.toDF("a", "tk"), "a")
+      .join(tok.toDF("b", "tk"), Seq("b", "tk"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+  }
+
   /** MinHash/LSH banding parameters — shared by the Scala plan and the
     * oracle SQL so the two can never drift. 16 permutations banded as
     * 2 bands × 8 rows: P(band collision) = j⁸ per band, so a random
@@ -327,17 +354,19 @@ object DedupOps {
     * structural band guarantee (every candidate shares a full band ⇒
     * n_match ≥ 8). */
   val dedupMinhashAccuracy: Q = (s, dir) => {
-    val pairs = dedupMinhashLsh(s, dir).select("a", "b", "n_match")
-    val tok = distinctTokens(s, dir)
+    // r20 (VERDICT item 3): the audit references the LSH pair set twice
+    // (intersection probe + the scored output); without the persist the
+    // whole post-signature LSH subtree (band explode, hot-bucket
+    // anti-join, self-join, distinct, two verify joins) executed twice
+    // — measured in the AQE-final plan. The pair set is the
+    // sub-quadratic candidate output: tiny, and the right thing to pin.
+    val pairs = dedupMinhashLsh(s, dir).select("a", "b", "n_match").persist()
     // r19 (guide §2.3): |distinct tokens| per doc is in-row arithmetic
     // on the text itself — one narrow Project instead of re-exploding
     // the token index and shuffling it into a per-doc count
     val sz = docs(s, dir).select(col("doc_id"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("n"))
-    val inter = pairs.select("a", "b")
-      .join(tok.toDF("a", "tk"), "a")
-      .join(tok.toDF("b", "tk"), Seq("b", "tk"))
-      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    val inter = pairIntersections(s, dir, pairs.select("a", "b"))
     pairs
       .join(inter, Seq("a", "b"), "left")
       .join(sz.toDF("a", "na"), "a")
@@ -379,7 +408,12 @@ object DedupOps {
     * no float ulp can flip a borderline row; `cont6` is the one
     * terminal IEEE division, rounded per the standing discipline. */
   val dedupContainment: Q = (s, dir) => {
-    val fps = winnowFpRows(docs(s, dir))
+    // r20 (VERDICT item 3): the fingerprint rows feed the hot-df
+    // aggregate, BOTH pair-join sides, so the winnowing pass ran
+    // multiple times; the pair set is then referenced twice (probe +
+    // output). Persist both — fps is the ~1/w-sampled fingerprint
+    // index (narrow longs), pairs the sub-quadratic candidate set.
+    val fps = winnowFpRows(docs(s, dir)).persist()
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > ContainMaxDf).select("fp")
     val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
@@ -389,16 +423,13 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
       .select("a", "b")
-    val tok = distinctTokens(s, dir)
+      .persist()
     // r19 (guide §2.3): |distinct tokens| per doc is in-row arithmetic
     // on the text itself — one narrow Project instead of re-exploding
     // the token index and shuffling it into a per-doc count
     val sz = docs(s, dir).select(col("doc_id"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("n"))
-    val inter = pairs
-      .join(tok.toDF("a", "tk"), "a")
-      .join(tok.toDF("b", "tk"), Seq("b", "tk"))
-      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    val inter = pairIntersections(s, dir, pairs)
     pairs
       .join(inter, Seq("a", "b"), "left")
       .join(sz.toDF("a", "na"), "a")
@@ -755,13 +786,12 @@ object DedupOps {
     * cluster prefer a reliable checkpoint dir (or accept
     * recompute-from-scratch on executor loss — each round is cheap).
     *
-    * All checkpoints are LAZY: the per-round changed-count action
-    * materializes the round's checkpoint inside its own job, so each
-    * round schedules ONE job instead of two (eager-checkpoint job +
-    * count job). Measured NEUTRAL at sf0.1 (~1.9 s either way — the
-    * shuffle stages, not job-submission overhead, dominate there) but
-    * kept: half the driver-side job barriers is strictly less
-    * scheduling surface for a contended cluster, at zero cost. */
+    * All checkpoints are LAZY: the changed-count action materializes
+    * the checkpoints inside its own job, so no separate
+    * eager-checkpoint jobs are scheduled. Since r20 the loop runs TWO
+    * propagation rounds per changed-count action (see the block
+    * comment in the loop), so k rounds cost ceil(k/2) + possibly one
+    * driver barriers instead of k. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // REJECTED EXPERIMENT (round-5 continuation, NOTES_r5): collapsing
     // the working set to 8 partitions (repartition(8, src) here +
@@ -811,18 +841,35 @@ object DedupOps {
       // rows emit (dst, label(src), null) ≡ prop; label-edge rows emit
       // (x, label(label(x)), label(x)) ≡ jump, because label(x) is
       // itself a doc_id present in labels (the invariant above).
-      val rel = edges.select(col("src"), col("dst"), lit(null).cast("long").as("prev"))
-        .union(labels.select(col("label").as("src"), col("doc_id").as("dst"),
-          col("label").as("prev")))
-      val next = rel.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("label"), col("prev"))
-        .groupBy("doc_id").agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
-        .localCheckpoint(eager = false)
+      // r20 (guide §2.6/§1.5, VERDICT item 1): TWO propagation rounds
+      // per driver action. The convergence check is the only reason a
+      // round needs its own job; checking every 2nd round halves the
+      // driver barriers, while both rounds' lazy checkpoints
+      // materialize inside the single count() job (checkpoint blocks
+      // persist as a side effect of that job's computation, so lineage
+      // is still cut at every round boundary and the inner round's
+      // output is computed once even though the outer round's plan
+      // references it twice). Correctness unchanged: the round
+      // operator is monotone with fixed point = component minima, so a
+      // round past convergence is the identity, and changed == 0 for
+      // the BLOCK's second round certifies the block's first-round
+      // table was already the fixed point — the loop exits with
+      // exactly the labels the 1-round form exits with.
+      def round(lbl: DataFrame): DataFrame = {
+        val rel = edges.select(col("src"), col("dst"), lit(null).cast("long").as("prev"))
+          .union(lbl.select(col("label").as("src"), col("doc_id").as("dst"),
+            col("label").as("prev")))
+        rel.join(lbl.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst").as("doc_id"), col("label"), col("prev"))
+          .groupBy("doc_id").agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
+          .localCheckpoint(eager = false)
+      }
+      val next = round(round(labels).select("doc_id", "label"))
       changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select("doc_id", "label")
-      rounds += 1
+      rounds += 2
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $rounds changed=$changed")
+        System.err.println(s"[cc] rounds $rounds changed=$changed (block of 2)")
     }
     labels
   }
@@ -944,18 +991,18 @@ object DedupOps {
     * guarantee, so it stays out of hashed output by the same rule that
     * keeps HLL internals out (NOTES_r1 numeric-parity discipline). */
   val dedupSimhashAccuracy: Q = (s, dir) => {
-    val pairs = dedupMinhashLsh(s, dir).select("a", "b")
-    val sh = dedupSimhash(s, dir)
-    val tok = distinctTokens(s, dir)
+    // r20 (VERDICT item 3): pair set referenced twice — persist, as in
+    // dedupMinhashAccuracy. The per-doc simhash table is likewise
+    // joined on both pair sides; persisting it runs the token-hashing
+    // pass once instead of twice.
+    val pairs = dedupMinhashLsh(s, dir).select("a", "b").persist()
+    val sh = dedupSimhash(s, dir).persist()
     // r19 (guide §2.3): |distinct tokens| per doc is in-row arithmetic
     // on the text itself — one narrow Project instead of re-exploding
     // the token index and shuffling it into a per-doc count
     val sz = docs(s, dir).select(col("doc_id"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("n"))
-    val inter = pairs
-      .join(tok.toDF("a", "tk"), "a")
-      .join(tok.toDF("b", "tk"), Seq("b", "tk"))
-      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    val inter = pairIntersections(s, dir, pairs)
     pairs
       .join(sh.toDF("a", "sha"), "a")
       .join(sh.toDF("b", "shb"), "b")
@@ -1186,6 +1233,11 @@ object DedupOps {
       .select(col("doc_id"),
         expr(s"CAST((size(split(text, ' ')) + ${ParaSegTokens - 1}) div $ParaSegTokens AS BIGINT)")
           .as("n_segs"))
+      // degenerate-text guard (r20, ADVICE): NULL text makes n_segs
+      // NULL; the pre-r19 join-based shape dropped such docs (explode
+      // of NULL yields no rows) — keep that row set identical, as
+      // dedupSubstring's n_spans >= 1 guard already does
+      .filter(col("n_segs") >= 1L)
     val nDup = col("n_segs") - coalesce(col("n_first"), lit(0L))
     perDoc.join(nonDup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_segs"), nDup.as("n_dup_segs"),

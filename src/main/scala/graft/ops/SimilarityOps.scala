@@ -536,14 +536,18 @@ object SimilarityOps {
           .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
         (given, init)
       case None =>
+        // r20: average only the dims the model trains over — the MRL
+        // composition (dims=16) was paying 64 per-dim avg() columns and
+        // discarding 48 of them (identical kept values either way:
+        // avg per dim is independent).
         val row = t(s, dir, "embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
           .agg(
-            array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("mu"),
+            array((0 until dims).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("mu"),
             expr(s"sort_array(collect_list(CASE WHEN vec_id < $PqK THEN struct(vec_id, v) END))")
               .as("init"))
           .head()
-        (row.getSeq[Double](0).take(dims),
+        (row.getSeq[Double](0),
           row.getSeq[org.apache.spark.sql.Row](1)
             .map(r => (r.getLong(0), r.getSeq[Double](1))))
     }
@@ -555,10 +559,16 @@ object SimilarityOps {
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .select(col("vec_id"), expr(s"slice(v, 1, $dims)").as("v"))
       .select(col("vec_id"), expr(centerExpr(mu)).as("v"))
+    // r20 (guide §5, VERDICT item 4): the centered sub-vector table is
+    // consumed by EVERY Lloyd round; un-persisted, each round re-ran
+    // the scan + double-cast + center + explode chain. One in-query
+    // persist runs that chain once (PqIters−1 scans and decodes saved —
+    // at 100 TB, full corpus passes).
     val subs = e.select(col("vec_id"), explode(expr(
       s"transform(sequence(0, ${m - 1}), m -> struct(m AS m, slice(v, $subDim * m + 1, $subDim) AS sv))"))
       .as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+      .persist()
     def rekey(rows: Seq[(Int, Long, Seq[Double])]): Seq[Seq[(Int, Seq[Double])]] =
       (0 until m).map { mm =>
         rows.filter(_._1 == mm).sortBy(_._2).zipWithIndex

@@ -279,7 +279,12 @@ object TextOps {
     * cannot flip a bucket unless the rounded thresholds themselves
     * differ. */
   val textPerplexityBucket: Q = (s, dir) => {
-    val lp = textBigramLogprob(s, dir).select("doc_id", "avg_logprob6")
+    // r20: the per-doc score table feeds the threshold aggregate AND
+    // the bucket assignment; without the persist the whole bigram-LM
+    // subplan executed twice (the AQE stage reuse that sometimes
+    // unified the doc-aggregation exchange is not reliable — measured
+    // both ways). doc-sized narrow rows: (doc_id, double).
+    val lp = textBigramLogprob(s, dir).select("doc_id", "avg_logprob6").persist()
     val th = lp.agg(
       round(expr("percentile(avg_logprob6, 0.33D)"), 6).as("t33"),
       round(expr("percentile(avg_logprob6, 0.67D)"), 6).as("t67"))
@@ -308,7 +313,8 @@ object TextOps {
     * internals are engine-specific) with its accuracy bounded against
     * the exact twin in PerplexityApproxSpec. */
   val textPerplexityBucketApprox: Q = (s, dir) => {
-    val lp = textBigramLogprob(s, dir).select("doc_id", "avg_logprob6")
+    // r20: same lp persist as the exact twin (two references).
+    val lp = textBigramLogprob(s, dir).select("doc_id", "avg_logprob6").persist()
     val th = lp.agg(
       round(expr(s"approx_percentile(avg_logprob6, 0.33D, $PerplexityApproxAccuracy)"), 6).as("t33"),
       round(expr(s"approx_percentile(avg_logprob6, 0.67D, $PerplexityApproxAccuracy)"), 6).as("t67"))
@@ -1699,11 +1705,22 @@ object TextOps {
         "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val ab = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
     // r19 (guide §2.3): n_a = Σ_w2 n_ab — both count the same bigram
     // rows grouped by w1, so the context count re-aggregates the
     // (vocabulary-sized) bigram table instead of paying a third
-    // corpus-sized Generate pass; ab's exchange is then reused for it.
+    // corpus-sized Generate pass.
+    // r20 (VERDICT item 2): the r19 claim that ab's exchange would be
+    // REUSED for the re-aggregation was measured FALSE — the executed
+    // plan (StageReuseProbe, walking QueryStageExec leaves) showed the
+    // ab subtree computed twice (3 corpus Generates, 0 ReusedExchange:
+    // AQE's stage cache did not unify the two canonically-distinct agg
+    // subtrees). The in-query persist makes the sharing explicit: ab is
+    // VOCABULARY-sized (the whole point of the r19 derivation), so
+    // caching it is a few counters per distinct bigram, and the query
+    // drops to its 2-corpus-Generate floor (count pass + probe pass).
+    // Plan evidence: plans/r20/text_bigram_logprob_{before,after}.txt
+    // (3 Generates + 4 exchanges -> 2 Generates, ab subtree once).
+    val ab = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")).persist()
     val fst = ab.groupBy("w1").agg(sum(col("n_ab")).as("n_a"))
     big.join(ab, Seq("w1", "w2")).join(fst, Seq("w1"))
       .withColumn("lp", log(col("n_ab").cast("double") / col("n_a")))
@@ -1732,15 +1749,27 @@ object TextOps {
   val HhThreshold = 32
   val HhSketchK = 64
 
-  private[graft] def hhItems(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  private[graft] def hhItems(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    // r20 (VERDICT item 5, guide §1.2 per-task work): the md5-derived
+    // item used to cost, per token occurrence and per PASS (both HH
+    // entries run two corpus passes), a concat + 32-char hex render +
+    // substring + base-16 parse (conv) + base-10 re-render + cast +
+    // conditional string concat. `hh_item` streams the digest over the
+    // same bytes and reads the item from a precomputed table —
+    // bit-exact (HhItemSpec pins the parity against the SQL form,
+    // which stays as the extension-absent fallback).
+    if (s.catalog.functionExists("hh_item"))
+      occ.withColumn("item", expr("hh_item(tk, doc_id)"))
+    else occ
       .withColumn("u", pmod(expr(
         "cast(conv(substring(md5(concat(tk, ':', cast(doc_id as string))), 1, 13), 16, 10) as bigint)"),
         lit(1024L)))
       .withColumn("item",
         when(col("u") < 512, concat(lit("hot_"), expr("cast(u div 64 as string)")))
           .otherwise(concat(lit("rare_"), col("u").cast("string"))))
+  }
 
   /** Exact heavy hitters: full groupBy + 1-row-total broadcast compare.
     * Correct at any scale, but the shuffle carries the entire distinct
@@ -1783,10 +1812,17 @@ object TextOps {
       // passes — the two-pass algorithm's floor. Output unchanged:
       // recount + threshold make the result independent of the
       // partitioning-dependent intermediate candidate set.
+      // NOTE (eager-construction contract, ADVICE r19): this head()
+      // runs the full pass-1 corpus aggregation AT DataFrame-
+      // CONSTRUCTION time (inside Bench's timed window — the
+      // kmeans-centroid pattern); callers building the query only to
+      // inspect its plan pay that scan, and construction can throw.
       val row = items
         .agg(expr(s"mg_sketch(item, $HhSketchK)").as("sk"), count(lit(1)).as("n"))
         .select(map_keys(col("sk")).as("cand"), col("n")).head()
-      val cand = row.getSeq[String](0)
+      // defensive: mg_sketch.eval returns an empty map today, but a
+      // NULL sketch must degrade to "no candidates", not throw
+      val cand = Option(row.getSeq[String](0)).getOrElse(Nil)
       val n = row.getLong(1)
       val screen = if (cand.isEmpty) lit(false) else col("item").isin(cand: _*)
       items.filter(screen)
