@@ -149,23 +149,31 @@ object DedupOps {
     * candidate pair, ni = |distinct-token intersection|. Shared by the
     * three sketch-accuracy audits (minhash/simhash/containment).
     *
-    * r20 (guide §2.3/§3.2, VERDICT item 3): the two inverted-index join
-    * SIDES used to each derive the corpus-sized token index (two full
-    * text scans + explodes — differently keyed, so no exchange ever
-    * reused; StageReuseProbe measured 10 Generates in the executed
-    * minhash_accuracy plan). Now the index is derived ONCE, pruned to
-    * the candidate-pair members by a semi join BEFORE it is
-    * materialized (candidate docs are the sub-quadratic LSH output —
-    * a vanishing fraction of a 100 TB corpus), and the in-query persist
-    * shares that pruned slice between the a-side and b-side joins.
+    * The two token derivations stay SEPARATE (one per join side), and
+    * the joins themselves are what bound the index to the candidate
+    * set — r20 REJECTED EXPERIMENTS (do not redo, measured with an
+    * interleaved same-JVM A/B at sf0.1, noop action):
+    *  - deriving the index ONCE, semi-pruned by the pair-member ids and
+    *    persisted, then shared by both sides: 1.89 → 3.25 s minhash /
+    *    2.09 → 4.20 s simhash in the full bench — the persist chains
+    *    pairs-IMR → pairDocs → semi → tok-IMR into one sequential
+    *    stage ladder where the un-persisted sides materialize in
+    *    parallel;
+    *  - the same semi prune per side WITHOUT the persist: medians
+    *    3.4-3.5 s vs 1.65/1.33 for the plain shape;
+    *  - broadcast-hinting the semi's pair-id side: worse still
+    *    (4.7-4.8 s medians; two broadcast builds + the probe work
+    *    exceed everything the prune saves at this scale).
+    * At 100 TB the pre-exchange prune idea returns as a runtime BLOOM
+    * filter (guide §3.2) — Spark can inject it from the join itself —
+    * not as a manual semi join.
     * `pairs` must carry exactly (a, b) and should itself be persisted
-    * by the caller (every audit references it at least twice). */
+    * by the caller (every audit references it at least twice — that
+    * persist measured ~0.5 s FASTER than the r19 un-persisted shape,
+    * which re-executed the whole post-signature LSH subtree). */
   private def pairIntersections(s: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {
-    val pairDocs = pairs.select(col("a").as("doc_id"))
-      .union(pairs.select(col("b").as("doc_id"))).distinct()
     val tok = distinctTokens(s, dir)
-      .join(pairDocs, Seq("doc_id"), "left_semi").persist()
     pairs
       .join(tok.toDF("a", "tk"), "a")
       .join(tok.toDF("b", "tk"), Seq("b", "tk"))
@@ -992,11 +1000,12 @@ object DedupOps {
     * keeps HLL internals out (NOTES_r1 numeric-parity discipline). */
   val dedupSimhashAccuracy: Q = (s, dir) => {
     // r20 (VERDICT item 3): pair set referenced twice — persist, as in
-    // dedupMinhashAccuracy. The per-doc simhash table is likewise
-    // joined on both pair sides; persisting it runs the token-hashing
-    // pass once instead of twice.
+    // dedupMinhashAccuracy. The per-doc simhash table's two references
+    // stay UN-persisted (two parallel in-row scans; serializing them
+    // behind an IMR build measured slower at sf0.1, like the token
+    // index — see pairIntersections).
     val pairs = dedupMinhashLsh(s, dir).select("a", "b").persist()
-    val sh = dedupSimhash(s, dir).persist()
+    val sh = dedupSimhash(s, dir)
     // r19 (guide §2.3): |distinct tokens| per doc is in-row arithmetic
     // on the text itself — one narrow Project instead of re-exploding
     // the token index and shuffling it into a per-doc count

@@ -1720,6 +1720,14 @@ object TextOps {
     // drops to its 2-corpus-Generate floor (count pass + probe pass).
     // Plan evidence: plans/r20/text_bigram_logprob_{before,after}.txt
     // (3 Generates + 4 exchanges -> 2 Generates, ab subtree once).
+    // r20 A/B record (interleaved same-JVM medians at sf0.1): the
+    // pre-r19 third-Generate shape probes ~0.1 s FASTER locally
+    // (bigram 0.98 vs 1.09, perplexity 1.07 vs 1.27) because its three
+    // corpus passes run as parallel branches while the persist
+    // serializes behind the IMR build. Kept anyway: at 100 TB a third
+    // full corpus Generate pass dwarfs a vocabulary-sized cache build,
+    // and 2 corpus passes is this query's floor. PlanShapeSpec pins
+    // the single-derivation structure.
     val ab = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")).persist()
     val fst = ab.groupBy("w1").agg(sum(col("n_ab")).as("n_a"))
     big.join(ab, Seq("w1", "w2")).join(fst, Seq("w1"))

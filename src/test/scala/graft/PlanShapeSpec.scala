@@ -675,4 +675,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  /** Every node of the executed plan, descending through AQE's
+    * QueryStageExec leaves (stages hide their plan from TreeNode
+    * traversal — CLAUDE.md convention). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: allNodes(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: allNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  private def executedNodes(name: String)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    allNodes(df.queryExecution.executedPlan)
+  }
+
+  test("text_bigram_logprob derives its vocabulary table once (r20 pin)") {
+    // The r19 claim that AQE would reuse the ab exchange between the
+    // probe join and the n_a re-aggregation was measured FALSE (the ab
+    // corpus Generate executed twice). The r20 shape persists ab, so
+    // the TOP-LEVEL executed plan must carry exactly ONE corpus
+    // Generate (the probe-side bigram explode) and read the vocabulary
+    // table from cache at least twice (join side + n_a side). A second
+    // top-level Generate means the sharing regressed.
+    spark.catalog.clearCache()
+    val nodes = executedNodes("text_bigram_logprob")
+    val gens = nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.GenerateExec])
+    val imrScans = nodes.count(
+      _.getClass.getSimpleName.startsWith("InMemoryTableScan"))
+    assert(gens == 1, s"expected 1 top-level Generate, got $gens")
+    assert(imrScans >= 2, s"expected >=2 InMemoryTableScans, got $imrScans")
+    spark.catalog.clearCache()
+  }
+
+  test("accuracy audits run the LSH pair subtree once (r20 pin)") {
+    // pairs is persisted; without it the whole post-signature LSH
+    // subtree executed twice (10 Generates measured in r19's executed
+    // plan). The two remaining top-level Generates are the two
+    // deliberate token-index join sides.
+    Seq("dedup_minhash_accuracy", "dedup_simhash_accuracy").foreach { q =>
+      spark.catalog.clearCache()
+      val nodes = executedNodes(q)
+      val gens = nodes.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.GenerateExec])
+      val imrScans = nodes.count(
+        _.getClass.getSimpleName.startsWith("InMemoryTableScan"))
+      assert(gens <= 2, s"$q: expected <=2 top-level Generates, got $gens")
+      assert(imrScans >= 2, s"$q: expected >=2 InMemoryTableScans, got $imrScans")
+      spark.catalog.clearCache()
+    }
+  }
 }
